@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** TPC-H-shaped relational coverage over the driver's testdata.
+  *
+  * Every query has a DuckDB oracle (SURVEY.md §5 / the driver contract), so
+  * column names and row order are pinned on both sides. Scale notes:
+  *  - dimension tables (region/nation, and supplier/part at low SF) are
+  *    broadcast — either explicitly for the always-tiny ones or left to
+  *    AQE's size-based broadcast for the SF-scaled ones;
+  *  - aggregates are expressed declaratively so Catalyst plans partial
+  *    (map-side) aggregation before the shuffle;
+  *  - double-typed aggregates are rounded identically on both sides to
+  *    make the hash compare stable across summation orders.
+  */
+object RelationalQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Q1: full-scan aggregate; map-side combine then 6-group shuffle.
+    "q01_pricing_summary" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Q3: 3-way join narrowed by selective dimension filters first.
+    "q03_shipping_priority" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+    }),
+
+    // Q5: 6-way star join; region/nation broadcast explicitly (always tiny).
+    "q05_local_supplier_volume" -> ((s, d) => {
+      val r = region(s, d).filter(col("r_name") === "ASIA")
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Q6: pure scan + filter + scalar agg; filters must reach the parquet scan.
+    "q06_forecast_revenue" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.03, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // Q4-shape: EXISTS → left-semi join, then count per priority.
+    "q04_order_priority" -> ((s, d) => {
+      val l = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q10-shape: returned-item revenue per customer.
+    "q10_returned_items" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Q14-shape: conditional aggregation over a part join.
+    "q14_promo_effect" -> ((s, d) => {
+      val l = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      l.join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) *
+            sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .otherwise(lit(0.0))) /
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("promo_revenue"))
+    }),
+
+    // Q18-shape: HAVING over a grouped join (large-quantity orders).
+    "q18_large_orders" -> ((s, d) => {
+      val bigOrders = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("tot_qty"))
+        .filter(col("tot_qty") > 150)
+      orders(s, d)
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), round(col("tot_qty"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // Window function: top-3 lineitems per supplier by price.
+    "q20_window_topk_per_supplier" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
+    // Rollup with NULL-safe labels (identical COALESCE on both sides).
+    "q21_rollup_revenue" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_price"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // Anti join: customers that never ordered.
+    "q22_customers_no_orders" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Events: per-type hourly aggregate (timestamp truncation parity via date+hour).
+    "q30_events_hourly" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .filter(col("n") >= 2)
+        .orderBy(col("event_type"), col("day"), col("h"))
+    }),
+
+    // Events: window rank of users by total purchase value.
+    "q31_events_user_rank" -> ((s, d) => {
+      val totals = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 2).as("total"), count(lit(1)).as("n_purchases"))
+      totals
+        .withColumn("rnk", rank().over(Window.orderBy(col("total").desc, col("user_id"))))
+        .filter(col("rnk") <= 25)
+        .select(col("rnk"), col("user_id"), col("total"), col("n_purchases"))
+        .orderBy(col("rnk"))
+    }),
+
+    // Set op: distinct nations present on either side of trade, minus ASIA.
+    "q32_setops_nations" -> ((s, d) => {
+      val n = nation(s, d)
+      val custN = customer(s, d).join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"))
+      val suppN = supplier(s, d).join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"))
+      val asiaN = n.join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"))
+      custN.union(suppN).distinct().except(asiaN)
+        .orderBy(col("n_name"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q05_local_supplier_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q14_promo_effect" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+        |    sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(tot_qty, 2) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS tot_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 150) big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q20_window_topk_per_supplier" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem) x
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q21_rollup_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q22_customers_no_orders" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q30_events_hourly" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS h,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY event_type, CAST(ts AS DATE), hour(ts)
+        |HAVING count(*) >= 2
+        |ORDER BY event_type, day, h""".stripMargin,
+
+    "q31_events_user_rank" ->
+      """SELECT rnk, user_id, total, n_purchases
+        |FROM (SELECT user_id, round(sum(value), 2) AS total, count(*) AS n_purchases,
+        |        rank() OVER (ORDER BY round(sum(value), 2) DESC, user_id) AS rnk
+        |      FROM events
+        |      WHERE event_type = 'purchase'
+        |      GROUP BY user_id) x
+        |WHERE rnk <= 25
+        |ORDER BY rnk""".stripMargin,
+
+    "q32_setops_nations" ->
+      """(SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | UNION
+        | SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |EXCEPT
+        |SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |ORDER BY n_name""".stripMargin
+  )
+}
