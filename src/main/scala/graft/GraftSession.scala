@@ -10,15 +10,13 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  @volatile private var registered: Set[String] = Set.empty
+  // Keyed on the session object itself; weak so dropped sessions don't pin.
+  private val registered = new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
-  def registerAll(spark: SparkSession): Unit = {
-    val id = spark.sessionState.toString
-    if (!registered.contains(id)) synchronized {
-      if (!registered.contains(id)) {
-        graft.functions.GraftFunctions.registerAll(spark)
-        registered += id
-      }
+  def registerAll(spark: SparkSession): Unit = registered.synchronized {
+    if (!registered.containsKey(spark)) {
+      graft.functions.GraftFunctions.registerAll(spark)
+      registered.put(spark, java.lang.Boolean.TRUE)
     }
   }
 

@@ -26,7 +26,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val m = packs.map(_._1).reduce(_ ++ _)
     m.map { case (k, f) =>
-      k -> { (s: SparkSession, d: String) => { GraftSession.registerAll(s); f(s, d) } }
+      k -> { (s: SparkSession, d: String) =>
+        // Pin UTC so date/hour bucketing matches the (timezone-naive) DuckDB
+        // oracle regardless of the driver session's zone.
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        GraftSession.registerAll(s)
+        f(s, d)
+      }
     }
   }
 

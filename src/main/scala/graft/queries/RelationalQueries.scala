@@ -174,14 +174,19 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("day"), col("h"))
     }),
 
-    // Events: window rank of users by total purchase value.
+    // Events: top-25 users by total purchase value. Scale note: the window's
+    // ORDER BY (total DESC, user_id) is a total order, so rank == row_number;
+    // we take the top 25 with a distributed TakeOrderedAndProject first and
+    // only then run the (now 25-row) global window — no single-partition
+    // shuffle of the full user set.
     "q31_events_user_rank" -> ((s, d) => {
       val totals = events(s, d).filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(round(sum(col("value")), 2).as("total"), count(lit(1)).as("n_purchases"))
+        .orderBy(col("total").desc, col("user_id"))
+        .limit(25)
       totals
-        .withColumn("rnk", rank().over(Window.orderBy(col("total").desc, col("user_id"))))
-        .filter(col("rnk") <= 25)
+        .withColumn("rnk", row_number().over(Window.orderBy(col("total").desc, col("user_id"))))
         .select(col("rnk"), col("user_id"), col("total"), col("n_purchases"))
         .orderBy(col("rnk"))
     }),

@@ -48,7 +48,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        sdf = pq.read_table(files[0])
+        import pyarrow as pa
+        sdf = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
         ocols = sorted(odf.column_names)
         scols = sorted(sdf.column_names)
         if ocols != scols:
