@@ -1,10 +1,189 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Registration hub for all Graft SQL functions (populated per-module). */
+/** Registers every Graft SQL function on a session.
+  *
+  * Two registration paths, chosen per function:
+  *
+  *  1. Scalar compute functions (sequence/quality/mass-spec) register as
+  *     typed Scala UDFs over the pure kernels in [[SeqOps]].
+  *  2. The region predicate family (`region_match`, `chrom_match`,
+  *     `interval_match`, `*_region_filter`) registers as plan-time
+  *     FunctionRegistry builders that REWRITE the call into plain Catalyst
+  *     comparisons (`chrom = name AND pos BETWEEN a AND b`). The rewritten
+  *     predicates stay inside whole-stage codegen and — crucially — are
+  *     pushable by Spark into any DSv2/parquet scan, which is the Spark-first
+  *     equivalent of the reference's region-pushdown tokens
+  *     (/root/reference/exon/exon-core/src/datasources/vcf/table_provider.rs:299-441).
+  *
+  * Function surface mirrors the reference's registration hub
+  * (/root/reference/exon/exon-core/src/session_context/exon_context_ext.rs:190-215).
+  */
 object GraftFunctions {
+
   def registerAll(spark: SparkSession): Unit = {
-    // per-module registrations are appended as modules land
+    registerScalarUdfs(spark)
+    registerSamFlagUdfs(spark)
+    registerRegionFunctions(spark)
+  }
+
+  private def registerScalarUdfs(spark: SparkSession): Unit = {
+    val u = spark.udf
+    u.register("reverse_complement",
+      (s: String) => if (s == null) null else SeqOps.reverseComplement(s))
+    u.register("gc_content",
+      (s: String) => if (s == null) None else Some(SeqOps.gcContent(s)))
+    u.register("trim_polya",
+      (s: String) => if (s == null) null else SeqOps.trimPolyA(s))
+    u.register("quality_scores_to_list",
+      (s: String) => if (s == null) null else SeqOps.qualityScoresToList(s))
+    u.register("quality_scores_to_string",
+      (xs: Seq[Int]) => if (xs == null) null else SeqOps.qualityScoresToString(xs))
+    u.register("integer_encoding",
+      (s: String, alphabet: String) =>
+        if (s == null || alphabet == null) null else SeqOps.integerEncoding(s, alphabet))
+    u.register("locate_regex",
+      (s: String, pattern: String) =>
+        if (s == null || pattern == null) null else SeqOps.locateRegex(s, pattern))
+    u.register("alignment_score",
+      (a: String, b: String) =>
+        if (a == null || b == null) None else Some(SeqOps.alignmentScore(a, b)))
+    u.register("contains_peak",
+      (mz: Seq[Double], target: Double, tol: Double) =>
+        if (mz == null) None else Some(SeqOps.containsPeak(mz, target, tol)))
+    u.register("bin_vectors",
+      (mz: Seq[Double], intensity: Seq[Double], binStart: Double, numBins: Long, binWidth: Double) =>
+        if (mz == null || intensity == null) null
+        else SeqOps.binVectors(mz, intensity, binStart, numBins, binWidth))
+  }
+
+  /** The 13 SAM-flag predicates. `is_properly_aligned` and
+    * `is_properly_segmented` are intentionally the same bit (0x2), as in the
+    * reference (udfs/sam/samflags.rs:113-121).
+    */
+  private val samFlagBits: Seq[(String, Int)] = Seq(
+    "is_segmented" -> 0x1,
+    "is_properly_aligned" -> 0x2,
+    "is_properly_segmented" -> 0x2,
+    "is_unmapped" -> 0x4,
+    "is_mate_unmapped" -> 0x8,
+    "is_reverse_complemented" -> 0x10,
+    "is_mate_reverse_complemented" -> 0x20,
+    "is_first_segment" -> 0x40,
+    "is_last_segment" -> 0x80,
+    "is_secondary" -> 0x100,
+    "is_qc_fail" -> 0x200,
+    "is_duplicate" -> 0x400,
+    "is_supplementary" -> 0x800
+  )
+
+  private def registerSamFlagUdfs(spark: SparkSession): Unit = {
+    // Registered as builders composing native bitwise expressions so the
+    // predicates are codegen'd and foldable, not UDF black boxes.
+    samFlagBits.foreach { case (name, bit) =>
+      registerBuilder(spark, name, { args =>
+        require(args.length == 1, s"$name takes one argument (the SAM flag)")
+        Not(EqualTo(BitwiseAnd(args.head, Literal(bit)), Literal(0)))
+      })
+    }
+  }
+
+  // ----- region predicate family (plan-time rewrites) -----
+
+  private def registry(spark: SparkSession) =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+
+  private def registerBuilder(spark: SparkSession, name: String,
+                              builder: Seq[Expression] => Expression): Unit =
+    registry(spark).createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** The region argument must be a literal string — same restriction as the
+    * reference, which parses it from a scalar at plan time.
+    */
+  private def literalString(name: String, e: Expression): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other if other.foldable =>
+      Option(other.eval(null)) match {
+        case Some(s: UTF8String) => s.toString
+        case _ => throw new IllegalArgumentException(
+          s"$name: region/interval argument must be a non-null string literal")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$name: region/interval argument must be a string literal, got: $e")
+  }
+
+  private def containsPos(r: GenomicRegion, pos: Expression): Expression = {
+    val conds = Seq(
+      r.start.map(s => GreaterThanOrEqual(pos, Literal(s))),
+      r.end.map(e => LessThanOrEqual(pos, Literal(e)))
+    ).flatten
+    conds.reduceOption(And).getOrElse(Literal.TrueLiteral)
+  }
+
+  private def overlapsInterval(r: GenomicRegion, start: Expression, end: Expression): Expression = {
+    val conds = Seq(
+      r.start.map(s => GreaterThanOrEqual(end, Literal(s))),
+      r.end.map(e => LessThanOrEqual(start, Literal(e)))
+    ).flatten
+    conds.reduceOption(And).getOrElse(Literal.TrueLiteral)
+  }
+
+  private def nameEq(r: GenomicRegion, chrom: Expression): Expression =
+    EqualTo(chrom, Literal(UTF8String.fromString(r.name), StringType))
+
+  /** Overlap-style filter: `f(region, name)` or `f(region, name, start, end)`.
+    * BAM/CRAM/GFF/BigWig semantics (interval overlap) — see SURVEY §7.4 #6.
+    */
+  private def overlapFilterBuilder(name: String)(args: Seq[Expression]): Expression = {
+    val r = GenomicRegion.parse(literalString(name, args.head))
+    args.length match {
+      case 2 => nameEq(r, args(1))
+      case 4 => And(nameEq(r, args(1)), overlapsInterval(r, args(2), args(3)))
+      case n => throw new IllegalArgumentException(
+        s"$name takes (region, name) or (region, name, start, end); got $n args")
+    }
+  }
+
+  private def registerRegionFunctions(spark: SparkSession): Unit = {
+    // region_match(chrom, pos, region): containment of pos in the region.
+    registerBuilder(spark, "region_match", { args =>
+      require(args.length == 3, "region_match takes (chrom, pos, region)")
+      val r = GenomicRegion.parse(literalString("region_match", args(2)))
+      And(nameEq(r, args(0)), containsPos(r, args(1)))
+    })
+
+    // chrom_match(chrom, region): name equality only.
+    registerBuilder(spark, "chrom_match", { args =>
+      require(args.length == 2, "chrom_match takes (chrom, region)")
+      val r = GenomicRegion.parse(literalString("chrom_match", args(1)))
+      nameEq(r, args(0))
+    })
+
+    // interval_match(pos, interval): pos within [lo, hi].
+    registerBuilder(spark, "interval_match", { args =>
+      require(args.length == 2, "interval_match takes (pos, interval)")
+      val (lo, hi) = GenomicRegion.parseInterval(literalString("interval_match", args(1)))
+      And(GreaterThanOrEqual(args(0), Literal(lo)), LessThanOrEqual(args(0), Literal(hi)))
+    })
+
+    // vcf_region_filter(region, chrom [, pos]): POINT CONTAINMENT.
+    registerBuilder(spark, "vcf_region_filter", { args =>
+      val r = GenomicRegion.parse(literalString("vcf_region_filter", args.head))
+      args.length match {
+        case 2 => nameEq(r, args(1))
+        case 3 => And(nameEq(r, args(1)), containsPos(r, args(2)))
+        case n => throw new IllegalArgumentException(
+          s"vcf_region_filter takes (region, chrom) or (region, chrom, pos); got $n args")
+      }
+    })
+
+    // INTERVAL OVERLAP family.
+    Seq("bam_region_filter", "cram_region_filter", "gff_region_filter", "bigwig_region_filter")
+      .foreach(n => registerBuilder(spark, n, overlapFilterBuilder(n)))
   }
 }
