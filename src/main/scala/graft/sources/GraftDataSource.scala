@@ -1,0 +1,354 @@
+package graft.sources
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, EqualNullSafe, Filter, In, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hadoop Configuration is not serializable; ship it to executors manually. */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** DataSource V2 entry point, one concrete zero-arg subclass per format
+  * (registered in META-INF/services for `spark.read.format("fasta")`).
+  *
+  * Architecture (SURVEY §2.1 "Spark mapping"): TableProvider → GraftTable
+  * (file listing + hive partition discovery) → GraftScanBuilder (column
+  * pruning + partition-filter pushdown) → GraftBatch (size-packed, record-
+  * aligned splits) → GraftPartitionReader (decompress, parse, project).
+  */
+abstract class GraftTableProvider(format: GraftFormat)
+  extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = format.shortName
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def makeTable(options: java.util.Map[String, String]): GraftTable = {
+    val opts = options.asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
+    new GraftTable(format, opts)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    makeTable(options.asCaseSensitiveMap()).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    makeTable(properties)
+}
+
+/** One chunk of one file; a partition holds one or more chunks (small files
+  * are packed together, big splittable files are cut at record boundaries).
+  */
+final case class FileChunk(path: String, start: Long, length: Long, fileSize: Long,
+                           partValues: Array[String]) {
+  def isWholeFile: Boolean = start == 0 && length >= fileSize
+}
+
+final case class GraftInputPartition(chunks: Array[FileChunk]) extends InputPartition
+
+final class GraftTable(val format: GraftFormat, options: Map[String, String])
+  extends Table with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  val paths: Seq[String] = {
+    val ps = options.get("paths").map(parseJsonPaths).getOrElse(Nil)
+    val p = options.get("path").toSeq
+    val all = ps ++ p
+    require(all.nonEmpty, s"${format.shortName}: no path specified")
+    all
+  }
+
+  private def parseJsonPaths(json: String): Seq[String] = {
+    // minimal parser for Spark's ["p1","p2"] encoding
+    val trimmed = json.trim.stripPrefix("[").stripSuffix("]")
+    if (trimmed.isEmpty) Nil
+    else trimmed.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  private val extensions: Seq[String] =
+    options.get("fileextension").map(e => Seq(e.stripPrefix(".").toLowerCase))
+      .getOrElse(format.defaultExtensions)
+
+  // none | gzip | zstd | infer (default): with infer, compression is detected
+  // per file from its extension; with none, compressed files are excluded
+  // from directory listings.
+  private val compression: String = options.getOrElse("compression", "infer").toLowerCase
+
+  /** (files, partitionColumns). Listed once on the driver. */
+  lazy val listing: (Seq[(FileStatus, Array[String])], Seq[String]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val partCols = mutable.LinkedHashSet[String]()
+    val files = mutable.ArrayBuffer[(FileStatus, mutable.LinkedHashMap[String, String])]()
+
+    def nameMatches(name: String): Boolean = {
+      val lower = name.toLowerCase
+      if (lower.startsWith("_") || lower.startsWith(".")) return false
+      val isCompressed = Codecs.isCompressed(lower)
+      if (compression == "none" && isCompressed) return false
+      val base = Codecs.stripCompression(lower)
+      extensions.exists(e => base.endsWith("." + e))
+    }
+
+    def walk(fsPath: Path, partVals: mutable.LinkedHashMap[String, String],
+             root: Boolean): Unit = {
+      val fs = fsPath.getFileSystem(conf)
+      val matches = fs.globStatus(fsPath)
+      require(matches != null && matches.nonEmpty,
+        s"${format.shortName}: path does not exist: $fsPath")
+      matches.foreach { st =>
+        if (st.isDirectory) {
+          val name = st.getPath.getName
+          val vals =
+            if (!root && name.contains("=")) {
+              val Array(k, v) = name.split("=", 2)
+              partCols += k
+              partVals + (k -> v)
+            } else partVals
+          fs.listStatus(st.getPath).foreach { child =>
+            if (child.isDirectory) walk(child.getPath, vals, root = false)
+            else if (nameMatches(child.getPath.getName) && child.getLen > 0)
+              files += ((child, vals))
+          }
+        } else if (st.getLen > 0) {
+          // explicit file path: no extension filtering
+          files += ((st, partVals))
+        }
+      }
+    }
+
+    paths.foreach(p => walk(new Path(p), mutable.LinkedHashMap.empty, root = true))
+    val cols = partCols.toSeq
+    val resolved = files.toSeq.map { case (st, vals) =>
+      (st, cols.map(c => vals.getOrElse(c, null)).toArray)
+    }
+    (resolved, cols)
+  }
+
+  def partitionSchema: StructType =
+    StructType(listing._2.map(c => StructField(c, StringType, nullable = true)))
+
+  override def name(): String = s"${format.shortName}:${paths.mkString(",")}"
+  override def schema(): StructType =
+    StructType(format.dataSchema.fields ++ partitionSchema.fields)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this)
+}
+
+final class GraftScanBuilder(table: GraftTable)
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = table.schema()
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit = requiredSchema = required
+
+  /** Accept (and later prune with) filters that touch only partition columns.
+    * Everything else stays a residual for Spark to evaluate post-scan.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val partCols = table.partitionSchema.fieldNames.toSet
+    val (accepted, residual) = filters.partition {
+      case EqualTo(a, _) => partCols.contains(a)
+      case EqualNullSafe(a, _) => partCols.contains(a)
+      case In(a, _) => partCols.contains(a)
+      case IsNotNull(a) => partCols.contains(a)
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GraftScan(table, requiredSchema, pushed)
+}
+
+final class GraftScan(table: GraftTable, required: StructType, partFilters: Array[Filter])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan(${table.format.shortName}, cols=${required.fieldNames.mkString(",")}," +
+      s" partFilters=${partFilters.mkString(",")})"
+
+  private def prunePartitions(files: Seq[(FileStatus, Array[String])],
+                              partCols: Seq[String]): Seq[(FileStatus, Array[String])] = {
+    if (partFilters.isEmpty) return files
+    val idx = partCols.zipWithIndex.toMap
+    files.filter { case (_, vals) =>
+      partFilters.forall {
+        case EqualTo(a, v)       => idx.get(a).forall(i => vals(i) != null && vals(i) == String.valueOf(v))
+        case EqualNullSafe(a, v) => idx.get(a).forall(i => vals(i) == String.valueOf(v))
+        case In(a, vs)           => idx.get(a).forall(i => vals(i) != null && vs.map(String.valueOf).contains(vals(i)))
+        case IsNotNull(a)        => idx.get(a).forall(i => vals(i) != null)
+        case _                   => true
+      }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (files, partCols) = table.listing
+    val pruned = prunePartitions(files, partCols)
+    val spark = SparkSession.active
+    val maxPartBytes = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").toLong
+    val openCost = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+      .stripSuffix("b").toLong
+    val parallelism = spark.sparkContext.defaultParallelism
+    val totalBytes = pruned.map(_._1.getLen + openCost).sum
+    val maxSplit = math.max(openCost,
+      math.min(maxPartBytes, totalBytes / math.max(1, parallelism)))
+
+    // Cut chunks: whole file unless splittable & uncompressed & big.
+    val chunks = pruned.flatMap { case (st, vals) =>
+      val p = st.getPath.toString
+      val size = st.getLen
+      val canSplit = table.format.splittable && !Codecs.isCompressed(st.getPath.getName)
+      if (canSplit && size > maxSplit) {
+        (0L until size by maxSplit).map { off =>
+          FileChunk(p, off, math.min(maxSplit, size - off), size, vals)
+        }
+      } else Seq(FileChunk(p, 0, size, size, vals))
+    }
+
+    // Greedy size-based packing (mirrors Spark's FilePartition packing) so
+    // thousands of small files don't become thousands of tasks.
+    val sorted = chunks.sortBy(-_.length)
+    val partitions = mutable.ArrayBuffer[mutable.ArrayBuffer[FileChunk]]()
+    val sizes = mutable.ArrayBuffer[Long]()
+    sorted.foreach { c =>
+      val cost = c.length + openCost
+      val i = sizes.indexWhere(_ + cost <= maxSplit)
+      if (i >= 0) { partitions(i) += c; sizes(i) += cost }
+      else { partitions += mutable.ArrayBuffer(c); sizes += cost }
+    }
+    partitions.map(p => GraftInputPartition(p.toArray): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dataIdx = table.format.dataSchema.fieldNames.zipWithIndex.toMap
+    val partIdx = table.listing._2.zipWithIndex.toMap
+    // For each output field: Left(dataColIdx) or Right(partColIdx).
+    val fieldSources: Array[Either[Int, Int]] = required.fieldNames.map { f =>
+      dataIdx.get(f).map(Left(_)).getOrElse(Right(partIdx(f)))
+    }
+    new GraftReaderFactory(
+      table.format,
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
+      fieldSources)
+  }
+}
+
+final class GraftReaderFactory(format: GraftFormat, conf: SerializableHadoopConf,
+                               fieldSources: Array[Either[Int, Int]])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val chunks = partition.asInstanceOf[GraftInputPartition].chunks
+    new GraftPartitionReader(format, conf.value, chunks, fieldSources)
+  }
+}
+
+/** Executor-side reader: iterates the partition's chunks, decompressing and
+  * aligning each to a record boundary, parsing only the required data columns
+  * and splicing in the per-file hive partition values.
+  */
+final class GraftPartitionReader(format: GraftFormat, conf: Configuration,
+                                 chunks: Array[FileChunk],
+                                 fieldSources: Array[Either[Int, Int]])
+  extends PartitionReader[InternalRow] {
+
+  // Required data columns, in output order.
+  private val requiredData: Array[Int] = fieldSources.collect { case Left(i) => i }
+  // Output position -> position in the parser's output array.
+  private val dataOutPos: Array[Int] = fieldSources.zipWithIndex.collect {
+    case (Left(_), outPos) => outPos
+  }
+  private val partOutPos: Array[(Int, Int)] = fieldSources.zipWithIndex.collect {
+    case (Right(p), outPos) => (outPos, p)
+  }
+
+  private var chunkIdx = -1
+  private var stream: java.io.InputStream = _
+  private var it: Iterator[Array[Any]] = Iterator.empty
+  private var partVals: Array[Any] = Array.empty
+  private var current: InternalRow = _
+
+  private def openNextChunk(): Boolean = {
+    closeStream()
+    chunkIdx += 1
+    if (chunkIdx >= chunks.length) return false
+    val c = chunks(chunkIdx)
+    val path = new Path(c.path)
+    val fs = path.getFileSystem(conf)
+    val raw = fs.open(path)
+    val compressed = Codecs.isCompressed(path.getName)
+    val isSplit = c.start > 0
+    val reader =
+      if (compressed) {
+        stream = Codecs.wrap(path.getName, raw)
+        new ByteLineReader(stream, 0L)
+      } else if (isSplit) {
+        // Hadoop convention: back up one byte and discard one (partial) line;
+        // a line starting exactly at c.start is then correctly kept.
+        raw.seek(c.start - 1)
+        stream = raw
+        val r = new ByteLineReader(raw, c.start - 1)
+        r.readLine()
+        r
+      } else {
+        stream = raw
+        new ByteLineReader(raw, 0L)
+      }
+    val end = if (c.isWholeFile || compressed) Long.MaxValue else c.start + c.length
+    partVals = c.partValues.map(v =>
+      (if (v == null) null else UTF8String.fromString(v)): Any)
+    it = format.records(new RecordInput(reader, end, isSplit), requiredData)
+    true
+  }
+
+  private def closeStream(): Unit = {
+    if (stream != null) { try stream.close() catch { case _: Throwable => () }; stream = null }
+  }
+
+  override def next(): Boolean = {
+    while (!it.hasNext) {
+      if (!openNextChunk()) return false
+    }
+    val data = it.next()
+    val row = new Array[Any](fieldSources.length)
+    var i = 0
+    while (i < data.length) { row(dataOutPos(i)) = data(i); i += 1 }
+    partOutPos.foreach { case (outPos, p) => row(outPos) = partVals(p) }
+    current = new GenericInternalRow(row)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = closeStream()
+}

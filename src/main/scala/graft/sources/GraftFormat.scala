@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+/** One file split handed to a format: a positioned line reader plus the
+  * exclusive upper byte bound. `end == Long.MaxValue` means whole file (also
+  * always the case for compressed inputs). For a mid-file split the infra has
+  * already aligned the reader to the first line starting at or after the
+  * split start; record-structured formats (FASTA) must additionally align to
+  * their own record boundary via `alignToRecord`.
+  */
+final class RecordInput(val lines: ByteLineReader, val end: Long, val isMidFileSplit: Boolean)
+
+/** A file format the engine can scan: fixed schema + a record iterator.
+  *
+  * The iterator yields values for `required` data-column indices only (in
+  * that order), as Catalyst internal values (UTF8String, Long, ArrayData…).
+  * Column pruning therefore reaches the parser — unreferenced columns are
+  * never materialized (SURVEY §4.1 projection pushdown).
+  */
+trait GraftFormat extends Serializable {
+  def shortName: String
+  def dataSchema: StructType
+  /** Extensions (without dot) recognized when listing a directory. */
+  def defaultExtensions: Seq[String]
+  /** Uncompressed files may be split at record boundaries. */
+  def splittable: Boolean = false
+  def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]]
+}
+
+/** Base for one-line-per-record formats (GFF/GTF/BED/HMMDOMTAB/SAM/VCF…):
+  * splittable for free, with comment/header line skipping.
+  */
+abstract class LineFormat extends GraftFormat {
+  override def splittable: Boolean = true
+
+  /** Lines to skip entirely (comments, headers). */
+  def skipLine(line: String): Boolean = line.isEmpty || line.charAt(0) == '#'
+
+  /** Parse one data line into the required columns; null to drop the line. */
+  def parseLine(line: String, required: Array[Int]): Array[Any]
+
+  final override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
+    new Iterator[Array[Any]] {
+      private var nextRow: Array[Any] = _
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null) {
+          if (input.lines.nextLineStart >= input.end) return
+          val line = input.lines.readLine()
+          if (line == null) return
+          if (!skipLine(line)) nextRow = parseLine(line, required)
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Array[Any] = { val r = nextRow; advance(); r }
+    }
+}
+
+object FormatUtil {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @inline def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** '.'-aware nullable string (the common "missing" marker in GFF/VCF/SAM). */
+  @inline def dotNull(s: String): UTF8String =
+    if (s == null || s.isEmpty || s == ".") null else UTF8String.fromString(s)
+
+  @inline def dotNullLong(s: String): Any =
+    if (s == null || s.isEmpty || s == ".") null else java.lang.Long.parseLong(s)
+
+  @inline def dotNullFloat(s: String): Any =
+    if (s == null || s.isEmpty || s == ".") null else java.lang.Float.parseFloat(s)
+
+  def utf8Array(parts: Array[String]): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      parts.map(p => UTF8String.fromString(p): Any))
+}

@@ -1,0 +1,151 @@
+package graft.sources.formats
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources._
+import graft.sources.FormatUtil._
+
+/** SAM (text alignment format): tab-separated records, '@' header lines
+  * skipped. Schema mirrors the reference's SAM schema
+  * (exon/exon-sam/src/schema_builder.rs:371-401):
+  *  - `end` is computed from CIGAR reference consumption (1-based inclusive;
+  *    golden `ref1_grp1_p001 99 ref1 1 10 0 10M ref1`, sam-select-tests.slt:7-10),
+  *  - `quality_score` is the Phred+33-decoded list,
+  *  - `mate_reference` '=' resolves to the read's own reference,
+  *  - `tags` is ARRAY<STRUCT<tag,value>> of the raw tag values (unparsed
+  *    mode of `exon.sam_parse_tags`).
+  */
+object SamFormat extends LineFormat {
+  override def shortName: String = "sam"
+  override def defaultExtensions: Seq[String] = Seq("sam")
+  override val dataSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = true),
+    StructField("flag", IntegerType, nullable = false),
+    StructField("reference", StringType, nullable = true),
+    StructField("start", LongType, nullable = true),
+    StructField("end", LongType, nullable = true),
+    StructField("mapping_quality", StringType, nullable = true),
+    StructField("cigar", StringType, nullable = true),
+    StructField("mate_reference", StringType, nullable = true),
+    StructField("sequence", StringType, nullable = true),
+    StructField("quality_score", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("tags", ArrayType(StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("value", StringType, nullable = true))), containsNull = false),
+      nullable = true)))
+
+  override def skipLine(line: String): Boolean = line.isEmpty || line.charAt(0) == '@'
+
+  /** Reference bases consumed by a CIGAR string (M/D/N/=/X ops). */
+  def cigarReferenceLength(cigar: String): Long = {
+    var total = 0L
+    var n = 0L
+    var i = 0
+    while (i < cigar.length) {
+      val c = cigar.charAt(i)
+      if (c >= '0' && c <= '9') n = n * 10 + (c - '0')
+      else {
+        c match {
+          case 'M' | 'D' | 'N' | '=' | 'X' => total += n
+          case _ => ()
+        }
+        n = 0
+      }
+      i += 1
+    }
+    total
+  }
+
+  override def parseLine(line: String, required: Array[Int]): Array[Any] = {
+    val f = line.split('\t')
+    if (f.length < 11) return null
+    val pos = java.lang.Long.parseLong(f(3))
+    val unmapped = pos == 0L || f(5) == "*"
+    required.map {
+      case 0 => if (f(0) == "*") null else utf8(f(0))
+      case 1 => Integer.parseInt(f(1))
+      case 2 => if (f(2) == "*") null else utf8(f(2))
+      case 3 => if (pos == 0L) null else pos
+      case 4 => if (unmapped) null else pos + cigarReferenceLength(f(5)) - 1
+      case 5 => if (f(4) == "255") null else utf8(f(4))
+      case 6 => if (f(5) == "*") null else utf8(f(5))
+      case 7 =>
+        if (f(6) == "*") null
+        else if (f(6) == "=") { if (f(2) == "*") null else utf8(f(2)) }
+        else utf8(f(6))
+      case 8 => if (f(9) == "*") null else utf8(f(9))
+      case 9 =>
+        if (f(10) == "*") null
+        else {
+          val q = f(10)
+          val arr = new Array[Any](q.length)
+          var i = 0
+          while (i < q.length) { arr(i) = (q.charAt(i).toInt - 33).toLong; i += 1 }
+          new GenericArrayData(arr)
+        }
+      case 10 =>
+        val tags = new Array[Any](math.max(0, f.length - 11))
+        var i = 11
+        while (i < f.length) {
+          tags(i - 11) = parseTag(f(i))
+          i += 1
+        }
+        new GenericArrayData(tags)
+    }
+  }
+
+  /** `TAG:TYPE:VALUE` → struct(tag, value-as-string); B-array values drop the
+    * element-type prefix.
+    */
+  private def parseTag(raw: String): InternalRow = {
+    val c1 = raw.indexOf(':')
+    val c2 = raw.indexOf(':', c1 + 1)
+    val tag = raw.substring(0, c1)
+    val typ = raw.substring(c1 + 1, c2)
+    var value = raw.substring(c2 + 1)
+    if (typ == "B" && value.length > 1) value = value.substring(2) // strip elem type + comma
+    new GenericInternalRow(Array[Any](utf8(tag), utf8(value)))
+  }
+}
+
+/** VCF (text): fixed 8+ columns; id/alt/filter split into arrays, info and
+  * formats kept as raw strings (the reference's default, typed structs behind
+  * `vcf_parse_info/formats` are a later milestone). `formats` = the FORMAT
+  * column plus all sample columns, tab-joined
+  * (vcf-select-tests.slt:14-17 golden `GT:PL:PG\t0/0:0,3,26:0`).
+  */
+object VcfFormat extends LineFormat {
+  override def shortName: String = "vcf"
+  override def defaultExtensions: Seq[String] = Seq("vcf")
+  override val dataSchema: StructType = StructType(Seq(
+    StructField("chrom", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("id", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("ref", StringType, nullable = false),
+    StructField("alt", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("qual", FloatType, nullable = true),
+    StructField("filter", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("info", StringType, nullable = true),
+    StructField("formats", StringType, nullable = true)))
+
+  override def parseLine(line: String, required: Array[Int]): Array[Any] = {
+    val f = line.split('\t')
+    if (f.length < 8) return null
+    required.map {
+      case 0 => utf8(f(0))
+      case 1 => java.lang.Long.parseLong(f(1))
+      case 2 => if (f(2) == ".") null else utf8Array(f(2).split(';'))
+      case 3 => utf8(f(3))
+      case 4 => if (f(4) == ".") null else utf8Array(f(4).split(','))
+      case 5 => dotNullFloat(f(5))
+      case 6 => if (f(6) == ".") null else utf8Array(f(6).split(';'))
+      case 7 => dotNull(f(7))
+      case 8 =>
+        if (f.length <= 8) null
+        else utf8(f.drop(8).mkString("\t"))
+    }
+  }
+}

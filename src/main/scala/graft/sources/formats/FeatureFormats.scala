@@ -1,0 +1,189 @@
+package graft.sources.formats
+
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources._
+import graft.sources.FormatUtil._
+
+/** GFF3: 9 tab-separated columns; '.' = missing; attributes `k=v;k=v` with
+  * comma-separated multi-values → MAP<STRING, ARRAY<STRING>>.
+  * Schema per exon/exon-gff/src/config.rs:82-103; golden row
+  * `sq0 caat 8 13 NULL + NULL` (gff-scan-tests.slt:7-10).
+  */
+object GffFormat extends LineFormat {
+  override def shortName: String = "gff"
+  override def defaultExtensions: Seq[String] = Seq("gff", "gff3")
+  override val dataSchema: StructType = StructType(Seq(
+    StructField("seqname", StringType, nullable = false),
+    StructField("source", StringType, nullable = true),
+    StructField("type", StringType, nullable = false),
+    StructField("start", LongType, nullable = false),
+    StructField("end", LongType, nullable = false),
+    StructField("score", FloatType, nullable = true),
+    StructField("strand", StringType, nullable = false),
+    StructField("phase", StringType, nullable = true),
+    StructField("attributes",
+      MapType(StringType, ArrayType(StringType, containsNull = true), valueContainsNull = true),
+      nullable = true)))
+
+  override def parseLine(line: String, required: Array[Int]): Array[Any] = {
+    if (line.startsWith(">")) return null // FASTA directive section terminates features
+    val f = line.split('\t')
+    if (f.length < 8) return null
+    required.map {
+      case 0 => utf8(f(0))
+      case 1 => dotNull(f(1))
+      case 2 => utf8(f(2))
+      case 3 => java.lang.Long.parseLong(f(3))
+      case 4 => java.lang.Long.parseLong(f(4))
+      case 5 => dotNullFloat(f(5))
+      case 6 => utf8(f(6))
+      case 7 => dotNull(f(7))
+      case 8 => if (f.length < 9) null else parseAttributes(f(8))
+    }
+  }
+
+  private def parseAttributes(s: String): ArrayBasedMapData = {
+    val pairs = s.split(';').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val eq = kv.indexOf('=')
+      val k = if (eq < 0) kv else kv.substring(0, eq)
+      val v = if (eq < 0) "" else kv.substring(eq + 1)
+      (utf8(k): Any, utf8Array(v.split(',')): Any)
+    }.toArray
+    new ArrayBasedMapData(
+      new GenericArrayData(pairs.map(_._1)), new GenericArrayData(pairs.map(_._2)))
+  }
+}
+
+/** GTF: GFF columns but `frame` and flat MAP<STRING,STRING> attributes in
+  * `key "value";` form (exon/exon-gtf/src/config.rs:28-41).
+  */
+object GtfFormat extends LineFormat {
+  override def shortName: String = "gtf"
+  override def defaultExtensions: Seq[String] = Seq("gtf")
+  override val dataSchema: StructType = StructType(Seq(
+    StructField("seqname", StringType, nullable = false),
+    StructField("source", StringType, nullable = true),
+    StructField("type", StringType, nullable = false),
+    StructField("start", LongType, nullable = false),
+    StructField("end", LongType, nullable = false),
+    StructField("score", FloatType, nullable = true),
+    StructField("strand", StringType, nullable = true),
+    StructField("frame", StringType, nullable = true),
+    StructField("attributes", MapType(StringType, StringType, valueContainsNull = true),
+      nullable = true)))
+
+  override def parseLine(line: String, required: Array[Int]): Array[Any] = {
+    val f = line.split('\t')
+    if (f.length < 8) return null
+    required.map {
+      case 0 => utf8(f(0))
+      case 1 => dotNull(f(1))
+      case 2 => utf8(f(2))
+      case 3 => java.lang.Long.parseLong(f(3))
+      case 4 => java.lang.Long.parseLong(f(4))
+      case 5 => dotNullFloat(f(5))
+      case 6 => dotNull(f(6))
+      case 7 => dotNull(f(7))
+      case 8 => if (f.length < 9) null else parseAttributes(f(8))
+    }
+  }
+
+  private def parseAttributes(s: String): ArrayBasedMapData = {
+    val pairs = s.split(';').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val sp = kv.indexOf(' ')
+      val k = if (sp < 0) kv else kv.substring(0, sp)
+      val v = if (sp < 0) "" else kv.substring(sp + 1).trim.stripPrefix("\"").stripSuffix("\"")
+      (utf8(k): Any, utf8(v): Any)
+    }.toArray
+    new ArrayBasedMapData(
+      new GenericArrayData(pairs.map(_._1)), new GenericArrayData(pairs.map(_._2)))
+  }
+}
+
+/** BED 3..12 columns (`n_fields` option, default 12); missing trailing
+  * columns are null; raw 0-based coordinates are preserved
+  * (bed-select-tests.slt golden `chr1 11873 12227 …`).
+  */
+object BedFormat extends LineFormat {
+  override def shortName: String = "bed"
+  override def defaultExtensions: Seq[String] = Seq("bed")
+  override val dataSchema: StructType = StructType(Seq(
+    StructField("reference_sequence_name", StringType, nullable = false),
+    StructField("start", LongType, nullable = false),
+    StructField("end", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("score", LongType, nullable = true),
+    StructField("strand", StringType, nullable = true),
+    StructField("thick_start", LongType, nullable = true),
+    StructField("thick_end", LongType, nullable = true),
+    StructField("color", StringType, nullable = true),
+    StructField("block_count", LongType, nullable = true),
+    StructField("block_sizes", StringType, nullable = true),
+    StructField("block_starts", StringType, nullable = true)))
+
+  override def skipLine(line: String): Boolean =
+    line.isEmpty || line.charAt(0) == '#' ||
+      line.startsWith("browser") || line.startsWith("track")
+
+  override def parseLine(line: String, required: Array[Int]): Array[Any] = {
+    val f = line.split('\t')
+    if (f.length < 3) return null
+    def str(i: Int): Any = if (i >= f.length) null else dotNull(f(i))
+    def lng(i: Int): Any = if (i >= f.length) null else dotNullLong(f(i))
+    required.map {
+      case 0 => utf8(f(0))
+      case 1 => java.lang.Long.parseLong(f(1))
+      case 2 => java.lang.Long.parseLong(f(2))
+      case i @ (4 | 6 | 7 | 9) => lng(i)
+      case i => str(i)
+    }
+  }
+}
+
+/** HMMER domain table: whitespace-delimited, 22 fixed columns + free-text
+  * description tail (exon datasources/hmmdomtab/hmm_dom_schema_builder.rs:44-66).
+  */
+object HmmDomTabFormat extends LineFormat {
+  override def shortName: String = "hmmdomtab"
+  override def defaultExtensions: Seq[String] = Seq("hmmdomtab", "domtblout", "domtab")
+  override val dataSchema: StructType = StructType(Seq(
+    StructField("target_name", StringType, nullable = false),
+    StructField("target_accession", StringType, nullable = true),
+    StructField("tlen", LongType, nullable = false),
+    StructField("query_name", StringType, nullable = false),
+    StructField("accession", StringType, nullable = true),
+    StructField("qlen", LongType, nullable = false),
+    StructField("evalue", DoubleType, nullable = false),
+    StructField("sequence_score", DoubleType, nullable = false),
+    StructField("bias", DoubleType, nullable = false),
+    StructField("domain_number", LongType, nullable = false),
+    StructField("ndom", LongType, nullable = false),
+    StructField("conditional_evalue", DoubleType, nullable = false),
+    StructField("independent_evalue", DoubleType, nullable = false),
+    StructField("domain_score", DoubleType, nullable = false),
+    StructField("domain_bias", DoubleType, nullable = false),
+    StructField("hmm_from", LongType, nullable = false),
+    StructField("hmm_to", LongType, nullable = false),
+    StructField("ali_from", LongType, nullable = false),
+    StructField("ali_to", LongType, nullable = false),
+    StructField("env_from", LongType, nullable = false),
+    StructField("env_to", LongType, nullable = false),
+    StructField("accuracy", DoubleType, nullable = false),
+    StructField("description", StringType, nullable = true)))
+
+  private val longCols = Set(2, 5, 9, 10, 15, 16, 17, 18, 19, 20)
+  private val doubleCols = Set(6, 7, 8, 11, 12, 13, 14, 21)
+
+  override def parseLine(line: String, required: Array[Int]): Array[Any] = {
+    val f = line.trim.split("\\s+", 23)
+    if (f.length < 22) return null
+    required.map { i =>
+      if (i == 22) { if (f.length < 23) null else dotNull(f(22)) }
+      else if (longCols.contains(i)) java.lang.Long.parseLong(f(i))
+      else if (doubleCols.contains(i)) java.lang.Double.parseDouble(f(i))
+      else dotNull(f(i))
+    }
+  }
+}

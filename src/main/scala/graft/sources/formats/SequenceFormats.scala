@@ -1,0 +1,115 @@
+package graft.sources.formats
+
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources._
+import graft.sources.FormatUtil._
+
+/** FASTA: records delimited by '>' at line start; id = first token of the
+  * header, description = remainder; sequence = concatenated following lines.
+  * Schema per the reference (exon/exon-fasta/src/config.rs:166-210).
+  *
+  * Splittable: a split owns every record whose '>' line starts inside
+  * [start, end); alignment skips forward to the first header line.
+  */
+object FastaFormat extends GraftFormat {
+  override def shortName: String = "fasta"
+  override def defaultExtensions: Seq[String] = Seq("fasta", "fa", "fna", "faa")
+  override def splittable: Boolean = true
+  override val dataSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("description", StringType, nullable = true),
+    StructField("sequence", StringType, nullable = false)))
+
+  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
+    new Iterator[Array[Any]] {
+      private val lines = input.lines
+      private var header: String = _
+      private var headerStart: Long = 0L
+
+      // Align to the first record whose header starts in this split.
+      locally {
+        var l = lines.readLine()
+        while (l != null && !(l.nonEmpty && l.charAt(0) == '>')) l = lines.readLine()
+        header = l
+        headerStart = lines.lastLineStart
+      }
+
+      private val needSeq = required.contains(2)
+
+      override def hasNext: Boolean = header != null && headerStart < input.end
+
+      override def next(): Array[Any] = {
+        val h = header.substring(1)
+        val sp = indexOfWhitespace(h)
+        val id = if (sp < 0) h else h.substring(0, sp)
+        val desc = if (sp < 0) null else h.substring(sp + 1).trim
+        val seq = if (needSeq) new java.lang.StringBuilder() else null
+        var l = lines.readLine()
+        while (l != null && !(l.nonEmpty && l.charAt(0) == '>')) {
+          if (needSeq) seq.append(l.trim)
+          l = lines.readLine()
+        }
+        header = l
+        headerStart = if (l == null) Long.MaxValue else lines.lastLineStart
+        required.map {
+          case 0 => utf8(id)
+          case 1 => if (desc == null || desc.isEmpty) null else utf8(desc)
+          case 2 => utf8(seq.toString)
+        }
+      }
+
+      private def indexOfWhitespace(s: String): Int = {
+        var i = 0
+        while (i < s.length) {
+          if (s.charAt(i) == ' ' || s.charAt(i) == '\t') return i
+          i += 1
+        }
+        -1
+      }
+    }
+}
+
+/** FASTQ: 4-line records (@name[ desc] / sequence / + / quality). Not
+  * splittable — a quality line may itself start with '@', so record
+  * boundaries cannot be recovered mid-file without heuristics.
+  * Schema per exon/exon-fastq/src/config.rs:81-84.
+  */
+object FastqFormat extends GraftFormat {
+  override def shortName: String = "fastq"
+  override def defaultExtensions: Seq[String] = Seq("fastq", "fq")
+  override def splittable: Boolean = false
+  override val dataSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("description", StringType, nullable = true),
+    StructField("sequence", StringType, nullable = false),
+    StructField("quality_scores", StringType, nullable = false)))
+
+  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
+    new Iterator[Array[Any]] {
+      private val lines = input.lines
+      private var nameLine: String = lines.readLine()
+
+      override def hasNext: Boolean = nameLine != null && nameLine.nonEmpty
+
+      override def next(): Array[Any] = {
+        require(nameLine.charAt(0) == '@', s"malformed FASTQ record: '$nameLine'")
+        val h = nameLine.substring(1)
+        val sp = h.indexOf(' ')
+        val name = if (sp < 0) h else h.substring(0, sp)
+        val desc = if (sp < 0) null else h.substring(sp + 1)
+        val seq = lines.readLine()
+        val plus = lines.readLine()
+        val qual = lines.readLine()
+        require(seq != null && plus != null && qual != null && plus.startsWith("+"),
+          s"truncated FASTQ record for '$name'")
+        nameLine = lines.readLine()
+        required.map {
+          case 0 => utf8(name)
+          case 1 => if (desc == null || desc.isEmpty) null else utf8(desc)
+          case 2 => utf8(seq)
+          case 3 => utf8(qual)
+        }
+      }
+    }
+}
