@@ -83,6 +83,16 @@ object FormatQueries {
       plain.crossJoin(gz)
     }),
 
+    // write path round trip: fasta -> gzip'd fasta -> read back
+    // (fasta-copy-tests.slt COPY ... STORED AS FASTA equivalent)
+    "f12_fasta_roundtrip" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fasta_rt").toString
+      val src = s.read.format("fasta").load(s"$fx/fasta/test.fasta")
+      src.write.format("fasta").mode("overwrite").option("compression", "gzip")
+        .save(s"$dir/t")
+      s.read.format("fasta").load(s"$dir/t").orderBy("id")
+    }),
+
     // region predicate over the VCF reader (containment semantics)
     "f11_vcf_region" -> ((s, _) => {
       graft.GraftSession.registerAll(s)
@@ -148,6 +158,12 @@ object FormatQueries {
         |  CAST(621 AS BIGINT) AS n_gz""".stripMargin,
 
     "f11_vcf_region" ->
-      "SELECT CAST(82 AS BIGINT) AS n_region"
+      "SELECT CAST(82 AS BIGINT) AS n_region",
+
+    "f12_fasta_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  ('a', 'description', 'ATCG'),
+        |  ('b', 'description2', 'ATCG')) t(id, description, sequence)
+        |ORDER BY id""".stripMargin
   )
 }

@@ -67,7 +67,7 @@ final case class FileChunk(path: String, start: Long, length: Long, fileSize: Lo
 final case class GraftInputPartition(chunks: Array[FileChunk]) extends InputPartition
 
 final class GraftTable(val format: GraftFormat, options: Map[String, String])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private def spark = SparkSession.active
 
@@ -95,10 +95,22 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
   // from directory listings.
   private val compression: String = options.getOrElse("compression", "infer").toLowerCase
 
+  /** Paths that resolved to nothing — tolerated at schema time (write path
+    * targets may not exist yet), fatal at scan time.
+    */
+  @volatile private var missingPaths: Seq[String] = Nil
+
+  def requireExists(): Unit = {
+    listing // force
+    require(missingPaths.isEmpty,
+      s"${format.shortName}: path does not exist: ${missingPaths.mkString(", ")}")
+  }
+
   /** (files, partitionColumns). Listed once on the driver. */
   lazy val listing: (Seq[(FileStatus, Array[String])], Seq[String]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val partCols = mutable.LinkedHashSet[String]()
+    val missing = mutable.ArrayBuffer[String]()
     val files = mutable.ArrayBuffer[(FileStatus, mutable.LinkedHashMap[String, String])]()
 
     def nameMatches(name: String): Boolean = {
@@ -114,8 +126,10 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
              root: Boolean): Unit = {
       val fs = fsPath.getFileSystem(conf)
       val matches = fs.globStatus(fsPath)
-      require(matches != null && matches.nonEmpty,
-        s"${format.shortName}: path does not exist: $fsPath")
+      if (matches == null || matches.isEmpty) {
+        missing += fsPath.toString
+        return
+      }
       matches.foreach { st =>
         if (st.isDirectory) {
           val name = st.getPath.getName
@@ -138,6 +152,7 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
     }
 
     paths.foreach(p => walk(new Path(p), mutable.LinkedHashMap.empty, root = true))
+    missingPaths = missing.toSeq
     val cols = partCols.toSeq
     val resolved = files.toSeq.map { case (st, vals) =>
       (st, cols.map(c => vals.getOrElse(c, null)).toArray)
@@ -151,11 +166,25 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
   override def name(): String = s"${format.shortName}:${paths.mkString(",")}"
   override def schema(): StructType =
     StructType(format.dataSchema.fields ++ partitionSchema.fields)
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def capabilities(): java.util.Set[TableCapability] = format match {
+    case _: WritableGraftFormat => java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    case _ => java.util.EnumSet.of(TableCapability.BATCH_READ)
+  }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    requireExists()
     new GraftScanBuilder(this)
+  }
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = format match {
+    case w: WritableGraftFormat =>
+      val writeOpts = info.options().asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
+      new GraftWriteBuilder(this, w, info, this.options ++ writeOpts)
+    case _ => throw new UnsupportedOperationException(
+      s"${format.shortName} does not support writes")
+  }
 }
 
 final class GraftScanBuilder(table: GraftTable)

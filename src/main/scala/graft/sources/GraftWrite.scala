@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+/** A format that can serialize records back to its text form (the Spark
+  * equivalent of the reference's `COPY ... STORED AS FASTA/FASTQ` sink,
+  * sinks/simple_record_sink.rs:81-119). Unlike the reference's single-file
+  * sink, each task writes its own part file — parallel by construction.
+  */
+case object GraftCommitted extends WriterCommitMessage
+
+trait WritableGraftFormat extends GraftFormat {
+  /** Append one record (values in dataSchema order, nulls allowed where the
+    * schema allows) to the output.
+    */
+  def writeRecord(values: Array[Any], out: StringBuilder): Unit
+}
+
+final class GraftWriteBuilder(table: GraftTable, format: WritableGraftFormat,
+                              info: LogicalWriteInfo, options: Map[String, String])
+  extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val dir = new Path(table.paths.head)
+      val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+      val fs = dir.getFileSystem(conf)
+      if (doTruncate && fs.exists(dir)) fs.delete(dir, true)
+      fs.mkdirs(dir)
+      new GraftBatchWrite(format, table.paths.head, info.schema(),
+        new SerializableHadoopConf(conf),
+        options.getOrElse("compression", "none").toLowerCase)
+    }
+  }
+}
+
+final class GraftBatchWrite(format: WritableGraftFormat, dir: String, schema: StructType,
+                            conf: SerializableHadoopConf, compression: String)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // Map the incoming dataframe columns onto dataSchema positions by name.
+    val srcIdx: Array[Int] = format.dataSchema.fieldNames.map { f =>
+      schema.fieldNames.indexWhere(_.equalsIgnoreCase(f))
+    }
+    new GraftDataWriterFactory(format, dir, srcIdx, schema, conf, compression)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class GraftDataWriterFactory(format: WritableGraftFormat, dir: String,
+                                   srcIdx: Array[Int], schema: StructType,
+                                   conf: SerializableHadoopConf, compression: String)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(format, dir, srcIdx, schema, conf, compression, partitionId, taskId)
+}
+
+final class GraftDataWriter(format: WritableGraftFormat, dir: String,
+                            srcIdx: Array[Int], schema: StructType,
+                            conf: SerializableHadoopConf, compression: String,
+                            partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val ext = format.defaultExtensions.head +
+    (if (compression == "gzip") ".gz" else "")
+  private val path = new Path(dir,
+    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.$ext")
+
+  private lazy val out: OutputStream = {
+    val fs = path.getFileSystem(conf.value)
+    val raw = fs.create(path, true)
+    if (compression == "gzip") new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+    else new BufferedOutputStream(raw, 1 << 16)
+  }
+
+  private val sb = new StringBuilder(1 << 14)
+  private val dataTypes = format.dataSchema.fields.map(_.dataType)
+
+  override def write(row: InternalRow): Unit = {
+    val values = new Array[Any](srcIdx.length)
+    var i = 0
+    while (i < srcIdx.length) {
+      val s = srcIdx(i)
+      values(i) = if (s < 0 || row.isNullAt(s)) null else row.get(s, dataTypes(i))
+      i += 1
+    }
+    sb.setLength(0)
+    format.writeRecord(values, sb)
+    out.write(sb.toString.getBytes(UTF_8))
+  }
+
+  override def commit(): WriterCommitMessage = { out.close(); GraftCommitted }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    val fs = path.getFileSystem(conf.value)
+    fs.delete(path, false)
+  }
+  override def close(): Unit = ()
+}

@@ -12,8 +12,14 @@ import graft.sources.FormatUtil._
   * Splittable: a split owns every record whose '>' line starts inside
   * [start, end); alignment skips forward to the first header line.
   */
-object FastaFormat extends GraftFormat {
+object FastaFormat extends WritableGraftFormat {
   override def shortName: String = "fasta"
+
+  override def writeRecord(values: Array[Any], out: StringBuilder): Unit = {
+    out.append('>').append(values(0))
+    if (values(1) != null) out.append(' ').append(values(1))
+    out.append('\n').append(values(2)).append('\n')
+  }
   override def defaultExtensions: Seq[String] = Seq("fasta", "fa", "fna", "faa")
   override def splittable: Boolean = true
   override val dataSchema: StructType = StructType(Seq(
@@ -75,8 +81,15 @@ object FastaFormat extends GraftFormat {
   * boundaries cannot be recovered mid-file without heuristics.
   * Schema per exon/exon-fastq/src/config.rs:81-84.
   */
-object FastqFormat extends GraftFormat {
+object FastqFormat extends WritableGraftFormat {
   override def shortName: String = "fastq"
+
+  override def writeRecord(values: Array[Any], out: StringBuilder): Unit = {
+    out.append('@').append(values(0))
+    if (values(1) != null) out.append(' ').append(values(1))
+    out.append('\n').append(values(2)).append('\n')
+    out.append('+').append('\n').append(values(3)).append('\n')
+  }
   override def defaultExtensions: Seq[String] = Seq("fastq", "fq")
   override def splittable: Boolean = false
   override val dataSchema: StructType = StructType(Seq(

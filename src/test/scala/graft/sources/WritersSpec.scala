@@ -1,0 +1,45 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+import org.apache.spark.sql.Row
+
+/** Round-trip goldens per fasta-copy-tests.slt / fastq-copy-tests.slt. */
+class WritersSpec extends AnyFunSuite with SharedSpark {
+  private val fx = "/root/reference/exon/exon-core/test-data/datasources"
+
+  test("fasta round trip, plain and gzip") {
+    val dir = Files.createTempDirectory("fasta_rt").toString
+    val src = spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
+    src.write.format("fasta").mode("overwrite").save(s"$dir/plain")
+    val back = spark.read.format("fasta").load(s"$dir/plain").orderBy("id")
+    assert(back.collect().toSeq == Seq(
+      Row("a", "description", "ATCG"), Row("b", "description2", "ATCG")))
+
+    src.write.format("fasta").mode("overwrite").option("compression", "gzip")
+      .save(s"$dir/gz")
+    val backGz = spark.read.format("fasta").load(s"$dir/gz").orderBy("id")
+    assert(backGz.count() == 2)
+    assert(backGz.head() == Row("a", "description", "ATCG"))
+  }
+
+  test("fastq round trip preserves quality strings") {
+    val dir = Files.createTempDirectory("fastq_rt").toString
+    val src = spark.read.format("fastq").load(s"$fx/fastq/test.fastq")
+    src.write.format("fastq").mode("overwrite").save(s"$dir/out")
+    val back = spark.read.format("fastq").load(s"$dir/out").orderBy("name")
+    val orig = src.orderBy("name").collect().toSeq
+    assert(back.collect().toSeq == orig)
+    // null description round-trips as null
+    assert(back.collect()(1).isNullAt(1))
+  }
+
+  test("write then append accumulates records") {
+    val dir = Files.createTempDirectory("fasta_app").toString + "/t"
+    val src = spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
+    src.write.format("fasta").mode("overwrite").save(dir)
+    src.write.format("fasta").mode("append").save(dir)
+    assert(spark.read.format("fasta").load(dir).count() == 4)
+  }
+}
