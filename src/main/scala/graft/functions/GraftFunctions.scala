@@ -59,6 +59,26 @@ object GraftFunctions {
       (mz: Seq[Double], intensity: Seq[Double], binStart: Double, numBins: Long, binWidth: Double) =>
         if (mz == null || intensity == null) null
         else SeqOps.binVectors(mz, intensity, binStart, numBins, binWidth))
+
+    // ---- training-data pipeline pack (text + vectors) ----
+    u.register("lang_id",
+      (s: String) => if (s == null) null else TextOps.langId(s))
+    u.register("stopword_ratio",
+      (s: String) => if (s == null) None else Some(TextOps.stopwordRatio(s)))
+    u.register("quality_score",
+      (s: String) => if (s == null) None else Some(TextOps.qualityScore(s)))
+    u.register("simhash64",
+      (s: String) => if (s == null) None else Some(TextOps.simhash64(s)))
+    u.register("winnow_fingerprint",
+      (s: String) => if (s == null) None else Some(TextOps.winnowFingerprint(s)))
+    u.register("minhash_bands",
+      (shingles: Seq[String]) =>
+        if (shingles == null) null else TextOps.minhashBands(shingles))
+    u.register("cosine_similarity",
+      (a: Seq[Float], b: Seq[Float]) =>
+        if (a == null || b == null) None else Some(VectorOps.cosine(a, b)))
+    u.register("lsh_bucket",
+      (v: Seq[Float]) => if (v == null) None else Some(VectorOps.hyperplaneBucket(v)))
   }
 
   /** The 13 SAM-flag predicates. `is_properly_aligned` and

@@ -1,0 +1,197 @@
+package graft.functions
+
+import scala.util.hashing.MurmurHash3
+
+/** Text-analysis kernels for the training-data pipeline pack: language ID,
+  * quality scoring, SimHash, MinHash, and winnowing fingerprints. All are
+  * deterministic (fixed seeds) so results are reproducible across runs and
+  * cluster sizes.
+  */
+object TextOps {
+
+  // Small per-language stopword lists for the n-gram-free language heuristic.
+  // Priority order (ties): en > de > fr > es.
+  private val stopwords: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "a", "of", "to", "and", "in", "is", "it"),
+    "de" -> Set("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr" -> Set("le", "la", "et", "les", "des", "est", "une"),
+    "es" -> Set("el", "los", "y", "una", "es", "por", "con"))
+
+  def words(text: String): Array[String] = text.split(" ", -1)
+
+  /** Stopword-vote language ID; 'und' when no list scores a hit. */
+  def langId(text: String): String = {
+    val ws = words(text)
+    var bestLang = "und"
+    var bestHits = 0
+    stopwords.foreach { case (lang, set) =>
+      var hits = 0
+      var i = 0
+      while (i < ws.length) { if (set.contains(ws(i))) hits += 1; i += 1 }
+      if (hits > bestHits) { bestHits = hits; bestLang = lang }
+    }
+    bestLang
+  }
+
+  /** Fraction of words that are (any-language) stopwords, 4-decimal rounded. */
+  def stopwordRatio(text: String): Double = {
+    val ws = words(text)
+    if (ws.isEmpty) return 0.0
+    val all = stopwords.flatMap(_._2).toSet
+    val hits = ws.count(all.contains)
+    math.floor(hits.toDouble / ws.length * 10000 + 0.5) / 10000
+  }
+
+  /** Heuristic quality in [0,1]: mean of (bounded mean word length score,
+    * stopword presence score, length score). Deterministic and cheap — the
+    * shape of a real quality model, not a claim to be one.
+    */
+  def qualityScore(text: String): Double = {
+    val ws = words(text)
+    if (ws.isEmpty) return 0.0
+    val meanLen = ws.iterator.map(_.length).sum.toDouble / ws.length
+    val lenScore = math.min(1.0, ws.length / 100.0)
+    val wordScore = math.min(1.0, meanLen / 5.0)
+    val all = stopwords.flatMap(_._2).toSet
+    val stopScore = math.min(1.0, 5.0 * ws.count(all.contains) / ws.length)
+    math.floor((lenScore + wordScore + stopScore) / 3.0 * 10000 + 0.5) / 10000
+  }
+
+  /** 64-bit SimHash over word tokens (FNV-1a word hashes, sign-vote bits). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    words(text).foreach { w =>
+      var h = 0xcbf29ce484222325L // FNV-1a
+      var i = 0
+      while (i < w.length) { h ^= w.charAt(i); h *= 0x100000001b3L; i += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // ---- MinHash ----
+
+  val NumHashes = 64
+  val NumBands = 16 // 16 bands x 4 rows: catches j>=0.8 pairs w.p. ~1-1e-9
+
+  private val (hashA, hashB) = {
+    val rnd = new java.util.Random(42)
+    val a = Array.fill(NumHashes)(rnd.nextLong() | 1L)
+    val b = Array.fill(NumHashes)(rnd.nextLong())
+    (a, b)
+  }
+
+  /** 64 minhash values over a shingle set (murmur3 base hash, fixed-seed
+    * universal rehashes).
+    */
+  def minhashSignature(shingles: Seq[String]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h = MurmurHash3.stringHash(s).toLong & 0xffffffffL
+      var i = 0
+      while (i < NumHashes) {
+        val v = (hashA(i) * h + hashB(i)) >>> 1 // keep non-negative
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Band signatures for LSH bucketing: hash of each 4-row band. */
+  def minhashBands(shingles: Seq[String]): Array[Long] = {
+    val sig = minhashSignature(shingles)
+    val rows = NumHashes / NumBands
+    Array.tabulate(NumBands) { b =>
+      var h = 1125899906842597L
+      var i = b * rows
+      while (i < (b + 1) * rows) { h = 31 * h + sig(i); i += 1 }
+      h
+    }
+  }
+
+  /** Winnowing document fingerprint: char 8-gram rolling hashes, window 4,
+    * XOR of the selected minima — a single stable BIGINT per document.
+    */
+  def winnowFingerprint(text: String): Long = {
+    val k = 8
+    val w = 4
+    if (text.length < k) return simhash64(text)
+    val n = text.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 1469598103934665603L
+      var j = 0
+      while (j < k) { h ^= text.charAt(i + j); h *= 1099511628211L; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    var out = 0L
+    var prevMinIdx = -1
+    i = 0
+    while (i + w <= n) {
+      var minIdx = i
+      var j = i + 1
+      while (j < i + w) { if (hs(j) <= hs(minIdx)) minIdx = j; j += 1 }
+      if (minIdx != prevMinIdx) { out ^= hs(minIdx); prevMinIdx = minIdx }
+      i += 1
+    }
+    out
+  }
+}
+
+/** Dense-vector kernels for the similarity-search pack. */
+object VectorOps {
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  // 2^8 = 256 buckets: enough collision mass for corpus-scale candidate
+  // generation; raise for bigger corpora (bits ~ log2(n_vectors / wanted
+  // bucket size)).
+  val NumHyperplanes = 8
+
+  private val hyperplanes: Array[Array[Double]] = {
+    val rnd = new java.util.Random(7)
+    Array.fill(NumHyperplanes)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH bucket id (16-bit signature). Vectors in the same
+    * bucket are cosine-similar with high probability; at scale the ANN join
+    * shuffles on this bucket id instead of going all-pairs.
+    */
+  def hyperplaneBucket(v: Seq[Float]): Int = {
+    var sig = 0
+    var p = 0
+    while (p < NumHyperplanes) {
+      val plane = hyperplanes(p)
+      var dot = 0.0
+      val n = math.min(v.length, plane.length)
+      var i = 0
+      while (i < n) { dot += v(i) * plane(i); i += 1 }
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline pack over the driver's `documents`/`embeddings`
+  * tables: deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash),
+  * similarity search (brute-force + LSH-bucketed ANN), text analysis, and
+  * multimodal plumbing.
+  *
+  * Scale notes (the point of each implementation shape):
+  *  - nothing here is all-pairs except inside LSH/shingle buckets — candidate
+  *    generation is always a keyed shuffle (shingle, band hash, bucket id);
+  *  - exact dedup is one hash-keyed groupBy (map-side partial agg);
+  *  - ANN broadcast-joins the small query set against the big corpus.
+  */
+object LlmQueries {
+  import Tables._
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct word 3-gram shingles per document. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(w) >= 3 THEN
+          |  array_distinct(transform(sequence(0, size(w) - 3),
+          |    i -> concat_ws('_', w[i], w[i+1], w[i+2])))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("s"))
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: one shuffle keyed on the content hash.
+    "l01_exact_dedup" -> ((s, d) =>
+      documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col("text"), 256)).as("n_unique"),
+        (count(lit(1)) - countDistinct(sha2(col("text"), 256))).as("n_dup_rows"))),
+
+    // Survivor selection (min doc_id per content hash) — the keep-list shape.
+    "l02_dedup_survivors" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .agg(count(lit(1)).as("n_survivors"), sum(col("keep_id")).as("sum_keep"),
+          max(col("n_copies")).as("max_copies"))),
+
+    // Exact n-gram Jaccard near-dup join via inverted index on shingles:
+    // candidate pairs share >= 1 shingle (keyed shuffle, no cartesian).
+    // At 100 TB add a document-frequency cap / prefix filter on hot shingles.
+    "l03_ngram_jaccard_pairs" -> ((s, d) => {
+      val sh = shingles(s, d).withColumn("sz", size(col("s")))
+      val ex = sh.select(col("doc_id"), col("sz"), explode(col("s")).as("shingle"))
+      val a = ex.alias("a"); val b = ex.alias("b")
+      a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("j", round(col("inter") /
+          (col("sza") + col("szb") - col("inter")), 4))
+        .filter(col("j") >= 0.5)
+        .select(col("ida"), col("idb"), col("j"))
+        .orderBy(col("ida"), col("idb"))
+    }),
+
+    // MinHash-LSH near-dup: 64 minhashes -> 16 banded buckets -> in-bucket
+    // candidate pairs -> exact Jaccard verification. Same output as l03 for
+    // high-similarity pairs (16x4 bands catch j>=0.8 essentially always);
+    // the LSH path scales where the inverted index hits hot-shingle skew.
+    "l04_minhash_lsh_dedup" -> ((s, d) => {
+      graft.GraftSession.registerAll(s)
+      val sh = shingles(s, d)
+      val bands = sh.select(col("doc_id"),
+          posexplode(callUDF("minhash_bands", col("s"))).as(Seq("band", "sig")))
+      val buckets = bands.groupBy(col("band"), col("sig"))
+        .agg(collect_set(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val pairs = buckets
+        .select(col("ids"), explode(col("ids")).as("ida"))
+        .select(col("ida"), explode(col("ids")).as("idb"))
+        .filter(col("ida") < col("idb"))
+        .distinct()
+      val withSets = pairs
+        .join(sh.select(col("doc_id").as("ida"), col("s").as("sa")), "ida")
+        .join(sh.select(col("doc_id").as("idb"), col("s").as("sb")), "idb")
+      withSets
+        .withColumn("j", round(size(array_intersect(col("sa"), col("sb"))) /
+          size(array_union(col("sa"), col("sb"))).cast("double"), 4))
+        .filter(col("j") >= 0.5)
+        .select(col("ida"), col("idb"), col("j"))
+        .orderBy(col("ida"), col("idb"))
+    }),
+
+    // SimHash: 64-bit signatures + winnowing fingerprints; candidate pairs
+    // from 16-bit chunk banding verified by exact Hamming distance.
+    // No SQL oracle (bit-level hashing isn't DuckDB-expressible) -> rows-only.
+    "l05_simhash_pairs" -> ((s, d) => {
+      graft.GraftSession.registerAll(s)
+      val sim = documents(s, d).select(col("doc_id"),
+        callUDF("simhash64", col("text")).as("sh"))
+      val chunks = sim.select(col("doc_id"), col("sh"),
+        explode(expr("transform(sequence(0, 3), i -> " +
+          "struct(i AS chunk, CAST(shiftright(sh, i * 16) & 65535 AS INT) AS v))")).as("c"))
+        .select(col("doc_id"), col("sh"), col("c.chunk"), col("c.v"))
+      val a = chunks.alias("a"); val b = chunks.alias("b")
+      a.join(b, col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+          col("a.sh").as("sha"), col("b.sh").as("shb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(sha ^ shb)"))
+        .filter(col("hamming") <= 6)
+        .select(col("ida"), col("idb"), col("hamming"))
+        .orderBy(col("ida"), col("idb"))
+    }),
+
+    // Brute-force cosine top-5 for a small query set: broadcast the queries,
+    // stream the corpus once, per-query top-k via keyed window.
+    "l06_ann_bruteforce" -> ((s, d) => {
+      graft.GraftSession.registerAll(s)
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("score_raw", callUDF("cosine_similarity", col("qvec"), col("embedding")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score_raw").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          round(col("score_raw"), 4).as("score"))
+        .orderBy(col("qid"), col("score").desc, col("neighbor_id"))
+    }),
+
+    // LSH-bucketed ANN: random-hyperplane 16-bit buckets; candidates are
+    // bucket-mates only (keyed shuffle). Approximate by construction ->
+    // rows-only check; the scale path for the l06 baseline.
+    "l07_ann_lsh" -> ((s, d) => {
+      graft.GraftSession.registerAll(s)
+      val emb = embeddings(s, d)
+        .withColumn("bucket", callUDF("lsh_bucket", col("embedding")))
+      val q = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("bucket"))
+      val cand = emb.join(q, Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", round(callUDF("cosine_similarity", col("qvec"), col("embedding")), 4))
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("neighbor_id"), col("score"))
+        .orderBy(col("qid"), col("score").desc, col("neighbor_id"))
+    }),
+
+    // Text statistics: whitespace words + BPE-ish regex tokens per language.
+    "l08_text_stats" -> ((s, d) =>
+      documents(s, d).groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(size(split(col("text"), " "))).as("sum_words"),
+        sum(size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)"))).as("sum_tokens"))
+        .orderBy(col("lang"))),
+
+    // Language-ID heuristic + quality scoring, re-derived in SQL by DuckDB.
+    "l09_lang_quality" -> ((s, d) => {
+      graft.GraftSession.registerAll(s)
+      documents(s, d)
+        .select(callUDF("lang_id", col("text")).as("predicted_lang"),
+          callUDF("stopword_ratio", col("text")).as("swr"),
+          callUDF("quality_score", col("text")).as("q"))
+        .groupBy(col("predicted_lang"))
+        .agg(count(lit(1)).as("n"), round(avg(col("swr")), 4).as("avg_stopword_ratio"),
+          round(avg(col("q")), 4).as("avg_quality"))
+        .orderBy(col("predicted_lang"))
+    }),
+
+    // Multimodal plumbing: binary payload column + batched per-partition
+    // "decode" (a deterministic stub standing in for a real image decoder —
+    // the schema, partitioning and batch shape are the real thing).
+    "l10_multimodal_stub" -> ((s, d) => {
+      import s.implicits._
+      val ds = documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      val meta = ds.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB: real pipeline would decode image/audio bytes here.
+          val n = bytes.length
+          (id, n.toLong, 64L + n % 576, 64L + (n.toLong * 7) % 416, 1L + n % 15)
+        }
+      }.toDF("doc_id", "n_bytes", "width", "height", "n_frames")
+      meta.agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("sum_bytes"),
+        sum(col("width")).as("sum_w"), sum(col("height")).as("sum_h"),
+        sum(col("n_frames")).as("sum_f"))
+    })
+  )
+
+  private val allStopwords =
+    """'the','a','of','to','and','in','is','it','der','die','und','das','ist',
+      |'nicht','ein','le','la','et','les','des','est','une','el','los','y',
+      |'una','es','por','con'""".stripMargin.replace("\n", "")
+
+  private val enS = "'the','a','of','to','and','in','is','it'"
+  private val deS = "'der','die','und','das','ist','nicht','ein'"
+  private val frS = "'le','la','et','les','des','est','une'"
+  private val esS = "'el','los','y','una','es','por','con'"
+
+  val oracles: Map[String, String] = Map(
+    "l01_exact_dedup" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT sha256(text)) AS n_unique,
+        |  count(*) - count(DISTINCT sha256(text)) AS n_dup_rows
+        |FROM documents""".stripMargin,
+
+    "l02_dedup_survivors" ->
+      """SELECT count(*) AS n_survivors, sum(keep_id) AS sum_keep,
+        |  max(n_copies) AS max_copies
+        |FROM (SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |      FROM documents GROUP BY sha256(text))""".stripMargin,
+
+    "l03_ngram_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
+        |        for i in generate_series(1, len(w) - 2)]) s FROM toks),
+        |pairs AS (SELECT a.doc_id ida, b.doc_id idb,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |          len(list_distinct(list_concat(a.s, b.s))), 4) j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT ida, idb, j FROM pairs WHERE j >= 0.5 ORDER BY ida, idb""".stripMargin,
+
+    "l04_minhash_lsh_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
+        |        for i in generate_series(1, len(w) - 2)]) s FROM toks),
+        |pairs AS (SELECT a.doc_id ida, b.doc_id idb,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |          len(list_distinct(list_concat(a.s, b.s))), 4) j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT ida, idb, j FROM pairs WHERE j >= 0.5 ORDER BY ida, idb""".stripMargin,
+
+    "l06_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 3),
+        |scored AS (SELECT q.qid, e.vec_id,
+        |    list_cosine_similarity(q.qv, e.v) raw
+        |  FROM e JOIN q ON e.vec_id <> q.qid),
+        |ranked AS (SELECT qid, vec_id neighbor_id, round(raw, 4) score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vec_id) rn
+        |  FROM scored)
+        |SELECT qid, neighbor_id, score FROM ranked WHERE rn <= 5
+        |ORDER BY qid, score DESC, neighbor_id""".stripMargin,
+
+    "l08_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  sum(len(string_split(text, ' '))) AS sum_words,
+        |  sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS sum_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "l09_lang_quality" -> s"""
+        |WITH t AS (SELECT string_split(text, ' ') w FROM documents),
+        |c AS (SELECT w,
+        |    len(list_filter(w, x -> x IN ($enS))) en,
+        |    len(list_filter(w, x -> x IN ($deS))) de,
+        |    len(list_filter(w, x -> x IN ($frS))) fr,
+        |    len(list_filter(w, x -> x IN ($esS))) es,
+        |    len(list_filter(w, x -> x IN ($allStopwords))) sw,
+        |    len(w) nw,
+        |    list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w) meanlen
+        |  FROM t),
+        |p AS (SELECT
+        |    CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+        |         WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+        |         WHEN fr > 0 AND fr >= es THEN 'fr'
+        |         WHEN es > 0 THEN 'es'
+        |         ELSE 'und' END predicted_lang,
+        |    floor(sw::DOUBLE / nw * 10000 + 0.5) / 10000 swr,
+        |    floor((least(1.0, nw / 100.0) + least(1.0, meanlen / 5.0) +
+        |           least(1.0, 5.0 * sw / nw)) / 3.0 * 10000 + 0.5) / 10000 q
+        |  FROM c)
+        |SELECT predicted_lang, count(*) AS n,
+        |  round(avg(swr), 4) AS avg_stopword_ratio,
+        |  round(avg(q), 4) AS avg_quality
+        |FROM p GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
+
+    "l10_multimodal_stub" ->
+      """SELECT count(*) AS n, sum(octet_length(encode(text))) AS sum_bytes,
+        |  sum(64 + octet_length(encode(text)) % 576) AS sum_w,
+        |  sum(64 + (octet_length(encode(text))::BIGINT * 7) % 416) AS sum_h,
+        |  sum(1 + octet_length(encode(text)) % 15) AS sum_f
+        |FROM documents""".stripMargin
+  )
+}
