@@ -19,6 +19,24 @@ object TextOps {
 
   def words(text: String): Array[String] = text.split(" ", -1)
 
+  /** Distinct word n-gram shingles ('_'-joined). Matches the SQL definition
+    * `list_distinct([w[i] || '_' || ... for i in 1..len(w)-n+1])`.
+    */
+  def wordShingles(text: String, n: Int): Array[String] = {
+    val ws = words(text)
+    if (ws.length < n) return Array.empty
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= ws.length) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) { if (j > 0) sb.append('_'); sb.append(ws(i + j)); j += 1 }
+      out.add(sb.toString)
+      i += 1
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
   /** Stopword-vote language ID; 'und' when no list scores a hit. */
   def langId(text: String): String = {
     val ws = words(text)

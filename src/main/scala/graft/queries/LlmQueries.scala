@@ -19,15 +19,33 @@ object LlmQueries {
   import Tables._
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct word 3-gram shingles per document. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), expr(
-        """CASE WHEN size(w) >= 3 THEN
-          |  array_distinct(transform(sequence(0, size(w) - 3),
-          |    i -> concat_ws('_', w[i], w[i+1], w[i+2])))
-          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("s"))
+  /** Distinct word 5-gram shingles per document, as arrays. 5-grams (vs 3)
+    * keep the shingle universe large relative to the vocabulary, so document
+    * frequencies stay low and candidate joins prune hard even on repetitive
+    * corpora; near-identical docs still share ~all shingles.
+    *
+    * Built with typed map/flatMap rather than `explode(transform(...))`:
+    * Catalyst collapses projections into Generate, re-evaluating the
+    * generator input per OUTPUT element (O(|s|^2) string builds per doc).
+    * The Dataset path computes each shingle exactly once.
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, graft.functions.TextOps.wordShingles(t, 5)) }
+      .toDF("doc_id", "s")
+  }
+
+  /** (doc_id, set size, shingle) posting rows, one pass, no Generate. */
+  private def shinglePostings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val sh = graft.functions.TextOps.wordShingles(t, 5)
+        sh.iterator.map(x => (id, sh.length, x))
+      }
+      .toDF("doc_id", "sz", "shingle")
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: one shuffle keyed on the content hash.
@@ -45,20 +63,32 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_survivors"), sum(col("keep_id")).as("sum_keep"),
           max(col("n_copies")).as("max_copies"))),
 
-    // Exact n-gram Jaccard near-dup join via inverted index on shingles:
-    // candidate pairs share >= 1 shingle (keyed shuffle, no cartesian).
-    // At 100 TB add a document-frequency cap / prefix filter on hot shingles.
+    // EXACT n-gram Jaccard near-dup join with PPJoin-style prefix filtering:
+    // rank each doc's shingles rarest-first (global document frequency); if
+    // J(a,b) >= t the two docs MUST share a shingle within their prefixes of
+    // length |s| - ceil(t*|s|) + 1, so the candidate join runs on rare prefix
+    // shingles only — exact result, no hot-shingle blowup, no cartesian.
     "l03_ngram_jaccard_pairs" -> ((s, d) => {
-      val sh = shingles(s, d).withColumn("sz", size(col("s")))
-      val ex = sh.select(col("doc_id"), col("sz"), explode(col("s")).as("shingle"))
-      val a = ex.alias("a"); val b = ex.alias("b")
-      a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-          col("a.sz").as("sza"), col("b.sz").as("szb"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("j", round(col("inter") /
-          (col("sza") + col("szb") - col("inter")), 4))
-        .filter(col("j") >= 0.5)
+      val t = 0.5
+      val sh = shingles(s, d)
+      val ex = shinglePostings(s, d)
+      val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+      val prefix = ex.join(dfreq, "shingle")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("sz") - ceil(col("sz") * t) + 1)
+        .select(col("doc_id"), col("shingle"))
+      val cand = prefix.alias("a")
+        .join(prefix.alias("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("ida"), col("s").as("sa")), "ida")
+        .join(sh.select(col("doc_id").as("idb"), col("s").as("sb")), "idb")
+        .withColumn("j", round(size(array_intersect(col("sa"), col("sb"))) /
+          size(array_union(col("sa"), col("sb"))).cast("double"), 4))
+        .filter(col("j") >= t)
         .select(col("ida"), col("idb"), col("j"))
         .orderBy(col("ida"), col("idb"))
     }),
@@ -68,10 +98,16 @@ object LlmQueries {
     // high-similarity pairs (16x4 bands catch j>=0.8 essentially always);
     // the LSH path scales where the inverted index hits hot-shingle skew.
     "l04_minhash_lsh_dedup" -> ((s, d) => {
-      graft.GraftSession.registerAll(s)
+      import s.implicits._
       val sh = shingles(s, d)
-      val bands = sh.select(col("doc_id"),
-          posexplode(callUDF("minhash_bands", col("s"))).as(Seq("band", "sig")))
+      // Typed flatMap: signature computed once per doc (not per emitted band).
+      val bands = documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val bs = graft.functions.TextOps.minhashBands(
+            graft.functions.TextOps.wordShingles(t, 5).toSeq)
+          bs.iterator.zipWithIndex.map { case (sig, band) => (id, band, sig) }
+        }
+        .toDF("doc_id", "band", "sig")
       val buckets = bands.groupBy(col("band"), col("sig"))
         .agg(collect_set(col("doc_id")).as("ids"))
         .filter(size(col("ids")) > 1)
@@ -95,13 +131,13 @@ object LlmQueries {
     // from 16-bit chunk banding verified by exact Hamming distance.
     // No SQL oracle (bit-level hashing isn't DuckDB-expressible) -> rows-only.
     "l05_simhash_pairs" -> ((s, d) => {
-      graft.GraftSession.registerAll(s)
-      val sim = documents(s, d).select(col("doc_id"),
-        callUDF("simhash64", col("text")).as("sh"))
-      val chunks = sim.select(col("doc_id"), col("sh"),
-        explode(expr("transform(sequence(0, 3), i -> " +
-          "struct(i AS chunk, CAST(shiftright(sh, i * 16) & 65535 AS INT) AS v))")).as("c"))
-        .select(col("doc_id"), col("sh"), col("c.chunk"), col("c.v"))
+      import s.implicits._
+      val chunks = documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val sh = graft.functions.TextOps.simhash64(t)
+          (0 until 4).map(c => (id, sh, c, ((sh >>> (c * 16)) & 0xffffL).toInt))
+        }
+        .toDF("doc_id", "sh", "chunk", "v")
       val a = chunks.alias("a"); val b = chunks.alias("b")
       a.join(b, col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -218,8 +254,8 @@ object LlmQueries {
 
     "l03_ngram_jaccard_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
-        |        for i in generate_series(1, len(w) - 2)]) s FROM toks),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
+        |        for i in generate_series(1, len(w) - 4)]) s FROM toks),
         |pairs AS (SELECT a.doc_id ida, b.doc_id idb,
         |    round(len(list_intersect(a.s, b.s))::DOUBLE /
         |          len(list_distinct(list_concat(a.s, b.s))), 4) j
@@ -228,8 +264,8 @@ object LlmQueries {
 
     "l04_minhash_lsh_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
-        |        for i in generate_series(1, len(w) - 2)]) s FROM toks),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
+        |        for i in generate_series(1, len(w) - 4)]) s FROM toks),
         |pairs AS (SELECT a.doc_id ida, b.doc_id idb,
         |    round(len(list_intersect(a.s, b.s))::DOUBLE /
         |          len(list_distinct(list_concat(a.s, b.s))), 4) j
