@@ -93,6 +93,32 @@ object FormatQueries {
       s.read.format("fasta").load(s"$dir/t").orderBy("id")
     }),
 
+    // tabix-indexed GFF: region option -> BGZF chunk pruning + row filter;
+    // counts independently recomputed from the raw fixture
+    "f13_gff_indexed_region" -> ((s, _) => {
+      val p = s"$fx/gff-index/gencode.v38.polyAs.gff.gz"
+      val chr1 = s.read.format("gff").option("region", "chr1").load(p)
+        .agg(count(lit(1)).as("n_chr1"))
+      val chr2 = s.read.format("gff").option("region", "chr2").load(p)
+        .agg(count(lit(1)).as("n_chr2"))
+      val none = s.read.format("gff").option("region", "chrZZ").load(p)
+        .agg(count(lit(1)).as("n_none"))
+      val filt = s.read.format("gff").load(p)
+        .filter(col("seqname") === "chr1")
+        .agg(count(lit(1)).as("n_where"))
+      chr1.crossJoin(chr2).crossJoin(none).crossJoin(filt)
+    }),
+
+    // tabix-indexed VCF: point-containment region semantics
+    "f14_vcf_indexed_region" -> ((s, _) => {
+      val p = s"$fx/vcf/index.vcf.gz"
+      val narrow = s.read.format("vcf").option("region", "1:9999919-10000000").load(p)
+        .agg(count(lit(1)).as("n_narrow"))
+      val whole = s.read.format("vcf").option("region", "1").load(p)
+        .agg(count(lit(1)).as("n_chr1"))
+      narrow.crossJoin(whole)
+    }),
+
     // region predicate over the VCF reader (containment semantics)
     "f11_vcf_region" -> ((s, _) => {
       graft.GraftSession.registerAll(s)
@@ -164,6 +190,13 @@ object FormatQueries {
       """SELECT * FROM (VALUES
         |  ('a', 'description', 'ATCG'),
         |  ('b', 'description2', 'ATCG')) t(id, description, sequence)
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    "f13_gff_indexed_region" ->
+      """SELECT CAST(8813 AS BIGINT) AS n_chr1, CAST(7223 AS BIGINT) AS n_chr2,
+        |  CAST(0 AS BIGINT) AS n_none, CAST(8813 AS BIGINT) AS n_where""".stripMargin,
+
+    "f14_vcf_indexed_region" ->
+      "SELECT CAST(82 AS BIGINT) AS n_narrow, CAST(191 AS BIGINT) AS n_chr1"
   )
 }

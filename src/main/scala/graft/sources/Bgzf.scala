@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.io.InputStream
+import java.util.zip.Inflater
+import org.apache.hadoop.fs.FSDataInputStream
+
+/** BGZF (blocked gzip) primitives. A BGZF file is a sequence of independent
+  * gzip members, each carrying its compressed size in a BC extra subfield, so
+  * a reader can seek to any block boundary. A "virtual position" addresses
+  * (block file offset << 16 | offset inside the decompressed block) — the
+  * coordinate system used by tabix/.bai/.csi indexes.
+  *
+  * Format is public (SAM spec §4.1); reimplemented here, not ported: the
+  * reference delegates to noodles (streaming_bgzf.rs:22-80).
+  */
+object Bgzf {
+
+  final case class Block(data: Array[Byte], compressedSize: Int)
+
+  /** Read and inflate one BGZF block at the stream's current position.
+    * Returns null at clean EOF.
+    */
+  def readBlock(in: InputStream): Block = {
+    val header = new Array[Byte](12)
+    var got = 0
+    while (got < 12) {
+      val n = in.read(header, got, 12 - got)
+      if (n < 0) { if (got == 0) return null else throw truncated() }
+      got += n
+    }
+    require((header(0) & 0xff) == 31 && (header(1) & 0xff) == 139,
+      "not a BGZF/gzip block")
+    val xlen = u16(header, 10)
+    val extra = readFully(in, xlen)
+    // find BC subfield -> BSIZE (total block size - 1)
+    var bsize = -1
+    var i = 0
+    while (i + 4 <= extra.length && bsize < 0) {
+      val si1 = extra(i) & 0xff; val si2 = extra(i + 1) & 0xff
+      val slen = u16(extra, i + 2)
+      if (si1 == 66 && si2 == 67 && slen == 2) bsize = u16(extra, i + 4) + 1
+      i += 4 + slen
+    }
+    require(bsize > 0, "BGZF block missing BC subfield (plain gzip?)")
+    // layout: 12-byte header + xlen extra + cdata + crc32 + isize == bsize
+    val cdata = readFully(in, bsize - 12 - xlen - 8)
+    val tail = readFully(in, 8)
+    val isize = u32(tail, 4).toInt
+    val out = new Array[Byte](isize)
+    if (isize > 0) {
+      val inf = new Inflater(true)
+      inf.setInput(cdata)
+      var off = 0
+      while (off < isize && !inf.finished()) off += inf.inflate(out, off, isize - off)
+      inf.end()
+    }
+    Block(out, bsize)
+  }
+
+  private def truncated() = new java.io.EOFException("truncated BGZF block")
+
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    var got = 0
+    while (got < n) {
+      val r = in.read(b, got, n - got)
+      if (r < 0) throw truncated()
+      got += r
+    }
+    b
+  }
+
+  @inline private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  @inline private def u32(b: Array[Byte], i: Int): Long =
+    (u16(b, i).toLong) | (u16(b, i + 2).toLong << 16)
+}
+
+/** InputStream over the BGZF-decompressed bytes of one virtual-position
+  * chunk [vStart, vEnd]. Seeks the raw stream to the chunk's first block and
+  * serves decompressed bytes until the end virtual position. Index chunk
+  * boundaries are record-aligned, so line parsing terminates cleanly.
+  */
+final class BgzfChunkInputStream(raw: FSDataInputStream, vStart: Long, vEnd: Long)
+  extends InputStream {
+
+  private val endCoffset = vEnd >>> 16
+  private var nextBlockOffset: Long = vStart >>> 16
+  private var firstBlock = true
+  private var buf: Array[Byte] = _
+  private var pos = 0
+  private var limit = 0
+  private var done = false
+
+  raw.seek(nextBlockOffset)
+  advance()
+
+  /** Load blocks until there is at least one servable byte or the chunk is
+    * exhausted.
+    */
+  private def advance(): Unit = {
+    while (!done) {
+      if (nextBlockOffset > endCoffset) { done = true; return }
+      val cur = nextBlockOffset
+      val block = Bgzf.readBlock(raw)
+      if (block == null) { done = true; return }
+      nextBlockOffset = cur + block.compressedSize
+      buf = block.data
+      pos = if (firstBlock) (vStart & 0xffff).toInt else 0
+      firstBlock = false
+      limit = if (cur == endCoffset) math.min(buf.length, (vEnd & 0xffff).toInt)
+              else buf.length
+      if (pos < limit) return
+      if (cur == endCoffset) { done = true; return }
+    }
+  }
+
+  override def read(): Int = {
+    if (done) return -1
+    val b = buf(pos) & 0xff
+    pos += 1
+    if (pos >= limit) advance()
+    b
+  }
+
+  override def read(out: Array[Byte], off: Int, len: Int): Int = {
+    if (done) return -1
+    val n = math.min(len, limit - pos)
+    System.arraycopy(buf, pos, out, off, n)
+    pos += n
+    if (pos >= limit) advance()
+    n
+  }
+
+  override def close(): Unit = raw.close()
+}

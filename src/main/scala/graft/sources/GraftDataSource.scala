@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, EqualNullSafe, Filter, In, IsNotNull}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, EqualNullSafe, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -58,10 +58,14 @@ abstract class GraftTableProvider(format: GraftFormat)
 
 /** One chunk of one file; a partition holds one or more chunks (small files
   * are packed together, big splittable files are cut at record boundaries).
+  * `vStart`/`vEnd` >= 0 marks a BGZF virtual-position chunk produced by an
+  * index query — the reader seeks to the block and inflates only that range.
   */
 final case class FileChunk(path: String, start: Long, length: Long, fileSize: Long,
-                           partValues: Array[String]) {
-  def isWholeFile: Boolean = start == 0 && length >= fileSize
+                           partValues: Array[String],
+                           vStart: Long = -1L, vEnd: Long = -1L) {
+  def isWholeFile: Boolean = vStart < 0 && start == 0 && length >= fileSize
+  def isBgzfChunk: Boolean = vStart >= 0
 }
 
 final case class GraftInputPartition(chunks: Array[FileChunk]) extends InputPartition
@@ -85,6 +89,16 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
     if (trimmed.isEmpty) Nil
     else trimmed.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
+
+  /** Explicit `.option("region", "chr1:1-100")` — prunes indexed files to
+    * matching BGZF chunks AND row-filters inside the reader (unlike the
+    * WHERE-clause path, there is no residual filter to rely on).
+    */
+  val regionOption: Option[(String, Long, Long)] =
+    options.get("region").map { r =>
+      val g = graft.functions.GenomicRegion.parse(r)
+      (g.name, g.start.getOrElse(1L), g.end.getOrElse((1L << 29) - 1))
+    }
 
   private val extensions: Seq[String] =
     options.get("fileextension").map(e => Seq(e.stripPrefix(".").toLowerCase))
@@ -192,11 +206,15 @@ final class GraftScanBuilder(table: GraftTable)
 
   private var requiredSchema: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
+  private var filterRegion: Option[(String, Long, Long)] = None
 
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
 
   /** Accept (and later prune with) filters that touch only partition columns.
-    * Everything else stays a residual for Spark to evaluate post-scan.
+    * Everything else stays a residual for Spark to evaluate post-scan — but
+    * chrom-equality and coordinate-bound conjuncts are additionally captured
+    * to drive tabix-index chunk pruning (they remain residuals, so the scan
+    * stays exact even though index bins over-approximate).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val partCols = table.partitionSchema.fieldNames.toSet
@@ -208,22 +226,47 @@ final class GraftScanBuilder(table: GraftTable)
       case _ => false
     }
     pushed = accepted
+    filterRegion = extractRegion(filters)
     residual
   }
 
+  private def extractRegion(filters: Array[Filter]): Option[(String, Long, Long)] =
+    table.format.regionColumns.flatMap { case (chromCol, startCol, endCol) =>
+      var chrom: Option[String] = None
+      var lo = 1L
+      var hi = (1L << 29) - 1
+      def num(v: Any): Long = v.asInstanceOf[Number].longValue()
+      filters.foreach {
+        case EqualTo(c, v) if c == chromCol => chrom = Some(String.valueOf(v))
+        case GreaterThanOrEqual(c, v) if c == endCol => lo = math.max(lo, num(v))
+        case GreaterThan(c, v) if c == endCol => lo = math.max(lo, num(v) + 1)
+        case LessThanOrEqual(c, v) if c == startCol => hi = math.min(hi, num(v))
+        case LessThan(c, v) if c == startCol => hi = math.min(hi, num(v) - 1)
+        case _ => ()
+      }
+      chrom.map(c => (c, lo, hi))
+    }
+
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftScan(table, requiredSchema, pushed)
+  override def build(): Scan =
+    new GraftScan(table, requiredSchema, pushed, filterRegion)
 }
 
-final class GraftScan(table: GraftTable, required: StructType, partFilters: Array[Filter])
+final class GraftScan(table: GraftTable, required: StructType, partFilters: Array[Filter],
+                      filterRegion: Option[(String, Long, Long)])
   extends Scan with Batch {
+
+  // Option-region wins; WHERE-derived region otherwise. Only the option path
+  // needs reader-side row filtering (WHERE filters stay as Spark residuals).
+  private val region: Option[(String, Long, Long)] =
+    table.regionOption.orElse(filterRegion)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan(${table.format.shortName}, cols=${required.fieldNames.mkString(",")}," +
-      s" partFilters=${partFilters.mkString(",")})"
+      s" partFilters=${partFilters.mkString(",")}, region=$region)"
 
   private def prunePartitions(files: Seq[(FileStatus, Array[String])],
                               partCols: Seq[String]): Seq[(FileStatus, Array[String])] = {
@@ -253,16 +296,33 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
     val maxSplit = math.max(openCost,
       math.min(maxPartBytes, totalBytes / math.max(1, parallelism)))
 
-    // Cut chunks: whole file unless splittable & uncompressed & big.
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+
+    // Cut chunks: index-driven BGZF virtual ranges when a region + tabix
+    // index are available; otherwise whole file, or record-aligned splits for
+    // big uncompressed splittable files.
     val chunks = pruned.flatMap { case (st, vals) =>
       val p = st.getPath.toString
       val size = st.getLen
       val canSplit = table.format.splittable && !Codecs.isCompressed(st.getPath.getName)
-      if (canSplit && size > maxSplit) {
-        (0L until size by maxSplit).map { off =>
-          FileChunk(p, off, math.min(maxSplit, size - off), size, vals)
+      val indexed: Option[Seq[FileChunk]] = region.flatMap { case (chrom, lo, hi) =>
+        if (!Codecs.isCompressed(st.getPath.getName)) None
+        else TabixIndex.forFile(st.getPath, hadoopConf).map { idx =>
+          // 1-based inclusive -> 0-based half-open; empty when the index
+          // proves the file has no records for this chrom/range.
+          idx.query(chrom, lo - 1, hi).map { case (vs, ve) =>
+            val approx = math.max(1L, (ve >>> 16) - (vs >>> 16) + (1L << 16))
+            FileChunk(p, 0, approx, size, vals, vs, ve)
+          }
         }
-      } else Seq(FileChunk(p, 0, size, size, vals))
+      }
+      indexed.getOrElse {
+        if (canSplit && size > maxSplit) {
+          (0L until size by maxSplit).map { off =>
+            FileChunk(p, off, math.min(maxSplit, size - off), size, vals)
+          }
+        } else Seq(FileChunk(p, 0, size, size, vals))
+      }
     }
 
     // Greedy size-based packing (mirrors Spark's FilePartition packing) so
@@ -289,17 +349,19 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
     new GraftReaderFactory(
       table.format,
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
-      fieldSources)
+      fieldSources,
+      if (table.regionOption.isDefined) region else None)
   }
 }
 
 final class GraftReaderFactory(format: GraftFormat, conf: SerializableHadoopConf,
-                               fieldSources: Array[Either[Int, Int]])
+                               fieldSources: Array[Either[Int, Int]],
+                               rowRegion: Option[(String, Long, Long)])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val chunks = partition.asInstanceOf[GraftInputPartition].chunks
-    new GraftPartitionReader(format, conf.value, chunks, fieldSources)
+    new GraftPartitionReader(format, conf.value, chunks, fieldSources, rowRegion)
   }
 }
 
@@ -309,11 +371,26 @@ final class GraftReaderFactory(format: GraftFormat, conf: SerializableHadoopConf
   */
 final class GraftPartitionReader(format: GraftFormat, conf: Configuration,
                                  chunks: Array[FileChunk],
-                                 fieldSources: Array[Either[Int, Int]])
+                                 fieldSources: Array[Either[Int, Int]],
+                                 rowRegion: Option[(String, Long, Long)])
   extends PartitionReader[InternalRow] {
 
   // Required data columns, in output order.
   private val requiredData: Array[Int] = fieldSources.collect { case Left(i) => i }
+
+  // With an explicit region option, the parser must also produce the
+  // coordinate columns (appended past the projected ones) so rows can be
+  // filtered here.
+  private val (parseCols: Array[Int], regionPos: Option[(Int, Int, Int)]) =
+    (rowRegion, format.regionColumns) match {
+      case (Some(_), Some((c, st, en))) =>
+        val names = format.dataSchema.fieldNames
+        val idxs = Seq(names.indexOf(c), names.indexOf(st), names.indexOf(en))
+        var all = requiredData
+        idxs.foreach(i => if (!all.contains(i)) all = all :+ i)
+        (all, Some((all.indexOf(idxs(0)), all.indexOf(idxs(1)), all.indexOf(idxs(2)))))
+      case _ => (requiredData, None)
+    }
   // Output position -> position in the parser's output array.
   private val dataOutPos: Array[Int] = fieldSources.zipWithIndex.collect {
     case (Left(_), outPos) => outPos
@@ -339,7 +416,10 @@ final class GraftPartitionReader(format: GraftFormat, conf: Configuration,
     val compressed = Codecs.isCompressed(path.getName)
     val isSplit = c.start > 0
     val reader =
-      if (compressed) {
+      if (c.isBgzfChunk) {
+        stream = new BgzfChunkInputStream(raw, c.vStart, c.vEnd)
+        new ByteLineReader(stream, 0L)
+      } else if (compressed) {
         stream = Codecs.wrap(path.getName, raw)
         new ByteLineReader(stream, 0L)
       } else if (isSplit) {
@@ -354,11 +434,25 @@ final class GraftPartitionReader(format: GraftFormat, conf: Configuration,
         stream = raw
         new ByteLineReader(raw, 0L)
       }
-    val end = if (c.isWholeFile || compressed) Long.MaxValue else c.start + c.length
+    val end = if (c.isWholeFile || compressed || c.isBgzfChunk) Long.MaxValue
+              else c.start + c.length
     partVals = c.partValues.map(v =>
       (if (v == null) null else UTF8String.fromString(v)): Any)
-    it = format.records(new RecordInput(reader, end, isSplit), requiredData)
+    it = format.records(new RecordInput(reader, end, isSplit && !c.isBgzfChunk), parseCols)
     true
+  }
+
+  /** Region row filter for the option-region path (overlap semantics; for
+    * point formats start==end so this is containment).
+    */
+  private def inRegion(data: Array[Any]): Boolean = (rowRegion, regionPos) match {
+    case (Some((chrom, lo, hi)), Some((cp, sp, ep))) =>
+      val cv = data(cp)
+      if (cv == null || cv.toString != chrom) return false
+      val sv = data(sp); val ev = data(ep)
+      if (sv == null || ev == null) return false
+      sv.asInstanceOf[Number].longValue() <= hi && ev.asInstanceOf[Number].longValue() >= lo
+    case _ => true
   }
 
   private def closeStream(): Unit = {
@@ -366,13 +460,17 @@ final class GraftPartitionReader(format: GraftFormat, conf: Configuration,
   }
 
   override def next(): Boolean = {
-    while (!it.hasNext) {
-      if (!openNextChunk()) return false
+    var data: Array[Any] = null
+    while (data == null) {
+      while (!it.hasNext) {
+        if (!openNextChunk()) return false
+      }
+      val candidate = it.next()
+      if (inRegion(candidate)) data = candidate
     }
-    val data = it.next()
     val row = new Array[Any](fieldSources.length)
     var i = 0
-    while (i < data.length) { row(dataOutPos(i)) = data(i); i += 1 }
+    while (i < requiredData.length) { row(dataOutPos(i)) = data(i); i += 1 }
     partOutPos.foreach { case (outPos, p) => row(outPos) = partVals(p) }
     current = new GenericInternalRow(row)
     true

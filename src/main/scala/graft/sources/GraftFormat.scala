@@ -26,6 +26,13 @@ trait GraftFormat extends Serializable {
   /** Uncompressed files may be split at record boundaries. */
   def splittable: Boolean = false
   def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]]
+
+  /** (chromosome col, interval-start col, interval-end col) if this format
+    * carries genomic coordinates — enables tabix-index-driven region
+    * pushdown (chunk pruning) and `.option("region", "chr1:1-100")`.
+    * Point formats (VCF) use the same column for start and end.
+    */
+  def regionColumns: Option[(String, String, String)] = None
 }
 
 /** Base for one-line-per-record formats (GFF/GTF/BED/HMMDOMTAB/SAM/VCF…):

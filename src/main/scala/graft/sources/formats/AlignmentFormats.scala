@@ -21,6 +21,8 @@ import graft.sources.FormatUtil._
 object SamFormat extends LineFormat {
   override def shortName: String = "sam"
   override def defaultExtensions: Seq[String] = Seq("sam")
+  override def regionColumns: Option[(String, String, String)] =
+    Some(("reference", "start", "end"))
   override val dataSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = true),
     StructField("flag", IntegerType, nullable = false),
@@ -120,6 +122,8 @@ object SamFormat extends LineFormat {
 object VcfFormat extends LineFormat {
   override def shortName: String = "vcf"
   override def defaultExtensions: Seq[String] = Seq("vcf")
+  override def regionColumns: Option[(String, String, String)] =
+    Some(("chrom", "pos", "pos"))
   override val dataSchema: StructType = StructType(Seq(
     StructField("chrom", StringType, nullable = false),
     StructField("pos", LongType, nullable = false),

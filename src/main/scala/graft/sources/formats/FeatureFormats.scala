@@ -14,6 +14,8 @@ import graft.sources.FormatUtil._
 object GffFormat extends LineFormat {
   override def shortName: String = "gff"
   override def defaultExtensions: Seq[String] = Seq("gff", "gff3")
+  override def regionColumns: Option[(String, String, String)] =
+    Some(("seqname", "start", "end"))
   override val dataSchema: StructType = StructType(Seq(
     StructField("seqname", StringType, nullable = false),
     StructField("source", StringType, nullable = true),
@@ -62,6 +64,8 @@ object GffFormat extends LineFormat {
 object GtfFormat extends LineFormat {
   override def shortName: String = "gtf"
   override def defaultExtensions: Seq[String] = Seq("gtf")
+  override def regionColumns: Option[(String, String, String)] =
+    Some(("seqname", "start", "end"))
   override val dataSchema: StructType = StructType(Seq(
     StructField("seqname", StringType, nullable = false),
     StructField("source", StringType, nullable = true),
@@ -109,6 +113,8 @@ object GtfFormat extends LineFormat {
 object BedFormat extends LineFormat {
   override def shortName: String = "bed"
   override def defaultExtensions: Seq[String] = Seq("bed")
+  override def regionColumns: Option[(String, String, String)] =
+    Some(("reference_sequence_name", "start", "end"))
   override val dataSchema: StructType = StructType(Seq(
     StructField("reference_sequence_name", StringType, nullable = false),
     StructField("start", LongType, nullable = false),

