@@ -119,6 +119,56 @@ object FormatQueries {
       narrow.crossJoin(whole)
     }),
 
+    // SDF: $$$$-delimited molecules, gzip, inferred data struct
+    "f15_sdf_scan" -> ((s, _) => {
+      val df = s.read.format("sdf").load(s"$fx/sdf/tox_benchmark_N6512.sdf.gz")
+      val agg = df.agg(count(lit(1)).as("n"), sum(col("atom_count")).as("sum_atoms"),
+        sum(col("bond_count")).as("sum_bonds"))
+      val first = df.limit(1).select(col("header"), col("atom_count"), col("bond_count"))
+      agg.crossJoin(first)
+    }),
+
+    // GenBank: LOCUS-driven scalars + sequence + features
+    "f16_genbank_scan" -> ((s, _) =>
+      s.read.format("genbank").load(s"$fx/genbank/test.gb")
+        .select(col("name"), col("accession"), col("division"), col("topology"),
+          col("molecule_type"),
+          length(col("sequence")).as("seq_len"), size(col("features")).as("n_features"))),
+
+    // mzML: StAX + base64/zlib binary arrays, mass-spec function goldens
+    "f17_mzml_scan" -> ((s, _) => {
+      graft.GraftSession.registerAll(s)
+      val df = s.read.format("mzml").load(s"$fx/mzml-pyoteomics/pyoteomics.mzML")
+      df.createOrReplaceTempView("f17_mzml")
+      s.sql(
+        """SELECT count(*) AS n,
+          |  sum(CASE WHEN contains_peak(mz.mz, 200.0D, 1.0D) THEN 1 ELSE 0 END) AS n_peak
+          |FROM f17_mzml""".stripMargin)
+    }),
+
+    // FCS binary reader over a synthesized FCS3.0 file (reference fixture
+    // not shipped in this checkout)
+    "f18_fcs_scan" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("fcs_q")
+      val f = dir.resolve("synth.fcs").toFile
+      val text = "/$PAR/3/$TOT/2/$DATATYPE/F/$BYTEORD/1,2,3,4" +
+        "/$P1S/FSC-A/$P2S/SSC-A/$P3S/FL1-A/"
+      val textStart = 58
+      val textEnd = textStart + text.length - 1
+      val dataStart = textStart + text.length
+      val dataEnd = dataStart + 2 * 3 * 4 - 1
+      val header = f"FCS3.0    $textStart%8d$textEnd%8d$dataStart%8d$dataEnd%8d${0}%8d${0}%8d"
+      val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+      out.writeBytes(header); out.writeBytes(text)
+      Seq(1.5f, 2.5f, 3.5f, 4.0f, 5.0f, 6.0f).foreach { v =>
+        out.writeInt(Integer.reverseBytes(java.lang.Float.floatToIntBits(v)))
+      }
+      out.close()
+      s.read.format("fcs").load(f.getAbsolutePath)
+        .select(col("FSC-A").as("fsc"), col("SSC-A").as("ssc"), col("FL1-A").as("fl1"))
+        .orderBy(col("fsc"))
+    }),
+
     // region predicate over the VCF reader (containment semantics)
     "f11_vcf_region" -> ((s, _) => {
       graft.GraftSession.registerAll(s)
@@ -197,6 +247,25 @@ object FormatQueries {
         |  CAST(0 AS BIGINT) AS n_none, CAST(8813 AS BIGINT) AS n_where""".stripMargin,
 
     "f14_vcf_indexed_region" ->
-      "SELECT CAST(82 AS BIGINT) AS n_narrow, CAST(191 AS BIGINT) AS n_chr1"
+      "SELECT CAST(82 AS BIGINT) AS n_narrow, CAST(191 AS BIGINT) AS n_chr1",
+
+    "f15_sdf_scan" ->
+      """SELECT CAST(6512 AS BIGINT) AS n, CAST(111067 AS BIGINT) AS sum_atoms,
+        |  CAST(118197 AS BIGINT) AS sum_bonds, 'SciTegic02060916132D' AS header,
+        |  50 AS atom_count, 60 AS bond_count""".stripMargin,
+
+    "f16_genbank_scan" ->
+      """SELECT 'BGC0002746' AS name, 'BGC0002746' AS accession, 'CON' AS division,
+        |  'linear' AS topology, 'DNA' AS molecule_type,
+        |  38658 AS seq_len, 53 AS n_features""".stripMargin,
+
+    "f17_mzml_scan" ->
+      "SELECT CAST(2 AS BIGINT) AS n, CAST(2 AS BIGINT) AS n_peak",
+
+    "f18_fcs_scan" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1.5 AS REAL), CAST(2.5 AS REAL), CAST(3.5 AS REAL)),
+        |  (CAST(4.0 AS REAL), CAST(5.0 AS REAL), CAST(6.0 AS REAL)))
+        |t(fsc, ssc, fl1) ORDER BY fsc""".stripMargin
   )
 }

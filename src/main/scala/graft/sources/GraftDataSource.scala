@@ -177,9 +177,18 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
   def partitionSchema: StructType =
     StructType(listing._2.map(c => StructField(c, StringType, nullable = true)))
 
+  /** Data schema after file-driven inference (identity for fixed formats). */
+  lazy val resolvedDataSchema: StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    format.inferDataSchema(listing._1.map(_._1), { st =>
+      val fs = st.getPath.getFileSystem(conf)
+      Codecs.wrap(st.getPath.getName, fs.open(st.getPath))
+    })
+  }
+
   override def name(): String = s"${format.shortName}:${paths.mkString(",")}"
   override def schema(): StructType =
-    StructType(format.dataSchema.fields ++ partitionSchema.fields)
+    StructType(resolvedDataSchema.fields ++ partitionSchema.fields)
   override def capabilities(): java.util.Set[TableCapability] = format match {
     case _: WritableGraftFormat => java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
@@ -340,7 +349,7 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val dataIdx = table.format.dataSchema.fieldNames.zipWithIndex.toMap
+    val dataIdx = table.resolvedDataSchema.fieldNames.zipWithIndex.toMap
     val partIdx = table.listing._2.zipWithIndex.toMap
     // For each output field: Left(dataColIdx) or Right(partColIdx).
     val fieldSources: Array[Either[Int, Int]] = required.fieldNames.map { f =>
@@ -348,20 +357,22 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
     }
     new GraftReaderFactory(
       table.format,
+      table.resolvedDataSchema,
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
       fieldSources,
       if (table.regionOption.isDefined) region else None)
   }
 }
 
-final class GraftReaderFactory(format: GraftFormat, conf: SerializableHadoopConf,
+final class GraftReaderFactory(format: GraftFormat, dataSchema: StructType,
+                               conf: SerializableHadoopConf,
                                fieldSources: Array[Either[Int, Int]],
                                rowRegion: Option[(String, Long, Long)])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val chunks = partition.asInstanceOf[GraftInputPartition].chunks
-    new GraftPartitionReader(format, conf.value, chunks, fieldSources, rowRegion)
+    new GraftPartitionReader(format, dataSchema, conf.value, chunks, fieldSources, rowRegion)
   }
 }
 
@@ -369,7 +380,8 @@ final class GraftReaderFactory(format: GraftFormat, conf: SerializableHadoopConf
   * aligning each to a record boundary, parsing only the required data columns
   * and splicing in the per-file hive partition values.
   */
-final class GraftPartitionReader(format: GraftFormat, conf: Configuration,
+final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
+                                 conf: Configuration,
                                  chunks: Array[FileChunk],
                                  fieldSources: Array[Either[Int, Int]],
                                  rowRegion: Option[(String, Long, Long)])
@@ -384,7 +396,7 @@ final class GraftPartitionReader(format: GraftFormat, conf: Configuration,
   private val (parseCols: Array[Int], regionPos: Option[(Int, Int, Int)]) =
     (rowRegion, format.regionColumns) match {
       case (Some(_), Some((c, st, en))) =>
-        val names = format.dataSchema.fieldNames
+        val names = dataSchema.fieldNames
         val idxs = Seq(names.indexOf(c), names.indexOf(st), names.indexOf(en))
         var all = requiredData
         idxs.foreach(i => if (!all.contains(i)) all = all :+ i)
@@ -414,31 +426,36 @@ final class GraftPartitionReader(format: GraftFormat, conf: Configuration,
     val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
     val compressed = Codecs.isCompressed(path.getName)
-    val isSplit = c.start > 0
-    val reader =
+    val isSplit = c.start > 0 && !c.isBgzfChunk
+    val mkLines: () => ByteLineReader =
       if (c.isBgzfChunk) {
         stream = new BgzfChunkInputStream(raw, c.vStart, c.vEnd)
-        new ByteLineReader(stream, 0L)
+        val s = stream
+        () => new ByteLineReader(s, 0L)
       } else if (compressed) {
         stream = Codecs.wrap(path.getName, raw)
-        new ByteLineReader(stream, 0L)
+        val s = stream
+        () => new ByteLineReader(s, 0L)
       } else if (isSplit) {
-        // Hadoop convention: back up one byte and discard one (partial) line;
-        // a line starting exactly at c.start is then correctly kept.
-        raw.seek(c.start - 1)
         stream = raw
-        val r = new ByteLineReader(raw, c.start - 1)
-        r.readLine()
-        r
+        () => {
+          // Hadoop convention: back up one byte and discard one (partial)
+          // line; a line starting exactly at c.start is correctly kept.
+          raw.seek(c.start - 1)
+          val r = new ByteLineReader(raw, c.start - 1)
+          r.readLine()
+          r
+        }
       } else {
         stream = raw
-        new ByteLineReader(raw, 0L)
+        val s = stream
+        () => new ByteLineReader(s, 0L)
       }
     val end = if (c.isWholeFile || compressed || c.isBgzfChunk) Long.MaxValue
               else c.start + c.length
     partVals = c.partValues.map(v =>
       (if (v == null) null else UTF8String.fromString(v)): Any)
-    it = format.records(new RecordInput(reader, end, isSplit && !c.isBgzfChunk), parseCols)
+    it = format.records(new RecordInput(mkLines, stream, end, isSplit), dataSchema, parseCols)
     true
   }
 

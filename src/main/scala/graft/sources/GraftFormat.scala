@@ -2,14 +2,16 @@ package graft.sources
 
 import org.apache.spark.sql.types._
 
-/** One file split handed to a format: a positioned line reader plus the
-  * exclusive upper byte bound. `end == Long.MaxValue` means whole file (also
-  * always the case for compressed inputs). For a mid-file split the infra has
-  * already aligned the reader to the first line starting at or after the
-  * split start; record-structured formats (FASTA) must additionally align to
-  * their own record boundary via `alignToRecord`.
+/** One file split handed to a format. Text formats consume `lines` (lazily
+  * constructed; for a mid-file split it is pre-aligned to the first line at
+  * or after the split start). Binary formats (FCS, mzML) consume `stream`
+  * (the decompressed byte stream) directly — those are always whole-file
+  * inputs. `end == Long.MaxValue` means whole file.
   */
-final class RecordInput(val lines: ByteLineReader, val end: Long, val isMidFileSplit: Boolean)
+final class RecordInput(mkLines: () => ByteLineReader, val stream: java.io.InputStream,
+                        val end: Long, val isMidFileSplit: Boolean) {
+  lazy val lines: ByteLineReader = mkLines()
+}
 
 /** A file format the engine can scan: fixed schema + a record iterator.
   *
@@ -25,7 +27,21 @@ trait GraftFormat extends Serializable {
   def defaultExtensions: Seq[String]
   /** Uncompressed files may be split at record boundaries. */
   def splittable: Boolean = false
-  def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]]
+
+  /** Formats with file-driven schemas (FCS parameters, SDF data headers)
+    * override this; called once on the driver with the listed files.
+    * `open` yields the decompressed stream of a file.
+    */
+  def inferDataSchema(files: Seq[org.apache.hadoop.fs.FileStatus],
+                      open: org.apache.hadoop.fs.FileStatus => java.io.InputStream): StructType =
+    dataSchema
+
+  def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
+    throw new UnsupportedOperationException(s"$shortName: records() not implemented")
+
+  /** Schema-aware variant; default delegates to the fixed-schema one. */
+  def records(input: RecordInput, schema: StructType, required: Array[Int]): Iterator[Array[Any]] =
+    records(input, required)
 
   /** (chromosome col, interval-start col, interval-end col) if this format
     * carries genomic coordinates — enables tabix-index-driven region

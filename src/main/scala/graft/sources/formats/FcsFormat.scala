@@ -1,0 +1,107 @@
+package graft.sources.formats
+
+import java.io.{DataInputStream, InputStream}
+import org.apache.hadoop.fs.FileStatus
+import org.apache.spark.sql.types._
+import graft.sources._
+
+/** FCS (flow cytometry standard) binary reader. Schema is file-driven: one
+  * FLOAT column per parameter, named by the $PnS long names from the TEXT
+  * segment (reference exon/exon-fcs/src/reader/mod.rs:218-230; fixture
+  * `Guava Muse.fcs` = 10 parameters x 108 events).
+  *
+  * Supported: $DATATYPE F (float32), $BYTEORD 1,2,3,4 / 4,3,2,1, DATA
+  * segment located via the header offsets or $BEGINDATA/$ENDDATA.
+  */
+object FcsFormat extends GraftFormat {
+  override def shortName: String = "fcs"
+  override def defaultExtensions: Seq[String] = Seq("fcs")
+  override val dataSchema: StructType = StructType(Nil)
+
+  private final case class Meta(params: Seq[String], nEvents: Int, dataStart: Long,
+                                bigEndian: Boolean)
+
+  private def readMeta(in: InputStream): Meta = {
+    var pos = 0L
+    def readFully(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var got = 0
+      while (got < n) {
+        val r = in.read(b, got, n - got)
+        require(r >= 0, "fcs: truncated file")
+        got += r
+      }
+      pos += n
+      b
+    }
+    def skipTo(target: Long): Unit = {
+      var remaining = target - pos
+      require(remaining >= 0, s"fcs: cannot seek backwards ($pos -> $target)")
+      while (remaining > 0) {
+        val skipped = in.skip(remaining)
+        require(skipped > 0, "fcs: truncated while skipping")
+        remaining -= skipped
+        pos += skipped
+      }
+    }
+    val header = new String(readFully(58), java.nio.charset.StandardCharsets.US_ASCII)
+    require(header.startsWith("FCS"), "not an FCS file")
+    val textStart = header.substring(10, 18).trim.toLong
+    val textEnd = header.substring(18, 26).trim.toLong
+    val headerDataStart = header.substring(26, 34).trim.toLong
+
+    skipTo(textStart)
+    val text = new String(readFully((textEnd - textStart + 1).toInt),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val delim = text.charAt(0)
+    val parts = text.substring(1).split(java.util.regex.Pattern.quote(delim.toString), -1)
+    val kv = parts.grouped(2).collect { case Array(k, v) => k.trim -> v.trim }.toMap
+
+    val nPar = kv.getOrElse("$PAR", "0").toInt
+    val nTot = kv.getOrElse("$TOT", "0").toInt
+    val dtype = kv.getOrElse("$DATATYPE", "F")
+    require(dtype == "F", s"fcs: unsupported $$DATATYPE $dtype (only F)")
+    val bigEndian = kv.get("$BYTEORD").forall(_ == "4,3,2,1")
+    val names = (1 to nPar).map { i =>
+      kv.getOrElse(s"$$P${i}S", kv.getOrElse(s"$$P${i}N", s"P$i"))
+    }
+    val dataStart =
+      if (headerDataStart > 0) headerDataStart
+      else kv.getOrElse("$BEGINDATA", "0").toLong
+    skipTo(dataStart)
+    Meta(names, nTot, dataStart, bigEndian)
+  }
+
+  override def inferDataSchema(files: Seq[FileStatus],
+                               open: FileStatus => InputStream): StructType = {
+    require(files.nonEmpty, "fcs: no files to infer schema from")
+    val in = open(files.head)
+    val meta = try readMeta(in) finally in.close()
+    StructType(meta.params.map(p => StructField(p, FloatType, nullable = false)))
+  }
+
+  override def records(input: RecordInput, schema: StructType,
+                       required: Array[Int]): Iterator[Array[Any]] =
+    new Iterator[Array[Any]] {
+      // readMeta leaves the stream positioned at the DATA segment.
+      private val meta = readMeta(input.stream)
+      private val din = new DataInputStream(input.stream)
+      private val nPar = schema.fields.length
+      private var emitted = 0
+
+      override def hasNext: Boolean = emitted < meta.nEvents
+
+      override def next(): Array[Any] = {
+        emitted += 1
+        val row = new Array[Float](nPar)
+        var i = 0
+        while (i < nPar) {
+          val bits = din.readInt() // big-endian
+          row(i) = java.lang.Float.intBitsToFloat(
+            if (meta.bigEndian) bits else Integer.reverseBytes(bits))
+          i += 1
+        }
+        required.map(i => row(i): Any)
+      }
+    }
+}

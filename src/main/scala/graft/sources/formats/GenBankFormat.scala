@@ -1,0 +1,177 @@
+package graft.sources.formats
+
+import scala.collection.mutable
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import graft.sources._
+import graft.sources.FormatUtil._
+
+/** GenBank flat-file reader: '//'-terminated multi-record files. Schema per
+  * the reference (exon/exon-genbank/src/config.rs:23-57): LOCUS-derived
+  * scalars, free-text sections, and a features array of
+  * (kind, location, qualifiers[(keys, values)]).
+  */
+object GenBankFormat extends GraftFormat {
+  override def shortName: String = "genbank"
+  override def defaultExtensions: Seq[String] = Seq("gb", "gbk", "genbank")
+
+  private val qualifierType = ArrayType(StructType(Seq(
+    StructField("keys", StringType, nullable = false),
+    StructField("values", StringType, nullable = true))), containsNull = false)
+  private val featureType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("location", StringType, nullable = false),
+    StructField("qualifiers", qualifierType, nullable = true)))
+
+  override val dataSchema: StructType = StructType(Seq(
+    StructField("sequence", StringType, nullable = false),
+    StructField("accession", StringType, nullable = true),
+    StructField("comments", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("contig", StringType, nullable = true),
+    StructField("date", StringType, nullable = true),
+    StructField("dblink", StringType, nullable = true),
+    StructField("definition", StringType, nullable = true),
+    StructField("division", StringType, nullable = false),
+    StructField("keywords", StringType, nullable = true),
+    StructField("molecule_type", StringType, nullable = true),
+    StructField("name", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("version", StringType, nullable = true),
+    StructField("topology", StringType, nullable = false),
+    StructField("features", ArrayType(featureType, containsNull = false), nullable = true)))
+
+  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
+    new Iterator[Array[Any]] {
+      private var rec: Array[String] = readRecord()
+
+      private def readRecord(): Array[String] = {
+        val buf = mutable.ArrayBuffer[String]()
+        var l = input.lines.readLine()
+        while (l != null && l.trim != "//") { buf += l; l = input.lines.readLine() }
+        if (buf.isEmpty && l == null) null
+        else if (buf.forall(_.trim.isEmpty)) { if (l == null) null else readRecord() }
+        else buf.toArray
+      }
+
+      override def hasNext: Boolean = rec != null
+
+      override def next(): Array[Any] = {
+        val r = parse(rec)
+        rec = readRecord()
+        required.map(r(_))
+      }
+    }
+
+  /** Parse one record's lines into values aligned with dataSchema. */
+  private def parse(lines: Array[String]): Array[Any] = {
+    var name: String = null; var moleculeType: String = null
+    var topology: String = "linear"; var division: String = null; var date: String = null
+    var accession: String = null; var version: String = null; var keywords: String = null
+    var definition: String = null; var source: String = null; var dblink: String = null
+    var contig: String = null
+    val comments = mutable.ArrayBuffer[String]()
+    val features = mutable.ArrayBuffer[Any]()
+    val sequence = new java.lang.StringBuilder()
+
+    // Section split: top-level keywords start at column 0.
+    var i = 0
+    def sectionBody(start: Int): (String, Int) = {
+      // first line text after the keyword + continuation lines (indented)
+      val first = lines(start).drop(12).trim
+      val sb = new java.lang.StringBuilder(first)
+      var j = start + 1
+      while (j < lines.length && lines(j).startsWith(" ")) {
+        sb.append(' ').append(lines(j).trim)
+        j += 1
+      }
+      (sb.toString, j)
+    }
+
+    while (i < lines.length) {
+      val line = lines(i)
+      val kw = if (line.length >= 2 && !line.startsWith(" ")) line.split("\\s+", 2)(0) else ""
+      kw match {
+        case "LOCUS" =>
+          val t = line.split("\\s+").drop(1)
+          if (t.nonEmpty) name = t(0)
+          // e.g. LOCUS name 38658 bp DNA linear CON 24-APR-2019
+          val rest = t.drop(1)
+          moleculeType = rest.find(x => x == "DNA" || x == "RNA" || x.contains("RNA")).orNull
+          if (rest.contains("circular")) topology = "circular"
+          val divIdx = rest.indexWhere(x => x == "linear" || x == "circular") + 1
+          if (divIdx > 0 && divIdx < rest.length) division = rest(divIdx)
+          date = rest.lastOption.filter(_.exists(_.isDigit)).orNull
+          i += 1
+        case "DEFINITION" => val (b, j) = sectionBody(i); definition = b; i = j
+        case "ACCESSION" => val (b, j) = sectionBody(i); accession = b; i = j
+        case "VERSION" => val (b, j) = sectionBody(i); version = b; i = j
+        case "KEYWORDS" => val (b, j) = sectionBody(i); keywords = b; i = j
+        case "DBLINK" => val (b, j) = sectionBody(i); dblink = b; i = j
+        case "SOURCE" =>
+          // SOURCE body includes the ORGANISM subsection; keep the first line.
+          source = lines(i).drop(12).trim
+          i += 1
+          while (i < lines.length && lines(i).startsWith(" ")) i += 1
+        case "COMMENT" => val (b, j) = sectionBody(i); comments += b; i = j
+        case "CONTIG" => val (b, j) = sectionBody(i); contig = b; i = j
+        case "FEATURES" =>
+          i += 1
+          while (i < lines.length && lines(i).startsWith("     ") && lines(i).length > 5) {
+            // feature header: 5 spaces, kind, location (may continue)
+            val head = lines(i).trim.split("\\s+", 2)
+            val kind = head(0)
+            val loc = new java.lang.StringBuilder(if (head.length > 1) head(1) else "")
+            i += 1
+            while (i < lines.length && lines(i).startsWith("                     ") &&
+              !lines(i).trim.startsWith("/")) {
+              loc.append(lines(i).trim)
+              i += 1
+            }
+            val quals = mutable.ArrayBuffer[Any]()
+            while (i < lines.length && lines(i).startsWith("                     ")) {
+              val q = lines(i).trim
+              if (q.startsWith("/")) {
+                val eq = q.indexOf('=')
+                val key = if (eq < 0) q.substring(1) else q.substring(1, eq)
+                val v0 = if (eq < 0) null else q.substring(eq + 1)
+                val vb = new java.lang.StringBuilder(if (v0 == null) "" else v0)
+                i += 1
+                while (i < lines.length && lines(i).startsWith("                     ") &&
+                  !lines(i).trim.startsWith("/")) {
+                  vb.append(' ').append(lines(i).trim)
+                  i += 1
+                }
+                val v = if (v0 == null) null
+                        else vb.toString.stripPrefix("\"").stripSuffix("\"")
+                quals += new GenericInternalRow(Array[Any](utf8(key),
+                  if (v == null) null else utf8(v)))
+              } else i += 1
+            }
+            features += new GenericInternalRow(Array[Any](
+              utf8(kind), utf8(loc.toString), new GenericArrayData(quals.toArray)))
+          }
+        case "ORIGIN" =>
+          i += 1
+          while (i < lines.length && lines(i).startsWith(" ")) {
+            val l = lines(i).trim
+            val sp = l.indexOf(' ')
+            if (sp > 0) sequence.append(l.substring(sp + 1).replace(" ", ""))
+            i += 1
+          }
+        case _ => i += 1
+      }
+    }
+
+    Array[Any](
+      utf8(sequence.toString),
+      dotNull(accession), {
+        if (comments.isEmpty) null
+        else new GenericArrayData(comments.map(utf8(_): Any).toArray)
+      },
+      dotNull(contig), dotNull(date), dotNull(dblink), dotNull(definition),
+      dotNull(division), dotNull(keywords), dotNull(moleculeType), dotNull(name),
+      dotNull(source), dotNull(version), utf8(topology),
+      if (features.isEmpty) null else new GenericArrayData(features.toArray))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.sources.formats
+
+import scala.collection.mutable
+import org.apache.hadoop.fs.FileStatus
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources._
+import graft.sources.FormatUtil._
+
+/** SDF (structure-data file): '$$$$'-delimited molecule records.
+  * header = the first three non-empty lines joined; atom/bond counts from
+  * the fixed-width counts line; `data` is a struct with one string field per
+  * `> <name>` data item, inferred from the first record on the driver
+  * (reference exon/exon-sdf/src/record.rs:103-190, schema_builder.rs:31-84;
+  * golden count 6512, sdf-scan-tests.slt).
+  */
+object SdfFormat extends GraftFormat {
+  override def shortName: String = "sdf"
+  override def defaultExtensions: Seq[String] = Seq("sdf")
+  override val dataSchema: StructType = StructType(Seq(
+    StructField("header", StringType, nullable = false),
+    StructField("atom_count", IntegerType, nullable = true),
+    StructField("bond_count", IntegerType, nullable = true),
+    StructField("data", StructType(Nil), nullable = true)))
+
+  private val DataHeaderRe = "<(.*?)>".r
+
+  override def inferDataSchema(files: Seq[FileStatus],
+                               open: FileStatus => java.io.InputStream): StructType = {
+    require(files.nonEmpty, "sdf: no files to infer schema from")
+    val in = open(files.head)
+    val keys = try {
+      val lines = new ByteLineReader(in, 0L)
+      val rec = readRecordLines(lines)
+      require(rec != null, s"sdf: empty file ${files.head.getPath}")
+      parseDataItems(rec).map(_._1)
+    } finally in.close()
+    StructType(Seq(
+      dataSchema.fields(0), dataSchema.fields(1), dataSchema.fields(2),
+      StructField("data",
+        StructType(keys.map(k => StructField(k, StringType, nullable = true))),
+        nullable = true)))
+  }
+
+  /** Lines of one record (without the $$$$ terminator); null at EOF. */
+  private def readRecordLines(lines: ByteLineReader): Array[String] = {
+    val buf = mutable.ArrayBuffer[String]()
+    var l = lines.readLine()
+    if (l == null) return null
+    while (l != null && l.trim != "$$$$") { buf += l; l = lines.readLine() }
+    if (buf.isEmpty && l == null) null else buf.toArray
+  }
+
+  private def parseDataItems(rec: Array[String]): Seq[(String, String)] = {
+    val out = mutable.ArrayBuffer[(String, String)]()
+    var i = 0
+    while (i < rec.length) {
+      val line = rec(i)
+      if (line.startsWith(">")) {
+        DataHeaderRe.findFirstMatchIn(line) match {
+          case Some(m) =>
+            val key = m.group(1)
+            val sb = new java.lang.StringBuilder()
+            i += 1
+            while (i < rec.length && rec(i).trim.nonEmpty) { sb.append(rec(i)); i += 1 }
+            out += key -> sb.toString
+          case None => ()
+        }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  override def records(input: RecordInput, schema: StructType,
+                       required: Array[Int]): Iterator[Array[Any]] =
+    new Iterator[Array[Any]] {
+      private val dataFields = schema.fields(3).dataType.asInstanceOf[StructType].fieldNames
+      private var rec: Array[String] = readRecordLines(input.lines)
+
+      override def hasNext: Boolean = rec != null
+
+      override def next(): Array[Any] = {
+        val r = rec
+        rec = readRecordLines(input.lines)
+        val out = required.map {
+          case 0 =>
+            utf8(r.take(3).iterator.map(_.trim).filter(_.nonEmpty).mkString("\n"))
+          case 1 => countsAt(r, 0)
+          case 2 => countsAt(r, 1)
+          case 3 =>
+            val items = parseDataItems(r).toMap
+            new GenericInternalRow(
+              dataFields.map(k => items.get(k).map(utf8(_): Any).orNull): Array[Any])
+        }
+        out
+      }
+
+      private def countsAt(r: Array[String], which: Int): Any = {
+        if (r.length < 4) return null
+        val line = r(3)
+        val lo = which * 3; val hi = lo + 3
+        if (line.length < hi) null
+        else {
+          val s = line.substring(lo, hi).trim
+          try Integer.valueOf(s) catch { case _: NumberFormatException => null }
+        }
+      }
+    }
+}

@@ -17,3 +17,7 @@ class BedSourceProvider extends GraftTableProvider(BedFormat)
 class HmmDomTabSourceProvider extends GraftTableProvider(HmmDomTabFormat)
 class SamSourceProvider extends GraftTableProvider(SamFormat)
 class VcfSourceProvider extends GraftTableProvider(VcfFormat)
+class SdfSourceProvider extends GraftTableProvider(SdfFormat)
+class FcsSourceProvider extends GraftTableProvider(FcsFormat)
+class GenBankSourceProvider extends GraftTableProvider(GenBankFormat)
+class MzMlSourceProvider extends GraftTableProvider(MzMlFormat)
