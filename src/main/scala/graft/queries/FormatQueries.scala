@@ -169,6 +169,28 @@ object FormatQueries {
         .orderBy(col("fsc"))
     }),
 
+    // BAM binary reader: counts + the indexed-slt golden first row
+    "f19_bam_scan" -> ((s, _) => {
+      val df = s.read.format("bam").load(s"$fx/bam/test.bam")
+      val agg = df.agg(count(lit(1)).as("n"))
+      val part = s.read.format("bam").load(s"$fx/bam-partition")
+        .agg(count(lit(1)).as("n_part"))
+      val first = df.limit(1).select(col("name"), col("flag"), col("reference"),
+        col("start"), col("end"), col("cigar"))
+      agg.crossJoin(part).crossJoin(first)
+    }),
+
+    // .bai-indexed BAM region (overlap semantics; golden 7 / 14)
+    "f20_bam_indexed_region" -> ((s, _) => {
+      val one = s.read.format("bam")
+        .option("region", "chr1:1-12209145").load(s"$fx/bam/test.bam")
+        .agg(count(lit(1)).as("n_region"))
+      val both = s.read.format("bam")
+        .option("region", "chr1:1-12209145").load(s"$fx/bam-partition")
+        .agg(count(lit(1)).as("n_region_part"))
+      one.crossJoin(both)
+    }),
+
     // region predicate over the VCF reader (containment semantics)
     "f11_vcf_region" -> ((s, _) => {
       graft.GraftSession.registerAll(s)
@@ -266,6 +288,15 @@ object FormatQueries {
       """SELECT * FROM (VALUES
         |  (CAST(1.5 AS REAL), CAST(2.5 AS REAL), CAST(3.5 AS REAL)),
         |  (CAST(4.0 AS REAL), CAST(5.0 AS REAL), CAST(6.0 AS REAL)))
-        |t(fsc, ssc, fl1) ORDER BY fsc""".stripMargin
+        |t(fsc, ssc, fl1) ORDER BY fsc""".stripMargin,
+
+    "f19_bam_scan" ->
+      """SELECT CAST(61 AS BIGINT) AS n, CAST(122 AS BIGINT) AS n_part,
+        |  'READ_ID' AS name, 83 AS flag, 'chr1' AS reference,
+        |  CAST(12203704 AS BIGINT) AS start, CAST(12217173 AS BIGINT) AS "end",
+        |  '55M13394N21M' AS cigar""".stripMargin,
+
+    "f20_bam_indexed_region" ->
+      "SELECT CAST(7 AS BIGINT) AS n_region, CAST(14 AS BIGINT) AS n_region_part"
   )
 }

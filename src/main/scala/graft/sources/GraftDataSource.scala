@@ -315,8 +315,12 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       val size = st.getLen
       val canSplit = table.format.splittable && !Codecs.isCompressed(st.getPath.getName)
       val indexed: Option[Seq[FileChunk]] = region.flatMap { case (chrom, lo, hi) =>
-        if (!Codecs.isCompressed(st.getPath.getName)) None
-        else TabixIndex.forFile(st.getPath, hadoopConf).map { idx =>
+        val name = st.getPath.getName.toLowerCase
+        val idxOpt =
+          if (name.endsWith(".bam")) BaiIndex.forBam(st.getPath, hadoopConf)
+          else if (Codecs.isCompressed(name)) TabixIndex.forFile(st.getPath, hadoopConf)
+          else None
+        idxOpt.map { idx =>
           // 1-based inclusive -> 0-based half-open; empty when the index
           // proves the file has no records for this chrom/range.
           idx.query(chrom, lo - 1, hi).map { case (vs, ve) =>
@@ -455,7 +459,10 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
               else c.start + c.length
     partVals = c.partValues.map(v =>
       (if (v == null) null else UTF8String.fromString(v)): Any)
-    it = format.records(new RecordInput(mkLines, stream, end, isSplit), dataSchema, parseCols)
+    val reopen = () => fs.open(path): java.io.InputStream
+    it = format.records(
+      new RecordInput(mkLines, stream, end, isSplit, c.isBgzfChunk, reopen),
+      dataSchema, parseCols)
     true
   }
 

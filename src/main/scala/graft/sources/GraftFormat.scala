@@ -9,7 +9,10 @@ import org.apache.spark.sql.types._
   * inputs. `end == Long.MaxValue` means whole file.
   */
 final class RecordInput(mkLines: () => ByteLineReader, val stream: java.io.InputStream,
-                        val end: Long, val isMidFileSplit: Boolean) {
+                        val end: Long, val isMidFileSplit: Boolean,
+                        val isBgzfChunk: Boolean = false,
+                        val reopenRaw: () => java.io.InputStream = () =>
+                          throw new UnsupportedOperationException("reopen not available")) {
   lazy val lines: ByteLineReader = mkLines()
 }
 

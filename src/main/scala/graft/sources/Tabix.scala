@@ -99,3 +99,44 @@ object TabixIndex {
     if (fs.exists(tbi)) Some(read(tbi, conf)) else None
   }
 }
+
+/** BAM .bai index: same binning structures as tabix but stored raw
+  * (uncompressed) and without a name table — reference ids resolve through
+  * the BAM header. Exposed as a TabixIndex so region queries share one code
+  * path.
+  */
+object BaiIndex {
+
+  def forBam(bamPath: Path, conf: Configuration): Option[TabixIndex] = {
+    val bai = new Path(bamPath.getParent, bamPath.getName + ".bai")
+    val fs = bai.getFileSystem(conf)
+    if (!fs.exists(bai)) return None
+
+    val headerIn = new MultiMemberGzipInputStream(fs.open(bamPath))
+    val names = try formats.BamFormat.readHeaderRefs(headerIn) finally headerIn.close()
+
+    val in = fs.open(bai)
+    val bytes = try in.readAllBytes() finally in.close()
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); b.get(magic)
+    require(new String(magic, 0, 3) == "BAI", s"not a .bai index: $bai")
+    val nRef = b.getInt
+    val bins = Seq.newBuilder[Map[Int, Seq[(Long, Long)]]]
+    val linear = Seq.newBuilder[Array[Long]]
+    (0 until nRef).foreach { _ =>
+      val nBin = b.getInt
+      val m = Map.newBuilder[Int, Seq[(Long, Long)]]
+      (0 until nBin).foreach { _ =>
+        val bin = b.getInt
+        val nChunk = b.getInt
+        val chunks = (0 until nChunk).map(_ => (b.getLong, b.getLong))
+        // 37450 is the unmapped-count pseudo-bin, not real chunks.
+        if (bin != 37450) m += bin -> chunks
+      }
+      val nIntv = b.getInt
+      linear += Array.fill(nIntv)(b.getLong)
+      bins += m.result()
+    }
+    Some(TabixIndex(names.toSeq, bins.result(), linear.result()))
+  }
+}

@@ -1,0 +1,213 @@
+package graft.sources.formats
+
+import java.io.{DataInputStream, EOFException, InputStream}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources._
+import graft.sources.FormatUtil._
+
+/** BAM reader: binary alignment records inside BGZF, hand-decoded from the
+  * public SAM/BAM spec (§4.2). Output schema and value semantics match the
+  * SAM text reader (same golden row as sam-select-tests.slt; 1-based start,
+  * CIGAR-derived end, raw Phred quality list, 255 mapq -> null).
+  *
+  * Unindexed scans stream the whole file; indexed scans get BGZF chunks from
+  * the sibling .bai (see BaiIndex) and re-read only the header for the
+  * reference-name table.
+  */
+object BamFormat extends GraftFormat {
+  override def shortName: String = "bam"
+  override def defaultExtensions: Seq[String] = Seq("bam")
+  override val dataSchema: StructType = SamFormat.dataSchema
+  override def regionColumns: Option[(String, String, String)] =
+    Some(("reference", "start", "end"))
+
+  private val SeqCode = "=ACMGRSVTWYHKDBN"
+  private val CigarOps = "MIDNSHP=X"
+
+  private final class LEInput(in: InputStream) {
+    private val d = new DataInputStream(in)
+    def u8(): Int = d.readUnsignedByte()
+    def u16(): Int = { val a = u8(); val b = u8(); a | (b << 8) }
+    def i32(): Int = { val a = u16(); val b = u16(); a | (b << 16) }
+    def f32(): Float = java.lang.Float.intBitsToFloat(i32())
+    def bytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); d.readFully(b); b }
+    def skip(n: Int): Unit = { var left = n; while (left > 0) { left -= d.skipBytes(left) } }
+    /** i32 that signals EOF cleanly instead of throwing mid-field. */
+    def i32OrEof(): Option[Int] = {
+      val first = in.read()
+      if (first < 0) return None
+      Some(first | (u8() << 8) | (u8() << 16) | (u8() << 24))
+    }
+  }
+
+  /** Reference names from a BAM header stream (positioned at magic). */
+  def readHeaderRefs(decompressed: InputStream): Array[String] = {
+    val in = new LEInput(decompressed)
+    val magic = in.bytes(4)
+    require(magic(0) == 'B' && magic(1) == 'A' && magic(2) == 'M', "not a BAM file")
+    val lText = in.i32()
+    in.skip(lText)
+    val nRef = in.i32()
+    Array.fill(nRef) {
+      val lName = in.i32()
+      val name = new String(in.bytes(lName), 0, lName - 1,
+        java.nio.charset.StandardCharsets.US_ASCII) // strip trailing NUL
+      in.i32() // l_ref
+      name
+    }
+  }
+
+  override def records(input: RecordInput, schema: StructType,
+                       required: Array[Int]): Iterator[Array[Any]] = {
+    val (stream, refs) =
+      if (input.isBgzfChunk) {
+        // chunk starts at a record; reference names come from the header.
+        val headerStream = new MultiMemberGzipInputStream(input.reopenRaw())
+        val r = try readHeaderRefs(headerStream) finally headerStream.close()
+        (input.stream, r)
+      } else {
+        val s = new MultiMemberGzipInputStream(input.stream)
+        val r = readHeaderRefs(s)
+        (s, r)
+      }
+    val in = new LEInput(stream)
+
+    new Iterator[Array[Any]] {
+      private var nextRec: Array[Any] = _
+      advance()
+
+      private def advance(): Unit = {
+        nextRec = null
+        val blockSize = try in.i32OrEof() catch { case _: EOFException => None }
+        blockSize.foreach { sz => nextRec = parseRecord(in, sz, refs, required) }
+      }
+
+      override def hasNext: Boolean = nextRec != null
+      override def next(): Array[Any] = { val r = nextRec; advance(); r }
+    }
+  }
+
+  private def parseRecord(in: LEInput, blockSize: Int, refs: Array[String],
+                          required: Array[Int]): Array[Any] = {
+    val refId = in.i32()
+    val pos0 = in.i32()
+    val lReadName = in.u8()
+    val mapq = in.u8()
+    in.u16() // bin
+    val nCigar = in.u16()
+    val flag = in.u16()
+    val lSeq = in.i32()
+    val nextRefId = in.i32()
+    in.i32() // next_pos
+    in.i32() // tlen
+    val nameBytes = in.bytes(lReadName)
+    val name = new String(nameBytes, 0, lReadName - 1,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val cigarOps = Array.fill(nCigar)(in.i32())
+    val seqBytes = in.bytes((lSeq + 1) / 2)
+    val qualBytes = in.bytes(lSeq)
+    val tagLen = blockSize - 32 - lReadName - 4 * nCigar - (lSeq + 1) / 2 - lSeq
+    val tagBytes = in.bytes(tagLen)
+
+    def cigarString: String = {
+      if (nCigar == 0) return null
+      val sb = new java.lang.StringBuilder()
+      cigarOps.foreach { op => sb.append(op >>> 4).append(CigarOps.charAt(op & 0xf)) }
+      sb.toString
+    }
+    def refLen: Long = cigarOps.iterator.map { op =>
+      (op & 0xf) match {
+        case 0 | 2 | 3 | 7 | 8 => (op >>> 4).toLong // M D N = X
+        case _ => 0L
+      }
+    }.sum
+    val unmapped = refId < 0 || pos0 < 0 || nCigar == 0
+
+    required.map {
+      case 0 => if (name == "*" || name.isEmpty) null else utf8(name)
+      case 1 => flag
+      case 2 => if (refId < 0) null else utf8(refs(refId))
+      case 3 => if (refId < 0 || pos0 < 0) null else (pos0 + 1).toLong
+      case 4 => if (unmapped) null else pos0 + refLen
+      case 5 => if (mapq == 255) null else utf8(mapq.toString)
+      case 6 => if (nCigar == 0) null else utf8(cigarString)
+      case 7 =>
+        if (nextRefId < 0) null else utf8(refs(nextRefId))
+      case 8 =>
+        if (lSeq == 0) null
+        else {
+          val sb = new java.lang.StringBuilder(lSeq)
+          var i = 0
+          while (i < lSeq) {
+            val b = seqBytes(i / 2) & 0xff
+            sb.append(SeqCode.charAt(if (i % 2 == 0) b >>> 4 else b & 0xf))
+            i += 1
+          }
+          utf8(sb.toString)
+        }
+      case 9 =>
+        if (lSeq == 0 || (qualBytes.nonEmpty && (qualBytes(0) & 0xff) == 0xff) ) null
+        else new GenericArrayData(qualBytes.map(q => (q & 0xff).toLong: Any))
+      case 10 => parseTags(tagBytes)
+    }
+  }
+
+  /** Binary tags -> ARRAY<STRUCT<tag, value-as-string>> (same surface as the
+    * SAM text reader's unparsed-tags mode).
+    */
+  private def parseTags(bytes: Array[Byte]): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def readString(): String = {
+      val sb = new java.lang.StringBuilder()
+      var c = bb.get()
+      while (c != 0) { sb.append(c.toChar); c = bb.get() }
+      sb.toString
+    }
+    while (bb.remaining() >= 4) {
+      val tag = "" + bb.get().toChar + bb.get().toChar
+      val typ = bb.get().toChar
+      val value: String = typ match {
+        case 'A' => bb.get().toChar.toString
+        case 'c' => bb.get().toString
+        case 'C' => (bb.get() & 0xff).toString
+        case 's' => bb.getShort().toString
+        case 'S' => (bb.getShort() & 0xffff).toString
+        case 'i' => bb.getInt().toString
+        case 'I' => (bb.getInt() & 0xffffffffL).toString
+        case 'f' => floatStr(bb.getFloat())
+        case 'Z' => readString()
+        case 'H' => readString()
+        case 'B' =>
+          val elem = bb.get().toChar
+          val n = bb.getInt()
+          val vals = (0 until n).map { _ =>
+            elem match {
+              case 'c' => bb.get().toString
+              case 'C' => (bb.get() & 0xff).toString
+              case 's' => bb.getShort().toString
+              case 'S' => (bb.getShort() & 0xffff).toString
+              case 'i' => bb.getInt().toString
+              case 'I' => (bb.getInt() & 0xffffffffL).toString
+              case 'f' => floatStr(bb.getFloat())
+            }
+          }
+          vals.mkString(",")
+        case _ => return new GenericArrayData(out.toArray) // unknown: stop
+      }
+      out += new GenericInternalRow(Array[Any](utf8(tag), utf8(value)))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def floatStr(f: Float): String = {
+    if (f == f.toLong.toFloat && math.abs(f) < 1e15f) {
+      val l = f.toLong
+      if (l.toFloat == f) return l.toString
+    }
+    f.toString
+  }
+}

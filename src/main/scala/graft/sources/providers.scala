@@ -21,3 +21,4 @@ class SdfSourceProvider extends GraftTableProvider(SdfFormat)
 class FcsSourceProvider extends GraftTableProvider(FcsFormat)
 class GenBankSourceProvider extends GraftTableProvider(GenBankFormat)
 class MzMlSourceProvider extends GraftTableProvider(MzMlFormat)
+class BamSourceProvider extends GraftTableProvider(BamFormat)
