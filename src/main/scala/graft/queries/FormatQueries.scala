@@ -191,6 +191,35 @@ object FormatQueries {
       one.crossJoin(both)
     }),
 
+    // BCF binary reader: total + region counts, plus exact variant-level
+    // agreement with the VCF text reader over the same callset
+    "f21_bcf_scan" -> ((s, _) => {
+      val bcf = s.read.format("bcf").load(s"$fx/bcf/index.bcf")
+      val agg = bcf.agg(count(lit(1)).as("n"))
+      val reg = s.read.format("bcf").option("region", "1").load(s"$fx/bcf/index.bcf")
+        .agg(count(lit(1)).as("n_chr1"))
+      val vcf = s.read.format("vcf").load(s"$fx/vcf/index.vcf")
+        .select("chrom", "pos", "ref", "qual")
+      val diff = bcf.select("chrom", "pos", "ref", "qual").exceptAll(vcf)
+        .agg(count(lit(1)).as("n_diff"))
+      agg.crossJoin(reg).crossJoin(diff)
+    }),
+
+    // BigWig interval values (0-based half-open; bigwig-tests.slt golden)
+    "f22_bigwig_value" -> ((s, _) =>
+      s.read.format("bigwig_value").load(s"$fx/bigwig/test.bw")
+        .orderBy(col("name"), col("start"))),
+
+    // BigWig zoom summaries at reduction level 400
+    "f23_bigwig_zoom" -> ((s, _) =>
+      s.read.format("bigwig_zoom").option("reductionLevel", "400")
+        .load(s"$fx/bigwig/test.bw")
+        .select(col("name"), col("start"), col("end"), col("total_items"),
+          col("bases_covered"), round(col("max_value"), 6).as("max_v"),
+          round(col("min_value"), 6).as("min_v"),
+          round(col("sum_squares"), 4).as("sum_sq"), round(col("sum"), 4).as("sum_v"))
+        .orderBy(col("name"))),
+
     // region predicate over the VCF reader (containment semantics)
     "f11_vcf_region" -> ((s, _) => {
       graft.GraftSession.registerAll(s)
@@ -297,6 +326,27 @@ object FormatQueries {
         |  '55M13394N21M' AS cigar""".stripMargin,
 
     "f20_bam_indexed_region" ->
-      "SELECT CAST(7 AS BIGINT) AS n_region, CAST(14 AS BIGINT) AS n_region_part"
+      "SELECT CAST(7 AS BIGINT) AS n_region, CAST(14 AS BIGINT) AS n_region_part",
+
+    "f21_bcf_scan" ->
+      """SELECT CAST(621 AS BIGINT) AS n, CAST(191 AS BIGINT) AS n_chr1,
+        |  CAST(0 AS BIGINT) AS n_diff""".stripMargin,
+
+    "f22_bigwig_value" ->
+      """SELECT * FROM (VALUES
+        |  ('1', 0, 1, CAST(0.1 AS REAL)), ('1', 1, 2, CAST(0.2 AS REAL)),
+        |  ('1', 2, 3, CAST(0.3 AS REAL)), ('1', 100, 150, CAST(1.4 AS REAL)),
+        |  ('1', 150, 151, CAST(1.5 AS REAL)), ('10', 200, 300, CAST(2.0 AS REAL)))
+        |t(name, start, "end", value) ORDER BY name, start""".stripMargin,
+
+    "f23_bigwig_zoom" ->
+      """SELECT name, start, "end", total_items, bases_covered,
+        |  CAST(max_v AS DOUBLE) AS max_v, CAST(min_v AS DOUBLE) AS min_v,
+        |  CAST(sum_sq AS DOUBLE) AS sum_sq, CAST(sum_v AS DOUBLE) AS sum_v
+        |FROM (VALUES
+        |  ('1', 0, 400, 0, 54, 1.5, 0.1, 100.39, 72.1),
+        |  ('10', 200, 600, 0, 100, 2.0, 2.0, 400.0, 200.0))
+        |t(name, start, "end", total_items, bases_covered, max_v, min_v, sum_sq, sum_v)
+        |ORDER BY name""".stripMargin
   )
 }

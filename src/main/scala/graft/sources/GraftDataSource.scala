@@ -43,9 +43,14 @@ abstract class GraftTableProvider(format: GraftFormat)
   override def shortName(): String = format.shortName
   override def supportsExternalMetadata(): Boolean = true
 
+  /** Hook for providers whose format depends on reader options (e.g.
+    * bigwig_zoom's reductionLevel).
+    */
+  protected def resolveFormat(opts: Map[String, String]): GraftFormat = format
+
   private def makeTable(options: java.util.Map[String, String]): GraftTable = {
     val opts = options.asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
-    new GraftTable(format, opts)
+    new GraftTable(resolveFormat(opts), opts)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

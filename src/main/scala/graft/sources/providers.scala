@@ -22,3 +22,10 @@ class FcsSourceProvider extends GraftTableProvider(FcsFormat)
 class GenBankSourceProvider extends GraftTableProvider(GenBankFormat)
 class MzMlSourceProvider extends GraftTableProvider(MzMlFormat)
 class BamSourceProvider extends GraftTableProvider(BamFormat)
+class BcfSourceProvider extends GraftTableProvider(BcfFormat)
+class BigWigValueSourceProvider extends GraftTableProvider(BigWigValueFormat)
+class BigWigZoomSourceProvider extends GraftTableProvider(new BigWigZoomFormat(None)) {
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat =
+    new BigWigZoomFormat(
+      opts.get("reductionlevel").orElse(opts.get("reduction_level")).map(_.toInt))
+}
