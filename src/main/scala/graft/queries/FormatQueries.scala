@@ -220,6 +220,27 @@ object FormatQueries {
           round(col("sum_squares"), 4).as("sum_sq"), round(col("sum"), 4).as("sum_v"))
         .orderBy(col("name"))),
 
+    // fasta_indexed_scan parity: region + regionFile subsequence extraction
+    "f24_fasta_indexed" -> ((s, _) => {
+      val sub = s.read.format("fasta").option("region", "a:3-4")
+        .load(s"$fx/fasta-indexed/test.fasta")
+      val multi = s.read.format("fasta")
+        .option("regionFile", s"$fx/fasta-indexed/region.txt")
+        .load(s"$fx/fasta-indexed/test.fasta")
+      sub.union(multi).orderBy(col("id"), col("sequence"))
+    }),
+
+    // extension-inferred reads (read_inferred_exon_table parity)
+    "f25_inferred_format" -> ((s, _) => {
+      val a = s.read.format("graft").load(s"$fx/fastq/test.fastq.gz")
+        .agg(count(lit(1)).as("n_fastq"))
+      val b = s.read.format("graft").load(s"$fx/vcf/index.vcf.gz")
+        .agg(count(lit(1)).as("n_vcf"))
+      val c = s.read.format("graft").load(s"$fx/bam/test.bam")
+        .agg(count(lit(1)).as("n_bam"))
+      a.crossJoin(b).crossJoin(c)
+    }),
+
     // region predicate over the VCF reader (containment semantics)
     "f11_vcf_region" -> ((s, _) => {
       graft.GraftSession.registerAll(s)
@@ -338,6 +359,17 @@ object FormatQueries {
         |  ('1', 2, 3, CAST(0.3 AS REAL)), ('1', 100, 150, CAST(1.4 AS REAL)),
         |  ('1', 150, 151, CAST(1.5 AS REAL)), ('10', 200, 300, CAST(2.0 AS REAL)))
         |t(name, start, "end", value) ORDER BY name, start""".stripMargin,
+
+    "f24_fasta_indexed" ->
+      """SELECT * FROM (VALUES
+        |  ('a:1-2', CAST(NULL AS VARCHAR), 'AT'),
+        |  ('a:3-4', CAST(NULL AS VARCHAR), 'CG'),
+        |  ('a:3-4', CAST(NULL AS VARCHAR), 'CG'))
+        |t(id, description, sequence) ORDER BY id, sequence""".stripMargin,
+
+    "f25_inferred_format" ->
+      """SELECT CAST(2 AS BIGINT) AS n_fastq, CAST(621 AS BIGINT) AS n_vcf,
+        |  CAST(61 AS BIGINT) AS n_bam""".stripMargin,
 
     "f23_bigwig_zoom" ->
       """SELECT name, start, "end", total_items, bases_covered,

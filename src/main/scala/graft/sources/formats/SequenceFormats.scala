@@ -76,6 +76,40 @@ object FastaFormat extends WritableGraftFormat {
     }
 }
 
+/** Indexed FASTA subsequence extraction: each requested region becomes one
+  * output row (id = the region string, description = null, sequence = the
+  * 1-based inclusive subsequence), mirroring `fasta_indexed_scan`
+  * (fasta-indexed-scan-tests.slt:1-20). Extraction is a single streaming
+  * pass over the file (works for compressed inputs too); .fai-driven seeks
+  * are a future optimization for chromosome-scale references.
+  */
+final class FastaIndexedFormat(regions: Seq[String]) extends GraftFormat {
+  override def shortName: String = "fasta"
+  override def defaultExtensions: Seq[String] = FastaFormat.defaultExtensions
+  override val dataSchema: StructType = FastaFormat.dataSchema
+  override def splittable: Boolean = false
+
+  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
+    val parsed = regions.map(r => r -> graft.functions.GenomicRegion.parse(r))
+    // Streaming fallback: one pass, extract all regions from parsed records.
+    val full = FastaFormat.records(input, Array(0, 2)).map { arr =>
+      (arr(0).toString, arr(1).toString)
+    }.toMap
+    parsed.iterator.flatMap { case (regionStr, g) =>
+      full.get(g.name).map { seq =>
+        val start = g.start.getOrElse(1L).toInt
+        val end = g.end.map(_.toInt).getOrElse(seq.length)
+        val sub = seq.substring(math.max(0, start - 1), math.min(seq.length, end))
+        required.map {
+          case 0 => utf8(regionStr)
+          case 1 => null
+          case 2 => utf8(sub)
+        }: Array[Any]
+      }
+    }
+  }
+}
+
 /** FASTQ: 4-line records (@name[ desc] / sequence / + / quality). Not
   * splittable — a quality line may itself start with '@', so record
   * boundaries cannot be recovered mid-file without heuristics.

@@ -9,7 +9,24 @@ import graft.sources.formats._
   * (exon/exon-core/src/session_context/exon_context_ext.rs:129-180).
   * SQL DDL works too: `CREATE TABLE t USING fasta LOCATION '...'`.
   */
-class FastaSourceProvider extends GraftTableProvider(FastaFormat)
+class FastaSourceProvider extends GraftTableProvider(FastaFormat) {
+  /** `.option("region", "a:3-4")` / `.option("regionFile", path)` switch the
+    * table to indexed-subsequence extraction (fasta_indexed_scan parity).
+    */
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
+    val regions: Seq[String] = opts.get("region").map(Seq(_)).getOrElse(Nil) ++
+      opts.get("regionfile").toSeq.flatMap { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(
+          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+        val in = fs.open(path)
+        try scala.io.Source.fromInputStream(in).getLines().map(_.trim)
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      }
+    if (regions.isEmpty) FastaFormat else new FastaIndexedFormat(regions)
+  }
+}
 class FastqSourceProvider extends GraftTableProvider(FastqFormat)
 class GffSourceProvider extends GraftTableProvider(GffFormat)
 class GtfSourceProvider extends GraftTableProvider(GtfFormat)
@@ -23,6 +40,32 @@ class GenBankSourceProvider extends GraftTableProvider(GenBankFormat)
 class MzMlSourceProvider extends GraftTableProvider(MzMlFormat)
 class BamSourceProvider extends GraftTableProvider(BamFormat)
 class BcfSourceProvider extends GraftTableProvider(BcfFormat)
+/** Auto-detecting provider: picks the concrete format from the path's file
+  * extension (compression suffixes stripped) — `spark.read.format("graft")
+  * .load("x.vcf.gz")` parity with the reference's read_inferred_exon_table
+  * (exon_context_ext.rs:697-717, extension map exon_file_type.rs:217-238).
+  */
+class GraftAutoSourceProvider extends GraftTableProvider(FastaFormat) {
+  private val byExt: Map[String, GraftFormat] = Seq(
+    FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, HmmDomTabFormat,
+    SamFormat, VcfFormat, SdfFormat, FcsFormat, GenBankFormat, MzMlFormat,
+    BamFormat, BcfFormat, BigWigValueFormat
+  ).flatMap(f => f.defaultExtensions.map(_ -> f)).toMap
+
+  override def shortName(): String = "graft"
+
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
+    val path = opts.getOrElse("path",
+      throw new IllegalArgumentException("graft auto-format requires a single path"))
+    val base = Codecs.stripCompression(new org.apache.hadoop.fs.Path(path).getName)
+      .toLowerCase
+    val ext = base.substring(base.lastIndexOf('.') + 1)
+    byExt.getOrElse(ext, throw new IllegalArgumentException(
+      s"graft: cannot infer format from extension '.$ext' " +
+        s"(known: ${byExt.keys.toSeq.sorted.mkString(", ")})"))
+  }
+}
+
 class BigWigValueSourceProvider extends GraftTableProvider(BigWigValueFormat)
 class BigWigZoomSourceProvider extends GraftTableProvider(new BigWigZoomFormat(None)) {
   override protected def resolveFormat(opts: Map[String, String]): GraftFormat =
