@@ -241,6 +241,16 @@ object FormatQueries {
       a.crossJoin(b).crossJoin(c)
     }),
 
+    // header-driven typed INFO/FORMAT parsing (vcf_parse_info/formats mode)
+    "f26_vcf_typed" -> ((s, _) =>
+      s.read.format("vcf").option("parseInfo", "true").option("parseFormats", "true")
+        .load(s"$fx/vcf/index.vcf")
+        .limit(1)
+        .select(col("info.DP").as("dp"), col("info.MQ0F").as("mq0f"),
+          element_at(col("info.I16"), 5).as("i16_5"),
+          col("formats")(0).getField("GT").as("gt"),
+          element_at(col("formats")(0).getField("PL"), 3).as("pl_3"))),
+
     // region predicate over the VCF reader (containment semantics)
     "f11_vcf_region" -> ((s, _) => {
       graft.GraftSession.registerAll(s)
@@ -370,6 +380,10 @@ object FormatQueries {
     "f25_inferred_format" ->
       """SELECT CAST(2 AS BIGINT) AS n_fastq, CAST(621 AS BIGINT) AS n_vcf,
         |  CAST(61 AS BIGINT) AS n_bam""".stripMargin,
+
+    "f26_vcf_typed" ->
+      """SELECT 1 AS dp, CAST(0.0 AS REAL) AS mq0f, CAST(26.0 AS REAL) AS i16_5,
+        |  '0/0' AS gt, 26 AS pl_3""".stripMargin,
 
     "f23_bigwig_zoom" ->
       """SELECT name, start, "end", total_items, bases_covered,

@@ -364,9 +364,16 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
     val fieldSources: Array[Either[Int, Int]] = required.fieldNames.map { f =>
       dataIdx.get(f).map(Left(_)).getOrElse(Right(partIdx(f)))
     }
+    // Honor nested schema pruning: where Spark pruned a struct column (e.g.
+    // a typed VCF `info`), the parser must build exactly the pruned struct —
+    // Spark reads the row by ordinal against the pruned type.
+    val requiredTypeByName = required.fields.map(f => f.name -> f.dataType).toMap
+    val parseSchema = StructType(table.resolvedDataSchema.fields.map { f =>
+      requiredTypeByName.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)
+    })
     new GraftReaderFactory(
       table.format,
-      table.resolvedDataSchema,
+      parseSchema,
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
       fieldSources,
       if (table.regionOption.isDefined) region else None)

@@ -1,0 +1,160 @@
+package graft.sources.formats
+
+import org.apache.hadoop.fs.FileStatus
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources._
+import graft.sources.FormatUtil._
+
+/** VCF reader with header-driven typed INFO/FORMAT structs — the
+  * `vcf_parse_info` / `vcf_parse_formats` mode of the reference
+  * (datasources/vcf/schema_builder.rs:199-265). Enabled per table with
+  * `.option("parseInfo", true)` / `.option("parseFormats", true)`:
+  *  - `info` becomes STRUCT<one field per ##INFO id> (Flag->BOOLEAN,
+  *    Number=1 -> scalar, otherwise ARRAY of the base type),
+  *  - `formats` becomes ARRAY<STRUCT<one field per ##FORMAT id>> with one
+  *    struct per sample.
+  * Absent keys are null; flags are true when present.
+  */
+final class VcfTypedFormat(parseInfo: Boolean, parseFormats: Boolean) extends GraftFormat {
+  override def shortName: String = "vcf"
+  override def defaultExtensions: Seq[String] = Seq("vcf")
+  override val dataSchema: StructType = VcfFormat.dataSchema
+  override def splittable: Boolean = true
+  override def regionColumns: Option[(String, String, String)] =
+    Some(("chrom", "pos", "pos"))
+
+  private val DefRe = "##(INFO|FORMAT)=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+)".r
+
+  private def fieldType(number: String, typ: String): DataType = {
+    val base: DataType = typ match {
+      case "Integer" => IntegerType
+      case "Float" => FloatType
+      case "Flag" => BooleanType
+      case _ => StringType
+    }
+    number match {
+      case "0" => BooleanType
+      case "1" => base
+      case _ => ArrayType(base, containsNull = true)
+    }
+  }
+
+  override def inferDataSchema(files: Seq[FileStatus],
+                               open: FileStatus => java.io.InputStream): StructType = {
+    require(files.nonEmpty, "vcf: no files to infer schema from")
+    val in = open(files.head)
+    val (infoFields, formatFields) = try {
+      val lines = new ByteLineReader(in, 0L)
+      val info = Seq.newBuilder[StructField]
+      val fmt = Seq.newBuilder[StructField]
+      var l = lines.readLine()
+      while (l != null && l.startsWith("#")) {
+        DefRe.findFirstMatchIn(l).foreach { m =>
+          val f = StructField(m.group(2), fieldType(m.group(3), m.group(4)), nullable = true)
+          if (m.group(1) == "INFO") info += f else fmt += f
+        }
+        l = if (l.startsWith("##")) lines.readLine() else null
+      }
+      (info.result(), fmt.result())
+    } finally in.close()
+    StructType(VcfFormat.dataSchema.fields.map { f =>
+      f.name match {
+        case "info" if parseInfo && infoFields.nonEmpty =>
+          StructField("info", StructType(infoFields), nullable = true)
+        case "formats" if parseFormats && formatFields.nonEmpty =>
+          StructField("formats",
+            ArrayType(StructType(formatFields), containsNull = false), nullable = true)
+        case _ => f
+      }
+    })
+  }
+
+  private def parseScalar(dt: DataType, raw: String): Any = {
+    if (raw == null || raw == "." || raw.isEmpty) return null
+    dt match {
+      case IntegerType => Integer.valueOf(raw)
+      case FloatType => java.lang.Float.valueOf(raw)
+      case BooleanType => java.lang.Boolean.TRUE
+      case _ => utf8(raw)
+    }
+  }
+
+  private def parseTyped(dt: DataType, raw: String): Any = dt match {
+    case ArrayType(elem, _) =>
+      if (raw == null || raw == ".") null
+      else new GenericArrayData(raw.split(',').map(v => parseScalar(elem, v): Any))
+    case BooleanType => if (raw == null) java.lang.Boolean.TRUE else java.lang.Boolean.TRUE
+    case other => parseScalar(other, raw)
+  }
+
+  override def records(input: RecordInput, schema: StructType,
+                       required: Array[Int]): Iterator[Array[Any]] = {
+    val infoSchema = schema("info").dataType match {
+      case s: StructType => s
+      case _ => null
+    }
+    val fmtSchema = schema("formats").dataType match {
+      case ArrayType(s: StructType, _) => s
+      case _ => null
+    }
+
+    val base = new LineFormat {
+      override def shortName = "vcf"
+      override def defaultExtensions: Seq[String] = Seq("vcf")
+      override val dataSchema: StructType = schema
+      override def parseLine(line: String, req: Array[Int]): Array[Any] = {
+        val f = line.split('\t')
+        if (f.length < 8) return null
+        req.map {
+          case 0 => utf8(f(0))
+          case 1 => java.lang.Long.parseLong(f(1))
+          case 2 => if (f(2) == ".") null else utf8Array(f(2).split(';'))
+          case 3 => utf8(f(3))
+          case 4 => if (f(4) == ".") null else utf8Array(f(4).split(','))
+          case 5 => dotNullFloat(f(5))
+          case 6 => if (f(6) == ".") null else utf8Array(f(6).split(';'))
+          case 7 =>
+            if (infoSchema == null) dotNull(f(7))
+            else parseInfoStruct(f(7), infoSchema)
+          case 8 =>
+            if (f.length <= 8) null
+            else if (fmtSchema == null) utf8(f.drop(8).mkString("\t"))
+            else parseFormatStructs(f, fmtSchema)
+        }
+      }
+    }
+    base.records(input, required)
+  }
+
+  private def parseInfoStruct(raw: String, s: StructType): Any = {
+    if (raw == null || raw == ".") return null
+    val kv = raw.split(';').iterator.map { part =>
+      val eq = part.indexOf('=')
+      if (eq < 0) part -> null else part.substring(0, eq) -> part.substring(eq + 1)
+    }.toMap
+    new GenericInternalRow(s.fields.map { f =>
+      if (!kv.contains(f.name)) {
+        if (f.dataType == BooleanType) null else null
+      } else parseTyped(f.dataType, kv(f.name))
+    }: Array[Any])
+  }
+
+  private def parseFormatStructs(f: Array[String], s: StructType): Any = {
+    if (f.length <= 9) return null
+    val keys = f(8).split(':')
+    val samples = (9 until f.length).map { si =>
+      val vals = f(si).split(':')
+      val kv = keys.zip(vals.padTo(keys.length, null)).toMap
+      new GenericInternalRow(s.fields.map { field =>
+        kv.get(field.name) match {
+          case Some(v) => parseTyped(field.dataType, v)
+          case None => null
+        }
+      }: Array[Any]): Any
+    }
+    new GenericArrayData(samples.toArray)
+  }
+}

@@ -33,7 +33,14 @@ class GtfSourceProvider extends GraftTableProvider(GtfFormat)
 class BedSourceProvider extends GraftTableProvider(BedFormat)
 class HmmDomTabSourceProvider extends GraftTableProvider(HmmDomTabFormat)
 class SamSourceProvider extends GraftTableProvider(SamFormat)
-class VcfSourceProvider extends GraftTableProvider(VcfFormat)
+class VcfSourceProvider extends GraftTableProvider(VcfFormat) {
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
+    def flag(k: String) = opts.get(k).exists(_.equalsIgnoreCase("true"))
+    val pi = flag("parseinfo") || flag("vcf_parse_info")
+    val pf = flag("parseformats") || flag("vcf_parse_formats")
+    if (pi || pf) new VcfTypedFormat(pi, pf) else VcfFormat
+  }
+}
 class SdfSourceProvider extends GraftTableProvider(SdfFormat)
 class FcsSourceProvider extends GraftTableProvider(FcsFormat)
 class GenBankSourceProvider extends GraftTableProvider(GenBankFormat)
