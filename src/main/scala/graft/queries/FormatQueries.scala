@@ -251,6 +251,14 @@ object FormatQueries {
           col("formats")(0).getField("GT").as("gt"),
           element_at(col("formats")(0).getField("PL"), 3).as("pl_3"))),
 
+    // inferred typed SAM tags (sam_parse_tags mode)
+    "f27_sam_typed_tags" -> ((s, _) =>
+      s.read.format("sam").option("parseTags", "true").load(s"$fx/sam/test.sam")
+        .limit(1)
+        .select(col("tags.za").as("za"), col("tags.RG").as("rg"),
+          element_at(col("tags.bb"), 3).as("bb_3"), col("tags.NM").as("nm"),
+          col("tags.fa").as("fa"))),
+
     // region predicate over the VCF reader (containment semantics)
     "f11_vcf_region" -> ((s, _) => {
       graft.GraftSession.registerAll(s)
@@ -384,6 +392,10 @@ object FormatQueries {
     "f26_vcf_typed" ->
       """SELECT 1 AS dp, CAST(0.0 AS REAL) AS mq0f, CAST(26.0 AS REAL) AS i16_5,
         |  '0/0' AS gt, 26 AS pl_3""".stripMargin,
+
+    "f27_sam_typed_tags" ->
+      """SELECT 'Hello world!' AS za, 'grp1' AS rg, CAST(255 AS BIGINT) AS bb_3,
+        |  0 AS nm, CAST(3.14159 AS REAL) AS fa""".stripMargin,
 
     "f23_bigwig_zoom" ->
       """SELECT name, start, "end", total_items, bases_covered,

@@ -32,7 +32,12 @@ class GffSourceProvider extends GraftTableProvider(GffFormat)
 class GtfSourceProvider extends GraftTableProvider(GtfFormat)
 class BedSourceProvider extends GraftTableProvider(BedFormat)
 class HmmDomTabSourceProvider extends GraftTableProvider(HmmDomTabFormat)
-class SamSourceProvider extends GraftTableProvider(SamFormat)
+class SamSourceProvider extends GraftTableProvider(SamFormat) {
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
+    def flag(k: String) = opts.get(k).exists(_.equalsIgnoreCase("true"))
+    if (flag("parsetags") || flag("sam_parse_tags")) new SamTypedFormat else SamFormat
+  }
+}
 class VcfSourceProvider extends GraftTableProvider(VcfFormat) {
   override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
     def flag(k: String) = opts.get(k).exists(_.equalsIgnoreCase("true"))
