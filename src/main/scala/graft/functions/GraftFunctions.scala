@@ -49,9 +49,16 @@ object GraftFunctions {
     u.register("locate_regex",
       (s: String, pattern: String) =>
         if (s == null || pattern == null) null else SeqOps.locateRegex(s, pattern))
-    u.register("alignment_score",
+    // alignment_score supports (a, b) and (a, b, gap_open) like the
+    // reference; Spark UDFs can't overload, so an arity-dispatching builder
+    // below routes to these internal registrations.
+    u.register("alignment_score_2p",
       (a: String, b: String) =>
         if (a == null || b == null) None else Some(SeqOps.alignmentScore(a, b)))
+    u.register("alignment_score_3p",
+      (a: String, b: String, gapOpen: Int) =>
+        if (a == null || b == null) None
+        else Some(SeqOps.alignmentScore(a, b, gapOpen = gapOpen)))
     u.register("contains_peak",
       (mz: Seq[Double], target: Double, tol: Double) =>
         if (mz == null) None else Some(SeqOps.containsPeak(mz, target, tol)))
@@ -170,6 +177,17 @@ object GraftFunctions {
   }
 
   private def registerRegionFunctions(spark: SparkSession): Unit = {
+    registerBuilder(spark, "alignment_score", { args =>
+      val target = args.length match {
+        case 2 => "alignment_score_2p"
+        case 3 => "alignment_score_3p"
+        case n => throw new IllegalArgumentException(
+          s"alignment_score takes (a, b) or (a, b, gap_open); got $n args")
+      }
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq(target), args, isDistinct = false)
+    })
+
     // region_match(chrom, pos, region): containment of pos in the region.
     registerBuilder(spark, "region_match", { args =>
       require(args.length == 3, "region_match takes (chrom, pos, region)")

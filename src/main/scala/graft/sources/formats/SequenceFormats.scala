@@ -76,6 +76,56 @@ object FastaFormat extends WritableGraftFormat {
     }
 }
 
+/** FASTA with integer-encoded sequences: `sequence` is ARRAY<TINYINT> using
+  * the reference's fixed alphabets — DNA A,C,G,T,N -> 1..5, protein
+  * A..Z subset -> 1..25 (exon/exon-fasta/src/array_builder.rs:144-205).
+  * Selected with `.option("sequenceDataType", "integer_encode_dna" |
+  * "integer_encode_protein")`; unknown characters are an error, as in the
+  * reference.
+  */
+final class FastaIntegerFormat(dna: Boolean) extends GraftFormat {
+  override def shortName: String = "fasta"
+  override def defaultExtensions: Seq[String] = FastaFormat.defaultExtensions
+  override def splittable: Boolean = true
+  override val dataSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("description", StringType, nullable = true),
+    StructField("sequence", ArrayType(ByteType, containsNull = false), nullable = false)))
+
+  private val protein = "ABCDEFGHIKLMNOPQRSTUVWYXZ" // index+1 = code
+
+  private def encode(seq: String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = new Array[Any](seq.length)
+    var i = 0
+    while (i < seq.length) {
+      val c = seq.charAt(i)
+      val code =
+        if (dna) c match {
+          case 'A' => 1; case 'C' => 2; case 'G' => 3; case 'T' => 4; case 'N' => 5
+          case other => throw new IllegalArgumentException(s"invalid nucleotide '$other'")
+        } else {
+          val idx = protein.indexOf(c)
+          if (idx < 0) throw new IllegalArgumentException(s"invalid amino acid '$c'")
+          idx + 1
+        }
+      out(i) = code.toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
+    FastaFormat.records(input, required.map(i => if (i == 2) 2 else i)).map { arr =>
+      var i = 0
+      val out = new Array[Any](arr.length)
+      while (i < arr.length) {
+        out(i) = if (required(i) == 2) encode(arr(i).toString) else arr(i)
+        i += 1
+      }
+      out
+    }
+}
+
 /** Indexed FASTA subsequence extraction: each requested region becomes one
   * output row (id = the region string, description = null, sequence = the
   * 1-based inclusive subsequence), mirroring `fasta_indexed_scan`

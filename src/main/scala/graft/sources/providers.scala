@@ -2,6 +2,19 @@ package graft.sources
 
 import graft.sources.formats._
 
+private object ProviderConf {
+  /** Option flag with a session-conf fallback: `.option("parseTags", true)`
+    * or `SET spark.graft.sam.parseTags=true` (the Spark spelling of the
+    * reference's `SET exon.sam_parse_tags = true`).
+    */
+  def flag(opts: Map[String, String], optKeys: Seq[String], confKey: String): Boolean = {
+    val fromOpt = optKeys.flatMap(k => opts.get(k)).headOption
+    val v = fromOpt.orElse(
+      org.apache.spark.sql.SparkSession.active.conf.getOption(confKey))
+    v.exists(_.equalsIgnoreCase("true"))
+  }
+}
+
 /** Concrete zero-arg providers, one per format, registered as DSv2 short
   * names in META-INF/services/org.apache.spark.sql.sources.DataSourceRegister
   * so `spark.read.format("fasta").load(path)` works — the Spark equivalent of
@@ -24,7 +37,14 @@ class FastaSourceProvider extends GraftTableProvider(FastaFormat) {
           .filter(_.nonEmpty).toList
         finally in.close()
       }
-    if (regions.isEmpty) FastaFormat else new FastaIndexedFormat(regions)
+    if (regions.nonEmpty) new FastaIndexedFormat(regions)
+    else opts.get("sequencedatatype").orElse(opts.get("fasta.sequence_data_type")) match {
+      case Some("integer_encode_dna") => new FastaIntegerFormat(dna = true)
+      case Some("integer_encode_protein") => new FastaIntegerFormat(dna = false)
+      case Some("utf8") | Some("large_utf8") | None => FastaFormat
+      case Some(other) => throw new IllegalArgumentException(
+        s"fasta: unknown sequenceDataType '$other'")
+    }
   }
 }
 class FastqSourceProvider extends GraftTableProvider(FastqFormat)
@@ -33,16 +53,17 @@ class GtfSourceProvider extends GraftTableProvider(GtfFormat)
 class BedSourceProvider extends GraftTableProvider(BedFormat)
 class HmmDomTabSourceProvider extends GraftTableProvider(HmmDomTabFormat)
 class SamSourceProvider extends GraftTableProvider(SamFormat) {
-  override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
-    def flag(k: String) = opts.get(k).exists(_.equalsIgnoreCase("true"))
-    if (flag("parsetags") || flag("sam_parse_tags")) new SamTypedFormat else SamFormat
-  }
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat =
+    if (ProviderConf.flag(opts, Seq("parsetags", "sam_parse_tags"),
+        "spark.graft.sam.parseTags")) new SamTypedFormat
+    else SamFormat
 }
 class VcfSourceProvider extends GraftTableProvider(VcfFormat) {
   override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
-    def flag(k: String) = opts.get(k).exists(_.equalsIgnoreCase("true"))
-    val pi = flag("parseinfo") || flag("vcf_parse_info")
-    val pf = flag("parseformats") || flag("vcf_parse_formats")
+    val pi = ProviderConf.flag(opts, Seq("parseinfo", "vcf_parse_info"),
+      "spark.graft.vcf.parseInfo")
+    val pf = ProviderConf.flag(opts, Seq("parseformats", "vcf_parse_formats"),
+      "spark.graft.vcf.parseFormats")
     if (pi || pf) new VcfTypedFormat(pi, pf) else VcfFormat
   }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.RelationalQueries
+
+/** Plan-quality assertions: pushdown must reach the scans. */
+class PlanAuditSpec extends AnyFunSuite with SharedSpark {
+  private val d = "/root/testdata/sf0.001"
+
+  test("q06: filters pushed to parquet scan, no extra shuffle") {
+    val df = RelationalQueries.queries("q06_forecast_revenue")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_shipdate"), plan)
+  }
+
+  test("q05: small dims broadcast") {
+    val df = RelationalQueries.queries("q05_local_supplier_volume")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q01: partial aggregation before the shuffle") {
+    val df = RelationalQueries.queries("q01_pricing_summary")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final pair implies map-side combine
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("region WHERE filter shows in GraftScan description") {
+    val fx = "/root/reference/exon/exon-core/test-data/datasources"
+    val df = spark.read.format("vcf").load(s"$fx/vcf/index.vcf.gz")
+      .filter(org.apache.spark.sql.functions.col("chrom") === "1")
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("GraftScan"), desc)
+  }
+}
