@@ -323,6 +323,7 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
         val name = st.getPath.getName.toLowerCase
         val idxOpt =
           if (name.endsWith(".bam")) BaiIndex.forBam(st.getPath, hadoopConf)
+          else if (name.endsWith(".bcf")) CsiIndex.forBcf(st.getPath, hadoopConf)
           else if (Codecs.isCompressed(name)) TabixIndex.forFile(st.getPath, hadoopConf)
           else None
         idxOpt.map { idx =>

@@ -14,7 +14,8 @@ import org.apache.hadoop.fs.Path
   */
 final case class TabixIndex(names: Seq[String],
                             bins: Seq[Map[Int, Seq[(Long, Long)]]],
-                            linear: Seq[Array[Long]]) {
+                            linear: Seq[Array[Long]],
+                            minShift: Int = 14, depth: Int = 5) {
 
   def refId(name: String): Int = names.indexOf(name)
 
@@ -25,11 +26,12 @@ final case class TabixIndex(names: Seq[String],
     val refBins = bins(rid)
     val lin = linear(rid)
     val minOffset = {
-      val i = (beg0 >> 14).toInt
+      val i = (beg0 >> minShift).toInt
       if (lin.isEmpty) 0L
       else lin(math.min(math.max(i, 0), lin.length - 1))
     }
-    val cand = TabixIndex.reg2bins(beg0, end0).flatMap(refBins.get).flatten
+    val cand = TabixIndex.reg2bins(beg0, end0, minShift, depth)
+      .flatMap(refBins.get).flatten
       .filter { case (_, e) => e > minOffset }
       .sortBy(_._1)
     // merge overlapping/adjacent chunks
@@ -46,17 +48,22 @@ final case class TabixIndex(names: Seq[String],
 
 object TabixIndex {
 
-  /** UCSC binning: bins overlapping [beg, end), 0-based half-open. */
-  def reg2bins(beg: Long, end0: Long): Seq[Int] = {
-    val end = math.min(math.max(end0, beg + 1), 1L << 29) - 1
-    val b = math.min(math.max(beg, 0), 1L << 29)
+  /** Generalized UCSC binning (csi-style min_shift/depth; tabix = 14/5):
+    * bins overlapping [beg, end), 0-based half-open.
+    */
+  def reg2bins(beg: Long, end0: Long, minShift: Int = 14, depth: Int = 5): Seq[Int] = {
+    val maxPos = 1L << (minShift + depth * 3)
+    val end = math.min(math.max(end0, beg + 1), maxPos) - 1
+    val b = math.min(math.max(beg, 0), maxPos)
     val out = Seq.newBuilder[Int]
-    out += 0
-    var k = 1 + (b >> 26); while (k <= 1 + (end >> 26)) { out += k.toInt; k += 1 }
-    k = 9 + (b >> 23); while (k <= 9 + (end >> 23)) { out += k.toInt; k += 1 }
-    k = 73 + (b >> 20); while (k <= 73 + (end >> 20)) { out += k.toInt; k += 1 }
-    k = 585 + (b >> 17); while (k <= 585 + (end >> 17)) { out += k.toInt; k += 1 }
-    k = 4681 + (b >> 14); while (k <= 4681 + (end >> 14)) { out += k.toInt; k += 1 }
+    var level = 0
+    while (level <= depth) {
+      val offset = ((1L << (level * 3)) - 1) / 7
+      val shift = minShift + (depth - level) * 3
+      var k = offset + (b >> shift)
+      while (k <= offset + (end >> shift)) { out += k.toInt; k += 1 }
+      level += 1
+    }
     out.result()
   }
 
@@ -97,6 +104,53 @@ object TabixIndex {
     val tbi = new Path(dataPath.getParent, dataPath.getName + ".tbi")
     val fs = tbi.getFileSystem(conf)
     if (fs.exists(tbi)) Some(read(tbi, conf)) else None
+  }
+}
+
+/** CSI (.csi) index: the generalized successor of tabix — BGZF-compressed,
+  * configurable min_shift/depth, per-bin loffset instead of a linear index.
+  * Reference ids resolve through the data file's own header (BCF contigs).
+  */
+object CsiIndex {
+
+  def read(csiPath: Path, names: Seq[String], conf: Configuration): TabixIndex = {
+    val fs = csiPath.getFileSystem(conf)
+    val in = new MultiMemberGzipInputStream(fs.open(csiPath))
+    val bytes = try in.readAllBytes() finally in.close()
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); b.get(magic)
+    require(new String(magic, 0, 3) == "CSI", s"not a CSI index: $csiPath")
+    val minShift = b.getInt
+    val depth = b.getInt
+    val lAux = b.getInt
+    b.position(b.position() + lAux)
+    val nRef = b.getInt
+    val bins = Seq.newBuilder[Map[Int, Seq[(Long, Long)]]]
+    (0 until nRef).foreach { _ =>
+      val nBin = b.getInt
+      val m = Map.newBuilder[Int, Seq[(Long, Long)]]
+      (0 until nBin).foreach { _ =>
+        val bin = b.getInt
+        b.getLong // loffset
+        val nChunk = b.getInt
+        val chunks = (0 until nChunk).map(_ => (b.getLong, b.getLong))
+        // exclude the metadata pseudo-bin (maxBin + 1)
+        val maxBin = (((1L << ((depth + 1) * 3)) - 1) / 7).toInt
+        if (bin <= maxBin) m += bin -> chunks
+      }
+      bins += m.result()
+    }
+    TabixIndex(names, bins.result(), Seq.fill(nRef)(Array.empty[Long]), minShift, depth)
+  }
+
+  /** For a BCF file: contig names from its own header, sibling .csi. */
+  def forBcf(bcfPath: Path, conf: Configuration): Option[TabixIndex] = {
+    val csi = new Path(bcfPath.getParent, bcfPath.getName + ".csi")
+    val fs = csi.getFileSystem(conf)
+    if (!fs.exists(csi)) return None
+    val in = new MultiMemberGzipInputStream(fs.open(bcfPath))
+    val names = try formats.BcfFormat.readContigNames(in) finally in.close()
+    Some(read(csi, names, conf))
   }
 }
 

@@ -133,16 +133,33 @@ object BcfFormat extends GraftFormat {
     Header(contigs.toMap, dict.toMap)
   }
 
-  override def records(input: RecordInput, schema: StructType,
-                       required: Array[Int]): Iterator[Array[Any]] = {
-    val stream = if (input.isBgzfChunk) input.stream
-                 else new MultiMemberGzipInputStream(input.stream)
-    val in = new LE(stream)
+  private def readHeaderFrom(in: LE): Header = {
     val magic = in.bytes(5)
     require(magic(0) == 'B' && magic(1) == 'C' && magic(2) == 'F', "not a BCF file")
     val lText = in.i32()
-    val header = parseHeader(new String(in.bytes(lText),
-      java.nio.charset.StandardCharsets.UTF_8))
+    parseHeader(new String(in.bytes(lText), java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Contig names in rid order, for CSI index queries. */
+  def readContigNames(decompressed: InputStream): Seq[String] = {
+    val h = readHeaderFrom(new LE(decompressed))
+    if (h.contigs.isEmpty) Nil
+    else (0 to h.contigs.keys.max).map(i => h.contigs.getOrElse(i, i.toString))
+  }
+
+  override def records(input: RecordInput, schema: StructType,
+                       required: Array[Int]): Iterator[Array[Any]] = {
+    // CSI chunks start at a record boundary; the dictionaries still come
+    // from the header, read via a separate stream.
+    val (in, header) =
+      if (input.isBgzfChunk) {
+        val hs = new MultiMemberGzipInputStream(input.reopenRaw())
+        val h = try readHeaderFrom(new LE(hs)) finally hs.close()
+        (new LE(input.stream), h)
+      } else {
+        val s = new LE(new MultiMemberGzipInputStream(input.stream))
+        (s, readHeaderFrom(s))
+      }
 
     new Iterator[Array[Any]] {
       private var nextRec: Array[Any] = _

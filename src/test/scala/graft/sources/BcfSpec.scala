@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
 class BcfSpec extends AnyFunSuite with SharedSpark {
   private val fx = "/root/reference/exon/exon-core/test-data/datasources"
 
-  test("bcf: 621 records; region '1' -> 191") {
+  test("bcf: 621 records; CSI-indexed region counts per chromosome") {
     val df = spark.read.format("bcf").load(s"$fx/bcf/index.bcf")
     assert(df.count() == 621)
-    assert(spark.read.format("bcf").option("region", "1").load(s"$fx/bcf/index.bcf")
-      .count() == 191)
+    def reg(r: String) = spark.read.format("bcf").option("region", r)
+      .load(s"$fx/bcf/index.bcf").count()
+    assert(reg("1") == 191)
+    assert(reg("2") == 219)
+    assert(reg("10") == 211)
+    assert(reg("chrZZ") == 0) // CSI proves absence without scanning
+    assert(reg("1:9999919-10000000") == 82)
   }
 
   test("bcf decodes the same variants as the vcf text reader") {
