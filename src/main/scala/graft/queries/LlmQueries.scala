@@ -187,6 +187,23 @@ object LlmQueries {
         .orderBy(col("qid"), col("score").desc, col("neighbor_id"))
     }),
 
+    // Embedding-cosine near-dup with metadata blocking: candidate pairs come
+    // from a keyed self-join on `label` (never cartesian over the corpus);
+    // exact cosine verifies. At 100 TB the blocking key would be an LSH
+    // bucket (l07) or coarse cluster id — same plan shape.
+    "l11_embedding_neardup" -> ((s, d) => {
+      graft.GraftSession.registerAll(s)
+      val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+      e.alias("a").join(e.alias("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("score_raw",
+          callUDF("cosine_similarity", col("a.embedding"), col("b.embedding")))
+        .filter(col("score_raw") >= 0.4)
+        .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+          round(col("score_raw"), 4).as("score"))
+        .orderBy(col("ida"), col("idb"))
+    }),
+
     // Text statistics: whitespace words + BPE-ish regex tokens per language.
     "l08_text_stats" -> ((s, d) =>
       documents(s, d).groupBy(col("lang")).agg(
@@ -289,6 +306,14 @@ object LlmQueries {
         |  sum(len(string_split(text, ' '))) AS sum_words,
         |  sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS sum_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "l11_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings)
+        |SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS score
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY ida, idb""".stripMargin,
 
     "l09_lang_quality" -> s"""
         |WITH t AS (SELECT string_split(text, ' ') w FROM documents),
