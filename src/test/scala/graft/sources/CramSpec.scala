@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+
+/** CRAM reader goldens (cram-select-tests.slt + reference inline counts). */
+class CramSpec extends AnyFunSuite with SharedSpark {
+  private val fx = "/root/reference/exon/exon-core/test-data/datasources"
+
+  test("cram: 15 records, golden first row, tags") {
+    val df = spark.read.format("cram").load(s"$fx/cram/test_input_1_a.cram")
+    assert(df.count() == 15)
+    val r = df.select("name", "flag", "reference", "start", "end",
+      "mapping_quality", "cigar", "mate_reference").head()
+    assert(r.getString(0) == "r000")
+    assert(r.getInt(1) == 99)
+    assert(r.getString(2) == "insert")
+    assert(r.getLong(3) == 50L)
+    assert(r.getLong(4) == 59L)
+    assert(r.getString(5) == "30")
+    assert(r.getString(6) == "10M")
+    assert(r.getString(7) == "insert")
+    val tags = df.select("tags").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(tags == Seq(org.apache.spark.sql.Row("PG", "bull")))
+  }
+
+  test("cram: mapped file with reference option (fields only)") {
+    val df = spark.read.format("cram")
+      .option("fastaReference", s"$fx/cram/ce.fa").load(s"$fx/cram/0500_mapped.cram")
+    val r = df.select("name", "flag", "reference", "start", "end").head()
+    assert(r == org.apache.spark.sql.Row("match", 99, "CHROMOSOME_I", 1000L, 1099L))
+  }
+
+  test("cram: two-cram fixture count and multislice fixture") {
+    assert(spark.read.format("cram").load(s"$fx/two-cram/twolib.sorted.cram").count() == 4)
+    // 14 slices across 7 data containers = 910 records
+    assert(spark.read.format("cram")
+      .load(s"$fx/cram/1404_index_multislice.cram").count() == 910)
+    // region filter (row-filter path; reference golden: region '1' -> 0)
+    assert(spark.read.format("cram").option("region", "1")
+      .load(s"$fx/two-cram/twolib.sorted.cram").count() == 0)
+  }
+
+  test("cram: complex cigars reconstructed from features") {
+    val df = spark.read.format("cram").load(s"$fx/cram/test_input_1_a.cram")
+    val cigars = df.filter(col("reference") === "ref1")
+      .select("name", "cigar").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cigars.contains(("r001", "8M4I4M1D3M")))
+    assert(cigars.contains(("r004", "6M14N1I5M")))
+    assert(cigars.contains(("r003", "5H6M")))
+  }
+}
