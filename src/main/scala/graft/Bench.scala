@@ -33,7 +33,7 @@ object Bench {
     catch { case _: Throwable => () }
 
     var errors = Map.empty[String, String]
-    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    var results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -41,6 +41,45 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (errors.contains(name)) -1.0 else dt)
+    }
+
+    // Headline throughput benches mirroring BASELINE.md's query shapes: a
+    // full FASTA scan with a predicate over ~|lineitem| sequences (the
+    // reference's UniProt-scan shape) and the same scan split across files
+    // (the parallel-scan shape). The corpus is generated once from the
+    // driver's lineitem table through our own FASTA writer.
+    try {
+      import org.apache.spark.sql.functions._
+      val benchDir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
+        s"graft_bench_fasta_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
+      if (!new java.io.File(benchDir, "_done").exists()) {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        li.select(
+            concat_ws("_", col("l_orderkey"), col("l_linenumber")).as("id"),
+            lit(null).cast("string").as("description"),
+            translate(repeat(sha2(concat_ws("|",
+                col("l_orderkey"), col("l_partkey"), col("l_linenumber")), 256), 3),
+              "0123456789abcdef", "ACGTACGTACGTACGT").as("sequence"))
+          .repartition(8)
+          .write.format("fasta").mode("overwrite").save(benchDir)
+        new java.io.File(benchDir, "_done").createNewFile()
+      }
+      def timeIt(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        f
+        results = results :+ (name -> (System.nanoTime() - t0) / 1e9)
+      }
+      timeIt("b01_fasta_scan_predicate") {
+        spark.read.format("fasta").load(benchDir)
+          .filter(col("sequence").startsWith("A")).count()
+      }
+      timeIt("b02_fasta_scan_full") {
+        spark.read.format("fasta").load(benchDir)
+          .agg(sum(length(col("sequence")))).count()
+      }
+    } catch {
+      case e: Throwable =>
+        errors += "b0x_fasta_bench" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.toSeq.sortBy(_._1).map { case (k, v) => jstr(k) + ":" + jstr(v) }
