@@ -16,17 +16,20 @@ import graft.sources.FormatUtil._
   * BYTE_ARRAY_STOP / BETA value encodings. CIGAR is reconstructed from read
   * features; `end` is start + reference-consumed length.
   *
-  * `sequence` is null: reconstructing bases requires the reference FASTA
-  * (the `fastaReference` option is accepted for parity but unused) — the
-  * reference engine's own CRAM tests only assert alignment fields and
-  * counts, which this reader reproduces exactly.
+  * With `.option("fastaReference", path)` the read bases are reconstructed
+  * from the reference slice + substitution matrix + features; without it
+  * (or for chromosomes missing from the FASTA) `sequence` is null for
+  * mapped reads. Unmapped reads always carry their stored bases.
   */
-object CramFormat extends GraftFormat {
+class CramFormat(refPath: Option[String]) extends GraftFormat {
   override def shortName: String = "cram"
   override def defaultExtensions: Seq[String] = Seq("cram")
   override val dataSchema: StructType = SamFormat.dataSchema
   override def regionColumns: Option[(String, String, String)] =
     Some(("reference", "start", "end"))
+
+  private def referenceMap: Map[String, String] =
+    refPath.map(CramFormat.loadReference).getOrElse(Map.empty)
 
   // ---- primitive readers ----
 
@@ -258,13 +261,14 @@ object CramFormat extends GraftFormat {
     var nk = ph.itf8()
     var apDelta = true
     var rnPreserved = true
+    var sm: Array[Byte] = null
     var td: Array[Array[(String, Char)]] = Array(Array.empty)
     (0 until nk).foreach { _ =>
       new String(ph.bytes(2)) match {
         case "RN" => rnPreserved = ph.u8() == 1
         case "AP" => apDelta = ph.u8() == 1
         case "RR" => ph.u8()
-        case "SM" => ph.bytes(5)
+        case "SM" => sm = ph.bytes(5)
         case "TD" =>
           val l = ph.itf8()
           val raw = ph.bytes(l)
@@ -309,7 +313,7 @@ object CramFormat extends GraftFormat {
           .getOrElse(Array.empty))
         val ext = sliceBlocks.filter(_.ctype == 4).map(b => b.cid -> new In(b.data, 0)).toMap
         decodeSlice(sNRec, sRef, sStart, apDelta, rnPreserved, td, encs.toMap,
-          tagEncs.toMap, core, ext, refs, required, rows)
+          tagEncs.toMap, core, ext, refs, sm, referenceMap, required, rows)
         bi = end
       } else bi += 1
     }
@@ -319,8 +323,20 @@ object CramFormat extends GraftFormat {
                           rnPreserved: Boolean, td: Array[Array[(String, Char)]],
                           encs: Map[String, Encoding], tagEncs: Map[Int, Encoding],
                           core: Bits, ext: Map[Int, In], refs: Array[String],
+                          sm: Array[Byte], refMap: Map[String, String],
                           required: Array[Int],
                           rows: mutable.ArrayBuffer[Array[Any]]): Unit = {
+    // substitution decode: for reference base r, 2-bit code -> substituted base
+    val Bases = "ACGTN"
+    def substitute(refBase: Char, code: Int): Char = {
+      if (sm == null) return 'N'
+      val ri0 = Bases.indexOf(refBase.toUpper)
+      if (ri0 < 0) return 'N'
+      val others = Bases.filter(_ != Bases.charAt(ri0))
+      val byte = sm(ri0) & 0xff
+      others.indices.find(j => ((byte >>> (6 - 2 * j)) & 3) == code)
+        .map(others.charAt).getOrElse('N')
+    }
     var prevPos = sliceStart
     var i = 0
     while (i < nRec) {
@@ -356,37 +372,67 @@ object CramFormat extends GraftFormat {
       var endPos: java.lang.Long = null
       var mq: Integer = null
       var quals: Array[Int] = null
+      var seq: String = null
       if ((bf & 4) == 0) { // mapped
+        val refSeq: String =
+          if (ri >= 0 && ri < refs.length) refMap.getOrElse(refs(ri), null) else null
+        val bases = if (refSeq != null) new Array[Char](rl) else null
+        var refOfs = 0 // reference bases consumed minus read bases consumed
+        def fillRef(readPos1: Int): Unit = {
+          if (bases != null) {
+            val rp0 = pos - 1 + refOfs + readPos1 - 1
+            bases(readPos1 - 1) =
+              if (rp0 >= 0 && rp0 < refSeq.length) refSeq.charAt(rp0) else 'N'
+          }
+        }
         val fn = encs("FN").readInt(core, ext)
         val ops = mutable.ArrayBuffer[(Int, Char)]()
         var readPos = 1
         (0 until fn).foreach { _ =>
           val fc = encs("FC").readInt(core, ext).toChar
           val fp = encs("FP").readInt(core, ext)
-          val gap = fp - readPos
-          if (gap > 0) { ops += ((gap, 'M')); readPos = fp }
+          while (readPos < fp) { fillRef(readPos); ops += ((1, 'M')); readPos += 1 }
           fc match {
             case 'B' =>
-              encs("BA").readByte(core, ext); encs("QS").readByte(core, ext)
+              val ba = encs("BA").readByte(core, ext); encs("QS").readByte(core, ext)
+              if (bases != null) bases(readPos - 1) = ba.toChar
               ops += ((1, 'M')); readPos += 1
-            case 'X' => encs("BS").readInt(core, ext); ops += ((1, 'M')); readPos += 1
+            case 'X' =>
+              val code = encs("BS").readInt(core, ext)
+              if (bases != null) {
+                val rp0 = pos - 1 + refOfs + readPos - 1
+                val rb = if (rp0 >= 0 && rp0 < refSeq.length) refSeq.charAt(rp0) else 'N'
+                bases(readPos - 1) = substitute(rb, code)
+              }
+              ops += ((1, 'M')); readPos += 1
             case 'I' =>
-              val v = encs("IN").readBytes(core, ext); ops += ((v.length, 'I')); readPos += v.length
-            case 'i' => encs("BA").readByte(core, ext); ops += ((1, 'I')); readPos += 1
+              val v = encs("IN").readBytes(core, ext)
+              if (bases != null) v.indices.foreach(k => bases(readPos - 1 + k) = v(k).toChar)
+              ops += ((v.length, 'I')); readPos += v.length; refOfs -= v.length
+            case 'i' =>
+              val ba = encs("BA").readByte(core, ext)
+              if (bases != null) bases(readPos - 1) = ba.toChar
+              ops += ((1, 'I')); readPos += 1; refOfs -= 1
             case 'S' =>
-              val v = encs("SC").readBytes(core, ext); ops += ((v.length, 'S')); readPos += v.length
-            case 'D' => ops += ((encs("DL").readInt(core, ext), 'D'))
-            case 'N' => ops += ((encs("RS").readInt(core, ext), 'N'))
+              val v = encs("SC").readBytes(core, ext)
+              if (bases != null) v.indices.foreach(k => bases(readPos - 1 + k) = v(k).toChar)
+              ops += ((v.length, 'S')); readPos += v.length; refOfs -= v.length
+            case 'D' =>
+              val n = encs("DL").readInt(core, ext); ops += ((n, 'D')); refOfs += n
+            case 'N' =>
+              val n = encs("RS").readInt(core, ext); ops += ((n, 'N')); refOfs += n
             case 'H' => ops += ((encs("HC").readInt(core, ext), 'H'))
             case 'P' => ops += ((encs("PD").readInt(core, ext), 'P'))
             case 'Q' => encs("QS").readByte(core, ext)
             case 'b' =>
-              val v = encs("BB").readBytes(core, ext); ops += ((v.length, 'M')); readPos += v.length
+              val v = encs("BB").readBytes(core, ext)
+              if (bases != null) v.indices.foreach(k => bases(readPos - 1 + k) = v(k).toChar)
+              ops += ((v.length, 'M')); readPos += v.length
             case 'q' => encs("QQ").readBytes(core, ext)
             case other => throw new IllegalStateException(s"cram: feature '$other'")
           }
         }
-        if (readPos <= rl) ops += ((rl - readPos + 1, 'M'))
+        while (readPos <= rl) { fillRef(readPos); ops += ((1, 'M')); readPos += 1 }
         val merged = mutable.ArrayBuffer[(Int, Char)]()
         ops.foreach { case (n, o) =>
           if (merged.nonEmpty && merged.last._2 == o)
@@ -397,8 +443,10 @@ object CramFormat extends GraftFormat {
         endPos = pos - 1L + merged.collect { case (n, o) if "MDN".contains(o) => n.toLong }.sum
         mq = encs("MQ").readInt(core, ext)
         if ((cf & 0x1) != 0) quals = Array.fill(rl)(encs("QS").readByte(core, ext))
+        if (bases != null) seq = new String(bases)
       } else {
-        (0 until rl).foreach(_ => encs("BA").readByte(core, ext))
+        val bases = Array.fill(rl)(encs("BA").readByte(core, ext).toChar)
+        seq = new String(bases)
         if ((cf & 0x1) != 0) quals = Array.fill(rl)(encs("QS").readByte(core, ext))
       }
 
@@ -413,7 +461,7 @@ object CramFormat extends GraftFormat {
         case 7 =>
           if (mateRef == null || mateRef < 0 || mateRef >= refs.length) null
           else utf8(refs(mateRef))
-        case 8 => null // sequence requires the reference FASTA
+        case 8 => if (seq == null) null else utf8(seq)
         case 9 =>
           if (quals == null) null
           else new GenericArrayData(quals.map(q => q.toLong: Any))
@@ -423,7 +471,7 @@ object CramFormat extends GraftFormat {
     }
   }
 
-  private def tagValueString(typ: Char, raw: Array[Byte]): String = {
+  def tagValueString(typ: Char, raw: Array[Byte]): String = {
     val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     typ match {
       case 'Z' | 'H' => new String(raw).stripSuffix(" ")
@@ -452,4 +500,31 @@ object CramFormat extends GraftFormat {
       case _ => new String(raw)
     }
   }
+}
+
+object CramFormat extends CramFormat(None) {
+  private val refCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  /** Parse a (possibly gzip'd) reference FASTA into name -> sequence. */
+  def loadReference(path: String): Map[String, String] =
+    refCache.computeIfAbsent(path, { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val in = graft.sources.Codecs.wrap(hp.getName, fs.open(hp))
+      try {
+        val lines = new ByteLineReader(in, 0L)
+        val out = mutable.LinkedHashMap[String, java.lang.StringBuilder]()
+        var cur: java.lang.StringBuilder = null
+        var l = lines.readLine()
+        while (l != null) {
+          if (l.nonEmpty && l.charAt(0) == '>') {
+            cur = new java.lang.StringBuilder()
+            out(l.substring(1).split("\\s+")(0)) = cur
+          } else if (cur != null) cur.append(l.trim)
+          l = lines.readLine()
+        }
+        out.map { case (k, v) => k -> v.toString }.toMap
+      } finally in.close()
+    })
 }

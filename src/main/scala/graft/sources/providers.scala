@@ -73,7 +73,13 @@ class GenBankSourceProvider extends GraftTableProvider(GenBankFormat)
 class MzMlSourceProvider extends GraftTableProvider(MzMlFormat)
 class BamSourceProvider extends GraftTableProvider(BamFormat)
 class BcfSourceProvider extends GraftTableProvider(BcfFormat)
-class CramSourceProvider extends GraftTableProvider(CramFormat)
+class CramSourceProvider extends GraftTableProvider(CramFormat) {
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat =
+    opts.get("fastareference").orElse(opts.get("fasta_reference")) match {
+      case Some(ref) => new CramFormat(Some(ref))
+      case None => CramFormat
+    }
+}
 /** Auto-detecting provider: picks the concrete format from the path's file
   * extension (compression suffixes stripped) — `spark.read.format("graft")
   * .load("x.vcf.gz")` parity with the reference's read_inferred_exon_table
@@ -83,7 +89,7 @@ class GraftAutoSourceProvider extends GraftTableProvider(FastaFormat) {
   private val byExt: Map[String, GraftFormat] = Seq(
     FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, HmmDomTabFormat,
     SamFormat, VcfFormat, SdfFormat, FcsFormat, GenBankFormat, MzMlFormat,
-    BamFormat, BcfFormat, BigWigValueFormat
+    BamFormat, BcfFormat, BigWigValueFormat, CramFormat
   ).flatMap(f => f.defaultExtensions.map(_ -> f)).toMap
 
   override def shortName(): String = "graft"

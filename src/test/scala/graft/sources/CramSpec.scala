@@ -25,11 +25,25 @@ class CramSpec extends AnyFunSuite with SharedSpark {
     assert(tags == Seq(org.apache.spark.sql.Row("PG", "bull")))
   }
 
-  test("cram: mapped file with reference option (fields only)") {
+  test("cram: mapped file with reference reconstructs sequences") {
     val df = spark.read.format("cram")
       .option("fastaReference", s"$fx/cram/ce.fa").load(s"$fx/cram/0500_mapped.cram")
     val r = df.select("name", "flag", "reference", "start", "end").head()
     assert(r == org.apache.spark.sql.Row("match", 99, "CHROMOSOME_I", 1000L, 1099L))
+    // the 'match' records align perfectly: sequence == reference substring
+    val ref = scala.io.Source.fromFile(s"$fx/cram/ce.fa").getLines()
+      .foldLeft((Map.empty[String, StringBuilder], "")) { case ((m, cur), l) =>
+        if (l.startsWith(">")) { val n = l.drop(1).split("\\s+")(0); (m + (n -> new StringBuilder), n) }
+        else { m(cur) ++= l.trim; (m, cur) }
+      }._1.map { case (k, v) => k -> v.toString }
+    df.select("reference", "start", "sequence").collect().foreach { row =>
+      val exp = ref(row.getString(0)).substring(row.getLong(1).toInt - 1,
+        row.getLong(1).toInt - 1 + row.getString(2).length)
+      assert(row.getString(2).equalsIgnoreCase(exp), s"sequence mismatch at ${row.getLong(1)}")
+    }
+    // without the reference, mapped sequences are null
+    val bare = spark.read.format("cram").load(s"$fx/cram/0500_mapped.cram")
+    assert(bare.select("sequence").head().isNullAt(0))
   }
 
   test("cram: two-cram fixture count and multislice fixture") {
