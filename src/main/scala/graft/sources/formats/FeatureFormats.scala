@@ -148,6 +148,20 @@ object BedFormat extends LineFormat {
   }
 }
 
+/** BED restricted to the first `n` columns (the reference's `n_fields`
+  * table option, 3..=12; exon-bed/src/schema.rs:27-49).
+  */
+final class BedNFieldsFormat(n: Int) extends LineFormat {
+  require(n >= 3 && n <= 12, s"bed: n_fields must be in 3..12, got $n")
+  override def shortName: String = "bed"
+  override def defaultExtensions: Seq[String] = Seq("bed")
+  override def regionColumns: Option[(String, String, String)] = BedFormat.regionColumns
+  override val dataSchema: StructType = StructType(BedFormat.dataSchema.fields.take(n))
+  override def skipLine(line: String): Boolean = BedFormat.skipLine(line)
+  override def parseLine(line: String, required: Array[Int]): Array[Any] =
+    BedFormat.parseLine(line, required)
+}
+
 /** HMMER domain table: whitespace-delimited, 22 fixed columns + free-text
   * description tail (exon datasources/hmmdomtab/hmm_dom_schema_builder.rs:44-66).
   */

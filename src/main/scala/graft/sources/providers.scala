@@ -50,7 +50,13 @@ class FastaSourceProvider extends GraftTableProvider(FastaFormat) {
 class FastqSourceProvider extends GraftTableProvider(FastqFormat)
 class GffSourceProvider extends GraftTableProvider(GffFormat)
 class GtfSourceProvider extends GraftTableProvider(GtfFormat)
-class BedSourceProvider extends GraftTableProvider(BedFormat)
+class BedSourceProvider extends GraftTableProvider(BedFormat) {
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat =
+    opts.get("nfields").orElse(opts.get("n_fields")) match {
+      case Some(n) => new BedNFieldsFormat(n.toInt)
+      case None => BedFormat
+    }
+}
 class HmmDomTabSourceProvider extends GraftTableProvider(HmmDomTabFormat)
 class SamSourceProvider extends GraftTableProvider(SamFormat) {
   override protected def resolveFormat(opts: Map[String, String]): GraftFormat =

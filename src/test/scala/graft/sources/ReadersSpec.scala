@@ -78,6 +78,11 @@ class ReadersSpec extends AnyFunSuite with SharedSpark {
     assert(r == Row("chr1", 11873L, 12227L, "NR_046018_exon_0_0_chr1_11874_f", 0L, "+",
       null, null, null, null, null, null))
     assert(spark.read.format("bed").load(s"$fx/bed/test3.bed").count() == 10)
+    // n_fields option restricts the schema (reference table option)
+    val df6 = spark.read.format("bed").option("nFields", "6").load(s"$fx/bed/test.bed")
+    assert(df6.schema.fields.length == 6)
+    assert(df6.columns.last == "strand")
+    assert(df6.count() == 10)
   }
 
   test("hmmdomtab: 23 columns, count, gzip") {
