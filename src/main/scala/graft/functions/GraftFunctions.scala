@@ -33,14 +33,11 @@ object GraftFunctions {
 
   private def registerScalarUdfs(spark: SparkSession): Unit = {
     val u = spark.udf
-    u.register("reverse_complement",
-      (s: String) => if (s == null) null else SeqOps.reverseComplement(s))
-    u.register("gc_content",
-      (s: String) => if (s == null) None else Some(SeqOps.gcContent(s)))
+    // Hot-path sequence functions are native Catalyst expressions with
+    // codegen over UTF8String bytes (registered as builders below):
+    // reverse_complement, gc_content, quality_scores_to_list.
     u.register("trim_polya",
       (s: String) => if (s == null) null else SeqOps.trimPolyA(s))
-    u.register("quality_scores_to_list",
-      (s: String) => if (s == null) null else SeqOps.qualityScoresToList(s))
     u.register("quality_scores_to_string",
       (xs: Seq[Int]) => if (xs == null) null else SeqOps.qualityScoresToString(xs))
     u.register("integer_encoding",
@@ -177,6 +174,19 @@ object GraftFunctions {
   }
 
   private def registerRegionFunctions(spark: SparkSession): Unit = {
+    registerBuilder(spark, "reverse_complement", { args =>
+      require(args.length == 1, "reverse_complement takes one argument")
+      org.apache.spark.sql.graftexpr.ReverseComplementExpr(args.head)
+    })
+    registerBuilder(spark, "gc_content", { args =>
+      require(args.length == 1, "gc_content takes one argument")
+      org.apache.spark.sql.graftexpr.GcContentExpr(args.head)
+    })
+    registerBuilder(spark, "quality_scores_to_list", { args =>
+      require(args.length == 1, "quality_scores_to_list takes one argument")
+      org.apache.spark.sql.graftexpr.QualityScoresToListExpr(args.head)
+    })
+
     registerBuilder(spark, "alignment_score", { args =>
       val target = args.length match {
         case 2 => "alignment_score_2p"

@@ -1,0 +1,92 @@
+// Hosted under org.apache.spark.sql so the expressions can use the
+// private[sql] ExpectsInputTypes/AbstractDataType machinery like any
+// built-in; the public kernels live here too for codegen call targets.
+package org.apache.spark.sql.graftexpr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level kernels for the native expressions: operate directly on
+  * UTF8String so whole-stage codegen calls them without converting to
+  * java.lang.String (the Scala-UDF path pays that conversion per row).
+  */
+object SeqOpsBytes {
+  def gcContent(s: UTF8String): Float = {
+    val n = s.numBytes()
+    var gc = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b == 'G' || b == 'C') gc += 1
+      i += 1
+    }
+    gc.toFloat / n.toFloat
+  }
+
+  def reverseComplement(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val n = in.length
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(n - 1 - i) = (in(i): @annotation.switch) match {
+        case 'A' => 'T'; case 'a' => 't'
+        case 'T' => 'A'; case 't' => 'a'
+        case 'C' => 'G'; case 'c' => 'g'
+        case 'G' => 'C'; case 'g' => 'c'
+        case b => b
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  def qualityScoresToList(s: UTF8String): GenericArrayData = {
+    val in = s.getBytes
+    val out = new Array[Any](in.length)
+    var i = 0
+    while (i < in.length) { out(i) = (in(i) & 0xff) - 33; i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+abstract class GraftUnaryExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  /** Fully-qualified static call target, e.g. "...SeqOpsBytes.gcContent". */
+  def kernel: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernel($c)")
+}
+
+/** gc_content as a codegen'd expression (fraction of uppercase G/C bytes). */
+case class GcContentExpr(child: Expression) extends GraftUnaryExpression {
+  override def dataType: DataType = FloatType
+  override def kernel: String = "org.apache.spark.sql.graftexpr.SeqOpsBytes.gcContent"
+  override protected def nullSafeEval(input: Any): Any =
+    SeqOpsBytes.gcContent(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** reverse_complement as a codegen'd expression (byte-wise, case preserving). */
+case class ReverseComplementExpr(child: Expression) extends GraftUnaryExpression {
+  override def dataType: DataType = StringType
+  override def kernel: String = "org.apache.spark.sql.graftexpr.SeqOpsBytes.reverseComplement"
+  override protected def nullSafeEval(input: Any): Any =
+    SeqOpsBytes.reverseComplement(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** quality_scores_to_list as a codegen'd expression (Phred+33 decode). */
+case class QualityScoresToListExpr(child: Expression) extends GraftUnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def kernel: String = "org.apache.spark.sql.graftexpr.SeqOpsBytes.qualityScoresToList"
+  override protected def nullSafeEval(input: Any): Any =
+    SeqOpsBytes.qualityScoresToList(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

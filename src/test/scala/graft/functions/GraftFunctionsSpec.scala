@@ -74,6 +74,16 @@ class GraftFunctionsSpec extends AnyFunSuite with SharedSpark {
     assert(overlaps == Seq(false, true, false))
   }
 
+  test("native expressions: no ScalaUDF in the plan, codegen-compatible") {
+    val df = spark.sql(
+      "SELECT gc_content(sequence) g, reverse_complement(sequence) rc, " +
+        "quality_scores_to_list(sequence) q " +
+        "FROM VALUES ('ATCG'), ('GGCC') t(sequence)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(df.collect().length == 2)
+  }
+
   test("mass spec UDFs") {
     val r = spark.sql(
       "SELECT contains_peak(array(199.5D), 200.0D, 1.0D), " +
