@@ -78,9 +78,6 @@ object GraftFunctions {
     u.register("minhash_bands",
       (shingles: Seq[String]) =>
         if (shingles == null) null else TextOps.minhashBands(shingles))
-    u.register("cosine_similarity",
-      (a: Seq[Float], b: Seq[Float]) =>
-        if (a == null || b == null) None else Some(VectorOps.cosine(a, b)))
     u.register("lsh_bucket",
       (v: Seq[Float]) => if (v == null) None else Some(VectorOps.hyperplaneBucket(v)))
   }
@@ -185,6 +182,10 @@ object GraftFunctions {
     registerBuilder(spark, "quality_scores_to_list", { args =>
       require(args.length == 1, "quality_scores_to_list takes one argument")
       org.apache.spark.sql.graftexpr.QualityScoresToListExpr(args.head)
+    })
+    registerBuilder(spark, "cosine_similarity", { args =>
+      require(args.length == 2, "cosine_similarity takes two array arguments")
+      org.apache.spark.sql.graftexpr.CosineSimilarityExpr(args(0), args(1))
     })
 
     registerBuilder(spark, "alignment_score", { args =>

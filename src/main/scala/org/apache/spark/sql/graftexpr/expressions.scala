@@ -3,7 +3,7 @@
 // built-in; the public kernels live here too for codegen call targets.
 package org.apache.spark.sql.graftexpr
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -42,6 +42,19 @@ object SeqOpsBytes {
       i += 1
     }
     UTF8String.fromBytes(out)
+  }
+
+  def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
+             b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
   def qualityScoresToList(s: UTF8String): GenericArrayData = {
@@ -89,4 +102,24 @@ case class QualityScoresToListExpr(child: Expression) extends GraftUnaryExpressi
     SeqOpsBytes.qualityScoresToList(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** cosine_similarity as a codegen'd binary expression over float arrays —
+  * reads ArrayData in place (no Seq[Float] conversion per row), which is the
+  * hot loop of the ANN / embedding-near-dup queries.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SeqOpsBytes.cosine(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graftexpr.SeqOpsBytes.cosine($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
