@@ -33,14 +33,21 @@ object Bench {
     catch { case _: Throwable => () }
 
     var errors = Map.empty[String, String]
-    var results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Two timed repetitions, report the min — per-query numbers at small SF
+    // are dominated by scheduling noise otherwise.
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+          return -1.0
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (errors.contains(name)) -1.0 else dt)
+      (System.nanoTime() - t0) / 1e9
+    }
+    var results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val a = once(name, fn)
+      val b = if (a >= 0) once(name, fn) else -1.0
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
 
     // Headline throughput benches mirroring BASELINE.md's query shapes: a
