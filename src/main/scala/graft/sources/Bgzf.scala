@@ -51,7 +51,12 @@ object Bgzf {
       val inf = new Inflater(true)
       inf.setInput(cdata)
       var off = 0
-      while (off < isize && !inf.finished()) off += inf.inflate(out, off, isize - off)
+      while (off < isize && !inf.finished()) {
+        val n = inf.inflate(out, off, isize - off)
+        if (n == 0 && inf.needsInput())
+          throw new java.io.EOFException("corrupt BGZF block: inflater stalled")
+        off += n
+      }
       inf.end()
     }
     Block(out, bsize)

@@ -102,7 +102,7 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
   val regionOption: Option[(String, Long, Long)] =
     options.get("region").map { r =>
       val g = graft.functions.GenomicRegion.parse(r)
-      (g.name, g.start.getOrElse(1L), g.end.getOrElse((1L << 29) - 1))
+      (g.name, g.start.getOrElse(1L), g.end.getOrElse(Long.MaxValue / 2))
     }
 
   private val extensions: Seq[String] =
@@ -248,7 +248,7 @@ final class GraftScanBuilder(table: GraftTable)
     table.format.regionColumns.flatMap { case (chromCol, startCol, endCol) =>
       var chrom: Option[String] = None
       var lo = 1L
-      var hi = (1L << 29) - 1
+      var hi = Long.MaxValue / 2 // reg2bins clamps to each index's max position
       def num(v: Any): Long = v.asInstanceOf[Number].longValue()
       filters.foreach {
         case EqualTo(c, v) if c == chromCol => chrom = Some(String.valueOf(v))
@@ -301,10 +301,11 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
     val (files, partCols) = table.listing
     val pruned = prunePartitions(files, partCols)
     val spark = SparkSession.active
-    val maxPartBytes = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-      .stripSuffix("b").toLong
-    val openCost = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
-      .stripSuffix("b").toLong
+    def bytesConf(key: String, dflt: String): Long =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get(key, dflt))
+    val maxPartBytes = bytesConf("spark.sql.files.maxPartitionBytes", "134217728")
+    val openCost = bytesConf("spark.sql.files.openCostInBytes", "4194304")
     val parallelism = spark.sparkContext.defaultParallelism
     val totalBytes = pruned.map(_._1.getLen + openCost).sum
     val maxSplit = math.max(openCost,

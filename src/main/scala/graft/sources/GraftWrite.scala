@@ -75,16 +75,26 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
                             partitionId: Int, taskId: Long)
   extends DataWriter[InternalRow] {
 
-  private val ext = format.defaultExtensions.head +
-    (if (compression == "gzip") ".gz" else "")
+  private val ext = format.defaultExtensions.head + (compression match {
+    case "gzip" => ".gz"
+    case "zstd" => ".zst"
+    case "none" | "" => ""
+    case other => throw new IllegalArgumentException(
+      s"unsupported write compression '$other' (gzip, zstd, none)")
+  })
   private val path = new Path(dir,
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.$ext")
 
+  private var opened = false
   private lazy val out: OutputStream = {
+    opened = true
     val fs = path.getFileSystem(conf.value)
     val raw = fs.create(path, true)
-    if (compression == "gzip") new java.util.zip.GZIPOutputStream(raw, 1 << 16)
-    else new BufferedOutputStream(raw, 1 << 16)
+    compression match {
+      case "gzip" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+      case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
+      case _ => new BufferedOutputStream(raw, 1 << 16)
+    }
   }
 
   private val sb = new StringBuilder(1 << 14)
@@ -103,11 +113,17 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
     out.write(sb.toString.getBytes(UTF_8))
   }
 
-  override def commit(): WriterCommitMessage = { out.close(); GraftCommitted }
+  override def commit(): WriterCommitMessage = {
+    // only close (and thereby create) the file if this task wrote anything
+    if (opened) out.close()
+    GraftCommitted
+  }
   override def abort(): Unit = {
-    try out.close() catch { case _: Throwable => () }
-    val fs = path.getFileSystem(conf.value)
-    fs.delete(path, false)
+    if (opened) {
+      try out.close() catch { case _: Throwable => () }
+      val fs = path.getFileSystem(conf.value)
+      fs.delete(path, false)
+    }
   }
   override def close(): Unit = ()
 }

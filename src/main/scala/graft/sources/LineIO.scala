@@ -106,10 +106,24 @@ object Codecs {
   }
 }
 
-/** GZIPInputStream that keeps reading across stream members. Java's built-in
-  * multi-member support bails out when a member boundary coincides with a
-  * buffer boundary in some edge cases; this wrapper is explicit about it.
-  * Needed for BGZF (thousands of small gzip members per file).
+/** GZIPInputStream that reliably reads across concatenated members (BGZF =
+  * thousands of small gzip members per file). Java's built-in multi-member
+  * support gives up at a member boundary when the underlying stream reports
+  * available() == 0 (legitimate for network/object-store streams); the
+  * wrapper keeps available() positive until true EOF so readTrailer always
+  * probes for the next member header (EOF then ends the stream cleanly).
   */
 final class MultiMemberGzipInputStream(raw: InputStream)
-  extends java.util.zip.GZIPInputStream(new java.io.BufferedInputStream(raw, 1 << 16), 1 << 16)
+  extends java.util.zip.GZIPInputStream(
+    new MultiMemberGzipInputStream.AvailablePositive(
+      new java.io.BufferedInputStream(raw, 1 << 16)), 1 << 16)
+
+object MultiMemberGzipInputStream {
+  private final class AvailablePositive(in: InputStream)
+    extends java.io.FilterInputStream(in) {
+    override def available(): Int = {
+      val a = in.available()
+      if (a > 0) a else 1
+    }
+  }
+}

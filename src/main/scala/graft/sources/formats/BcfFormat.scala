@@ -106,9 +106,11 @@ object BcfFormat extends GraftFormat {
     val idxRe = "IDX=(\\d+)".r
     val idRe = "<ID=([^,>]+)".r
     val contigs = mutable.Map[Int, String]()
-    val dict = mutable.Map[Int, String]()
+    // Per spec, the implicit string dictionary always reserves index 0 for
+    // PASS; other FILTER/INFO/FORMAT ids number from 1 in header order.
+    val dict = mutable.Map[Int, String](0 -> "PASS")
     var contigAuto = 0
-    var dictAuto = 0
+    var dictAuto = 1
     val seenDictIds = mutable.Set[String]()
     text.split('\n').foreach { line =>
       def id = idRe.findFirstMatchIn(line).map(_.group(1))
@@ -121,7 +123,8 @@ object BcfFormat extends GraftFormat {
       } else if (line.startsWith("##FILTER") || line.startsWith("##INFO") ||
         line.startsWith("##FORMAT")) {
         id.foreach { name =>
-          if (!seenDictIds.contains(name)) {
+          if (name == "PASS") idx.foreach(i => dict(i) = "PASS")
+          else if (!seenDictIds.contains(name)) {
             seenDictIds += name
             dict(idx.getOrElse { val a = dictAuto; a }) = name
             dictAuto += 1
@@ -129,7 +132,6 @@ object BcfFormat extends GraftFormat {
         }
       }
     }
-    if (!dict.values.exists(_ == "PASS")) dict.getOrElseUpdate(0, "PASS")
     Header(contigs.toMap, dict.toMap)
   }
 

@@ -208,12 +208,14 @@ class CramFormat(refPath: Option[String]) extends GraftFormat {
   // ---- record decode ----
 
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
+    // The raw file bytes stay resident (containers are only locatable by a
+    // sequential header walk without a .crai), but record decode is LAZY per
+    // container, so row memory is bounded by one container's records.
     val data = input.stream.readAllBytes()
     val r = new In(data, 26) // skip file definition
-    val rows = mutable.ArrayBuffer[Array[Any]]()
     var refs: Array[String] = Array.empty
+    val containers = mutable.ArrayBuffer[(Int, Int, Int, Int)]() // nRec, nBlocks, off, len
     var containerIdx = 0
-
     while (!r.eof) {
       val length = r.i32le()
       r.itf8(); r.itf8(); r.itf8()
@@ -223,9 +225,10 @@ class CramFormat(refPath: Option[String]) extends GraftFormat {
       val nLandmarks = r.itf8()
       (0 until nLandmarks).foreach(_ => r.itf8())
       r.bytes(4) // crc
-      val body = new In(r.bytes(length), 0)
+      val bodyOff = r.o
       if (containerIdx == 0) {
         // SAM header container
+        val body = new In(data, bodyOff)
         val method = body.u8(); body.u8(); body.itf8()
         val cs = body.itf8(); body.itf8()
         val hdr = decompress(method, body.bytes(cs))
@@ -236,11 +239,18 @@ class CramFormat(refPath: Option[String]) extends GraftFormat {
           l.split('\t').find(_.startsWith("SN:")).map(_.substring(3))
         }
       } else if (nRec > 0) {
-        decodeContainer(body, nBlocks, refs, required, rows)
+        containers += ((nRec, nBlocks, bodyOff, length))
       }
+      r.o = bodyOff + length
       containerIdx += 1
     }
-    rows.iterator
+    val frozenRefs = refs
+    containers.iterator.flatMap { case (_, nBlocks, off, len) =>
+      val rows = mutable.ArrayBuffer[Array[Any]]()
+      decodeContainer(new In(java.util.Arrays.copyOfRange(data, off, off + len), 0),
+        nBlocks, frozenRefs, required, rows)
+      rows
+    }
   }
 
   private final case class Block(ctype: Int, cid: Int, data: Array[Byte])

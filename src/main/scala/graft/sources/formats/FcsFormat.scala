@@ -87,6 +87,10 @@ object FcsFormat extends GraftFormat {
       private val meta = readMeta(input.stream)
       private val din = new DataInputStream(input.stream)
       private val nPar = schema.fields.length
+      require(meta.params.length == nPar,
+        s"fcs: file has ${meta.params.length} parameters but the table schema " +
+          s"(inferred from the first listed file) has $nPar — mixed-layout " +
+          "directories are not supported")
       private var emitted = 0
 
       override def hasNext: Boolean = emitted < meta.nEvents

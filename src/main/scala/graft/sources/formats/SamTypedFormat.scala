@@ -86,8 +86,13 @@ final class SamTypedFormat extends LineFormat {
       override def parseLine(line: String, req: Array[Int]): Array[Any] = {
         val f = line.split('\t')
         if (f.length < 11) return null
+        // single tokenization: parse all required base columns in one call
+        val baseIdx = req.filter(_ != 10)
+        val baseVals = if (baseIdx.isEmpty) Array.empty[Any]
+                       else SamFormat.parseLine(line, baseIdx)
+        val byIdx = baseIdx.zip(baseVals).toMap
         req.map { i =>
-          if (i != 10) SamFormat.parseLine(line, Array(i))(0)
+          if (i != 10) byIdx(i)
           else {
             val kv = f.drop(11).iterator.map(_.split(":", 3))
               .filter(_.length == 3).map(p => p(0) -> (p(1), p(2))).toMap

@@ -49,7 +49,9 @@ object SdfFormat extends GraftFormat {
     var l = lines.readLine()
     if (l == null) return null
     while (l != null && l.trim != "$$$$") { buf += l; l = lines.readLine() }
-    if (buf.isEmpty && l == null) null else buf.toArray
+    if (buf.forall(_.trim.isEmpty)) {
+      if (l == null) null else readRecordLines(lines) // skip blank tail/gap
+    } else buf.toArray
   }
 
   private def parseDataItems(rec: Array[String]): Seq[(String, String)] = {

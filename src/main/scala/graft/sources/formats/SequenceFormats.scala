@@ -141,12 +141,18 @@ final class FastaIndexedFormat(regions: Seq[String]) extends GraftFormat {
 
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
     val parsed = regions.map(r => r -> graft.functions.GenomicRegion.parse(r))
-    // Streaming fallback: one pass, extract all regions from parsed records.
-    val full = FastaFormat.records(input, Array(0, 2)).map { arr =>
-      (arr(0).toString, arr(1).toString)
-    }.toMap
+    // One streaming pass keeping ONLY the requested sequences in memory,
+    // stopping as soon as all are found.
+    val wanted = parsed.map(_._2.name).toSet
+    val found = scala.collection.mutable.Map[String, String]()
+    val it = FastaFormat.records(input, Array(0, 2))
+    while (found.size < wanted.size && it.hasNext) {
+      val arr = it.next()
+      val id = arr(0).toString
+      if (wanted.contains(id)) found(id) = arr(1).toString
+    }
     parsed.iterator.flatMap { case (regionStr, g) =>
-      full.get(g.name).map { seq =>
+      found.get(g.name).map { seq =>
         val start = g.start.getOrElse(1L).toInt
         val end = g.end.map(_.toInt).getOrElse(seq.length)
         val sub = seq.substring(math.max(0, start - 1), math.min(seq.length, end))
