@@ -489,7 +489,12 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
       if (cv == null || cv.toString != chrom) return false
       val sv = data(sp); val ev = data(ep)
       if (sv == null || ev == null) return false
-      sv.asInstanceOf[Number].longValue() <= hi && ev.asInstanceOf[Number].longValue() >= lo
+      val s = sv.asInstanceOf[Number].longValue()
+      val e = ev.asInstanceOf[Number].longValue()
+      // region [lo, hi] is 1-based inclusive; 0-based half-open records
+      // [s, e) overlap it iff s <= hi-1 && e >= lo.
+      if (format.zeroBasedHalfOpen) s <= hi - 1 && e >= lo
+      else s <= hi && e >= lo
     case _ => true
   }
 

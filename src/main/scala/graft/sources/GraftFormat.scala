@@ -52,6 +52,12 @@ trait GraftFormat extends Serializable {
     * Point formats (VCF) use the same column for start and end.
     */
   def regionColumns: Option[(String, String, String)] = None
+
+  /** True when the format's coordinates are 0-based half-open (BED, BigWig);
+    * region strings are always 1-based inclusive, so the row-level overlap
+    * test shifts accordingly.
+    */
+  def zeroBasedHalfOpen: Boolean = false
 }
 
 /** Base for one-line-per-record formats (GFF/GTF/BED/HMMDOMTAB/SAM/VCF…):

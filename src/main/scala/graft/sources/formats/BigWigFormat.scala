@@ -135,6 +135,7 @@ object BigWigValueFormat extends GraftFormat {
     StructField("value", FloatType, nullable = false)))
   override def regionColumns: Option[(String, String, String)] =
     Some(("name", "start", "end"))
+  override def zeroBasedHalfOpen: Boolean = true
 
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
     val fsIn = input.reopenRaw().asInstanceOf[FSDataInputStream]
@@ -193,6 +194,7 @@ final class BigWigZoomFormat(reductionLevel: Option[Int]) extends GraftFormat {
     StructField("sum", DoubleType, nullable = false)))
   override def regionColumns: Option[(String, String, String)] =
     Some(("name", "start", "end"))
+  override def zeroBasedHalfOpen: Boolean = true
 
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
     val rl = reductionLevel.getOrElse(

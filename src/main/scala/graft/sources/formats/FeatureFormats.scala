@@ -115,6 +115,7 @@ object BedFormat extends LineFormat {
   override def defaultExtensions: Seq[String] = Seq("bed")
   override def regionColumns: Option[(String, String, String)] =
     Some(("reference_sequence_name", "start", "end"))
+  override def zeroBasedHalfOpen: Boolean = true
   override val dataSchema: StructType = StructType(Seq(
     StructField("reference_sequence_name", StringType, nullable = false),
     StructField("start", LongType, nullable = false),

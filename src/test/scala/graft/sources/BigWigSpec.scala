@@ -40,6 +40,17 @@ class BigWigSpec extends AnyFunSuite with SharedSpark {
     assert(r2 == Row("10", 200, 600, 0, 100, 2.0, 2.0, 400.0, 200.0))
   }
 
+  test("bigwig value: region option uses 0-based half-open overlap") {
+    // records on chrom '1': [0,1) [1,2) [2,3) [100,150) [150,151)
+    // 1-based region 1:1-1 = base 1 = 0-based [0,1) -> only the first record
+    val one = spark.read.format("bigwig_value").option("region", "1:1-1")
+      .load(s"$fx/bigwig/test.bw")
+    assert(one.collect().toSeq == Seq(org.apache.spark.sql.Row("1", 0, 1, 0.1f)))
+    val two = spark.read.format("bigwig_value").option("region", "1:1-2")
+      .load(s"$fx/bigwig/test.bw")
+    assert(two.count() == 2)
+  }
+
   test("bigwig zoom: missing reduction level errors with available levels") {
     val e = intercept[Exception] {
       spark.read.format("bigwig_zoom").option("reductionLevel", "123")
