@@ -29,6 +29,7 @@ object GraftFunctions {
     registerScalarUdfs(spark)
     registerSamFlagUdfs(spark)
     registerRegionFunctions(spark)
+    org.apache.spark.sql.graftexpr.GraftTableFunctions.registerAll(spark)
   }
 
   private def registerScalarUdfs(spark: SparkSession): Unit = {

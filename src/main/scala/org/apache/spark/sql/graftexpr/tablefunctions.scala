@@ -1,0 +1,92 @@
+package org.apache.spark.sql.graftexpr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources._
+import graft.sources.formats._
+
+/** Literal SQL table functions — `SELECT * FROM fasta_scan('/path')` — the
+  * exact UDTF surface of the reference
+  * (exon_context_ext.rs:216-258, datasources/scan_function.rs:14-52).
+  * Each builder turns its literal arguments into a GraftTable and returns a
+  * DataSourceV2Relation, so the full scan machinery (pushdown, splits,
+  * indexes) applies unchanged.
+  *
+  * Signatures: `<fmt>_scan(path [, compression])` and
+  * `<fmt>_indexed_scan(path, region-or-regionFile [, compression])`.
+  */
+object GraftTableFunctions {
+
+  private val plainScans: Map[String, GraftFormat] = Map(
+    "fasta_scan" -> FastaFormat,
+    "fastq_scan" -> FastqFormat,
+    "gff_scan" -> GffFormat,
+    "gtf_scan" -> GtfFormat,
+    "bed_scan" -> BedFormat,
+    "hmm_dom_tab_scan" -> HmmDomTabFormat,
+    "genbank_scan" -> GenBankFormat,
+    "fcs_scan" -> FcsFormat,
+    "mzml_scan" -> MzMlFormat,
+    "sam_scan" -> SamFormat,
+    "vcf_scan" -> VcfFormat,
+    "bcf_scan" -> BcfFormat,
+    "bam_scan" -> BamFormat)
+
+  private val indexedScans: Map[String, GraftFormat] = Map(
+    "gff_indexed_scan" -> GffFormat,
+    "vcf_indexed_scan" -> VcfFormat,
+    "bam_indexed_scan" -> BamFormat)
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+
+    plainScans.foreach { case (name, fmt) =>
+      reg.createOrReplaceTempFunction(name, { args =>
+        val path = literal(name, args, 0)
+        relation(fmt, Map("path" -> path)) // compression arg inferred per file
+      }, "built-in")
+    }
+
+    indexedScans.foreach { case (name, fmt) =>
+      reg.createOrReplaceTempFunction(name, { args =>
+        require(args.length >= 2, s"$name takes (path, region [, compression])")
+        val path = literal(name, args, 0)
+        relation(fmt, Map("path" -> path, "region" -> literal(name, args, 1)))
+      }, "built-in")
+    }
+
+    // FASTA indexed scan extracts subsequences; the second argument is a
+    // region string OR a path to a file of regions.
+    reg.createOrReplaceTempFunction("fasta_indexed_scan", { args =>
+      require(args.length >= 2, "fasta_indexed_scan takes (path, region [, compression])")
+      val path = literal("fasta_indexed_scan", args, 0)
+      val regionArg = literal("fasta_indexed_scan", args, 1)
+      val regions: Seq[String] =
+        if (new java.io.File(regionArg).isFile)
+          scala.io.Source.fromFile(regionArg).getLines().map(_.trim)
+            .filter(_.nonEmpty).toList
+        else Seq(regionArg)
+      val table = new GraftTable(new FastaIndexedFormat(regions), Map("path" -> path))
+      DataSourceV2Relation.create(table, None, None)
+    }, "built-in")
+  }
+
+  private def relation(fmt: GraftFormat, opts: Map[String, String]): LogicalPlan =
+    DataSourceV2Relation.create(new GraftTable(fmt, opts), None, None)
+
+  private def literal(name: String, args: Seq[Expression], i: Int): String = {
+    require(args.length > i, s"$name: missing argument ${i + 1}")
+    args(i) match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case e if e.foldable && e.dataType == StringType =>
+        String.valueOf(e.eval(null))
+      case other => throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} must be a string literal, got $other")
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** Literal SQL UDTF parity (exon_context_ext.rs:216-258 surface). */
+class TableFunctionsSpec extends AnyFunSuite with SharedSpark {
+  private val fx = "/root/reference/exon/exon-core/test-data/datasources"
+
+  test("plain scans: fasta/gff/vcf/bam/mzml/sdf-style counts via SQL TVFs") {
+    graft.GraftSession.registerAll(spark)
+    def count(sql: String): Long = spark.sql(sql).head().getLong(0)
+    assert(count(s"SELECT COUNT(*) FROM fasta_scan('$fx/fasta/test.fasta')") == 2)
+    assert(count(s"SELECT COUNT(*) FROM fastq_scan('$fx/fastq/test.fastq')") == 2)
+    assert(count(s"SELECT COUNT(*) FROM gff_scan('$fx/gff/test.gff')") == 5000)
+    assert(count(s"SELECT COUNT(*) FROM gff_scan('$fx/gff-partition/')") == 10000)
+    assert(count(s"SELECT COUNT(*) FROM vcf_scan('$fx/vcf/index.vcf')") == 621)
+    assert(count(s"SELECT COUNT(*) FROM bam_scan('$fx/bam/test.bam')") == 61)
+    assert(count(s"SELECT COUNT(*) FROM mzml_scan('$fx/mzml-pyoteomics/pyoteomics.mzML')") == 2)
+    assert(count(s"SELECT COUNT(*) FROM bed_scan('$fx/bed/test.bed')") == 10)
+    assert(count(s"SELECT COUNT(*) FROM hmm_dom_tab_scan('$fx/hmmdomtab/test.hmmdomtab')") == 100)
+  }
+
+  test("indexed scans: region argument prunes via the index") {
+    graft.GraftSession.registerAll(spark)
+    def count(sql: String): Long = spark.sql(sql).head().getLong(0)
+    assert(count(
+      s"SELECT COUNT(*) FROM gff_indexed_scan('$fx/gff-index/gencode.v38.polyAs.gff.gz', 'chr1')") == 8813)
+    assert(count(
+      s"SELECT COUNT(*) FROM vcf_indexed_scan('$fx/vcf/index.vcf.gz', '1:9999919-10000000')") == 82)
+    assert(count(
+      s"SELECT COUNT(*) FROM bam_indexed_scan('$fx/bam/test.bam', 'chr1:1-12209145')") == 7)
+  }
+
+  test("fasta_indexed_scan: region string and region file") {
+    graft.GraftSession.registerAll(spark)
+    val r = spark.sql(
+      s"SELECT * FROM fasta_indexed_scan('$fx/fasta-indexed/test.fasta', 'a:3-4')").head()
+    assert(r.getString(0) == "a:3-4" && r.getString(2) == "CG")
+    val rows = spark.sql(
+      s"SELECT id, sequence FROM fasta_indexed_scan('$fx/fasta-indexed/test.fasta', " +
+        s"'$fx/fasta-indexed/region.txt') ORDER BY id").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a:1-2", "AT"), ("a:3-4", "CG")))
+  }
+
+  test("TVF composes with WHERE and projections") {
+    graft.GraftSession.registerAll(spark)
+    // the fixture holds 2513 sq0 + 2487 sq1 rows
+    val n = spark.sql(
+      s"SELECT COUNT(*) FROM gff_scan('$fx/gff/test.gff') WHERE seqname = 'sq0'")
+      .head().getLong(0)
+    assert(n == 2513)
+  }
+}
