@@ -191,6 +191,56 @@ object RelationalQueries {
         .orderBy(col("rnk"))
     }),
 
+    // Q7-shape: volume between two nations by year (supplier vs customer
+    // nation join through lineitem/orders; year bucketing).
+    "q07_volume_shipping" -> ((s, d) => {
+      val n = nation(s, d).select(col("n_nationkey"), col("n_name"))
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cnk"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        // exact decimal accumulation + integer-cent output: these groups are
+        // large enough that double rounding at the 2-decimal boundary
+        // diverges between engines
+        .agg((round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")), 2) * 100).cast("long").as("revenue_cents"))
+        .filter(col("revenue_cents") > 5000000L)
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // Q8-shape: market share of one part type per year.
+    "q08_market_share" -> ((s, d) => {
+      val joined = lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      joined.groupBy(col("o_year"))
+        .agg(round(
+          sum(when(col("p_type") === "PROMO", col("volume")).otherwise(lit(0.0))) /
+            sum(col("volume")), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Q9-shape: profit by supplier nation and year.
+    "q09_product_profit" -> ((s, d) => {
+      lineitem(s, d)
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("l_quantity") * lit(10.0)), 2).as("profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
     // Set op: distinct nations present on either side of trade, minus ASIA.
     "q32_setops_nations" -> ((s, d) => {
       val n = nation(s, d)
@@ -337,6 +387,41 @@ object RelationalQueries {
         |      GROUP BY user_id) x
         |WHERE rnk <= 25
         |ORDER BY rnk""".stripMargin,
+
+    "q07_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY 1, 2, 3
+        |HAVING CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) * 100 AS BIGINT) > 5000000
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q08_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+        |    sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_product_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) - l_quantity * 10.0), 2) AS profit
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY n_name, o_year DESC""".stripMargin,
 
     "q32_setops_nations" ->
       """(SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
