@@ -147,10 +147,15 @@ object GraftFunctions {
     conds.reduceOption(And).getOrElse(Literal.TrueLiteral)
   }
 
-  private def overlapsInterval(r: GenomicRegion, start: Expression, end: Expression): Expression = {
+  private def overlapsInterval(r: GenomicRegion, start: Expression, end: Expression,
+                               zeroBasedHalfOpen: Boolean = false): Expression = {
+    // Region bounds are 1-based inclusive. For 1-based inclusive record
+    // columns overlap is end >= lo && start <= hi; for 0-based half-open
+    // columns (BigWig/BED) a record [s, e) overlaps iff e >= lo && s <= hi-1
+    // (mirrors GraftPartitionReader.inRegion).
     val conds = Seq(
       r.start.map(s => GreaterThanOrEqual(end, Literal(s))),
-      r.end.map(e => LessThanOrEqual(start, Literal(e)))
+      r.end.map(e => LessThanOrEqual(start, Literal(if (zeroBasedHalfOpen) e - 1 else e)))
     ).flatten
     conds.reduceOption(And).getOrElse(Literal.TrueLiteral)
   }
@@ -161,11 +166,12 @@ object GraftFunctions {
   /** Overlap-style filter: `f(region, name)` or `f(region, name, start, end)`.
     * BAM/CRAM/GFF/BigWig semantics (interval overlap) — see SURVEY §7.4 #6.
     */
-  private def overlapFilterBuilder(name: String)(args: Seq[Expression]): Expression = {
+  private def overlapFilterBuilder(name: String, zeroBasedHalfOpen: Boolean = false)
+                                  (args: Seq[Expression]): Expression = {
     val r = GenomicRegion.parse(literalString(name, args.head))
     args.length match {
       case 2 => nameEq(r, args(1))
-      case 4 => And(nameEq(r, args(1)), overlapsInterval(r, args(2), args(3)))
+      case 4 => And(nameEq(r, args(1)), overlapsInterval(r, args(2), args(3), zeroBasedHalfOpen))
       case n => throw new IllegalArgumentException(
         s"$name takes (region, name) or (region, name, start, end); got $n args")
     }
@@ -232,8 +238,11 @@ object GraftFunctions {
       }
     })
 
-    // INTERVAL OVERLAP family.
-    Seq("bam_region_filter", "cram_region_filter", "gff_region_filter", "bigwig_region_filter")
+    // INTERVAL OVERLAP family. BAM/CRAM/GFF expose 1-based inclusive
+    // coordinates; BigWig (like BED) is 0-based half-open.
+    Seq("bam_region_filter", "cram_region_filter", "gff_region_filter")
       .foreach(n => registerBuilder(spark, n, overlapFilterBuilder(n)))
+    registerBuilder(spark, "bigwig_region_filter",
+      overlapFilterBuilder("bigwig_region_filter", zeroBasedHalfOpen = true))
   }
 }

@@ -72,7 +72,7 @@ object FormatQueries {
       s.read.format("sam").load(s"$fx/sam/test.sam")
         .select(col("name"), col("flag"), col("reference"), col("start"), col("end"),
           col("mapping_quality"), col("cigar"), col("mate_reference"), col("sequence"),
-          col("quality_score"))),
+          array_join(col("quality_score"), ",").as("quality_score"))),
 
     "f10_vcf_scan" -> ((s, _) => {
       val plain = s.read.format("vcf").load(s"$fx/vcf/index.vcf")
@@ -331,7 +331,7 @@ object FormatQueries {
         |  CAST(1 AS BIGINT) AS start, CAST(10 AS BIGINT) AS "end",
         |  '0' AS mapping_quality, '10M' AS cigar, 'ref1' AS mate_reference,
         |  'CGAGCTCGGT' AS sequence,
-        |  CAST([0,0,0,0,0,0,0,0,0,0] AS BIGINT[]) AS quality_score""".stripMargin,
+        |  '0,0,0,0,0,0,0,0,0,0' AS quality_score""".stripMargin,
 
     "f10_vcf_scan" ->
       """SELECT CAST(621 AS BIGINT) AS n, CAST(2999980 AS BIGINT) AS min_pos,

@@ -264,7 +264,7 @@ object LlmQueries {
         |FROM documents""".stripMargin,
 
     "l02_dedup_survivors" ->
-      """SELECT count(*) AS n_survivors, sum(keep_id) AS sum_keep,
+      """SELECT count(*) AS n_survivors, CAST(sum(keep_id) AS BIGINT) AS sum_keep,
         |  max(n_copies) AS max_copies
         |FROM (SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |      FROM documents GROUP BY sha256(text))""".stripMargin,
@@ -302,9 +302,9 @@ object LlmQueries {
         |ORDER BY qid, score DESC, neighbor_id""".stripMargin,
 
     "l08_text_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-        |  sum(len(string_split(text, ' '))) AS sum_words,
-        |  sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS sum_tokens
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+        |  CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "l11_embedding_neardup" ->
@@ -342,10 +342,10 @@ object LlmQueries {
         |FROM p GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
 
     "l10_multimodal_stub" ->
-      """SELECT count(*) AS n, sum(octet_length(encode(text))) AS sum_bytes,
-        |  sum(64 + octet_length(encode(text)) % 576) AS sum_w,
-        |  sum(64 + (octet_length(encode(text))::BIGINT * 7) % 416) AS sum_h,
-        |  sum(1 + octet_length(encode(text)) % 15) AS sum_f
+      """SELECT count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(64 + octet_length(encode(text)) % 576) AS BIGINT) AS sum_w,
+        |  CAST(sum(64 + (octet_length(encode(text))::BIGINT * 7) % 416) AS BIGINT) AS sum_h,
+        |  CAST(sum(1 + octet_length(encode(text)) % 15) AS BIGINT) AS sum_f
         |FROM documents""".stripMargin
   )
 }

@@ -21,24 +21,24 @@ object UdfQueries {
         |  reverse_complement(s) AS rc,
         |  trim_polya(s) AS tp,
         |  gc_content(s) AS gc,
-        |  integer_encoding(s, 'ATCGatcg') AS enc,
+        |  array_join(integer_encoding(s, 'ATCGatcg'), ',') AS enc,
         |  alignment_score(s, 'ATCG') AS score
         |FROM VALUES ('ATCG'), ('atcgaaaa'), ('AAA') t(s)
         |ORDER BY s""".stripMargin)),
 
     "u02_quality_scores" -> ((s, _) => s.sql(
       """SELECT
-        |  quality_scores_to_list('###') AS l1,
-        |  quality_scores_to_list('!"#$%&\'()*+,-./0123456789:;<=>?@ABCDEFGHI') AS l2,
+        |  array_join(quality_scores_to_list('###'), ',') AS l1,
+        |  array_join(quality_scores_to_list('!"#$%&\'()*+,-./0123456789:;<=>?@ABCDEFGHI'), ',') AS l2,
         |  quality_scores_to_string(array(2, 2, 2)) AS s1,
         |  quality_scores_to_string(array(3, 2, 3)) AS s2""".stripMargin)),
 
     "u03_locate_regex" -> ((s, _) => s.sql(
       """SELECT
-        |  locate_regex('agctggagctacc', 'agc') AS m1,
-        |  locate_regex('agctggagctacc', 'a[atcg]c') AS m2,
-        |  locate_regex('ATCG', 'A[TCG]C') AS m3,
-        |  locate_regex('AAA', 'A[TCG]C') AS m4""".stripMargin)),
+        |  to_json(locate_regex('agctggagctacc', 'agc')) AS m1,
+        |  to_json(locate_regex('agctggagctacc', 'a[atcg]c')) AS m2,
+        |  to_json(locate_regex('ATCG', 'A[TCG]C')) AS m3,
+        |  to_json(locate_regex('AAA', 'A[TCG]C')) AS m4""".stripMargin)),
 
     "u04_samflags" -> ((s, _) => s.sql(
       """SELECT flag,
@@ -83,34 +83,32 @@ object UdfQueries {
       """SELECT
         |  contains_peak(array(199.5D, 300.0D), 200.0D, 1.0D) AS p1,
         |  contains_peak(array(150.0D), 200.0D, 1.0D) AS p2,
-        |  bin_vectors(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D, 3.0D), 1.0D, 3, 1.0D) AS b1,
-        |  bin_vectors(array(204.5D), array(203667.5D), 200.0D, 10, 1.0D) AS b2""".stripMargin))
+        |  array_join(bin_vectors(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D, 3.0D), 1.0D, 3, 1.0D), ',') AS b1,
+        |  array_join(bin_vectors(array(204.5D), array(203667.5D), 200.0D, 10, 1.0D), ',') AS b2""".stripMargin))
   )
 
   val oracles: Map[String, String] = Map(
     "u01_sequence_udfs" ->
       """SELECT * FROM (VALUES
-        |  ('AAA', 'TTT', '', CAST(0.0 AS REAL), CAST([0,0,0] AS SMALLINT[]), 1),
-        |  ('ATCG', 'CGAT', 'ATCG', CAST(0.5 AS REAL), CAST([0,1,2,3] AS SMALLINT[]), 4),
-        |  ('atcgaaaa', 'ttttcgat', 'atcg', CAST(0.0 AS REAL), CAST([4,5,6,7,4,4,4,4] AS SMALLINT[]), 0)
+        |  ('AAA', 'TTT', '', CAST(0.0 AS REAL), '0,0,0', 1),
+        |  ('ATCG', 'CGAT', 'ATCG', CAST(0.5 AS REAL), '0,1,2,3', 4),
+        |  ('atcgaaaa', 'ttttcgat', 'atcg', CAST(0.0 AS REAL), '4,5,6,7,4,4,4,4', 0)
         |) t(s, rc, tp, gc, enc, score)
         |ORDER BY s""".stripMargin,
 
     "u02_quality_scores" ->
       """SELECT
-        |  [2, 2, 2] AS l1,
-        |  [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,
-        |   21,22,23,24,25,26,27,28,29,30,31,32,33,34,35,36,37,38,39,40] AS l2,
+        |  '2,2,2' AS l1,
+        |  '0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23,24,25,26,27,28,29,30,31,32,33,34,35,36,37,38,39,40' AS l2,
         |  '###' AS s1,
         |  '$#$' AS s2""".stripMargin,
 
     "u03_locate_regex" ->
       """SELECT
-        |  [{'start': 1, 'end': 4, 'match': 'agc'}, {'start': 7, 'end': 10, 'match': 'agc'}] AS m1,
-        |  [{'start': 1, 'end': 4, 'match': 'agc'}, {'start': 7, 'end': 10, 'match': 'agc'},
-        |   {'start': 11, 'end': 14, 'match': 'acc'}] AS m2,
-        |  [{'start': 1, 'end': 4, 'match': 'ATC'}] AS m3,
-        |  CAST([] AS STRUCT("start" INTEGER, "end" INTEGER, "match" VARCHAR)[]) AS m4""".stripMargin,
+        |  '[{"start":1,"end":4,"match":"agc"},{"start":7,"end":10,"match":"agc"}]' AS m1,
+        |  '[{"start":1,"end":4,"match":"agc"},{"start":7,"end":10,"match":"agc"},{"start":11,"end":14,"match":"acc"}]' AS m2,
+        |  '[{"start":1,"end":4,"match":"ATC"}]' AS m3,
+        |  '[]' AS m4""".stripMargin,
 
     "u04_samflags" ->
       """SELECT flag,
@@ -145,7 +143,7 @@ object UdfQueries {
         |  chrom = 'chr1' AND aend >= 10 AND astart <= 20 AS brf,
         |  chrom = 'chr1' AND aend >= 10 AND astart <= 20 AS crf,
         |  chrom = 'chr1' AS grf,
-        |  chrom = 'chr1' AND aend >= 12 AND astart <= 13 AS bwrf
+        |  chrom = 'chr1' AND aend >= 12 AND astart <= 12 AS bwrf
         |FROM (VALUES ('chr1', CAST(10 AS BIGINT), CAST(1 AS BIGINT), CAST(9 AS BIGINT)),
         |             ('chr1', 15, 18, 25), ('chr1', 25, 21, 30), ('chr2', 15, 12, 13))
         |  t(chrom, pos, astart, aend)
@@ -155,7 +153,7 @@ object UdfQueries {
       """SELECT
         |  true AS p1,
         |  false AS p2,
-        |  CAST([1.0, 2.0, 3.0] AS DOUBLE[]) AS b1,
-        |  CAST([0.0, 0.0, 0.0, 0.0, 203667.5, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS b2""".stripMargin
+        |  '1.0,2.0,3.0' AS b1,
+        |  '0.0,0.0,0.0,0.0,203667.5,0.0,0.0,0.0,0.0,0.0' AS b2""".stripMargin
   )
 }

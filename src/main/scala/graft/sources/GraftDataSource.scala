@@ -329,8 +329,12 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
           else None
         idxOpt.map { idx =>
           // 1-based inclusive -> 0-based half-open; empty when the index
-          // proves the file has no records for this chrom/range.
-          idx.query(chrom, lo - 1, hi).map { case (vs, ve) =>
+          // proves the file has no records for this chrom/range. For 0-based
+          // half-open formats (BED) WHERE-derived bounds are already in file
+          // coordinates, so widen the query end by one — residual filters
+          // keep the scan exact, and widening can never drop a row.
+          val qHi = if (table.format.zeroBasedHalfOpen) hi + 1 else hi
+          idx.query(chrom, lo - 1, qHi).map { case (vs, ve) =>
             val approx = math.max(1L, (ve >>> 16) - (vs >>> 16) + (1L << 16))
             FileChunk(p, 0, approx, size, vals, vs, ve)
           }
