@@ -289,6 +289,226 @@ object LlmQueries {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT ida, idb, j FROM pairs WHERE j >= 0.5 ORDER BY ida, idb""".stripMargin,
 
+    // l05/l07 pinned by tools/pin_l05_l07.py — an independent Python
+    // reimplementation of the fixed-seed SimHash / hyperplane-LSH kernels
+    // (FNV-1a + java.util.Random LCG from their published specs).
+    "l05_simhash_pairs" ->
+      """SELECT * FROM (VALUES
+  (CAST(7 AS BIGINT), CAST(354 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(14 AS BIGINT), CAST(293 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(14 AS BIGINT), CAST(395 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(24 AS BIGINT), CAST(357 AS BIGINT), CAST(3 AS INTEGER)),
+  (CAST(25 AS BIGINT), CAST(100 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(25 AS BIGINT), CAST(213 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(25 AS BIGINT), CAST(380 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(25 AS BIGINT), CAST(453 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(27 AS BIGINT), CAST(468 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(28 AS BIGINT), CAST(58 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(28 AS BIGINT), CAST(280 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(28 AS BIGINT), CAST(386 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(1 AS INTEGER)),
+  (CAST(32 AS BIGINT), CAST(291 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(32 AS BIGINT), CAST(352 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(32 AS BIGINT), CAST(432 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(42 AS BIGINT), CAST(465 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(43 AS BIGINT), CAST(182 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(43 AS BIGINT), CAST(272 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(43 AS BIGINT), CAST(352 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(50 AS BIGINT), CAST(397 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(56 AS BIGINT), CAST(426 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(57 AS BIGINT), CAST(467 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(58 AS BIGINT), CAST(251 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(58 AS BIGINT), CAST(280 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(1 AS INTEGER)),
+  (CAST(58 AS BIGINT), CAST(386 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(58 AS BIGINT), CAST(426 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(1 AS INTEGER)),
+  (CAST(62 AS BIGINT), CAST(397 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(63 AS BIGINT), CAST(283 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(70 AS BIGINT), CAST(139 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(1 AS INTEGER)),
+  (CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST(3 AS INTEGER)),
+  (CAST(73 AS BIGINT), CAST(162 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(73 AS BIGINT), CAST(177 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(91 AS BIGINT), CAST(293 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(92 AS BIGINT), CAST(450 AS BIGINT), CAST(3 AS INTEGER)),
+  (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(1 AS INTEGER)),
+  (CAST(100 AS BIGINT), CAST(329 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(100 AS BIGINT), CAST(341 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(100 AS BIGINT), CAST(351 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(100 AS BIGINT), CAST(453 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(107 AS BIGINT), CAST(387 AS BIGINT), CAST(3 AS INTEGER)),
+  (CAST(109 AS BIGINT), CAST(429 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(109 AS BIGINT), CAST(498 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(120 AS BIGINT), CAST(332 AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(131 AS BIGINT), CAST(487 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(131 AS BIGINT), CAST(493 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(132 AS BIGINT), CAST(490 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(137 AS BIGINT), CAST(218 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(139 AS BIGINT), CAST(447 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(147 AS BIGINT), CAST(467 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(151 AS BIGINT), CAST(182 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(151 AS BIGINT), CAST(376 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(151 AS BIGINT), CAST(409 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(151 AS BIGINT), CAST(493 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(161 AS BIGINT), CAST(369 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(171 AS BIGINT), CAST(333 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(176 AS BIGINT), CAST(467 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(178 AS BIGINT), CAST(335 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(182 AS BIGINT), CAST(493 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(186 AS BIGINT), CAST(329 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(188 AS BIGINT), CAST(251 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(193 AS BIGINT), CAST(444 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(195 AS BIGINT), CAST(225 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(197 AS BIGINT), CAST(218 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(198 AS BIGINT), CAST(471 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(213 AS BIGINT), CAST(309 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(213 AS BIGINT), CAST(314 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(225 AS BIGINT), CAST(272 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(228 AS BIGINT), CAST(424 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(229 AS BIGINT), CAST(355 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(240 AS BIGINT), CAST(390 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(248 AS BIGINT), CAST(369 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(251 AS BIGINT), CAST(293 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(251 AS BIGINT), CAST(312 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(251 AS BIGINT), CAST(373 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(251 AS BIGINT), CAST(386 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(251 AS BIGINT), CAST(426 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(251 AS BIGINT), CAST(427 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(258 AS BIGINT), CAST(483 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(263 AS BIGINT), CAST(293 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(0 AS INTEGER)),
+  (CAST(280 AS BIGINT), CAST(293 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(280 AS BIGINT), CAST(386 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(283 AS BIGINT), CAST(431 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(1 AS INTEGER)),
+  (CAST(291 AS BIGINT), CAST(432 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(293 AS BIGINT), CAST(386 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(293 AS BIGINT), CAST(426 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(295 AS BIGINT), CAST(374 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(299 AS BIGINT), CAST(453 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(303 AS BIGINT), CAST(330 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(312 AS BIGINT), CAST(427 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(314 AS BIGINT), CAST(453 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(327 AS BIGINT), CAST(331 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(337 AS BIGINT), CAST(401 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(341 AS BIGINT), CAST(354 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(341 AS BIGINT), CAST(453 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(344 AS BIGINT), CAST(351 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(344 AS BIGINT), CAST(473 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(345 AS BIGINT), CAST(354 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(352 AS BIGINT), CAST(432 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(378 AS BIGINT), CAST(453 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(386 AS BIGINT), CAST(426 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(391 AS BIGINT), CAST(480 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(0 AS INTEGER)),
+  (CAST(426 AS BIGINT), CAST(465 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(426 AS BIGINT), CAST(486 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(429 AS BIGINT), CAST(498 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(2 AS INTEGER))
+) t(ida, idb, hamming) ORDER BY ida, idb""",
+
+    "l07_ann_lsh" ->
+      """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(173 AS BIGINT), CAST(-0.0379 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(66 AS BIGINT), CAST(-0.0756 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(423 AS BIGINT), CAST(0.053 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.3999 AS DOUBLE)),
+  (CAST(4 AS BIGINT), CAST(413 AS BIGINT), CAST(0.078 AS DOUBLE)),
+  (CAST(4 AS BIGINT), CAST(229 AS BIGINT), CAST(0.0341 AS DOUBLE)),
+  (CAST(4 AS BIGINT), CAST(369 AS BIGINT), CAST(-0.0987 AS DOUBLE)),
+  (CAST(6 AS BIGINT), CAST(11 AS BIGINT), CAST(0.2359 AS DOUBLE)),
+  (CAST(6 AS BIGINT), CAST(281 AS BIGINT), CAST(0.1746 AS DOUBLE)),
+  (CAST(7 AS BIGINT), CAST(265 AS BIGINT), CAST(-0.0408 AS DOUBLE)),
+  (CAST(7 AS BIGINT), CAST(304 AS BIGINT), CAST(-0.0791 AS DOUBLE)),
+  (CAST(7 AS BIGINT), CAST(251 AS BIGINT), CAST(-0.1053 AS DOUBLE)),
+  (CAST(9 AS BIGINT), CAST(462 AS BIGINT), CAST(0.124 AS DOUBLE)),
+  (CAST(9 AS BIGINT), CAST(144 AS BIGINT), CAST(0.1019 AS DOUBLE)),
+  (CAST(9 AS BIGINT), CAST(421 AS BIGINT), CAST(-0.1098 AS DOUBLE)),
+  (CAST(11 AS BIGINT), CAST(6 AS BIGINT), CAST(0.2359 AS DOUBLE)),
+  (CAST(11 AS BIGINT), CAST(281 AS BIGINT), CAST(-0.0418 AS DOUBLE)),
+  (CAST(12 AS BIGINT), CAST(437 AS BIGINT), CAST(0.1743 AS DOUBLE)),
+  (CAST(12 AS BIGINT), CAST(483 AS BIGINT), CAST(0.1056 AS DOUBLE)),
+  (CAST(12 AS BIGINT), CAST(222 AS BIGINT), CAST(0.046 AS DOUBLE)),
+  (CAST(13 AS BIGINT), CAST(55 AS BIGINT), CAST(0.2907 AS DOUBLE)),
+  (CAST(14 AS BIGINT), CAST(69 AS BIGINT), CAST(0.2338 AS DOUBLE)),
+  (CAST(14 AS BIGINT), CAST(157 AS BIGINT), CAST(0.0572 AS DOUBLE)),
+  (CAST(14 AS BIGINT), CAST(254 AS BIGINT), CAST(0.0511 AS DOUBLE)),
+  (CAST(15 AS BIGINT), CAST(331 AS BIGINT), CAST(0.2114 AS DOUBLE)),
+  (CAST(15 AS BIGINT), CAST(328 AS BIGINT), CAST(0.0179 AS DOUBLE)),
+  (CAST(16 AS BIGINT), CAST(216 AS BIGINT), CAST(0.3643 AS DOUBLE)),
+  (CAST(16 AS BIGINT), CAST(278 AS BIGINT), CAST(0.1662 AS DOUBLE)),
+  (CAST(16 AS BIGINT), CAST(378 AS BIGINT), CAST(0.1514 AS DOUBLE)),
+  (CAST(17 AS BIGINT), CAST(82 AS BIGINT), CAST(0.2743 AS DOUBLE)),
+  (CAST(17 AS BIGINT), CAST(407 AS BIGINT), CAST(0.1968 AS DOUBLE)),
+  (CAST(17 AS BIGINT), CAST(439 AS BIGINT), CAST(0.0327 AS DOUBLE)),
+  (CAST(18 AS BIGINT), CAST(468 AS BIGINT), CAST(0.2432 AS DOUBLE)),
+  (CAST(18 AS BIGINT), CAST(332 AS BIGINT), CAST(-0.1539 AS DOUBLE)),
+  (CAST(19 AS BIGINT), CAST(371 AS BIGINT), CAST(0.1103 AS DOUBLE)),
+  (CAST(19 AS BIGINT), CAST(403 AS BIGINT), CAST(-0.0184 AS DOUBLE)),
+  (CAST(19 AS BIGINT), CAST(445 AS BIGINT), CAST(-0.0338 AS DOUBLE)),
+  (CAST(21 AS BIGINT), CAST(121 AS BIGINT), CAST(0.1263 AS DOUBLE)),
+  (CAST(23 AS BIGINT), CAST(313 AS BIGINT), CAST(0.1777 AS DOUBLE)),
+  (CAST(23 AS BIGINT), CAST(243 AS BIGINT), CAST(0.0973 AS DOUBLE)),
+  (CAST(24 AS BIGINT), CAST(74 AS BIGINT), CAST(0.1055 AS DOUBLE)),
+  (CAST(24 AS BIGINT), CAST(215 AS BIGINT), CAST(-0.0506 AS DOUBLE)),
+  (CAST(24 AS BIGINT), CAST(68 AS BIGINT), CAST(-0.1243 AS DOUBLE)),
+  (CAST(25 AS BIGINT), CAST(94 AS BIGINT), CAST(0.3022 AS DOUBLE)),
+  (CAST(25 AS BIGINT), CAST(191 AS BIGINT), CAST(0.2 AS DOUBLE)),
+  (CAST(25 AS BIGINT), CAST(322 AS BIGINT), CAST(0.0974 AS DOUBLE)),
+  (CAST(26 AS BIGINT), CAST(162 AS BIGINT), CAST(0.352 AS DOUBLE)),
+  (CAST(26 AS BIGINT), CAST(275 AS BIGINT), CAST(0.2471 AS DOUBLE)),
+  (CAST(26 AS BIGINT), CAST(475 AS BIGINT), CAST(0.2223 AS DOUBLE)),
+  (CAST(27 AS BIGINT), CAST(391 AS BIGINT), CAST(0.0533 AS DOUBLE)),
+  (CAST(27 AS BIGINT), CAST(330 AS BIGINT), CAST(0.0197 AS DOUBLE)),
+  (CAST(27 AS BIGINT), CAST(153 AS BIGINT), CAST(-0.0669 AS DOUBLE)),
+  (CAST(28 AS BIGINT), CAST(233 AS BIGINT), CAST(0.1265 AS DOUBLE)),
+  (CAST(28 AS BIGINT), CAST(207 AS BIGINT), CAST(0.0166 AS DOUBLE)),
+  (CAST(29 AS BIGINT), CAST(264 AS BIGINT), CAST(0.3671 AS DOUBLE)),
+  (CAST(30 AS BIGINT), CAST(194 AS BIGINT), CAST(-0.0408 AS DOUBLE)),
+  (CAST(31 AS BIGINT), CAST(282 AS BIGINT), CAST(0.0152 AS DOUBLE)),
+  (CAST(32 AS BIGINT), CAST(322 AS BIGINT), CAST(0.2531 AS DOUBLE)),
+  (CAST(32 AS BIGINT), CAST(62 AS BIGINT), CAST(0.1835 AS DOUBLE)),
+  (CAST(32 AS BIGINT), CAST(94 AS BIGINT), CAST(0.0353 AS DOUBLE)),
+  (CAST(33 AS BIGINT), CAST(231 AS BIGINT), CAST(0.0964 AS DOUBLE)),
+  (CAST(33 AS BIGINT), CAST(223 AS BIGINT), CAST(0.0823 AS DOUBLE)),
+  (CAST(33 AS BIGINT), CAST(114 AS BIGINT), CAST(0.0464 AS DOUBLE)),
+  (CAST(34 AS BIGINT), CAST(324 AS BIGINT), CAST(0.1046 AS DOUBLE)),
+  (CAST(34 AS BIGINT), CAST(93 AS BIGINT), CAST(0.0585 AS DOUBLE)),
+  (CAST(35 AS BIGINT), CAST(50 AS BIGINT), CAST(0.1511 AS DOUBLE)),
+  (CAST(35 AS BIGINT), CAST(327 AS BIGINT), CAST(0.1375 AS DOUBLE)),
+  (CAST(36 AS BIGINT), CAST(258 AS BIGINT), CAST(0.1007 AS DOUBLE)),
+  (CAST(36 AS BIGINT), CAST(396 AS BIGINT), CAST(0.0315 AS DOUBLE)),
+  (CAST(37 AS BIGINT), CAST(357 AS BIGINT), CAST(-0.1739 AS DOUBLE)),
+  (CAST(38 AS BIGINT), CAST(467 AS BIGINT), CAST(0.2198 AS DOUBLE)),
+  (CAST(38 AS BIGINT), CAST(95 AS BIGINT), CAST(0.103 AS DOUBLE)),
+  (CAST(38 AS BIGINT), CAST(67 AS BIGINT), CAST(0.0814 AS DOUBLE)),
+  (CAST(39 AS BIGINT), CAST(351 AS BIGINT), CAST(0.131 AS DOUBLE)),
+  (CAST(39 AS BIGINT), CAST(43 AS BIGINT), CAST(0.0415 AS DOUBLE)),
+  (CAST(39 AS BIGINT), CAST(148 AS BIGINT), CAST(-0.0334 AS DOUBLE)),
+  (CAST(42 AS BIGINT), CAST(81 AS BIGINT), CAST(0.1877 AS DOUBLE)),
+  (CAST(42 AS BIGINT), CAST(302 AS BIGINT), CAST(-0.166 AS DOUBLE)),
+  (CAST(43 AS BIGINT), CAST(148 AS BIGINT), CAST(0.1244 AS DOUBLE)),
+  (CAST(43 AS BIGINT), CAST(351 AS BIGINT), CAST(0.1018 AS DOUBLE)),
+  (CAST(43 AS BIGINT), CAST(39 AS BIGINT), CAST(0.0415 AS DOUBLE)),
+  (CAST(44 AS BIGINT), CAST(301 AS BIGINT), CAST(0.4597 AS DOUBLE)),
+  (CAST(44 AS BIGINT), CAST(132 AS BIGINT), CAST(0.055 AS DOUBLE)),
+  (CAST(44 AS BIGINT), CAST(320 AS BIGINT), CAST(-0.1132 AS DOUBLE)),
+  (CAST(45 AS BIGINT), CAST(103 AS BIGINT), CAST(0.1144 AS DOUBLE)),
+  (CAST(45 AS BIGINT), CAST(96 AS BIGINT), CAST(0.0754 AS DOUBLE)),
+  (CAST(45 AS BIGINT), CAST(398 AS BIGINT), CAST(0.0513 AS DOUBLE)),
+  (CAST(47 AS BIGINT), CAST(232 AS BIGINT), CAST(-0.0301 AS DOUBLE)),
+  (CAST(48 AS BIGINT), CAST(321 AS BIGINT), CAST(0.037 AS DOUBLE)),
+  (CAST(49 AS BIGINT), CAST(186 AS BIGINT), CAST(0.1316 AS DOUBLE))
+) t(qid, neighbor_id, score) ORDER BY qid, neighbor_id""",
+
     "l06_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 3),
