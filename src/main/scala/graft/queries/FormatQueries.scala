@@ -93,6 +93,36 @@ object FormatQueries {
       s.read.format("fasta").load(s"$dir/t").orderBy("id")
     }),
 
+    // FASTQ writer round trip (fastq-copy-tests.slt COPY ... STORED AS FASTQ
+    // equivalent): fastq -> gzip'd fastq -> read back
+    "f29_fastq_roundtrip" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fastq_rt").toString
+      val src = s.read.format("fastq").load(s"$fx/fastq/test.fastq")
+      src.write.format("fastq").mode("overwrite").option("compression", "gzip")
+        .save(s"$dir/t")
+      s.read.format("fastq").load(s"$dir/t")
+        .select("name", "description", "sequence", "quality_scores")
+        .orderBy("name")
+    }),
+
+    // Literal SQL table functions end-to-end (exon_context_ext.rs:216-258):
+    // plain scans, indexed scans with region pushdown, via spark.sql only.
+    "f30_sql_table_functions" -> ((s, _) => {
+      graft.GraftSession.registerAll(s)
+      s.sql(
+        s"""SELECT
+           |  (SELECT count(*) FROM fasta_scan('$fx/fasta/test.fasta')) AS n_fasta,
+           |  (SELECT count(*) FROM fastq_scan('$fx/fastq/test.fastq')) AS n_fastq,
+           |  (SELECT count(*) FROM bam_scan('$fx/bam/test.bam')) AS n_bam,
+           |  (SELECT count(*) FROM vcf_indexed_scan('$fx/vcf/index.vcf.gz',
+           |     '1:9999919-10000000')) AS n_vcf_region,
+           |  (SELECT count(*) FROM gff_indexed_scan(
+           |     '$fx/gff-index/gencode.v38.polyAs.gff.gz', 'chr1')) AS n_gff_region,
+           |  (SELECT max(pos) FROM bcf_scan('$fx/bcf/index.bcf')) AS max_bcf_pos,
+           |  (SELECT count(*) FROM fasta_indexed_scan('$fx/fasta/test.fasta',
+           |     'a:1-2')) AS n_fasta_region""".stripMargin)
+    }),
+
     // tabix-indexed GFF: region option -> BGZF chunk pruning + row filter;
     // counts independently recomputed from the raw fixture
     "f13_gff_indexed_region" -> ((s, _) => {
@@ -346,6 +376,24 @@ object FormatQueries {
         |  ('a', 'description', 'ATCG'),
         |  ('b', 'description2', 'ATCG')) t(id, description, sequence)
         |ORDER BY id""".stripMargin,
+
+    "f29_fastq_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  ('SEQ_ID', 'This is a description',
+        |   'GATTTGGGGTExonAAGCAGTATCGAExonAATAGTAAATCCATTTGTExonACExonCAGTTT',
+        |   '!''''*((((***+))%%%++)(%%%%).1***-+*''''))**55CCF>>>>>>CCCCCCC65'),
+        |  ('SEQ_ID2', NULL,
+        |   'GATTTGGGGTExonAAGCAGTATCGAExonAATAGTAAATCCATTTGTExonACExonCAGTTT',
+        |   '!''''*((((***+))%%%++)(%%%%).1***-+*''''))**55CCF>>>>>>CCCCCCC65')
+        |) t(name, description, sequence, quality_scores)
+        |ORDER BY name""".stripMargin,
+
+    "f30_sql_table_functions" ->
+      """SELECT CAST(2 AS BIGINT) AS n_fasta, CAST(2 AS BIGINT) AS n_fastq,
+        |  CAST(61 AS BIGINT) AS n_bam, CAST(82 AS BIGINT) AS n_vcf_region,
+        |  CAST(8813 AS BIGINT) AS n_gff_region,
+        |  CAST(10000109 AS BIGINT) AS max_bcf_pos,
+        |  CAST(1 AS BIGINT) AS n_fasta_region""".stripMargin,
 
     "f13_gff_indexed_region" ->
       """SELECT CAST(8813 AS BIGINT) AS n_chr1, CAST(7223 AS BIGINT) AS n_chr2,
