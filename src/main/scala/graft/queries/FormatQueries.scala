@@ -123,6 +123,53 @@ object FormatQueries {
            |     'a:1-2')) AS n_fasta_region""".stripMargin)
     }),
 
+    // .fai-seek region extraction over a 4 MB synthetic reference: base i of
+    // each sequence is "ACGT"((i-1)%4), so expected subsequences are
+    // derivable in the oracle without reading the file. The .fai index makes
+    // each region a byte-range seek, not a file scan (FastaIndexedSpec
+    // asserts bytes-read ~ region size).
+    "f31_fasta_fai_seek" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fai_gate").toString
+      val f = new java.io.File(dir, "ref.fasta")
+      val w = new java.io.BufferedWriter(new java.io.FileWriter(f))
+      Seq("chrA", "chrB").foreach { name =>
+        w.write(s">$name\n")
+        var i = 0
+        while (i < 2000000) {
+          val n = math.min(60, 2000000 - i)
+          val sb = new StringBuilder(n)
+          var j = 0
+          while (j < n) { sb.append("ACGT".charAt((i + j) % 4)); j += 1 }
+          w.write(sb.toString); w.write("\n")
+          i += n
+        }
+      }
+      w.close()
+      val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+      graft.sources.FaiIndex.write(
+        p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+      val rf = new java.io.File(dir, "regions.txt")
+      java.nio.file.Files.writeString(rf.toPath,
+        "chrB:1000001-1000016\nchrA:59-62\nchrA:1999997-2000000\n")
+      s.read.format("fasta")
+        .option("regionFile", rf.getAbsolutePath)
+        .load(f.getAbsolutePath)
+        .orderBy("id")
+    }),
+
+    // CRAM .crai container pruning: region scans decode only overlapping
+    // containers (CramSpec asserts 6 of 7 data containers are skipped for
+    // the CHROMOSOME_II query); counts pinned from the unpruned row-filter.
+    "f32_cram_crai_region" -> ((s, _) => {
+      val p = s"$fx/cram/1404_index_multislice.cram"
+      val chr2 = s.read.format("cram").option("region", "CHROMOSOME_II").load(p)
+        .agg(count(lit(1)).as("n_chr2"))
+      val interval = s.read.format("cram").option("region", "CHROMOSOME_I:200-210")
+        .load(p).agg(count(lit(1)).as("n_interval"))
+      val whole = s.read.format("cram").load(p).agg(count(lit(1)).as("n_all"))
+      chr2.crossJoin(interval).crossJoin(whole)
+    }),
+
     // tabix-indexed GFF: region option -> BGZF chunk pruning + row filter;
     // counts independently recomputed from the raw fixture
     "f13_gff_indexed_region" -> ((s, _) => {
@@ -394,6 +441,17 @@ object FormatQueries {
         |  CAST(8813 AS BIGINT) AS n_gff_region,
         |  CAST(10000109 AS BIGINT) AS max_bcf_pos,
         |  CAST(1 AS BIGINT) AS n_fasta_region""".stripMargin,
+
+    "f31_fasta_fai_seek" ->
+      """SELECT * FROM (VALUES
+        |  ('chrA:1999997-2000000', CAST(NULL AS VARCHAR), 'ACGT'),
+        |  ('chrA:59-62', CAST(NULL AS VARCHAR), 'GTAC'),
+        |  ('chrB:1000001-1000016', CAST(NULL AS VARCHAR), 'ACGTACGTACGTACGT'))
+        |t(id, description, sequence) ORDER BY id""".stripMargin,
+
+    "f32_cram_crai_region" ->
+      """SELECT CAST(10 AS BIGINT) AS n_chr2, CAST(20 AS BIGINT) AS n_interval,
+        |  CAST(910 AS BIGINT) AS n_all""".stripMargin,
 
     "f13_gff_indexed_region" ->
       """SELECT CAST(8813 AS BIGINT) AS n_chr1, CAST(7223 AS BIGINT) AS n_chr2,

@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** samtools `.fai` FASTA index: one line per sequence,
+  * `name \t length \t offset \t linebases \t linewidth`, where `offset` is
+  * the byte position of the sequence's first base and `linewidth` includes
+  * the line terminator. Lets a region extraction seek straight to the
+  * line-addressed byte range instead of streaming the whole file — the
+  * reference resolves `fasta_indexed_scan` regions the same way
+  * (exon/exon-core/src/datasources/indexed_file/fai.rs,
+  * datasources/fasta/table_provider.rs:374-433).
+  */
+final case class FaiEntry(name: String, length: Long, offset: Long,
+                          lineBases: Long, lineWidth: Long) {
+  /** Byte offset of 1-based base `i`. */
+  def offsetOf(i: Long): Long =
+    offset + (i - 1) / lineBases * lineWidth + (i - 1) % lineBases
+}
+
+object FaiIndex {
+
+  def faiPath(fasta: Path): Path = new Path(fasta.getParent, fasta.getName + ".fai")
+
+  def exists(fs: FileSystem, fasta: Path): Boolean = fs.exists(faiPath(fasta))
+
+  def read(fs: FileSystem, fasta: Path): Map[String, FaiEntry] = {
+    val in = fs.open(faiPath(fasta))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map { line =>
+          val f = line.split('\t')
+          FaiEntry(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong)
+        }
+        .map(e => e.name -> e)
+        .toMap
+    } finally in.close()
+  }
+
+  /** Write a `.fai` for an (uncompressed) FASTA — used by tests and by users
+    * producing seekable references with the FASTA writer.
+    */
+  def write(fs: FileSystem, fasta: Path): Unit = {
+    val in = new java.io.BufferedInputStream(fs.open(fasta), 1 << 16)
+    val out = new java.lang.StringBuilder()
+    var name: String = null
+    var length = 0L; var offset = 0L; var lineBases = 0L; var lineWidth = 0L
+    var pos = 0L
+    def flush(): Unit = if (name != null) {
+      out.append(name).append('\t').append(length).append('\t').append(offset)
+        .append('\t').append(lineBases).append('\t').append(lineWidth).append('\n')
+    }
+    val lineBuf = new java.lang.StringBuilder()
+    var done = false
+    while (!done) {
+      lineBuf.setLength(0)
+      val lineStart = pos
+      var c = in.read()
+      while (c >= 0 && c != '\n') { lineBuf.append(c.toChar); pos += 1; c = in.read() }
+      if (c >= 0) pos += 1 // the newline
+      val raw = lineBuf.toString
+      val line = if (raw.endsWith("\r")) raw.dropRight(1) else raw
+      if (raw.isEmpty && c < 0) done = true
+      else if (line.startsWith(">")) {
+        flush()
+        val h = line.substring(1)
+        val sp = h.indexWhere(ch => ch == ' ' || ch == '\t')
+        name = if (sp < 0) h else h.substring(0, sp)
+        length = 0; offset = pos; lineBases = 0; lineWidth = 0
+      } else if (line.nonEmpty) {
+        if (lineBases == 0) { lineBases = line.length; lineWidth = pos - lineStart }
+        length += line.length
+      }
+    }
+    flush()
+    in.close()
+    val o = fs.create(faiPath(fasta), true)
+    o.write(out.toString.getBytes("UTF-8"))
+    o.close()
+  }
+
+  /** Extract 1-based inclusive [start, end] of `e` by seeking to the
+    * line-addressed byte range; never materializes the full sequence.
+    * Returns (subsequence, rawBytesRead) — the byte count exists so tests
+    * can assert reads stay proportional to the region, not the file.
+    */
+  def extract(fs: FileSystem, fasta: Path, e: FaiEntry,
+              start: Long, end: Long): (String, Long) = {
+    val s = math.max(1L, start)
+    val t = math.min(e.length, end)
+    if (t < s) return ("", 0L)
+    val from = e.offsetOf(s)
+    val until = e.offsetOf(t) + 1 // inclusive last base byte
+    val nBytes = (until - from).toInt
+    val buf = new Array[Byte](nBytes)
+    val in = fs.open(fasta)
+    try {
+      in.seek(from)
+      in.readFully(buf)
+    } finally in.close()
+    val sb = new java.lang.StringBuilder((t - s + 1).toInt)
+    var i = 0
+    while (i < nBytes) {
+      val b = buf(i)
+      if (b != '\n' && b != '\r') sb.append(b.toChar)
+      i += 1
+    }
+    (sb.toString, nBytes)
+  }
+}

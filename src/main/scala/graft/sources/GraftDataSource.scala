@@ -479,7 +479,7 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
       (if (v == null) null else UTF8String.fromString(v)): Any)
     val reopen = () => fs.open(path): java.io.InputStream
     it = format.records(
-      new RecordInput(mkLines, stream, end, isSplit, c.isBgzfChunk, reopen),
+      new RecordInput(mkLines, stream, end, isSplit, c.isBgzfChunk, reopen, path, fs),
       dataSchema, parseCols)
     true
   }

@@ -12,7 +12,9 @@ final class RecordInput(mkLines: () => ByteLineReader, val stream: java.io.Input
                         val end: Long, val isMidFileSplit: Boolean,
                         val isBgzfChunk: Boolean = false,
                         val reopenRaw: () => java.io.InputStream = () =>
-                          throw new UnsupportedOperationException("reopen not available")) {
+                          throw new UnsupportedOperationException("reopen not available"),
+                        val path: org.apache.hadoop.fs.Path = null,
+                        val fs: org.apache.hadoop.fs.FileSystem = null) {
   lazy val lines: ByteLineReader = mkLines()
 }
 

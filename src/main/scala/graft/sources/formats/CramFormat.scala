@@ -21,7 +21,8 @@ import graft.sources.FormatUtil._
   * (or for chromosomes missing from the FASTA) `sequence` is null for
   * mapped reads. Unmapped reads always carry their stored bases.
   */
-class CramFormat(refPath: Option[String]) extends GraftFormat {
+class CramFormat(refPath: Option[String],
+                 region: Option[(String, Long, Long)] = None) extends GraftFormat {
   override def shortName: String = "cram"
   override def defaultExtensions: Seq[String] = Seq("cram")
   override val dataSchema: StructType = SamFormat.dataSchema
@@ -207,49 +208,144 @@ class CramFormat(refPath: Option[String]) extends GraftFormat {
 
   // ---- record decode ----
 
-  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
-    // The raw file bytes stay resident (containers are only locatable by a
-    // sequential header walk without a .crai), but record decode is LAZY per
-    // container, so row memory is bounded by one container's records.
-    val data = input.stream.readAllBytes()
-    val r = new In(data, 26) // skip file definition
-    var refs: Array[String] = Array.empty
-    val containers = mutable.ArrayBuffer[(Int, Int, Int, Int)]() // nRec, nBlocks, off, len
-    var containerIdx = 0
-    while (!r.eof) {
-      val length = r.i32le()
-      r.itf8(); r.itf8(); r.itf8()
-      val nRec = r.itf8()
-      r.ltf8(); r.ltf8()
-      val nBlocks = r.itf8()
-      val nLandmarks = r.itf8()
-      (0 until nLandmarks).foreach(_ => r.itf8())
-      r.bytes(4) // crc
-      val bodyOff = r.o
-      if (containerIdx == 0) {
-        // SAM header container
-        val body = new In(data, bodyOff)
-        val method = body.u8(); body.u8(); body.itf8()
-        val cs = body.itf8(); body.itf8()
-        val hdr = decompress(method, body.bytes(cs))
-        val hin = new In(hdr, 0)
-        val hlen = hin.i32le()
-        val text = new String(hin.bytes(hlen), java.nio.charset.StandardCharsets.UTF_8)
-        refs = text.split('\n').filter(_.startsWith("@SQ")).flatMap { l =>
-          l.split('\t').find(_.startsWith("SN:")).map(_.substring(3))
-        }
-      } else if (nRec > 0) {
-        containers += ((nRec, nBlocks, bodyOff, length))
+  /** Sequential byte reader over the container stream; tracks the absolute
+    * file position so `.crai` container offsets can be matched while
+    * streaming. Only one container body is resident at a time.
+    */
+  private final class StreamIn(in: java.io.InputStream) {
+    var pos = 0L
+    def tryU8(): Int = { val v = in.read(); if (v >= 0) pos += 1; v }
+    def u8(): Int = { val v = in.read()
+      if (v < 0) throw new java.io.EOFException("cram: truncated container")
+      pos += 1; v }
+    def bytes(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(b, off, n - off)
+        if (r < 0) throw new java.io.EOFException("cram: truncated container body")
+        off += r
       }
-      r.o = bodyOff + length
-      containerIdx += 1
+      pos += n; b
     }
-    val frozenRefs = refs
-    containers.iterator.flatMap { case (_, nBlocks, off, len) =>
-      val rows = mutable.ArrayBuffer[Array[Any]]()
-      decodeContainer(new In(java.util.Arrays.copyOfRange(data, off, off + len), 0),
-        nBlocks, frozenRefs, required, rows)
-      rows
+    def skipN(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s > 0) { left -= s; pos += s }
+        else { u8(); left -= 1 } // skip() can return 0; fall back to read
+      }
+    }
+    def i32le(first: Int): Int = first | (u8() << 8) | (u8() << 16) | (u8() << 24)
+    def itf8(): Int = {
+      val f = u8()
+      if (f < 0x80) f
+      else if (f < 0xC0) ((f & 0x3f) << 8) | u8()
+      else if (f < 0xE0) ((f & 0x1f) << 16) | (u8() << 8) | u8()
+      else if (f < 0xF0) ((f & 0x0f) << 24) | (u8() << 16) | (u8() << 8) | u8()
+      else (((f & 0x0f).toLong << 28) | (u8().toLong << 20) | (u8() << 12) |
+        (u8() << 4) | (u8() & 0x0f)).toInt
+    }
+    def ltf8(): Long = {
+      val f = u8()
+      var n = 0
+      while (n < 8 && ((f << n) & 0x80) != 0) n += 1
+      var v: Long = if (n < 8) (f & (0xff >>> n)).toLong else 0L
+      (0 until n).foreach(_ => v = (v << 8) | u8())
+      v
+    }
+  }
+
+  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
+    // Containers are streamed one at a time (header -> skip-or-decode), so
+    // memory is bounded by one container regardless of file size. With a
+    // region, containers are pruned by their header coordinates, and by the
+    // `.crai` index when one sits next to the file.
+    val sin = new StreamIn(input.stream)
+    sin.skipN(26) // file definition
+    val craiEntries: Option[Seq[CraiIndex.Entry]] =
+      if (region.isDefined && input.path != null && input.fs != null)
+        CraiIndex.read(input.fs, input.path)
+      else None
+
+    new Iterator[Array[Any]] {
+      private var refs: Array[String] = Array.empty
+      private var wanted: Set[Long] = null // from .crai; null = no index pruning
+      private var containerIdx = 0
+      private var finished = false
+      private var cur: Iterator[Array[Any]] = Iterator.empty
+
+      private def headerOverlaps(refSeqId: Int, aliStart: Int, aliSpan: Int): Boolean =
+        region match {
+          case None => true
+          case Some((chrom, lo, hi)) =>
+            if (refSeqId == -2) true // multi-ref container: can't judge here
+            else if (refSeqId < 0) false // unmapped: reference is null, never matches
+            else if (refSeqId >= refs.length || refs(refSeqId) != chrom) false
+            else aliStart <= hi && aliStart.toLong + math.max(1, aliSpan) - 1 >= lo
+        }
+
+      @annotation.tailrec
+      private def advance(): Unit = {
+        val containerStart = sin.pos
+        val b0 = sin.tryU8()
+        if (b0 < 0) { finished = true; return }
+        val length = sin.i32le(b0)
+        val refSeqId = sin.itf8(); val aliStart = sin.itf8(); val aliSpan = sin.itf8()
+        val nRec = sin.itf8()
+        sin.ltf8(); sin.ltf8()
+        val nBlocks = sin.itf8()
+        val nLandmarks = sin.itf8()
+        (0 until nLandmarks).foreach(_ => sin.itf8())
+        sin.skipN(4) // crc
+        val isFirst = containerIdx == 0
+        containerIdx += 1
+        if (isFirst) {
+          // SAM header container: parse @SQ names, then resolve the region's
+          // reference id against the .crai if present.
+          val body = new In(sin.bytes(length), 0)
+          val method = body.u8(); body.u8(); body.itf8()
+          val cs = body.itf8(); body.itf8()
+          val hdr = decompress(method, body.bytes(cs))
+          val hin = new In(hdr, 0)
+          val hlen = hin.i32le()
+          val text = new String(hin.bytes(hlen), java.nio.charset.StandardCharsets.UTF_8)
+          refs = text.split('\n').filter(_.startsWith("@SQ")).flatMap { l =>
+            l.split('\t').find(_.startsWith("SN:")).map(_.substring(3))
+          }
+          for {
+            entries <- craiEntries
+            (chrom, lo, hi) <- region
+          } {
+            val refId = refs.indexOf(chrom)
+            wanted = CraiIndex.wantedContainers(entries, refId, lo, hi)
+          }
+          advance()
+        } else if (nRec == 0) {
+          // EOF (or empty) container
+          sin.skipN(length)
+          advance()
+        } else if ((wanted != null && !wanted.contains(containerStart)) ||
+                   !headerOverlaps(refSeqId, aliStart, aliSpan)) {
+          CramFormat.containersSkipped.incrementAndGet()
+          sin.skipN(length)
+          advance()
+        } else {
+          val rows = mutable.ArrayBuffer[Array[Any]]()
+          decodeContainer(new In(sin.bytes(length), 0), nBlocks, refs, required, rows)
+          cur = rows.iterator
+          if (!cur.hasNext) advance()
+        }
+      }
+
+      override def hasNext: Boolean = {
+        while (!cur.hasNext && !finished) advance()
+        cur.hasNext
+      }
+      override def next(): Array[Any] = {
+        if (!hasNext) throw new NoSuchElementException
+        cur.next()
+      }
     }
   }
 
@@ -512,7 +608,12 @@ class CramFormat(refPath: Option[String]) extends GraftFormat {
   }
 }
 
-object CramFormat extends CramFormat(None) {
+object CramFormat extends CramFormat(None, None) {
+  /** Process-wide count of containers skipped by header/.crai pruning —
+    * cheap observability the specs assert on (not part of the data path).
+    */
+  val containersSkipped = new java.util.concurrent.atomic.AtomicLong()
+
   private val refCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
 

@@ -129,9 +129,14 @@ final class FastaIntegerFormat(dna: Boolean) extends GraftFormat {
 /** Indexed FASTA subsequence extraction: each requested region becomes one
   * output row (id = the region string, description = null, sequence = the
   * 1-based inclusive subsequence), mirroring `fasta_indexed_scan`
-  * (fasta-indexed-scan-tests.slt:1-20). Extraction is a single streaming
-  * pass over the file (works for compressed inputs too); .fai-driven seeks
-  * are a future optimization for chromosome-scale references.
+  * (fasta-indexed-scan-tests.slt:1-20).
+  *
+  * When the file is uncompressed and a sibling `.fai` exists, each region is
+  * served by seeking to its line-addressed byte range (bytes read ~ region
+  * size, never the file) — the reference's path
+  * (datasources/fasta/table_provider.rs:374-433, indexed_file/fai.rs).
+  * Otherwise (compressed input, no index) extraction falls back to a single
+  * streaming pass that keeps only the requested sequences in memory.
   */
 final class FastaIndexedFormat(regions: Seq[String]) extends GraftFormat {
   override def shortName: String = "fasta"
@@ -141,27 +146,52 @@ final class FastaIndexedFormat(regions: Seq[String]) extends GraftFormat {
 
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
     val parsed = regions.map(r => r -> graft.functions.GenomicRegion.parse(r))
-    // One streaming pass keeping ONLY the requested sequences in memory,
-    // stopping as soon as all are found.
-    val wanted = parsed.map(_._2.name).toSet
-    val found = scala.collection.mutable.Map[String, String]()
-    val it = FastaFormat.records(input, Array(0, 2))
-    while (found.size < wanted.size && it.hasNext) {
-      val arr = it.next()
-      val id = arr(0).toString
-      if (wanted.contains(id)) found(id) = arr(1).toString
-    }
-    parsed.iterator.flatMap { case (regionStr, g) =>
-      found.get(g.name).map { seq =>
-        val start = g.start.getOrElse(1L).toInt
-        val end = g.end.map(_.toInt).getOrElse(seq.length)
-        val sub = seq.substring(math.max(0, start - 1), math.min(seq.length, end))
-        required.map {
-          case 0 => utf8(regionStr)
-          case 1 => null
-          case 2 => utf8(sub)
-        }: Array[Any]
-      }
+
+    def row(regionStr: String, sub: String): Array[Any] =
+      required.map {
+        case 0 => utf8(regionStr)
+        case 1 => null
+        case 2 => utf8(sub)
+      }: Array[Any]
+
+    val faiIdx: Option[Map[String, FaiEntry]] =
+      if (input.path != null && input.fs != null &&
+          !Codecs.isCompressed(input.path.getName) &&
+          FaiIndex.exists(input.fs, input.path))
+        Some(FaiIndex.read(input.fs, input.path))
+      else None
+
+    faiIdx match {
+      case Some(idx) =>
+        // .fai seek path: bytes read proportional to the regions, not the
+        // file. The streamed split input is never touched.
+        parsed.iterator.flatMap { case (regionStr, g) =>
+          idx.get(g.name).map { e =>
+            val start = g.start.getOrElse(1L)
+            val end = g.end.getOrElse(e.length)
+            val (sub, _) = FaiIndex.extract(input.fs, input.path, e, start, end)
+            row(regionStr, sub)
+          }
+        }
+      case None =>
+        // One streaming pass keeping ONLY the requested sequences in memory,
+        // stopping as soon as all are found.
+        val wanted = parsed.map(_._2.name).toSet
+        val found = scala.collection.mutable.Map[String, String]()
+        val it = FastaFormat.records(input, Array(0, 2))
+        while (found.size < wanted.size && it.hasNext) {
+          val arr = it.next()
+          val id = arr(0).toString
+          if (wanted.contains(id)) found(id) = arr(1).toString
+        }
+        parsed.iterator.flatMap { case (regionStr, g) =>
+          found.get(g.name).map { seq =>
+            val start = g.start.getOrElse(1L).toInt
+            val end = g.end.map(_.toInt).getOrElse(seq.length)
+            val sub = seq.substring(math.max(0, start - 1), math.min(seq.length, end))
+            row(regionStr, sub)
+          }
+        }
     }
   }
 }

@@ -80,11 +80,18 @@ class MzMlSourceProvider extends GraftTableProvider(MzMlFormat)
 class BamSourceProvider extends GraftTableProvider(BamFormat)
 class BcfSourceProvider extends GraftTableProvider(BcfFormat)
 class CramSourceProvider extends GraftTableProvider(CramFormat) {
-  override protected def resolveFormat(opts: Map[String, String]): GraftFormat =
-    opts.get("fastareference").orElse(opts.get("fasta_reference")) match {
-      case Some(ref) => new CramFormat(Some(ref))
-      case None => CramFormat
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
+    val ref = opts.get("fastareference").orElse(opts.get("fasta_reference"))
+    // The region ALSO drives the reader-side row filter via regionColumns;
+    // handing it to the format additionally enables container pruning by
+    // header coordinates and the .crai index.
+    val region = opts.get("region").map { r =>
+      val g = graft.functions.GenomicRegion.parse(r)
+      (g.name, g.start.getOrElse(1L), g.end.getOrElse(Long.MaxValue / 2))
     }
+    if (ref.isEmpty && region.isEmpty) CramFormat
+    else new CramFormat(ref, region)
+  }
 }
 /** Auto-detecting provider: picks the concrete format from the path's file
   * extension (compression suffixes stripped) — `spark.read.format("graft")

@@ -64,4 +64,52 @@ class CramSpec extends AnyFunSuite with SharedSpark {
     assert(cigars.contains(("r004", "6M14N1I5M")))
     assert(cigars.contains(("r003", "5H6M")))
   }
+
+  // ---- container pruning (.crai + header coordinates) ----
+  // 1404_index_multislice.cram: 7 data containers at offsets 405/1740
+  // (CHROMOSOME_I), 2610 (CHROMOSOME_II), 3001/4339 (CHROMOSOME_III),
+  // 5209/6442 (unmapped); sibling .crai present.
+
+  test("cram: .crai prunes non-overlapping containers for a region") {
+    val p = s"$fx/cram/1404_index_multislice.cram"
+    formats.CramFormat.containersSkipped.set(0)
+    val n = spark.read.format("cram").option("region", "CHROMOSOME_II").load(p).count()
+    assert(n == 10)
+    assert(formats.CramFormat.containersSkipped.get() == 6,
+      s"expected 6 skipped containers, got ${formats.CramFormat.containersSkipped.get()}")
+  }
+
+  test("cram: header pruning works without a .crai") {
+    // copy the fixture without its index; header coordinates still prune
+    val dir = java.nio.file.Files.createTempDirectory("graft_cram_noidx")
+    val dst = dir.resolve("multi.cram")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(
+      s"$fx/cram/1404_index_multislice.cram"), dst)
+    formats.CramFormat.containersSkipped.set(0)
+    val n = spark.read.format("cram").option("region", "CHROMOSOME_II")
+      .load(dst.toString).count()
+    assert(n == 10)
+    assert(formats.CramFormat.containersSkipped.get() == 6)
+  }
+
+  test("cram: interval region agrees with the row-filter over a full scan") {
+    val p = s"$fx/cram/1404_index_multislice.cram"
+    val pruned = spark.read.format("cram").option("region", "CHROMOSOME_I:200-210")
+      .load(p).count()
+    val full = spark.read.format("cram").load(p)
+      .filter(col("reference") === "CHROMOSOME_I" && col("start") <= 210 && col("end") >= 200)
+      .count()
+    assert(pruned == full && pruned > 0)
+  }
+
+  test("crai index parse + wantedContainers") {
+    val fs = new org.apache.hadoop.fs.Path(fx).getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    val entries = CraiIndex.read(fs,
+      new org.apache.hadoop.fs.Path(s"$fx/cram/1404_index_multislice.cram")).get
+    assert(entries.length == 16)
+    assert(CraiIndex.wantedContainers(entries, 1, 1L, Long.MaxValue / 2) == Set(2610L))
+    assert(CraiIndex.wantedContainers(entries, 0, 200L, 210L) == Set(405L, 1740L))
+    assert(CraiIndex.wantedContainers(entries, 2, 1L, 10L) == Set(3001L))
+  }
 }
