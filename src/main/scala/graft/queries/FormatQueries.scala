@@ -157,6 +157,26 @@ object FormatQueries {
         .orderBy("id")
     }),
 
+    // bzip2 / xz compression by extension (exon_file_type.rs:179-206): the
+    // fixture FASTA re-compressed with commons-compress, read back through
+    // the scan machinery.
+    "f33_bzip2_xz" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_codec_gate").toString
+      val raw = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$fx/fasta/test.fasta"))
+      val bzo = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
+        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/t.fasta.bz2")))
+      bzo.write(raw); bzo.close()
+      val xzo = new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(
+        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/t.fasta.xz")))
+      xzo.write(raw); xzo.close()
+      val bz = s.read.format("fasta").load(s"$dir/t.fasta.bz2")
+        .agg(count(lit(1)).as("n_bz2"), sum(length(col("sequence"))).as("len_bz2"))
+      val xz = s.read.format("fasta").load(s"$dir/t.fasta.xz")
+        .agg(count(lit(1)).as("n_xz"), sum(length(col("sequence"))).as("len_xz"))
+      bz.crossJoin(xz)
+    }),
+
     // CRAM .crai container pruning: region scans decode only overlapping
     // containers (CramSpec asserts 6 of 7 data containers are skipped for
     // the CHROMOSOME_II query); counts pinned from the unpruned row-filter.
@@ -452,6 +472,10 @@ object FormatQueries {
     "f32_cram_crai_region" ->
       """SELECT CAST(10 AS BIGINT) AS n_chr2, CAST(20 AS BIGINT) AS n_interval,
         |  CAST(910 AS BIGINT) AS n_all""".stripMargin,
+
+    "f33_bzip2_xz" ->
+      """SELECT CAST(2 AS BIGINT) AS n_bz2, CAST(8 AS BIGINT) AS len_bz2,
+        |  CAST(2 AS BIGINT) AS n_xz, CAST(8 AS BIGINT) AS len_xz""".stripMargin,
 
     "f13_gff_indexed_region" ->
       """SELECT CAST(8813 AS BIGINT) AS n_chr1, CAST(7223 AS BIGINT) AS n_chr2,

@@ -47,6 +47,46 @@ object LlmQueries {
       .toDF("doc_id", "sz", "shingle")
   }
 
+  /** Banded MinHash candidate pairs with a hot-bucket cap.
+    *
+    * Bucket membership is a keyed self-join on (band, sig) — never a
+    * per-bucket `collect_set` array, which would put a whole degenerate
+    * bucket on one task. Buckets larger than `maxBucket` (near-duplicate
+    * boilerplate floods at corpus scale) are dropped BEFORE the pair join,
+    * bounding work at O(maxBucket^2) per bucket; drops are counted in the
+    * `lsh_buckets_dropped` accumulator so a capped run is observable, not
+    * silent. Docs in a dropped bucket still pair via their other 15 bands.
+    */
+  def minhashCandidatePairs(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // Typed flatMap: signature computed once per doc (not per emitted band).
+    val bands = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val bs = graft.functions.TextOps.minhashBands(
+          graft.functions.TextOps.wordShingles(t, 5).toSeq)
+        bs.iterator.zipWithIndex.map { case (sig, band) => (id, band, sig) }
+      }
+      .toDF("doc_id", "band", "sig")
+    val dropAcc = s.sparkContext.longAccumulator("lsh_buckets_dropped")
+    val keep = udf { (k: Long) =>
+      val ok = k <= maxBucket
+      if (!ok) dropAcc.add(1)
+      ok
+    }
+    val liveBuckets = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1)
+      .filter(keep(col("k")))
+      .select(col("band"), col("sig"))
+    val kept = bands.join(liveBuckets, Seq("band", "sig"))
+    kept.alias("a").join(kept.alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: one shuffle keyed on the content hash.
     "l01_exact_dedup" -> ((s, d) =>
@@ -98,24 +138,8 @@ object LlmQueries {
     // high-similarity pairs (16x4 bands catch j>=0.8 essentially always);
     // the LSH path scales where the inverted index hits hot-shingle skew.
     "l04_minhash_lsh_dedup" -> ((s, d) => {
-      import s.implicits._
       val sh = shingles(s, d)
-      // Typed flatMap: signature computed once per doc (not per emitted band).
-      val bands = documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, t) =>
-          val bs = graft.functions.TextOps.minhashBands(
-            graft.functions.TextOps.wordShingles(t, 5).toSeq)
-          bs.iterator.zipWithIndex.map { case (sig, band) => (id, band, sig) }
-        }
-        .toDF("doc_id", "band", "sig")
-      val buckets = bands.groupBy(col("band"), col("sig"))
-        .agg(collect_set(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) > 1)
-      val pairs = buckets
-        .select(col("ids"), explode(col("ids")).as("ida"))
-        .select(col("ida"), explode(col("ids")).as("idb"))
-        .filter(col("ida") < col("idb"))
-        .distinct()
+      val pairs = minhashCandidatePairs(documents(s, d))
       val withSets = pairs
         .join(sh.select(col("doc_id").as("ida"), col("s").as("sa")), "ida")
         .join(sh.select(col("doc_id").as("idb"), col("s").as("sb")), "idb")

@@ -95,15 +95,27 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
     else trimmed.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
 
-  /** Explicit `.option("region", "chr1:1-100")` — prunes indexed files to
-    * matching BGZF chunks AND row-filters inside the reader (unlike the
-    * WHERE-clause path, there is no residual filter to rely on).
+  /** Explicit `.option("region", "chr1:1-100")` or `.option("regionFile",
+    * path)` (one region per line) — prunes indexed files to matching BGZF
+    * chunks AND row-filters inside the reader (unlike the WHERE-clause
+    * path, there is no residual filter to rely on). A row passes if it
+    * overlaps ANY listed region.
     */
-  val regionOption: Option[(String, Long, Long)] =
-    options.get("region").map { r =>
+  val regionsOption: Seq[(String, Long, Long)] = {
+    val literals = options.get("region").toSeq
+    val fromFile = options.get("regionfile").toSeq.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(path)
+      try scala.io.Source.fromInputStream(in).getLines().map(_.trim)
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    (literals ++ fromFile).map { r =>
       val g = graft.functions.GenomicRegion.parse(r)
       (g.name, g.start.getOrElse(1L), g.end.getOrElse(Long.MaxValue / 2))
     }
+  }
 
   private val extensions: Seq[String] =
     options.get("fileextension").map(e => Seq(e.stripPrefix(".").toLowerCase))
@@ -216,11 +228,20 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
 }
 
 final class GraftScanBuilder(table: GraftTable)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var requiredSchema: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
   private var filterRegion: Option[(String, Long, Long)] = None
+  private var limit: Option[Int] = None
+
+  /** Spark only offers a limit when no un-pushed operator sits between it
+    * and the scan, so stopping each partition reader after `limit` rows is
+    * safe; isPartiallyPushed stays true (default), so Spark still applies
+    * the global limit across partitions.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
 
@@ -264,23 +285,25 @@ final class GraftScanBuilder(table: GraftTable)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new GraftScan(table, requiredSchema, pushed, filterRegion)
+    new GraftScan(table, requiredSchema, pushed, filterRegion, limit)
 }
 
 final class GraftScan(table: GraftTable, required: StructType, partFilters: Array[Filter],
-                      filterRegion: Option[(String, Long, Long)])
+                      filterRegion: Option[(String, Long, Long)],
+                      limit: Option[Int] = None)
   extends Scan with Batch {
 
-  // Option-region wins; WHERE-derived region otherwise. Only the option path
+  // Option-regions win; WHERE-derived region otherwise. Only the option path
   // needs reader-side row filtering (WHERE filters stay as Spark residuals).
-  private val region: Option[(String, Long, Long)] =
-    table.regionOption.orElse(filterRegion)
+  private val region: Seq[(String, Long, Long)] =
+    if (table.regionsOption.nonEmpty) table.regionsOption else filterRegion.toSeq
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan(${table.format.shortName}, cols=${required.fieldNames.mkString(",")}," +
-      s" partFilters=${partFilters.mkString(",")}, region=$region)"
+      s" partFilters=${partFilters.mkString(",")}, region=$region" +
+      limit.map(l => s", limit=$l").getOrElse("") + ")"
 
   private def prunePartitions(files: Seq[(FileStatus, Array[String])],
                               partCols: Seq[String]): Seq[(FileStatus, Array[String])] = {
@@ -320,26 +343,30 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       val p = st.getPath.toString
       val size = st.getLen
       val canSplit = table.format.splittable && !Codecs.isCompressed(st.getPath.getName)
-      val indexed: Option[Seq[FileChunk]] = region.flatMap { case (chrom, lo, hi) =>
-        val name = st.getPath.getName.toLowerCase
-        val idxOpt =
-          if (name.endsWith(".bam")) BaiIndex.forBam(st.getPath, hadoopConf)
-          else if (name.endsWith(".bcf")) CsiIndex.forBcf(st.getPath, hadoopConf)
-          else if (Codecs.isCompressed(name)) TabixIndex.forFile(st.getPath, hadoopConf)
-          else None
-        idxOpt.map { idx =>
-          // 1-based inclusive -> 0-based half-open; empty when the index
-          // proves the file has no records for this chrom/range. For 0-based
-          // half-open formats (BED) WHERE-derived bounds are already in file
-          // coordinates, so widen the query end by one — residual filters
-          // keep the scan exact, and widening can never drop a row.
-          val qHi = if (table.format.zeroBasedHalfOpen) hi + 1 else hi
-          idx.query(chrom, lo - 1, qHi).map { case (vs, ve) =>
-            val approx = math.max(1L, (ve >>> 16) - (vs >>> 16) + (1L << 16))
-            FileChunk(p, 0, approx, size, vals, vs, ve)
+      val indexed: Option[Seq[FileChunk]] =
+        if (region.isEmpty) None
+        else {
+          val name = st.getPath.getName.toLowerCase
+          val idxOpt =
+            if (name.endsWith(".bam")) BaiIndex.forBam(st.getPath, hadoopConf)
+            else if (name.endsWith(".bcf")) CsiIndex.forBcf(st.getPath, hadoopConf)
+            else if (Codecs.isCompressed(name)) TabixIndex.forFile(st.getPath, hadoopConf)
+            else None
+          idxOpt.map { idx =>
+            // 1-based inclusive -> 0-based half-open; empty when the index
+            // proves the file has no records for any region. For 0-based
+            // half-open formats (BED) WHERE-derived bounds are already in
+            // file coordinates, so widen the query end by one — residual
+            // filters keep the scan exact, widening can never drop a row.
+            region.flatMap { case (chrom, lo, hi) =>
+              val qHi = if (table.format.zeroBasedHalfOpen) hi + 1 else hi
+              idx.query(chrom, lo - 1, qHi).map { case (vs, ve) =>
+                val approx = math.max(1L, (ve >>> 16) - (vs >>> 16) + (1L << 16))
+                FileChunk(p, 0, approx, size, vals, vs, ve)
+              }
+            }.distinctBy(c => (c.path, c.vStart, c.vEnd))
           }
         }
-      }
       indexed.getOrElse {
         if (canSplit && size > maxSplit) {
           (0L until size by maxSplit).map { off =>
@@ -349,18 +376,8 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       }
     }
 
-    // Greedy size-based packing (mirrors Spark's FilePartition packing) so
-    // thousands of small files don't become thousands of tasks.
-    val sorted = chunks.sortBy(-_.length)
-    val partitions = mutable.ArrayBuffer[mutable.ArrayBuffer[FileChunk]]()
-    val sizes = mutable.ArrayBuffer[Long]()
-    sorted.foreach { c =>
-      val cost = c.length + openCost
-      val i = sizes.indexWhere(_ + cost <= maxSplit)
-      if (i >= 0) { partitions(i) += c; sizes(i) += cost }
-      else { partitions += mutable.ArrayBuffer(c); sizes += cost }
-    }
-    partitions.map(p => GraftInputPartition(p.toArray): InputPartition).toArray
+    GraftScan.pack(chunks, openCost, maxSplit)
+      .map(p => GraftInputPartition(p): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -382,19 +399,50 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       parseSchema,
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
       fieldSources,
-      if (table.regionOption.isDefined) region else None)
+      if (table.regionsOption.nonEmpty) region else Nil,
+      limit)
+  }
+}
+
+object GraftScan {
+  /** Size-based chunk packing (mirrors Spark's FilePartition packing) so
+    * thousands of small files don't become thousands of tasks. Sort once by
+    * descending size, then fill partitions in a single pass, opening a new
+    * one when the running cost would exceed the target — O(n log n) in the
+    * chunk count, so a million-file listing packs in milliseconds (a
+    * first-fit scan here is O(n^2) and costs minutes of driver time).
+    */
+  def pack(chunks: Seq[FileChunk], openCost: Long, maxSplit: Long): Array[Array[FileChunk]] = {
+    val sorted = chunks.sortBy(-_.length)
+    val partitions = mutable.ArrayBuffer[Array[FileChunk]]()
+    val current = mutable.ArrayBuffer[FileChunk]()
+    var curSize = 0L
+    sorted.foreach { c =>
+      val cost = c.length + openCost
+      if (current.nonEmpty && curSize + cost > maxSplit) {
+        partitions += current.toArray
+        current.clear()
+        curSize = 0L
+      }
+      current += c
+      curSize += cost
+    }
+    if (current.nonEmpty) partitions += current.toArray
+    partitions.toArray
   }
 }
 
 final class GraftReaderFactory(format: GraftFormat, dataSchema: StructType,
                                conf: SerializableHadoopConf,
                                fieldSources: Array[Either[Int, Int]],
-                               rowRegion: Option[(String, Long, Long)])
+                               rowRegion: Seq[(String, Long, Long)],
+                               limit: Option[Int] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val chunks = partition.asInstanceOf[GraftInputPartition].chunks
-    new GraftPartitionReader(format, dataSchema, conf.value, chunks, fieldSources, rowRegion)
+    new GraftPartitionReader(format, dataSchema, conf.value, chunks, fieldSources, rowRegion,
+      limit)
   }
 }
 
@@ -406,7 +454,8 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
                                  conf: Configuration,
                                  chunks: Array[FileChunk],
                                  fieldSources: Array[Either[Int, Int]],
-                                 rowRegion: Option[(String, Long, Long)])
+                                 rowRegion: Seq[(String, Long, Long)],
+                                 limit: Option[Int] = None)
   extends PartitionReader[InternalRow] {
 
   // Required data columns, in output order.
@@ -416,7 +465,7 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
   // coordinate columns (appended past the projected ones) so rows can be
   // filtered here.
   private val (parseCols: Array[Int], regionPos: Option[(Int, Int, Int)]) =
-    (rowRegion, format.regionColumns) match {
+    (rowRegion.headOption, format.regionColumns) match {
       case (Some(_), Some((c, st, en))) =>
         val names = dataSchema.fieldNames
         val idxs = Seq(names.indexOf(c), names.indexOf(st), names.indexOf(en))
@@ -487,18 +536,23 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
   /** Region row filter for the option-region path (overlap semantics; for
     * point formats start==end so this is containment).
     */
-  private def inRegion(data: Array[Any]): Boolean = (rowRegion, regionPos) match {
-    case (Some((chrom, lo, hi)), Some((cp, sp, ep))) =>
+  private def inRegion(data: Array[Any]): Boolean = regionPos match {
+    case Some((cp, sp, ep)) if rowRegion.nonEmpty =>
       val cv = data(cp)
-      if (cv == null || cv.toString != chrom) return false
+      if (cv == null) return false
+      val cs = cv.toString
       val sv = data(sp); val ev = data(ep)
       if (sv == null || ev == null) return false
       val s = sv.asInstanceOf[Number].longValue()
       val e = ev.asInstanceOf[Number].longValue()
       // region [lo, hi] is 1-based inclusive; 0-based half-open records
-      // [s, e) overlap it iff s <= hi-1 && e >= lo.
-      if (format.zeroBasedHalfOpen) s <= hi - 1 && e >= lo
-      else s <= hi && e >= lo
+      // [s, e) overlap it iff s <= hi-1 && e >= lo. A row passes if it
+      // overlaps ANY requested region.
+      rowRegion.exists { case (chrom, lo, hi) =>
+        cs == chrom &&
+          (if (format.zeroBasedHalfOpen) s <= hi - 1 && e >= lo
+           else s <= hi && e >= lo)
+      }
     case _ => true
   }
 
@@ -506,7 +560,10 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
     if (stream != null) { try stream.close() catch { case _: Throwable => () }; stream = null }
   }
 
+  private var emitted = 0L
+
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false // pushed limit: stop early
     var data: Array[Any] = null
     while (data == null) {
       while (!it.hasNext) {
@@ -520,6 +577,7 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
     while (i < requiredData.length) { row(dataOutPos(i)) = data(i); i += 1 }
     partOutPos.foreach { case (outPos, p) => row(outPos) = partVals(p) }
     current = new GenericInternalRow(row)
+    emitted += 1
     true
   }
 

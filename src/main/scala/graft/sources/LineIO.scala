@@ -79,22 +79,29 @@ final class ByteLineReader(in: InputStream, startOffset: Long) {
 object Codecs {
   private val gzipExts = Seq(".gz", ".gzip", ".bgz", ".bgzf")
   private val zstdExts = Seq(".zst", ".zstd")
+  private val bzip2Exts = Seq(".bz2", ".bzip2")
+  private val xzExts = Seq(".xz")
+  private val allExts = gzipExts ++ zstdExts ++ bzip2Exts ++ xzExts
 
   def isCompressed(name: String): Boolean = {
     val n = name.toLowerCase
-    (gzipExts ++ zstdExts).exists(n.endsWith)
+    allExts.exists(n.endsWith)
   }
 
   /** File name with any compression suffix removed. */
   def stripCompression(name: String): String = {
     val n = name.toLowerCase
-    (gzipExts ++ zstdExts).find(n.endsWith) match {
+    allExts.find(n.endsWith) match {
       case Some(ext) => name.substring(0, name.length - ext.length)
       case None      => name
     }
   }
 
-  /** Wrap with the right decompressor based on the file name. */
+  /** Wrap with the right decompressor based on the file name — same
+    * extension dispatch as the reference (exon_file_type.rs:179-206:
+    * GZIP/ZSTD/BZIP2/XZ). bzip2/xz come from commons-compress, already on
+    * Spark's classpath; both read concatenated members.
+    */
   def wrap(name: String, in: InputStream): InputStream = {
     val n = name.toLowerCase
     if (gzipExts.exists(n.endsWith)) new MultiMemberGzipInputStream(in)
@@ -102,7 +109,13 @@ object Codecs {
       val z = new com.github.luben.zstd.ZstdInputStream(in)
       z.setContinuous(true)
       z
-    } else in
+    } else if (bzip2Exts.exists(n.endsWith))
+      new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+        new java.io.BufferedInputStream(in, 1 << 16), true)
+    else if (xzExts.exists(n.endsWith))
+      new org.apache.commons.compress.compressors.xz.XZCompressorInputStream(
+        new java.io.BufferedInputStream(in, 1 << 16), true)
+    else in
   }
 }
 

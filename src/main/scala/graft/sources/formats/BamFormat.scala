@@ -81,8 +81,10 @@ object BamFormat extends GraftFormat {
 
       private def advance(): Unit = {
         nextRec = null
-        val blockSize = try in.i32OrEof() catch { case _: EOFException => None }
-        blockSize.foreach { sz => nextRec = parseRecord(in, sz, refs, required) }
+        // i32OrEof returns None ONLY when the stream ends cleanly before the
+        // first length byte; a BAM truncated mid-record throws EOFException
+        // and fails the task instead of silently yielding fewer rows.
+        in.i32OrEof().foreach { sz => nextRec = parseRecord(in, sz, refs, required) }
       }
 
       override def hasNext: Boolean = nextRec != null

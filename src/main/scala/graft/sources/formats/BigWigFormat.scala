@@ -141,9 +141,12 @@ object BigWigValueFormat extends GraftFormat {
     val fsIn = input.reopenRaw().asInstanceOf[FSDataInputStream]
     val r = new BbiFile.Reader(fsIn)
     val names = r.chromNames
-    val rows = mutable.ArrayBuffer[Array[Any]]()
-    r.rTreeBlocks(r.header.fullIndexOffset).foreach { case (off, size) =>
+    // Block list is offsets only (small); block DECODE is lazy, one block
+    // resident at a time, so memory is bounded by a block, not the file.
+    val blocks = r.rTreeBlocks(r.header.fullIndexOffset)
+    val rowIt = blocks.iterator.flatMap { case (off, size) =>
       val b = r.blockBytes(off, size)
+      val rows = mutable.ArrayBuffer[Array[Any]]()
       while (b.remaining() >= 24) {
         val chromId = b.getInt
         val chromStart = b.getInt
@@ -169,9 +172,9 @@ object BigWigValueFormat extends GraftFormat {
           }
         }
       }
+      rows
     }
-    fsIn.close()
-    rows.iterator
+    BigWigFormatUtil.closing(rowIt, fsIn)
   }
 }
 
@@ -205,9 +208,9 @@ final class BigWigZoomFormat(reductionLevel: Option[Int]) extends GraftFormat {
       throw new IllegalArgumentException(
         s"bigwig_zoom: no zoom level $rl (available: ${r.header.zooms.map(_.reductionLevel).mkString(",")})"))
     val names = r.chromNames
-    val rows = mutable.ArrayBuffer[Array[Any]]()
-    r.rTreeBlocks(zoom.indexOffset).foreach { case (off, size) =>
+    val rowIt = r.rTreeBlocks(zoom.indexOffset).iterator.flatMap { case (off, size) =>
       val b = r.blockBytes(off, size)
+      val rows = mutable.ArrayBuffer[Array[Any]]()
       while (b.remaining() >= 32) {
         val chromId = b.getInt
         val s = b.getInt; val e = b.getInt
@@ -226,8 +229,22 @@ final class BigWigZoomFormat(reductionLevel: Option[Int]) extends GraftFormat {
           case 8 => sumData.toDouble: Any
         }
       }
+      rows
     }
-    fsIn.close()
-    rows.iterator
+    BigWigFormatUtil.closing(rowIt, fsIn)
   }
+}
+
+private[formats] object BigWigFormatUtil {
+  /** Close the underlying stream once the row iterator is exhausted. */
+  def closing(it: Iterator[Array[Any]], in: FSDataInputStream): Iterator[Array[Any]] =
+    new Iterator[Array[Any]] {
+      private var closed = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; try in.close() catch { case _: Exception => () } }
+        h
+      }
+      override def next(): Array[Any] = it.next()
+    }
 }

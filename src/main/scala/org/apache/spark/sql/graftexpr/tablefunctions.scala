@@ -54,9 +54,13 @@ object GraftTableFunctions {
 
     indexedScans.foreach { case (name, fmt) =>
       reg.createOrReplaceTempFunction(name, { args =>
-        require(args.length >= 2, s"$name takes (path, region [, compression])")
+        require(args.length >= 2, s"$name takes (path, region-or-regionFile [, compression])")
         val path = literal(name, args, 0)
-        relation(fmt, Map("path" -> path, "region" -> literal(name, args, 1)))
+        // Like the reference's indexed UDTFs (fasta_indexed_scan.rs:62-125),
+        // the second argument is a region literal OR a file of regions.
+        val regionArg = literal(name, args, 1)
+        val key = if (new java.io.File(regionArg).isFile) "regionfile" else "region"
+        relation(fmt, Map("path" -> path, key -> regionArg))
       }, "built-in")
     }
 

@@ -67,4 +67,34 @@ class IndexedReadSpec extends AnyFunSuite with SharedSpark {
       .head().getLong(0)
     assert(n == 82)
   }
+
+  test("regionFile: union of regions via the index equals raw-scan filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rf")
+    val rf = dir.resolve("regions.txt")
+    java.nio.file.Files.writeString(rf, "1:9999919-10000000\n2\n")
+    val viaIndex = spark.read.format("vcf").option("regionFile", rf.toString)
+      .load(vcf).count()
+    val raw = spark.read.format("vcf").load(vcf)
+      .filter((col("chrom") === "1" && col("pos").between(9999919L, 10000000L)) ||
+              col("chrom") === "2")
+      .count()
+    assert(viaIndex == raw && viaIndex > 82, s"index=$viaIndex raw=$raw")
+  }
+
+  test("regionFile: vcf_indexed_scan table function accepts a region file") {
+    graft.GraftSession.registerAll(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rf2")
+    val rf = dir.resolve("regions.txt")
+    java.nio.file.Files.writeString(rf, "1:9999919-10000000\n")
+    val n = spark.sql(
+      s"SELECT COUNT(*) FROM vcf_indexed_scan('$vcf', '$rf')").head().getLong(0)
+    assert(n == 82)
+  }
+
+  test("pushed limit shows in the scan and bounds reader output") {
+    val df = spark.read.format("vcf").load(vcf).limit(3)
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("limit=3"), s"limit not pushed into scan:\n$desc")
+    assert(df.count() == 3)
+  }
 }

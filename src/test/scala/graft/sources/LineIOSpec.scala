@@ -61,4 +61,24 @@ class LineIOSpec extends AnyFunSuite {
     assert(Codecs.stripCompression("a.fasta.gz") == "a.fasta")
     assert(Codecs.stripCompression("a.fasta") == "a.fasta")
   }
+
+  test("bzip2 and xz decompression by extension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_codec")
+    val fasta = ">a d1\nATCG\n>b d2\nGGCC\n"
+    val bz = dir.resolve("t.fasta.bz2")
+    val bzo = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
+      java.nio.file.Files.newOutputStream(bz))
+    bzo.write(fasta.getBytes("UTF-8")); bzo.close()
+    val xz = dir.resolve("t.fasta.xz")
+    val xzo = new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(
+      java.nio.file.Files.newOutputStream(xz))
+    xzo.write(fasta.getBytes("UTF-8")); xzo.close()
+    Seq(bz, xz).foreach { f =>
+      assert(Codecs.isCompressed(f.getFileName.toString))
+      assert(Codecs.stripCompression(f.getFileName.toString) == "t.fasta")
+      val in = Codecs.wrap(f.getFileName.toString, java.nio.file.Files.newInputStream(f))
+      val got = new String(in.readAllBytes(), "UTF-8")
+      assert(got == fasta, s"$f roundtrip")
+    }
+  }
 }
