@@ -148,7 +148,7 @@ object TextOps {
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      var h = 1469598103934665603L
+      var h = 0xcbf29ce484222325L // FNV-1a 64-bit offset basis
       var j = 0
       while (j < k) { h ^= text.charAt(i + j); h *= 1099511628211L; j += 1 }
       hs(i) = h

@@ -228,6 +228,20 @@ object LlmQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
+    // Winnowing document fingerprint (char 8-gram hashes, window 4, XOR of
+    // selected minima): one stable BIGINT per document, the classic
+    // copy-detection sketch. Oracle pinned by tools/pin_l12.py (independent
+    // Python FNV-1a/winnowing reimplementation). Distributed shape: pure
+    // per-row map, no shuffle until the (tiny) projection.
+    "l12_winnow_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, graft.functions.TextOps.winnowFingerprint(t)) }
+        .toDF("doc_id", "fp")
+        .filter(col("doc_id") < 50)
+        .orderBy(col("doc_id"))
+    }),
+
     // Text statistics: whitespace words + BPE-ish regex tokens per language.
     "l08_text_stats" -> ((s, d) =>
       documents(s, d).groupBy(col("lang")).agg(
@@ -532,6 +546,61 @@ object LlmQueries {
   (CAST(48 AS BIGINT), CAST(321 AS BIGINT), CAST(0.037 AS DOUBLE)),
   (CAST(49 AS BIGINT), CAST(186 AS BIGINT), CAST(0.1316 AS DOUBLE))
 ) t(qid, neighbor_id, score) ORDER BY qid, neighbor_id""",
+
+    // Pinned by tools/pin_l12.py (independent winnowing reimplementation).
+    "l12_winnow_fingerprint" ->
+      """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(7956702883311904172 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(8423850481809829499 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(-8703759462790665234 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(5792192516823964459 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(-4368594824259665290 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(7468149558197210940 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(-6577112793612260219 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(-834682307870877465 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(-7858369930587731252 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(8321152963074072441 AS BIGINT)),
+  (CAST(10 AS BIGINT), CAST(-1882592692001991666 AS BIGINT)),
+  (CAST(11 AS BIGINT), CAST(1110783120403143419 AS BIGINT)),
+  (CAST(12 AS BIGINT), CAST(4857833504601037970 AS BIGINT)),
+  (CAST(13 AS BIGINT), CAST(3263105397501624561 AS BIGINT)),
+  (CAST(14 AS BIGINT), CAST(-2778984666408142334 AS BIGINT)),
+  (CAST(15 AS BIGINT), CAST(6483758863390851381 AS BIGINT)),
+  (CAST(16 AS BIGINT), CAST(2708553912002589255 AS BIGINT)),
+  (CAST(17 AS BIGINT), CAST(3135934750928200057 AS BIGINT)),
+  (CAST(18 AS BIGINT), CAST(-5192822924903139910 AS BIGINT)),
+  (CAST(19 AS BIGINT), CAST(5753460388704471274 AS BIGINT)),
+  (CAST(20 AS BIGINT), CAST(3564703305061402544 AS BIGINT)),
+  (CAST(21 AS BIGINT), CAST(3212276086853026424 AS BIGINT)),
+  (CAST(22 AS BIGINT), CAST(976193351112369364 AS BIGINT)),
+  (CAST(23 AS BIGINT), CAST(-2620543156713945301 AS BIGINT)),
+  (CAST(24 AS BIGINT), CAST(-4890809041939652372 AS BIGINT)),
+  (CAST(25 AS BIGINT), CAST(608027639674400828 AS BIGINT)),
+  (CAST(26 AS BIGINT), CAST(3181072251609560396 AS BIGINT)),
+  (CAST(27 AS BIGINT), CAST(1981953387318530418 AS BIGINT)),
+  (CAST(28 AS BIGINT), CAST(-653685328320640246 AS BIGINT)),
+  (CAST(29 AS BIGINT), CAST(2836998311253179038 AS BIGINT)),
+  (CAST(30 AS BIGINT), CAST(-4407640573523183492 AS BIGINT)),
+  (CAST(31 AS BIGINT), CAST(-6227586515740313191 AS BIGINT)),
+  (CAST(32 AS BIGINT), CAST(-5561745588279922557 AS BIGINT)),
+  (CAST(33 AS BIGINT), CAST(-3510366049418761048 AS BIGINT)),
+  (CAST(34 AS BIGINT), CAST(-6423230022470013121 AS BIGINT)),
+  (CAST(35 AS BIGINT), CAST(-8024329695821094555 AS BIGINT)),
+  (CAST(36 AS BIGINT), CAST(-5319090663667742949 AS BIGINT)),
+  (CAST(37 AS BIGINT), CAST(-539956262673825818 AS BIGINT)),
+  (CAST(38 AS BIGINT), CAST(2300247249791342405 AS BIGINT)),
+  (CAST(39 AS BIGINT), CAST(-2968192324962548399 AS BIGINT)),
+  (CAST(40 AS BIGINT), CAST(5962115143304796718 AS BIGINT)),
+  (CAST(41 AS BIGINT), CAST(6073147029650728917 AS BIGINT)),
+  (CAST(42 AS BIGINT), CAST(8795564494945013125 AS BIGINT)),
+  (CAST(43 AS BIGINT), CAST(-3704088761131028869 AS BIGINT)),
+  (CAST(44 AS BIGINT), CAST(-4308175019694422236 AS BIGINT)),
+  (CAST(45 AS BIGINT), CAST(-672443464394893689 AS BIGINT)),
+  (CAST(46 AS BIGINT), CAST(-5106526844351318166 AS BIGINT)),
+  (CAST(47 AS BIGINT), CAST(1423954230440666625 AS BIGINT)),
+  (CAST(48 AS BIGINT), CAST(-7159800419671469642 AS BIGINT)),
+  (CAST(49 AS BIGINT), CAST(3828679452153581786 AS BIGINT))
+) t(doc_id, fp) ORDER BY doc_id""",
 
     "l06_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
