@@ -137,8 +137,12 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
       s"${format.shortName}: path does not exist: ${missingPaths.mkString(", ")}")
   }
 
-  /** (files, partitionColumns). Listed once on the driver. */
-  lazy val listing: (Seq[(FileStatus, Array[String])], Seq[String]) = {
+  /** (files, partitionColumns). Listed once on the driver for batch scans;
+    * streaming re-lists per micro-batch via listNow().
+    */
+  lazy val listing: (Seq[(FileStatus, Array[String])], Seq[String]) = listNow()
+
+  def listNow(): (Seq[(FileStatus, Array[String])], Seq[String]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val partCols = mutable.LinkedHashSet[String]()
     val missing = mutable.ArrayBuffer[String]()
@@ -208,8 +212,10 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
     StructType(resolvedDataSchema.fields ++ partitionSchema.fields)
   override def capabilities(): java.util.Set[TableCapability] = format match {
     case _: WritableGraftFormat => java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-    case _ => java.util.EnumSet.of(TableCapability.BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    case _ => java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -300,6 +306,9 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(table, this)
   override def description(): String =
     s"GraftScan(${table.format.shortName}, cols=${required.fieldNames.mkString(",")}," +
       s" partFilters=${partFilters.mkString(",")}, region=$region" +
@@ -379,6 +388,22 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
     GraftScan.pack(chunks, openCost, maxSplit)
       .map(p => GraftInputPartition(p): InputPartition)
   }
+
+  /** Pack whole-file chunks for a set of listed files (streaming batches). */
+  private[sources] def packWholeFiles(
+      files: Seq[(FileStatus, Array[String])]): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val openCost = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    val chunks = files.map { case (st, vals) =>
+      FileChunk(st.getPath.toString, 0, st.getLen, st.getLen, vals)
+    }
+    GraftScan.pack(chunks, openCost, maxPart).map(p => GraftInputPartition(p): InputPartition)
+  }
+
+  private[sources] def readerFactory: PartitionReaderFactory = createReaderFactory()
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val dataIdx = table.resolvedDataSchema.fieldNames.zipWithIndex.toMap

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends AnyFunSuite with SharedSpark {
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming FASTA source: new files arrive as new micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    def writeFasta(name: String, ids: Seq[String]): Unit = {
+      val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
+      java.nio.file.Files.writeString(tmp,
+        ids.map(i => s">$i\nATCG").mkString("", "\n", "\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    writeFasta("a.fasta", Seq("a1", "a2"))
+
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    def runOnce(): Long = {
+      val q = spark.readStream.format("fasta").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    assert(runOnce() == 2)
+    writeFasta("b.fasta", Seq("b1", "b2", "b3"))
+    // restart from the checkpoint: only the new file is read, output appends
+    assert(runOnce() == 5, "second run must read only the newly arrived file")
+    val ids = spark.read.parquet(out).select("id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("a1", "a2", "b1", "b2", "b3"))
+  }
+
+  test("flatMapGroupsWithState dedup emits each hash once across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DocEvent]
+    val q = StreamingOps.dedupByHash(in.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData(DocEvent(1, "h1", ts(0)), DocEvent(2, "h1", ts(1)), DocEvent(3, "h2", ts(1)))
+    q.processAllAvailable()
+    in.addData(DocEvent(4, "h1", ts(2)), DocEvent(5, "h3", ts(3)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, hash FROM dedup_out ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    q.stop()
+    assert(got == Seq((1L, "h1"), (3L, "h2"), (5L, "h3")),
+      s"dedup must keep first sighting only, got $got")
+  }
+
+  test("watermarked windowed counts finalize once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "kind")
+    val q = StreamingOps.windowedEventCounts(df, "ts", "kind",
+      window = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    in.addData((ts(0), "click"), (ts(1), "click"), (ts(2), "view"))
+    q.processAllAvailable()
+    // advance the watermark far past the first window to finalize it
+    in.addData((ts(60), "click"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT kind, n FROM win_out ORDER BY kind")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    q.stop()
+    assert(got == Seq(("click", 2L), ("view", 1L)), s"got $got")
+  }
+
+  test("dropDuplicatesWithinWatermark + quality filter compose on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val df = in.toDF().toDF("ts", "h", "text")
+    val deduped = StreamingOps.dedupWithinWatermark(df, "ts", "h", "10 minutes")
+    val gated = StreamingOps.qualityFilter(deduped, "text", minQuality = 0.3)
+    val q = gated.writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    val good = "the quick brown fox jumps over the lazy dog and it is good " * 3
+    in.addData((ts(0), "h1", good), (ts(1), "h1", good), (ts(1), "h2", "x"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT h, lang, quality FROM gate_out").collect()
+    q.stop()
+    assert(got.length == 1 && got(0).getString(0) == "h1")
+    assert(got(0).getString(1) == "en")
+  }
+}
