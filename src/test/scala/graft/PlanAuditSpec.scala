@@ -35,4 +35,32 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     val desc = df.queryExecution.executedPlan.toString
     assert(desc.contains("GraftScan"), desc)
   }
+
+  test("l04: no cartesian product; candidate join is keyed on (band, sig)") {
+    val df = graft.queries.LlmQueries.queries("l04_minhash_lsh_dedup")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("l06: query side broadcast, corpus streamed once") {
+    val df = graft.queries.LlmQueries.queries("l06_ann_bruteforce")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+
+  test("l12: fingerprints are a pure map stage, single scan, no shuffle before filter") {
+    val df = graft.queries.LlmQueries.queries("l12_winnow_fingerprint")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // one parquet scan, a (Dataset) map, a filter, and the final orderBy only
+    assert("Exchange".r.findAllIn(plan).size <= 1, s"unexpected shuffles:\n$plan")
+  }
+
+  test("column pruning reaches graft scans (ReadSchema shows only needed cols)") {
+    val fx = "/root/reference/exon/exon-core/test-data/datasources"
+    val df = spark.read.format("fasta").load(s"$fx/fasta/test.fasta").select("id")
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("cols=id"), desc)
+  }
 }
