@@ -29,9 +29,6 @@ class CramFormat(refPath: Option[String],
   override def regionColumns: Option[(String, String, String)] =
     Some(("reference", "start", "end"))
 
-  private def referenceMap: Map[String, String] =
-    refPath.map(CramFormat.loadReference).getOrElse(Map.empty)
-
   // ---- primitive readers ----
 
   private final class In(val b: Array[Byte], var o: Int) {
@@ -409,7 +406,7 @@ class CramFormat(refPath: Option[String],
         val sh = new In(blocks(bi).data, 0)
         val sRef = sh.itf8()
         val sStart = sh.itf8()
-        sh.itf8() // span
+        val sSpan = sh.itf8()
         val sNRec = sh.itf8()
         // blocks for this slice: everything up to the next slice header
         var end = bi + 1
@@ -418,8 +415,22 @@ class CramFormat(refPath: Option[String],
         val core = new Bits(sliceBlocks.find(_.ctype == 5).map(_.data)
           .getOrElse(Array.empty))
         val ext = sliceBlocks.filter(_.ctype == 4).map(b => b.cid -> new In(b.data, 0)).toMap
+        // Per-slice reference windows: with a sibling .fai only the slice's
+        // aligned span is read (bytes ~ span); otherwise whole sequences are
+        // loaded once per executor and cached. Memoized per ref id.
+        val winCache = mutable.Map[Int, CramFormat.RefWindow]()
+        val refWinFor: Int => CramFormat.RefWindow = { ri =>
+          winCache.getOrElseUpdate(ri,
+            refPath match {
+              case Some(rp) if ri >= 0 && ri < refs.length =>
+                if (sRef == ri)
+                  CramFormat.refWindow(rp, refs(ri), (sStart - 1).toLong, sSpan.toLong)
+                else CramFormat.refWindow(rp, refs(ri), 0L, -1L)
+              case _ => null
+            })
+        }
         decodeSlice(sNRec, sRef, sStart, apDelta, rnPreserved, td, encs.toMap,
-          tagEncs.toMap, core, ext, refs, sm, referenceMap, required, rows)
+          tagEncs.toMap, core, ext, refs, sm, refWinFor, required, rows)
         bi = end
       } else bi += 1
     }
@@ -429,7 +440,7 @@ class CramFormat(refPath: Option[String],
                           rnPreserved: Boolean, td: Array[Array[(String, Char)]],
                           encs: Map[String, Encoding], tagEncs: Map[Int, Encoding],
                           core: Bits, ext: Map[Int, In], refs: Array[String],
-                          sm: Array[Byte], refMap: Map[String, String],
+                          sm: Array[Byte], refWinFor: Int => CramFormat.RefWindow,
                           required: Array[Int],
                           rows: mutable.ArrayBuffer[Array[Any]]): Unit = {
     // substitution decode: for reference base r, 2-bit code -> substituted base
@@ -480,15 +491,14 @@ class CramFormat(refPath: Option[String],
       var quals: Array[Int] = null
       var seq: String = null
       if ((bf & 4) == 0) { // mapped
-        val refSeq: String =
-          if (ri >= 0 && ri < refs.length) refMap.getOrElse(refs(ri), null) else null
-        val bases = if (refSeq != null) new Array[Char](rl) else null
+        val refWin: CramFormat.RefWindow =
+          if (ri >= 0 && ri < refs.length) refWinFor(ri) else null
+        val bases = if (refWin != null) new Array[Char](rl) else null
         var refOfs = 0 // reference bases consumed minus read bases consumed
         def fillRef(readPos1: Int): Unit = {
           if (bases != null) {
             val rp0 = pos - 1 + refOfs + readPos1 - 1
-            bases(readPos1 - 1) =
-              if (rp0 >= 0 && rp0 < refSeq.length) refSeq.charAt(rp0) else 'N'
+            bases(readPos1 - 1) = refWin.charAt0(rp0)
           }
         }
         val fn = encs("FN").readInt(core, ext)
@@ -507,8 +517,7 @@ class CramFormat(refPath: Option[String],
               val code = encs("BS").readInt(core, ext)
               if (bases != null) {
                 val rp0 = pos - 1 + refOfs + readPos - 1
-                val rb = if (rp0 >= 0 && rp0 < refSeq.length) refSeq.charAt(rp0) else 'N'
-                bases(readPos - 1) = substitute(rb, code)
+                bases(readPos - 1) = substitute(refWin.charAt0(rp0), code)
               }
               ops += ((1, 'M')); readPos += 1
             case 'I' =>
@@ -613,6 +622,46 @@ object CramFormat extends CramFormat(None, None) {
     * cheap observability the specs assert on (not part of the data path).
     */
   val containersSkipped = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A window of one reference sequence: absolute 0-based addressing with
+    * 'N' outside the loaded span (same semantics as indexing the full
+    * sequence, which returned 'N' out of bounds).
+    */
+  final class RefWindow(seq: String, offset: Long, totalLen: Long) {
+    def charAt0(p: Long): Char =
+      if (p < offset || p >= offset + seq.length) 'N'
+      else seq.charAt((p - offset).toInt)
+  }
+
+  private val faiCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, graft.sources.FaiEntry]]()
+
+  /** Reference window for one slice. With a sibling `.fai` on an
+    * uncompressed FASTA, only [start0, start0+span) (+margin) is read via
+    * byte seeks — a chromosome-scale reference costs bytes ~ slice span,
+    * not sequence length. Without one, whole sequences load once per
+    * executor (cached). span < 0 requests the whole sequence.
+    */
+  def refWindow(path: String, name: String, start0: Long, span: Long): RefWindow = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val useFai = !graft.sources.Codecs.isCompressed(hp.getName) &&
+      graft.sources.FaiIndex.exists(fs, hp)
+    if (useFai) {
+      val idx = faiCache.computeIfAbsent(path,
+        _ => graft.sources.FaiIndex.read(fs, hp))
+      idx.get(name) match {
+        case Some(e) =>
+          val s0 = math.max(0L, start0)
+          val end1 = if (span < 0) e.length
+                     else math.min(e.length, start0 + span + 16)
+          val (sub, _) = graft.sources.FaiIndex.extract(fs, hp, e, s0 + 1, end1)
+          new RefWindow(sub, s0, e.length)
+        case None => null
+      }
+    } else loadReference(path).get(name)
+      .map(seq => new RefWindow(seq, 0, seq.length)).orNull
+  }
 
   private val refCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
