@@ -84,6 +84,38 @@ object Bench {
         spark.read.format("fasta").load(benchDir)
           .agg(sum(length(col("sequence")))).count()
       }
+
+      // Indexed region query (the baseline's flagship shape): extract a
+      // 100-base region from a ~130 MB .fai-indexed reference — time must
+      // reflect a byte-range seek, not a file scan.
+      val refDir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
+        "graft_bench_faidx").getAbsolutePath
+      val refFasta = new java.io.File(refDir, "ref.fasta")
+      if (!new java.io.File(refDir, "_done").exists()) {
+        new java.io.File(refDir).mkdirs()
+        val w = new java.io.BufferedWriter(new java.io.FileWriter(refFasta), 1 << 20)
+        (0 until 64).foreach { s =>
+          w.write(s">seq$s\n")
+          var i = 0
+          while (i < 2000000) {
+            val n = math.min(60, 2000000 - i)
+            val sb = new java.lang.StringBuilder(n)
+            var j = 0
+            while (j < n) { sb.append("ACGT".charAt((i + j + s) % 4)); j += 1 }
+            w.write(sb.toString); w.write("\n")
+            i += n
+          }
+        }
+        w.close()
+        val hp = new org.apache.hadoop.fs.Path(refFasta.getAbsolutePath)
+        graft.sources.FaiIndex.write(
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+        new java.io.File(refDir, "_done").createNewFile()
+      }
+      timeIt("b03_fasta_fai_region") {
+        spark.read.format("fasta").option("region", "seq42:1000001-1000100")
+          .load(refFasta.getAbsolutePath).count()
+      }
     } catch {
       case e: Throwable =>
         errors += "b0x_fasta_bench" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
