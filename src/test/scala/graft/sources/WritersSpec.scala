@@ -42,4 +42,25 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     src.write.format("fasta").mode("append").save(dir)
     assert(spark.read.format("fasta").load(dir).count() == 4)
   }
+
+  test("SQL sink: CREATE TABLE USING fasta + INSERT INTO / INSERT OVERWRITE") {
+    // the Spark shape of the reference's COPY ... STORED AS FASTA
+    val dir = Files.createTempDirectory("fasta_sql_sink").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS fasta_sink")
+    spark.sql(s"CREATE TABLE fasta_sink USING fasta LOCATION '$dir'")
+    spark.sql(
+      s"""INSERT INTO fasta_sink
+         |SELECT id, description, sequence
+         |FROM fasta_scan('$fx/fasta/test.fasta')""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM fasta_sink").head().getLong(0) == 2)
+    spark.sql(
+      "INSERT INTO fasta_sink VALUES ('c', 'third', 'GGGG')")
+    assert(spark.sql("SELECT count(*) FROM fasta_sink").head().getLong(0) == 3)
+    // overwrite truncates via the TRUNCATE capability
+    spark.sql(
+      "INSERT OVERWRITE fasta_sink VALUES ('z', NULL, 'TTTT')")
+    val rows = spark.sql("SELECT * FROM fasta_sink").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "z" && rows(0).isNullAt(1))
+    spark.sql("DROP TABLE fasta_sink")
+  }
 }
