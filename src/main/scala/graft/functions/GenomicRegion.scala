@@ -34,6 +34,26 @@ object GenomicRegion {
     }
   }
 
+  /** Parse to 1-based inclusive bounds with open ends defaulted, the form
+    * index queries and row filters consume.
+    */
+  def toBounds(region: String): (String, Long, Long) = {
+    val g = parse(region)
+    (g.name, g.start.getOrElse(1L), g.end.getOrElse(Long.MaxValue / 2))
+  }
+
+  /** Read a region file (one region per line, blanks ignored) through the
+    * Hadoop FS API — shared by reader options and the indexed UDTFs.
+    */
+  def readRegionFile(path: String,
+                     conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val in = hp.getFileSystem(conf).open(hp)
+    try scala.io.Source.fromInputStream(in).getLines().map(_.trim)
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
   /** A bare interval: `lo[-hi]`; a single number means the point [n, n]. */
   def parseInterval(interval: String): (Long, Long) = interval match {
     case IntervalRe(lo, hi) =>

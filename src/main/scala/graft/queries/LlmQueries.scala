@@ -55,7 +55,10 @@ object LlmQueries {
     * boilerplate floods at corpus scale) are dropped BEFORE the pair join,
     * bounding work at O(maxBucket^2) per bucket; drops are counted in the
     * `lsh_buckets_dropped` accumulator so a capped run is observable, not
-    * silent. Docs in a dropped bucket still pair via their other 15 bands.
+    * silent (the count is approximate — the bucket subtree evaluates once
+    * per join side plus task retries, so treat nonzero as "drops
+    * happened", not an exact total). Docs in a dropped bucket still pair
+    * via their other 15 bands.
     */
   def minhashCandidatePairs(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val s = docs.sparkSession

@@ -46,6 +46,7 @@ object FaiIndex {
     val out = new java.lang.StringBuilder()
     var name: String = null
     var length = 0L; var offset = 0L; var lineBases = 0L; var lineWidth = 0L
+    var lastLineShort = false
     var pos = 0L
     def flush(): Unit = if (name != null) {
       out.append(name).append('\t').append(length).append('\t').append(offset)
@@ -68,8 +69,21 @@ object FaiIndex {
         val sp = h.indexWhere(ch => ch == ' ' || ch == '\t')
         name = if (sp < 0) h else h.substring(0, sp)
         length = 0; offset = pos; lineBases = 0; lineWidth = 0
+        lastLineShort = false
       } else if (line.nonEmpty) {
         if (lineBases == 0) { lineBases = line.length; lineWidth = pos - lineStart }
+        else if (lastLineShort)
+          // A short line was NOT the sequence terminator: the file is not
+          // line-addressable and offsetOf() would return garbage. Fail
+          // loudly (samtools faidx does the same) instead of writing an
+          // index that silently corrupts extractions.
+          throw new IllegalArgumentException(
+            s"fai: irregular line length inside sequence '$name' — " +
+              "only the last line of a sequence may be short")
+        if (line.length > lineBases)
+          throw new IllegalArgumentException(
+            s"fai: line longer than the first line in sequence '$name'")
+        lastLineShort = line.length < lineBases
         length += line.length
       }
     }
@@ -92,6 +106,9 @@ object FaiIndex {
     if (t < s) return ("", 0L)
     val from = e.offsetOf(s)
     val until = e.offsetOf(t) + 1 // inclusive last base byte
+    require(until - from <= Int.MaxValue - 8,
+      s"fai: requested span ${t - s + 1} of '${e.name}' exceeds the 2 GB " +
+        "single-extraction limit — request a smaller window")
     val nBytes = (until - from).toInt
     val buf = new Array[Byte](nBytes)
     val in = fs.open(fasta)

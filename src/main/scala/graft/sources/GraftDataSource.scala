@@ -103,18 +103,10 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
     */
   val regionsOption: Seq[(String, Long, Long)] = {
     val literals = options.get("region").toSeq
-    val fromFile = options.get("regionfile").toSeq.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(path)
-      try scala.io.Source.fromInputStream(in).getLines().map(_.trim)
-        .filter(_.nonEmpty).toList
-      finally in.close()
-    }
-    (literals ++ fromFile).map { r =>
-      val g = graft.functions.GenomicRegion.parse(r)
-      (g.name, g.start.getOrElse(1L), g.end.getOrElse(Long.MaxValue / 2))
-    }
+    val fromFile = options.get("regionfile").toSeq.flatMap(p =>
+      graft.functions.GenomicRegion.readRegionFile(
+        p, spark.sparkContext.hadoopConfiguration))
+    (literals ++ fromFile).map(graft.functions.GenomicRegion.toBounds)
   }
 
   private val extensions: Seq[String] =
@@ -367,13 +359,19 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
             // half-open formats (BED) WHERE-derived bounds are already in
             // file coordinates, so widen the query end by one — residual
             // filters keep the scan exact, widening can never drop a row.
-            region.flatMap { case (chrom, lo, hi) =>
+            val ranges = region.flatMap { case (chrom, lo, hi) =>
               val qHi = if (table.format.zeroBasedHalfOpen) hi + 1 else hi
-              idx.query(chrom, lo - 1, qHi).map { case (vs, ve) =>
-                val approx = math.max(1L, (ve >>> 16) - (vs >>> 16) + (1L << 16))
-                FileChunk(p, 0, approx, size, vals, vs, ve)
-              }
-            }.distinctBy(c => (c.path, c.vStart, c.vEnd))
+              idx.query(chrom, lo - 1, qHi)
+            }
+            // Merge overlapping/duplicate virtual ranges ACROSS regions —
+            // two nearby regions can map to intersecting chunk lists, and a
+            // shared BGZF range decoded twice would duplicate every row
+            // that passes the any-region filter (each idx.query merges only
+            // within itself).
+            GraftScan.mergeVirtualRanges(ranges).map { case (vs, ve) =>
+              val approx = math.max(1L, (ve >>> 16) - (vs >>> 16) + (1L << 16))
+              FileChunk(p, 0, approx, size, vals, vs, ve)
+            }
           }
         }
       indexed.getOrElse {
@@ -430,6 +428,22 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
 }
 
 object GraftScan {
+  /** Coalesce BGZF virtual-position ranges: sort by start, merge any that
+    * overlap or touch. Ranges are (vStart, vEnd) virtual offsets; a record
+    * beginning inside one merged range is decoded exactly once.
+    */
+  def mergeVirtualRanges(ranges: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    if (ranges.isEmpty) return ranges
+    val sorted = ranges.sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)](sorted.head)
+    sorted.tail.foreach { case (s, e) =>
+      val (ls, le) = out.last
+      if (s <= le) { if (e > le) out(out.length - 1) = (ls, e) }
+      else out += ((s, e))
+    }
+    out.toSeq
+  }
+
   /** Size-based chunk packing (mirrors Spark's FilePartition packing) so
     * thousands of small files don't become thousands of tasks. Sort once by
     * descending size, then fill partitions in a single pass, opening a new

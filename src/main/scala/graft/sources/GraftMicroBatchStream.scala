@@ -26,13 +26,23 @@ final case class GraftFilesOffset(count: Int) extends Offset {
 final class GraftMicroBatchStream(table: GraftTable, scan: GraftScan)
   extends MicroBatchStream {
 
+  // Listing snapshot taken at latestOffset time: planInputPartitions slices
+  // THIS listing, never a fresh one, so the files counted are exactly the
+  // files read even if more land between the two calls. (A file back-dated
+  // before a committed boundary — same-second writes with preserved mtimes —
+  // is still the documented blind spot, as with Spark's file source.)
+  @volatile private var snapshot: Seq[(FileStatus, Array[String])] = Nil
+
   private def sortedFiles(): Seq[(FileStatus, Array[String])] =
     table.listNow()._1
       .sortBy { case (st, _) => (st.getModificationTime, st.getPath.toString) }
 
   override def initialOffset(): Offset = GraftFilesOffset(0)
 
-  override def latestOffset(): Offset = GraftFilesOffset(sortedFiles().size)
+  override def latestOffset(): Offset = {
+    snapshot = sortedFiles()
+    GraftFilesOffset(snapshot.size)
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"count":(\d+)\}""".r
@@ -45,8 +55,8 @@ final class GraftMicroBatchStream(table: GraftTable, scan: GraftScan)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftFilesOffset].count
     val e = end.asInstanceOf[GraftFilesOffset].count
-    val batch = sortedFiles().slice(s, e)
-    scan.packWholeFiles(batch)
+    val listed = if (snapshot.size >= e) snapshot else sortedFiles()
+    scan.packWholeFiles(listed.slice(s, e))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = scan.readerFactory

@@ -138,7 +138,11 @@ object BigWigValueFormat extends GraftFormat {
   override def zeroBasedHalfOpen: Boolean = true
 
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
-    val fsIn = input.reopenRaw().asInstanceOf[FSDataInputStream]
+    // input.stream IS the raw seekable handle for this uncompressed binary
+    // whole-file format; the partition reader owns and closes it, so a
+    // partially-consumed iterator (pushed limit, task abort) cannot leak
+    // a reopened descriptor.
+    val fsIn = input.stream.asInstanceOf[FSDataInputStream]
     val r = new BbiFile.Reader(fsIn)
     val names = r.chromNames
     // Block list is offsets only (small); block DECODE is lazy, one block
@@ -174,7 +178,7 @@ object BigWigValueFormat extends GraftFormat {
       }
       rows
     }
-    BigWigFormatUtil.closing(rowIt, fsIn)
+    rowIt
   }
 }
 
@@ -202,7 +206,7 @@ final class BigWigZoomFormat(reductionLevel: Option[Int]) extends GraftFormat {
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
     val rl = reductionLevel.getOrElse(
       throw new IllegalArgumentException("bigwig_zoom requires option reductionLevel"))
-    val fsIn = input.reopenRaw().asInstanceOf[FSDataInputStream]
+    val fsIn = input.stream.asInstanceOf[FSDataInputStream]
     val r = new BbiFile.Reader(fsIn)
     val zoom = r.header.zooms.find(_.reductionLevel == rl).getOrElse(
       throw new IllegalArgumentException(
@@ -231,20 +235,6 @@ final class BigWigZoomFormat(reductionLevel: Option[Int]) extends GraftFormat {
       }
       rows
     }
-    BigWigFormatUtil.closing(rowIt, fsIn)
+    rowIt
   }
-}
-
-private[formats] object BigWigFormatUtil {
-  /** Close the underlying stream once the row iterator is exhausted. */
-  def closing(it: Iterator[Array[Any]], in: FSDataInputStream): Iterator[Array[Any]] =
-    new Iterator[Array[Any]] {
-      private var closed = false
-      override def hasNext: Boolean = {
-        val h = it.hasNext
-        if (!h && !closed) { closed = true; try in.close() catch { case _: Exception => () } }
-        h
-      }
-      override def next(): Array[Any] = it.next()
-    }
 }

@@ -28,15 +28,9 @@ class FastaSourceProvider extends GraftTableProvider(FastaFormat) {
     */
   override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
     val regions: Seq[String] = opts.get("region").map(Seq(_)).getOrElse(Nil) ++
-      opts.get("regionfile").toSeq.flatMap { p =>
-        val path = new org.apache.hadoop.fs.Path(p)
-        val fs = path.getFileSystem(
-          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-        val in = fs.open(path)
-        try scala.io.Source.fromInputStream(in).getLines().map(_.trim)
-          .filter(_.nonEmpty).toList
-        finally in.close()
-      }
+      opts.get("regionfile").toSeq.flatMap(p =>
+        graft.functions.GenomicRegion.readRegionFile(p,
+          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
     if (regions.nonEmpty) new FastaIndexedFormat(regions)
     else opts.get("sequencedatatype").orElse(opts.get("fasta.sequence_data_type")) match {
       case Some("integer_encode_dna") => new FastaIntegerFormat(dna = true)
@@ -85,10 +79,7 @@ class CramSourceProvider extends GraftTableProvider(CramFormat) {
     // The region ALSO drives the reader-side row filter via regionColumns;
     // handing it to the format additionally enables container pruning by
     // header coordinates and the .crai index.
-    val region = opts.get("region").map { r =>
-      val g = graft.functions.GenomicRegion.parse(r)
-      (g.name, g.start.getOrElse(1L), g.end.getOrElse(Long.MaxValue / 2))
-    }
+    val region = opts.get("region").map(graft.functions.GenomicRegion.toBounds)
     if (ref.isEmpty && region.isEmpty) CramFormat
     else new CramFormat(ref, region)
   }

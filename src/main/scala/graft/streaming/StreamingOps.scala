@@ -56,7 +56,11 @@ object StreamingOps {
             val maxTs = events.foldLeft(first.map(_.ts.getTime).getOrElse(0L))(
               (m, e) => math.max(m, e.ts.getTime))
             state.update(math.max(state.getOption.getOrElse(0L), maxTs))
-            state.setTimeoutTimestamp(state.get + ttlMs)
+            // flatMapGroupsWithState does NOT drop late rows: a backfilled
+            // key older than watermark-ttl would make ts+ttl an illegal
+            // (pre-watermark) timeout and kill the query — clamp forward.
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, state.get + ttlMs))
             first.iterator
           }
       }
@@ -74,8 +78,10 @@ object StreamingOps {
     * scan stage (same kernels as the batch l09 query).
     */
   def qualityFilter(docs: DataFrame, textCol: String, minQuality: Double): DataFrame = {
-    val lang = udf((t: String) => graft.functions.TextOps.langId(t))
-    val qual = udf((t: String) => graft.functions.TextOps.qualityScore(t))
+    val lang = udf((t: String) =>
+      if (t == null) "und" else graft.functions.TextOps.langId(t))
+    val qual = udf((t: String) =>
+      if (t == null) 0.0 else graft.functions.TextOps.qualityScore(t))
     docs
       .withColumn("lang", lang(col(textCol)))
       .withColumn("quality", qual(col(textCol)))

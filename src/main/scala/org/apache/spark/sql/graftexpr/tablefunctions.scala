@@ -57,9 +57,17 @@ object GraftTableFunctions {
         require(args.length >= 2, s"$name takes (path, region-or-regionFile [, compression])")
         val path = literal(name, args, 0)
         // Like the reference's indexed UDTFs (fasta_indexed_scan.rs:62-125),
-        // the second argument is a region literal OR a file of regions.
+        // the second argument is a region literal OR a file of regions —
+        // resolved through the Hadoop FS API so hdfs://s3a:// region files
+        // work too (region strings like 'chr1:1-100' fail Path parsing or
+        // existence and fall through to the literal branch).
         val regionArg = literal(name, args, 1)
-        val key = if (new java.io.File(regionArg).isFile) "regionfile" else "region"
+        val isFile = scala.util.Try {
+          val rp = new org.apache.hadoop.fs.Path(regionArg)
+          rp.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+            .getFileStatus(rp).isFile
+        }.getOrElse(false)
+        val key = if (isFile) "regionfile" else "region"
         relation(fmt, Map("path" -> path, key -> regionArg))
       }, "built-in")
     }
@@ -70,10 +78,13 @@ object GraftTableFunctions {
       require(args.length >= 2, "fasta_indexed_scan takes (path, region [, compression])")
       val path = literal("fasta_indexed_scan", args, 0)
       val regionArg = literal("fasta_indexed_scan", args, 1)
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      val isFile = scala.util.Try {
+        val rp = new org.apache.hadoop.fs.Path(regionArg)
+        rp.getFileSystem(conf).getFileStatus(rp).isFile
+      }.getOrElse(false)
       val regions: Seq[String] =
-        if (new java.io.File(regionArg).isFile)
-          scala.io.Source.fromFile(regionArg).getLines().map(_.trim)
-            .filter(_.nonEmpty).toList
+        if (isFile) graft.functions.GenomicRegion.readRegionFile(regionArg, conf)
         else Seq(regionArg)
       val table = new GraftTable(new FastaIndexedFormat(regions), Map("path" -> path))
       DataSourceV2Relation.create(table, None, None)

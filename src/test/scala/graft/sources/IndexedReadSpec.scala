@@ -97,4 +97,18 @@ class IndexedReadSpec extends AnyFunSuite with SharedSpark {
     assert(desc.contains("limit=3"), s"limit not pushed into scan:\n$desc")
     assert(df.count() == 3)
   }
+
+  test("overlapping regions in a regionFile do not duplicate rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rf3")
+    val rf = dir.resolve("regions.txt")
+    // heavily overlapping regions on the same chromosome: the merged chunk
+    // set must decode each shared BGZF range exactly once
+    java.nio.file.Files.writeString(rf,
+      "1:9999919-10000000\n1:9999919-10000000\n1:9999950-10000200\n1\n")
+    val viaIndex = spark.read.format("vcf").option("regionFile", rf.toString)
+      .load(vcf)
+    val ids = viaIndex.select("pos").collect().map(_.getLong(0)).toSeq
+    assert(ids.length == ids.distinct.length * 1 && ids.length == 191,
+      s"expected 191 unique chr1 rows, got ${ids.length} (${ids.length - ids.distinct.length} dups)")
+  }
 }

@@ -31,4 +31,16 @@ class PackingSpec extends AnyFunSuite {
     assert(parts.length == 2)
     assert(parts.exists(_.length == 1) && parts.exists(_.length == 3))
   }
+
+  test("mergeVirtualRanges coalesces overlapping and touching ranges") {
+    assert(GraftScan.mergeVirtualRanges(Nil) == Nil)
+    assert(GraftScan.mergeVirtualRanges(Seq((5L, 10L))) == Seq((5L, 10L)))
+    assert(GraftScan.mergeVirtualRanges(
+      Seq((5L, 10L), (8L, 20L), (20L, 25L), (30L, 40L), (1L, 2L))) ==
+      Seq((1L, 2L), (5L, 25L), (30L, 40L)))
+    // identical duplicates collapse
+    assert(GraftScan.mergeVirtualRanges(Seq((5L, 10L), (5L, 10L))) == Seq((5L, 10L)))
+    // contained range disappears
+    assert(GraftScan.mergeVirtualRanges(Seq((5L, 100L), (10L, 20L))) == Seq((5L, 100L)))
+  }
 }
