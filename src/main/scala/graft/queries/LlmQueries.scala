@@ -285,6 +285,39 @@ object LlmQueries {
       meta.agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("sum_bytes"),
         sum(col("width")).as("sum_w"), sum(col("height")).as("sum_h"),
         sum(col("n_frames")).as("sum_f"))
+    }),
+
+    // Full multimodal pipeline shape: decode (stub) -> resize (fit 224 max
+    // dim, aspect preserved, integer math) -> frame-sample (stride-3 ceil)
+    // -> feature-extract (deterministic stats standing in for a model
+    // embedding). One batched mapPartitions = the vectorized-decoder shape;
+    // everything downstream of the stub is real, typed plumbing.
+    "l13_multimodal_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val ds = documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      val media = ds.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB decode: dimensions/frames derived from the payload length
+          // the same way l10 does.
+          val n = bytes.length.toLong
+          val w0 = 64L + n % 576
+          val h0 = 64L + (n * 7) % 416
+          val frames = 1L + n % 15
+          // resize: fit the longest side to 224, integer floor division
+          val m = math.max(w0, h0)
+          val (rw, rh) = if (m <= 224) (w0, h0) else (w0 * 224 / m, h0 * 224 / m)
+          // frame-sample: every 3rd frame, at least one
+          val sampled = (frames + 2) / 3
+          // feature-extract: cheap deterministic stats as the embedding stub
+          val feat = (n % 251) + ((n * 31) % 127)
+          (id, rw, rh, sampled, feat)
+        }
+      }.toDF("doc_id", "rw", "rh", "sampled", "feat")
+      media.agg(count(lit(1)).as("n"),
+        sum(col("rw")).as("sum_rw"), sum(col("rh")).as("sum_rh"),
+        sum(col("sampled")).as("sum_sampled"), sum(col("feat")).as("sum_feat"))
     })
   )
 
@@ -656,6 +689,24 @@ object LlmQueries {
         |  round(avg(swr), 4) AS avg_stopword_ratio,
         |  round(avg(q), 4) AS avg_quality
         |FROM p GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
+
+    "l13_multimodal_pipeline" ->
+      """WITH m AS (SELECT octet_length(encode(text))::BIGINT AS n FROM documents),
+        |d AS (SELECT 64 + n % 576 AS w0, 64 + (n * 7) % 416 AS h0,
+        |             1 + n % 15 AS fr, n FROM m),
+        |r AS (SELECT
+        |    CASE WHEN greatest(w0, h0) <= 224 THEN w0
+        |         ELSE w0 * 224 // greatest(w0, h0) END AS rw,
+        |    CASE WHEN greatest(w0, h0) <= 224 THEN h0
+        |         ELSE h0 * 224 // greatest(w0, h0) END AS rh,
+        |    (fr + 2) // 3 AS sampled,
+        |    (n % 251) + ((n * 31) % 127) AS feat
+        |  FROM d)
+        |SELECT count(*) AS n, CAST(sum(rw) AS BIGINT) AS sum_rw,
+        |  CAST(sum(rh) AS BIGINT) AS sum_rh,
+        |  CAST(sum(sampled) AS BIGINT) AS sum_sampled,
+        |  CAST(sum(feat) AS BIGINT) AS sum_feat
+        |FROM r""".stripMargin,
 
     "l10_multimodal_stub" ->
       """SELECT count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
