@@ -70,8 +70,18 @@ object FaiIndex {
         name = if (sp < 0) h else h.substring(0, sp)
         length = 0; offset = pos; lineBases = 0; lineWidth = 0
         lastLineShort = false
-      } else if (line.nonEmpty) {
-        if (lineBases == 0) { lineBases = line.length; lineWidth = pos - lineStart }
+      } else if (line.isEmpty) {
+        // A blank line INSIDE a sequence body breaks line addressing the
+        // same way a short interior line does; flag it so a following body
+        // line triggers the irregular-layout rejection below. (Blank lines
+        // between records are harmless: offset is set at the first body
+        // line.)
+        if (name != null && length > 0) lastLineShort = true
+      } else {
+        if (lineBases == 0) {
+          lineBases = line.length; lineWidth = pos - lineStart
+          offset = lineStart // first body line, not the post-header position
+        }
         else if (lastLineShort)
           // A short line was NOT the sequence terminator: the file is not
           // line-addressable and offsetOf() would return garbage. Fail

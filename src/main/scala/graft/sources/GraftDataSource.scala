@@ -41,7 +41,10 @@ abstract class GraftTableProvider(format: GraftFormat)
   extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = format.shortName
-  override def supportsExternalMetadata(): Boolean = true
+  // Parsers build rows against the format-derived schema, so a user-supplied
+  // schema cannot be honored — declaring false makes Spark reject
+  // .schema(...) loudly instead of this provider silently ignoring it.
+  override def supportsExternalMetadata(): Boolean = false
 
   /** Hook for providers whose format depends on reader options (e.g.
     * bigwig_zoom's reductionLevel).
@@ -89,10 +92,35 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
   }
 
   private def parseJsonPaths(json: String): Seq[String] = {
-    // minimal parser for Spark's ["p1","p2"] encoding
-    val trimmed = json.trim.stripPrefix("[").stripSuffix("]")
-    if (trimmed.isEmpty) Nil
-    else trimmed.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    // Spark encodes multi-path loads as a JSON string array; parse it
+    // properly (quotes + escapes) so paths containing commas survive.
+    val out = mutable.ArrayBuffer[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    var inStr = false
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (!inStr) {
+        if (c == '"') { inStr = true; sb.setLength(0) }
+      } else c match {
+        case '"' => inStr = false; out += sb.toString
+        case '\\' =>
+          i += 1
+          val e = json.charAt(i)
+          sb.append(e match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case 'b' => '\b'; case 'f' => '\f'
+            case 'u' =>
+              val cp = Integer.parseInt(json.substring(i + 1, i + 5), 16)
+              i += 4
+              cp.toChar
+            case other => other
+          })
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    out.toSeq
   }
 
   /** Explicit `.option("region", "chr1:1-100")` or `.option("regionFile",
@@ -106,7 +134,12 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
     val fromFile = options.get("regionfile").toSeq.flatMap(p =>
       graft.functions.GenomicRegion.readRegionFile(
         p, spark.sparkContext.hadoopConfiguration))
-    (literals ++ fromFile).map(graft.functions.GenomicRegion.toBounds)
+    val bounds = (literals ++ fromFile).map(graft.functions.GenomicRegion.toBounds)
+    // A region option on a format with no genomic coordinates (fastq, sdf,
+    // mzml, ...) would otherwise be silently ignored — reject it loudly.
+    require(bounds.isEmpty || format.regionColumns.isDefined || format.handlesRegionsItself,
+      s"${format.shortName}: region/regionFile options are not supported for this format")
+    bounds
   }
 
   private val extensions: Seq[String] =

@@ -55,6 +55,12 @@ trait GraftFormat extends Serializable {
     */
   def regionColumns: Option[(String, String, String)] = None
 
+  /** True when the format consumes `region`/`regionFile` options itself
+    * (indexed FASTA subsequence extraction, CRAM container pruning) rather
+    * than through `regionColumns`-driven row filtering.
+    */
+  def handlesRegionsItself: Boolean = false
+
   /** True when the format's coordinates are 0-based half-open (BED, BigWig);
     * region strings are always 1-based inclusive, so the row-level overlap
     * test shifts accordingly.

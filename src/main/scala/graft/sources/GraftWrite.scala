@@ -56,8 +56,18 @@ final class GraftBatchWrite(format: WritableGraftFormat, dir: String, schema: St
     new GraftDataWriterFactory(format, dir, srcIdx, schema, conf, compression)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  // Task outputs land in dir/_temporary and are renamed into place on task
+  // commit, so a task that dies mid-write never leaves a visible partial
+  // part file (listings skip '_'-prefixed names as an extra guard). The
+  // job-level hooks clear any leftovers from dead attempts.
+  override def commit(messages: Array[WriterCommitMessage]): Unit = cleanTemp()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanTemp()
+
+  private def cleanTemp(): Unit = {
+    val tmp = new Path(dir, "_temporary")
+    val fs = tmp.getFileSystem(conf.value)
+    try fs.delete(tmp, true) catch { case _: Throwable => () }
+  }
 }
 
 final class GraftDataWriterFactory(format: WritableGraftFormat, dir: String,
@@ -82,14 +92,17 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
     case other => throw new IllegalArgumentException(
       s"unsupported write compression '$other' (gzip, zstd, none)")
   })
-  private val path = new Path(dir,
-    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.$ext")
+  private val fileName =
+    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.$ext"
+  // written under _temporary, renamed into place at task commit
+  private val tmpPath = new Path(new Path(dir, "_temporary"), fileName)
+  private val path = new Path(dir, fileName)
 
   private var opened = false
   private lazy val out: OutputStream = {
     opened = true
-    val fs = path.getFileSystem(conf.value)
-    val raw = fs.create(path, true)
+    val fs = tmpPath.getFileSystem(conf.value)
+    val raw = fs.create(tmpPath, true)
     compression match {
       case "gzip" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
       case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
@@ -115,14 +128,19 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
 
   override def commit(): WriterCommitMessage = {
     // only close (and thereby create) the file if this task wrote anything
-    if (opened) out.close()
+    if (opened) {
+      out.close()
+      val fs = path.getFileSystem(conf.value)
+      if (!fs.rename(tmpPath, path))
+        throw new java.io.IOException(s"failed to commit $tmpPath -> $path")
+    }
     GraftCommitted
   }
   override def abort(): Unit = {
     if (opened) {
       try out.close() catch { case _: Throwable => () }
-      val fs = path.getFileSystem(conf.value)
-      fs.delete(path, false)
+      val fs = tmpPath.getFileSystem(conf.value)
+      fs.delete(tmpPath, false)
     }
   }
   override def close(): Unit = ()

@@ -18,6 +18,11 @@ import graft.sources.FormatUtil._
   * reference-name table.
   */
 object BamFormat extends GraftFormat {
+  // executor-level header cache for BGZF-chunk reads, keyed by file path
+  // (headers are tiny; entries live for the executor's lifetime)
+  private val headerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
   override def shortName: String = "bam"
   override def defaultExtensions: Seq[String] = Seq("bam")
   override val dataSchema: StructType = SamFormat.dataSchema
@@ -65,8 +70,16 @@ object BamFormat extends GraftFormat {
     val (stream, refs) =
       if (input.isBgzfChunk) {
         // chunk starts at a record; reference names come from the header.
-        val headerStream = new MultiMemberGzipInputStream(input.reopenRaw())
-        val r = try readHeaderRefs(headerStream) finally headerStream.close()
+        // Cached per path on the executor — a region query mapping one BAM
+        // to N chunks would otherwise re-decompress the header N times.
+        def readHdr(): Array[String] = {
+          val headerStream = new MultiMemberGzipInputStream(input.reopenRaw())
+          try readHeaderRefs(headerStream) finally headerStream.close()
+        }
+        val r =
+          if (input.path != null)
+            headerCache.computeIfAbsent(input.path.toString, _ => readHdr())
+          else readHdr()
         (input.stream, r)
       } else {
         val s = new MultiMemberGzipInputStream(input.stream)

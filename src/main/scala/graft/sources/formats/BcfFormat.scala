@@ -14,6 +14,9 @@ import graft.sources.FormatUtil._
   * (bcf fixture: 621 total, chrom '1' -> 191).
   */
 object BcfFormat extends GraftFormat {
+  private val headerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Header]()
+
   override def shortName: String = "bcf"
   override def defaultExtensions: Seq[String] = Seq("bcf")
   override val dataSchema: StructType = VcfFormat.dataSchema
@@ -155,8 +158,15 @@ object BcfFormat extends GraftFormat {
     // from the header, read via a separate stream.
     val (in, header) =
       if (input.isBgzfChunk) {
-        val hs = new MultiMemberGzipInputStream(input.reopenRaw())
-        val h = try readHeaderFrom(new LE(hs)) finally hs.close()
+        def readHdr(): Header = {
+          val hs = new MultiMemberGzipInputStream(input.reopenRaw())
+          try readHeaderFrom(new LE(hs)) finally hs.close()
+        }
+        // per-path executor cache, same rationale as BamFormat.headerCache
+        val h =
+          if (input.path != null)
+            headerCache.computeIfAbsent(input.path.toString, _ => readHdr())
+          else readHdr()
         (new LE(input.stream), h)
       } else {
         val s = new LE(new MultiMemberGzipInputStream(input.stream))

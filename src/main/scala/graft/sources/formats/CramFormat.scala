@@ -80,21 +80,8 @@ class CramFormat(refPath: Option[String],
     require(order == 0, s"cram: rANS order $order not supported (only order-0)")
     r.i32le() // compressed size
     val rsize = r.i32le()
-    val freq = new Array[Int](256)
-    var sym = r.u8()
-    var done = false
-    while (!done) {
-      freq(sym) = r.itf8()
-      var next = r.u8()
-      if (next == sym + 1) {
-        val run = r.u8()
-        var i = 0
-        while (i < run) { sym += 1; freq(sym) = r.itf8(); i += 1 }
-        next = r.u8()
-      }
-      sym = next
-      if (sym == 0) done = true
-    }
+    val (freq, consumed) = CramFormat.ransFreqTable(r.b, r.o)
+    r.o += consumed
     val cum = new Array[Int](257)
     (0 until 256).foreach(i => cum(i + 1) = cum(i) + freq(i))
     val lut = new Array[Int](4096)
@@ -329,7 +316,9 @@ class CramFormat(refPath: Option[String],
           advance()
         } else {
           val rows = mutable.ArrayBuffer[Array[Any]]()
-          decodeContainer(new In(sin.bytes(length), 0), nBlocks, refs, required, rows)
+          decodeContainer(new In(sin.bytes(length), 0), nBlocks, refs, required, rows,
+            if (input.fs != null) input.fs.getConf
+            else new org.apache.hadoop.conf.Configuration())
           cur = rows.iterator
           if (!cur.hasNext) advance()
         }
@@ -350,7 +339,8 @@ class CramFormat(refPath: Option[String],
 
   private def decodeContainer(body: In, nBlocks: Int, refs: Array[String],
                               required: Array[Int],
-                              rows: mutable.ArrayBuffer[Array[Any]]): Unit = {
+                              rows: mutable.ArrayBuffer[Array[Any]],
+                              conf: org.apache.hadoop.conf.Configuration): Unit = {
     val blocks = (0 until nBlocks).map { _ =>
       val method = body.u8(); val ctype = body.u8(); val cid = body.itf8()
       val cs = body.itf8(); body.itf8()
@@ -424,8 +414,8 @@ class CramFormat(refPath: Option[String],
             refPath match {
               case Some(rp) if ri >= 0 && ri < refs.length =>
                 if (sRef == ri)
-                  CramFormat.refWindow(rp, refs(ri), (sStart - 1).toLong, sSpan.toLong)
-                else CramFormat.refWindow(rp, refs(ri), 0L, -1L)
+                  CramFormat.refWindow(rp, refs(ri), (sStart - 1).toLong, sSpan.toLong, conf)
+                else CramFormat.refWindow(rp, refs(ri), 0L, -1L, conf)
               case _ => null
             })
         }
@@ -623,6 +613,43 @@ object CramFormat extends CramFormat(None, None) {
     */
   val containersSkipped = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Order-0 rANS frequency table (CRAM spec / htscodecs rans_F_decode):
+    * symbols ascend; when the byte after a frequency equals sym+1, the byte
+    * after THAT is a run length r — the named symbol and the r following
+    * consecutive symbols all carry frequencies with no further symbol
+    * bytes. Returns (freq[256], bytesConsumed). Package-visible because the
+    * fixtures' only rANS block has no consecutive alphabet pair, so the RLE
+    * branch must be spec-tested directly.
+    */
+  private[sources] def ransFreqTable(b: Array[Byte], start: Int): (Array[Int], Int) = {
+    var o = start
+    def u8(): Int = { val v = b(o) & 0xff; o += 1; v }
+    def itf8(): Int = {
+      val f = u8()
+      if (f < 0x80) f
+      else if (f < 0xC0) ((f & 0x3f) << 8) | u8()
+      else if (f < 0xE0) ((f & 0x1f) << 16) | (u8() << 8) | u8()
+      else if (f < 0xF0) ((f & 0x0f) << 24) | (u8() << 16) | (u8() << 8) | u8()
+      else (((f & 0x0f).toLong << 28) | (u8().toLong << 20) | (u8() << 12) |
+        (u8() << 4) | (u8() & 0x0f)).toInt
+    }
+    val freq = new Array[Int](256)
+    var sym = u8()
+    var rle = 0
+    var done = false
+    while (!done) {
+      freq(sym) = itf8()
+      if (rle > 0) { rle -= 1; sym += 1 }
+      else {
+        val next = u8()
+        if (next == sym + 1) { sym = next; rle = u8() }
+        else if (next == 0) done = true
+        else sym = next
+      }
+    }
+    (freq, o - start)
+  }
+
   /** A window of one reference sequence: absolute 0-based addressing with
     * 'N' outside the loaded span (same semantics as indexing the full
     * sequence, which returned 'N' out of bounds).
@@ -642,9 +669,13 @@ object CramFormat extends CramFormat(None, None) {
     * not sequence length. Without one, whole sequences load once per
     * executor (cached). span < 0 requests the whole sequence.
     */
-  def refWindow(path: String, name: String, start0: Long, span: Long): RefWindow = {
+  def refWindow(path: String, name: String, start0: Long, span: Long,
+                conf: org.apache.hadoop.conf.Configuration =
+                  new org.apache.hadoop.conf.Configuration()): RefWindow = {
     val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // the task's shipped configuration, not a fresh one — session fs.*
+    // settings (object-store credentials, endpoints) must apply here too
+    val fs = hp.getFileSystem(conf)
     val useFai = !graft.sources.Codecs.isCompressed(hp.getName) &&
       graft.sources.FaiIndex.exists(fs, hp)
     if (useFai) {
@@ -659,7 +690,7 @@ object CramFormat extends CramFormat(None, None) {
           new RefWindow(sub, s0, e.length)
         case None => null
       }
-    } else loadReference(path).get(name)
+    } else loadReference(path, conf).get(name)
       .map(seq => new RefWindow(seq, 0, seq.length)).orNull
   }
 
@@ -667,10 +698,12 @@ object CramFormat extends CramFormat(None, None) {
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
 
   /** Parse a (possibly gzip'd) reference FASTA into name -> sequence. */
-  def loadReference(path: String): Map[String, String] =
+  def loadReference(path: String,
+                    conf: org.apache.hadoop.conf.Configuration =
+                      new org.apache.hadoop.conf.Configuration()): Map[String, String] =
     refCache.computeIfAbsent(path, { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = hp.getFileSystem(conf)
       val in = graft.sources.Codecs.wrap(hp.getName, fs.open(hp))
       try {
         val lines = new ByteLineReader(in, 0L)

@@ -61,7 +61,12 @@ object FcsFormat extends GraftFormat {
     val nTot = kv.getOrElse("$TOT", "0").toInt
     val dtype = kv.getOrElse("$DATATYPE", "F")
     require(dtype == "F", s"fcs: unsupported $$DATATYPE $dtype (only F)")
-    val bigEndian = kv.get("$BYTEORD").forall(_ == "4,3,2,1")
+    val byteord = kv.getOrElse("$BYTEORD", "4,3,2,1")
+    // FCS 2.0 permits mixed orders like 3,4,1,2 — decoding those as LE
+    // would yield plausible-looking garbage, so fail loudly instead.
+    require(byteord == "4,3,2,1" || byteord == "1,2,3,4",
+      s"fcs: unsupported $$BYTEORD '$byteord' (only 4,3,2,1 or 1,2,3,4)")
+    val bigEndian = byteord == "4,3,2,1"
     val names = (1 to nPar).map { i =>
       kv.getOrElse(s"$$P${i}S", kv.getOrElse(s"$$P${i}N", s"P$i"))
     }

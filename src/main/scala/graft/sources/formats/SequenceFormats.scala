@@ -143,6 +143,7 @@ final class FastaIndexedFormat(regions: Seq[String]) extends GraftFormat {
   override def defaultExtensions: Seq[String] = FastaFormat.defaultExtensions
   override val dataSchema: StructType = FastaFormat.dataSchema
   override def splittable: Boolean = false
+  override def handlesRegionsItself: Boolean = true
 
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
     val parsed = regions.map(r => r -> graft.functions.GenomicRegion.parse(r))

@@ -112,4 +112,20 @@ class CramSpec extends AnyFunSuite with SharedSpark {
     assert(CraiIndex.wantedContainers(entries, 0, 200L, 210L) == Set(405L, 1740L))
     assert(CraiIndex.wantedContainers(entries, 2, 1L, 10L) == Set(3001L))
   }
+
+  test("rANS order-0 frequency table: consecutive-symbol RLE branch (spec)") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // [sym=65 f=10][sym=66 rle=1 f=20][implicit sym=67 f=30][end]
+    val (f1, c1) = formats.CramFormat.ransFreqTable(bytes(65, 10, 66, 1, 20, 30, 0), 0)
+    assert(f1(65) == 10 && f1(66) == 20 && f1(67) == 30 && c1 == 7)
+    assert(f1.zipWithIndex.collect { case (v, i) if v != 0 => i }.toSeq == Seq(65, 66, 67))
+    // no consecutive pair: plain symbol list
+    val (f2, c2) = formats.CramFormat.ransFreqTable(bytes(65, 10, 67, 20, 0), 0)
+    assert(f2(65) == 10 && f2(67) == 20 && c2 == 5)
+    // run of 2 extra symbols then a jump
+    val (f3, c3) = formats.CramFormat.ransFreqTable(
+      bytes(65, 5, 66, 2, 6, 7, 8, 70, 9, 0), 0)
+    assert(f3(65) == 5 && f3(66) == 6 && f3(67) == 7 && f3(68) == 8 && f3(70) == 9)
+    assert(c3 == 10)
+  }
 }
