@@ -18,7 +18,9 @@ final case class GenomicRegion(name: String, start: Option[Long], end: Option[Lo
 }
 
 object GenomicRegion {
-  private val IntervalRe = "([0-9,]+)(?:-([0-9,]+))?".r
+  // each bound must contain at least one digit — a stray comma would
+  // otherwise parse to an empty string and NumberFormatException mid-plan
+  private val IntervalRe = "([0-9][0-9,]*)(?:-([0-9][0-9,]*))?".r
 
   def parse(region: String): GenomicRegion = {
     val colon = region.lastIndexOf(':')

@@ -90,7 +90,14 @@ object SeqOps {
   private val patternCache = new ConcurrentHashMap[String, Pattern]()
 
   def locateRegex(seq: String, pattern: String): Seq[LocatedMatch] = {
-    val p = patternCache.computeIfAbsent(pattern, Pattern.compile(_))
+    // bounded: a per-row (non-literal) pattern column must not grow executor
+    // memory without limit
+    val p =
+      if (patternCache.size < 1024) patternCache.computeIfAbsent(pattern, Pattern.compile(_))
+      else {
+        val cached = patternCache.get(pattern)
+        if (cached != null) cached else Pattern.compile(pattern)
+      }
     val m = p.matcher(seq)
     val out = Seq.newBuilder[LocatedMatch]
     while (m.find()) out += LocatedMatch(m.start + 1, m.end + 1, m.group)

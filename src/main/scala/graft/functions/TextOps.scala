@@ -51,12 +51,13 @@ object TextOps {
     bestLang
   }
 
+  private val allStopwordSet: Set[String] = stopwords.flatMap(_._2).toSet
+
   /** Fraction of words that are (any-language) stopwords, 4-decimal rounded. */
   def stopwordRatio(text: String): Double = {
     val ws = words(text)
     if (ws.isEmpty) return 0.0
-    val all = stopwords.flatMap(_._2).toSet
-    val hits = ws.count(all.contains)
+    val hits = ws.count(allStopwordSet.contains)
     math.floor(hits.toDouble / ws.length * 10000 + 0.5) / 10000
   }
 
@@ -70,8 +71,7 @@ object TextOps {
     val meanLen = ws.iterator.map(_.length).sum.toDouble / ws.length
     val lenScore = math.min(1.0, ws.length / 100.0)
     val wordScore = math.min(1.0, meanLen / 5.0)
-    val all = stopwords.flatMap(_._2).toSet
-    val stopScore = math.min(1.0, 5.0 * ws.count(all.contains) / ws.length)
+    val stopScore = math.min(1.0, 5.0 * ws.count(allStopwordSet.contains) / ws.length)
     math.floor((lenScore + wordScore + stopScore) / 3.0 * 10000 + 0.5) / 10000
   }
 
@@ -99,7 +99,11 @@ object TextOps {
   // ---- MinHash ----
 
   val NumHashes = 64
-  val NumBands = 16 // 16 bands x 4 rows: catches j>=0.8 pairs w.p. ~1-1e-9
+  // 32 bands x 2 rows: candidate recall at the query pack's j>=0.5
+  // threshold is 1 - 0.75^32 (~0.9999) and ~1-6e-15 at j=0.8 — banding
+  // width is chosen so the exact-Jaccard verification step, not band luck,
+  // decides the output.
+  val NumBands = 32
 
   private val (hashA, hashB) = {
     val rnd = new java.util.Random(42)
@@ -125,7 +129,7 @@ object TextOps {
     sig
   }
 
-  /** Band signatures for LSH bucketing: hash of each 4-row band. */
+  /** Band signatures for LSH bucketing: one hash per NumBands-row band. */
   def minhashBands(shingles: Seq[String]): Array[Long] = {
     val sig = minhashSignature(shingles)
     val rows = NumHashes / NumBands
@@ -143,7 +147,9 @@ object TextOps {
   def winnowFingerprint(text: String): Long = {
     val k = 8
     val w = 4
-    if (text.length < k) return simhash64(text)
+    // below k+w-1 chars the window loop never runs (fingerprint would be a
+    // constant 0); fall back to simhash like the sub-k case
+    if (text.length < k + w - 1) return simhash64(text)
     val n = text.length - k + 1
     val hs = new Array[Long](n)
     var i = 0
@@ -194,7 +200,7 @@ object VectorOps {
     Array.fill(NumHyperplanes)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  /** Random-hyperplane LSH bucket id (16-bit signature). Vectors in the same
+  /** Random-hyperplane LSH bucket id (8-bit signature, 256 buckets). Vectors in the same
     * bucket are cosine-similar with high probability; at scale the ANN join
     * shuffles on this bucket id instead of going all-pairs.
     */

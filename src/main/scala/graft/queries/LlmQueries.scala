@@ -58,7 +58,7 @@ object LlmQueries {
     * silent (the count is approximate — the bucket subtree evaluates once
     * per join side plus task retries, so treat nonzero as "drops
     * happened", not an exact total). Docs in a dropped bucket still pair
-    * via their other 15 bands.
+    * via their other 31 bands.
     */
   def minhashCandidatePairs(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val s = docs.sparkSession
@@ -136,9 +136,10 @@ object LlmQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
-    // MinHash-LSH near-dup: 64 minhashes -> 16 banded buckets -> in-bucket
-    // candidate pairs -> exact Jaccard verification. Same output as l03 for
-    // high-similarity pairs (16x4 bands catch j>=0.8 essentially always);
+    // MinHash-LSH near-dup: 64 minhashes -> 32 banded buckets -> in-bucket
+    // candidate pairs -> exact Jaccard verification. Same output as l03
+    // (32x2 bands make even j=0.5 candidates ~0.9999 likely, j>=0.8
+    // certain to many nines — the exact verify, not band luck, decides);
     // the LSH path scales where the inverted index hits hot-shingle skew.
     "l04_minhash_lsh_dedup" -> ((s, d) => {
       val sh = shingles(s, d)
@@ -154,15 +155,20 @@ object LlmQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
-    // SimHash: 64-bit signatures + winnowing fingerprints; candidate pairs
-    // from 16-bit chunk banding verified by exact Hamming distance.
-    // No SQL oracle (bit-level hashing isn't DuckDB-expressible) -> rows-only.
+    // SimHash: 64-bit signatures; candidate pairs from 7-chunk banding
+    // (9-10 bits per chunk) verified by exact Hamming distance. 7 chunks
+    // GUARANTEE a shared chunk for any pair within the hamming<=6 filter
+    // (pigeonhole) — 4x16-bit banding only covered hamming<=3.
     "l05_simhash_pairs" -> ((s, d) => {
       import s.implicits._
       val chunks = documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, t) =>
           val sh = graft.functions.TextOps.simhash64(t)
-          (0 until 4).map(c => (id, sh, c, ((sh >>> (c * 16)) & 0xffffL).toInt))
+          (0 until 7).map { c =>
+            val lo = c * 9
+            val width = if (c == 6) 10 else 9
+            (id, sh, c, ((sh >>> lo) & ((1L << width) - 1)).toInt)
+          }
         }
         .toDF("doc_id", "sh", "chunk", "v")
       val a = chunks.alias("a"); val b = chunks.alias("b")
@@ -238,10 +244,13 @@ object LlmQueries {
     // per-row map, no shuffle until the (tiny) projection.
     "l12_winnow_fingerprint" -> ((s, d) => {
       import s.implicits._
-      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 50) // before the typed map: the predicate
+        // cannot cross the DeserializeToObject barrier, and fingerprinting
+        // the whole corpus for 50 rows would be pure waste
+        .as[(Long, String)]
         .map { case (id, t) => (id, graft.functions.TextOps.winnowFingerprint(t)) }
         .toDF("doc_id", "fp")
-        .filter(col("doc_id") < 50)
         .orderBy(col("doc_id"))
     }),
 
@@ -368,28 +377,41 @@ object LlmQueries {
     // (FNV-1a + java.util.Random LCG from their published specs).
     "l05_simhash_pairs" ->
       """SELECT * FROM (VALUES
+  (CAST(4 AS BIGINT), CAST(345 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(7 AS BIGINT), CAST(354 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(9 AS BIGINT), CAST(151 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(9 AS BIGINT), CAST(272 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(9 AS BIGINT), CAST(422 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(14 AS BIGINT), CAST(293 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(14 AS BIGINT), CAST(395 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(18 AS BIGINT), CAST(361 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(24 AS BIGINT), CAST(357 AS BIGINT), CAST(3 AS INTEGER)),
   (CAST(25 AS BIGINT), CAST(100 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(25 AS BIGINT), CAST(213 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(25 AS BIGINT), CAST(314 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(25 AS BIGINT), CAST(345 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(25 AS BIGINT), CAST(380 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(25 AS BIGINT), CAST(453 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(27 AS BIGINT), CAST(468 AS BIGINT), CAST(4 AS INTEGER)),
   (CAST(28 AS BIGINT), CAST(58 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(28 AS BIGINT), CAST(280 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(28 AS BIGINT), CAST(318 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(28 AS BIGINT), CAST(386 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(29 AS BIGINT), CAST(291 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(1 AS INTEGER)),
   (CAST(32 AS BIGINT), CAST(291 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(32 AS BIGINT), CAST(352 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(32 AS BIGINT), CAST(432 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(39 AS BIGINT), CAST(367 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(42 AS BIGINT), CAST(465 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(43 AS BIGINT), CAST(182 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(43 AS BIGINT), CAST(271 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(43 AS BIGINT), CAST(272 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(43 AS BIGINT), CAST(352 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(44 AS BIGINT), CAST(446 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(45 AS BIGINT), CAST(324 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(2 AS INTEGER)),
   (CAST(50 AS BIGINT), CAST(397 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(56 AS BIGINT), CAST(426 AS BIGINT), CAST(6 AS INTEGER)),
@@ -399,32 +421,47 @@ object LlmQueries {
   (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(1 AS INTEGER)),
   (CAST(58 AS BIGINT), CAST(386 AS BIGINT), CAST(4 AS INTEGER)),
   (CAST(58 AS BIGINT), CAST(426 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(58 AS BIGINT), CAST(428 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(1 AS INTEGER)),
   (CAST(62 AS BIGINT), CAST(397 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(63 AS BIGINT), CAST(283 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(70 AS BIGINT), CAST(139 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(70 AS BIGINT), CAST(409 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(1 AS INTEGER)),
   (CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST(3 AS INTEGER)),
   (CAST(73 AS BIGINT), CAST(162 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(73 AS BIGINT), CAST(177 AS BIGINT), CAST(4 AS INTEGER)),
   (CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(91 AS BIGINT), CAST(251 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(91 AS BIGINT), CAST(293 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(91 AS BIGINT), CAST(312 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(91 AS BIGINT), CAST(427 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(92 AS BIGINT), CAST(450 AS BIGINT), CAST(3 AS INTEGER)),
   (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(1 AS INTEGER)),
+  (CAST(100 AS BIGINT), CAST(314 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(100 AS BIGINT), CAST(329 AS BIGINT), CAST(4 AS INTEGER)),
   (CAST(100 AS BIGINT), CAST(341 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(100 AS BIGINT), CAST(344 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(100 AS BIGINT), CAST(351 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(100 AS BIGINT), CAST(453 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(107 AS BIGINT), CAST(387 AS BIGINT), CAST(3 AS INTEGER)),
   (CAST(109 AS BIGINT), CAST(429 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(109 AS BIGINT), CAST(498 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(113 AS BIGINT), CAST(299 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(120 AS BIGINT), CAST(332 AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(131 AS BIGINT), CAST(151 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(131 AS BIGINT), CAST(409 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(131 AS BIGINT), CAST(487 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(131 AS BIGINT), CAST(493 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(132 AS BIGINT), CAST(490 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(133 AS BIGINT), CAST(414 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(135 AS BIGINT), CAST(235 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(137 AS BIGINT), CAST(218 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(137 AS BIGINT), CAST(315 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(139 AS BIGINT), CAST(447 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(147 AS BIGINT), CAST(176 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(147 AS BIGINT), CAST(467 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(147 AS BIGINT), CAST(495 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(151 AS BIGINT), CAST(182 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(151 AS BIGINT), CAST(376 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(151 AS BIGINT), CAST(409 AS BIGINT), CAST(5 AS INTEGER)),
@@ -435,18 +472,27 @@ object LlmQueries {
   (CAST(171 AS BIGINT), CAST(333 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(176 AS BIGINT), CAST(467 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(178 AS BIGINT), CAST(335 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(182 AS BIGINT), CAST(423 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(182 AS BIGINT), CAST(493 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(186 AS BIGINT), CAST(329 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(188 AS BIGINT), CAST(251 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(190 AS BIGINT), CAST(241 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(193 AS BIGINT), CAST(444 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(195 AS BIGINT), CAST(225 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(197 AS BIGINT), CAST(218 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(198 AS BIGINT), CAST(471 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(203 AS BIGINT), CAST(325 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(205 AS BIGINT), CAST(361 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(213 AS BIGINT), CAST(309 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(213 AS BIGINT), CAST(314 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(215 AS BIGINT), CAST(304 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(215 AS BIGINT), CAST(444 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(217 AS BIGINT), CAST(404 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(218 AS BIGINT), CAST(328 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(225 AS BIGINT), CAST(272 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(228 AS BIGINT), CAST(424 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(229 AS BIGINT), CAST(355 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(234 AS BIGINT), CAST(474 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(240 AS BIGINT), CAST(390 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(248 AS BIGINT), CAST(369 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(251 AS BIGINT), CAST(293 AS BIGINT), CAST(5 AS INTEGER)),
@@ -455,38 +501,66 @@ object LlmQueries {
   (CAST(251 AS BIGINT), CAST(386 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(251 AS BIGINT), CAST(426 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(251 AS BIGINT), CAST(427 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(251 AS BIGINT), CAST(498 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(258 AS BIGINT), CAST(483 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(261 AS BIGINT), CAST(345 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(263 AS BIGINT), CAST(293 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(0 AS INTEGER)),
+  (CAST(269 AS BIGINT), CAST(314 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(272 AS BIGINT), CAST(465 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(274 AS BIGINT), CAST(314 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(274 AS BIGINT), CAST(352 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(280 AS BIGINT), CAST(293 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(280 AS BIGINT), CAST(318 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(280 AS BIGINT), CAST(386 AS BIGINT), CAST(4 AS INTEGER)),
   (CAST(283 AS BIGINT), CAST(431 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(1 AS INTEGER)),
   (CAST(291 AS BIGINT), CAST(432 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(293 AS BIGINT), CAST(386 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(293 AS BIGINT), CAST(426 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(293 AS BIGINT), CAST(427 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(294 AS BIGINT), CAST(355 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(295 AS BIGINT), CAST(374 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(299 AS BIGINT), CAST(378 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(299 AS BIGINT), CAST(453 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(303 AS BIGINT), CAST(330 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(310 AS BIGINT), CAST(389 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(312 AS BIGINT), CAST(397 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(312 AS BIGINT), CAST(427 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(314 AS BIGINT), CAST(345 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(314 AS BIGINT), CAST(453 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(319 AS BIGINT), CAST(424 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(320 AS BIGINT), CAST(453 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(327 AS BIGINT), CAST(331 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(337 AS BIGINT), CAST(401 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(341 AS BIGINT), CAST(354 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(341 AS BIGINT), CAST(378 AS BIGINT), CAST(4 AS INTEGER)),
   (CAST(341 AS BIGINT), CAST(453 AS BIGINT), CAST(4 AS INTEGER)),
   (CAST(344 AS BIGINT), CAST(351 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(344 AS BIGINT), CAST(473 AS BIGINT), CAST(4 AS INTEGER)),
   (CAST(345 AS BIGINT), CAST(354 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(352 AS BIGINT), CAST(432 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(353 AS BIGINT), CAST(409 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(376 AS BIGINT), CAST(386 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(378 AS BIGINT), CAST(411 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(378 AS BIGINT), CAST(453 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(380 AS BIGINT), CAST(390 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(386 AS BIGINT), CAST(426 AS BIGINT), CAST(5 AS INTEGER)),
+  (CAST(386 AS BIGINT), CAST(465 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(391 AS BIGINT), CAST(480 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(0 AS INTEGER)),
+  (CAST(393 AS BIGINT), CAST(430 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(409 AS BIGINT), CAST(447 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(420 AS BIGINT), CAST(430 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(424 AS BIGINT), CAST(487 AS BIGINT), CAST(6 AS INTEGER)),
+  (CAST(426 AS BIGINT), CAST(427 AS BIGINT), CAST(4 AS INTEGER)),
+  (CAST(426 AS BIGINT), CAST(444 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(426 AS BIGINT), CAST(465 AS BIGINT), CAST(5 AS INTEGER)),
   (CAST(426 AS BIGINT), CAST(486 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(429 AS BIGINT), CAST(498 AS BIGINT), CAST(6 AS INTEGER)),
   (CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST(4 AS INTEGER)),
-  (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(2 AS INTEGER))
+  (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(462 AS BIGINT), CAST(466 AS BIGINT), CAST(6 AS INTEGER))
 ) t(ida, idb, hamming) ORDER BY ida, idb""",
 
     "l07_ann_lsh" ->
@@ -581,7 +655,7 @@ object LlmQueries {
   (CAST(47 AS BIGINT), CAST(232 AS BIGINT), CAST(-0.0301 AS DOUBLE)),
   (CAST(48 AS BIGINT), CAST(321 AS BIGINT), CAST(0.037 AS DOUBLE)),
   (CAST(49 AS BIGINT), CAST(186 AS BIGINT), CAST(0.1316 AS DOUBLE))
-) t(qid, neighbor_id, score) ORDER BY qid, neighbor_id""",
+) t(qid, neighbor_id, score) ORDER BY qid, score DESC, neighbor_id""",
 
     // Pinned by tools/pin_l12.py (independent winnowing reimplementation).
     "l12_winnow_fingerprint" ->

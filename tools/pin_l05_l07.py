@@ -50,11 +50,13 @@ def simhash64(text):
 
 
 def l05_rows(docs):
+    # 7 chunks of 9-10 bits: pigeonhole-guaranteed recall for hamming <= 6
     sh = {d: simhash64(t) for d, t in docs}
     by_chunk = {}
     for d, s in sh.items():
-        for c in range(4):
-            by_chunk.setdefault((c, (s >> (c * 16)) & 0xFFFF), []).append(d)
+        for c in range(7):
+            width = 10 if c == 6 else 9
+            by_chunk.setdefault((c, (s >> (c * 9)) & ((1 << width) - 1)), []).append(d)
     pairs = set()
     for ids in by_chunk.values():
         ids = sorted(ids)
@@ -157,7 +159,7 @@ def l07_rows(embs):
     return rows
 
 
-def sql_values(rows, cols, types):
+def sql_values(rows, cols, types, order=None):
     def lit(v, t):
         if t == "BIGINT":
             return f"CAST({v} AS BIGINT)"
@@ -169,7 +171,7 @@ def sql_values(rows, cols, types):
     vals = ",\n".join("  (" + ", ".join(lit(v, t) for v, t in zip(r, types)) + ")"
                       for r in rows)
     collist = ", ".join(cols)
-    order = ", ".join(cols[:2])
+    order = order or ", ".join(cols[:2])
     return (f"SELECT * FROM (VALUES\n{vals}\n) t({collist}) ORDER BY {order}")
 
 
@@ -195,7 +197,10 @@ def main():
     sql05 = sql_values(r05, ["ida", "idb", "hamming"], ["BIGINT", "BIGINT", "INTEGER"])
     print(sql05)
     print(f"-- l07: {len(r07)} rows")
-    sql07 = sql_values(r07, ["qid", "neighbor_id", "score"], ["BIGINT", "BIGINT", "DOUBLE"])
+    # same ORDER BY as the Spark query (driver contract: identical ordering)
+    sql07 = sql_values(r07, ["qid", "neighbor_id", "score"],
+                       ["BIGINT", "BIGINT", "DOUBLE"],
+                       order="qid, score DESC, neighbor_id")
     print(sql07)
 
     if out_dir:

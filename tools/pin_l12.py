@@ -51,7 +51,7 @@ def simhash64(text):
 
 def winnow(text, k=8, w=4):
     units = utf16_units(text)
-    if len(units) < k:
+    if len(units) < k + w - 1:  # window loop would never run below this
         return s64(simhash64(text))
     n = len(units) - k + 1
     hs = [s64(fnv1a64_gram(units, i, k)) for i in range(n)]  # signed compare
