@@ -3,7 +3,7 @@
 // built-in; the public kernels live here too for codegen call targets.
 package org.apache.spark.sql.graftexpr
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -14,7 +14,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * java.lang.String (the Scala-UDF path pays that conversion per row).
   */
 object SeqOpsBytes {
+  /** True when every byte is single-byte UTF-8 (ASCII) — the hot-path
+    * precondition for operating on raw bytes.
+    */
+  private def isAscii(s: UTF8String): Boolean = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) { if ((s.getByte(i) & 0x80) != 0) return false; i += 1 }
+    true
+  }
+
   def gcContent(s: UTF8String): Float = {
+    if (!isAscii(s)) // denominator must be CHARS, not bytes
+      return graft.functions.SeqOps.gcContent(s.toString).toFloat
     val n = s.numBytes()
     var gc = 0
     var i = 0
@@ -27,6 +39,9 @@ object SeqOpsBytes {
   }
 
   def reverseComplement(s: UTF8String): UTF8String = {
+    if (!isAscii(s)) // byte reversal would shred multi-byte characters
+      return UTF8String.fromString(
+        graft.functions.SeqOps.reverseComplement(s.toString))
     val in = s.getBytes
     val n = in.length
     val out = new Array[Byte](n)
@@ -50,6 +65,11 @@ object SeqOpsBytes {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // ArrayData.getFloat on a null slot silently yields 0.0f — a null
+      // element is a data bug, so fail loudly instead of skewing scores
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"cosine_similarity: null element at index $i")
       val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -66,7 +86,7 @@ object SeqOpsBytes {
   }
 }
 
-abstract class GraftUnaryExpression extends UnaryExpression with ExpectsInputTypes {
+abstract class GraftUnaryExpression extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   /** Fully-qualified static call target, e.g. "...SeqOpsBytes.gcContent". */
   def kernel: String
@@ -109,7 +129,7 @@ case class QualityScoresToListExpr(child: Expression) extends GraftUnaryExpressi
   * hot loop of the ANN / embedding-near-dup queries.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-  extends BinaryExpression with ExpectsInputTypes {
+  extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType

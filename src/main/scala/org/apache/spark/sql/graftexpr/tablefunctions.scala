@@ -47,8 +47,11 @@ object GraftTableFunctions {
 
     plainScans.foreach { case (name, fmt) =>
       reg.createOrReplaceTempFunction(name, { args =>
+        require(args.length <= 2, s"$name takes (path [, compression])")
         val path = literal(name, args, 0)
-        relation(fmt, Map("path" -> path)) // compression arg inferred per file
+        val opts = Map("path" -> path) ++
+          (if (args.length > 1) Map("compression" -> literal(name, args, 1)) else Map.empty)
+        relation(fmt, opts)
       }, "built-in")
     }
 
@@ -62,13 +65,10 @@ object GraftTableFunctions {
         // work too (region strings like 'chr1:1-100' fail Path parsing or
         // existence and fall through to the literal branch).
         val regionArg = literal(name, args, 1)
-        val isFile = scala.util.Try {
-          val rp = new org.apache.hadoop.fs.Path(regionArg)
-          rp.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-            .getFileStatus(rp).isFile
-        }.getOrElse(false)
-        val key = if (isFile) "regionfile" else "region"
-        relation(fmt, Map("path" -> path, key -> regionArg))
+        require(args.length <= 3, s"$name takes (path, region-or-regionFile [, compression])")
+        val opts = Map("path" -> path, regionKey(regionArg) -> regionArg) ++
+          (if (args.length > 2) Map("compression" -> literal(name, args, 2)) else Map.empty)
+        relation(fmt, opts)
       }, "built-in")
     }
 
@@ -79,12 +79,9 @@ object GraftTableFunctions {
       val path = literal("fasta_indexed_scan", args, 0)
       val regionArg = literal("fasta_indexed_scan", args, 1)
       val conf = SparkSession.active.sparkContext.hadoopConfiguration
-      val isFile = scala.util.Try {
-        val rp = new org.apache.hadoop.fs.Path(regionArg)
-        rp.getFileSystem(conf).getFileStatus(rp).isFile
-      }.getOrElse(false)
       val regions: Seq[String] =
-        if (isFile) graft.functions.GenomicRegion.readRegionFile(regionArg, conf)
+        if (regionKey(regionArg) == "regionfile")
+          graft.functions.GenomicRegion.readRegionFile(regionArg, conf)
         else Seq(regionArg)
       val table = new GraftTable(new FastaIndexedFormat(regions), Map("path" -> path))
       DataSourceV2Relation.create(table, None, None)
@@ -94,12 +91,29 @@ object GraftTableFunctions {
   private def relation(fmt: GraftFormat, opts: Map[String, String]): LogicalPlan =
     DataSourceV2Relation.create(new GraftTable(fmt, opts), None, None)
 
+  /** "regionfile" when the argument resolves to an existing file through the
+    * Hadoop FS API (hdfs:///s3a:// work too), else "region" — region strings
+    * like 'chr1:1-100' fail Path parsing or existence and fall through.
+    */
+  private def regionKey(regionArg: String): String = {
+    val isFile = scala.util.Try {
+      val rp = new org.apache.hadoop.fs.Path(regionArg)
+      rp.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+        .getFileStatus(rp).isFile
+    }.getOrElse(false)
+    if (isFile) "regionfile" else "region"
+  }
+
   private def literal(name: String, args: Seq[Expression], i: Int): String = {
     require(args.length > i, s"$name: missing argument ${i + 1}")
     args(i) match {
-      case Literal(s: UTF8String, StringType) => s.toString
+      case Literal(s: UTF8String, StringType) if s != null => s.toString
       case e if e.foldable && e.dataType == StringType =>
-        String.valueOf(e.eval(null))
+        e.eval(null) match {
+          case null => throw new IllegalArgumentException(
+            s"$name: argument ${i + 1} must be a non-null string literal")
+          case v => v.toString
+        }
       case other => throw new IllegalArgumentException(
         s"$name: argument ${i + 1} must be a string literal, got $other")
     }

@@ -98,4 +98,20 @@ class GraftFunctionsSpec extends AnyFunSuite with SharedSpark {
         "alignment_score(CAST(NULL AS STRING), 'A')").head()
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
+
+  test("implicit casts + non-ASCII safety for native expressions") {
+    graft.GraftSession.registerAll(spark)
+    // SQL double-array literal implicitly casts to the float-array input
+    val c = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+    // multi-byte characters pass through un-shredded (char semantics)
+    val rc = spark.sql("SELECT reverse_complement('A\u00e9T') AS rc").head().getString(0)
+    assert(rc == "A\u00e9T".reverse.map {
+      case 'A' => 'T'; case 'T' => 'A'; case c2 => c2
+    }.mkString)
+    val gc = spark.sql("SELECT gc_content('GC\u00e9') AS gc").head().getFloat(0)
+    assert(math.abs(gc - 2.0f / 3.0f) < 1e-6, s"gc=$gc (chars, not bytes)")
+  }
 }

@@ -52,4 +52,20 @@ class TableFunctionsSpec extends AnyFunSuite with SharedSpark {
       .head().getLong(0)
     assert(n == 2513)
   }
+
+  test("scan TVF compression argument is honored (none excludes compressed files)") {
+    graft.GraftSession.registerAll(spark)
+    val fx = "/root/reference/exon/exon-core/test-data/datasources"
+    val all = spark.sql(s"SELECT count(*) FROM fasta_scan('$fx/fa')").head().getLong(0)
+    val none = spark.sql(s"SELECT count(*) FROM fasta_scan('$fx/fa', 'none')")
+      .head().getLong(0)
+    // the fa dir holds plain + gzip'd copies: 'none' must exclude the
+    // compressed ones (4 records) where the default inferred scan reads all 8
+    assert(none == 4 && all == 8, s"none=$none all=$all")
+    // a null path argument must fail with a clear message, not scan 'null'
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM fasta_scan(CAST(NULL AS STRING))").collect()
+    }
+    assert(e.getMessage.contains("non-null"), e.getMessage)
+  }
 }
