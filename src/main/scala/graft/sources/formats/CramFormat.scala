@@ -22,7 +22,7 @@ import graft.sources.FormatUtil._
   * mapped reads. Unmapped reads always carry their stored bases.
   */
 class CramFormat(refPath: Option[String],
-                 region: Option[(String, Long, Long)] = None) extends GraftFormat {
+                 regions: Seq[(String, Long, Long)] = Nil) extends GraftFormat {
   override def shortName: String = "cram"
   override def defaultExtensions: Seq[String] = Seq("cram")
   override val dataSchema: StructType = SamFormat.dataSchema
@@ -248,7 +248,7 @@ class CramFormat(refPath: Option[String],
     val sin = new StreamIn(input.stream)
     sin.skipN(26) // file definition
     val craiEntries: Option[Seq[CraiIndex.Entry]] =
-      if (region.isDefined && input.path != null && input.fs != null)
+      if (regions.nonEmpty && input.path != null && input.fs != null)
         CraiIndex.read(input.fs, input.path)
       else None
 
@@ -259,14 +259,18 @@ class CramFormat(refPath: Option[String],
       private var finished = false
       private var cur: Iterator[Array[Any]] = Iterator.empty
 
+      // Keep a container if it overlaps ANY requested region — the row
+      // filter downstream accepts a row matching any of region/regionFile,
+      // so pruning must use the same union or it silently drops rows.
       private def headerOverlaps(refSeqId: Int, aliStart: Int, aliSpan: Int): Boolean =
-        region match {
-          case None => true
-          case Some((chrom, lo, hi)) =>
-            if (refSeqId == -2) true // multi-ref container: can't judge here
-            else if (refSeqId < 0) false // unmapped: reference is null, never matches
-            else if (refSeqId >= refs.length || refs(refSeqId) != chrom) false
-            else aliStart <= hi && aliStart.toLong + math.max(1, aliSpan) - 1 >= lo
+        regions.isEmpty || {
+          if (refSeqId == -2) true // multi-ref container: can't judge here
+          else if (refSeqId < 0) false // unmapped: reference is null, never matches
+          else if (refSeqId >= refs.length) false
+          else regions.exists { case (chrom, lo, hi) =>
+            refs(refSeqId) == chrom &&
+              aliStart <= hi && aliStart.toLong + math.max(1, aliSpan) - 1 >= lo
+          }
         }
 
       @annotation.tailrec
@@ -297,12 +301,10 @@ class CramFormat(refPath: Option[String],
           refs = text.split('\n').filter(_.startsWith("@SQ")).flatMap { l =>
             l.split('\t').find(_.startsWith("SN:")).map(_.substring(3))
           }
-          for {
-            entries <- craiEntries
-            (chrom, lo, hi) <- region
-          } {
-            val refId = refs.indexOf(chrom)
-            wanted = CraiIndex.wantedContainers(entries, refId, lo, hi)
+          for (entries <- craiEntries) {
+            wanted = regions.map { case (chrom, lo, hi) =>
+              CraiIndex.wantedContainers(entries, refs.indexOf(chrom), lo, hi)
+            }.foldLeft(Set.empty[Long])(_ ++ _)
           }
           advance()
         } else if (nRec == 0) {
@@ -607,7 +609,7 @@ class CramFormat(refPath: Option[String],
   }
 }
 
-object CramFormat extends CramFormat(None, None) {
+object CramFormat extends CramFormat(None, Nil) {
   /** Process-wide count of containers skipped by header/.crai pruning —
     * cheap observability the specs assert on (not part of the data path).
     */

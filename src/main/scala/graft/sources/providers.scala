@@ -76,12 +76,19 @@ class BcfSourceProvider extends GraftTableProvider(BcfFormat)
 class CramSourceProvider extends GraftTableProvider(CramFormat) {
   override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
     val ref = opts.get("fastareference").orElse(opts.get("fasta_reference"))
-    // The region ALSO drives the reader-side row filter via regionColumns;
-    // handing it to the format additionally enables container pruning by
-    // header coordinates and the .crai index.
-    val region = opts.get("region").map(graft.functions.GenomicRegion.toBounds)
-    if (ref.isEmpty && region.isEmpty) CramFormat
-    else new CramFormat(ref, region)
+    // The regions ALSO drive the reader-side row filter via regionColumns;
+    // handing them to the format additionally enables container pruning by
+    // header coordinates and the .crai index. Must be the same region+
+    // regionFile union the row filter uses, or pruning drops rows the
+    // filter would accept.
+    val regions: Seq[(String, Long, Long)] =
+      (opts.get("region").toSeq ++
+        opts.get("regionfile").toSeq.flatMap(p =>
+          graft.functions.GenomicRegion.readRegionFile(p,
+            org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)))
+        .map(graft.functions.GenomicRegion.toBounds)
+    if (ref.isEmpty && regions.isEmpty) CramFormat
+    else new CramFormat(ref, regions)
   }
 }
 /** Auto-detecting provider: picks the concrete format from the path's file
