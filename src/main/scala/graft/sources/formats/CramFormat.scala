@@ -11,8 +11,9 @@ import graft.sources.FormatUtil._
 /** CRAM 3.0 reader, hand-decoded from the public CRAM specification:
   * containers -> compression header (preservation map, data-series and tag
   * encodings) -> slices (core + external blocks) -> records. Implements the
-  * codecs the format commonly uses: raw/gzip block compression plus rANS
-  * 4x8 order-0, and the EXTERNAL / HUFFMAN / BYTE_ARRAY_LEN /
+  * block codecs legal in CRAM 3.0: raw/gzip/bzip2/lzma plus rANS 4x8
+  * orders 0 and 1 (order-1 is samtools' default), and the EXTERNAL /
+  * HUFFMAN / BYTE_ARRAY_LEN /
   * BYTE_ARRAY_STOP / BETA value encodings. CIGAR is reconstructed from read
   * features; `end` is start + reference-consumed length.
   *
@@ -72,14 +73,16 @@ class CramFormat(refPath: Option[String],
     }
   }
 
-  // ---- rANS 4x8 order-0 ----
+  // ---- rANS 4x8 (CRAM 3.0 spec §13; htscodecs rans_static 12-bit) ----
 
   private def ransDecode(data: Array[Byte]): Array[Byte] = {
     val r = new In(data, 0)
     val order = r.u8()
-    require(order == 0, s"cram: rANS order $order not supported (only order-0)")
+    require(order == 0 || order == 1,
+      s"cram: rANS order $order not supported (only 0/1)")
     r.i32le() // compressed size
     val rsize = r.i32le()
+    if (order == 1) return ransDecodeO1(r, rsize)
     val (freq, consumed) = CramFormat.ransFreqTable(r.b, r.o)
     r.o += consumed
     val cum = new Array[Int](257)
@@ -106,10 +109,96 @@ class CramFormat(refPath: Option[String],
     out
   }
 
-  private def decompress(method: Int, payload: Array[Byte]): Array[Byte] = method match {
+  /** Order-1 body: per-context frequency tables (outer symbol/RLE loop over
+    * contexts, order-0-style inner rows), then 4 interleaved states each
+    * owning one quarter of the output with context = previous decoded byte
+    * of that quarter (0 at quarter start); the mod-4 tail is carried by
+    * state 3. Iteration order (state 0..3 per step, renormalizing each
+    * immediately) fixes the shared-byte-stream read order — samtools'
+    * default write codec, so production CRAMs hit this path.
+    */
+  private def ransDecodeO1(r: In, rsize: Int): Array[Byte] = {
+    val freqs = new Array[Array[Int]](256)
+    val cumsCache = new Array[Array[Int]](256)
+    val luts = new Array[Array[Byte]](256)
+    var sym = r.u8(); var rle = 0; var done = false
+    while (!done) {
+      val (f, consumed) = CramFormat.ransFreqTable(r.b, r.o)
+      r.o += consumed
+      freqs(sym) = f
+      if (rle > 0) { rle -= 1; sym += 1 }
+      else {
+        val next = r.u8()
+        if (next == sym + 1) { sym = next; rle = r.u8() }
+        else if (next == 0) done = true
+        else sym = next
+      }
+    }
+    def tables(c: Int): (Array[Int], Array[Int], Array[Byte]) = {
+      require(freqs(c) != null, s"cram: rANS order-1 stream uses undeclared context $c")
+      if (luts(c) == null) {
+        val f = freqs(c)
+        val cum = new Array[Int](257)
+        var i = 0
+        while (i < 256) { cum(i + 1) = cum(i) + f(i); i += 1 }
+        val lut = new Array[Byte](4096)
+        var s = 0
+        while (s < 256) {
+          var x = cum(s)
+          val end = cum(s + 1)
+          while (x < end) { lut(x) = s.toByte; x += 1 }
+          s += 1
+        }
+        luts(c) = lut
+        cumsCache(c) = cum
+      }
+      (freqs(c), cumsCache(c), luts(c))
+    }
+    val states = Array.fill(4)(r.i32le() & 0xffffffffL)
+    val ctx = new Array[Int](4)
+    val out = new Array[Byte](rsize)
+    val isz4 = rsize >> 2
+    def step(j: Int, pos: Int): Unit = {
+      val (f, cum, lut) = tables(ctx(j))
+      var st = states(j)
+      val slot = (st & 0xfff).toInt
+      val s = lut(slot) & 0xff
+      out(pos) = s.toByte
+      st = f(s) * (st >>> 12) + slot - cum(s)
+      while (st < (1L << 23) && !r.eof) st = (st << 8) | r.u8()
+      states(j) = st
+      ctx(j) = s
+    }
+    var i = 0
+    while (i < isz4) {
+      var j = 0
+      while (j < 4) { step(j, j * isz4 + i); j += 1 }
+      i += 1
+    }
+    var p = 4 * isz4
+    while (p < rsize) { step(3, p); p += 1 }
+    out
+  }
+
+  private[sources] def decompress(method: Int, payload: Array[Byte]): Array[Byte] = method match {
     case 0 => payload
     case 1 =>
       val in = new MultiMemberGzipInputStream(new java.io.ByteArrayInputStream(payload))
+      try in.readAllBytes() finally in.close()
+    case 2 =>
+      val in = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+        new java.io.ByteArrayInputStream(payload), true)
+      try in.readAllBytes() finally in.close()
+    case 3 =>
+      // htslib's "lzma" blocks are .xz containers; accept raw .lzma too.
+      val isXz = payload.length >= 6 && (payload(0) & 0xff) == 0xfd &&
+        payload(1) == '7' && payload(2) == 'z' && payload(3) == 'X' &&
+        payload(4) == 'Z' && payload(5) == 0
+      val in =
+        if (isXz) new org.apache.commons.compress.compressors.xz.XZCompressorInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        else new org.apache.commons.compress.compressors.lzma.LZMACompressorInputStream(
+          new java.io.ByteArrayInputStream(payload))
       try in.readAllBytes() finally in.close()
     case 4 => ransDecode(payload)
     case other => throw new IllegalStateException(s"cram: block codec $other not supported")

@@ -127,6 +127,25 @@ class CramSpec extends AnyFunSuite with SharedSpark {
     assert(pruned == full && pruned > 0)
   }
 
+  test("cram: order-1/bzip2/lzma block codecs decode end-to-end") {
+    // fixtures produced by tools/recompress_cram.py: identical records,
+    // every sizable block re-encoded with rANS order-1 (samtools' default)
+    // rotating in bzip2 and lzma — codecs absent from the checkout's own
+    // fixtures, which are raw/gzip/rANS-order-0 only.
+    def res(n: String): String = getClass.getResource(s"/cram/$n").getPath
+    val cols = Seq("name", "flag", "reference", "start", "end",
+      "mapping_quality", "cigar", "sequence", "quality_score")
+    def rows(p: String) = spark.read.format("cram").load(p)
+      .select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq
+    assert(rows(res("test_input_1_a_o1.cram")) ==
+      rows(s"$fx/cram/test_input_1_a.cram"))
+    assert(rows(res("1404_index_multislice_o1.cram")) ==
+      rows(s"$fx/cram/1404_index_multislice.cram"))
+    // pruning still works on the recompressed file (header coordinates)
+    assert(spark.read.format("cram").option("region", "CHROMOSOME_II")
+      .load(res("1404_index_multislice_o1.cram")).count() == 10)
+  }
+
   test("crai index parse + wantedContainers") {
     val fs = new org.apache.hadoop.fs.Path(fx).getFileSystem(
       new org.apache.hadoop.conf.Configuration())
