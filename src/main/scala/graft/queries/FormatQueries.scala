@@ -177,6 +177,23 @@ object FormatQueries {
       bz.crossJoin(xz)
     }),
 
+    // sequenceDataType integer encoding (reference exon-fasta config.rs:
+    // 166-210): DNA A/C/G/T/N -> 1..5, protein index+1 in the reference's
+    // 25-letter alphabet; graded as a joined code string.
+    "f34_fasta_integer" -> ((s, _) => {
+      val dna = s.read.format("fasta")
+        .option("sequenceDataType", "integer_encode_dna")
+        .load(s"$fx/fasta/test.fasta")
+        .select(lit("dna").as("kind"), col("id"),
+          array_join(col("sequence").cast("array<string>"), ",").as("codes"))
+      val prot = s.read.format("fasta")
+        .option("sequenceDataType", "integer_encode_protein")
+        .load(s"$fx/faa/test.faa")
+        .select(lit("protein").as("kind"), col("id"),
+          array_join(col("sequence").cast("array<string>"), ",").as("codes"))
+      dna.unionAll(prot).orderBy("kind", "id")
+    }),
+
     // CRAM .crai container pruning: region scans decode only overlapping
     // containers (CramSpec asserts 6 of 7 data containers are skipped for
     // the CHROMOSOME_II query); counts pinned from the unpruned row-filter.
@@ -476,6 +493,14 @@ object FormatQueries {
     "f33_bzip2_xz" ->
       """SELECT CAST(2 AS BIGINT) AS n_bz2, CAST(8 AS BIGINT) AS len_bz2,
         |  CAST(2 AS BIGINT) AS n_xz, CAST(8 AS BIGINT) AS len_xz""".stripMargin,
+
+    "f34_fasta_integer" ->
+      """SELECT * FROM (VALUES
+        |  ('dna', 'a', '1,4,2,3'),
+        |  ('dna', 'b', '1,4,2,3'),
+        |  ('protein', 'a', '1,3,4,5,6,7,8,9,10,11,12,13,15,16,17,18,19,21,22,23'),
+        |  ('protein', 'b', '1,3,4,5,6,7,8,9,10,11,12,13,15,16,17,18,19,21,22,23'))
+        |t(kind, id, codes) ORDER BY kind, id""".stripMargin,
 
     "f13_gff_indexed_region" ->
       """SELECT CAST(8813 AS BIGINT) AS n_chr1, CAST(7223 AS BIGINT) AS n_chr2,

@@ -7,56 +7,89 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 /** Micro-batch streaming over a graft table's file listing: every format
   * (`spark.readStream.format("fasta")...`) becomes a file-arrival stream.
   *
-  * Offsets are a count into the listing ordered by (modificationTime, path)
-  * — the same contract as Spark's file stream source: files must land
-  * atomically (write + rename), and a file back-dated before the committed
-  * boundary is not picked up. Each batch reads only the newly-arrived
-  * files, as whole-file chunks packed with the batch packer, through the
-  * same PartitionReaderFactory as batch scans (so column pruning and
-  * option-region row filtering apply unchanged).
+  * An offset is the (modificationTime, path) key of the last file included
+  * — not a count. A batch is "files with key in (start, end]", so deleting
+  * an already-processed file can never shift the window onto different
+  * files after a restart (a bare index into the re-listed sequence would
+  * re-read or skip). Files must land atomically (write + rename); a file
+  * back-dated to or before a committed boundary key is not picked up —
+  * the same documented blind spot as Spark's file source.
+  *
+  * Each batch reads only the newly-arrived files, as whole-file chunks
+  * packed with the batch packer, through the same PartitionReaderFactory
+  * as batch scans (so column pruning and option-region row filtering
+  * apply unchanged).
   *
   * The reference is bounded-only (Boundedness::Bounded on every scan,
   * exon_file_scan_config.rs:58) — this is a Spark-native extension for
   * continuously-landing pipeline data.
   */
-final case class GraftFilesOffset(count: Int) extends Offset {
-  override def json(): String = s"""{"count":$count}"""
+final case class GraftFilesOffset(mtime: Long, path: String) extends Offset {
+  override def json(): String =
+    s"""{"mtime":$mtime,"path":"${GraftFilesOffset.escape(path)}"}"""
+}
+
+object GraftFilesOffset {
+  /** Sorts before every real file key. */
+  val start: GraftFilesOffset = GraftFilesOffset(Long.MinValue, "")
+
+  private[sources] def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private[sources] def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private val pat = """\{"mtime":(-?\d+),"path":"(.*)"\}""".r
+
+  def parse(json: String): GraftFilesOffset = json.trim match {
+    case pat(m, p) => GraftFilesOffset(m.toLong, unescape(p))
+    case other => throw new IllegalArgumentException(s"bad graft offset: $other")
+  }
+
+  def keyOf(st: FileStatus): (Long, String) =
+    (st.getModificationTime, st.getPath.toString)
+
+  def lte(key: (Long, String), o: GraftFilesOffset): Boolean =
+    key._1 < o.mtime || (key._1 == o.mtime && key._2 <= o.path)
 }
 
 final class GraftMicroBatchStream(table: GraftTable, scan: GraftScan)
   extends MicroBatchStream {
 
   // Listing snapshot taken at latestOffset time: planInputPartitions slices
-  // THIS listing, never a fresh one, so the files counted are exactly the
-  // files read even if more land between the two calls. (A file back-dated
-  // before a committed boundary — same-second writes with preserved mtimes —
-  // is still the documented blind spot, as with Spark's file source.)
+  // THIS listing when it still covers the end boundary, so the files
+  // keyed are exactly the files read even if more land between the two
+  // calls; after a restart it re-lists and filters by key.
   @volatile private var snapshot: Seq[(FileStatus, Array[String])] = Nil
 
   private def sortedFiles(): Seq[(FileStatus, Array[String])] =
-    table.listNow()._1
-      .sortBy { case (st, _) => (st.getModificationTime, st.getPath.toString) }
+    table.listNow()._1.sortBy { case (st, _) => GraftFilesOffset.keyOf(st) }
 
-  override def initialOffset(): Offset = GraftFilesOffset(0)
+  override def initialOffset(): Offset = GraftFilesOffset.start
 
   override def latestOffset(): Offset = {
     snapshot = sortedFiles()
-    GraftFilesOffset(snapshot.size)
+    snapshot.lastOption
+      .map { case (st, _) =>
+        val (m, p) = GraftFilesOffset.keyOf(st); GraftFilesOffset(m, p)
+      }
+      .getOrElse(GraftFilesOffset.start)
   }
 
-  override def deserializeOffset(json: String): Offset = {
-    val m = """\{"count":(\d+)\}""".r
-    json.trim match {
-      case m(n) => GraftFilesOffset(n.toInt)
-      case other => throw new IllegalArgumentException(s"bad graft offset: $other")
-    }
-  }
+  override def deserializeOffset(json: String): Offset = GraftFilesOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftFilesOffset].count
-    val e = end.asInstanceOf[GraftFilesOffset].count
-    val listed = if (snapshot.size >= e) snapshot else sortedFiles()
-    scan.packWholeFiles(listed.slice(s, e))
+    val s = start.asInstanceOf[GraftFilesOffset]
+    val e = end.asInstanceOf[GraftFilesOffset]
+    val listed =
+      if (snapshot.exists { case (st, _) =>
+        GraftFilesOffset.keyOf(st) == (e.mtime, e.path) } || e == GraftFilesOffset.start)
+        snapshot
+      else sortedFiles()
+    val batch = listed.filter { case (st, _) =>
+      val k = GraftFilesOffset.keyOf(st)
+      !GraftFilesOffset.lte(k, s) && GraftFilesOffset.lte(k, e)
+    }
+    scan.packWholeFiles(batch)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = scan.readerFactory

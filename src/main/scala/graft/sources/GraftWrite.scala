@@ -37,15 +37,20 @@ final class GraftWriteBuilder(table: GraftTable, format: WritableGraftFormat,
       val fs = dir.getFileSystem(conf)
       if (doTruncate && fs.exists(dir)) fs.delete(dir, true)
       fs.mkdirs(dir)
+      // Per-job temp namespace (Spark's FileOutputCommitter does the same):
+      // two concurrent appends to one directory must not delete each
+      // other's in-flight task files at job commit/abort.
       new GraftBatchWrite(format, table.paths.head, info.schema(),
         new SerializableHadoopConf(conf),
-        options.getOrElse("compression", "none").toLowerCase)
+        options.getOrElse("compression", "none").toLowerCase,
+        UUID.randomUUID().toString)
     }
   }
 }
 
 final class GraftBatchWrite(format: WritableGraftFormat, dir: String, schema: StructType,
-                            conf: SerializableHadoopConf, compression: String)
+                            conf: SerializableHadoopConf, compression: String,
+                            jobId: String)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -53,36 +58,43 @@ final class GraftBatchWrite(format: WritableGraftFormat, dir: String, schema: St
     val srcIdx: Array[Int] = format.dataSchema.fieldNames.map { f =>
       schema.fieldNames.indexWhere(_.equalsIgnoreCase(f))
     }
-    new GraftDataWriterFactory(format, dir, srcIdx, schema, conf, compression)
+    new GraftDataWriterFactory(format, dir, srcIdx, schema, conf, compression, jobId)
   }
 
-  // Task outputs land in dir/_temporary and are renamed into place on task
-  // commit, so a task that dies mid-write never leaves a visible partial
-  // part file (listings skip '_'-prefixed names as an extra guard). The
-  // job-level hooks clear any leftovers from dead attempts.
+  // Task outputs land in dir/_temporary/<jobId> and are renamed into place
+  // on task commit, so a task that dies mid-write never leaves a visible
+  // partial part file (listings skip '_'-prefixed names as an extra
+  // guard). Job commit/abort clears only THIS job's temp subtree, then the
+  // shared parent if it is empty.
   override def commit(messages: Array[WriterCommitMessage]): Unit = cleanTemp()
   override def abort(messages: Array[WriterCommitMessage]): Unit = cleanTemp()
 
   private def cleanTemp(): Unit = {
-    val tmp = new Path(dir, "_temporary")
+    val parent = new Path(dir, "_temporary")
+    val tmp = new Path(parent, jobId)
     val fs = tmp.getFileSystem(conf.value)
-    try fs.delete(tmp, true) catch { case _: Throwable => () }
+    try {
+      fs.delete(tmp, true)
+      if (fs.listStatus(parent).isEmpty) fs.delete(parent, false)
+    } catch { case _: Throwable => () }
   }
 }
 
 final class GraftDataWriterFactory(format: WritableGraftFormat, dir: String,
                                    srcIdx: Array[Int], schema: StructType,
-                                   conf: SerializableHadoopConf, compression: String)
+                                   conf: SerializableHadoopConf, compression: String,
+                                   jobId: String)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(format, dir, srcIdx, schema, conf, compression, partitionId, taskId)
+    new GraftDataWriter(format, dir, srcIdx, schema, conf, compression, partitionId,
+      taskId, jobId)
 }
 
 final class GraftDataWriter(format: WritableGraftFormat, dir: String,
                             srcIdx: Array[Int], schema: StructType,
                             conf: SerializableHadoopConf, compression: String,
-                            partitionId: Int, taskId: Long)
+                            partitionId: Int, taskId: Long, jobId: String)
   extends DataWriter[InternalRow] {
 
   private val ext = format.defaultExtensions.head + (compression match {
@@ -94,8 +106,8 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
   })
   private val fileName =
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.$ext"
-  // written under _temporary, renamed into place at task commit
-  private val tmpPath = new Path(new Path(dir, "_temporary"), fileName)
+  // written under the job's temp namespace, renamed into place at task commit
+  private val tmpPath = new Path(new Path(new Path(dir, "_temporary"), jobId), fileName)
   private val path = new Path(dir, fileName)
 
   private var opened = false

@@ -91,12 +91,16 @@ object GraftTableFunctions {
   private def relation(fmt: GraftFormat, opts: Map[String, String]): LogicalPlan =
     DataSourceV2Relation.create(new GraftTable(fmt, opts), None, None)
 
-  /** "regionfile" when the argument resolves to an existing file through the
-    * Hadoop FS API (hdfs:///s3a:// work too), else "region" — region strings
-    * like 'chr1:1-100' fail Path parsing or existence and fall through.
+  /** "regionfile" when the argument looks like a path (has a separator or
+    * URI scheme — hdfs:///s3a:// work too) AND resolves to an existing
+    * file through the Hadoop FS API, else "region". Bare chromosome names
+    * like '2' or 'X' are valid relative paths, so existence alone must
+    * never decide — a stray file named `X` in the working directory would
+    * silently reinterpret the region as a region file.
     */
   private def regionKey(regionArg: String): String = {
-    val isFile = scala.util.Try {
+    val looksLikePath = regionArg.contains('/') || regionArg.contains("://")
+    val isFile = looksLikePath && scala.util.Try {
       val rp = new org.apache.hadoop.fs.Path(regionArg)
       rp.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
         .getFileStatus(rp).isFile

@@ -44,6 +44,20 @@ class TableFunctionsSpec extends AnyFunSuite with SharedSpark {
       Seq(("a:1-2", "AT"), ("a:3-4", "CG")))
   }
 
+  test("bare-chromosome region is never shadowed by a same-named local file") {
+    graft.GraftSession.registerAll(spark)
+    // A file named after the chromosome in the working directory must not
+    // flip the region argument into regionFile mode: '1' stays a region.
+    val decoy = java.nio.file.Paths.get("1")
+    java.nio.file.Files.write(decoy, "not a region file".getBytes)
+    try {
+      val n = spark.sql(
+        s"SELECT COUNT(*) FROM vcf_indexed_scan('$fx/vcf/index.vcf.gz', '1')")
+        .head().getLong(0)
+      assert(n == 191)
+    } finally java.nio.file.Files.deleteIfExists(decoy)
+  }
+
   test("TVF composes with WHERE and projections") {
     graft.GraftSession.registerAll(spark)
     // the fixture holds 2513 sq0 + 2487 sq1 rows

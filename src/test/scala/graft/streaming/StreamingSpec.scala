@@ -41,6 +41,39 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(ids.toSeq == Seq("a1", "a2", "b1", "b2", "b3"))
   }
 
+  test("streaming restart survives deletion of an already-processed file") {
+    // Boundary-key offsets (mtime, path) — not counts — so removing a
+    // processed file must neither re-read survivors nor skip arrivals.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_del").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_del").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_del").toString
+    def writeFasta(name: String, ids: Seq[String]): Unit = {
+      val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
+      java.nio.file.Files.writeString(tmp,
+        ids.map(i => s">$i\nATCG").mkString("", "\n", "\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("fasta").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeFasta("a.fasta", Seq("a1"))
+    writeFasta("b.fasta", Seq("b1"))
+    runOnce()
+    // delete one processed file, land a new one strictly later
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "a.fasta"))
+    Thread.sleep(1100) // distinct mtime second on coarse filesystems
+    writeFasta("c.fasta", Seq("c1"))
+    runOnce()
+    val ids = spark.read.parquet(out).select("id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("a1", "b1", "c1"),
+      s"deletion of a processed file shifted the window: $ids")
+  }
+
   test("flatMapGroupsWithState dedup emits each hash once across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
