@@ -15,6 +15,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce small shuffle reads by size instead of holding the full
+      // session parallelism: with parallelismFirst (the default) every
+      // tiny exchange still fans out to ~#cores tasks, and multi-stage
+      // queries (l03's window+join rounds) pay pure scheduler overhead.
+      // At cluster scale the advisory size keeps partitions executor-sized.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -42,24 +42,46 @@ final class VcfTypedFormat(parseInfo: Boolean, parseFormats: Boolean) extends Gr
     }
   }
 
+  /** Headers of EVERY file are read and merged (reference behavior:
+    * per-header typed builder, vcf/schema_builder.rs:199-265): the merged
+    * struct is the first-seen-ordered union of INFO/FORMAT ids. A key
+    * declared with conflicting types across files fails loudly — silently
+    * parsing file 2's data against file 1's types would mis-type values.
+    * Keys absent from a given file simply stay null in its rows.
+    */
   override def inferDataSchema(files: Seq[FileStatus],
                                open: FileStatus => java.io.InputStream): StructType = {
     require(files.nonEmpty, "vcf: no files to infer schema from")
-    val in = open(files.head)
-    val (infoFields, formatFields) = try {
-      val lines = new ByteLineReader(in, 0L)
-      val info = Seq.newBuilder[StructField]
-      val fmt = Seq.newBuilder[StructField]
-      var l = lines.readLine()
-      while (l != null && l.startsWith("#")) {
-        DefRe.findFirstMatchIn(l).foreach { m =>
-          val f = StructField(m.group(2), fieldType(m.group(3), m.group(4)), nullable = true)
-          if (m.group(1) == "INFO") info += f else fmt += f
+    val info = scala.collection.mutable.LinkedHashMap.empty[String, (DataType, String)]
+    val fmt = scala.collection.mutable.LinkedHashMap.empty[String, (DataType, String)]
+    files.foreach { file =>
+      val in = open(file)
+      try {
+        val lines = new ByteLineReader(in, 0L)
+        var l = lines.readLine()
+        while (l != null && l.startsWith("#")) {
+          DefRe.findFirstMatchIn(l).foreach { m =>
+            val target = if (m.group(1) == "INFO") info else fmt
+            val id = m.group(2)
+            val dt = fieldType(m.group(3), m.group(4))
+            target.get(id) match {
+              case Some((prev, firstPath)) if prev != dt =>
+                throw new IllegalArgumentException(
+                  s"vcf: conflicting header types for ${m.group(1)} '$id': " +
+                    s"$prev in $firstPath vs $dt in ${file.getPath} — " +
+                    "split the read or align the headers")
+              case Some(_) => ()
+              case None => target(id) = (dt, file.getPath.toString)
+            }
+          }
+          l = if (l.startsWith("##")) lines.readLine() else null
         }
-        l = if (l.startsWith("##")) lines.readLine() else null
-      }
-      (info.result(), fmt.result())
-    } finally in.close()
+      } finally in.close()
+    }
+    val infoFields = info.map { case (id, (dt, _)) =>
+      StructField(id, dt, nullable = true) }.toSeq
+    val formatFields = fmt.map { case (id, (dt, _)) =>
+      StructField(id, dt, nullable = true) }.toSeq
     StructType(VcfFormat.dataSchema.fields.map { f =>
       f.name match {
         case "info" if parseInfo && infoFields.nonEmpty =>

@@ -36,6 +36,47 @@ class VcfTypedSpec extends AnyFunSuite with SharedSpark {
     assert(df.count() == 621)
   }
 
+  private def writeVcf(dir: java.nio.file.Path, name: String, headers: Seq[String],
+                       rows: Seq[String]): Unit = {
+    val body = (Seq("##fileformat=VCFv4.2") ++ headers ++
+      Seq("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1") ++ rows)
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(dir.resolve(name), body)
+  }
+
+  test("directory inference merges compatible headers across files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcf_merge")
+    writeVcf(dir, "a.vcf",
+      Seq("""##INFO=<ID=DP,Number=1,Type=Integer,Description="d">"""),
+      Seq("1\t10\t.\tA\tC\t.\t.\tDP=7\tGT\t0/0"))
+    writeVcf(dir, "b.vcf",
+      Seq("""##INFO=<ID=DP,Number=1,Type=Integer,Description="d">""",
+        """##INFO=<ID=AF,Number=1,Type=Float,Description="f">"""),
+      Seq("1\t20\t.\tA\tG\t.\t.\tDP=9;AF=0.5\tGT\t0/1"))
+    val df = spark.read.format("vcf").option("parseInfo", "true").load(dir.toString)
+    val rows = df.select(col("pos"), col("info.DP"), col("info.AF"))
+      .orderBy("pos").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(1) == 7 && rows(0).isNullAt(2),
+      "field absent from a file's header stays null in its rows")
+    assert(rows(1).getInt(1) == 9 && rows(1).getFloat(2) == 0.5f)
+  }
+
+  test("directory inference fails loudly on conflicting header types") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcf_conflict")
+    writeVcf(dir, "a.vcf",
+      Seq("""##INFO=<ID=DP,Number=1,Type=Integer,Description="d">"""),
+      Seq("1\t10\t.\tA\tC\t.\t.\tDP=7\tGT\t0/0"))
+    writeVcf(dir, "b.vcf",
+      Seq("""##INFO=<ID=DP,Number=1,Type=Float,Description="d">"""),
+      Seq("1\t20\t.\tA\tG\t.\t.\tDP=9.5\tGT\t0/1"))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("vcf").option("parseInfo", "true").load(dir.toString).schema
+    }
+    assert(e.getMessage.contains("conflicting header types") &&
+      e.getMessage.contains("DP"))
+  }
+
   test("default mode still yields raw strings") {
     val df = spark.read.format("vcf").load(vcf)
     assert(df.schema("info").dataType.typeName == "string")
