@@ -123,6 +123,14 @@ object Bench {
         spark.read.format("fasta").option("region", "seq42:1000001-1000100")
           .load(refFasta.getAbsolutePath).count()
       }
+
+      // Indexed BAM region query (the baseline's second flagship shape):
+      // .bai chunk pruning + BGZF virtual seeks on the reference fixture.
+      timeIt("b04_bam_bai_region") {
+        spark.read.format("bam").option("region", "chr1:1-12209145")
+          .load("/root/reference/exon/exon-core/test-data/datasources/bam/test.bam")
+          .count()
+      }
     } catch {
       case e: Throwable =>
         errors += "b0x_fasta_bench" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
