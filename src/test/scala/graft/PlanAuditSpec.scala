@@ -43,6 +43,13 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("l05: no cartesian product; candidate join keyed on (combo, k)") {
+    val df = graft.queries.LlmQueries.queries("l05_simhash_pairs")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("l06: query side broadcast, corpus streamed once") {
     val df = graft.queries.LlmQueries.queries("l06_ann_bruteforce")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
