@@ -354,8 +354,54 @@ object LlmQueries {
       media.agg(count(lit(1)).as("n"),
         sum(col("rw")).as("sum_rw"), sum(col("rh")).as("sum_rh"),
         sum(col("sampled")).as("sum_sampled"), sum(col("feat")).as("sum_feat"))
-    })
+    }),
+
+    // Duplicate-cluster extraction: connected components over the exact
+    // near-dup pairs (the step a dedup pipeline runs after pair
+    // generation, so "keep one per cluster" works when A~B~C but A!~C).
+    // Min-label propagation with a per-round lineage cut
+    // (localCheckpoint): rounds = cluster diameter, which for near-dup
+    // clusters is small; at much larger diameters swap in the
+    // alternating small-star/large-star contraction (Kiveris et al.) on
+    // the same edge DataFrame. Docs in no pair are their own implicit
+    // singleton clusters and are not emitted (same as the oracle).
+    "l14_dup_clusters" -> ((s, d) =>
+      connectedComponents(
+        queries("l03_ngram_jaccard_pairs")(s, d).select(col("ida"), col("idb")))
+        .orderBy("doc_id"))
   )
+
+  /** Connected components over (ida, idb) pairs: (doc_id, cluster_id)
+    * with cluster_id = the component's minimum doc_id. Min-label
+    * propagation with a per-round lineage cut (localCheckpoint): rounds =
+    * component diameter, small for near-dup clusters; at larger diameters
+    * swap in alternating small-star/large-star contraction (Kiveris et
+    * al.) on the same edge DataFrame. Docs in no pair are implicit
+    * singletons and are not emitted.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("label"))
+      val next = labels.unionAll(prop)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.select(col("doc_id"), col("label").as("nl"))
+        .join(labels.select(col("doc_id"), col("label").as("ol")), "doc_id")
+        .filter(col("nl") =!= col("ol")).limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $iter rounds")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
 
   private val allStopwords =
     """'the','a','of','to','and','in','is','it','der','die','und','das','ist',
@@ -814,6 +860,25 @@ object LlmQueries {
         |  CAST(sum(64 + octet_length(encode(text)) % 576) AS BIGINT) AS sum_w,
         |  CAST(sum(64 + (octet_length(encode(text))::BIGINT * 7) % 416) AS BIGINT) AS sum_h,
         |  CAST(sum(1 + octet_length(encode(text)) % 15) AS BIGINT) AS sum_f
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // connected components via transitive closure (recursive CTE) over the
+    // same exact-Jaccard pairs l03 grades against
+    "l14_dup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
+        |        for i in generate_series(1, len(w) - 4)]) s FROM toks),
+        |p AS (SELECT ida, idb FROM (
+        |  SELECT a.doc_id ida, b.doc_id idb,
+        |      round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |            len(list_distinct(list_concat(a.s, b.s))), 4) j
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.5),
+        |edges AS (SELECT ida a, idb b FROM p UNION SELECT idb, ida FROM p),
+        |reach(a, b) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+        |ORDER BY doc_id""".stripMargin
   )
 }

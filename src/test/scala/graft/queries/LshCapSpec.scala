@@ -79,6 +79,23 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
       s"block-pair candidates $cands not far below single-chunk ~$singleChunkExpect")
   }
 
+  test("connected components: transitivity across chained pairs, disjoint clusters") {
+    import spark.implicits._
+    // A~B~C chained (A!~C directly), D~E separate, F isolated (no pair).
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
+    val got = LlmQueries.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long chain needs diameter rounds, converges") {
+    import spark.implicits._
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val got = LlmQueries.connectedComponents(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 21 && got.forall(_._2 == 0L))
+  }
+
   test("cap does not change results when no bucket is hot") {
     val docs = corpus(Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
