@@ -228,6 +228,50 @@ object LlmQueries {
         .orderBy(col("qid"), col("score").desc, col("neighbor_id"))
     }),
 
+    // IVF-style ANN: coarse cells from K deterministic centroids (the
+    // first K vectors stand in for a k-means codebook — the quantizer
+    // training differs in production, the partition/probe mechanics are
+    // identical). Corpus assignment is a broadcast join (K tiny, corpus
+    // streamed once); queries probe their nprobe nearest cells and search
+    // ONLY those inverted lists via a keyed join — at n vectors and
+    // K≈sqrt(n) cells, work per query is nprobe·n/K instead of n.
+    "l15_ann_ivf" -> ((s, d) => {
+      graft.GraftSession.registerAll(s)
+      val K = 16
+      val nprobe = 4
+      val emb = embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      // nearest-centroid assignment; ties -> lowest centroid id
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(callUDF("cosine_similarity", col("cvec"), col("embedding")).desc,
+          col("cid"))
+      val assigned = emb.join(broadcast(cents))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val pw = Window.partitionBy(col("qid"))
+        .orderBy(callUDF("cosine_similarity", col("cvec"), col("qvec")).desc,
+          col("cid"))
+      val probes = q.join(broadcast(cents))
+        .withColumn("rn", row_number().over(pw))
+        .filter(col("rn") <= nprobe)
+        .select(col("qid"), col("qvec"), col("cid").as("cell"))
+      val scored = assigned.join(probes, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score_raw",
+          callUDF("cosine_similarity", col("qvec"), col("embedding")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score_raw").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          round(col("score_raw"), 4).as("score"))
+        .orderBy(col("qid"), col("score").desc, col("neighbor_id"))
+    }),
+
     // LSH-bucketed ANN: random-hyperplane 16-bit buckets; candidates are
     // bucket-mates only (keyed shuffle). Approximate by construction ->
     // rows-only check; the scale path for the l06 baseline.
@@ -791,6 +835,30 @@ object LlmQueries {
         |scored AS (SELECT q.qid, e.vec_id,
         |    list_cosine_similarity(q.qv, e.v) raw
         |  FROM e JOIN q ON e.vec_id <> q.qid),
+        |ranked AS (SELECT qid, vec_id neighbor_id, round(raw, 4) score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vec_id) rn
+        |  FROM scored)
+        |SELECT qid, neighbor_id, score FROM ranked WHERE rn <= 5
+        |ORDER BY qid, score DESC, neighbor_id""".stripMargin,
+
+    "l15_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 16),
+        |assign AS (SELECT vec_id, v, cell FROM (
+        |  SELECT e.vec_id, e.v, c.cid cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(c.cv, e.v) DESC, c.cid) rn
+        |    FROM e, c) WHERE rn = 1),
+        |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 3),
+        |probes AS (SELECT qid, qv, cell FROM (
+        |  SELECT q.qid, q.qv, c.cid cell,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid) rn
+        |    FROM q, c) WHERE rn <= 4),
+        |scored AS (SELECT p.qid, a.vec_id,
+        |    list_cosine_similarity(p.qv, a.v) raw
+        |  FROM assign a JOIN probes p ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.qid),
         |ranked AS (SELECT qid, vec_id neighbor_id, round(raw, 4) score,
         |    row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vec_id) rn
         |  FROM scored)
