@@ -19,9 +19,15 @@ object Bench {
       // session parallelism: with parallelismFirst (the default) every
       // tiny exchange still fans out to ~#cores tasks, and multi-stage
       // queries (l03's window+join rounds) pay pure scheduler overhead.
-      // At cluster scale the advisory size keeps partitions executor-sized.
+      // 4m (not the 64m default) because at bench scale the q-pack joins
+      // are CPU-bound: 32m collapsed their ~100 MB shuffles to a handful
+      // of tasks and serialized the probe side (q07 1.2s -> 3.0s). 4m
+      // still coalesces the KB-sized l03/l14 round exchanges to 1 task.
+      // On a real cluster the advisory rises back to executor-sized
+      // (64-128m) where scans dominate and per-task overhead amortizes.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -130,6 +136,53 @@ object Bench {
         spark.read.format("bam").option("region", "chr1:1-12209145")
           .load("/root/reference/exon/exon-core/test-data/datasources/bam/test.bam")
           .count()
+      }
+
+      // mzML scan (the baseline's ~6k-spectra shape, 0.445 s in BASELINE.md):
+      // StAX parse + base64/zlib binary-array decode, one synthetic file.
+      val mzDir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
+        "graft_bench_mzml").getAbsolutePath
+      val mzFile = new java.io.File(mzDir, "bench.mzML")
+      if (!new java.io.File(mzDir, "_done").exists()) {
+        new java.io.File(mzDir).mkdirs()
+        val w = new java.io.BufferedWriter(new java.io.FileWriter(mzFile), 1 << 20)
+        def b64zlib(vals: Array[Double]): String = {
+          val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          vals.foreach(bb.putDouble)
+          val defl = new java.util.zip.Deflater()
+          defl.setInput(bb.array()); defl.finish()
+          val out = new java.io.ByteArrayOutputStream(vals.length * 8)
+          val buf = new Array[Byte](8192)
+          while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+          defl.end()
+          java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+        }
+        w.write("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<mzML><run><spectrumList>\n")
+        (0 until 6000).foreach { i =>
+          val n = 100
+          val mz = Array.tabulate(n)(j => 100.0 + i % 7 + j * 9.97)
+          val inten = Array.tabulate(n)(j => ((i * 31 + j * 17) % 10000).toDouble)
+          w.write(s"""<spectrum id="scan=$i" index="$i" defaultArrayLength="$n">""")
+          w.write("""<binaryDataArrayList count="2">""")
+          w.write("""<binaryDataArray><cvParam accession="MS:1000514" name="m/z array"/>""" +
+            """<cvParam accession="MS:1000523" name="64-bit float"/>""" +
+            """<cvParam accession="MS:1000574" name="zlib compression"/>""" +
+            s"<binary>${b64zlib(mz)}</binary></binaryDataArray>")
+          w.write("""<binaryDataArray><cvParam accession="MS:1000515" name="intensity array"/>""" +
+            """<cvParam accession="MS:1000523" name="64-bit float"/>""" +
+            """<cvParam accession="MS:1000574" name="zlib compression"/>""" +
+            s"<binary>${b64zlib(inten)}</binary></binaryDataArray>")
+          w.write("</binaryDataArrayList></spectrum>\n")
+        }
+        w.write("</spectrumList></run></mzML>\n")
+        w.close()
+        new java.io.File(mzDir, "_done").createNewFile()
+      }
+      timeIt("b05_mzml_scan") {
+        import org.apache.spark.sql.functions.{col, size => asize, sum => asum}
+        spark.read.format("mzml").load(mzFile.getAbsolutePath)
+          .agg(asum(asize(col("mz.mz")))).count()
       }
     } catch {
       case e: Throwable =>

@@ -13,7 +13,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // same AQE shape as Bench: coalesce small shuffles by size
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -153,30 +153,8 @@ object LlmQueries {
     // J(a,b) >= t the two docs MUST share a shingle within their prefixes of
     // length |s| - ceil(t*|s|) + 1, so the candidate join runs on rare prefix
     // shingles only — exact result, no hot-shingle blowup, no cartesian.
-    "l03_ngram_jaccard_pairs" -> ((s, d) => {
-      val t = 0.5
-      val sh = shingles(s, d)
-      val ex = shinglePostings(s, d)
-      val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-      val prefix = ex.join(dfreq, "shingle")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= col("sz") - ceil(col("sz") * t) + 1)
-        .select(col("doc_id"), col("shingle"))
-      val cand = prefix.alias("a")
-        .join(prefix.alias("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("ida"), col("s").as("sa")), "ida")
-        .join(sh.select(col("doc_id").as("idb"), col("s").as("sb")), "idb")
-        .withColumn("j", round(size(array_intersect(col("sa"), col("sb"))) /
-          size(array_union(col("sa"), col("sb"))).cast("double"), 4))
-        .filter(col("j") >= t)
-        .select(col("ida"), col("idb"), col("j"))
-        .orderBy(col("ida"), col("idb"))
-    }),
+    "l03_ngram_jaccard_pairs" -> ((s, d) =>
+      jaccardPairs(s, d).orderBy(col("ida"), col("idb"))),
 
     // MinHash-LSH near-dup: 64 minhashes -> 32 banded buckets -> in-bucket
     // candidate pairs -> exact Jaccard verification. Same output as l03
@@ -410,10 +388,40 @@ object LlmQueries {
     // the same edge DataFrame. Docs in no pair are their own implicit
     // singleton clusters and are not emitted (same as the oracle).
     "l14_dup_clusters" -> ((s, d) =>
-      connectedComponents(
-        queries("l03_ngram_jaccard_pairs")(s, d).select(col("ida"), col("idb")))
+      connectedComponents(jaccardPairs(s, d).select(col("ida"), col("idb")))
         .orderBy("doc_id"))
   )
+
+  /** Exact n-gram Jaccard pairs (j >= 0.5) via a PPJoin-style prefix
+    * filter: only the (sz - ceil(sz*t) + 1) rarest shingles of each doc
+    * (global df order) can witness a qualifying pair, so the candidate
+    * join is keyed on prefix shingles — never all-pairs. Unsorted; l03
+    * adds the presentation sort, l14 feeds the pairs straight into
+    * connected components.
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val t = 0.5
+    val sh = shingles(s, d)
+    val ex = shinglePostings(s, d)
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = ex.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * t) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("ida"), col("s").as("sa")), "ida")
+      .join(sh.select(col("doc_id").as("idb"), col("s").as("sb")), "idb")
+      .withColumn("j", round(size(array_intersect(col("sa"), col("sb"))) /
+        size(array_union(col("sa"), col("sb"))).cast("double"), 4))
+      .filter(col("j") >= t)
+      .select(col("ida"), col("idb"), col("j"))
+  }
 
   /** Connected components over (ida, idb) pairs: (doc_id, cluster_id)
     * with cluster_id = the component's minimum doc_id. Min-label
