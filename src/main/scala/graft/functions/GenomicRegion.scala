@@ -56,6 +56,18 @@ object GenomicRegion {
     finally in.close()
   }
 
+  /** The region ∪ regionFile union of a normalized options map as bounds —
+    * the ONE definition shared by the reader-side row filter
+    * (GraftTable.regionsOption) and format-level pruning (e.g. CRAM
+    * container pruning), so the pruning set can never diverge from the
+    * filter set and drop rows the filter would accept.
+    */
+  def boundsFromOptions(opts: Map[String, String],
+                        conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long, Long)] =
+    (opts.get("region").toSeq ++
+      opts.get("regionfile").toSeq.flatMap(p => readRegionFile(p, conf)))
+      .map(toBounds)
+
   /** A bare interval: `lo[-hi]`; a single number means the point [n, n]. */
   def parseInterval(interval: String): (Long, Long) = interval match {
     case IntervalRe(lo, hi) =>

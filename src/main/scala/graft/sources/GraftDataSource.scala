@@ -130,11 +130,8 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
     * overlaps ANY listed region.
     */
   val regionsOption: Seq[(String, Long, Long)] = {
-    val literals = options.get("region").toSeq
-    val fromFile = options.get("regionfile").toSeq.flatMap(p =>
-      graft.functions.GenomicRegion.readRegionFile(
-        p, spark.sparkContext.hadoopConfiguration))
-    val bounds = (literals ++ fromFile).map(graft.functions.GenomicRegion.toBounds)
+    val bounds = graft.functions.GenomicRegion.boundsFromOptions(
+      options, spark.sparkContext.hadoopConfiguration)
     // A region option on a format with no genomic coordinates (fastq, sdf,
     // mzml, ...) would otherwise be silently ignored — reject it loudly.
     require(bounds.isEmpty || format.regionColumns.isDefined || format.handlesRegionsItself,

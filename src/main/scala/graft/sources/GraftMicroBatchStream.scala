@@ -33,10 +33,35 @@ object GraftFilesOffset {
   /** Sorts before every real file key. */
   val start: GraftFilesOffset = GraftFilesOffset(Long.MinValue, "")
 
-  private[sources] def escape(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
-  private[sources] def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  private[sources] def escape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      // control chars (newline in a filename!) would break the one-line
+      // offset log and the (.*) parse regex — JSON-escape them
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+  private[sources] def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case 'u' =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case o => sb.append(o); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private val pat = """\{"mtime":(-?\d+),"path":"(.*)"\}""".r
 
@@ -61,6 +86,15 @@ final class GraftMicroBatchStream(table: GraftTable, scan: GraftScan)
   // calls; after a restart it re-lists and filters by key.
   @volatile private var snapshot: Seq[(FileStatus, Array[String])] = Nil
 
+  // High-water mark: offsets must never regress, even if the newest
+  // processed file is deleted between triggers (a re-listed max below the
+  // committed boundary would make Spark commit the regressed offset and
+  // re-read anything that later lands in the reopened window).
+  @volatile private var floor: GraftFilesOffset = GraftFilesOffset.start
+
+  private def maxOffset(a: GraftFilesOffset, b: GraftFilesOffset): GraftFilesOffset =
+    if (GraftFilesOffset.lte((a.mtime, a.path), b)) b else a
+
   private def sortedFiles(): Seq[(FileStatus, Array[String])] =
     table.listNow()._1.sortBy { case (st, _) => GraftFilesOffset.keyOf(st) }
 
@@ -68,14 +102,36 @@ final class GraftMicroBatchStream(table: GraftTable, scan: GraftScan)
 
   override def latestOffset(): Offset = {
     snapshot = sortedFiles()
-    snapshot.lastOption
+    val listed = snapshot.lastOption
       .map { case (st, _) =>
         val (m, p) = GraftFilesOffset.keyOf(st); GraftFilesOffset(m, p)
       }
       .getOrElse(GraftFilesOffset.start)
+    floor = maxOffset(floor, listed)
+    floor
   }
 
-  override def deserializeOffset(json: String): Offset = GraftFilesOffset.parse(json)
+  private val legacyCountPat = """\{"count":(\d+)\}""".r
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = json.trim match {
+      // Pre-boundary-key checkpoints stored a bare count into the sorted
+      // listing; convert to the Nth file's boundary key so old streams
+      // restart instead of dying on "bad graft offset" (assumes no
+      // processed file was deleted — exactly the old format's own caveat).
+      case legacyCountPat(n) =>
+        val files = sortedFiles()
+        val idx = math.min(n.toInt, files.size) - 1
+        if (idx < 0) GraftFilesOffset.start
+        else {
+          val (m, p) = GraftFilesOffset.keyOf(files(idx)._1)
+          GraftFilesOffset(m, p)
+        }
+      case other => GraftFilesOffset.parse(other)
+    }
+    floor = maxOffset(floor, o)
+    o
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftFilesOffset]

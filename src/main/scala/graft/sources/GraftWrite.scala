@@ -64,10 +64,15 @@ final class GraftBatchWrite(format: WritableGraftFormat, dir: String, schema: St
   // Task outputs land in dir/_temporary/<jobId> and are renamed into place
   // on task commit, so a task that dies mid-write never leaves a visible
   // partial part file (listings skip '_'-prefixed names as an extra
-  // guard). Job commit/abort clears only THIS job's temp subtree, then the
-  // shared parent if it is empty.
+  // guard). Job commit/abort clears only THIS job's temp subtree — so two
+  // concurrent appends cannot delete each other's in-flight files — plus
+  // any sibling subtree whose last modification is older than a day
+  // (a job whose JVM died without commit/abort; without this sweep its
+  // orphans would accumulate forever), then the parent if empty.
   override def commit(messages: Array[WriterCommitMessage]): Unit = cleanTemp()
   override def abort(messages: Array[WriterCommitMessage]): Unit = cleanTemp()
+
+  private val orphanTtlMs = 24L * 3600 * 1000
 
   private def cleanTemp(): Unit = {
     val parent = new Path(dir, "_temporary")
@@ -75,6 +80,10 @@ final class GraftBatchWrite(format: WritableGraftFormat, dir: String, schema: St
     val fs = tmp.getFileSystem(conf.value)
     try {
       fs.delete(tmp, true)
+      val cutoff = System.currentTimeMillis() - orphanTtlMs
+      fs.listStatus(parent).foreach { st =>
+        if (st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+      }
       if (fs.listStatus(parent).isEmpty) fs.delete(parent, false)
     } catch { case _: Throwable => () }
   }

@@ -134,7 +134,10 @@ class CramFormat(refPath: Option[String],
         else sym = next
       }
     }
-    def tables(c: Int): (Array[Int], Array[Int], Array[Byte]) = {
+    // called once per distinct context, not per byte — step() then indexes
+    // the filled arrays directly (no per-byte tuple allocation in the
+    // innermost decompression loop)
+    def ensureTables(c: Int): Unit = {
       require(freqs(c) != null, s"cram: rANS order-1 stream uses undeclared context $c")
       if (luts(c) == null) {
         val f = freqs(c)
@@ -152,14 +155,15 @@ class CramFormat(refPath: Option[String],
         luts(c) = lut
         cumsCache(c) = cum
       }
-      (freqs(c), cumsCache(c), luts(c))
     }
     val states = Array.fill(4)(r.i32le() & 0xffffffffL)
     val ctx = new Array[Int](4)
     val out = new Array[Byte](rsize)
     val isz4 = rsize >> 2
     def step(j: Int, pos: Int): Unit = {
-      val (f, cum, lut) = tables(ctx(j))
+      val c = ctx(j)
+      ensureTables(c)
+      val f = freqs(c); val cum = cumsCache(c); val lut = luts(c)
       var st = states(j)
       val slot = (st & 0xfff).toInt
       val s = lut(slot) & 0xff

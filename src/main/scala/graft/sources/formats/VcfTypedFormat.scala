@@ -52,31 +52,42 @@ final class VcfTypedFormat(parseInfo: Boolean, parseFormats: Boolean) extends Gr
   override def inferDataSchema(files: Seq[FileStatus],
                                open: FileStatus => java.io.InputStream): StructType = {
     require(files.nonEmpty, "vcf: no files to infer schema from")
+    // Header reads are independent driver-side opens (an object-store
+    // round-trip + gzip init each): do them in parallel, then merge
+    // sequentially in file order so first-seen field ordering — and which
+    // file a conflict is blamed on — stays deterministic.
+    import scala.collection.parallel.CollectionConverters._
+    val perFile: Seq[(String, Seq[(String, String, DataType)])] =
+      files.par.map { file =>
+        val defs = Seq.newBuilder[(String, String, DataType)]
+        val in = open(file)
+        try {
+          val lines = new ByteLineReader(in, 0L)
+          var l = lines.readLine()
+          while (l != null && l.startsWith("#")) {
+            DefRe.findFirstMatchIn(l).foreach { m =>
+              defs += ((m.group(1), m.group(2), fieldType(m.group(3), m.group(4))))
+            }
+            l = if (l.startsWith("##")) lines.readLine() else null
+          }
+        } finally in.close()
+        (file.getPath.toString, defs.result())
+      }.seq.toSeq
     val info = scala.collection.mutable.LinkedHashMap.empty[String, (DataType, String)]
     val fmt = scala.collection.mutable.LinkedHashMap.empty[String, (DataType, String)]
-    files.foreach { file =>
-      val in = open(file)
-      try {
-        val lines = new ByteLineReader(in, 0L)
-        var l = lines.readLine()
-        while (l != null && l.startsWith("#")) {
-          DefRe.findFirstMatchIn(l).foreach { m =>
-            val target = if (m.group(1) == "INFO") info else fmt
-            val id = m.group(2)
-            val dt = fieldType(m.group(3), m.group(4))
-            target.get(id) match {
-              case Some((prev, firstPath)) if prev != dt =>
-                throw new IllegalArgumentException(
-                  s"vcf: conflicting header types for ${m.group(1)} '$id': " +
-                    s"$prev in $firstPath vs $dt in ${file.getPath} — " +
-                    "split the read or align the headers")
-              case Some(_) => ()
-              case None => target(id) = (dt, file.getPath.toString)
-            }
-          }
-          l = if (l.startsWith("##")) lines.readLine() else null
+    perFile.foreach { case (path, defs) =>
+      defs.foreach { case (kind, id, dt) =>
+        val target = if (kind == "INFO") info else fmt
+        target.get(id) match {
+          case Some((prev, firstPath)) if prev != dt =>
+            throw new IllegalArgumentException(
+              s"vcf: conflicting header types for $kind '$id': " +
+                s"$prev in $firstPath vs $dt in $path — " +
+                "split the read or align the headers")
+          case Some(_) => ()
+          case None => target(id) = (dt, path)
         }
-      } finally in.close()
+      }
     }
     val infoFields = info.map { case (id, (dt, _)) =>
       StructField(id, dt, nullable = true) }.toSeq

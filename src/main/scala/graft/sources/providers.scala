@@ -78,15 +78,12 @@ class CramSourceProvider extends GraftTableProvider(CramFormat) {
     val ref = opts.get("fastareference").orElse(opts.get("fasta_reference"))
     // The regions ALSO drive the reader-side row filter via regionColumns;
     // handing them to the format additionally enables container pruning by
-    // header coordinates and the .crai index. Must be the same region+
-    // regionFile union the row filter uses, or pruning drops rows the
-    // filter would accept.
+    // header coordinates and the .crai index. boundsFromOptions is the same
+    // helper the row filter resolves through, so the pruning set cannot
+    // diverge and drop rows the filter would accept.
     val regions: Seq[(String, Long, Long)] =
-      (opts.get("region").toSeq ++
-        opts.get("regionfile").toSeq.flatMap(p =>
-          graft.functions.GenomicRegion.readRegionFile(p,
-            org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)))
-        .map(graft.functions.GenomicRegion.toBounds)
+      graft.functions.GenomicRegion.boundsFromOptions(opts,
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     if (ref.isEmpty && regions.isEmpty) CramFormat
     else new CramFormat(ref, regions)
   }

@@ -96,16 +96,35 @@ object GraftTableFunctions {
     * file through the Hadoop FS API, else "region". Bare chromosome names
     * like '2' or 'X' are valid relative paths, so existence alone must
     * never decide — a stray file named `X` in the working directory would
-    * silently reinterpret the region as a region file.
+    * silently reinterpret the region as a region file. Both silent
+    * misreads are ruled out by failing loud at the two sharp edges:
+    * a path-like argument whose file is missing (typo'd region file would
+    * otherwise become a never-matching chromosome name -> 0 rows), and a
+    * bare coordinate-less name that collides with an existing local file
+    * (`'regions.txt'` without `./` -> 0 rows the other way).
     */
   private def regionKey(regionArg: String): String = {
     val looksLikePath = regionArg.contains('/') || regionArg.contains("://")
-    val isFile = looksLikePath && scala.util.Try {
+    def isFile: Boolean = scala.util.Try {
       val rp = new org.apache.hadoop.fs.Path(regionArg)
       rp.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
         .getFileStatus(rp).isFile
     }.getOrElse(false)
-    if (isFile) "regionfile" else "region"
+    if (looksLikePath) {
+      if (isFile) "regionfile"
+      else throw new IllegalArgumentException(
+        s"region file not found: '$regionArg' (a path-like region argument " +
+          "must resolve to an existing file; use 'name:start-end' for a " +
+          "literal region)")
+    } else {
+      if (graft.functions.GenomicRegion.parse(regionArg).start.isEmpty && isFile)
+        throw new IllegalArgumentException(
+          s"ambiguous region argument '$regionArg': a file with that name " +
+            "exists in the working directory — prefix it with './' to read " +
+            "it as a region file, or add coordinates ('name:1-') to force a " +
+            "region")
+      "region"
+    }
   }
 
   private def literal(name: String, args: Seq[Expression], i: Int): String = {

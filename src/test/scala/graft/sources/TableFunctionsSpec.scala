@@ -46,16 +46,34 @@ class TableFunctionsSpec extends AnyFunSuite with SharedSpark {
 
   test("bare-chromosome region is never shadowed by a same-named local file") {
     graft.GraftSession.registerAll(spark)
-    // A file named after the chromosome in the working directory must not
-    // flip the region argument into regionFile mode: '1' stays a region.
+    // A file named after the chromosome must not silently flip the region
+    // argument into regionFile mode; coordinates force region semantics,
+    // and a coordinate-less collision fails loud instead of guessing.
     val decoy = java.nio.file.Paths.get("1")
     java.nio.file.Files.write(decoy, "not a region file".getBytes)
     try {
       val n = spark.sql(
-        s"SELECT COUNT(*) FROM vcf_indexed_scan('$fx/vcf/index.vcf.gz', '1')")
+        s"SELECT COUNT(*) FROM vcf_indexed_scan('$fx/vcf/index.vcf.gz', '1:1-999999999')")
         .head().getLong(0)
       assert(n == 191)
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT COUNT(*) FROM vcf_indexed_scan('$fx/vcf/index.vcf.gz', '1')")
+          .head()
+      }
+      assert(e.getMessage.contains("ambiguous region argument"), e.getMessage)
     } finally java.nio.file.Files.deleteIfExists(decoy)
+    // without the decoy the bare name is a plain region
+    val n2 = spark.sql(
+      s"SELECT COUNT(*) FROM vcf_indexed_scan('$fx/vcf/index.vcf.gz', '1')")
+      .head().getLong(0)
+    assert(n2 == 191)
+    // path-like argument with no file behind it fails loud, not 0 rows
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"SELECT COUNT(*) FROM vcf_indexed_scan('$fx/vcf/index.vcf.gz', './no_such_regions.txt')")
+        .head()
+    }
+    assert(e2.getMessage.contains("region file not found"), e2.getMessage)
   }
 
   test("TVF composes with WHERE and projections") {

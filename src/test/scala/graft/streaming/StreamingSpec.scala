@@ -74,6 +74,40 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       s"deletion of a processed file shifted the window: $ids")
   }
 
+  test("offset json round-trips hostile paths and accepts legacy count offsets") {
+    import graft.sources.GraftFilesOffset
+    // control characters (a newline would split the one-line offset log)
+    val hostile = GraftFilesOffset(42L, "/data/a\nb\"c\\d\t.fasta")
+    assert(GraftFilesOffset.parse(hostile.json()) == hostile)
+    assert(!hostile.json().contains('\n'))
+
+    // a pre-boundary-key {"count":N} checkpoint restarts as the Nth file's key
+    val dir = java.nio.file.Files.createTempDirectory("graft_offs").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.fasta"), ">a\nA\n")
+    Thread.sleep(1100)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.fasta"), ">b\nA\n")
+    val table = new graft.sources.GraftTable(
+      graft.sources.formats.FastaFormat, Map("path" -> dir))
+    val scan = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+      .asInstanceOf[graft.sources.GraftScan]
+    val stream = scan.toMicroBatchStream("unused")
+    val legacy = stream.deserializeOffset("""{"count":1}""")
+      .asInstanceOf[GraftFilesOffset]
+    assert(legacy.path.endsWith("a.fasta"), legacy)
+    // the converted offset covers exactly the first file: one file remains
+    val batch = stream.planInputPartitions(legacy,
+      stream.latestOffset().asInstanceOf[GraftFilesOffset])
+    assert(batch.nonEmpty)
+
+    // monotonicity: delete the newest file; latestOffset must not regress
+    val hi = stream.latestOffset().asInstanceOf[GraftFilesOffset]
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "b.fasta"))
+    val after = stream.latestOffset().asInstanceOf[GraftFilesOffset]
+    assert(after == hi, s"offset regressed after deletion: $after < $hi")
+  }
+
   test("flatMapGroupsWithState dedup emits each hash once across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
