@@ -64,6 +64,26 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert("Exchange".r.findAllIn(plan).size <= 1, s"unexpected shuffles:\n$plan")
   }
 
+  test("l15: centroids broadcast; cell probe join is keyed, not cartesian") {
+    val df = graft.queries.LlmQueries.queries("l15_ann_ivf")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only nested-loop joins allowed are against the broadcast K=16
+    // centroid set; the corpus-side probe join must be hash-keyed on cell
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("l14: connected-components rounds join keyed on doc_id, no cartesian") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
+    val out = graft.queries.LlmQueries.connectedComponents(pairs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("column pruning reaches graft scans (ReadSchema shows only needed cols)") {
     val fx = "/root/reference/exon/exon-core/test-data/datasources"
     val df = spark.read.format("fasta").load(s"$fx/fasta/test.fasta").select("id")
