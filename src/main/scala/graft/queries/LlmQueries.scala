@@ -389,7 +389,27 @@ object LlmQueries {
     // singleton clusters and are not emitted (same as the oracle).
     "l14_dup_clusters" -> ((s, d) =>
       connectedComponents(jaccardPairs(s, d).select(col("ida"), col("idb")))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Deterministic stratified sampling (training-mix ratios): keep a
+    // per-language permille of documents chosen by an arithmetic hash of
+    // doc_id — reproducible across engines and runs (unlike rng-based
+    // sample()), stable under re-partitioning, and resumable: re-running
+    // the pipeline keeps exactly the same subset. Pure map + broadcast
+    // join, no shuffle before the final aggregate.
+    "l16_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      val rates = Seq(("en", 500L), ("zh", 300L), ("de", 250L),
+        ("fr", 200L), ("es", 100L)).toDF("lang", "keep_permille")
+      documents(s, d)
+        .withColumn("bucket",
+          ((col("doc_id") % 1000003L) * 998244353L + 12345L) % 1000007L % 1000L)
+        .join(broadcast(rates), Seq("lang"))
+        .filter(col("bucket") < col("keep_permille"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    })
   )
 
   /** Exact n-gram Jaccard pairs (j >= 0.5) via a PPJoin-style prefix
@@ -439,15 +459,22 @@ object LlmQueries {
       .withColumn("label", col("doc_id")).localCheckpoint()
     var converged = false
     var iter = 0
+    // Min-propagation makes every label non-increasing, so the label total
+    // strictly decreases until the fixpoint: an unchanged total IS
+    // convergence. One cheap aggregate per round instead of a
+    // change-detection self-join (decimal: 10^8 docs x 2^40 ids would
+    // overflow a long sum).
+    var prevSum: Option[java.math.BigDecimal] = None
     while (!converged && iter < maxRounds) {
       val prop = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("label"))
       val next = labels.unionAll(prop)
         .groupBy("doc_id").agg(min(col("label")).as("label"))
         .localCheckpoint()
-      converged = next.select(col("doc_id"), col("label").as("nl"))
-        .join(labels.select(col("doc_id"), col("label").as("ol")), "doc_id")
-        .filter(col("nl") =!= col("ol")).limit(1).count() == 0
+      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+      converged = prevSum.exists(_.compareTo(s) == 0)
+      prevSum = Some(s)
       labels = next
       iter += 1
     }
@@ -955,6 +982,16 @@ object LlmQueries {
         |  UNION
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "l16_stratified_sample" ->
+      """WITH rates(lang, keep_permille) AS (VALUES
+        |  ('en', 500), ('zh', 300), ('de', 250), ('fr', 200), ('es', 100))
+        |SELECT d.lang, count(*) AS n_sampled,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE ((d.doc_id % 1000003) * 998244353 + 12345) % 1000007 % 1000
+        |      < r.keep_permille
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
 }
