@@ -409,6 +409,38 @@ object LlmQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("lang"))
+    }),
+
+    // Token-budget data mixing: fill a per-language char budget by taking
+    // whole hash buckets in bucket order until the running total would
+    // exceed the budget. Two-level so it scales: the cumulative-sum window
+    // runs over per-(lang, bucket) TOTALS — at most langs x 1000 rows no
+    // matter the corpus size — and the corpus itself is only touched by a
+    // map (bucket assignment) and a broadcast semi-join against the kept
+    // buckets. A doc-granular window (partitionBy lang ORDER BY bucket
+    // over every row) would shuffle the whole corpus onto one task per
+    // language; bucket granularity trades <=1 bucket of budget slack for
+    // a plan with no skewed shuffle at all.
+    "l17_token_budget_mix" -> ((s, d) => {
+      import s.implicits._
+      val budgets = Seq(("en", 60000L), ("zh", 40000L), ("de", 30000L),
+        ("fr", 20000L), ("es", 10000L)).toDF("lang", "budget")
+      val bucketed = documents(s, d)
+        .withColumn("bucket",
+          ((col("doc_id") % 1000003L) * 998244353L + 12345L) % 1000007L % 1000L)
+      val bucketTotals = bucketed.groupBy(col("lang"), col("bucket"))
+        .agg(sum(col("n_chars")).as("bchars"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val keptBuckets = bucketTotals
+        .withColumn("cum", sum(col("bchars")).over(w))
+        .join(budgets, Seq("lang"))
+        .filter(col("cum") <= col("budget"))
+        .select(col("lang"), col("bucket"))
+      bucketed.join(broadcast(keptBuckets), Seq("lang", "bucket"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -992,6 +1024,25 @@ object LlmQueries {
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |WHERE ((d.doc_id % 1000003) * 998244353 + 12345) % 1000007 % 1000
         |      < r.keep_permille
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "l17_token_budget_mix" ->
+      """WITH budgets(lang, budget) AS (VALUES
+        |  ('en', 60000), ('zh', 40000), ('de', 30000),
+        |  ('fr', 20000), ('es', 10000)),
+        |bucketed AS (SELECT lang, n_chars,
+        |    ((doc_id % 1000003) * 998244353 + 12345) % 1000007 % 1000 AS bucket
+        |  FROM documents),
+        |totals AS (SELECT lang, bucket, sum(n_chars) AS bchars
+        |  FROM bucketed GROUP BY lang, bucket),
+        |kept AS (SELECT t.lang, t.bucket FROM (
+        |    SELECT lang, bucket, sum(bchars) OVER (PARTITION BY lang
+        |      ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM totals) t JOIN budgets b ON t.lang = b.lang
+        |  WHERE t.cum <= b.budget)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM bucketed d JOIN kept k ON d.lang = k.lang AND d.bucket = k.bucket
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
 }
