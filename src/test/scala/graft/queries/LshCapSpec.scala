@@ -96,6 +96,21 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
     assert(got.length == 21 && got.forall(_._2 == 0L))
   }
 
+  test("IVF ANN recall vs exact brute force (nprobe=4 of 16 cells)") {
+    val d = "/root/testdata/sf0.001"
+    def pairs(name: String): Set[(Long, Long)] =
+      LlmQueries.queries(name)(spark, d)
+        .select("qid", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("l06_ann_bruteforce")
+    val ivf = pairs("l15_ann_ivf")
+    assert(exact.nonEmpty)
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    // probing 4 of 16 coarse cells: structural floor for this corpus —
+    // drops below mean the assignment or probe-ranking regressed
+    assert(recall >= 0.6, s"IVF recall@5 degraded: $recall (${ivf.size} of ${exact.size})")
+  }
+
   test("cap does not change results when no bucket is hot") {
     val docs = corpus(Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
