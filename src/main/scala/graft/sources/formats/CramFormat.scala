@@ -339,7 +339,18 @@ class CramFormat(refPath: Option[String],
     // region, containers are pruned by their header coordinates, and by the
     // `.crai` index when one sits next to the file.
     val sin = new StreamIn(input.stream)
-    sin.skipN(26) // file definition
+    // File definition: magic "CRAM", major.minor, 20-byte file id. Decoding
+    // a 2.x (different container layout) or 3.1 (Nx16/fqzcomp codecs) file
+    // with 3.0 structures would produce garbage, not an error — check first.
+    val magic = new Array[Byte](4)
+    (0 until 4).foreach(i => magic(i) = sin.u8().toByte)
+    require(new String(magic, "US-ASCII") == "CRAM",
+      s"not a CRAM file (bad magic) ${if (input.path != null) input.path else ""}")
+    val major = sin.u8(); val minor = sin.u8()
+    require(major == 3 && minor == 0,
+      s"unsupported CRAM version $major.$minor (this reader implements CRAM 3.0; " +
+        "recode with `samtools view -O cram,version=3.0`)")
+    sin.skipN(20) // file id
     val craiEntries: Option[Seq[CraiIndex.Entry]] =
       if (regions.nonEmpty && input.path != null && input.fs != null)
         CraiIndex.read(input.fs, input.path)

@@ -146,6 +146,29 @@ class CramSpec extends AnyFunSuite with SharedSpark {
       .load(res("1404_index_multislice_o1.cram")).count() == 10)
   }
 
+  test("cram: non-3.0 versions and bad magic are rejected loudly, not decoded as garbage") {
+    val src = java.nio.file.Paths.get(s"$fx/cram/test_input_1_a.cram")
+    val dir = java.nio.file.Files.createTempDirectory("cram_ver")
+    def mutated(name: String)(f: Array[Byte] => Unit): String = {
+      val bytes = java.nio.file.Files.readAllBytes(src)
+      f(bytes)
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, bytes)
+      p.toString
+    }
+    val v31 = mutated("v31.cram") { b => b(4) = 3; b(5) = 1 }
+    val e1 = intercept[Exception] {
+      spark.read.format("cram").load(v31).collect()
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("unsupported CRAM version 3.1"),
+      e1.getMessage)
+    val badMagic = mutated("bad.cram") { b => b(0) = 'X'.toByte }
+    val e2 = intercept[Exception] {
+      spark.read.format("cram").load(badMagic).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("not a CRAM file"), e2.getMessage)
+  }
+
   test("crai index parse + wantedContainers") {
     val fs = new org.apache.hadoop.fs.Path(fx).getFileSystem(
       new org.apache.hadoop.conf.Configuration())
