@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Regenerates PLANS.md: `.explain("formatted")` output for flagship
+  * queries, annotated with the plan property each one is expected to show
+  * (the same properties PlanAuditSpec asserts). Run:
+  *
+  *   sbt "runMain graft.tools.PlanDump"
+  */
+object PlanDump {
+  private val fx = "/root/reference/exon/exon-core/test-data/datasources"
+
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.registerAll(spark)
+
+    val entries: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("q01_pricing_summary",
+        "Partial HashAggregate before the exchange (map-side combine); " +
+          "PushedFilters + narrow ReadSchema on the parquet scan.",
+        () => graft.queries.RelationalQueries.queries("q01_pricing_summary")(spark, d)),
+      ("q05_local_supplier_volume",
+        "Small dimensions broadcast (BroadcastHashJoin), fact table never " +
+          "shuffled for them.",
+        () => graft.queries.RelationalQueries.queries("q05_local_supplier_volume")(spark, d)),
+      ("q07_volume_shipping",
+        "Key-partitioned joins for the big tables, broadcast for nation; " +
+          "AQE coalesces post-shuffle partitions by size.",
+        () => graft.queries.RelationalQueries.queries("q07_volume_shipping")(spark, d)),
+      ("l04_minhash_lsh_dedup",
+        "Candidate generation is a keyed self-join on (band, sig) — no " +
+          "CartesianProduct anywhere; hot buckets dropped before the join.",
+        () => graft.queries.LlmQueries.queries("l04_minhash_lsh_dedup")(spark, d)),
+      ("l06_ann_bruteforce",
+        "The 3-query side is broadcast; the corpus streams through one " +
+          "codegen'd cosine + window top-k, never shuffled whole.",
+        () => graft.queries.LlmQueries.queries("l06_ann_bruteforce")(spark, d)),
+      ("l16_stratified_sample",
+        "Pure map (hash bucket) + broadcast join with the rate table + one " +
+          "final aggregate — the corpus is shuffled once, for the groupBy.",
+        () => graft.queries.LlmQueries.queries("l16_stratified_sample")(spark, d)),
+      ("l17_token_budget_mix",
+        "The cumsum window runs over per-(lang,bucket) totals (tiny), the " +
+          "corpus itself only sees a map + broadcast semi-join.",
+        () => graft.queries.LlmQueries.queries("l17_token_budget_mix")(spark, d)),
+      ("vcf_where_region_pushdown",
+        "WHERE-derived region reaches the GraftScan description (tabix " +
+          "chunk pruning); residual filter keeps results exact.",
+        () => spark.read.format("vcf").load(s"$fx/vcf/index.vcf.gz")
+          .filter(org.apache.spark.sql.functions.expr(
+            "vcf_region_filter('1:3000-3400', chrom, pos)"))),
+      ("fasta_projection_pruning",
+        "Projecting one column: ReadSchema/cols shows only `id` — the " +
+          "parser never materializes sequences.",
+        () => spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
+          .select("id"))
+    )
+
+    val sb = new StringBuilder
+    sb.append("# PLANS — flagship physical plans (`explain formatted`)\n\n")
+    sb.append("Regenerate with `sbt \"runMain graft.tools.PlanDump\"` ")
+    sb.append(s"(sf dir: $d). PlanAuditSpec asserts the load-bearing\n")
+    sb.append("properties below on every test run; this file is the same\n")
+    sb.append("evidence in reviewable form.\n")
+    entries.foreach { case (name, note, mk) =>
+      val plan = mk().queryExecution.explainString(ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
+    println(s"wrote PLANS.md (${entries.size} plans)")
+    spark.stop()
+  }
+}
