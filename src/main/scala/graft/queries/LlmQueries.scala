@@ -441,6 +441,34 @@ object LlmQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // End-to-end curation funnel — the composition a real corpus build
+    // runs: quality gate -> exact dedup (survivor = min doc_id) ->
+    // deterministic stratified mix; one row of per-stage counts for
+    // shrinkage accounting. Each stage is the scale shape proven
+    // individually (codegen'd filter, one keyed shuffle, broadcast rate
+    // join); the funnel proves they compose without re-materializing.
+    "l18_curation_funnel" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftSession.registerAll(s)
+      val docs = documents(s, d)
+      val q = docs.filter(callUDF("quality_score", col("text")) >= 0.5)
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val ded = q.withColumn("h", sha2(col("text"), 256))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val rates = Seq(("en", 500L), ("zh", 300L), ("de", 250L),
+        ("fr", 200L), ("es", 100L)).toDF("lang", "keep_permille")
+      val mixed = ded
+        .withColumn("bucket",
+          ((col("doc_id") % 1000003L) * 998244353L + 12345L) % 1000007L % 1000L)
+        .join(broadcast(rates), Seq("lang"))
+        .filter(col("bucket") < col("keep_permille"))
+      docs.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(q.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(ded.agg(count(lit(1)).as("n_dedup")))
+        .crossJoin(mixed.agg(count(lit(1)).as("n_mixed")))
     })
   )
 
@@ -1043,6 +1071,31 @@ object LlmQueries {
         |SELECT d.lang, count(*) AS n_docs,
         |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
         |FROM bucketed d JOIN kept k ON d.lang = k.lang AND d.bucket = k.bucket
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "l18_curation_funnel" -> s"""
+        |WITH c AS (SELECT doc_id, lang, text, string_split(text, ' ') w
+        |    FROM documents),
+        |sc AS (SELECT doc_id, lang, text,
+        |    floor((least(1.0, len(w) / 100.0) +
+        |           least(1.0, (list_sum(list_transform(w, x -> len(x)))::DOUBLE
+        |                       / len(w)) / 5.0) +
+        |           least(1.0, 5.0 * len(list_filter(w, x -> x IN ($allStopwords)))
+        |                       / len(w))) / 3.0 * 10000 + 0.5) / 10000 AS q
+        |  FROM c),
+        |qd AS (SELECT doc_id, lang, text FROM sc WHERE q >= 0.5),
+        |ded AS (SELECT doc_id, lang FROM (
+        |    SELECT doc_id, lang, row_number() OVER (
+        |      PARTITION BY sha256(text) ORDER BY doc_id) rn FROM qd)
+        |  WHERE rn = 1),
+        |rates(lang, keep_permille) AS (VALUES
+        |  ('en', 500), ('zh', 300), ('de', 250), ('fr', 200), ('es', 100)),
+        |mixed AS (SELECT d.doc_id FROM ded d JOIN rates r ON d.lang = r.lang
+        |  WHERE ((d.doc_id % 1000003) * 998244353 + 12345) % 1000007 % 1000
+        |        < r.keep_permille)
+        |SELECT (SELECT count(*) FROM documents) AS n_raw,
+        |       (SELECT count(*) FROM qd) AS n_quality,
+        |       (SELECT count(*) FROM ded) AS n_dedup,
+        |       (SELECT count(*) FROM mixed) AS n_mixed""".stripMargin
   )
 }
