@@ -10,27 +10,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Coalesce small shuffle reads by size instead of holding the full
-      // session parallelism: with parallelismFirst (the default) every
-      // tiny exchange still fans out to ~#cores tasks, and multi-stage
-      // queries (l03's window+join rounds) pay pure scheduler overhead.
-      // 4m (not the 64m default) because at bench scale the q-pack joins
-      // are CPU-bound: 32m collapsed their ~100 MB shuffles to a handful
-      // of tasks and serialized the probe side (q07 1.2s -> 3.0s). 4m
-      // still coalesces the KB-sized l03/l14 round exchanges to 1 task.
-      // On a real cluster the advisory rises back to executor-sized
-      // (64-128m) where scans dominate and per-task overhead amortizes.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build(cpus) // AQE shape documented there
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

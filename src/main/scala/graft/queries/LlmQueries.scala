@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -18,6 +18,16 @@ import org.apache.spark.sql.expressions.Window
 object LlmQueries {
   import Tables._
   type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic mix bucket in [0, 1000): THE one definition, used by
+    * l16/l17/l18 on the Spark side and (via [[mixBucketSql]]) interpolated
+    * into their DuckDB oracles, so the two can never drift bit-wise. All
+    * intermediates stay below 2^60, i.e. exact int64 in both engines.
+    */
+  private def mixBucket(id: Column): Column =
+    ((id % 1000003L) * 998244353L + 12345L) % 1000007L % 1000L
+  private def mixBucketSql(col: String): String =
+    s"(($col % 1000003) * 998244353 + 12345) % 1000007 % 1000"
 
   /** Distinct word 5-gram shingles per document, as arrays. 5-grams (vs 3)
     * keep the shingle universe large relative to the vocabulary, so document
@@ -402,8 +412,7 @@ object LlmQueries {
       val rates = Seq(("en", 500L), ("zh", 300L), ("de", 250L),
         ("fr", 200L), ("es", 100L)).toDF("lang", "keep_permille")
       documents(s, d)
-        .withColumn("bucket",
-          ((col("doc_id") % 1000003L) * 998244353L + 12345L) % 1000007L % 1000L)
+        .withColumn("bucket", mixBucket(col("doc_id")))
         .join(broadcast(rates), Seq("lang"))
         .filter(col("bucket") < col("keep_permille"))
         .groupBy(col("lang"))
@@ -426,8 +435,7 @@ object LlmQueries {
       val budgets = Seq(("en", 60000L), ("zh", 40000L), ("de", 30000L),
         ("fr", 20000L), ("es", 10000L)).toDF("lang", "budget")
       val bucketed = documents(s, d)
-        .withColumn("bucket",
-          ((col("doc_id") % 1000003L) * 998244353L + 12345L) % 1000007L % 1000L)
+        .withColumn("bucket", mixBucket(col("doc_id")))
       val bucketTotals = bucketed.groupBy(col("lang"), col("bucket"))
         .agg(sum(col("n_chars")).as("bchars"))
       val w = Window.partitionBy(col("lang")).orderBy(col("bucket"))
@@ -453,16 +461,23 @@ object LlmQueries {
       import s.implicits._
       graft.GraftSession.registerAll(s)
       val docs = documents(s, d)
+      // Each stage is materialized once (stage outputs in a real corpus
+      // build are written between steps anyway); without the cut, the four
+      // count subtrees would re-scan the parquet and re-run the quality
+      // UDF per counter. Only (doc_id, lang) survives the quality stage —
+      // text is dropped after the dedup key is computed.
       val q = docs.filter(callUDF("quality_score", col("text")) >= 0.5)
+        .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("h"))
+        .localCheckpoint()
       val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-      val ded = q.withColumn("h", sha2(col("text"), 256))
-        .withColumn("rn", row_number().over(w))
+      val ded = q.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"))
+        .localCheckpoint()
       val rates = Seq(("en", 500L), ("zh", 300L), ("de", 250L),
         ("fr", 200L), ("es", 100L)).toDF("lang", "keep_permille")
       val mixed = ded
-        .withColumn("bucket",
-          ((col("doc_id") % 1000003L) * 998244353L + 12345L) % 1000007L % 1000L)
+        .withColumn("bucket", mixBucket(col("doc_id")))
         .join(broadcast(rates), Seq("lang"))
         .filter(col("bucket") < col("keep_permille"))
       docs.agg(count(lit(1)).as("n_raw"))
@@ -531,9 +546,12 @@ object LlmQueries {
       val next = labels.unionAll(prop)
         .groupBy("doc_id").agg(min(col("label")).as("label"))
         .localCheckpoint()
+      // sum is null iff there are no labels at all (empty pairs input):
+      // nothing can ever change, so that is converged too
       val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head()
         .getDecimal(0)
-      converged = prevSum.exists(_.compareTo(s) == 0)
+      converged = s == null ||
+        prevSum.exists(p => p != null && p.compareTo(s) == 0)
       prevSum = Some(s)
       labels = next
       iter += 1
@@ -1045,21 +1063,21 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "l16_stratified_sample" ->
-      """WITH rates(lang, keep_permille) AS (VALUES
+      s"""WITH rates(lang, keep_permille) AS (VALUES
         |  ('en', 500), ('zh', 300), ('de', 250), ('fr', 200), ('es', 100))
         |SELECT d.lang, count(*) AS n_sampled,
         |  CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
         |FROM documents d JOIN rates r ON d.lang = r.lang
-        |WHERE ((d.doc_id % 1000003) * 998244353 + 12345) % 1000007 % 1000
+        |WHERE ${mixBucketSql("d.doc_id")}
         |      < r.keep_permille
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "l17_token_budget_mix" ->
-      """WITH budgets(lang, budget) AS (VALUES
+      s"""WITH budgets(lang, budget) AS (VALUES
         |  ('en', 60000), ('zh', 40000), ('de', 30000),
         |  ('fr', 20000), ('es', 10000)),
         |bucketed AS (SELECT lang, n_chars,
-        |    ((doc_id % 1000003) * 998244353 + 12345) % 1000007 % 1000 AS bucket
+        |    ${mixBucketSql("doc_id")} AS bucket
         |  FROM documents),
         |totals AS (SELECT lang, bucket, sum(n_chars) AS bchars
         |  FROM bucketed GROUP BY lang, bucket),
@@ -1091,7 +1109,7 @@ object LlmQueries {
         |rates(lang, keep_permille) AS (VALUES
         |  ('en', 500), ('zh', 300), ('de', 250), ('fr', 200), ('es', 100)),
         |mixed AS (SELECT d.doc_id FROM ded d JOIN rates r ON d.lang = r.lang
-        |  WHERE ((d.doc_id % 1000003) * 998244353 + 12345) % 1000007 % 1000
+        |  WHERE ${mixBucketSql("d.doc_id")}
         |        < r.keep_permille)
         |SELECT (SELECT count(*) FROM documents) AS n_raw,
         |       (SELECT count(*) FROM qd) AS n_quality,

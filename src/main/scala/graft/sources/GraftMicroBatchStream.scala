@@ -66,7 +66,14 @@ object GraftFilesOffset {
   private val pat = """\{"mtime":(-?\d+),"path":"(.*)"\}""".r
 
   def parse(json: String): GraftFilesOffset = json.trim match {
-    case pat(m, p) => GraftFilesOffset(m.toLong, unescape(p))
+    case pat(m, p) =>
+      // a corrupted escape (truncated \uXXXX, bad hex) must surface as a
+      // bad offset, not an index/number error from inside unescape
+      try GraftFilesOffset(m.toLong, unescape(p))
+      catch {
+        case e @ (_: IndexOutOfBoundsException | _: NumberFormatException) =>
+          throw new IllegalArgumentException(s"bad graft offset: $json", e)
+      }
     case other => throw new IllegalArgumentException(s"bad graft offset: $other")
   }
 

@@ -65,14 +65,16 @@ final class GraftBatchWrite(format: WritableGraftFormat, dir: String, schema: St
   // on task commit, so a task that dies mid-write never leaves a visible
   // partial part file (listings skip '_'-prefixed names as an extra
   // guard). Job commit/abort clears only THIS job's temp subtree — so two
-  // concurrent appends cannot delete each other's in-flight files — plus
-  // any sibling subtree whose last modification is older than a day
-  // (a job whose JVM died without commit/abort; without this sweep its
-  // orphans would accumulate forever), then the parent if empty.
+  // concurrent appends cannot delete each other's in-flight files — then
+  // the parent if empty. Subtrees of a job whose JVM died without
+  // commit/abort stay behind; the OPT-IN sweep below reclaims them, gated
+  // on an explicit TTL because any mtime heuristic can misfire (object
+  // stores report 0/unreliable directory mtimes, and a >TTL straggler
+  // task would lose its in-flight files): set
+  // spark.hadoop.graft.write.orphanTempTtlMs to a duration safely above
+  // the longest job you run concurrently against the directory.
   override def commit(messages: Array[WriterCommitMessage]): Unit = cleanTemp()
   override def abort(messages: Array[WriterCommitMessage]): Unit = cleanTemp()
-
-  private val orphanTtlMs = 24L * 3600 * 1000
 
   private def cleanTemp(): Unit = {
     val parent = new Path(dir, "_temporary")
@@ -80,9 +82,14 @@ final class GraftBatchWrite(format: WritableGraftFormat, dir: String, schema: St
     val fs = tmp.getFileSystem(conf.value)
     try {
       fs.delete(tmp, true)
-      val cutoff = System.currentTimeMillis() - orphanTtlMs
-      fs.listStatus(parent).foreach { st =>
-        if (st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+      val ttl = conf.value.getLong("graft.write.orphanTempTtlMs", -1L)
+      if (ttl > 0) {
+        val cutoff = System.currentTimeMillis() - ttl
+        fs.listStatus(parent).foreach { st =>
+          // mtime 0 = filesystem doesn't track it; never sweep on a guess
+          if (st.getModificationTime > 0 && st.getModificationTime < cutoff)
+            fs.delete(st.getPath, true)
+        }
       }
       if (fs.listStatus(parent).isEmpty) fs.delete(parent, false)
     } catch { case _: Throwable => () }

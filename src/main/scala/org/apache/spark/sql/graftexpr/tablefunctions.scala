@@ -104,7 +104,9 @@ object GraftTableFunctions {
     * (`'regions.txt'` without `./` -> 0 rows the other way).
     */
   private def regionKey(regionArg: String): String = {
-    val looksLikePath = regionArg.contains('/') || regionArg.contains("://")
+    val hasCoords = graft.functions.GenomicRegion.parse(regionArg).start.isDefined
+    val looksLikePath = regionArg.contains("://") ||
+      (regionArg.contains('/') && !hasCoords)
     def isFile: Boolean = scala.util.Try {
       val rp = new org.apache.hadoop.fs.Path(regionArg)
       rp.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
@@ -116,8 +118,13 @@ object GraftTableFunctions {
         s"region file not found: '$regionArg' (a path-like region argument " +
           "must resolve to an existing file; use 'name:start-end' for a " +
           "literal region)")
+    } else if (hasCoords) {
+      // 'name:lo-hi' is always a literal region — the SAM spec allows '/'
+      // (and ':') in reference names, so coordinates, not separators,
+      // decide; a file named like that cannot shadow it.
+      "region"
     } else {
-      if (graft.functions.GenomicRegion.parse(regionArg).start.isEmpty && isFile)
+      if (isFile)
         throw new IllegalArgumentException(
           s"ambiguous region argument '$regionArg': a file with that name " +
             "exists in the working directory — prefix it with './' to read " +

@@ -96,6 +96,12 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
     assert(got.length == 21 && got.forall(_._2 == 0L))
   }
 
+  test("connected components: empty pairs input converges to an empty result") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("ida", "idb")
+    assert(LlmQueries.connectedComponents(empty).count() == 0)
+  }
+
   test("IVF ANN recall vs exact brute force (nprobe=4 of 16 cells)") {
     val d = "/root/testdata/sf0.001"
     def pairs(name: String): Set[(Long, Long)] =
