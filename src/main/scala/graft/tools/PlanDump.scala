@@ -46,6 +46,10 @@ object PlanDump {
         "The cumsum window runs over per-(lang,bucket) totals (tiny), the " +
           "corpus itself only sees a map + broadcast semi-join.",
         () => graft.queries.LlmQueries.queries("l17_token_budget_mix")(spark, d)),
+      ("l18_curation_funnel",
+        "Quality gate -> dedup -> mix composed with one materialization " +
+          "per stage; counts are cheap aggregates over the cut lineage.",
+        () => graft.queries.LlmQueries.queries("l18_curation_funnel")(spark, d)),
       ("vcf_where_region_pushdown",
         "WHERE-derived region reaches the GraftScan description (tabix " +
           "chunk pruning); residual filter keeps results exact.",
