@@ -165,6 +165,56 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Q13-shape: order-count distribution over customers (left join so
+    // zero-order customers land in bucket 0).
+    "q13_customer_distribution" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q15-shape: suppliers achieving the max quarterly revenue. Revenue is
+    // accumulated in exact decimal and compared as integer cents — a
+    // max-equality on rounded doubles would be engine-dependent at ties.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg((round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")), 2) * 100).cast("long").as("revenue_cents"))
+      val top = rev.agg(max(col("revenue_cents")).as("max_cents"))
+      supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(top), col("revenue_cents") === col("max_cents"))
+        .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q17-shape: lines ordering far below their part's average quantity.
+    // The 20%-of-average comparison is done in exact integer-free form:
+    // qty * 5 * n < sum(qty), all in decimal, so both engines agree at
+    // the boundary.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val stats = lineitem(s, d)
+        .groupBy(col("l_partkey").as("sp_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty"),
+          count(lit(1)).as("n_qty"))
+      lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === "Brand#1")
+        .join(stats, col("l_partkey") === col("sp_partkey"))
+        .filter(col("l_quantity").cast("decimal(18,6)") * 5 * col("n_qty") <
+          col("sum_qty"))
+        .agg(count(lit(1)).as("n_lines"),
+          (round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("long").as("revenue_cents"))
+    }),
+
     // Events: per-type hourly aggregate (timestamp truncation parity via date+hour).
     "q30_events_hourly" -> ((s, d) => {
       events(s, d)
@@ -369,6 +419,42 @@ object RelationalQueries {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) x
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, revenue_cents
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH stats AS (
+        |  SELECT l_partkey AS sp_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+        |    count(*) AS n_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT count(*) AS n_lines,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) * 100
+        |       AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN stats ON l_partkey = sp_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND CAST(l_quantity AS DECIMAL(18,6)) * 5 * n_qty < sum_qty""".stripMargin,
 
     "q30_events_hourly" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS h,
