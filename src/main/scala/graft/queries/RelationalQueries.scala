@@ -215,6 +215,30 @@ object RelationalQueries {
             .cast("long").as("revenue_cents"))
     }),
 
+    // Events: sessionization (gaps-and-islands, 30-minute inactivity
+    // timeout). Both windows are keyed on user_id — no global sort, the
+    // classic scale-safe shape; ties on ts are ordered by event_id so the
+    // lag is deterministic. Micros (ts is µs-truncated by Tables.events)
+    // keep the gap comparison integral in both engines.
+    "q33_event_sessions" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val flagged = events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+        .filter(col("n_sessions") >= 2)
+        .orderBy(col("user_id"))
+    }),
+
     // Events: per-type hourly aggregate (timestamp truncation parity via date+hour).
     "q30_events_hourly" -> ((s, d) => {
       events(s, d)
@@ -455,6 +479,27 @@ object RelationalQueries {
         |JOIN stats ON l_partkey = sp_partkey
         |WHERE p_brand = 'Brand#1'
         |  AND CAST(l_quantity AS DECIMAL(18,6)) * 5 * n_qty < sum_qty""".stripMargin,
+
+    "q33_event_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged),
+        |per AS (SELECT user_id, session_seq, count(*) AS n_events
+        |  FROM sess GROUP BY user_id, session_seq)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS max_session_events
+        |FROM per GROUP BY user_id
+        |HAVING count(*) >= 2
+        |ORDER BY user_id""".stripMargin,
 
     "q30_events_hourly" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS h,
