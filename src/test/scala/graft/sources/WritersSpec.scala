@@ -63,4 +63,20 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     assert(rows.length == 1 && rows(0).getString(0) == "z" && rows(0).isNullAt(1))
     spark.sql("DROP TABLE fasta_sink")
   }
+
+  test("SQL copy-to-parquet: CTAS from a FASTA scan (parquet-copy-test.slt)") {
+    // reference: COPY fasta_table TO '...' STORED AS PARQUET, then read it
+    // back (exon-core/tests/sqllogictests/slt/parquet-copy-test.slt)
+    val dir = Files.createTempDirectory("fasta_parquet_copy").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS fasta_parquet_copy")
+    spark.sql(
+      s"""CREATE TABLE fasta_parquet_copy USING parquet LOCATION '$dir'
+         |AS SELECT * FROM fasta_scan('$fx/fasta/test.fasta')""".stripMargin)
+    val rows = spark.sql(
+      "SELECT id, description, sequence FROM fasta_parquet_copy ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("a", "description", "ATCG"),
+      ("b", "description2", "ATCG")))
+    spark.sql("DROP TABLE fasta_parquet_copy")
+  }
 }
