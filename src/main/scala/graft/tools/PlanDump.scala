@@ -30,6 +30,10 @@ object PlanDump {
         "Key-partitioned joins for the big tables, broadcast for nation; " +
           "AQE coalesces post-shuffle partitions by size.",
         () => graft.queries.RelationalQueries.queries("q07_volume_shipping")(spark, d)),
+      ("q33_event_sessions",
+        "Sessionization: both windows keyed on user_id (hashpartitioning " +
+          "exchange, no single-partition Window).",
+        () => graft.queries.RelationalQueries.queries("q33_event_sessions")(spark, d)),
       ("l04_minhash_lsh_dedup",
         "Candidate generation is a keyed self-join on (band, sig) — no " +
           "CartesianProduct anywhere; hot buckets dropped before the join.",
