@@ -96,6 +96,28 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
     assert(got.length == 21 && got.forall(_._2 == 0L))
   }
 
+  test("simhash banding finds every real hamming<=6 pair on sf0.01 documents") {
+    // brute-force ground truth on the actual corpus (500 docs — fine to
+    // fold on the driver in a test), vs the l05 banded candidate path
+    val d01 = "/root/testdata/sf0.01"
+    val fps = Tables.documents(spark, d01)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), graft.functions.TextOps.simhash64(r.getString(1))))
+    val exact = (for {
+      i <- fps.indices.iterator
+      j <- (i + 1) until fps.length
+      if java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2) <= 6
+    } yield {
+      val (a, b) = (fps(i)._1, fps(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    val banded = LlmQueries.queries("l05_simhash_pairs")(spark, d01)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture has no near-dup pairs; test is vacuous")
+    assert(banded == exact,
+      s"banding missed ${(exact -- banded).size} / extra ${(banded -- exact).size}")
+  }
+
   test("connected components: empty pairs input converges to an empty result") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("ida", "idb")
