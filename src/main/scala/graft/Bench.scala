@@ -10,7 +10,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = LocalSession.build(cpus) // AQE shape documented there
+    val spark = LocalSession.buildBench(cpus) // AQE shape documented there
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -37,10 +37,17 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // One untimed warm-up rep PER QUERY, then min-of-2 timed: per-query-shape
+    // JIT/codegen warm-up otherwise lands on the first timed rep and min-of-2
+    // doesn't absorb it (r4's phantom q09/q10 "regressions" were exactly this).
     var results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = once(name, fn)
-      val b = if (a >= 0) once(name, fn) else -1.0
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val w = once(name, fn)
+      if (w < 0) name -> -1.0
+      else {
+        val a = once(name, fn)
+        val b = if (a >= 0) once(name, fn) else -1.0
+        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }
     }
 
     // Headline throughput benches mirroring BASELINE.md's query shapes: a
@@ -65,6 +72,7 @@ object Bench {
         new java.io.File(benchDir, "_done").createNewFile()
       }
       def timeIt(name: String)(f: => Long): Unit = {
+        f // untimed warm-up rep, same policy as the query pack
         val t0 = System.nanoTime()
         f
         results = results :+ (name -> (System.nanoTime() - t0) / 1e9)

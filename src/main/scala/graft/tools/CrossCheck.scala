@@ -12,7 +12,7 @@ object CrossCheck {
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: CrossCheck <queryA> <queryB>")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.LocalSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = graft.LocalSession.buildBench(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val qs = graft.SparkEntry.queries
     def rows(name: String): Set[String] =
       qs(name)(spark, sfDir).collect().map(_.toString).toSet

@@ -13,7 +13,7 @@ object PlanDump {
 
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val spark = graft.LocalSession.build("4")
+    val spark = graft.LocalSession.buildBench("4")
     graft.GraftSession.registerAll(spark)
 
     val entries: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(

@@ -14,7 +14,7 @@ object QTime {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val spark = graft.LocalSession.build(cpus)
+    val spark = graft.LocalSession.buildBench(cpus)
     val qs = graft.SparkEntry.queries
     args.foreach { name =>
       val fn = qs.getOrElse(name, sys.error(s"unknown query: $name"))

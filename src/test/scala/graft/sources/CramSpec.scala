@@ -90,7 +90,7 @@ class CramSpec extends AnyFunSuite with SharedSpark {
 
   test("cram: header pruning works without a .crai") {
     // copy the fixture without its index; header coordinates still prune
-    val dir = java.nio.file.Files.createTempDirectory("graft_cram_noidx")
+    val dir = graft.TestTmp.dir("graft_cram_noidx")
     val dst = dir.resolve("multi.cram")
     java.nio.file.Files.copy(java.nio.file.Paths.get(
       s"$fx/cram/1404_index_multislice.cram"), dst)
@@ -106,7 +106,7 @@ class CramSpec extends AnyFunSuite with SharedSpark {
     // CHROMOSOME_I:200-210 (20 recs). Pruning from `region` alone would
     // skip the CHROMOSOME_I containers and silently drop those 20 rows.
     val p = s"$fx/cram/1404_index_multislice.cram"
-    val rf = java.nio.file.Files.createTempFile("graft_cram_regions", ".txt")
+    val rf = graft.TestTmp.file("graft_cram_regions", ".txt")
     java.nio.file.Files.write(rf, "CHROMOSOME_I:200-210\n".getBytes)
     val df = spark.read.format("cram")
       .option("region", "CHROMOSOME_II")
@@ -148,7 +148,7 @@ class CramSpec extends AnyFunSuite with SharedSpark {
 
   test("cram: non-3.0 versions and bad magic are rejected loudly, not decoded as garbage") {
     val src = java.nio.file.Paths.get(s"$fx/cram/test_input_1_a.cram")
-    val dir = java.nio.file.Files.createTempDirectory("cram_ver")
+    val dir = graft.TestTmp.dir("cram_ver")
     def mutated(name: String)(f: Array[Byte] => Unit): String = {
       val bytes = java.nio.file.Files.readAllBytes(src)
       f(bytes)

@@ -20,7 +20,7 @@ class DeltaPassthroughSpec extends AnyFunSuite with SharedSpark {
   test("delta round-trip (cancels without delta-spark jars)") {
     assume(deltaPresent, "delta-spark not on classpath")
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_delta").toString
+    val dir = graft.TestTmp.dir("graft_delta").toString
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
       .write.format("delta").mode("overwrite").save(dir)
     assert(spark.read.format("delta").load(dir).count() == 2)

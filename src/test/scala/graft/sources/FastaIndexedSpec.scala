@@ -33,7 +33,7 @@ class FastaIndexedSpec extends AnyFunSuite with SharedSpark {
     * plus a generated .fai.
     */
   private lazy val bigFasta: org.apache.hadoop.fs.Path = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_fai").toString
+    val dir = graft.TestTmp.dir("graft_fai").toString
     val f = new java.io.File(dir, "big.fasta")
     val w = new java.io.BufferedWriter(new java.io.FileWriter(f))
     Seq("chrA" -> 2000000, "chrB" -> 2000000).foreach { case (name, len) =>

@@ -69,7 +69,7 @@ class IndexedReadSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("regionFile: union of regions via the index equals raw-scan filter") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_rf")
+    val dir = graft.TestTmp.dir("graft_rf")
     val rf = dir.resolve("regions.txt")
     java.nio.file.Files.writeString(rf, "1:9999919-10000000\n2\n")
     val viaIndex = spark.read.format("vcf").option("regionFile", rf.toString)
@@ -83,7 +83,7 @@ class IndexedReadSpec extends AnyFunSuite with SharedSpark {
 
   test("regionFile: vcf_indexed_scan table function accepts a region file") {
     graft.GraftSession.registerAll(spark)
-    val dir = java.nio.file.Files.createTempDirectory("graft_rf2")
+    val dir = graft.TestTmp.dir("graft_rf2")
     val rf = dir.resolve("regions.txt")
     java.nio.file.Files.writeString(rf, "1:9999919-10000000\n")
     val n = spark.sql(
@@ -99,7 +99,7 @@ class IndexedReadSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("overlapping regions in a regionFile do not duplicate rows") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_rf3")
+    val dir = graft.TestTmp.dir("graft_rf3")
     val rf = dir.resolve("regions.txt")
     // heavily overlapping regions on the same chromosome: the merged chunk
     // set must decode each shared BGZF range exactly once

@@ -63,7 +63,7 @@ class LineIOSpec extends AnyFunSuite {
   }
 
   test("bzip2 and xz decompression by extension") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_codec")
+    val dir = graft.TestTmp.dir("graft_codec")
     val fasta = ">a d1\nATCG\n>b d2\nGGCC\n"
     val bz = dir.resolve("t.fasta.bz2")
     val bzo = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(

@@ -24,7 +24,7 @@ class LongTailFormatsSpec extends AnyFunSuite with SharedSpark {
   // reader is exercised against a synthesized FCS3.0 file with the same
   // structure (header offsets, /-delimited TEXT segment, float32 DATA).
   test("fcs: inferred parameter columns and float rows (synthetic fixture)") {
-    val dir = java.nio.file.Files.createTempDirectory("fcs_fix")
+    val dir = graft.TestTmp.dir("fcs_fix")
     val f = dir.resolve("synth.fcs").toFile
     val text = "/$PAR/3/$TOT/2/$DATATYPE/F/$BYTEORD/1,2,3,4" +
       "/$P1S/FSC-A/$P2S/SSC-A/$P3S/FL1-A/"

@@ -43,7 +43,7 @@ class S3ContractSpec extends AnyFunSuite with SharedSpark {
     // BGZF seeks, and the write temp+rename commit all run the object-path
     // shape. The AWS connector itself remains jar-gated (test above).
     val fx = "/root/reference/exon/exon-core/test-data/datasources"
-    val root = java.nio.file.Files.createTempDirectory("graft_fakes3")
+    val root = graft.TestTmp.dir("graft_fakes3")
     val bucket = root.resolve("graft-test")
     for (sub <- Seq("fasta", "fasta-indexed", "vcf")) {
       val dst = bucket.resolve(sub)

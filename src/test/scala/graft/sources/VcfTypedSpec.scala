@@ -45,7 +45,7 @@ class VcfTypedSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("directory inference merges compatible headers across files") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_vcf_merge")
+    val dir = graft.TestTmp.dir("graft_vcf_merge")
     writeVcf(dir, "a.vcf",
       Seq("""##INFO=<ID=DP,Number=1,Type=Integer,Description="d">"""),
       Seq("1\t10\t.\tA\tC\t.\t.\tDP=7\tGT\t0/0"))
@@ -63,7 +63,7 @@ class VcfTypedSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("directory inference fails loudly on conflicting header types") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_vcf_conflict")
+    val dir = graft.TestTmp.dir("graft_vcf_conflict")
     writeVcf(dir, "a.vcf",
       Seq("""##INFO=<ID=DP,Number=1,Type=Integer,Description="d">"""),
       Seq("1\t10\t.\tA\tC\t.\t.\tDP=7\tGT\t0/0"))

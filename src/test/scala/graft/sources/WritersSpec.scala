@@ -10,7 +10,7 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
   private val fx = "/root/reference/exon/exon-core/test-data/datasources"
 
   test("fasta round trip, plain and gzip") {
-    val dir = Files.createTempDirectory("fasta_rt").toString
+    val dir = graft.TestTmp.dir("fasta_rt").toString
     val src = spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
     src.write.format("fasta").mode("overwrite").save(s"$dir/plain")
     val back = spark.read.format("fasta").load(s"$dir/plain").orderBy("id")
@@ -25,7 +25,7 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("fastq round trip preserves quality strings") {
-    val dir = Files.createTempDirectory("fastq_rt").toString
+    val dir = graft.TestTmp.dir("fastq_rt").toString
     val src = spark.read.format("fastq").load(s"$fx/fastq/test.fastq")
     src.write.format("fastq").mode("overwrite").save(s"$dir/out")
     val back = spark.read.format("fastq").load(s"$dir/out").orderBy("name")
@@ -36,7 +36,7 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("write then append accumulates records") {
-    val dir = Files.createTempDirectory("fasta_app").toString + "/t"
+    val dir = graft.TestTmp.dir("fasta_app").toString + "/t"
     val src = spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
     src.write.format("fasta").mode("overwrite").save(dir)
     src.write.format("fasta").mode("append").save(dir)
@@ -45,7 +45,7 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
 
   test("SQL sink: CREATE TABLE USING fasta + INSERT INTO / INSERT OVERWRITE") {
     // the Spark shape of the reference's COPY ... STORED AS FASTA
-    val dir = Files.createTempDirectory("fasta_sql_sink").toString + "/t"
+    val dir = graft.TestTmp.dir("fasta_sql_sink").toString + "/t"
     spark.sql("DROP TABLE IF EXISTS fasta_sink")
     spark.sql(s"CREATE TABLE fasta_sink USING fasta LOCATION '$dir'")
     spark.sql(
@@ -67,7 +67,7 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
   test("SQL copy-to-parquet: CTAS from a FASTA scan (parquet-copy-test.slt)") {
     // reference: COPY fasta_table TO '...' STORED AS PARQUET, then read it
     // back (exon-core/tests/sqllogictests/slt/parquet-copy-test.slt)
-    val dir = Files.createTempDirectory("fasta_parquet_copy").toString + "/t"
+    val dir = graft.TestTmp.dir("fasta_parquet_copy").toString + "/t"
     spark.sql("DROP TABLE IF EXISTS fasta_parquet_copy")
     spark.sql(
       s"""CREATE TABLE fasta_parquet_copy USING parquet LOCATION '$dir'

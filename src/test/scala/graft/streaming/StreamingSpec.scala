@@ -13,8 +13,8 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
   private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
 
   test("streaming FASTA source: new files arrive as new micro-batches") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val dir = graft.TestTmp.dir("graft_stream").toString
+    val ckpt = graft.TestTmp.dir("graft_ckpt").toString
     def writeFasta(name: String, ids: Seq[String]): Unit = {
       val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
       java.nio.file.Files.writeString(tmp,
@@ -24,7 +24,7 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     }
     writeFasta("a.fasta", Seq("a1", "a2"))
 
-    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val out = graft.TestTmp.dir("graft_sink").toString
     def runOnce(): Long = {
       val q = spark.readStream.format("fasta").load(dir)
         .writeStream.format("parquet").option("path", out)
@@ -44,9 +44,9 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
   test("streaming restart survives deletion of an already-processed file") {
     // Boundary-key offsets (mtime, path) — not counts — so removing a
     // processed file must neither re-read survivors nor skip arrivals.
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_del").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_del").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_sink_del").toString
+    val dir = graft.TestTmp.dir("graft_stream_del").toString
+    val ckpt = graft.TestTmp.dir("graft_ckpt_del").toString
+    val out = graft.TestTmp.dir("graft_sink_del").toString
     def writeFasta(name: String, ids: Seq[String]): Unit = {
       val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
       java.nio.file.Files.writeString(tmp,
@@ -82,7 +82,7 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(!hostile.json().contains('\n'))
 
     // a pre-boundary-key {"count":N} checkpoint restarts as the Nth file's key
-    val dir = java.nio.file.Files.createTempDirectory("graft_offs").toString
+    val dir = graft.TestTmp.dir("graft_offs").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.fasta"), ">a\nA\n")
     Thread.sleep(1100)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.fasta"), ">b\nA\n")
