@@ -172,6 +172,34 @@ object Bench {
         spark.read.format("mzml").load(mzFile.getAbsolutePath)
           .agg(asum(asize(col("mz.mz")))).count()
       }
+
+      // Same 6k spectra split across 8 files: mzML is non-splittable XML, so
+      // a real corpus parallelizes at whole-file granularity — this is the
+      // aggregate-throughput story b05's single file can't show.
+      val mz8Dir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
+        "graft_bench_mzml8").getAbsolutePath
+      if (!new java.io.File(mz8Dir, "_done").exists()) {
+        new java.io.File(mz8Dir).mkdirs()
+        val src = scala.io.Source.fromFile(mzFile)
+        val lines = try src.getLines().toArray finally src.close()
+        // lines: 2 header lines (xml decl + open tags), 6000 spectrum lines, footer
+        val header = lines.take(2); val footer = lines.last
+        val body = lines.slice(2, lines.length - 1)
+        body.grouped((body.length + 7) / 8).zipWithIndex.foreach { case (chunk, i) =>
+          val w = new java.io.BufferedWriter(
+            new java.io.FileWriter(new java.io.File(mz8Dir, s"part$i.mzML")), 1 << 20)
+          header.foreach { l => w.write(l); w.write("\n") }
+          chunk.foreach { l => w.write(l); w.write("\n") }
+          w.write(footer); w.write("\n")
+          w.close()
+        }
+        new java.io.File(mz8Dir, "_done").createNewFile()
+      }
+      timeIt("b06_mzml_scan_8files") {
+        import org.apache.spark.sql.functions.{col, size => asize, sum => asum}
+        spark.read.format("mzml").load(mz8Dir)
+          .agg(asum(asize(col("mz.mz")))).count()
+      }
     } catch {
       case e: Throwable =>
         errors += "b0x_fasta_bench" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"

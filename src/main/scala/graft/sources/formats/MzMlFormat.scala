@@ -44,6 +44,7 @@ object MzMlFormat extends GraftFormat {
       factory.setProperty(XMLInputFactory.IS_COALESCING, true)
       factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
       private val xml = factory.createXMLStreamReader(input.stream)
+      private val ctx = new DecodeCtx
       private var nextRow: Array[Any] = _
       advance()
 
@@ -52,7 +53,7 @@ object MzMlFormat extends GraftFormat {
         while (nextRow == null && xml.hasNext) {
           if (xml.next() == XMLStreamConstants.START_ELEMENT &&
             xml.getLocalName == "spectrum") {
-            nextRow = parseSpectrum(xml)
+            nextRow = parseSpectrum(xml, ctx)
           }
         }
       }
@@ -65,7 +66,17 @@ object MzMlFormat extends GraftFormat {
       }
     }
 
-  private def parseSpectrum(xml: XMLStreamReader): Array[Any] = {
+  /** Per-partition reusable decode state: one native Inflater and two growable
+    * scratch buffers for the whole file, instead of a fresh Inflater + regex
+    * strip + ByteArrayOutputStream per binary array (the r4 b05 hot path).
+    */
+  private final class DecodeCtx {
+    val inflater = new java.util.zip.Inflater()
+    var b64buf: Array[Byte] = new Array[Byte](1 << 13) // whitespace-stripped base64 bytes
+    var rawbuf: Array[Byte] = new Array[Byte](1 << 14) // inflated output
+  }
+
+  private def parseSpectrum(xml: XMLStreamReader, ctx: DecodeCtx): Array[Any] = {
     val id = Option(xml.getAttributeValue(null, "id")).getOrElse("")
     val specParams = mutable.ArrayBuffer[Any]()
     var mz: Array[Double] = null
@@ -123,7 +134,7 @@ object MzMlFormat extends GraftFormat {
             case "precursor" | "selectedIon" => inPrecursor = false
             case "binaryDataArray" =>
               if (bdaKind != null && bdaB64 != null) {
-                val values = decode(bdaB64, bdaZlib, bda64bit)
+                val values = decode(bdaB64, bdaZlib, bda64bit, ctx)
                 bdaKind match {
                   case "mz" => mz = values
                   case "intensity" => intensity = values
@@ -139,35 +150,56 @@ object MzMlFormat extends GraftFormat {
 
     def wrap(a: Array[Double]): Any =
       if (a == null) null
-      else new GenericInternalRow(Array[Any](new GenericArrayData(a.map(x => x: Any))))
+      else new GenericInternalRow(Array[Any](
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(a)))
 
     Array[Any](utf8(id), wrap(mz), wrap(intensity), wrap(wavelength),
       new GenericArrayData(specParams.toArray), precursorMz, precursorCharge)
   }
 
-  private def decode(b64: String, zlib: Boolean, is64: Boolean): Array[Double] = {
-    var bytes = Base64.getDecoder.decode(b64.replaceAll("\\s", ""))
-    if (zlib) {
-      val inf = new java.util.zip.Inflater()
-      inf.setInput(bytes)
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-      val buf = new Array[Byte](8192)
-      while (!inf.finished()) {
-        val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) throw new java.io.EOFException("truncated zlib data")
-        out.write(buf, 0, n)
-      }
-      inf.end()
-      bytes = out.toByteArray
+  private def decode(b64: String, zlib: Boolean, is64: Boolean, ctx: DecodeCtx): Array[Double] = {
+    // Strip whitespace char→byte in one pass into the reusable scratch buffer
+    // (no regex, no intermediate String, no getBytes copy), then hand the
+    // exact-length slice to the intrinsified byte[] Base64 decoder.
+    if (ctx.b64buf.length < b64.length) ctx.b64buf = new Array[Byte](Integer.highestOneBit(b64.length) << 1)
+    val b64b = ctx.b64buf
+    var n = 0
+    var i = 0
+    val len = b64.length
+    while (i < len) {
+      val c = b64.charAt(i)
+      if (c > ' ') { b64b(n) = c.toByte; n += 1 }
+      i += 1
     }
-    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val decoded = Base64.getDecoder.decode(java.nio.ByteBuffer.wrap(b64b, 0, n))
+    var bytes = decoded.array()
+    var byteLen = decoded.remaining()
+    if (zlib) {
+      val inf = ctx.inflater
+      inf.reset()
+      inf.setInput(bytes, 0, byteLen)
+      var out = ctx.rawbuf
+      var pos = 0
+      while (!inf.finished()) {
+        if (pos == out.length) {
+          out = java.util.Arrays.copyOf(out, out.length << 1)
+          ctx.rawbuf = out
+        }
+        val got = inf.inflate(out, pos, out.length - pos)
+        if (got == 0 && inf.needsInput()) throw new java.io.EOFException("truncated zlib data")
+        pos += got
+      }
+      bytes = out
+      byteLen = pos
+    }
+    val bb = java.nio.ByteBuffer.wrap(bytes, 0, byteLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     if (is64) {
-      val out = new Array[Double](bytes.length / 8)
+      val out = new Array[Double](byteLen / 8)
       var i = 0
       while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
       out
     } else {
-      val out = new Array[Double](bytes.length / 4)
+      val out = new Array[Double](byteLen / 4)
       var i = 0
       while (i < out.length) { out(i) = bb.getFloat().toDouble; i += 1 }
       out
