@@ -520,18 +520,27 @@ object LlmQueries {
 
   /** Connected components over (ida, idb) pairs: (doc_id, cluster_id)
     * with cluster_id = the component's minimum doc_id. Min-label
-    * propagation with a per-round lineage cut (localCheckpoint): rounds =
-    * component diameter, small for near-dup clusters; at larger diameters
-    * swap in alternating small-star/large-star contraction (Kiveris et
-    * al.) on the same edge DataFrame. Docs in no pair are implicit
-    * singletons and are not emitted.
+    * propagation with a per-round lineage cut: rounds = component
+    * diameter, small for near-dup clusters; at larger diameters swap in
+    * alternating small-star/large-star contraction (Kiveris et al.) on
+    * the same edge DataFrame. Docs in no pair are implicit singletons and
+    * are not emitted.
+    *
+    * `checkpointDir`: when given, per-round cuts are RELIABLE checkpoints
+    * (HDFS/object store via setCheckpointDir) so a long CC run survives
+    * executor loss — the right mode for a 100 TB corpus. When absent, the
+    * cuts are localCheckpoint (executor-local blocks): faster, fine for
+    * bench/sandbox scale, not fault-tolerant.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
-    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
-      .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = cut(pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst"))))
+    var labels = cut(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
     var converged = false
     var iter = 0
     // Min-propagation makes every label non-increasing, so the label total
@@ -543,9 +552,8 @@ object LlmQueries {
     while (!converged && iter < maxRounds) {
       val prop = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("label"))
-      val next = labels.unionAll(prop)
-        .groupBy("doc_id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val next = cut(labels.unionAll(prop)
+        .groupBy("doc_id").agg(min(col("label")).as("label")))
       // sum is null iff there are no labels at all (empty pairs input):
       // nothing can ever change, so that is converged too
       val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head()

@@ -96,6 +96,20 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
     assert(got.length == 21 && got.forall(_._2 == 0L))
   }
 
+  test("connected components: reliable-checkpoint mode matches, writes RDD checkpoints") {
+    import spark.implicits._
+    val ckpt = graft.TestTmp.dir("graft_cc_ckpt").toString
+    // Diameter ~ maxRounds: a 24-edge chain under the default 25-round cap
+    // exercises the convergence bound in the mode a 100 TB run would use.
+    val chain = (0L until 24L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val got = LlmQueries.connectedComponents(chain, checkpointDir = Some(ckpt))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 25 && got.forall(_._2 == 0L))
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+    assert(wrote > 0, "reliable mode did not write any RDD checkpoints")
+  }
+
   test("simhash banding finds every real hamming<=6 pair on sf0.01 documents") {
     // brute-force ground truth on the actual corpus (500 docs — fine to
     // fold on the driver in a test), vs the l05 banded candidate path
