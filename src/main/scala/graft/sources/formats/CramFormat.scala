@@ -184,7 +184,8 @@ class CramFormat(refPath: Option[String],
     out
   }
 
-  private[sources] def decompress(method: Int, payload: Array[Byte]): Array[Byte] = method match {
+  private[sources] def decompress(method: Int, payload: Array[Byte],
+                                  rawSize: Int = -1): Array[Byte] = method match {
     case 0 => payload
     case 1 =>
       val in = new MultiMemberGzipInputStream(new java.io.ByteArrayInputStream(payload))
@@ -205,6 +206,16 @@ class CramFormat(refPath: Option[String],
           new java.io.ByteArrayInputStream(payload))
       try in.readAllBytes() finally in.close()
     case 4 => ransDecode(payload)
+    case 5 => RansNx16.decode(payload, rawSize)
+    case 6 => throw new IllegalStateException(
+      "cram: block codec 6 (CRAM 3.1 adaptive arithmetic) not supported yet; " +
+        "recode with `samtools view -O cram,version=3.0`")
+    case 7 => throw new IllegalStateException(
+      "cram: block codec 7 (CRAM 3.1 fqzcomp quality codec) not supported yet; " +
+        "recode with `samtools view -O cram,version=3.0`")
+    case 8 => throw new IllegalStateException(
+      "cram: block codec 8 (CRAM 3.1 name tokeniser) not supported yet; " +
+        "recode with `samtools view -O cram,version=3.0`")
     case other => throw new IllegalStateException(s"cram: block codec $other not supported")
   }
 
@@ -340,15 +351,17 @@ class CramFormat(refPath: Option[String],
     // `.crai` index when one sits next to the file.
     val sin = new StreamIn(input.stream)
     // File definition: magic "CRAM", major.minor, 20-byte file id. Decoding
-    // a 2.x (different container layout) or 3.1 (Nx16/fqzcomp codecs) file
-    // with 3.0 structures would produce garbage, not an error — check first.
+    // a 2.x (different container layout) file with 3.x structures would
+    // produce garbage, not an error — check first. 3.1 shares the 3.0
+    // container layout and only adds block codecs (rANS Nx16 implemented;
+    // arith/fqzcomp/tok3 error loudly in decompress()).
     val magic = new Array[Byte](4)
     (0 until 4).foreach(i => magic(i) = sin.u8().toByte)
     require(new String(magic, "US-ASCII") == "CRAM",
       s"not a CRAM file (bad magic) ${if (input.path != null) input.path else ""}")
     val major = sin.u8(); val minor = sin.u8()
-    require(major == 3 && minor == 0,
-      s"unsupported CRAM version $major.$minor (this reader implements CRAM 3.0; " +
+    require(major == 3 && (minor == 0 || minor == 1),
+      s"unsupported CRAM version $major.$minor (this reader implements CRAM 3.0 and 3.1; " +
         "recode with `samtools view -O cram,version=3.0`)")
     sin.skipN(20) // file id
     val craiEntries: Option[Seq[CraiIndex.Entry]] =
@@ -397,8 +410,8 @@ class CramFormat(refPath: Option[String],
           // reference id against the .crai if present.
           val body = new In(sin.bytes(length), 0)
           val method = body.u8(); body.u8(); body.itf8()
-          val cs = body.itf8(); body.itf8()
-          val hdr = decompress(method, body.bytes(cs))
+          val cs = body.itf8(); val rawSize = body.itf8()
+          val hdr = decompress(method, body.bytes(cs), rawSize)
           val hin = new In(hdr, 0)
           val hlen = hin.i32le()
           val text = new String(hin.bytes(hlen), java.nio.charset.StandardCharsets.UTF_8)
@@ -449,9 +462,9 @@ class CramFormat(refPath: Option[String],
                               conf: org.apache.hadoop.conf.Configuration): Unit = {
     val blocks = (0 until nBlocks).map { _ =>
       val method = body.u8(); val ctype = body.u8(); val cid = body.itf8()
-      val cs = body.itf8(); body.itf8()
+      val cs = body.itf8(); val rawSize = body.itf8()
       val payload = body.bytes(cs); body.bytes(4)
-      Block(ctype, cid, decompress(method, payload))
+      Block(ctype, cid, decompress(method, payload, rawSize))
     }
 
     // compression header

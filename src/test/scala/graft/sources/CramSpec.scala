@@ -146,7 +146,26 @@ class CramSpec extends AnyFunSuite with SharedSpark {
       .load(res("1404_index_multislice_o1.cram")).count() == 10)
   }
 
-  test("cram: non-3.0 versions and bad magic are rejected loudly, not decoded as garbage") {
+  test("cram 3.1: rANS Nx16 blocks decode end-to-end, all transform modes") {
+    // fixtures from tools/recompress_cram.py v31 mode: identical records,
+    // file definition says 3.1, every sizable block re-encoded as rANS
+    // Nx16 (method 5) rotating through order-0/1, X32, STRIPE, RLE, PACK
+    // and NOSZ — the full 3.1 codec surface in two files.
+    def res(n: String): String = getClass.getResource(s"/cram/$n").getPath
+    val cols = Seq("name", "flag", "reference", "start", "end",
+      "mapping_quality", "cigar", "sequence", "quality_score")
+    def rows(p: String) = spark.read.format("cram").load(p)
+      .select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq
+    assert(rows(res("test_input_1_a_v31.cram")) ==
+      rows(s"$fx/cram/test_input_1_a.cram"))
+    assert(rows(res("1404_index_multislice_v31.cram")) ==
+      rows(s"$fx/cram/1404_index_multislice.cram"))
+    // header-coordinate pruning is codec-independent and still works on 3.1
+    assert(spark.read.format("cram").option("region", "CHROMOSOME_II")
+      .load(res("1404_index_multislice_v31.cram")).count() == 10)
+  }
+
+  test("cram: non-3.x versions and bad magic are rejected loudly, not decoded as garbage") {
     val src = java.nio.file.Paths.get(s"$fx/cram/test_input_1_a.cram")
     val dir = graft.TestTmp.dir("cram_ver")
     def mutated(name: String)(f: Array[Byte] => Unit): String = {
@@ -156,12 +175,16 @@ class CramSpec extends AnyFunSuite with SharedSpark {
       java.nio.file.Files.write(p, bytes)
       p.toString
     }
+    // 3.1 shares the 3.0 container layout, so a version-bumped 3.0 file
+    // must decode identically (its 4x8/gzip codecs stay legal in 3.1)
     val v31 = mutated("v31.cram") { b => b(4) = 3; b(5) = 1 }
+    assert(spark.read.format("cram").load(v31).count() == 15)
+    val v32 = mutated("v32.cram") { b => b(4) = 3; b(5) = 2 }
     val e1 = intercept[Exception] {
-      spark.read.format("cram").load(v31).collect()
+      spark.read.format("cram").load(v32).collect()
     }
-    assert(e1.getMessage != null && e1.getMessage.contains("unsupported CRAM version 3.1"),
-      e1.getMessage)
+    assert(e1.getMessage != null && e1.getMessage.contains("unsupported CRAM version 3.2") &&
+      e1.getMessage.contains("3.0 and 3.1"), e1.getMessage)
     val badMagic = mutated("bad.cram") { b => b(0) = 'X'.toByte }
     val e2 = intercept[Exception] {
       spark.read.format("cram").load(badMagic).collect()

@@ -6,7 +6,13 @@ an end-to-end fixture for codecs samtools writes by default but the
 reference checkout's fixtures never exercise (their blocks are all
 raw/gzip/rANS-order-0).
 
-Usage: recompress_cram.py <in.cram> <out.cram>
+Usage: recompress_cram.py <in.cram> <out.cram> [v31]
+
+With the `v31` mode the output file definition says version 3.1 and every
+sizable block is re-encoded as rANS Nx16 (method 5), rotating through the
+codec's transform modes (order-0/1, X32, STRIPE, RLE, PACK where the
+alphabet allows, NOSZ) so a single fixture exercises the whole CRAM 3.1
+decode surface.
 
 Layout parsed per the public CRAM 3.0 spec: 26-byte file definition;
 containers = [len i32le, refSeqId/start/span/nRec itf8, counter/bases
@@ -22,6 +28,7 @@ import gzip
 
 sys.path.insert(0, __import__("os").path.dirname(__file__))
 from rans4x8 import compress_o1, decompress_rans, itf8
+import ransnx16
 
 
 class In:
@@ -100,11 +107,30 @@ def decompress(method, payload):
     raise SystemExit(f"unknown method {method}")
 
 
+def nx16_encode(raw, rotation):
+    """Rotate through Nx16 transform modes; returns (flags-used, stream)."""
+    fx = ransnx16
+    modes = [0, fx.ORDER1, fx.X32, fx.ORDER1 | fx.X32, fx.RLE,
+             fx.ORDER1 | fx.RLE, fx.STRIPE, fx.STRIPE | fx.ORDER1,
+             fx.NOSZ, fx.ORDER1 | fx.NOSZ, fx.PACK, fx.ORDER1 | fx.PACK]
+    fl = modes[rotation % len(modes)]
+    if fl & fx.PACK and len(set(raw)) > 16:
+        fl = fx.ORDER1  # alphabet too wide to pack; fall back
+    enc = fx.encode(raw, fl)
+    dec = fx.decode(enc, known_len=len(raw) if fl & fx.NOSZ else None)
+    assert dec == raw, f"nx16 self-check failed for flags {fl}"
+    return fl, enc
+
+
 def main():
     src, dst = sys.argv[1], sys.argv[2]
+    v31 = len(sys.argv) > 3 and sys.argv[3] == "v31"
     data = open(src, "rb").read()
     r = In(data)
     out = bytearray(r.bytes(26))  # file definition verbatim
+    if v31:
+        assert out[4] == 3 and out[5] == 0, "expected a CRAM 3.0 input"
+        out[5] = 1
     codec_rotation = 0
     while not r.eof():
         cont_start = r.o
@@ -143,7 +169,10 @@ def main():
             body.bytes(4)  # block crc
             raw = decompress(method, payload)
             assert len(raw) == rawsize, f"raw size mismatch {len(raw)} != {rawsize}"
-            if rawsize >= 16:
+            if rawsize >= 16 and v31:
+                codec_rotation += 1
+                new_method, (fl, new_payload) = 5, nx16_encode(raw, codec_rotation)
+            elif rawsize >= 16:
                 codec_rotation += 1
                 if codec_rotation % 5 == 0:
                     new_method, new_payload = 2, bz2.compress(raw)
