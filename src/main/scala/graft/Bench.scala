@@ -204,6 +204,53 @@ object Bench {
       case e: Throwable =>
         errors += "b0x_fasta_bench" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
     }
+
+    // b07: parallel-scan scaling curve, mirroring the baseline's workers-N
+    // sweep over the 8-file FASTA corpus (exon-benchmarks: 6.29 s @1 ->
+    // 1.73 s @8). local[N] caps the executor threads, so the curve measures
+    // whether the 8 splits actually parallelize. Each width needs its own
+    // SparkContext (one context per JVM), so this runs last: stop the main
+    // session, cycle local[1/2/4/8] sessions over the same corpus.
+    try {
+      val benchDir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
+        s"graft_bench_fasta_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
+      // The b02 corpus scans in ~0.3 s at one worker — fixed job overhead
+      // would flatten the curve. The scaling corpus replicates it 6x (~3.6M
+      // records, still 8 files) so per-worker scan time dominates, matching
+      // the baseline sweep's seconds-long single-worker shape.
+      val scaleDir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
+        s"graft_bench_fasta6x_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
+      if (new java.io.File(benchDir, "_done").exists()) {
+        if (!new java.io.File(scaleDir, "_done").exists()) {
+          import org.apache.spark.sql.functions._
+          val one = spark.read.format("fasta").load(benchDir)
+          (0 until 6).map(i => one.withColumn("id", concat_ws("_", lit(i), col("id"))))
+            .reduce(_ unionAll _)
+            .repartition(8)
+            .write.format("fasta").mode("overwrite").save(scaleDir)
+          new java.io.File(scaleDir, "_done").createNewFile()
+        }
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        Seq(1, 2, 4, 8).foreach { w =>
+          val s = LocalSession.buildBench(w.toString)
+          import org.apache.spark.sql.functions._
+          def scan(): Long = s.read.format("fasta").load(scaleDir)
+            .agg(sum(length(col("sequence")))).count()
+          scan() // warm-up, same policy as the query pack
+          val t0 = System.nanoTime()
+          scan()
+          results = results :+ (s"b07_fasta_scan_w$w" -> (System.nanoTime() - t0) / 1e9)
+          s.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        errors += "b07_scaling" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+    }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.toSeq.sortBy(_._1).map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")

@@ -213,9 +213,7 @@ class CramFormat(refPath: Option[String],
     case 7 => throw new IllegalStateException(
       "cram: block codec 7 (CRAM 3.1 fqzcomp quality codec) not supported yet; " +
         "recode with `samtools view -O cram,version=3.0`")
-    case 8 => throw new IllegalStateException(
-      "cram: block codec 8 (CRAM 3.1 name tokeniser) not supported yet; " +
-        "recode with `samtools view -O cram,version=3.0`")
+    case 8 => Tok3.decode(payload)
     case other => throw new IllegalStateException(s"cram: block codec $other not supported")
   }
 
@@ -353,8 +351,9 @@ class CramFormat(refPath: Option[String],
     // File definition: magic "CRAM", major.minor, 20-byte file id. Decoding
     // a 2.x (different container layout) file with 3.x structures would
     // produce garbage, not an error — check first. 3.1 shares the 3.0
-    // container layout and only adds block codecs (rANS Nx16 implemented;
-    // arith/fqzcomp/tok3 error loudly in decompress()).
+    // container layout and only adds block codecs (rANS Nx16 and the tok3
+    // name tokeniser implemented; arith/fqzcomp error loudly in
+    // decompress()).
     val magic = new Array[Byte](4)
     (0 until 4).foreach(i => magic(i) = sin.u8().toByte)
     require(new String(magic, "US-ASCII") == "CRAM",

@@ -148,9 +148,10 @@ class CramSpec extends AnyFunSuite with SharedSpark {
 
   test("cram 3.1: rANS Nx16 blocks decode end-to-end, all transform modes") {
     // fixtures from tools/recompress_cram.py v31 mode: identical records,
-    // file definition says 3.1, every sizable block re-encoded as rANS
+    // file definition says 3.1, name-shaped blocks re-encoded with the
+    // tok3 tokeniser (method 8) and every other sizable block as rANS
     // Nx16 (method 5) rotating through order-0/1, X32, STRIPE, RLE, PACK
-    // and NOSZ — the full 3.1 codec surface in two files.
+    // and NOSZ — the full implemented 3.1 codec surface in two files.
     def res(n: String): String = getClass.getResource(s"/cram/$n").getPath
     val cols = Seq("name", "flag", "reference", "start", "end",
       "mapping_quality", "cigar", "sequence", "quality_score")

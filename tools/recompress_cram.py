@@ -29,6 +29,7 @@ import gzip
 sys.path.insert(0, __import__("os").path.dirname(__file__))
 from rans4x8 import compress_o1, decompress_rans, itf8
 import ransnx16
+import tok3
 
 
 class In:
@@ -107,6 +108,20 @@ def decompress(method, payload):
     raise SystemExit(f"unknown method {method}")
 
 
+def try_tok3(raw):
+    """tok3-encode a block whose payload is a separator-terminated list of
+    printable names (the read-name block shape); None if it isn't one."""
+    for sep in (b"\x00", b"\n", b"\t"):
+        if not raw.endswith(sep) or raw.count(sep) < 2:
+            continue
+        names = raw[:-1].split(sep)
+        if all(n and all(32 <= c < 127 for c in n) for n in names):
+            enc = tok3.encode(raw, sep)
+            assert tok3.decode(enc) == raw
+            return enc
+    return None
+
+
 def nx16_encode(raw, rotation):
     """Rotate through Nx16 transform modes; returns (flags-used, stream)."""
     fx = ransnx16
@@ -169,7 +184,9 @@ def main():
             body.bytes(4)  # block crc
             raw = decompress(method, payload)
             assert len(raw) == rawsize, f"raw size mismatch {len(raw)} != {rawsize}"
-            if rawsize >= 16 and v31:
+            if rawsize >= 16 and v31 and try_tok3(raw) is not None:
+                new_method, new_payload = 8, try_tok3(raw)
+            elif rawsize >= 16 and v31:
                 codec_rotation += 1
                 new_method, (fl, new_payload) = 5, nx16_encode(raw, codec_rotation)
             elif rawsize >= 16:
