@@ -200,6 +200,25 @@ object TextOps {
     }
     out
   }
+
+  /** Word-2-gram repetition profile, the Gopher-style repetition quality
+    * signals: (total 2-grams, duplicate occurrences = total - distinct,
+    * occurrences of the most frequent 2-gram). One counting pass per doc.
+    */
+  def repetitionStats(text: String): (Int, Int, Int) = {
+    val ws = words(text)
+    if (ws.length < 2) return (0, 0, 0)
+    val m = new java.util.HashMap[String, Int]()
+    val n = ws.length - 1
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val c = m.merge(ws(i) + "_" + ws(i + 1), 1, Integer.sum)
+      if (c > top) top = c
+      i += 1
+    }
+    (n, n - m.size, top)
+  }
 }
 
 /** Dense-vector kernels for the similarity-search pack. */

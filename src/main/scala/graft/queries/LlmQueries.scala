@@ -484,6 +484,57 @@ object LlmQueries {
         .crossJoin(q.agg(count(lit(1)).as("n_quality")))
         .crossJoin(ded.agg(count(lit(1)).as("n_dedup")))
         .crossJoin(mixed.agg(count(lit(1)).as("n_mixed")))
+    }),
+
+    // Benchmark decontamination: flag corpus documents sharing any word
+    // 8-gram with an eval-set document (here: doc_id % 7 == 0 stands in
+    // for the benchmark suite) — the standard pre-training hygiene pass.
+    // Scale shape: the eval side is SMALL by construction (benchmark
+    // suites are fixed), so its posting list broadcasts and the corpus is
+    // touched by one flatMap + broadcast-hash join — no shuffle of corpus
+    // text at all. 8-grams (vs the dedup pack's 5) keep the match
+    // precision high enough that a hit means real contamination.
+    "l19_decontamination" -> ((s, d) => {
+      import s.implicits._
+      val posts = documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.functions.TextOps.wordShingles(t, 8).iterator.map(sh => (id, sh))
+        }
+        .toDF("doc_id", "sh")
+      val evalPosts = posts.filter(col("doc_id") % 7 === 0)
+        .select(col("sh"), col("doc_id").as("eval_id"))
+      posts.filter(col("doc_id") % 7 =!= 0)
+        .join(broadcast(evalPosts), "sh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_shared"),
+          min(col("eval_id")).as("first_eval_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition quality: per-document word-2-gram repetition
+    // (duplicate fraction + most-frequent-2-gram fraction), aggregated per
+    // language with a flag count at dup_frac > 0.1. Pure typed map (one
+    // counting pass per doc, no shuffle of text) + one tiny keyed agg —
+    // the corpus-scale shape for any per-doc quality signal.
+    "l20_repetition_filter" -> ((s, d) => {
+      import s.implicits._
+      val stats = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (_, lang, t) =>
+          val (n, dup, top) = graft.functions.TextOps.repetitionStats(t)
+          (lang, n, dup, top)
+        }
+        .toDF("lang", "n", "dup", "top")
+        .filter(col("n") > 0)
+        .withColumn("dup_frac", col("dup").cast("double") / col("n"))
+        .withColumn("top_frac", col("top").cast("double") / col("n"))
+      stats.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dup_frac") > 0.1, 1L).otherwise(0L)).as("n_flagged"),
+          round(avg(col("dup_frac")), 4).as("avg_dup_frac"),
+          round(avg(col("top_frac")), 4).as("avg_top_frac"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1122,6 +1173,39 @@ object LlmQueries {
         |SELECT (SELECT count(*) FROM documents) AS n_raw,
         |       (SELECT count(*) FROM qd) AS n_quality,
         |       (SELECT count(*) FROM ded) AS n_dedup,
-        |       (SELECT count(*) FROM mixed) AS n_mixed""".stripMargin
+        |       (SELECT count(*) FROM mixed) AS n_mixed""".stripMargin,
+
+    "l19_decontamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    [w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' ||
+        |     w[i+4] || '_' || w[i+5] || '_' || w[i+6] || '_' || w[i+7]
+        |     for i in generate_series(1, len(w) - 7)]) s FROM toks),
+        |p AS (SELECT doc_id, unnest(s) sh FROM sh),
+        |e AS (SELECT doc_id AS eval_id, sh FROM p WHERE doc_id % 7 = 0),
+        |c AS (SELECT doc_id, sh FROM p WHERE doc_id % 7 <> 0)
+        |SELECT c.doc_id, count(DISTINCT c.sh) AS n_shared,
+        |  min(e.eval_id) AS first_eval_id
+        |FROM c JOIN e USING (sh)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "l20_repetition_filter" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |    [w[i] || '_' || w[i+1] for i in generate_series(1, len(w) - 1)] grams
+        |  FROM toks WHERE len(w) >= 2),
+        |u AS (SELECT doc_id, lang, len(grams) n, unnest(grams) gram FROM g),
+        |cnt AS (SELECT doc_id, lang, n, gram, count(*) c FROM u
+        |  GROUP BY doc_id, lang, n, gram),
+        |per_doc AS (SELECT doc_id, lang, max(n) n,
+        |    CAST(sum(c - 1) AS BIGINT) dup, max(c) top
+        |  FROM cnt GROUP BY doc_id, lang),
+        |fr AS (SELECT lang, dup::DOUBLE / n AS dup_frac,
+        |    top::DOUBLE / n AS top_frac FROM per_doc)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN dup_frac > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  round(avg(dup_frac), 4) AS avg_dup_frac,
+        |  round(avg(top_frac), 4) AS avg_top_frac
+        |FROM fr GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -84,6 +84,21 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("l19: eval postings broadcast; contamination join keyed on shingle") {
+    val df = graft.queries.LlmQueries.queries("l19_decontamination")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("l20: repetition stats are a pure map + one small agg, no text shuffle") {
+    val df = graft.queries.LlmQueries.queries("l20_repetition_filter")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly one exchange: the per-language aggregate after the map stage
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("column pruning reaches graft scans (ReadSchema shows only needed cols)") {
     val fx = "/root/reference/exon/exon-core/test-data/datasources"
     val df = spark.read.format("fasta").load(s"$fx/fasta/test.fasta").select("id")
