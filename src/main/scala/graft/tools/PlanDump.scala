@@ -53,6 +53,14 @@ object PlanDump {
         "Quality gate -> dedup -> mix composed with one materialization " +
           "per stage; counts are cheap aggregates over the cut lineage.",
         () => graft.queries.LlmQueries.queries("l18_curation_funnel")(spark, d)),
+      ("l19_decontamination",
+        "Eval postings broadcast (BroadcastHashJoin on shingle); the " +
+          "corpus is one flatMap + join, its text never shuffled.",
+        () => graft.queries.LlmQueries.queries("l19_decontamination")(spark, d)),
+      ("l20_repetition_filter",
+        "Per-doc repetition stats are a pure map stage; the only exchange " +
+          "is the tiny per-language aggregate.",
+        () => graft.queries.LlmQueries.queries("l20_repetition_filter")(spark, d)),
       ("vcf_where_region_pushdown",
         "WHERE-derived region reaches the GraftScan description (tabix " +
           "chunk pruning); residual filter keeps results exact.",
