@@ -157,6 +157,49 @@ object RelationalQueries {
         .orderBy(col("returnflag"), col("linestatus"))
     }),
 
+    // Q19-shape: OR-of-ANDs join predicate (brand/size/quantity bands).
+    // The disjunction references both sides, so it can't fully push into
+    // either scan — the plan must still broadcast the small part side and
+    // evaluate the residual inside the join, not expand to a cartesian.
+    "q34_disjunctive_bands" -> ((s, d) => {
+      lineitem(s, d).join(part(s, d),
+          col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#14" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#25" && col("p_size").between(20, 50) &&
+              col("l_quantity").between(20, 40))))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Q21-shape: suppliers who were the ONLY late shipper in a
+    // multi-supplier order (late = shipped >90 days after the order date).
+    // EXISTS -> left-semi on (same order, other supplier); NOT EXISTS ->
+    // left-anti on (same order, other LATE supplier). Both correlations
+    // are keyed on l_orderkey, so they plan as keyed joins.
+    "q35_suppliers_kept_waiting" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val lateOthers = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      late
+        .join(others, col("l_orderkey") === col("k2") && col("s2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("k3") && col("s3") =!= col("l_suppkey"),
+          "left_anti")
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // Anti join: customers that never ordered.
     "q22_customers_no_orders" -> ((s, d) => {
       customer(s, d)
@@ -443,6 +486,31 @@ object RelationalQueries {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q34_disjunctive_bands" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey AND (
+        |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20) OR
+        |  (p_brand = 'Brand#14' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 10 AND 30) OR
+        |  (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
+
+    "q35_suppliers_kept_waiting" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     "q13_customer_distribution" ->
       """SELECT c_count, count(*) AS custdist
