@@ -200,6 +200,30 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // Q22-shape: scalar-subquery threshold + counting correlation. The
+    // global average is a 1-row aggregate broadcast into the filter
+    // (crossJoin of a single row — no shuffle of the fact side); then
+    // customers above it with fewer than 5 orders, grouped per nation.
+    // (The testdata gives every customer at least one order, so the pure
+    // anti-join variant is vacuous; the count form keeps the correlated
+    // shape AND nonempty results at every SF.)
+    "q36_rich_inactive_customers" -> ((s, d) => {
+      val thr = customer(s, d).filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("thr"))
+      val oc = orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      customer(s, d)
+        .crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .filter(coalesce(col("n_orders"), lit(0L)) < 5)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("n_name"))
+    }),
+
     // Anti join: customers that never ordered.
     "q22_customers_no_orders" -> ((s, d) => {
       customer(s, d)
@@ -486,6 +510,18 @@ object RelationalQueries {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q36_rich_inactive_customers" ->
+      """WITH oc AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  GROUP BY o_custkey)
+        |SELECT n_name, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |LEFT JOIN oc ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND coalesce(n_orders, 0) < 5
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q34_disjunctive_bands" ->
       """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
