@@ -401,6 +401,14 @@ object LlmQueries {
       connectedComponents(jaccardPairs(s, d).select(col("ida"), col("idb")))
         .orderBy("doc_id")),
 
+    // Same clusters via star contraction — the O(log^2 n)-round variant
+    // for graphs whose component diameter exceeds a sane round budget;
+    // graded against the identical recursive-CTE oracle as l14, so the
+    // two algorithms are pinned to agree on real pairs.
+    "l21_dup_clusters_star" -> ((s, d) =>
+      connectedComponentsStar(jaccardPairs(s, d).select(col("ida"), col("idb")))
+        .orderBy("doc_id")),
+
     // Deterministic stratified sampling (training-mix ratios): keep a
     // per-language permille of documents chosen by an arithmetic hash of
     // doc_id — reproducible across engines and runs (unlike rng-based
@@ -617,6 +625,77 @@ object LlmQueries {
     }
     require(converged, s"label propagation did not converge in $iter rounds")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): rounds are O(log^2 n) regardless of component DIAMETER,
+    * where [[connectedComponents]]' min-label propagation needs
+    * diameter-many rounds. Near-dup clusters are shallow, so l14 uses
+    * propagation (fewer, cheaper rounds there); chain-shaped graphs
+    * (e.g. transitive similarity at loose thresholds, citation/link
+    * graphs) need this variant — a diameter-10^4 chain is 25 propagation
+    * rounds from converging and ~13 star rounds total.
+    *
+    * Each round: large-star links every neighbor larger than u to
+    * min(N(u) u {u}) — computed from the symmetrized edge list, one
+    * groupBy; small-star then links u and its (all smaller) neighbors to
+    * their minimum. The edge set is kept canonical (u > v, distinct);
+    * the fixpoint test compares (count, hash-sum) between rounds — two
+    * cheap aggregates, no self-join. At the fixpoint edges ARE the star
+    * (node -> component minimum), so labels fall out directly; roots
+    * label themselves, matching [[connectedComponents]] exactly.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var edges = cut(pairs
+      .select(greatest(col("ida"), col("idb")).as("u"),
+        least(col("ida"), col("idb")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+        .select(col("u").as("lu"), col("m"))
+      nbrs.join(mins, col("u") === col("lu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+        .select(col("u").as("su"), col("m"))
+      val relinked = e.join(mins, col("u") === col("su"))
+      relinked.select(col("u"), col("m").as("v"))
+        .unionAll(relinked.filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    var converged = false
+    var iter = 0
+    var prev: Option[(Long, String)] = None
+    while (!converged && iter < maxRounds) {
+      edges = cut(smallStar(largeStar(edges)))
+      // decimal sum: a long sum of 2^63-range hashes overflows under ANSI
+      val row = edges.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      val sig = (row.getLong(0), String.valueOf(row.getDecimal(1)))
+      converged = sig._1 == 0 || prev.contains(sig)
+      prev = Some(sig)
+      iter += 1
+    }
+    require(converged, s"star contraction did not converge in $iter rounds")
+    val roots = edges.select(col("v")).distinct()
+      .join(edges.select(col("u")).distinct(),
+        col("v") === col("u"), "left_anti")
+      .select(col("v").as("doc_id"), col("v").as("cluster_id"))
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionAll(roots)
   }
 
   private val allStopwords =
@@ -1105,6 +1184,23 @@ object LlmQueries {
     // connected components via transitive closure (recursive CTE) over the
     // same exact-Jaccard pairs l03 grades against
     "l14_dup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
+        |        for i in generate_series(1, len(w) - 4)]) s FROM toks),
+        |p AS (SELECT ida, idb FROM (
+        |  SELECT a.doc_id ida, b.doc_id idb,
+        |      round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |            len(list_distinct(list_concat(a.s, b.s))), 4) j
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.5),
+        |edges AS (SELECT ida a, idb b FROM p UNION SELECT idb, ida FROM p),
+        |reach(a, b) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+        |ORDER BY doc_id""".stripMargin,
+
+    "l21_dup_clusters_star" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
         |        for i in generate_series(1, len(w) - 4)]) s FROM toks),

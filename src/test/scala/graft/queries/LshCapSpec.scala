@@ -110,6 +110,44 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
     assert(wrote > 0, "reliable mode did not write any RDD checkpoints")
   }
 
+  test("star contraction matches min-label propagation on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // 100 nodes, 120 random edges: mix of big components, pairs, chains
+    val pairs = Seq.fill(120)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("ida", "idb")
+    val prop = LlmQueries.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val star = LlmQueries.connectedComponentsStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == prop)
+  }
+
+  test("star contraction converges in O(log^2) rounds where propagation cannot") {
+    import spark.implicits._
+    // diameter-120 chain: propagation would need 120 rounds (its default
+    // cap is 25); star contraction collapses it within 20
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val got = LlmQueries.connectedComponentsStar(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 121 && got.forall(_._2 == 0L))
+    assertThrows[IllegalArgumentException](
+      LlmQueries.connectedComponents(chain).collect())
+  }
+
+  test("star contraction: two components, singleton edge, reliable checkpoints") {
+    import spark.implicits._
+    val ckpt = graft.TestTmp.dir("graft_ccstar_ckpt").toString
+    val pairs = Seq((5L, 9L), (9L, 2L), (30L, 40L)).toDF("ida", "idb")
+    val got = LlmQueries.connectedComponentsStar(pairs, checkpointDir = Some(ckpt))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 30L -> 30L, 40L -> 30L))
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+    assert(wrote > 0, "reliable mode did not write any RDD checkpoints")
+  }
+
   test("simhash banding finds every real hamming<=6 pair on sf0.01 documents") {
     // brute-force ground truth on the actual corpus (500 docs — fine to
     // fold on the driver in a test), vs the l05 banded candidate path
