@@ -46,7 +46,12 @@ def tokenize(name):
         s = m.group(0)
         if s[0:1].isdigit():
             v = int(s)
-            if (s[0:1] == b"0" and len(s) > 1) or len(s) > 9:
+            if v >= 1 << 32 or len(s) > 255:
+                # DIGITS/DIGITS0 store u32 values (and DZLEN one pad
+                # byte); huge runs (UUID-like ids) go through the ALPHA
+                # byte-string stream instead
+                toks.append((N_ALPHA, s, None))
+            elif (s[0:1] == b"0" and len(s) > 1) or len(s) > 9:
                 toks.append((N_DIGITS0, s, v))
             else:
                 toks.append((N_DIGITS, s, v))
