@@ -200,6 +200,45 @@ object Bench {
         spark.read.format("mzml").load(mz8Dir)
           .agg(asum(asize(col("mz.mz")))).count()
       }
+
+      // Indexed VCF region query at scale (the baseline's #1 flagship:
+      // 0.936 s on a 2.6 GB tabix-indexed VCF): 2M rows across 32 chroms,
+      // bgzip + .tbi produced by our own BgzfWriter/TabixWriter, then a
+      // narrow region — time must reflect .tbi chunk seeks, not a scan.
+      val vcfDir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
+        "graft_bench_vcfidx").getAbsolutePath
+      val vcfFile = new java.io.File(vcfDir, "bench.vcf.gz")
+      if (!new java.io.File(vcfDir, "_done").exists()) {
+        new java.io.File(vcfDir).mkdirs()
+        val names = (0 until 32).map(i => s"chr$i")
+        val fos = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(vcfFile), 1 << 20)
+        val w = new graft.sources.BgzfWriter(fos)
+        val tbi = new graft.sources.TabixWriter(names)
+        w.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+          .getBytes("US-ASCII"))
+        var r = 0
+        while (r < 32) {
+          var i = 0
+          while (i < 62500) {
+            val pos = i * 150 + 1
+            val vs = w.virtualPos
+            w.write(s"chr$r\t$pos\t.\tA\tG\t5${i % 10}\tPASS\tAC=${i % 7};AN=${r}\n"
+              .getBytes("US-ASCII"))
+            tbi.add(r, pos - 1, pos, vs, w.virtualPos)
+            i += 1
+          }
+          r += 1
+        }
+        w.finish()
+        fos.close()
+        tbi.write(java.nio.file.Paths.get(vcfDir, "bench.vcf.gz.tbi"))
+        new java.io.File(vcfDir, "_done").createNewFile()
+      }
+      timeIt("b08_vcf_tabix_region") {
+        spark.read.format("vcf").option("region", "chr20:3000000-3030000")
+          .load(vcfFile.getAbsolutePath).count()
+      }
     } catch {
       case e: Throwable =>
         errors += "b0x_fasta_bench" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
