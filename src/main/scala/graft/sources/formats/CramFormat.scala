@@ -460,9 +460,17 @@ class CramFormat(refPath: Option[String],
                               rows: mutable.ArrayBuffer[Array[Any]],
                               conf: org.apache.hadoop.conf.Configuration): Unit = {
     val blocks = (0 until nBlocks).map { _ =>
+      val blockStart = body.o
       val method = body.u8(); val ctype = body.u8(); val cid = body.itf8()
       val cs = body.itf8(); val rawSize = body.itf8()
-      val payload = body.bytes(cs); body.bytes(4)
+      val payload = body.bytes(cs)
+      // per-block CRC32 (spec §8): bit rot inside an entropy-coded payload
+      // can otherwise decode to right-sized garbage — fail loudly instead
+      val crc = new java.util.zip.CRC32()
+      crc.update(body.b, blockStart, body.o - blockStart)
+      val stored = body.i32le() & 0xffffffffL
+      require(crc.getValue == stored,
+        f"cram: block CRC mismatch (content id $cid): computed ${crc.getValue}%08x, stored $stored%08x")
       Block(ctype, cid, decompress(method, payload, rawSize))
     }
 

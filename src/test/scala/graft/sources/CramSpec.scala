@@ -193,6 +193,21 @@ class CramSpec extends AnyFunSuite with SharedSpark {
     assert(e2.getMessage != null && e2.getMessage.contains("not a CRAM file"), e2.getMessage)
   }
 
+  test("cram: a flipped payload byte fails the block CRC loudly, not as garbage rows") {
+    // bit rot inside an entropy-coded payload can decode to right-sized
+    // garbage; the per-block CRC32 must catch it before records surface
+    val src = java.nio.file.Paths.get(s"$fx/cram/test_input_1_a.cram")
+    val bytes = java.nio.file.Files.readAllBytes(src)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x20).toByte
+    val dir = graft.TestTmp.dir("cram_crc")
+    val p = dir.resolve("flip.cram")
+    java.nio.file.Files.write(p, bytes)
+    val e = intercept[Exception] {
+      spark.read.format("cram").load(p.toString).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("CRC"), e.getMessage)
+  }
+
   test("crai index parse + wantedContainers") {
     val fs = new org.apache.hadoop.fs.Path(fx).getFileSystem(
       new org.apache.hadoop.conf.Configuration())
