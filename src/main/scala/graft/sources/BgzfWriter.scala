@@ -67,11 +67,14 @@ final class BgzfWriter(out: OutputStream) {
   private def writeIntLE(v: Int): Unit =
     out.write(Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte))
 
-  /** Flush remaining data and append the spec's empty EOF member. */
+  /** Flush remaining data, append the spec's empty EOF member, and release
+    * the native deflate state (finalization would leak it until GC).
+    */
   def finish(): Unit = {
     flushBlock()
     out.write(BgzfWriter.Eof)
     out.flush()
+    deflater.end()
   }
 }
 

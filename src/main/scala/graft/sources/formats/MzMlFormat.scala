@@ -45,6 +45,12 @@ object MzMlFormat extends GraftFormat {
       factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
       private val xml = factory.createXMLStreamReader(input.stream)
       private val ctx = new DecodeCtx
+      // the Inflater holds native zlib state: release it when the task ends
+      // (covers failure paths) and again at normal exhaustion (end() is
+      // idempotent) — finalization-only release leaks off-heap memory on
+      // long-running executors
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => ctx.inflater.end()))
       private var nextRow: Array[Any] = _
       advance()
 
@@ -56,6 +62,7 @@ object MzMlFormat extends GraftFormat {
             nextRow = parseSpectrum(xml, ctx)
           }
         }
+        if (nextRow == null) ctx.inflater.end()
       }
 
       override def hasNext: Boolean = nextRow != null

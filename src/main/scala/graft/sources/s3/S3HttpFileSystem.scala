@@ -265,15 +265,31 @@ class S3HttpFileSystem extends FileSystem {
 
     override def read(): Int = {
       if (!ensureOpen()) return -1
-      val b = in.read()
+      var b = in.read()
+      if (b < 0 && pos < len) b = reopenAndRead(() => in.read())
       if (b >= 0) pos += 1 else dropStream()
       b
     }
 
     override def read(b: Array[Byte], off: Int, n: Int): Int = {
       if (!ensureOpen()) return -1
-      val got = in.read(b, off, n)
+      var got = in.read(b, off, n)
+      if (got < 0 && pos < len) got = reopenAndRead(() => in.read(b, off, n))
       if (got > 0) pos += got else if (got < 0) dropStream()
+      got
+    }
+
+    /** A server/proxy that closes the response mid-object must not look
+      * like EOF — that silently truncates scans. Reopen `Range: bytes=pos-`
+      * once; a second premature close is a hard error, never -1.
+      */
+    private def reopenAndRead(readOnce: () => Int): Int = {
+      dropStream()
+      if (!ensureOpen())
+        throw new IOException(s"unexpected EOF at $pos/$len reading $key")
+      val got = readOnce()
+      if (got < 0)
+        throw new IOException(s"unexpected EOF at $pos/$len reading $key (after reopen)")
       got
     }
 
@@ -327,6 +343,7 @@ class S3HttpFileSystem extends FileSystem {
     private var buf = new java.io.ByteArrayOutputStream(64 * 1024)
     private var uploadId: String = _
     private var partNum = 0
+    private val partETags = scala.collection.mutable.ArrayBuffer.empty[String]
     private var closed = false
 
     override def write(b: Int): Unit = { buf.write(b); maybeFlushPart() }
@@ -361,6 +378,10 @@ class S3HttpFileSystem extends FileSystem {
         body = buf.toByteArray)
       if (conn.getResponseCode != 200)
         throw new IOException(s"part $partNum of $key -> ${conn.getResponseCode}")
+      // the complete call must echo the server's ETags (real S3 rejects
+      // fabricated ones with InvalidPart)
+      partETags += Option(conn.getHeaderField("ETag"))
+        .getOrElse(throw new IOException(s"part $partNum of $key returned no ETag"))
       drain(conn); conn.disconnect()
       buf.reset()
     }
@@ -375,9 +396,9 @@ class S3HttpFileSystem extends FileSystem {
         drain(conn); conn.disconnect()
       } else {
         if (buf.size() > 0) flushPart()
-        val xml = (1 to partNum).map(n =>
-          s"<Part><PartNumber>$n</PartNumber><ETag>\"part-$n\"</ETag></Part>")
-          .mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+        val xml = partETags.zipWithIndex.map { case (etag, i) =>
+          s"<Part><PartNumber>${i + 1}</PartNumber><ETag>$etag</ETag></Part>"
+        }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
         val conn = request("POST", key, s"uploadId=$uploadId",
           body = xml.getBytes(StandardCharsets.UTF_8))
         if (conn.getResponseCode != 200)
@@ -426,6 +447,12 @@ class S3HttpFileSystem extends FileSystem {
     } else { // directory: rewrite every key under the prefix
       val l = listAll(srcKey + "/", delimiter = None)
       if (l.keys.isEmpty && objectLength(srcKey + "/") < 0) return false
+      // Hadoop contract: renaming INTO an existing directory moves the
+      // source UNDER it (same as the file branch above)
+      val dstIsDir = (try Some(getFileStatus(dst)) catch {
+        case _: FileNotFoundException => None
+      }).exists(_.isDirectory)
+      if (dstIsDir) dstKey = s"$dstKey/${src.getName}"
       (l.keys.map(_._1) ++ Some(srcKey + "/").filter(k => objectLength(k) >= 0))
         .distinct.foreach { k =>
           copyObject(k, dstKey + k.stripPrefix(srcKey))

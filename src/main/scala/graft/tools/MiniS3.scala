@@ -133,6 +133,17 @@ final class MiniS3 {
         if (parts == null || dest == null) notFound(ex)
         else {
           import scala.jdk.CollectionConverters._
+          // real S3 rejects a complete whose ETags don't match UploadPart's
+          // responses; validate so clients that fabricate ETags fail here too
+          val xml = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val badPart = parts.asScala.keys.find(n =>
+            !xml.contains(s"""<PartNumber>$n</PartNumber><ETag>"part-$n"</ETag>"""))
+          if (badPart.isDefined) {
+            send(ex, 400,
+              s"""<Error><Code>InvalidPart</Code><Message>part ${badPart.get} ETag mismatch</Message></Error>"""
+                .getBytes(StandardCharsets.UTF_8))
+            return
+          }
           val ordered = parts.asScala.toSeq.sortBy(_._1).map(_._2)
           val out = new java.io.ByteArrayOutputStream()
           ordered.foreach(out.write)
