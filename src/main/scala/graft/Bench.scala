@@ -5,11 +5,24 @@ import org.apache.spark.sql.SparkSession
   * one JSON line. Failures are recorded per-query in an `errors` map (and the
   * timing is reported as -1), never silently swallowed — a broken query must
   * not masquerade as a fast one.
+  *
+  * Phased for reproducibility: (1) ALL bench corpora are generated before any
+  * timed work, followed by a process-wide `sync` so dirty-page writeback does
+  * not land on a timed rep; (2) one full throwaway pass runs every query and
+  * every bench shape untimed, so page cache, JIT, and codegen are warm;
+  * (3) only then does the timed loop run. Round-5 recorded numbers were
+  * 6-20x off steady state precisely because generation was interleaved with
+  * the timed reps.
   */
 object Bench {
+  private def tmpPath(name: String): String =
+    new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"), name)
+      .getAbsolutePath
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val slug = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val spark = LocalSession.buildBench(cpus) // AQE shape documented there
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -19,46 +32,28 @@ object Bench {
       case c => c.toString
     } + "\""
 
-    val queries = SparkEntry.queries
-    // Untimed warmup: JVM/codegen/session/FS-metadata costs land here, not on
-    // whichever query happens to run first.
-    try queries.headOption.foreach(_._2(spark, sfDir).count())
-    catch { case _: Throwable => () }
-
     var errors = Map.empty[String, String]
-    // Two timed repetitions, report the min — per-query numbers at small SF
-    // are dominated by scheduling noise otherwise.
-    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
-          return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-    // One untimed warm-up rep PER QUERY, then min-of-2 timed: per-query-shape
-    // JIT/codegen warm-up otherwise lands on the first timed rep and min-of-2
-    // doesn't absorb it (r4's phantom q09/q10 "regressions" were exactly this).
-    var results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val w = once(name, fn)
-      if (w < 0) name -> -1.0
-      else {
-        val a = once(name, fn)
-        val b = if (a >= 0) once(name, fn) else -1.0
-        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-      }
-    }
+    def recordErr(name: String, e: Throwable): Unit =
+      errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
 
-    // Headline throughput benches mirroring BASELINE.md's query shapes: a
-    // full FASTA scan with a predicate over ~|lineitem| sequences (the
-    // reference's UniProt-scan shape) and the same scan split across files
-    // (the parallel-scan shape). The corpus is generated once from the
-    // driver's lineitem table through our own FASTA writer.
+    // ----------------------------------------------------------------------
+    // PHASE 1 — generate every bench corpus (nothing is timed yet).
+    // ----------------------------------------------------------------------
+    import org.apache.spark.sql.functions._
+
+    val benchDir = tmpPath(s"graft_bench_fasta_$slug")
+    val refDir = tmpPath("graft_bench_faidx")
+    val refFasta = new java.io.File(refDir, "ref.fasta")
+    val mzDir = tmpPath("graft_bench_mzml")
+    val mzFile = new java.io.File(mzDir, "bench.mzML")
+    val mz8Dir = tmpPath("graft_bench_mzml8")
+    val vcfDir = tmpPath("graft_bench_vcfidx")
+    val vcfFile = new java.io.File(vcfDir, "bench.vcf.gz")
+    val scaleDir = tmpPath(s"graft_bench_fasta6x_$slug")
+
+    // b01/b02 corpus: ~|lineitem| synthetic sequences through our own FASTA
+    // writer (the reference's UniProt-scan shape).
     try {
-      import org.apache.spark.sql.functions._
-      val benchDir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
-        s"graft_bench_fasta_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
       if (!new java.io.File(benchDir, "_done").exists()) {
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         li.select(
@@ -71,27 +66,10 @@ object Bench {
           .write.format("fasta").mode("overwrite").save(benchDir)
         new java.io.File(benchDir, "_done").createNewFile()
       }
-      def timeIt(name: String)(f: => Long): Unit = {
-        f // untimed warm-up rep, same policy as the query pack
-        val t0 = System.nanoTime()
-        f
-        results = results :+ (name -> (System.nanoTime() - t0) / 1e9)
-      }
-      timeIt("b01_fasta_scan_predicate") {
-        spark.read.format("fasta").load(benchDir)
-          .filter(col("sequence").startsWith("A")).count()
-      }
-      timeIt("b02_fasta_scan_full") {
-        spark.read.format("fasta").load(benchDir)
-          .agg(sum(length(col("sequence")))).count()
-      }
+    } catch { case e: Throwable => recordErr("gen_fasta_corpus", e) }
 
-      // Indexed region query (the baseline's flagship shape): extract a
-      // 100-base region from a ~130 MB .fai-indexed reference — time must
-      // reflect a byte-range seek, not a file scan.
-      val refDir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
-        "graft_bench_faidx").getAbsolutePath
-      val refFasta = new java.io.File(refDir, "ref.fasta")
+    // b03 corpus: ~130 MB .fai-indexed reference for the byte-range seek.
+    try {
       if (!new java.io.File(refDir, "_done").exists()) {
         new java.io.File(refDir).mkdirs()
         val w = new java.io.BufferedWriter(new java.io.FileWriter(refFasta), 1 << 20)
@@ -113,24 +91,10 @@ object Bench {
           hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
         new java.io.File(refDir, "_done").createNewFile()
       }
-      timeIt("b03_fasta_fai_region") {
-        spark.read.format("fasta").option("region", "seq42:1000001-1000100")
-          .load(refFasta.getAbsolutePath).count()
-      }
+    } catch { case e: Throwable => recordErr("gen_faidx_corpus", e) }
 
-      // Indexed BAM region query (the baseline's second flagship shape):
-      // .bai chunk pruning + BGZF virtual seeks on the reference fixture.
-      timeIt("b04_bam_bai_region") {
-        spark.read.format("bam").option("region", "chr1:1-12209145")
-          .load("/root/reference/exon/exon-core/test-data/datasources/bam/test.bam")
-          .count()
-      }
-
-      // mzML scan (the baseline's ~6k-spectra shape, 0.445 s in BASELINE.md):
-      // StAX parse + base64/zlib binary-array decode, one synthetic file.
-      val mzDir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
-        "graft_bench_mzml").getAbsolutePath
-      val mzFile = new java.io.File(mzDir, "bench.mzML")
+    // b05 corpus: the baseline's ~6k-spectra mzML shape (StAX + base64/zlib).
+    try {
       if (!new java.io.File(mzDir, "_done").exists()) {
         new java.io.File(mzDir).mkdirs()
         val w = new java.io.BufferedWriter(new java.io.FileWriter(mzFile), 1 << 20)
@@ -167,18 +131,13 @@ object Bench {
         w.close()
         new java.io.File(mzDir, "_done").createNewFile()
       }
-      timeIt("b05_mzml_scan") {
-        import org.apache.spark.sql.functions.{col, size => asize, sum => asum}
-        spark.read.format("mzml").load(mzFile.getAbsolutePath)
-          .agg(asum(asize(col("mz.mz")))).count()
-      }
+    } catch { case e: Throwable => recordErr("gen_mzml_corpus", e) }
 
-      // Same 6k spectra split across 8 files: mzML is non-splittable XML, so
-      // a real corpus parallelizes at whole-file granularity — this is the
-      // aggregate-throughput story b05's single file can't show.
-      val mz8Dir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
-        "graft_bench_mzml8").getAbsolutePath
-      if (!new java.io.File(mz8Dir, "_done").exists()) {
+    // b06 corpus: the same 6k spectra split across 8 files (mzML is
+    // non-splittable XML, so parallelism is whole-file granularity).
+    try {
+      if (new java.io.File(mzDir, "_done").exists() &&
+          !new java.io.File(mz8Dir, "_done").exists()) {
         new java.io.File(mz8Dir).mkdirs()
         val src = scala.io.Source.fromFile(mzFile)
         val lines = try src.getLines().toArray finally src.close()
@@ -195,19 +154,11 @@ object Bench {
         }
         new java.io.File(mz8Dir, "_done").createNewFile()
       }
-      timeIt("b06_mzml_scan_8files") {
-        import org.apache.spark.sql.functions.{col, size => asize, sum => asum}
-        spark.read.format("mzml").load(mz8Dir)
-          .agg(asum(asize(col("mz.mz")))).count()
-      }
+    } catch { case e: Throwable => recordErr("gen_mzml8_corpus", e) }
 
-      // Indexed VCF region query at scale (the baseline's #1 flagship:
-      // 0.936 s on a 2.6 GB tabix-indexed VCF): 2M rows across 32 chroms,
-      // bgzip + .tbi produced by our own BgzfWriter/TabixWriter, then a
-      // narrow region — time must reflect .tbi chunk seeks, not a scan.
-      val vcfDir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
-        "graft_bench_vcfidx").getAbsolutePath
-      val vcfFile = new java.io.File(vcfDir, "bench.vcf.gz")
+    // b08 corpus: 2M-row bgzip VCF + .tbi written by our own
+    // BgzfWriter/TabixWriter (the baseline's #1 flagship shape).
+    try {
       if (!new java.io.File(vcfDir, "_done").exists()) {
         new java.io.File(vcfDir).mkdirs()
         val names = (0 until 32).map(i => s"chr$i")
@@ -235,67 +186,150 @@ object Bench {
         tbi.write(java.nio.file.Paths.get(vcfDir, "bench.vcf.gz.tbi"))
         new java.io.File(vcfDir, "_done").createNewFile()
       }
-      timeIt("b08_vcf_tabix_region") {
-        spark.read.format("vcf").option("region", "chr20:3000000-3030000")
-          .load(vcfFile.getAbsolutePath).count()
+    } catch { case e: Throwable => recordErr("gen_vcfidx_corpus", e) }
+
+    // b07 corpus: the b02 corpus replicated 6x (~3.6M records, still 8
+    // files) so per-worker scan time dominates fixed job overhead in the
+    // workers-N sweep, matching the baseline sweep's seconds-long @1 shape.
+    try {
+      if (new java.io.File(benchDir, "_done").exists() &&
+          !new java.io.File(scaleDir, "_done").exists()) {
+        val one = spark.read.format("fasta").load(benchDir)
+        (0 until 6).map(i => one.withColumn("id", concat_ws("_", lit(i), col("id"))))
+          .reduce(_ unionAll _)
+          .repartition(8)
+          .write.format("fasta").mode("overwrite").save(scaleDir)
+        new java.io.File(scaleDir, "_done").createNewFile()
       }
-    } catch {
-      case e: Throwable =>
-        errors += "b0x_fasta_bench" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+    } catch { case e: Throwable => recordErr("gen_fasta6x_corpus", e) }
+
+    // Flush dirty pages now so async writeback (up to ~1 GB on a cold first
+    // run) cannot steal I/O bandwidth from a timed rep later.
+    try {
+      val p = new ProcessBuilder("sync").start()
+      p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+    } catch { case _: Throwable => () }
+
+    // ----------------------------------------------------------------------
+    // Bench shapes (defined once; used by both the throwaway pass and the
+    // timed loop).
+    // ----------------------------------------------------------------------
+    val benchShapes: Seq[(String, () => Long)] = Seq(
+      "b01_fasta_scan_predicate" -> (() =>
+        spark.read.format("fasta").load(benchDir)
+          .filter(col("sequence").startsWith("A")).count()),
+      "b02_fasta_scan_full" -> (() =>
+        spark.read.format("fasta").load(benchDir)
+          .agg(sum(length(col("sequence")))).count()),
+      // Indexed region query: a 100-base region from the .fai-indexed
+      // reference — time must reflect a byte-range seek, not a file scan.
+      "b03_fasta_fai_region" -> (() =>
+        spark.read.format("fasta").option("region", "seq42:1000001-1000100")
+          .load(refFasta.getAbsolutePath).count()),
+      // Indexed BAM region query: .bai chunk pruning + BGZF virtual seeks.
+      "b04_bam_bai_region" -> (() =>
+        spark.read.format("bam").option("region", "chr1:1-12209145")
+          .load("/root/reference/exon/exon-core/test-data/datasources/bam/test.bam")
+          .count()),
+      "b05_mzml_scan" -> (() =>
+        spark.read.format("mzml").load(mzFile.getAbsolutePath)
+          .agg(sum(size(col("mz.mz")))).count()),
+      "b06_mzml_scan_8files" -> (() =>
+        spark.read.format("mzml").load(mz8Dir)
+          .agg(sum(size(col("mz.mz")))).count()),
+      // Narrow region on the 2M-row tabix-indexed VCF — .tbi chunk seeks.
+      "b08_vcf_tabix_region" -> (() =>
+        spark.read.format("vcf").option("region", "chr20:3000000-3030000")
+          .load(vcfFile.getAbsolutePath).count())
+    )
+
+    val queries = SparkEntry.queries
+
+    // ----------------------------------------------------------------------
+    // PHASE 2 — throwaway full pass: every query and every bench shape runs
+    // once untimed. JVM/codegen/session/FS-metadata costs and cold page
+    // cache land here, never on a timed rep.
+    // ----------------------------------------------------------------------
+    queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    benchShapes.foreach { case (_, f) =>
+      try f() catch { case _: Throwable => () }
+    }
+    // Also pre-read the b07 scale corpus so the width-sweep sessions start
+    // against a warm page cache (they scan the same files).
+    try spark.read.format("fasta").load(scaleDir)
+      .agg(sum(length(col("sequence")))).count()
+    catch { case _: Throwable => () }
+    System.gc()
+
+    // ----------------------------------------------------------------------
+    // PHASE 3 — timed query pack. One untimed warm-up rep PER QUERY, then
+    // min-of-2 timed: per-query-shape JIT/codegen warm-up otherwise lands on
+    // the first timed rep and min-of-2 doesn't absorb it.
+    // ----------------------------------------------------------------------
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => recordErr(name, e); return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    var results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val w = once(name, fn)
+      if (w < 0) name -> -1.0
+      else {
+        val a = once(name, fn)
+        val b = if (a >= 0) once(name, fn) else -1.0
+        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }
     }
 
-    // b07: parallel-scan scaling curve, mirroring the baseline's workers-N
-    // sweep over the 8-file FASTA corpus (exon-benchmarks: 6.29 s @1 ->
-    // 1.73 s @8). local[N] caps the executor threads, so the curve measures
-    // whether the 8 splits actually parallelize. Each width needs its own
-    // SparkContext (one context per JVM), so this runs last: stop the main
-    // session, cycle local[1/2/4/8] sessions over the same corpus.
+    // ----------------------------------------------------------------------
+    // PHASE 4 — timed bench shapes (same warm-up + min-of-2 policy).
+    // ----------------------------------------------------------------------
+    benchShapes.foreach { case (name, f) =>
+      try {
+        f() // untimed warm-up rep, same policy as the query pack
+        def rep(): Double = { val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9 }
+        // min-of-3: most b-shapes finish in well under a second, where a
+        // single 50 ms scheduler hiccup is a 1.5x swing min-of-2 can't absorb
+        results = results :+ (name -> Seq(rep(), rep(), rep()).min)
+      } catch { case e: Throwable => recordErr(name, e); results = results :+ (name -> -1.0) }
+    }
+
+    // ----------------------------------------------------------------------
+    // PHASE 5 — b07: parallel-scan scaling curve, mirroring the baseline's
+    // workers-N sweep (exon-benchmarks: 6.29 s @1 -> 1.73 s @8). local[N]
+    // caps executor threads; each width needs its own SparkContext (one per
+    // JVM), so this runs last: stop the main session, cycle local[1/2/4/8]
+    // over the same (already warm) corpus.
+    // ----------------------------------------------------------------------
     try {
-      val benchDir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
-        s"graft_bench_fasta_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
-      // The b02 corpus scans in ~0.3 s at one worker — fixed job overhead
-      // would flatten the curve. The scaling corpus replicates it 6x (~3.6M
-      // records, still 8 files) so per-worker scan time dominates, matching
-      // the baseline sweep's seconds-long single-worker shape.
-      val scaleDir = new java.io.File(sys.props.get("java.io.tmpdir").getOrElse("/tmp"),
-        s"graft_bench_fasta6x_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
-      if (new java.io.File(benchDir, "_done").exists()) {
-        if (!new java.io.File(scaleDir, "_done").exists()) {
-          import org.apache.spark.sql.functions._
-          val one = spark.read.format("fasta").load(benchDir)
-          (0 until 6).map(i => one.withColumn("id", concat_ws("_", lit(i), col("id"))))
-            .reduce(_ unionAll _)
-            .repartition(8)
-            .write.format("fasta").mode("overwrite").save(scaleDir)
-          new java.io.File(scaleDir, "_done").createNewFile()
-        }
+      if (new java.io.File(scaleDir, "_done").exists()) {
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
         Seq(1, 2, 4, 8).foreach { w =>
           val s = LocalSession.buildBench(w.toString)
-          import org.apache.spark.sql.functions._
           def scan(): Long = s.read.format("fasta").load(scaleDir)
             .agg(sum(length(col("sequence")))).count()
           scan() // warm-up, same policy as the query pack
-          val t0 = System.nanoTime()
-          scan()
-          results = results :+ (s"b07_fasta_scan_w$w" -> (System.nanoTime() - t0) / 1e9)
+          def rep(): Double = { val t0 = System.nanoTime(); scan(); (System.nanoTime() - t0) / 1e9 }
+          results = results :+ (s"b07_fasta_scan_w$w" -> Seq(rep(), rep(), rep()).min)
           s.stop()
           SparkSession.clearActiveSession()
           SparkSession.clearDefaultSession()
         }
       }
-    } catch {
-      case e: Throwable =>
-        errors += "b07_scaling" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
-    }
+    } catch { case e: Throwable => recordErr("b07_scaling", e) }
+
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.toSeq.sortBy(_._1).map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
-    spark.stop()
+    if (SparkSession.getActiveSession.isDefined) spark.stop()
     if (errors.nonEmpty) sys.exit(0) // errors are in the JSON; exit clean
   }
 }

@@ -15,6 +15,18 @@ object FormatQueries {
 
   private val fx = "/root/reference/exon/exon-core/test-data/datasources"
 
+  /** Fixed per-gate scratch dir, reused across runs: repeated Verify/driver
+    * gate runs must not accumulate one fresh temp dir per run in /tmp.
+    * Writers run with mode=overwrite into the same dir; generated corpora
+    * are guarded by a `_done` marker and built once.
+    */
+  private def gateDir(name: String): java.io.File = {
+    val d = new java.io.File(
+      sys.props.get("java.io.tmpdir").getOrElse("/tmp"), s"graft_gate_$name")
+    d.mkdirs()
+    d
+  }
+
   val queries: Map[String, Q] = Map(
     // fasta-scan-tests.slt / fasta-copy-tests.slt golden rows
     "f01_fasta_scan" -> ((s, _) =>
@@ -86,7 +98,7 @@ object FormatQueries {
     // write path round trip: fasta -> gzip'd fasta -> read back
     // (fasta-copy-tests.slt COPY ... STORED AS FASTA equivalent)
     "f12_fasta_roundtrip" -> ((s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_fasta_rt").toString
+      val dir = gateDir("fasta_rt").getAbsolutePath
       val src = s.read.format("fasta").load(s"$fx/fasta/test.fasta")
       src.write.format("fasta").mode("overwrite").option("compression", "gzip")
         .save(s"$dir/t")
@@ -96,7 +108,7 @@ object FormatQueries {
     // FASTQ writer round trip (fastq-copy-tests.slt COPY ... STORED AS FASTQ
     // equivalent): fastq -> gzip'd fastq -> read back
     "f29_fastq_roundtrip" -> ((s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_fastq_rt").toString
+      val dir = gateDir("fastq_rt").getAbsolutePath
       val src = s.read.format("fastq").load(s"$fx/fastq/test.fastq")
       src.write.format("fastq").mode("overwrite").option("compression", "gzip")
         .save(s"$dir/t")
@@ -129,28 +141,31 @@ object FormatQueries {
     // each region a byte-range seek, not a file scan (FastaIndexedSpec
     // asserts bytes-read ~ region size).
     "f31_fasta_fai_seek" -> ((s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_fai_gate").toString
+      val dir = gateDir("fai_gate").getAbsolutePath
       val f = new java.io.File(dir, "ref.fasta")
-      val w = new java.io.BufferedWriter(new java.io.FileWriter(f))
-      Seq("chrA", "chrB").foreach { name =>
-        w.write(s">$name\n")
-        var i = 0
-        while (i < 2000000) {
-          val n = math.min(60, 2000000 - i)
-          val sb = new StringBuilder(n)
-          var j = 0
-          while (j < n) { sb.append("ACGT".charAt((i + j) % 4)); j += 1 }
-          w.write(sb.toString); w.write("\n")
-          i += n
-        }
-      }
-      w.close()
-      val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
-      graft.sources.FaiIndex.write(
-        p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
       val rf = new java.io.File(dir, "regions.txt")
-      java.nio.file.Files.writeString(rf.toPath,
-        "chrB:1000001-1000016\nchrA:59-62\nchrA:1999997-2000000\n")
+      if (!new java.io.File(dir, "_done").exists()) {
+        val w = new java.io.BufferedWriter(new java.io.FileWriter(f))
+        Seq("chrA", "chrB").foreach { name =>
+          w.write(s">$name\n")
+          var i = 0
+          while (i < 2000000) {
+            val n = math.min(60, 2000000 - i)
+            val sb = new StringBuilder(n)
+            var j = 0
+            while (j < n) { sb.append("ACGT".charAt((i + j) % 4)); j += 1 }
+            w.write(sb.toString); w.write("\n")
+            i += n
+          }
+        }
+        w.close()
+        val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+        graft.sources.FaiIndex.write(
+          p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+        java.nio.file.Files.writeString(rf.toPath,
+          "chrB:1000001-1000016\nchrA:59-62\nchrA:1999997-2000000\n")
+        new java.io.File(dir, "_done").createNewFile()
+      }
       s.read.format("fasta")
         .option("regionFile", rf.getAbsolutePath)
         .load(f.getAbsolutePath)
@@ -161,15 +176,18 @@ object FormatQueries {
     // fixture FASTA re-compressed with commons-compress, read back through
     // the scan machinery.
     "f33_bzip2_xz" -> ((s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_codec_gate").toString
-      val raw = java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$fx/fasta/test.fasta"))
-      val bzo = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
-        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/t.fasta.bz2")))
-      bzo.write(raw); bzo.close()
-      val xzo = new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(
-        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/t.fasta.xz")))
-      xzo.write(raw); xzo.close()
+      val dir = gateDir("codec_gate").getAbsolutePath
+      if (!new java.io.File(dir, "_done").exists()) {
+        val raw = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$fx/fasta/test.fasta"))
+        val bzo = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
+          java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/t.fasta.bz2")))
+        bzo.write(raw); bzo.close()
+        val xzo = new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(
+          java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/t.fasta.xz")))
+        xzo.write(raw); xzo.close()
+        new java.io.File(dir, "_done").createNewFile()
+      }
       val bz = s.read.format("fasta").load(s"$dir/t.fasta.bz2")
         .agg(count(lit(1)).as("n_bz2"), sum(length(col("sequence"))).as("len_bz2"))
       val xz = s.read.format("fasta").load(s"$dir/t.fasta.xz")

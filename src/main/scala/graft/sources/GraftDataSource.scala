@@ -319,7 +319,7 @@ final class GraftScanBuilder(table: GraftTable)
 final class GraftScan(table: GraftTable, required: StructType, partFilters: Array[Filter],
                       filterRegion: Option[(String, Long, Long)],
                       limit: Option[Int] = None)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
 
   // Option-regions win; WHERE-derived region otherwise. Only the option path
   // needs reader-side row filtering (WHERE filters stay as Spark residuals).
@@ -351,7 +351,11 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // Planned once and memoized: estimateStatistics (optimizer time) and
+  // planInputPartitions (physical planning) share the same computation, so
+  // index pruning runs once and the reported stats reflect the post-pruning
+  // chunk set, not the raw listing.
+  private lazy val plannedPartitions: Array[InputPartition] = {
     val (files, partCols) = table.listing
     val pruned = prunePartitions(files, partCols)
     val spark = SparkSession.active
@@ -370,7 +374,7 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
     // Cut chunks: index-driven BGZF virtual ranges when a region + tabix
     // index are available; otherwise whole file, or record-aligned splits for
     // big uncompressed splittable files.
-    val chunks = pruned.flatMap { case (st, vals) =>
+    def fileChunks(st: FileStatus, vals: Array[String]): Seq[FileChunk] = {
       val p = st.getPath.toString
       val size = st.getLen
       val canSplit = table.format.splittable && !Codecs.isCompressed(st.getPath.getName)
@@ -378,31 +382,35 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
         if (region.isEmpty) None
         else {
           val name = st.getPath.getName.toLowerCase
-          val idxOpt =
-            if (name.endsWith(".bam")) BaiIndex.forBam(st.getPath, hadoopConf)
-            else if (name.endsWith(".bcf")) CsiIndex.forBcf(st.getPath, hadoopConf)
-            else if (Codecs.isCompressed(name)) TabixIndex.forFile(st.getPath, hadoopConf)
-            else None
-          idxOpt.map { idx =>
-            // 1-based inclusive -> 0-based half-open; empty when the index
-            // proves the file has no records for any region. For 0-based
-            // half-open formats (BED) WHERE-derived bounds are already in
-            // file coordinates, so widen the query end by one — residual
-            // filters keep the scan exact, widening can never drop a row.
-            val ranges = region.flatMap { case (chrom, lo, hi) =>
-              val qHi = if (table.format.zeroBasedHalfOpen) hi + 1 else hi
-              idx.query(chrom, lo - 1, qHi)
+          val active = GraftScan.activeIndexLookups.incrementAndGet()
+          GraftScan.maxConcurrentIndexLookups.accumulateAndGet(active, math.max)
+          try {
+            val idxOpt =
+              if (name.endsWith(".bam")) BaiIndex.forBam(st.getPath, hadoopConf)
+              else if (name.endsWith(".bcf")) CsiIndex.forBcf(st.getPath, hadoopConf)
+              else if (Codecs.isCompressed(name)) TabixIndex.forFile(st.getPath, hadoopConf)
+              else None
+            idxOpt.map { idx =>
+              // 1-based inclusive -> 0-based half-open; empty when the index
+              // proves the file has no records for any region. For 0-based
+              // half-open formats (BED) WHERE-derived bounds are already in
+              // file coordinates, so widen the query end by one — residual
+              // filters keep the scan exact, widening can never drop a row.
+              val ranges = region.flatMap { case (chrom, lo, hi) =>
+                val qHi = if (table.format.zeroBasedHalfOpen) hi + 1 else hi
+                idx.query(chrom, lo - 1, qHi)
+              }
+              // Merge overlapping/duplicate virtual ranges ACROSS regions —
+              // two nearby regions can map to intersecting chunk lists, and a
+              // shared BGZF range decoded twice would duplicate every row
+              // that passes the any-region filter (each idx.query merges only
+              // within itself).
+              GraftScan.mergeVirtualRanges(ranges).map { case (vs, ve) =>
+                val approx = math.max(1L, (ve >>> 16) - (vs >>> 16) + (1L << 16))
+                FileChunk(p, 0, approx, size, vals, vs, ve)
+              }
             }
-            // Merge overlapping/duplicate virtual ranges ACROSS regions —
-            // two nearby regions can map to intersecting chunk lists, and a
-            // shared BGZF range decoded twice would duplicate every row
-            // that passes the any-region filter (each idx.query merges only
-            // within itself).
-            GraftScan.mergeVirtualRanges(ranges).map { case (vs, ve) =>
-              val approx = math.max(1L, (ve >>> 16) - (vs >>> 16) + (1L << 16))
-              FileChunk(p, 0, approx, size, vals, vs, ve)
-            }
-          }
+          } finally GraftScan.activeIndexLookups.decrementAndGet()
         }
       indexed.getOrElse {
         if (canSplit && size > maxSplit) {
@@ -413,8 +421,53 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       }
     }
 
+    // Index pruning opens one .tbi/.bai/.csi per file; at tens of thousands
+    // of indexed files on an object store (~10 ms RTT each) a serial driver
+    // loop is minutes of stall. Fan the per-file index queries out over a
+    // bounded pool; no-region plans stay serial (pure metadata math).
+    val chunks: Seq[FileChunk] =
+      if (region.isEmpty || pruned.size <= 1)
+        pruned.flatMap { case (st, vals) => fileChunks(st, vals) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, pruned.size))
+        try {
+          val tasks: java.util.List[java.util.concurrent.Callable[Seq[FileChunk]]] =
+            pruned.map { case (st, vals) =>
+              (() => fileChunks(st, vals)): java.util.concurrent.Callable[Seq[FileChunk]]
+            }.asJava
+          pool.invokeAll(tasks).asScala.toSeq.flatMap(_.get())
+        } finally pool.shutdown()
+      }
+
     GraftScan.pack(chunks, openCost, maxSplit)
       .map(p => GraftInputPartition(p): InputPartition)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  /** Post-pruning size estimate so Catalyst can auto-broadcast small
+    * graft-format tables (the annotation-join shape: small GFF vs a big
+    * fact table needs no explicit hint). Index-pruned BGZF chunks report
+    * their approximate compressed span; compressed whole files report a
+    * conservative inflation factor so a gzip'd table is not under-sized
+    * below the broadcast threshold it would blow past in memory.
+    */
+  override def estimateStatistics(): Statistics = {
+    val compressedInflation = 4L
+    val bytes = plannedPartitions.iterator
+      .flatMap(_.asInstanceOf[GraftInputPartition].chunks.iterator)
+      .map { c =>
+        val raw = c.length
+        if (c.isBgzfChunk || Codecs.isCompressed(new Path(c.path).getName))
+          raw * compressedInflation
+        else raw
+      }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
   }
 
   /** Pack whole-file chunks for a set of listed files (streaming batches). */
@@ -458,6 +511,12 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
 }
 
 object GraftScan {
+  /** Test instrumentation: high-water mark of concurrent per-file index
+    * lookups during planInputPartitions (proves the pruning fan-out).
+    */
+  private[sources] val activeIndexLookups = new java.util.concurrent.atomic.AtomicInteger
+  private[sources] val maxConcurrentIndexLookups = new java.util.concurrent.atomic.AtomicInteger
+
   /** Coalesce BGZF virtual-position ranges: sort by start, merge any that
     * overlap or touch. Ranges are (vStart, vEnd) virtual offsets; a record
     * beginning inside one merged range is decoded exactly once.

@@ -408,9 +408,18 @@ class CramFormat(refPath: Option[String],
           // SAM header container: parse @SQ names, then resolve the region's
           // reference id against the .crai if present.
           val body = new In(sin.bytes(length), 0)
+          val blockStart = body.o
           val method = body.u8(); body.u8(); body.itf8()
           val cs = body.itf8(); val rawSize = body.itf8()
-          val hdr = decompress(method, body.bytes(cs), rawSize)
+          val payload = body.bytes(cs)
+          // same per-block CRC32 check as decodeContainer: corruption in the
+          // header block must fail loudly, not surface as garbage @SQ parsing
+          val hcrc = new java.util.zip.CRC32()
+          hcrc.update(body.b, blockStart, body.o - blockStart)
+          val hstored = body.i32le() & 0xffffffffL
+          require(hcrc.getValue == hstored,
+            f"cram: SAM-header block CRC mismatch: computed ${hcrc.getValue}%08x, stored $hstored%08x")
+          val hdr = decompress(method, payload, rawSize)
           val hin = new In(hdr, 0)
           val hlen = hin.i32le()
           val text = new String(hin.bytes(hlen), java.nio.charset.StandardCharsets.UTF_8)

@@ -42,9 +42,16 @@ object RansNx16 {
       o += 4; v
     }
     def u7(): Int = {
+      // Cap at 5 bytes / non-negative: a corrupt stream must fail with the
+      // codec's loud `cram:` error, not a NegativeArraySizeException later.
       var v = 0
       var c = 0
-      do { c = u8(); v = (v << 7) | (c & 0x7f) } while ((c & 0x80) != 0)
+      var nb = 0
+      do {
+        c = u8(); v = (v << 7) | (c & 0x7f); nb += 1
+        if (nb > 5 || v < 0)
+          throw new IllegalStateException("cram: rANS Nx16 uint7 overflows 31 bits")
+      } while ((c & 0x80) != 0)
       v
     }
     def read(n: Int): Array[Byte] = {

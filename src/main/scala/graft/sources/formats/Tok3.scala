@@ -19,11 +19,20 @@ import scala.collection.mutable
   * per surviving name: ALPHA (NUL-terminated string), CHAR (1 byte),
   * DIGITS (u32le rendered decimal), DIGITS0 (u32le zero-padded to the
   * DZLEN byte), DELTA/DELTA0 (u8 added to the diffed name's value),
-  * MATCH (copy the diffed name's token), END. Separators are ordinary
-  * CHAR/MATCH tokens so the decoded bytes reproduce the block exactly.
+  * MATCH (copy the diffed name's token), END.
+  *
+  * Separator convention: encoders differ on whether the byte that
+  * terminates each name ('\0' or '\n') is carried as an ordinary
+  * CHAR/MATCH token (the block then round-trips token-by-token) or is
+  * implied — stripped by the encoder and re-appended by the decoder at
+  * N_END, with ulen still counting it (htscodecs' reading of the spec).
+  * This decoder accepts BOTH: if the explicit decode comes up exactly
+  * nnames bytes short of ulen, the stream used the implicit convention
+  * and `sep` is appended after each name.
   *
   * Known answers pinned by Tok3Spec against streams from tools/tok3.py,
-  * an independent Python encoder+decoder from the same public spec.
+  * an independent Python encoder+decoder from the same public spec
+  * (both conventions exercised).
   */
 object Tok3 {
   private val N_TYPE = 0
@@ -58,7 +67,9 @@ object Tok3 {
 
   private final case class Tok(typ: Int, s: Array[Byte], v: Long, padLen: Int)
 
-  def decode(payload: Array[Byte]): Array[Byte] = {
+  def decode(payload: Array[Byte]): Array[Byte] = decode(payload, 0.toByte)
+
+  def decode(payload: Array[Byte], sep: Byte): Array[Byte] = {
     var o = 0
     def u8(): Int = { val v = payload(o) & 0xff; o += 1; v }
     def u7(): Int = {
@@ -148,8 +159,15 @@ object Tok3 {
       i += 1
     }
     val res = out.toByteArray
-    require(res.length == ulen, s"cram: tok3 decoded ${res.length} bytes, header says $ulen")
-    res
+    if (res.length == ulen) res
+    else if (res.length + nnames == ulen) {
+      // Implicit-separator convention: the terminator after each name is
+      // not a token; re-append it (htscodecs-style) to reach ulen.
+      val fixed = new java.io.ByteArrayOutputStream(ulen.toInt)
+      names.foreach { n => fixed.write(n); fixed.write(sep) }
+      fixed.toByteArray
+    } else throw new IllegalStateException(
+      s"cram: tok3 decoded ${res.length} bytes for $nnames names, header says $ulen")
   }
 
   private def pad(v: Long, len: Int): Array[Byte] = {

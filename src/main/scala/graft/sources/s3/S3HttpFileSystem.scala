@@ -18,10 +18,11 @@ import org.apache.hadoop.util.Progressable
   * graft.tools.MiniS3). This is the live-wire analog of the reference's
   * localstack coverage (exon-core/tests/sqllogictests/slt/
   * fasta-scan-s3-tests.slt): unlike a local-FS fake it exercises real HTTP
-  * sockets, Range semantics and the no-rename commit shape. Anonymous auth
-  * only — production deployments with SigV4 needs use hadoop-aws; the
-  * engine is connector-agnostic either way (every path goes through the
-  * Hadoop FS API).
+  * sockets, Range semantics and the no-rename commit shape. Auth: anonymous
+  * by default; setting `fs.<scheme>.access.key` / `fs.<scheme>.secret.key`
+  * (and optionally `fs.<scheme>.region`, default us-east-1) signs every
+  * request with AWS SigV4 per the public signing documentation — the same
+  * static-credential surface hadoop-aws exposes.
   *
   * Directories are S3-style virtual: zero-byte `key/` markers from
   * mkdirs(), prefix roll-up from ListObjectsV2. Writes buffer one part in
@@ -37,6 +38,9 @@ class S3HttpFileSystem extends FileSystem {
   private var cwd: Path = _
   private var partSize: Int = 8 * 1024 * 1024
   private var skipThreshold: Long = 128 * 1024
+  private var accessKey: String = _
+  private var secretKey: String = _
+  private var region: String = "us-east-1"
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
@@ -52,6 +56,11 @@ class S3HttpFileSystem extends FileSystem {
     endpoint = endpoint.stripSuffix("/")
     partSize = conf.getInt(s"fs.$scheme.multipart.size", partSize)
     skipThreshold = conf.getLong(s"fs.$scheme.skip.reposition.threshold", skipThreshold)
+    accessKey = conf.getTrimmed(s"fs.$scheme.access.key")
+    secretKey = conf.getTrimmed(s"fs.$scheme.secret.key")
+    region = conf.getTrimmed(s"fs.$scheme.region", region)
+    require((accessKey == null) == (secretKey == null),
+      s"fs.$scheme.access.key and fs.$scheme.secret.key must be set together")
     cwd = new Path(fsUri.toString + "/")
   }
 
@@ -74,9 +83,33 @@ class S3HttpFileSystem extends FileSystem {
   private def request(method: String, key: String, query: String = "",
       headers: Map[String, String] = Map.empty,
       body: Array[Byte] = null): HttpURLConnection = {
-    val conn = urlFor(key, query).openConnection().asInstanceOf[HttpURLConnection]
+    val url = urlFor(key, query)
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    if (accessKey != null) {
+      // SigV4: sign host, x-amz-date, x-amz-content-sha256 and every
+      // x-amz-* request header (the spec requires all x-amz-* be signed;
+      // Range may legitimately stay unsigned).
+      val amzDate = SigV4.amzDateNow()
+      val payloadHash =
+        if (body == null || body.isEmpty) SigV4.EmptyPayloadHash
+        else SigV4.sha256Hex(body)
+      val hostHdr = url.getHost +
+        (if (url.getPort > 0 && url.getPort != url.getDefaultPort) s":${url.getPort}" else "")
+      val signedHeaders = collection.immutable.SortedMap(
+        "host" -> hostHdr,
+        "x-amz-content-sha256" -> payloadHash,
+        "x-amz-date" -> amzDate) ++
+        headers.collect { case (k, v) if k.toLowerCase.startsWith("x-amz-") =>
+          k.toLowerCase -> v
+        }
+      conn.setRequestProperty("x-amz-date", amzDate)
+      conn.setRequestProperty("x-amz-content-sha256", payloadHash)
+      conn.setRequestProperty("Authorization", SigV4.authorization(
+        method, if (url.getPath.isEmpty) "/" else url.getPath, url.getQuery,
+        signedHeaders, payloadHash, amzDate, region, accessKey, secretKey))
+    }
     if (body != null) {
       conn.setDoOutput(true)
       conn.setFixedLengthStreamingMode(body.length)

@@ -24,6 +24,20 @@ final class MiniS3 {
   private val uploadKey = new ConcurrentHashMap[String, String]() // uploadId -> "bucket/key"
   private val nextUpload = new AtomicLong(1)
   val requests = new java.util.concurrent.CopyOnWriteArrayList[(String, String, Option[String])]()
+  /** Authorization header of each request when auth is on ("" if absent). */
+  val authHeaders = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  private var authCreds: Option[(String, String, String)] = None // access, secret, region
+
+  /** Require AWS SigV4 on every request, verified against these static
+    * credentials (like localstack/MinIO with auth enabled). The verifier
+    * recanonicalizes from the raw received request per the public signing
+    * spec and also checks the payload against x-amz-content-sha256.
+    */
+  def withAuth(accessKey: String, secretKey: String,
+      region: String = "us-east-1"): MiniS3 = {
+    authCreds = Some((accessKey, secretKey, region))
+    this
+  }
 
   private var server: HttpServer = _
   def port: Int = server.getAddress.getPort
@@ -80,10 +94,59 @@ final class MiniS3 {
   private def notFound(ex: HttpExchange): Unit =
     send(ex, 404, "<Error><Code>NoSuchKey</Code></Error>".getBytes(StandardCharsets.UTF_8))
 
+  /** SigV4 verification: parse the Authorization header, recompute the
+    * signature from the raw request (method, raw path/query, the signed
+    * headers' received values), and check the payload hash claim.
+    */
+  private def verifyAuth(ex: HttpExchange): Boolean = authCreds match {
+    case None => true
+    case Some((ak, sk, reg)) =>
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      authHeaders.add(auth)
+      val credRe = "Credential=([^/]+)/(\\d{8})/([^/]+)/s3/aws4_request".r
+      val shRe = "SignedHeaders=([^,\\s]+)".r
+      val sigRe = "Signature=([0-9a-f]{64})".r
+      (for {
+        _ <- Option.when(auth.startsWith("AWS4-HMAC-SHA256"))(())
+        c <- credRe.findFirstMatchIn(auth)
+        sh <- shRe.findFirstMatchIn(auth)
+        sig <- sigRe.findFirstMatchIn(auth)
+        if c.group(1) == ak && c.group(3) == reg
+        amzDate <- Option(ex.getRequestHeaders.getFirst("x-amz-date"))
+        if amzDate.take(8) == c.group(2)
+        payloadHash <- Option(ex.getRequestHeaders.getFirst("x-amz-content-sha256"))
+      } yield {
+        // read the body once for hash verification, then re-install it for
+        // the downstream handlers
+        val body = ex.getRequestBody.readAllBytes()
+        ex.setStreams(new java.io.ByteArrayInputStream(body), null)
+        val bodyOk = payloadHash == graft.sources.s3.SigV4.UnsignedPayload ||
+          payloadHash == graft.sources.s3.SigV4.sha256Hex(body)
+        val signedNames = sh.group(1).split(";").toSeq
+        val hdrs = collection.immutable.SortedMap(signedNames.map(n =>
+          n -> Option(ex.getRequestHeaders.getFirst(n)).getOrElse("")): _*)
+        val scope = s"${c.group(2)}/$reg/s3/aws4_request"
+        val cr = graft.sources.s3.SigV4.canonicalRequest(
+          ex.getRequestMethod,
+          Option(ex.getRequestURI.getRawPath).filter(_.nonEmpty).getOrElse("/"),
+          ex.getRequestURI.getRawQuery, hdrs, payloadHash)
+        val expect = graft.sources.s3.SigV4.hex(graft.sources.s3.SigV4.hmac(
+          graft.sources.s3.SigV4.signingKey(sk, c.group(2), reg),
+          graft.sources.s3.SigV4.stringToSign(amzDate, scope, cr)))
+        bodyOk && expect == sig.group(1)
+      }).getOrElse(false)
+  }
+
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath.stripPrefix("/")
     val range = Option(ex.getRequestHeaders.getFirst("Range"))
     requests.add((ex.getRequestMethod, path, range))
+    if (!verifyAuth(ex)) {
+      send(ex, 403,
+        "<Error><Code>SignatureDoesNotMatch</Code></Error>"
+          .getBytes(StandardCharsets.UTF_8))
+      return
+    }
     val slash = path.indexOf('/')
     val bucket = if (slash < 0) path else path.take(slash)
     val key = if (slash < 0) "" else path.drop(slash + 1)
@@ -134,10 +197,21 @@ final class MiniS3 {
         else {
           import scala.jdk.CollectionConverters._
           // real S3 rejects a complete whose ETags don't match UploadPart's
-          // responses; validate so clients that fabricate ETags fail here too
+          // responses; validate so clients that fabricate ETags fail here too.
+          // Parse <Part> elements instead of matching one exact serialization
+          // — spec-compliant clients vary whitespace/element order/quoting.
           val xml = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val partRe = "(?s)<Part>(.*?)</Part>".r
+          val numRe = "(?s)<PartNumber>\\s*(\\d+)\\s*</PartNumber>".r
+          val etagRe = "(?s)<ETag>\\s*(?:&quot;|\")?([^<\"&]*)(?:&quot;|\")?\\s*</ETag>".r
+          val claimed: Map[Int, String] = partRe.findAllMatchIn(xml).flatMap { m =>
+            for {
+              n <- numRe.findFirstMatchIn(m.group(1)).map(_.group(1).toInt)
+              t <- etagRe.findFirstMatchIn(m.group(1)).map(_.group(1))
+            } yield n -> t
+          }.toMap
           val badPart = parts.asScala.keys.find(n =>
-            !xml.contains(s"""<PartNumber>$n</PartNumber><ETag>"part-$n"</ETag>"""))
+            !claimed.get(n).contains(s"part-$n"))
           if (badPart.isDefined) {
             send(ex, 400,
               s"""<Error><Code>InvalidPart</Code><Message>part ${badPart.get} ETag mismatch</Message></Error>"""

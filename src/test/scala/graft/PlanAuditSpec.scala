@@ -28,6 +28,21 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("graft scan reports post-pruning stats; small gff auto-broadcasts without a hint") {
+    val fx = "/root/reference/exon/exon-core/test-data/datasources"
+    val gff = spark.read.format("gff").load(s"$fx/gff/test.gff")
+    // SupportsReportStatistics: a tiny file must not report the DSv2
+    // default (~Long.MaxValue), which would make it un-broadcastable.
+    val sz = gff.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sz > 0 && sz < 10L * 1024 * 1024, s"gff scan sizeInBytes=$sz")
+    // The annotation-join shape: big fact vs small gff, NO broadcast hint —
+    // the reported stats alone must let Catalyst pick a broadcast join.
+    val big = spark.range(500000000L).toDF("id") // range stats: ~4 GB, over threshold
+    val joined = big.join(gff, big("id") === gff("start"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("region WHERE filter shows in GraftScan description") {
     val fx = "/root/reference/exon/exon-core/test-data/datasources"
     val df = spark.read.format("vcf").load(s"$fx/vcf/index.vcf.gz")

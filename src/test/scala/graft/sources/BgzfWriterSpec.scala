@@ -49,6 +49,38 @@ class BgzfWriterSpec extends AnyFunSuite with SharedSpark {
       s"chunks $chunks span $spanned of ${java.nio.file.Files.size(vcf)}")
   }
 
+  test("index pruning over a many-file directory fans out concurrently and stays exact") {
+    val dir = graft.TestTmp.dir("graft_parallel_prune")
+    val names = Seq("chrA", "chrB")
+    (0 until 24).foreach { f =>
+      val vcf = dir.resolve(f"part$f%02d.vcf.gz")
+      val fos = java.nio.file.Files.newOutputStream(vcf)
+      val w = new BgzfWriter(fos)
+      val tbi = new TabixWriter(names)
+      w.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        .getBytes("US-ASCII"))
+      for (r <- names.indices; i <- 0 until 2000) {
+        val pos = i * 100 + 1
+        val vs = w.virtualPos
+        w.write(s"${names(r)}\t$pos\t.\tA\tG\t50\tPASS\tAC=$f\n".getBytes("US-ASCII"))
+        tbi.add(r, pos - 1, pos, vs, w.virtualPos)
+      }
+      w.finish()
+      fos.close()
+      tbi.write(dir.resolve(f"part$f%02d.vcf.gz.tbi"))
+    }
+    GraftScan.maxConcurrentIndexLookups.set(0)
+    val got = spark.read.format("vcf").option("region", "chrB:5001-20000")
+      .load(dir.toString).count()
+    val exp = spark.read.format("vcf").load(dir.toString)
+      .filter(col("chrom") === "chrB" && col("pos").between(5001L, 20000L)).count()
+    assert(got == exp && got > 0, s"region=$got filter=$exp")
+    // the per-file .tbi queries must have overlapped (bounded-pool fan-out),
+    // not run as a serial driver loop
+    assert(GraftScan.maxConcurrentIndexLookups.get() > 1,
+      s"max concurrent index lookups = ${GraftScan.maxConcurrentIndexLookups.get()}")
+  }
+
   test("bgzf blocks carry BSIZE and the EOF marker; multi-block files split cleanly") {
     val dir = graft.TestTmp.dir("graft_bgzfw2")
     val p = dir.resolve("blocks.bin.gz")

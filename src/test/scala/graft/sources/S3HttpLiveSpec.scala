@@ -120,6 +120,82 @@ class S3HttpLiveSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  private def withSignedS3(f: MiniS3 => Unit): Unit = {
+    val s3 = new MiniS3().withAuth("AKIAGRAFTTEST", "graft-secret-key").start()
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3.impl", classOf[graft.sources.s3.S3HttpFileSystem].getName)
+    conf.set("fs.s3.endpoint", s3.endpoint)
+    conf.set("fs.s3.impl.disable.cache", "true")
+    conf.set("fs.s3.access.key", "AKIAGRAFTTEST")
+    conf.set("fs.s3.secret.key", "graft-secret-key")
+    try f(s3)
+    finally {
+      conf.unset("fs.s3.access.key")
+      conf.unset("fs.s3.secret.key")
+      s3.stop()
+    }
+  }
+
+  test("live s3: SigV4-signed .fai region query — server verifies every signature") {
+    withSignedS3 { s3 =>
+      load(s3, "graft-test", "fasta-indexed/test.fasta", s"$fx/fasta-indexed/test.fasta")
+      load(s3, "graft-test", "fasta-indexed/test.fasta.fai", s"$fx/fasta-indexed/test.fasta.fai")
+      val r = spark.read.format("fasta").option("region", "a:3-4")
+        .load("s3://graft-test/fasta-indexed/test.fasta").head()
+      assert(r.getString(0) == "a:3-4" && r.getString(2) == "CG")
+      import scala.jdk.CollectionConverters._
+      // every request carried a SigV4 Authorization header the server accepted
+      // (any verification failure would have 403'd the read above)
+      val auths = s3.authHeaders.asScala
+      assert(auths.nonEmpty && auths.forall(_.startsWith("AWS4-HMAC-SHA256")), auths.take(3))
+      assert(auths.forall(_.contains("Credential=AKIAGRAFTTEST/")), auths.take(3))
+      // and the region read still seeks: a signed, non-zero ranged GET
+      val ranged = s3.requests.asScala.filter(r2 =>
+        r2._1 == "GET" && r2._2.endsWith("/test.fasta") &&
+          r2._3.exists(h => h.startsWith("bytes=") && !h.startsWith("bytes=0-")))
+      assert(ranged.nonEmpty, "signed region read must seek via a non-zero Range header")
+    }
+  }
+
+  test("live s3: SigV4-signed multipart write round-trips (per-part payload hashes)") {
+    withSignedS3 { s3 =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      conf.setInt("fs.s3.multipart.size", 64 * 1024)
+      try {
+        val p = new org.apache.hadoop.fs.Path("s3://graft-test/signed-big.bin")
+        val fs = p.getFileSystem(conf)
+        val chunk = Array.tabulate[Byte](200 * 1024 + 5)(i => (i * 37 % 249).toByte)
+        val out = fs.create(p)
+        out.write(chunk); out.close()
+        assert(s3.get("graft-test", "signed-big.bin").exists(_.sameElements(chunk)),
+          "signed multipart reassembly must be byte-exact")
+      } finally conf.unset("fs.s3.multipart.size")
+    }
+  }
+
+  test("live s3: a wrong secret key is rejected with 403") {
+    val s3 = new MiniS3().withAuth("AKIAGRAFTTEST", "the-real-secret").start()
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3.impl", classOf[graft.sources.s3.S3HttpFileSystem].getName)
+    conf.set("fs.s3.endpoint", s3.endpoint)
+    conf.set("fs.s3.impl.disable.cache", "true")
+    conf.set("fs.s3.access.key", "AKIAGRAFTTEST")
+    conf.set("fs.s3.secret.key", "a-wrong-secret")
+    try {
+      s3.put("graft-test", "x.fasta", ">a\nACGT\n".getBytes("US-ASCII"))
+      val e = intercept[Exception] {
+        spark.read.format("fasta").load("s3://graft-test/x.fasta").count()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+      assert(msgs.contains("403"), msgs)
+    } finally {
+      conf.unset("fs.s3.access.key")
+      conf.unset("fs.s3.secret.key")
+      s3.stop()
+    }
+  }
+
   test("live s3: directory scan via ListObjectsV2") {
     withS3 { s3 =>
       load(s3, "graft-test", "dir/a.fasta", s"$fx/fasta/test.fasta")

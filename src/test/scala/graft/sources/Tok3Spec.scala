@@ -9,6 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * SRR accessions, PacBio movie names, zero-padded DIGITS0 names,
   * exact-duplicate runs (N_DUP), newline-separated region strings, a
   * single name, and the reference fixture's own r000..r004 read names.
+  * The `*_impl` vectors use the implicit-separator convention (the
+  * terminator is not a token; the decoder re-appends it at N_END, as
+  * htscodecs does) — the decoder must accept both conventions.
   */
 class Tok3Spec extends AnyFunSuite {
   private val vectors: Seq[(String, Array[Byte], Array[Byte])] = {

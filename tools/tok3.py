@@ -62,10 +62,14 @@ def tokenize(name):
     return toks
 
 
-def encode(blob, sep=b"\0"):
+def encode(blob, sep=b"\0", implicit_sep=False):
+    """implicit_sep=False: the per-name terminator is an ordinary CHAR
+    token. implicit_sep=True: htscodecs' convention — the terminator is
+    stripped before tokenising and re-appended by the decoder at N_END
+    (ulen still counts it)."""
     names = blob.split(sep)
     assert names and names[-1] == b"", "blob must end with the separator"
-    names = [n + sep for n in names[:-1]]
+    names = [n if implicit_sep else n + sep for n in names[:-1]]
     nnames = len(names)
     streams = {}  # (pos, type) -> bytearray
 
@@ -157,7 +161,7 @@ class _S:
         return v
 
 
-def decode(payload):
+def decode(payload, sep=b"\0"):
     src = ransnx16.In(payload)
     ulen = src.u32le()
     nnames = src.u32le()
@@ -227,8 +231,11 @@ def decode(payload):
         names.append(bytes(name))
         tok_lists.append(toks)
         out += name
-    assert len(out) == ulen, f"length mismatch {len(out)} != {ulen}"
-    return bytes(out)
+    if len(out) == ulen:
+        return bytes(out)
+    # implicit-separator convention: re-append sep after each name
+    assert len(out) + nnames == ulen, f"length mismatch {len(out)} != {ulen}"
+    return sep.join(names) + sep
 
 
 def self_test():
@@ -248,8 +255,12 @@ def self_test():
     for nm, blob in corpora.items():
         sep = b"\n" if blob.endswith(b"\n") else b"\0"
         enc = encode(blob, sep)
-        dec = decode(enc)
+        dec = decode(enc, sep)
         assert dec == blob, f"tok3 roundtrip fail: {nm}"
+        # htscodecs-style implicit separator must round-trip too
+        enc2 = encode(blob, sep, implicit_sep=True)
+        dec2 = decode(enc2, sep)
+        assert dec2 == blob, f"tok3 implicit-sep roundtrip fail: {nm}"
         r = len(enc) / len(blob)
         print(f"tok3 {nm}: {len(blob)} -> {len(enc)} ({r:.2f})")
     print("tok3 self-test OK")
