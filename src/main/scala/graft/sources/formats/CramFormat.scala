@@ -207,9 +207,7 @@ class CramFormat(refPath: Option[String],
       try in.readAllBytes() finally in.close()
     case 4 => ransDecode(payload)
     case 5 => RansNx16.decode(payload, rawSize)
-    case 6 => throw new IllegalStateException(
-      "cram: block codec 6 (CRAM 3.1 adaptive arithmetic) not supported yet; " +
-        "recode with `samtools view -O cram,version=3.0`")
+    case 6 => ArithDynamic.decode(payload, rawSize)
     case 7 => throw new IllegalStateException(
       "cram: block codec 7 (CRAM 3.1 fqzcomp quality codec) not supported yet; " +
         "recode with `samtools view -O cram,version=3.0`")

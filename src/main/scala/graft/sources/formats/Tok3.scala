@@ -6,9 +6,9 @@ import scala.collection.mutable
   * from the public CRAMcodecs specification. samtools writes read names
   * with this codec by default in 3.1 files.
   *
-  * Layout: ulen u32le, nnames u32le, flags u8 (bit 0: arith coder — not
-  * implemented, errors loudly; 0 = rANS Nx16), then token streams until
-  * EOF. Each stream: type byte (bit7 = first stream of the next token
+  * Layout: ulen u32le, nnames u32le, flags u8 (bit 0: 1 = token streams
+  * are arith-compressed (ArithDynamic), 0 = rANS Nx16), then token
+  * streams until EOF. Each stream: type byte (bit7 = first stream of the next token
   * position, bit6 = duplicate of an earlier stream addressed by
   * (pos, type) byte pair, low 6 bits = token type), then uint7 compressed
   * length + a self-sized rANS Nx16 stream.
@@ -80,9 +80,8 @@ object Tok3 {
     val ulen = (u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)).toLong & 0xffffffffL
     val nnames = (u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)).toLong & 0xffffffffL
     val useArith = u8()
-    require(useArith == 0,
-      "cram: tok3 stream uses the adaptive arithmetic coder, which is not supported yet; " +
-        "recode with `samtools view -O cram,version=3.0`")
+    require(useArith == 0 || useArith == 1,
+      s"cram: tok3 flags byte $useArith (want 0 = rANS Nx16, 1 = arith)")
 
     val streams = mutable.Map.empty[(Int, Int), S]
     var pos = -1
@@ -97,7 +96,9 @@ object Tok3 {
         val clen = u7()
         val comp = java.util.Arrays.copyOfRange(payload, o, o + clen)
         o += clen
-        streams((pos, typ)) = new S(RansNx16.decode(comp, -1))
+        streams((pos, typ)) = new S(
+          if (useArith == 1) ArithDynamic.decode(comp, -1)
+          else RansNx16.decode(comp, -1))
       }
     }
 

@@ -166,6 +166,24 @@ class CramSpec extends AnyFunSuite with SharedSpark {
       .load(res("1404_index_multislice_v31.cram")).count() == 10)
   }
 
+  test("cram 3.1: adaptive-arithmetic blocks decode end-to-end, all modes") {
+    // fixtures from tools/recompress_cram.py v31a mode: identical records,
+    // name-shaped blocks as tok3 with ARITH-compressed token streams and
+    // every other sizable block as the adaptive arithmetic coder (method
+    // 6) rotating through order-0/1, RLE, EXT (bzip2), STRIPE, PACK, NOSZ.
+    def res(n: String): String = getClass.getResource(s"/cram/$n").getPath
+    val cols = Seq("name", "flag", "reference", "start", "end",
+      "mapping_quality", "cigar", "sequence", "quality_score")
+    def rows(p: String) = spark.read.format("cram").load(p)
+      .select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq
+    assert(rows(res("test_input_1_a_v31a.cram")) ==
+      rows(s"$fx/cram/test_input_1_a.cram"))
+    assert(rows(res("1404_index_multislice_v31a.cram")) ==
+      rows(s"$fx/cram/1404_index_multislice.cram"))
+    assert(spark.read.format("cram").option("region", "CHROMOSOME_II")
+      .load(res("1404_index_multislice_v31a.cram")).count() == 10)
+  }
+
   test("cram: non-3.x versions and bad magic are rejected loudly, not decoded as garbage") {
     val src = java.nio.file.Paths.get(s"$fx/cram/test_input_1_a.cram")
     val dir = graft.TestTmp.dir("cram_ver")

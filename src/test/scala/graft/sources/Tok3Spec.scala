@@ -35,11 +35,11 @@ class Tok3Spec extends AnyFunSuite {
     }
   }
 
-  test("arith-coded tok3 is rejected loudly by name") {
-    // minimal header claiming use_arith=1
-    val hdr = Array[Byte](4, 0, 0, 0, 1, 0, 0, 0, 1)
+  test("an unknown tok3 flags byte is rejected loudly") {
+    // minimal header claiming flags=2 (neither rANS Nx16 nor arith)
+    val hdr = Array[Byte](4, 0, 0, 0, 1, 0, 0, 0, 2)
     val e = intercept[IllegalArgumentException](
       graft.sources.formats.Tok3.decode(hdr))
-    assert(e.getMessage.contains("arithmetic"), e.getMessage)
+    assert(e.getMessage.contains("flags byte"), e.getMessage)
   }
 }

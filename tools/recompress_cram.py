@@ -6,13 +6,15 @@ an end-to-end fixture for codecs samtools writes by default but the
 reference checkout's fixtures never exercise (their blocks are all
 raw/gzip/rANS-order-0).
 
-Usage: recompress_cram.py <in.cram> <out.cram> [v31]
+Usage: recompress_cram.py <in.cram> <out.cram> [v31|v31a]
 
 With the `v31` mode the output file definition says version 3.1 and every
 sizable block is re-encoded as rANS Nx16 (method 5), rotating through the
 codec's transform modes (order-0/1, X32, STRIPE, RLE, PACK where the
 alphabet allows, NOSZ) so a single fixture exercises the whole CRAM 3.1
-decode surface.
+decode surface. `v31a` instead uses the adaptive arithmetic coder
+(method 6) for sizable blocks, rotating its modes, and tok3 with
+arith-compressed token streams.
 
 Layout parsed per the public CRAM 3.0 spec: 26-byte file definition;
 containers = [len i32le, refSeqId/start/span/nRec itf8, counter/bases
@@ -28,6 +30,7 @@ import gzip
 
 sys.path.insert(0, __import__("os").path.dirname(__file__))
 from rans4x8 import compress_o1, decompress_rans, itf8
+import arith
 import ransnx16
 import tok3
 
@@ -108,7 +111,7 @@ def decompress(method, payload):
     raise SystemExit(f"unknown method {method}")
 
 
-def try_tok3(raw):
+def try_tok3(raw, use_arith=False):
     """tok3-encode a block whose payload is a separator-terminated list of
     printable names (the read-name block shape); None if it isn't one."""
     for sep in (b"\x00", b"\n", b"\t"):
@@ -116,8 +119,8 @@ def try_tok3(raw):
             continue
         names = raw[:-1].split(sep)
         if all(n and all(32 <= c < 127 for c in n) for n in names):
-            enc = tok3.encode(raw, sep)
-            assert tok3.decode(enc) == raw
+            enc = tok3.encode(raw, sep, use_arith=use_arith)
+            assert tok3.decode(enc, sep) == raw
             return enc
     return None
 
@@ -137,9 +140,25 @@ def nx16_encode(raw, rotation):
     return fl, enc
 
 
+def arith_encode(raw, rotation):
+    """Rotate through arith (method 6) modes; returns (flags-used, stream)."""
+    fx = arith
+    modes = [0, fx.ORDER1, fx.RLE, fx.ORDER1 | fx.RLE, fx.EXT,
+             fx.STRIPE, fx.STRIPE | fx.ORDER1, fx.NOSZ,
+             fx.ORDER1 | fx.NOSZ, fx.PACK, fx.ORDER1 | fx.PACK]
+    fl = modes[rotation % len(modes)]
+    if fl & fx.PACK and len(set(raw)) > 16:
+        fl = fx.ORDER1  # alphabet too wide to pack; fall back
+    enc = fx.encode(raw, fl)
+    dec = fx.decode(enc, len(raw) if fl & fx.NOSZ else -1)
+    assert dec == raw, f"arith self-check failed for flags {fl}"
+    return fl, enc
+
+
 def main():
     src, dst = sys.argv[1], sys.argv[2]
-    v31 = len(sys.argv) > 3 and sys.argv[3] == "v31"
+    v31 = len(sys.argv) > 3 and sys.argv[3] in ("v31", "v31a")
+    use_arith = len(sys.argv) > 3 and sys.argv[3] == "v31a"
     data = open(src, "rb").read()
     r = In(data)
     out = bytearray(r.bytes(26))  # file definition verbatim
@@ -184,8 +203,11 @@ def main():
             body.bytes(4)  # block crc
             raw = decompress(method, payload)
             assert len(raw) == rawsize, f"raw size mismatch {len(raw)} != {rawsize}"
-            if rawsize >= 16 and v31 and try_tok3(raw) is not None:
-                new_method, new_payload = 8, try_tok3(raw)
+            if rawsize >= 16 and v31 and try_tok3(raw, use_arith) is not None:
+                new_method, new_payload = 8, try_tok3(raw, use_arith)
+            elif rawsize >= 16 and v31 and use_arith:
+                codec_rotation += 1
+                new_method, (fl, new_payload) = 6, arith_encode(raw, codec_rotation)
             elif rawsize >= 16 and v31:
                 codec_rotation += 1
                 new_method, (fl, new_payload) = 5, nx16_encode(raw, codec_rotation)

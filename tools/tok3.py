@@ -32,6 +32,7 @@ import re
 import sys
 
 sys.path.insert(0, __import__("os").path.dirname(__file__))
+import arith
 import ransnx16
 
 N_TYPE, N_ALPHA, N_CHAR, N_DIGITS0, N_DZLEN, N_DUP, N_DIFF, \
@@ -62,11 +63,12 @@ def tokenize(name):
     return toks
 
 
-def encode(blob, sep=b"\0", implicit_sep=False):
+def encode(blob, sep=b"\0", implicit_sep=False, use_arith=False):
     """implicit_sep=False: the per-name terminator is an ordinary CHAR
     token. implicit_sep=True: htscodecs' convention — the terminator is
     stripped before tokenising and re-appended by the decoder at N_END
-    (ulen still counts it)."""
+    (ulen still counts it). use_arith compresses the token streams with
+    the adaptive arithmetic coder (flags bit 0) instead of rANS Nx16."""
     names = blob.split(sep)
     assert names and names[-1] == b"", "blob must end with the separator"
     names = [n if implicit_sep else n + sep for n in names[:-1]]
@@ -122,7 +124,7 @@ def encode(blob, sep=b"\0", implicit_sep=False):
     out = bytearray()
     out += len(blob).to_bytes(4, "little")
     out += nnames.to_bytes(4, "little")
-    out.append(0)  # rANS Nx16, not arith
+    out.append(1 if use_arith else 0)
     max_pos = max(p for p, _ in streams)
     for pos in range(max_pos + 1):
         first = True
@@ -130,8 +132,11 @@ def encode(blob, sep=b"\0", implicit_sep=False):
             if (pos, typ) not in streams:
                 continue
             raw = bytes(streams[(pos, typ)])
-            fl = ransnx16.ORDER1 if len(raw) > 64 else 0
-            comp = ransnx16.encode(raw, fl)
+            if use_arith:
+                comp = arith.encode(raw, arith.ORDER1 if len(raw) > 64 else 0)
+            else:
+                fl = ransnx16.ORDER1 if len(raw) > 64 else 0
+                comp = ransnx16.encode(raw, fl)
             out.append(typ | (0x80 if first else 0))
             first = False
             out += ransnx16.u7(len(comp))
@@ -166,7 +171,7 @@ def decode(payload, sep=b"\0"):
     ulen = src.u32le()
     nnames = src.u32le()
     use_arith = src.u8()
-    assert use_arith == 0, "arith-coded tok3 not supported by this tool"
+    assert use_arith in (0, 1), f"bad tok3 flags byte {use_arith}"
     B = {}
     pos = -1
     while src.o < len(payload):
@@ -179,7 +184,9 @@ def decode(payload, sep=b"\0"):
             B[(pos, typ)] = _S(B[(dp, dt)].b)
         else:
             clen = src.u7()
-            B[(pos, typ)] = _S(ransnx16.decode(src.read(clen)))
+            comp = src.read(clen)
+            B[(pos, typ)] = _S(arith.decode(comp) if use_arith
+                               else ransnx16.decode(comp))
     names = []
     tok_lists = []
     out = bytearray()
@@ -261,6 +268,10 @@ def self_test():
         enc2 = encode(blob, sep, implicit_sep=True)
         dec2 = decode(enc2, sep)
         assert dec2 == blob, f"tok3 implicit-sep roundtrip fail: {nm}"
+        # arith-compressed token streams (flags bit 0)
+        enc3 = encode(blob, sep, use_arith=True)
+        dec3 = decode(enc3, sep)
+        assert dec3 == blob, f"tok3 arith roundtrip fail: {nm}"
         r = len(enc) / len(blob)
         print(f"tok3 {nm}: {len(blob)} -> {len(enc)} ({r:.2f})")
     print("tok3 self-test OK")
