@@ -38,10 +38,6 @@ object ArithDynamic {
   private val RLE = 64
   private val PACK = 128
 
-  private val TOP = 1 << 24
-  private val STEP = 16
-  private val MAX_FREQ = (1 << 16) - 17
-
   private final class In(val b: Array[Byte], var o: Int) {
     def u8(): Int = { val v = b(o) & 0xff; o += 1; v }
     def u7(): Int = {
@@ -57,61 +53,6 @@ object ArithDynamic {
     }
     def read(n: Int): Array[Byte] = {
       val v = java.util.Arrays.copyOfRange(b, o, o + n); o += n; v
-    }
-  }
-
-  /** Carryless range decoder. */
-  private final class RC(src: In) {
-    private var range = 0xffffffffL
-    private var code = {
-      var c = 0L
-      var i = 0
-      while (i < 5) { c = ((c << 8) | src.u8()) & 0xffffffffL; i += 1 }
-      c
-    }
-    def getFreq(tot: Int): Int = {
-      range /= tot
-      val f = code / range
-      (if (f >= tot) tot - 1 else f).toInt
-    }
-    def decode(cum: Int, freq: Int): Unit = {
-      code -= cum * range
-      range *= freq
-      while (range < TOP) {
-        range <<= 8
-        code = ((code << 8) | src.u8()) & 0xffffffffffffffL
-      }
-    }
-  }
-
-  /** Adaptive model: freq[i] starts 1, +STEP per hit, halved past
-    * MAX_FREQ; hot symbols bubble toward the front (both sides do this
-    * identically, so the dynamic symbol order stays in sync).
-    */
-  private final class Model(nsym: Int) {
-    private val freq = Array.fill(nsym)(1)
-    private val sym = Array.tabulate(nsym)(identity)
-    private var total = nsym
-
-    def decode(rc: RC): Int = {
-      val f = rc.getFreq(total)
-      var cum = 0
-      var i = 0
-      while (cum + freq(i) <= f) { cum += freq(i); i += 1 }
-      rc.decode(cum, freq(i))
-      val s = sym(i)
-      freq(i) += STEP
-      total += STEP
-      if (total > MAX_FREQ) {
-        total = 0
-        var j = 0
-        while (j < nsym) { freq(j) -= freq(j) >> 1; total += freq(j); j += 1 }
-      }
-      if (i > 0 && freq(i) > freq(i - 1)) {
-        val tf = freq(i); freq(i) = freq(i - 1); freq(i - 1) = tf
-        val ts = sym(i); sym(i) = sym(i - 1); sym(i - 1) = ts
-      }
-      s
     }
   }
 
@@ -175,10 +116,10 @@ object ArithDynamic {
     if (nOut == 0) return Array.emptyByteArray
     val maxSym0 = src.u8()
     val maxSym = if (maxSym0 == 0) 256 else maxSym0
-    val rc = new RC(src)
+    val rc = new RangeDecoder(() => src.u8())
     val out = new Array[Byte](nOut)
     // order-0 keeps a single literal model; order-1 one per previous byte
-    val lits = Array.fill(if (order1) maxSym else 1)(new Model(maxSym))
+    val lits = Array.fill(if (order1) maxSym else 1)(new ByteModel(maxSym))
     if (!rle) {
       var last = 0
       var i = 0
@@ -191,7 +132,7 @@ object ArithDynamic {
     } else {
       // run models: index [sym] for a run's first length byte, [maxSym]
       // for every continuation (a part of 255 chains)
-      val runs = Array.fill(maxSym + 1)(new Model(256))
+      val runs = Array.fill(maxSym + 1)(new ByteModel(256))
       var last = 0
       var i = 0
       while (i < nOut) {

@@ -208,9 +208,7 @@ class CramFormat(refPath: Option[String],
     case 4 => ransDecode(payload)
     case 5 => RansNx16.decode(payload, rawSize)
     case 6 => ArithDynamic.decode(payload, rawSize)
-    case 7 => throw new IllegalStateException(
-      "cram: block codec 7 (CRAM 3.1 fqzcomp quality codec) not supported yet; " +
-        "recode with `samtools view -O cram,version=3.0`")
+    case 7 => FqzComp.decode(payload, rawSize)
     case 8 => Tok3.decode(payload)
     case other => throw new IllegalStateException(s"cram: block codec $other not supported")
   }

@@ -168,9 +168,11 @@ class CramSpec extends AnyFunSuite with SharedSpark {
 
   test("cram 3.1: adaptive-arithmetic blocks decode end-to-end, all modes") {
     // fixtures from tools/recompress_cram.py v31a mode: identical records,
-    // name-shaped blocks as tok3 with ARITH-compressed token streams and
-    // every other sizable block as the adaptive arithmetic coder (method
-    // 6) rotating through order-0/1, RLE, EXT (bzip2), STRIPE, PACK, NOSZ.
+    // name-shaped blocks as tok3 with ARITH-compressed token streams,
+    // quality-shaped blocks as fqzcomp (method 7), and every other sizable
+    // block as the adaptive arithmetic coder (method 6) rotating through
+    // order-0/1, RLE, EXT (bzip2), STRIPE, PACK, NOSZ — so the two files
+    // cover the complete CRAM 3.1 codec surface end-to-end.
     def res(n: String): String = getClass.getResource(s"/cram/$n").getPath
     val cols = Seq("name", "flag", "reference", "start", "end",
       "mapping_quality", "cigar", "sequence", "quality_score")

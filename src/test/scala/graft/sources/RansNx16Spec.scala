@@ -51,11 +51,9 @@ class RansNx16Spec extends AnyFunSuite {
     assert(e.getMessage.contains("NOSZ"))
   }
 
-  test("unimplemented 3.1 codecs are named in their errors") {
-    for ((m, word) <- Seq(7 -> "fqzcomp")) {
-      val e = intercept[IllegalStateException](
-        graft.sources.formats.CramFormat.decompress(m, Array[Byte](0), 1))
-      assert(e.getMessage.contains(word) && e.getMessage.contains("3.1"), e.getMessage)
-    }
+  test("unknown block codecs are rejected loudly") {
+    val e = intercept[IllegalStateException](
+      graft.sources.formats.CramFormat.decompress(9, Array[Byte](0), 1))
+    assert(e.getMessage.contains("not supported"), e.getMessage)
   }
 }

@@ -31,6 +31,7 @@ import gzip
 sys.path.insert(0, __import__("os").path.dirname(__file__))
 from rans4x8 import compress_o1, decompress_rans, itf8
 import arith
+import fqzcomp
 import ransnx16
 import tok3
 
@@ -140,6 +141,17 @@ def nx16_encode(raw, rotation):
     return fl, enc
 
 
+def try_fqz(raw):
+    """fqzcomp-encode a quality-shaped block (small alphabet) as one long
+    record — the block's uncompressed form is what CRAM consumes, so the
+    internal record segmentation is the codec's own business."""
+    if len(raw) >= 64 and max(raw) < 64:
+        enc = fqzcomp.encode([raw], params=[fqzcomp.Param()])
+        assert fqzcomp.decode(enc, len(raw)) == raw
+        return enc
+    return None
+
+
 def arith_encode(raw, rotation):
     """Rotate through arith (method 6) modes; returns (flags-used, stream)."""
     fx = arith
@@ -205,6 +217,8 @@ def main():
             assert len(raw) == rawsize, f"raw size mismatch {len(raw)} != {rawsize}"
             if rawsize >= 16 and v31 and try_tok3(raw, use_arith) is not None:
                 new_method, new_payload = 8, try_tok3(raw, use_arith)
+            elif rawsize >= 16 and v31 and use_arith and try_fqz(raw) is not None:
+                new_method, new_payload = 7, try_fqz(raw)
             elif rawsize >= 16 and v31 and use_arith:
                 codec_rotation += 1
                 new_method, (fl, new_payload) = 6, arith_encode(raw, codec_rotation)
