@@ -506,7 +506,8 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration),
       fieldSources,
       if (table.regionsOption.nonEmpty) region else Nil,
-      limit)
+      limit,
+      outputSchema = required)
   }
 }
 
@@ -564,13 +565,91 @@ final class GraftReaderFactory(format: GraftFormat, dataSchema: StructType,
                                conf: SerializableHadoopConf,
                                fieldSources: Array[Either[Int, Int]],
                                rowRegion: Seq[(String, Long, Long)],
-                               limit: Option[Int] = None)
+                               limit: Option[Int] = None,
+                               outputSchema: StructType = null)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val chunks = partition.asInstanceOf[GraftInputPartition].chunks
     new GraftPartitionReader(format, dataSchema, conf.value, chunks, fieldSources, rowRegion,
       limit)
+  }
+
+  /** Columnar scan path: when every projected column is a flat type the
+    * reader emits ColumnarBatch directly, so scan-bound queries stay
+    * vectorized end-to-end (Spark's ColumnarToRow is codegen'd; per-row
+    * GenericInternalRow allocation disappears from the hot loop).
+    */
+  private val columnarEligible: Boolean =
+    outputSchema != null && outputSchema.fields.forall(f => f.dataType match {
+      case StringType | IntegerType | LongType | DoubleType | FloatType |
+           BooleanType | BinaryType | ShortType | ByteType => true
+      case _ => false
+    })
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnarEligible
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val chunks = partition.asInstanceOf[GraftInputPartition].chunks
+    val rows = new GraftPartitionReader(format, dataSchema, conf.value, chunks,
+      fieldSources, rowRegion, limit)
+    new GraftColumnarReader(rows, outputSchema)
+  }
+}
+
+/** Packs the row reader's raw values into on-heap column vectors,
+  * 4096 rows per batch.
+  */
+final class GraftColumnarReader(rows: GraftPartitionReader, schema: StructType)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val capacity = 4096
+  private val vectors =
+    org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+      .allocateColumns(capacity, schema)
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < capacity && rows.next()) {
+      val vals = rows.currentValues
+      var c = 0
+      while (c < vectors.length) {
+        val v = vals(c)
+        if (v == null) vectors(c).putNull(n)
+        else schema.fields(c).dataType match {
+          case StringType =>
+            val b = v.asInstanceOf[UTF8String].getBytes
+            vectors(c).putByteArray(n, b, 0, b.length)
+          case LongType => vectors(c).putLong(n, v.asInstanceOf[Long])
+          case IntegerType => vectors(c).putInt(n, v.asInstanceOf[Int])
+          case DoubleType => vectors(c).putDouble(n, v.asInstanceOf[Double])
+          case FloatType => vectors(c).putFloat(n, v.asInstanceOf[Float])
+          case BooleanType => vectors(c).putBoolean(n, v.asInstanceOf[Boolean])
+          case ShortType => vectors(c).putShort(n, v.asInstanceOf[Short])
+          case ByteType => vectors(c).putByte(n, v.asInstanceOf[Byte])
+          case BinaryType =>
+            val b = v.asInstanceOf[Array[Byte]]
+            vectors(c).putByteArray(n, b, 0, b.length)
+          case other => throw new IllegalStateException(
+            s"columnar reader on non-flat type $other")
+        }
+        c += 1
+      }
+      n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = {
+    rows.close()
+    batch.close()
   }
 }
 
@@ -614,7 +693,7 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
   private var stream: java.io.InputStream = _
   private var it: Iterator[Array[Any]] = Iterator.empty
   private var partVals: Array[Any] = Array.empty
-  private var current: InternalRow = _
+  private var current: Array[Any] = _
 
   private def openNextChunk(): Boolean = {
     closeStream()
@@ -704,11 +783,16 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
     var i = 0
     while (i < requiredData.length) { row(dataOutPos(i)) = data(i); i += 1 }
     partOutPos.foreach { case (outPos, p) => row(outPos) = partVals(p) }
-    current = new GenericInternalRow(row)
+    current = row
     emitted += 1
     true
   }
 
-  override def get(): InternalRow = current
+  /** Output-ordered values of the current record (the columnar reader
+    * packs these into vectors without materialising an InternalRow).
+    */
+  private[sources] def currentValues: Array[Any] = current
+
+  override def get(): InternalRow = new GenericInternalRow(current)
   override def close(): Unit = closeStream()
 }

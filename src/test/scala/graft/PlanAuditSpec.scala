@@ -43,6 +43,19 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("flat-schema graft scans run columnar (vectorized batches + codegen'd ColumnarToRow)") {
+    val fx = "/root/reference/exon/exon-core/test-data/datasources"
+    val fasta = spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
+    val plan = fasta.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    // and the data still reads correctly through the batch path
+    assert(fasta.count() == 2)
+    val vcf = spark.read.format("vcf").load(s"$fx/vcf/index.vcf")
+      .select("chrom", "pos", "ref")
+    assert(vcf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(vcf.count() > 0)
+  }
+
   test("region WHERE filter shows in GraftScan description") {
     val fx = "/root/reference/exon/exon-core/test-data/datasources"
     val df = spark.read.format("vcf").load(s"$fx/vcf/index.vcf.gz")
