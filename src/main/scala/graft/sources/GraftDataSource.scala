@@ -575,15 +575,19 @@ final class GraftReaderFactory(format: GraftFormat, dataSchema: StructType,
       limit)
   }
 
-  /** Columnar scan path: when every projected column is a flat type the
-    * reader emits ColumnarBatch directly, so scan-bound queries stay
+  /** Columnar scan path: when every projected column is a PRIMITIVE type
+    * the reader emits ColumnarBatch directly, so scan-bound queries stay
     * vectorized end-to-end (Spark's ColumnarToRow is codegen'd; per-row
-    * GenericInternalRow allocation disappears from the hot loop).
+    * GenericInternalRow allocation disappears from the hot loop). This
+    * includes the empty count(*) projection. String/binary columns keep
+    * the row path on purpose: appending their bytes into a vector costs
+    * an extra copy per value that measurably loses to handing Spark the
+    * parser's UTF8String directly (b02 regressed ~15% columnar).
     */
   private val columnarEligible: Boolean =
     outputSchema != null && outputSchema.fields.forall(f => f.dataType match {
-      case StringType | IntegerType | LongType | DoubleType | FloatType |
-           BooleanType | BinaryType | ShortType | ByteType => true
+      case IntegerType | LongType | DoubleType | FloatType |
+           BooleanType | ShortType | ByteType => true
       case _ => false
     })
 
@@ -622,9 +626,6 @@ final class GraftColumnarReader(rows: GraftPartitionReader, schema: StructType)
         val v = vals(c)
         if (v == null) vectors(c).putNull(n)
         else schema.fields(c).dataType match {
-          case StringType =>
-            val b = v.asInstanceOf[UTF8String].getBytes
-            vectors(c).putByteArray(n, b, 0, b.length)
           case LongType => vectors(c).putLong(n, v.asInstanceOf[Long])
           case IntegerType => vectors(c).putInt(n, v.asInstanceOf[Int])
           case DoubleType => vectors(c).putDouble(n, v.asInstanceOf[Double])
@@ -632,11 +633,8 @@ final class GraftColumnarReader(rows: GraftPartitionReader, schema: StructType)
           case BooleanType => vectors(c).putBoolean(n, v.asInstanceOf[Boolean])
           case ShortType => vectors(c).putShort(n, v.asInstanceOf[Short])
           case ByteType => vectors(c).putByte(n, v.asInstanceOf[Byte])
-          case BinaryType =>
-            val b = v.asInstanceOf[Array[Byte]]
-            vectors(c).putByteArray(n, b, 0, b.length)
           case other => throw new IllegalStateException(
-            s"columnar reader on non-flat type $other")
+            s"columnar reader on non-primitive type $other")
         }
         c += 1
       }

@@ -43,17 +43,22 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("flat-schema graft scans run columnar (vectorized batches + codegen'd ColumnarToRow)") {
+  test("primitive-projection graft scans run columnar; string scans keep the row path") {
     val fx = "/root/reference/exon/exon-core/test-data/datasources"
-    val fasta = spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
-    val plan = fasta.queryExecution.executedPlan.toString
-    assert(plan.contains("ColumnarToRow"), plan)
-    // and the data still reads correctly through the batch path
-    assert(fasta.count() == 2)
-    val vcf = spark.read.format("vcf").load(s"$fx/vcf/index.vcf")
-      .select("chrom", "pos", "ref")
-    assert(vcf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
-    assert(vcf.count() > 0)
+    // count(*) still answers correctly whichever path the planner picks
+    // for the empty projection
+    val cnt = spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
+      .groupBy().count()
+    assert(cnt.collect().head.getLong(0) == 2)
+    // numeric-only projection goes columnar
+    val pos = spark.read.format("vcf").load(s"$fx/vcf/index.vcf").select("pos")
+    assert(pos.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(pos.count() > 0)
+    // string projections deliberately stay on the row path (vector append
+    // is an extra per-value copy that loses to UTF8String handoff)
+    val seq = spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
+      .select("sequence")
+    assert(!seq.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
   }
 
   test("region WHERE filter shows in GraftScan description") {
