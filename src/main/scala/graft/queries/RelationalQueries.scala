@@ -394,6 +394,73 @@ object RelationalQueries {
         .select(col("n_name"))
       custN.union(suppN).distinct().except(asiaN)
         .orderBy(col("n_name"))
+    }),
+
+    // Q2-shape: correlated min subquery — for each small part, every
+    // supplier whose offer price equals that part's minimum. The per-part
+    // min is a keyed aggregate joined back on (partkey, exact price);
+    // equality is on a RAW column value, so double summation order can't
+    // perturb the match.
+    "q37_min_cost_supplier" -> ((s, d) => {
+      val offers = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val minc = offers.groupBy(col("l_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      offers
+        .join(minc, offers("l_partkey") === minc("l_partkey") &&
+          col("l_extendedprice") === col("min_price"))
+        .drop(minc("l_partkey"))
+        .join(part(s, d).filter(col("p_size") < 10), col("l_partkey") === col("p_partkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          round(col("min_price"), 2).as("min_price"))
+        .distinct()
+        .orderBy(col("p_partkey"), col("s_name"))
+    }),
+
+    // Q11-shape: HAVING against a fraction of the GLOBAL aggregate — the
+    // per-supplier values shuffle once; the global total is a 1-row
+    // broadcast, never a second pass over lineitem.
+    "q38_important_suppliers" -> ((s, d) => {
+      val rev = lineitem(s, d).groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("value"))
+      // 1.1x the mean keeps the fraction-of-global shape AND a non-empty
+      // result at every SF (a fixed permille empties out as N grows)
+      val thr = rev.agg((avg(col("value")) * lit(1.1)).as("thr"))
+      rev.crossJoin(broadcast(thr))
+        .filter(col("value") > col("thr"))
+        .select(col("l_suppkey"), round(col("value"), 2).as("value"))
+        .orderBy(col("value").desc, col("l_suppkey"))
+    }),
+
+    // Q12-shape: conditional aggregation (CASE WHEN inside sum) over a
+    // date-bounded join, split by priority class.
+    "q39_priority_shipping" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Q16-shape: count(DISTINCT) per attribute pair with a NOT IN
+    // supplier exclusion (left-anti join — never a nullable NOT IN trap).
+    "q40_supplier_cnt" -> ((s, d) => {
+      val excluded = supplier(s, d).filter(col("s_acctbal") < 1000)
+        .select(col("s_suppkey"))
+      lineitem(s, d)
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(part(s, d).filter(col("p_size").isin(1, 5, 10, 15, 20)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
     })
   )
 
@@ -665,6 +732,47 @@ object RelationalQueries {
         |EXCEPT
         |SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |ORDER BY n_name""".stripMargin
+        |ORDER BY n_name""".stripMargin,
+
+    "q37_min_cost_supplier" ->
+      """SELECT DISTINCT p_partkey, p_name, s_name,
+        |  round(l_extendedprice, 2) AS min_price
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_size < 10
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_extendedprice = (
+        |  SELECT min(l2.l_extendedprice) FROM lineitem l2
+        |  WHERE l2.l_partkey = lineitem.l_partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin,
+
+    "q38_important_suppliers" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS value
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, round(value, 2) AS value
+        |FROM rev
+        |WHERE value > (SELECT avg(value) * 1.1 FROM rev)
+        |ORDER BY value DESC, l_suppkey""".stripMargin,
+
+    "q39_priority_shipping" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q40_supplier_cnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_size IN (1, 5, 10, 15, 20)
+        |WHERE l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
   )
 }

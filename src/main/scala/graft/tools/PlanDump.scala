@@ -71,7 +71,22 @@ object PlanDump {
         "Projecting one column: ReadSchema/cols shows only `id` — the " +
           "parser never materializes sequences.",
         () => spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
-          .select("id"))
+          .select("id")),
+      ("gff_auto_broadcast_join",
+        "SupportsReportStatistics: the small GFF reports post-pruning " +
+          "bytes, so Catalyst picks BroadcastHashJoin with NO hint — the " +
+          "annotation-join shape at 100 TB needs no user tuning.",
+        () => {
+          val gff = spark.read.format("gff").load(s"$fx/gff/test.gff")
+          val big = spark.range(500000000L).toDF("id")
+          big.join(gff, big("id") === gff("start"))
+        }),
+      ("vcf_numeric_columnar_scan",
+        "Primitive-only projection runs columnar: BatchScan emits " +
+          "ColumnarBatch and Spark inserts codegen'd ColumnarToRow; " +
+          "string projections deliberately keep the row path.",
+        () => spark.read.format("vcf").load(s"$fx/vcf/index.vcf")
+          .select("pos"))
     )
 
     val sb = new StringBuilder
