@@ -319,7 +319,8 @@ final class GraftScanBuilder(table: GraftTable)
 final class GraftScan(table: GraftTable, required: StructType, partFilters: Array[Filter],
                       filterRegion: Option[(String, Long, Long)],
                       limit: Option[Int] = None)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
 
   // Option-regions win; WHERE-derived region otherwise. Only the option path
   // needs reader-side row filtering (WHERE filters stay as Spark residuals).
@@ -336,12 +337,31 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       s" partFilters=${partFilters.mkString(",")}, region=$region" +
       limit.map(l => s", limit=$l").getOrElse("") + ")"
 
+  // Runtime (DPP-style) filters on partition columns, delivered by Spark
+  // after the build side of a join materialises: a 100 TB hive-partitioned
+  // corpus joined against a small sample list reads only matching dirs.
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    table.listing._2.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val partCols = table.listing._2.toSet
+    val usable = filters.filter(_.references.forall(partCols.contains))
+    if (usable.nonEmpty) {
+      runtimeFilters = usable
+      planned = null // re-plan with the tightened pruning
+    }
+  }
+
   private def prunePartitions(files: Seq[(FileStatus, Array[String])],
                               partCols: Seq[String]): Seq[(FileStatus, Array[String])] = {
-    if (partFilters.isEmpty) return files
+    val allFilters = partFilters ++ runtimeFilters
+    if (allFilters.isEmpty) return files
     val idx = partCols.zipWithIndex.toMap
     files.filter { case (_, vals) =>
-      partFilters.forall {
+      allFilters.forall {
         case EqualTo(a, v)       => idx.get(a).forall(i => vals(i) != null && vals(i) == String.valueOf(v))
         case EqualNullSafe(a, v) => idx.get(a).forall(i => vals(i) == String.valueOf(v))
         case In(a, vs)           => idx.get(a).forall(i => vals(i) != null && vs.map(String.valueOf).contains(vals(i)))
@@ -354,8 +374,16 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
   // Planned once and memoized: estimateStatistics (optimizer time) and
   // planInputPartitions (physical planning) share the same computation, so
   // index pruning runs once and the reported stats reflect the post-pruning
-  // chunk set, not the raw listing.
-  private lazy val plannedPartitions: Array[InputPartition] = {
+  // chunk set, not the raw listing. A runtime filter invalidates the memo.
+  @volatile private var planned: Array[InputPartition] = _
+
+  private def plannedPartitions: Array[InputPartition] = {
+    var p = planned
+    if (p == null) { p = computePartitions(); planned = p }
+    p
+  }
+
+  private def computePartitions(): Array[InputPartition] = {
     val (files, partCols) = table.listing
     val pruned = prunePartitions(files, partCols)
     val spark = SparkSession.active
@@ -385,11 +413,12 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
           val active = GraftScan.activeIndexLookups.incrementAndGet()
           GraftScan.maxConcurrentIndexLookups.accumulateAndGet(active, math.max)
           try {
-            val idxOpt =
+            val idxOpt = GraftScan.cachedIndex(st) {
               if (name.endsWith(".bam")) BaiIndex.forBam(st.getPath, hadoopConf)
               else if (name.endsWith(".bcf")) CsiIndex.forBcf(st.getPath, hadoopConf)
               else if (Codecs.isCompressed(name)) TabixIndex.forFile(st.getPath, hadoopConf)
               else None
+            }
             idxOpt.map { idx =>
               // 1-based inclusive -> 0-based half-open; empty when the index
               // proves the file has no records for any region. For 0-based
@@ -517,6 +546,24 @@ object GraftScan {
     */
   private[sources] val activeIndexLookups = new java.util.concurrent.atomic.AtomicInteger
   private[sources] val maxConcurrentIndexLookups = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Driver-side cache of parsed .tbi/.bai/.csi indexes, keyed by the data
+    * file's (path, mtime, length): repeated region queries over the same
+    * corpus skip the per-file index fetch+parse entirely (at object-store
+    * RTTs that is the dominant planning cost). TabixIndex is immutable, so
+    * sharing across queries and planner threads is safe. Crude bound: the
+    * whole cache drops at 4096 entries — indexes are small, correctness
+    * never depends on a hit.
+    */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Option[TabixIndex]]()
+
+  private[sources] def cachedIndex(st: FileStatus)(
+      load: => Option[TabixIndex]): Option[TabixIndex] = {
+    if (indexCache.size > 4096) indexCache.clear()
+    indexCache.computeIfAbsent(
+      (st.getPath.toString, st.getModificationTime, st.getLen), _ => load)
+  }
 
   /** Coalesce BGZF virtual-position ranges: sort by start, merge any that
     * overlap or touch. Ranges are (vStart, vEnd) virtual offsets; a record

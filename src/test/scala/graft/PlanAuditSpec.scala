@@ -61,6 +61,27 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!seq.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
   }
 
+  test("runtime (DPP-style) filters on partition columns re-prune the file set") {
+    val fx = "/root/reference/exon/exon-core/test-data/datasources"
+    val df = spark.read.format("gff").load(s"$fx/gff-partition")
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.GraftScan]
+    def files(parts: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      parts.flatMap(_.asInstanceOf[graft.sources.GraftInputPartition].chunks.map(_.path))
+        .distinct.toSeq
+    val before = files(scan.toBatch.planInputPartitions())
+    assert(before.size >= 2, before)
+    // Spark delivers this after the join's build side materialises; the
+    // scan must re-plan to only the matching hive partition
+    scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("sample", "1")))
+    val after = files(scan.toBatch.planInputPartitions())
+    assert(after.size < before.size && after.nonEmpty, s"$before -> $after")
+    assert(after.forall(_.contains("sample=1")), after)
+  }
+
   test("region WHERE filter shows in GraftScan description") {
     val fx = "/root/reference/exon/exon-core/test-data/datasources"
     val df = spark.read.format("vcf").load(s"$fx/vcf/index.vcf.gz")

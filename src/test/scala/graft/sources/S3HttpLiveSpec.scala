@@ -51,13 +51,24 @@ class S3HttpLiveSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("live s3: tabix-pruned VCF region read over HTTP") {
+  test("live s3: tabix-pruned VCF region read over HTTP; index cached across queries") {
     withS3 { s3 =>
       load(s3, "graft-test", "vcf/index.vcf.gz", s"$fx/vcf/index.vcf.gz")
       load(s3, "graft-test", "vcf/index.vcf.gz.tbi", s"$fx/vcf/index.vcf.gz.tbi")
       val n = spark.read.format("vcf").option("region", "1:9999919-10000000")
         .load("s3://graft-test/vcf/index.vcf.gz").count()
       assert(n == 82)
+      import scala.jdk.CollectionConverters._
+      def tbiGets = s3.requests.asScala.count(r => r._1 == "GET" && r._2.endsWith(".tbi"))
+      val before = tbiGets
+      assert(before > 0, "first query must fetch the .tbi")
+      // a second query over the same file re-plans but must hit the
+      // driver-side parsed-index cache: zero additional .tbi fetches
+      val n2 = spark.read.format("vcf").option("region", "1:9999919-10000000")
+        .load("s3://graft-test/vcf/index.vcf.gz").count()
+      assert(n2 == 82)
+      assert(tbiGets == before,
+        s"second query re-fetched the index ($before -> $tbiGets)")
     }
   }
 
