@@ -409,6 +409,35 @@ object LlmQueries {
       connectedComponentsStar(jaccardPairs(s, d).select(col("ida"), col("idb")))
         .orderBy("doc_id")),
 
+    // Exact duplicated-SPAN stats (the Lee et al. "Deduplicating Training
+    // Data" substring-level shape, vs l01's whole-doc and l03/l04's
+    // whole-doc-similarity dedup): per document, how many of its distinct
+    // word-8-gram spans also appear in ANOTHER document. One shingle-keyed
+    // aggregation + one keyed join back — the span tables shuffle on the
+    // span hash, never the document text; no pairwise comparison anywhere,
+    // so cost is O(total spans), the property substring dedup needs at
+    // corpus scale.
+    "l22_span_dedup" -> ((s, d) => {
+      import s.implicits._
+      val sh = documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.functions.TextOps.wordShingles(t, 8).iterator.map(g => (id, g))
+        }
+        .toDF("doc_id", "g")
+      // (doc_id, g) pairs are distinct per doc, so count(*) = doc frequency
+      val dup = sh.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2).select(col("g"))
+      val cross = sh.join(dup, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cross"))
+      val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      tot.join(cross, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_cross"), lit(0L)).as("n_cross"),
+          round(coalesce(col("n_cross"), lit(0L)).cast("double") / col("n_spans"), 4)
+            .as("dup_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic stratified sampling (training-mix ratios): keep a
     // per-language permille of documents chosen by an arithmetic hash of
     // doc_id — reproducible across engines and runs (unlike rng-based
@@ -1216,6 +1245,20 @@ object LlmQueries {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
         |ORDER BY doc_id""".stripMargin,
+
+    "l22_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3]
+        |        || '_' || w[i+4] || '_' || w[i+5] || '_' || w[i+6] || '_' || w[i+7]
+        |        for i in generate_series(1, len(w) - 7)])) g FROM toks),
+        |df AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+        |tot AS (SELECT doc_id, count(*) n_spans FROM sh GROUP BY doc_id),
+        |cr AS (SELECT sh.doc_id, count(*) n_cross FROM sh JOIN df USING (g)
+        |       GROUP BY sh.doc_id)
+        |SELECT tot.doc_id AS doc_id, n_spans, coalesce(n_cross, 0) AS n_cross,
+        |  round(coalesce(n_cross, 0)::DOUBLE / n_spans, 4) AS dup_ratio
+        |FROM tot LEFT JOIN cr ON tot.doc_id = cr.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
 
     "l16_stratified_sample" ->
       s"""WITH rates(lang, keep_permille) AS (VALUES
