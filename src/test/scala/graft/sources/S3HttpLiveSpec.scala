@@ -132,12 +132,12 @@ class S3HttpLiveSpec extends AnyFunSuite with SharedSpark {
   }
 
   private def withSignedS3(f: MiniS3 => Unit): Unit = {
-    val s3 = new MiniS3().withAuth("AKIAGRAFTTEST", "graft-secret-key").start()
+    val s3 = new MiniS3().withAuth("graft-test-access", "graft-secret-key").start()
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.s3.impl", classOf[graft.sources.s3.S3HttpFileSystem].getName)
     conf.set("fs.s3.endpoint", s3.endpoint)
     conf.set("fs.s3.impl.disable.cache", "true")
-    conf.set("fs.s3.access.key", "AKIAGRAFTTEST")
+    conf.set("fs.s3.access.key", "graft-test-access")
     conf.set("fs.s3.secret.key", "graft-secret-key")
     try f(s3)
     finally {
@@ -159,7 +159,7 @@ class S3HttpLiveSpec extends AnyFunSuite with SharedSpark {
       // (any verification failure would have 403'd the read above)
       val auths = s3.authHeaders.asScala
       assert(auths.nonEmpty && auths.forall(_.startsWith("AWS4-HMAC-SHA256")), auths.take(3))
-      assert(auths.forall(_.contains("Credential=AKIAGRAFTTEST/")), auths.take(3))
+      assert(auths.forall(_.contains("Credential=graft-test-access/")), auths.take(3))
       // and the region read still seeks: a signed, non-zero ranged GET
       val ranged = s3.requests.asScala.filter(r2 =>
         r2._1 == "GET" && r2._2.endsWith("/test.fasta") &&
@@ -185,12 +185,12 @@ class S3HttpLiveSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("live s3: a wrong secret key is rejected with 403") {
-    val s3 = new MiniS3().withAuth("AKIAGRAFTTEST", "the-real-secret").start()
+    val s3 = new MiniS3().withAuth("graft-test-access", "the-real-secret").start()
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.s3.impl", classOf[graft.sources.s3.S3HttpFileSystem].getName)
     conf.set("fs.s3.endpoint", s3.endpoint)
     conf.set("fs.s3.impl.disable.cache", "true")
-    conf.set("fs.s3.access.key", "AKIAGRAFTTEST")
+    conf.set("fs.s3.access.key", "graft-test-access")
     conf.set("fs.s3.secret.key", "a-wrong-secret")
     try {
       s3.put("graft-test", "x.fasta", ">a\nACGT\n".getBytes("US-ASCII"))
