@@ -146,6 +146,8 @@ object ArithDynamic {
           part = runs(maxSym).decode(rc)
           run += part
         }
+        require(i + run <= nOut,
+          s"cram: arith RLE run of $run at $i overruns $nOut bytes")
         var k = 0
         while (k < run) { out(i) = s.toByte; i += 1; k += 1 }
       }

@@ -172,6 +172,8 @@ object FqzComp {
           revRanges += ((i, recLen))
         if (p.doDedup && dupModel.decode(rc) == 1) {
           // duplicate of the previous record's bytes
+          require(i >= recLen,
+            s"cram: fqzcomp dedup at $i needs a previous $recLen-byte record")
           System.arraycopy(out, i - recLen, out, i, recLen)
           i += recLen
           rem = 0

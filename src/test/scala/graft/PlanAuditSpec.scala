@@ -111,6 +111,13 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       plan)
   }
 
+  test("l22: span dedup is span-keyed aggregation + keyed join, no pairwise compare") {
+    val df = graft.queries.LlmQueries.queries("l22_span_dedup")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("l12: fingerprints are a pure map stage, single scan, no shuffle before filter") {
     val df = graft.queries.LlmQueries.queries("l12_winnow_fingerprint")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
