@@ -72,6 +72,10 @@ object PlanDump {
           "parser never materializes sequences.",
         () => spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
           .select("id")),
+      ("l22_span_dedup",
+        "Substring-level dedup: span-keyed aggregation + one keyed join " +
+          "back — no pairwise compare, cost O(total spans).",
+        () => graft.queries.LlmQueries.queries("l22_span_dedup")(spark, d)),
       ("gff_auto_broadcast_join",
         "SupportsReportStatistics: the small GFF reports post-pruning " +
           "bytes, so Catalyst picks BroadcastHashJoin with NO hint — the " +
