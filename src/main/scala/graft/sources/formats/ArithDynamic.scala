@@ -52,6 +52,8 @@ object ArithDynamic {
       v
     }
     def read(n: Int): Array[Byte] = {
+      require(n >= 0 && o + n <= b.length && o + n >= 0,
+        s"cram: arith stream truncated (want $n bytes at $o of ${b.length})")
       val v = java.util.Arrays.copyOfRange(b, o, o + n); o += n; v
     }
   }

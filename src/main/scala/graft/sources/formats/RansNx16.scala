@@ -55,6 +55,8 @@ object RansNx16 {
       v
     }
     def read(n: Int): Array[Byte] = {
+      require(n >= 0 && o + n <= b.length && o + n >= 0,
+        s"cram: rANS Nx16 stream truncated (want $n bytes at $o of ${b.length})")
       val v = java.util.Arrays.copyOfRange(b, o, o + n); o += n; v
     }
   }

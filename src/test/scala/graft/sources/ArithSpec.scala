@@ -42,6 +42,25 @@ class ArithSpec extends AnyFunSuite {
     }
   }
 
+  test("random single-byte corruption never hangs; failures are exceptions, not errors") {
+    val rnd = new scala.util.Random(1234)
+    for ((_, _, len, enc, _) <- vectors.take(6) if enc.length > 8; _ <- 0 until 40) {
+      val b = enc.clone()
+      // mutate past the flags/size header so the output size stays sane
+      // (a corrupt ulen legitimately asks for a multi-GB buffer)
+      val pos = 4 + rnd.nextInt(b.length - 4)
+      b(pos) = rnd.nextInt(256).toByte
+      try {
+        graft.sources.formats.ArithDynamic.decode(b, len)
+        () // silent wrong output is acceptable for undetectable corruption
+      } catch {
+        case _: Exception => () // loud failure: also acceptable
+        // anything else (StackOverflow, OOM, infinite loop via test timeout)
+        // fails the test
+      }
+    }
+  }
+
   test("corrupt uint7 fails loudly with a cram: message") {
     // flags=0 then an over-long varint for ulen
     val bad = Array[Byte](0, 0xff.toByte, 0xff.toByte, 0xff.toByte,
