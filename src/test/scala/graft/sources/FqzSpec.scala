@@ -35,6 +35,21 @@ class FqzSpec extends AnyFunSuite {
     }
   }
 
+  test("random single-byte corruption never hangs; failures are exceptions, not errors") {
+    val rnd = new scala.util.Random(4321)
+    for ((_, len, enc, _) <- vectors.take(5) if enc.length > 16; _ <- 0 until 40) {
+      val b = enc.clone()
+      val pos = 8 + rnd.nextInt(b.length - 8) // past vers/gflags/param head
+      b(pos) = rnd.nextInt(256).toByte
+      try {
+        graft.sources.formats.FqzComp.decode(b, len)
+        () // silent wrong output is acceptable for undetectable corruption
+      } catch {
+        case _: Exception => () // loud failure: also acceptable
+      }
+    }
+  }
+
   test("wrong version byte fails loudly with a cram: message") {
     val e = intercept[IllegalArgumentException](
       graft.sources.formats.FqzComp.decode(Array[Byte](4, 0), 10))

@@ -51,6 +51,21 @@ class RansNx16Spec extends AnyFunSuite {
     assert(e.getMessage.contains("NOSZ"))
   }
 
+  test("random single-byte corruption never hangs; failures are exceptions, not errors") {
+    val rnd = new scala.util.Random(2468)
+    for ((_, flags, len, enc, _) <- vectors.take(6) if enc.length > 8; _ <- 0 until 40) {
+      val b = enc.clone()
+      val pos = 4 + rnd.nextInt(b.length - 4) // past flags + size varint
+      b(pos) = rnd.nextInt(256).toByte
+      try {
+        graft.sources.formats.RansNx16.decode(b, if ((flags & NOSZ) != 0) len else -1)
+        () // silent wrong output is acceptable for undetectable corruption
+      } catch {
+        case _: Exception => () // loud failure: also acceptable
+      }
+    }
+  }
+
   test("unknown block codecs are rejected loudly") {
     val e = intercept[IllegalStateException](
       graft.sources.formats.CramFormat.decompress(9, Array[Byte](0), 1))
