@@ -172,6 +172,38 @@ object FormatQueries {
         .orderBy("id")
     }),
 
+    // Indexed-sink round trip: a generated variant table written through
+    // the DSv2 VCF sink with bgzf compression (per-part .tbi siblings),
+    // read back both fully and through a region option (tabix chunk
+    // seeks on the sink's own output). Counts are arithmetic, so the
+    // oracle derives them from generate_series without reading files.
+    "f35_vcf_write_indexed" -> ((s, _) => {
+      val dir = gateDir("vcf_sink").getAbsolutePath
+      val out = s"$dir/t"
+      val n = 10000L
+      val df = s.range(0, 4 * n)
+        .select(
+          concat(lit("chr"), (col("id") / n).cast("long").cast("string")).as("chrom"),
+          ((col("id") % n) * 150 + 1).as("pos"),
+          lit(null).cast("array<string>").as("id"),
+          lit("A").as("ref"),
+          array(lit("G")).as("alt"),
+          (col("id") % 60).cast("float").as("qual"),
+          array(lit("PASS")).as("filter"),
+          concat(lit("AC="), (col("id") % 7).cast("string")).as("info"),
+          lit(null).cast("string").as("formats"))
+        .repartitionByRange(4, col("chrom"), col("pos"))
+        .sortWithinPartitions("chrom", "pos")
+      df.write.format("vcf").mode("overwrite")
+        .option("compression", "bgzf").save(out)
+      val full = s.read.format("vcf").load(out)
+        .agg(count(lit(1)).as("n_full"), sum(col("pos")).as("sum_pos"))
+      val reg = s.read.format("vcf").option("region", "chr2:300000-330000")
+        .load(out)
+        .agg(count(lit(1)).as("n_region"), sum(col("qual")).cast("long").as("sum_qual"))
+      full.crossJoin(reg)
+    }),
+
     // bzip2 / xz compression by extension (exon_file_type.rs:179-206): the
     // fixture FASTA re-compressed with commons-compress, read back through
     // the scan machinery.
@@ -511,6 +543,21 @@ object FormatQueries {
     "f33_bzip2_xz" ->
       """SELECT CAST(2 AS BIGINT) AS n_bz2, CAST(8 AS BIGINT) AS len_bz2,
         |  CAST(2 AS BIGINT) AS n_xz, CAST(8 AS BIGINT) AS len_xz""".stripMargin,
+
+    // same generated table re-derived arithmetically: the sink+reader pair
+    // must reproduce exactly what the generator describes
+    "f35_vcf_write_indexed" ->
+      """WITH rows AS (
+        |  SELECT 'chr' || CAST(i // 10000 AS VARCHAR) AS chrom,
+        |         (i % 10000) * 150 + 1 AS pos,
+        |         CAST(i % 60 AS DOUBLE) AS qual
+        |  FROM generate_series(0, 39999) t(i))
+        |SELECT (SELECT count(*) FROM rows) AS n_full,
+        |  (SELECT CAST(sum(pos) AS BIGINT) FROM rows) AS sum_pos,
+        |  (SELECT count(*) FROM rows
+        |    WHERE chrom = 'chr2' AND pos BETWEEN 300000 AND 330000) AS n_region,
+        |  (SELECT CAST(sum(qual) AS BIGINT) FROM rows
+        |    WHERE chrom = 'chr2' AND pos BETWEEN 300000 AND 330000) AS sum_qual""".stripMargin,
 
     "f34_fasta_integer" ->
       """SELECT * FROM (VALUES

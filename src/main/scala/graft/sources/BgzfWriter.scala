@@ -92,11 +92,24 @@ object BgzfWriter {
   * reference, ascending start) — the same precondition tabix itself
   * imposes on the data file.
   */
-final class TabixWriter(names: Seq[String]) {
-  private val bins = Array.fill(names.length)(
+final class TabixWriter(initialNames: Seq[String] = Nil) {
+  private val names = scala.collection.mutable.ArrayBuffer[String](initialNames: _*)
+  private val byName = scala.collection.mutable.HashMap[String, Int](
+    initialNames.zipWithIndex: _*)
+  private val bins = scala.collection.mutable.ArrayBuffer.fill(names.length)(
     scala.collection.mutable.LinkedHashMap.empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]])
-  private val linear = Array.fill(names.length)(
+  private val linear = scala.collection.mutable.ArrayBuffer.fill(names.length)(
     scala.collection.mutable.ArrayBuffer.empty[Long])
+
+  /** Reference id for `name`, appended on first sight — so a sink can
+    * discover sequence names in record order instead of up front.
+    */
+  def tid(name: String): Int = byName.getOrElseUpdate(name, {
+    names += name
+    bins += scala.collection.mutable.LinkedHashMap.empty
+    linear += scala.collection.mutable.ArrayBuffer.empty
+    names.length - 1
+  })
 
   /** Smallest bin fully containing [beg, end0) (0-based half-open). */
   private def reg2bin(beg: Long, end0: Long): Int = {
@@ -128,8 +141,8 @@ final class TabixWriter(names: Seq[String]) {
     }
   }
 
-  /** Serialize to `path` (BGZF-compressed, "TBI\1", VCF preset). */
-  def write(path: java.nio.file.Path): Unit = {
+  /** Serialize to `out` (BGZF-compressed, "TBI\1", VCF preset). */
+  def write(out: OutputStream): Unit = {
     val body = new java.io.ByteArrayOutputStream()
     def i32(v: Int): Unit =
       body.write(Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte))
@@ -151,8 +164,13 @@ final class TabixWriter(names: Seq[String]) {
       i32(linear(r).length)
       linear(r).foreach(i64)
     }
+    val w = new BgzfWriter(out)
+    w.write(body.toByteArray)
+    w.finish()
+  }
+
+  def write(path: java.nio.file.Path): Unit = {
     val fos = java.nio.file.Files.newOutputStream(path)
-    val w = new BgzfWriter(fos)
-    try { w.write(body.toByteArray); w.finish() } finally fos.close()
+    try write(fos) finally fos.close()
   }
 }

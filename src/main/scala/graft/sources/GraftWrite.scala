@@ -21,6 +21,21 @@ trait WritableGraftFormat extends GraftFormat {
     * schema allows) to the output.
     */
   def writeRecord(values: Array[Any], out: StringBuilder): Unit
+
+  /** Header block ('#' lines etc.) written once at the top of each file. */
+  def fileHeader: Option[String] = None
+}
+
+/** A writable format whose records carry genomic coordinates, enabling the
+  * bgzf+`.tbi` sink shape: `option("compression","bgzf")` writes seekable
+  * bgzip part files, each with its own sibling tabix index, so region
+  * queries prune the sink's own output. Sharded per task — the
+  * distributed analog of `bgzip && tabix`, which neither tool nor the
+  * reference can produce in parallel.
+  */
+trait IndexableGraftFormat extends WritableGraftFormat {
+  /** (sequence name, 0-based begin, 0-based-exclusive end) of one record. */
+  def recordRegion(values: Array[Any]): (String, Long, Long)
 }
 
 final class GraftWriteBuilder(table: GraftTable, format: WritableGraftFormat,
@@ -114,12 +129,16 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
   extends DataWriter[InternalRow] {
 
   private val ext = format.defaultExtensions.head + (compression match {
-    case "gzip" => ".gz"
+    case "gzip" | "bgzf" => ".gz"
     case "zstd" => ".zst"
     case "none" | "" => ""
     case other => throw new IllegalArgumentException(
-      s"unsupported write compression '$other' (gzip, zstd, none)")
+      s"unsupported write compression '$other' (gzip, bgzf, zstd, none)")
   })
+  if (compression == "bgzf" && !format.isInstanceOf[IndexableGraftFormat])
+    throw new IllegalArgumentException(
+      s"${format.shortName}: bgzf compression is for coordinate formats " +
+        "(the point is the sibling .tbi); use gzip here")
   private val fileName =
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.$ext"
   // written under the job's temp namespace, renamed into place at task commit
@@ -127,15 +146,31 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
   private val path = new Path(dir, fileName)
 
   private var opened = false
+  private var raw: OutputStream = _
+  private var bgzf: BgzfWriter = _
+  private var tbi: TabixWriter = _
+  // tabix precondition: per file, chroms grouped and starts ascending
+  private var lastTid = -1
+  private var lastBeg = -1L
+
   private lazy val out: OutputStream = {
     opened = true
     val fs = tmpPath.getFileSystem(conf.value)
-    val raw = fs.create(tmpPath, true)
-    compression match {
+    raw = fs.create(tmpPath, true)
+    val stream = compression match {
       case "gzip" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
       case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
+      case "bgzf" =>
+        bgzf = new BgzfWriter(new BufferedOutputStream(raw, 1 << 16))
+        tbi = new TabixWriter()
+        null
       case _ => new BufferedOutputStream(raw, 1 << 16)
     }
+    format.fileHeader.foreach { h =>
+      val b = h.getBytes(UTF_8)
+      if (bgzf != null) bgzf.write(b) else stream.write(b)
+    }
+    stream
   }
 
   private val sb = new StringBuilder(1 << 14)
@@ -151,14 +186,41 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
     }
     sb.setLength(0)
     format.writeRecord(values, sb)
-    out.write(sb.toString.getBytes(UTF_8))
+    val bytes = sb.toString.getBytes(UTF_8)
+    out // force open (header)
+    if (bgzf != null) {
+      val (chrom, beg0, end0) = format.asInstanceOf[IndexableGraftFormat]
+        .recordRegion(values)
+      val t = tbi.tid(chrom)
+      // a broken ordering would produce a silently-wrong index — refuse
+      if (t < lastTid || (t == lastTid && beg0 < lastBeg) ||
+          (t != lastTid && t != lastTid + 1 && lastTid >= 0))
+        throw new IllegalArgumentException(
+          s"bgzf+tabix write requires rows sorted by (chrom, pos) within " +
+            s"each partition and chroms not interleaved; got $chrom:${beg0 + 1} " +
+            "after a later record. Sort with " +
+            "df.repartitionByRange(...).sortWithinPartitions(\"chrom\", \"pos\")")
+      lastTid = t; lastBeg = beg0
+      val vs = bgzf.virtualPos
+      bgzf.write(bytes)
+      tbi.add(t, beg0, end0, vs, bgzf.virtualPos)
+    } else out.write(bytes)
   }
 
   override def commit(): WriterCommitMessage = {
     // only close (and thereby create) the file if this task wrote anything
     if (opened) {
-      out.close()
       val fs = path.getFileSystem(conf.value)
+      if (bgzf != null) {
+        bgzf.finish()
+        raw.close()
+        // sibling index, committed with the same temp+rename discipline
+        val tbiTmp = tmpPath.suffix(".tbi")
+        val ts = fs.create(tbiTmp, true)
+        try tbi.write(ts) finally ts.close()
+        if (!fs.rename(tbiTmp, path.suffix(".tbi")))
+          throw new java.io.IOException(s"failed to commit $tbiTmp")
+      } else out.close()
       if (!fs.rename(tmpPath, path))
         throw new java.io.IOException(s"failed to commit $tmpPath -> $path")
     }
@@ -166,9 +228,11 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
   }
   override def abort(): Unit = {
     if (opened) {
-      try out.close() catch { case _: Throwable => () }
+      try { if (bgzf != null) { bgzf.finish(); raw.close() } else out.close() }
+      catch { case _: Throwable => () }
       val fs = tmpPath.getFileSystem(conf.value)
       fs.delete(tmpPath, false)
+      if (bgzf != null) fs.delete(tmpPath.suffix(".tbi"), false)
     }
   }
   override def close(): Unit = ()

@@ -119,7 +119,7 @@ object SamFormat extends LineFormat {
   * column plus all sample columns, tab-joined
   * (vcf-select-tests.slt:14-17 golden `GT:PL:PG\t0/0:0,3,26:0`).
   */
-object VcfFormat extends LineFormat {
+object VcfFormat extends LineFormat with IndexableGraftFormat {
   override def shortName: String = "vcf"
   override def defaultExtensions: Seq[String] = Seq("vcf")
   override def regionColumns: Option[(String, String, String)] =
@@ -151,5 +151,50 @@ object VcfFormat extends LineFormat {
         if (f.length <= 8) null
         else utf8(f.drop(8).mkString("\t"))
     }
+  }
+
+  // ---- sink (the write-side of the tabix pruning shape) -----------------
+
+  override def fileHeader: Option[String] = Some(
+    "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+
+  private def appendList(out: StringBuilder, v: Any, sep: Char): Unit = v match {
+    case null => out.append('.')
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      var i = 0
+      while (i < a.numElements()) {
+        if (i > 0) out.append(sep)
+        out.append(a.getUTF8String(i).toString)
+        i += 1
+      }
+    case other => out.append(other)
+  }
+
+  override def writeRecord(values: Array[Any], out: StringBuilder): Unit = {
+    out.append(values(0)).append('\t').append(values(1)).append('\t')
+    appendList(out, values(2), ';')
+    out.append('\t').append(values(3)).append('\t')
+    appendList(out, values(4), ',')
+    out.append('\t')
+    values(5) match {
+      case null => out.append('.')
+      case q: java.lang.Float =>
+        // integral quals print without the trailing .0 (round-trip: the
+        // reader parses both forms to the same float)
+        if (q.floatValue == q.intValue.toFloat) out.append(q.intValue)
+        else out.append(q.floatValue)
+      case other => out.append(other)
+    }
+    out.append('\t')
+    appendList(out, values(6), ';')
+    out.append('\t')
+    if (values(7) == null) out.append('.') else out.append(values(7))
+    if (values(8) != null) out.append('\t').append(values(8))
+    out.append('\n')
+  }
+
+  override def recordRegion(values: Array[Any]): (String, Long, Long) = {
+    val pos = values(1).asInstanceOf[Long]
+    (String.valueOf(values(0)), pos - 1, pos)
   }
 }

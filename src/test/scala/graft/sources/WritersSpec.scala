@@ -24,6 +24,66 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     assert(backGz.head() == Row("a", "description", "ATCG"))
   }
 
+  test("vcf bgzf sink: per-part .tbi siblings; the sink's own output prunes by region") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TestTmp.dir("vcf_sink").toString + "/t"
+    val n = 30000L // ~780 KB uncompressed per part: a dozen BGZF blocks
+    val df = spark.range(0, 3 * n)
+      .select(
+        concat(lit("chr"), (col("id") / n).cast("long").cast("string")).as("chrom"),
+        ((col("id") % n) * 200 + 1).as("pos"),
+        lit(null).cast("array<string>").as("id"),
+        lit("A").as("ref"),
+        array(lit("T")).as("alt"),
+        lit(30f).as("qual"),
+        lit(null).cast("array<string>").as("filter"),
+        lit("DP=1").as("info"),
+        lit(null).cast("string").as("formats"))
+      .repartitionByRange(3, col("chrom"), col("pos"))
+      .sortWithinPartitions("chrom", "pos")
+    df.write.format("vcf").mode("overwrite").option("compression", "bgzf").save(dir)
+
+    // every data part has a sibling .tbi
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith("_"))
+    val parts = files.filter(_.endsWith(".vcf.gz"))
+    assert(parts.nonEmpty, files.toSeq)
+    parts.foreach(p => assert(files.contains(p + ".tbi"), s"no .tbi for $p"))
+
+    // full fidelity
+    val back = spark.read.format("vcf").load(dir)
+    assert(back.count() == 3 * n)
+    assert(back.filter(col("chrom") === "chr1").agg(sum(col("pos"))).head.getLong(0) ==
+      (0L until n).map(_ * 200 + 1).sum)
+
+    // region read agrees with a row filter AND seeks: the written .tbi
+    // must point mid-file (compressed offset > 0), not replay from byte 0
+    val got = spark.read.format("vcf").option("region", "chr1:1000001-1400000")
+      .load(dir).count()
+    val exp = back.filter(col("chrom") === "chr1" &&
+      col("pos").between(1000001L, 1400000L)).count()
+    assert(got == exp && got > 0, s"region=$got filter=$exp")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val chr1Chunks = parts.toSeq.flatMap { p =>
+      val idx = TabixIndex.read(
+        new org.apache.hadoop.fs.Path(s"$dir/$p.tbi"), conf)
+      idx.query("chr1", 1000000L, 1400000L)
+    }
+    assert(chr1Chunks.nonEmpty)
+    assert(chr1Chunks.exists { case (s, _) => (s >> 16) > 0 },
+      s"region mid-chromosome must seek past compressed offset 0: $chr1Chunks")
+
+    // unsorted input is refused loudly (a silent bad index is worse)
+    val e = intercept[org.apache.spark.SparkException] {
+      df.orderBy(col("pos").desc)
+        .write.format("vcf").mode("overwrite").option("compression", "bgzf")
+        .save(graft.TestTmp.dir("vcf_sink_bad").toString + "/t")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("sorted by (chrom, pos)"), msgs)
+  }
+
   test("fastq round trip preserves quality strings") {
     val dir = graft.TestTmp.dir("fastq_rt").toString
     val src = spark.read.format("fastq").load(s"$fx/fastq/test.fastq")
