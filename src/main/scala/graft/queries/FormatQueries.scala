@@ -204,6 +204,26 @@ object FormatQueries {
       full.crossJoin(reg)
     }),
 
+    // GFF through the indexed sink: the reference annotation fixture
+    // re-written as sharded bgzf+.tbi by the engine itself, then read
+    // back fully and through a region option — counts pinned from the
+    // htslib-produced original (f13's constants).
+    "f36_gff_write_indexed" -> ((s, _) => {
+      val dir = gateDir("gff_sink").getAbsolutePath
+      val out = s"$dir/t"
+      s.read.format("gff").load(s"$fx/gff-index/gencode.v38.polyAs.gff.gz")
+        .repartitionByRange(4, col("seqname"), col("start"))
+        .sortWithinPartitions("seqname", "start")
+        .write.format("gff").mode("overwrite")
+        .option("compression", "bgzf").save(out)
+      val full = s.read.format("gff").load(out)
+        .agg(count(lit(1)).as("n_all"),
+          countDistinct(col("seqname")).as("n_chroms"))
+      val reg = s.read.format("gff").option("region", "chr1")
+        .load(out).agg(count(lit(1)).as("n_chr1"))
+      full.crossJoin(reg)
+    }),
+
     // bzip2 / xz compression by extension (exon_file_type.rs:179-206): the
     // fixture FASTA re-compressed with commons-compress, read back through
     // the scan machinery.
@@ -543,6 +563,10 @@ object FormatQueries {
     "f33_bzip2_xz" ->
       """SELECT CAST(2 AS BIGINT) AS n_bz2, CAST(8 AS BIGINT) AS len_bz2,
         |  CAST(2 AS BIGINT) AS n_xz, CAST(8 AS BIGINT) AS len_xz""".stripMargin,
+
+    "f36_gff_write_indexed" ->
+      """SELECT CAST(96556 AS BIGINT) AS n_all, CAST(24 AS BIGINT) AS n_chroms,
+        |  CAST(8813 AS BIGINT) AS n_chr1""".stripMargin,
 
     // same generated table re-derived arithmetically: the sink+reader pair
     // must reproduce exactly what the generator describes

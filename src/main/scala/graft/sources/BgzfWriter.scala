@@ -141,15 +141,20 @@ final class TabixWriter(initialNames: Seq[String] = Nil) {
     }
   }
 
-  /** Serialize to `out` (BGZF-compressed, "TBI\1", VCF preset). */
-  def write(out: OutputStream): Unit = {
+  /** Serialize to `out` (BGZF-compressed, "TBI\1"). The preset header
+    * (format flags, seq/begin/end column numbers) defaults to tabix's VCF
+    * preset; pass e.g. (0, 1, 4, 5) for GFF so external tabix consumers
+    * re-cut lines correctly (our own reader is preset-independent).
+    */
+  def write(out: OutputStream, format: Int = 2, seqCol: Int = 1,
+            begCol: Int = 2, endCol: Int = 0): Unit = {
     val body = new java.io.ByteArrayOutputStream()
     def i32(v: Int): Unit =
       body.write(Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte))
     def i64(v: Long): Unit = { i32(v.toInt); i32((v >> 32).toInt) }
     body.write(Array[Byte]('T', 'B', 'I', 1))
     i32(names.length)
-    i32(2); i32(1); i32(2); i32(0) // format=VCF, seq col 1, beg col 2, end 0
+    i32(format); i32(seqCol); i32(begCol); i32(endCol)
     i32('#'.toInt); i32(0) // meta char, skip
     val nm = names.map(_ + "\u0000").mkString.getBytes("US-ASCII")
     i32(nm.length)

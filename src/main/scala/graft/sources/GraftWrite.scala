@@ -36,6 +36,11 @@ trait WritableGraftFormat extends GraftFormat {
 trait IndexableGraftFormat extends WritableGraftFormat {
   /** (sequence name, 0-based begin, 0-based-exclusive end) of one record. */
   def recordRegion(values: Array[Any]): (String, Long, Long)
+
+  /** Tabix preset header (format flags, seq col, begin col, end col) for
+    * external consumers; defaults to the VCF preset.
+    */
+  def tabixPreset: (Int, Int, Int, Int) = (2, 1, 2, 0)
 }
 
 final class GraftWriteBuilder(table: GraftTable, format: WritableGraftFormat,
@@ -217,7 +222,8 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
         // sibling index, committed with the same temp+rename discipline
         val tbiTmp = tmpPath.suffix(".tbi")
         val ts = fs.create(tbiTmp, true)
-        try tbi.write(ts) finally ts.close()
+        val (pf, pc, pb, pe) = format.asInstanceOf[IndexableGraftFormat].tabixPreset
+        try tbi.write(ts, pf, pc, pb, pe) finally ts.close()
         if (!fs.rename(tbiTmp, path.suffix(".tbi")))
           throw new java.io.IOException(s"failed to commit $tbiTmp")
       } else out.close()

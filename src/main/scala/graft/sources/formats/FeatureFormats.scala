@@ -11,7 +11,7 @@ import graft.sources.FormatUtil._
   * Schema per exon/exon-gff/src/config.rs:82-103; golden row
   * `sq0 caat 8 13 NULL + NULL` (gff-scan-tests.slt:7-10).
   */
-object GffFormat extends LineFormat {
+object GffFormat extends LineFormat with IndexableGraftFormat {
   override def shortName: String = "gff"
   override def defaultExtensions: Seq[String] = Seq("gff", "gff3")
   override def regionColumns: Option[(String, String, String)] =
@@ -56,6 +56,53 @@ object GffFormat extends LineFormat {
     new ArrayBasedMapData(
       new GenericArrayData(pairs.map(_._1)), new GenericArrayData(pairs.map(_._2)))
   }
+
+  // ---- sink (annotation write-side of the tabix pruning shape) ----------
+
+  override def fileHeader: Option[String] = Some("##gff-version 3\n")
+
+  override def tabixPreset: (Int, Int, Int, Int) = (0, 1, 4, 5) // tabix -p gff
+
+  override def writeRecord(values: Array[Any], out: StringBuilder): Unit = {
+    def dot(v: Any): Unit = if (v == null) out.append('.') else out.append(v)
+    out.append(values(0)).append('\t')
+    dot(values(1)); out.append('\t')
+    out.append(values(2)).append('\t').append(values(3)).append('\t')
+    out.append(values(4)).append('\t')
+    values(5) match {
+      case null => out.append('.')
+      case f: java.lang.Float =>
+        if (f.floatValue == f.intValue.toFloat) out.append(f.intValue)
+        else out.append(f.floatValue)
+      case other => out.append(other)
+    }
+    out.append('\t').append(values(6)).append('\t')
+    dot(values(7)); out.append('\t')
+    values(8) match {
+      case null => out.append('.')
+      case m: org.apache.spark.sql.catalyst.util.MapData =>
+        val ks = m.keyArray(); val vs = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          if (i > 0) out.append(';')
+          out.append(ks.getUTF8String(i).toString).append('=')
+          val arr = vs.getArray(i)
+          var j = 0
+          while (j < arr.numElements()) {
+            if (j > 0) out.append(',')
+            out.append(arr.getUTF8String(j).toString)
+            j += 1
+          }
+          i += 1
+        }
+      case other => out.append(other)
+    }
+    out.append('\n')
+  }
+
+  override def recordRegion(values: Array[Any]): (String, Long, Long) =
+    (String.valueOf(values(0)), values(3).asInstanceOf[Long] - 1,
+      values(4).asInstanceOf[Long])
 }
 
 /** GTF: GFF columns but `frame` and flat MAP<STRING,STRING> attributes in

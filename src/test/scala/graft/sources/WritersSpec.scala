@@ -84,6 +84,24 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     assert(msgs.contains("sorted by (chrom, pos)"), msgs)
   }
 
+  test("gff bgzf sink: full row fidelity through write+read, incl. attribute maps") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TestTmp.dir("gff_sink").toString + "/t"
+    val src = spark.read.format("gff").load(s"$fx/gff/test.gff")
+    src.repartitionByRange(1, col("seqname"), col("start"))
+      .sortWithinPartitions("seqname", "start")
+      .write.format("gff").mode("overwrite").option("compression", "bgzf").save(dir)
+    val back = spark.read.format("gff").load(dir)
+    val key = Seq("seqname", "start", "end", "type")
+    assert(back.orderBy(key.head, key.tail: _*).collect().toSeq ==
+      src.orderBy(key.head, key.tail: _*).collect().toSeq)
+    // sibling index present and GFF-preset
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith("_"))
+    val part = files.find(_.endsWith(".gff.gz")).get
+    assert(files.contains(part + ".tbi"), files.toSeq)
+  }
+
   test("fastq round trip preserves quality strings") {
     val dir = graft.TestTmp.dir("fastq_rt").toString
     val src = spark.read.format("fastq").load(s"$fx/fastq/test.fastq")
