@@ -246,6 +246,45 @@ object Bench {
     val queries = SparkEntry.queries
 
     // ----------------------------------------------------------------------
+    // Self-defending timing: min-of-N cannot outwait a fully contended
+    // record window (rounds 5 and 6 both recorded 5-37x-off numbers under
+    // co-running load). So every entry (a) stamps /proc/loadavg before and
+    // after, (b) keeps ALL rep times, and (c) when its reps disagree by
+    // more than 2x it backs off and re-runs, up to 2 retries. An entry that
+    // still disagrees after retries is marked contended (and the JSON gets
+    // a top-level "contended":true) — a polluted run is visibly marked
+    // instead of masquerading as steady state.
+    // ----------------------------------------------------------------------
+    final case class Timing(value: Double, reps: Seq[Double],
+                            loadBefore: Double, loadAfter: Double,
+                            retries: Int, contended: Boolean)
+
+    def loadavg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
+
+    def timedEntry(nReps: Int)(rep: () => Double): Timing = {
+      val lb = loadavg()
+      var attempt = 0
+      var agree = false
+      val all = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (attempt <= 2 && !agree) {
+        if (attempt > 0) Thread.sleep(3000) // let a transient spike drain
+        val reps = (0 until nReps).map(_ => rep())
+        all ++= reps
+        // 50 ms absolute slack: sub-100ms entries jitter past any ratio
+        // bound from scheduler noise alone and must not retry forever.
+        agree = reps.max <= math.max(2.0 * reps.min, reps.min + 0.05)
+        attempt += 1
+      }
+      Timing(all.min, all.toSeq, lb, loadavg(), attempt - 1, !agree)
+    }
+
+    var details = Map.empty[String, Timing]
+
+    // ----------------------------------------------------------------------
     // PHASE 2 — throwaway full pass: every query and every bench shape runs
     // once untimed. JVM/codegen/session/FS-metadata costs and cold page
     // cache land here, never on a timed rep.
@@ -268,21 +307,17 @@ object Bench {
     // min-of-2 timed: per-query-shape JIT/codegen warm-up otherwise lands on
     // the first timed rep and min-of-2 doesn't absorb it.
     // ----------------------------------------------------------------------
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => recordErr(name, e); return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
     var results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val w = once(name, fn)
-      if (w < 0) name -> -1.0
-      else {
-        val a = once(name, fn)
-        val b = if (a >= 0) once(name, fn) else -1.0
-        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-      }
+      try {
+        fn(spark, sfDir).count() // untimed per-query warm-up (JIT/codegen)
+        val t = timedEntry(2) { () =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        details += name -> t
+        name -> t.value
+      } catch { case e: Throwable => recordErr(name, e); name -> -1.0 }
     }
 
     // ----------------------------------------------------------------------
@@ -291,10 +326,13 @@ object Bench {
     benchShapes.foreach { case (name, f) =>
       try {
         f() // untimed warm-up rep, same policy as the query pack
-        def rep(): Double = { val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9 }
         // min-of-3: most b-shapes finish in well under a second, where a
         // single 50 ms scheduler hiccup is a 1.5x swing min-of-2 can't absorb
-        results = results :+ (name -> Seq(rep(), rep(), rep()).min)
+        val t = timedEntry(3) { () =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }
+        details += name -> t
+        results = results :+ (name -> t.value)
       } catch { case e: Throwable => recordErr(name, e); results = results :+ (name -> -1.0) }
     }
 
@@ -315,8 +353,11 @@ object Bench {
           def scan(): Long = s.read.format("fasta").load(scaleDir)
             .agg(sum(length(col("sequence")))).count()
           scan() // warm-up, same policy as the query pack
-          def rep(): Double = { val t0 = System.nanoTime(); scan(); (System.nanoTime() - t0) / 1e9 }
-          results = results :+ (s"b07_fasta_scan_w$w" -> Seq(rep(), rep(), rep()).min)
+          val t = timedEntry(3) { () =>
+            val t0 = System.nanoTime(); scan(); (System.nanoTime() - t0) / 1e9
+          }
+          details += s"b07_fasta_scan_w$w" -> t
+          results = results :+ (s"b07_fasta_scan_w$w" -> t.value)
           s.stop()
           SparkSession.clearActiveSession()
           SparkSession.clearDefaultSession()
@@ -328,7 +369,14 @@ object Bench {
     val es = errors.toSeq.sortBy(_._1).map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    val ds = results.flatMap { case (k, _) => details.get(k).map((k, _)) }
+      .map { case (k, t) =>
+        jstr(k) + ":" + s"""{"reps":[${t.reps.map(r => f"$r%.4f").mkString(",")}],""" +
+          s""""load_before":${t.loadBefore},"load_after":${t.loadAfter},""" +
+          s""""retries":${t.retries},"contended":${t.contended}}"""
+      }.mkString("{", ",", "}")
+    val anyContended = details.values.exists(_.contended)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"contended":$anyContended,"detail":$ds,"sf":${jstr(sfDir)}}""")
     if (SparkSession.getActiveSession.isDefined) spark.stop()
     if (errors.nonEmpty) sys.exit(0) // errors are in the JSON; exit clean
   }

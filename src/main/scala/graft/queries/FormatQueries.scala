@@ -333,21 +333,25 @@ object FormatQueries {
     // FCS binary reader over a synthesized FCS3.0 file (reference fixture
     // not shipped in this checkout)
     "f18_fcs_scan" -> ((s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("fcs_q")
-      val f = dir.resolve("synth.fcs").toFile
-      val text = "/$PAR/3/$TOT/2/$DATATYPE/F/$BYTEORD/1,2,3,4" +
-        "/$P1S/FSC-A/$P2S/SSC-A/$P3S/FL1-A/"
-      val textStart = 58
-      val textEnd = textStart + text.length - 1
-      val dataStart = textStart + text.length
-      val dataEnd = dataStart + 2 * 3 * 4 - 1
-      val header = f"FCS3.0    $textStart%8d$textEnd%8d$dataStart%8d$dataEnd%8d${0}%8d${0}%8d"
-      val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
-      out.writeBytes(header); out.writeBytes(text)
-      Seq(1.5f, 2.5f, 3.5f, 4.0f, 5.0f, 6.0f).foreach { v =>
-        out.writeInt(Integer.reverseBytes(java.lang.Float.floatToIntBits(v)))
+      val dir = gateDir("fcs")
+      val f = new java.io.File(dir, "synth.fcs")
+      val done = new java.io.File(dir, "_done")
+      if (!done.exists()) {
+        val text = "/$PAR/3/$TOT/2/$DATATYPE/F/$BYTEORD/1,2,3,4" +
+          "/$P1S/FSC-A/$P2S/SSC-A/$P3S/FL1-A/"
+        val textStart = 58
+        val textEnd = textStart + text.length - 1
+        val dataStart = textStart + text.length
+        val dataEnd = dataStart + 2 * 3 * 4 - 1
+        val header = f"FCS3.0    $textStart%8d$textEnd%8d$dataStart%8d$dataEnd%8d${0}%8d${0}%8d"
+        val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+        out.writeBytes(header); out.writeBytes(text)
+        Seq(1.5f, 2.5f, 3.5f, 4.0f, 5.0f, 6.0f).foreach { v =>
+          out.writeInt(Integer.reverseBytes(java.lang.Float.floatToIntBits(v)))
+        }
+        out.close()
+        done.createNewFile()
       }
-      out.close()
       s.read.format("fcs").load(f.getAbsolutePath)
         .select(col("FSC-A").as("fsc"), col("SSC-A").as("ssc"), col("FL1-A").as("fl1"))
         .orderBy(col("fsc"))

@@ -551,18 +551,34 @@ object GraftScan {
     * file's (path, mtime, length): repeated region queries over the same
     * corpus skip the per-file index fetch+parse entirely (at object-store
     * RTTs that is the dominant planning cost). TabixIndex is immutable, so
-    * sharing across queries and planner threads is safe. Crude bound: the
-    * whole cache drops at 4096 entries — indexes are small, correctness
-    * never depends on a hit.
+    * sharing across queries and planner threads is safe.
+    *
+    * Misses (no index sibling) are NOT cached: an index dropped next to an
+    * existing data file must be picked up by the next query, not ignored
+    * for the JVM lifetime. Bounded LRU (insertion order) — eviction drops
+    * only the oldest entry, never the whole map; correctness never depends
+    * on a hit.
     */
+  private val indexCacheCapacity = 4096
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Option[TabixIndex]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), TabixIndex](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), TabixIndex]): Boolean =
+          size() > indexCacheCapacity
+      })
 
   private[sources] def cachedIndex(st: FileStatus)(
       load: => Option[TabixIndex]): Option[TabixIndex] = {
-    if (indexCache.size > 4096) indexCache.clear()
-    indexCache.computeIfAbsent(
-      (st.getPath.toString, st.getModificationTime, st.getLen), _ => load)
+    val key = (st.getPath.toString, st.getModificationTime, st.getLen)
+    Option(indexCache.get(key)).orElse {
+      // Not synchronized around the load: a concurrent duplicate parse is
+      // harmless (immutable value, last-write-wins), while holding the map
+      // lock across an object-store fetch would serialize the pruning pool.
+      val loaded = load
+      loaded.foreach(idx => indexCache.put(key, idx))
+      loaded
+    }
   }
 
   /** Coalesce BGZF virtual-position ranges: sort by start, merge any that
@@ -662,6 +678,26 @@ final class GraftColumnarReader(rows: GraftPartitionReader, schema: StructType)
   private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
     vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
 
+  /** One setter per column, resolved once at construction: the per-value
+    * loop below is the single hottest loop of the columnar path and must
+    * not re-match DataType (megamorphic dispatch) for every cell.
+    */
+  private type Setter =
+    (org.apache.spark.sql.execution.vectorized.OnHeapColumnVector, Int, Any) => Unit
+  private val setters: Array[Setter] = schema.fields.map { f =>
+    (f.dataType match {
+      case LongType => (v, n, x) => v.putLong(n, x.asInstanceOf[Long])
+      case IntegerType => (v, n, x) => v.putInt(n, x.asInstanceOf[Int])
+      case DoubleType => (v, n, x) => v.putDouble(n, x.asInstanceOf[Double])
+      case FloatType => (v, n, x) => v.putFloat(n, x.asInstanceOf[Float])
+      case BooleanType => (v, n, x) => v.putBoolean(n, x.asInstanceOf[Boolean])
+      case ShortType => (v, n, x) => v.putShort(n, x.asInstanceOf[Short])
+      case ByteType => (v, n, x) => v.putByte(n, x.asInstanceOf[Byte])
+      case other => throw new IllegalStateException(
+        s"columnar reader on non-primitive type $other")
+    }): Setter
+  }
+
   override def next(): Boolean = {
     var i = 0
     while (i < vectors.length) { vectors(i).reset(); i += 1 }
@@ -672,17 +708,7 @@ final class GraftColumnarReader(rows: GraftPartitionReader, schema: StructType)
       while (c < vectors.length) {
         val v = vals(c)
         if (v == null) vectors(c).putNull(n)
-        else schema.fields(c).dataType match {
-          case LongType => vectors(c).putLong(n, v.asInstanceOf[Long])
-          case IntegerType => vectors(c).putInt(n, v.asInstanceOf[Int])
-          case DoubleType => vectors(c).putDouble(n, v.asInstanceOf[Double])
-          case FloatType => vectors(c).putFloat(n, v.asInstanceOf[Float])
-          case BooleanType => vectors(c).putBoolean(n, v.asInstanceOf[Boolean])
-          case ShortType => vectors(c).putShort(n, v.asInstanceOf[Short])
-          case ByteType => vectors(c).putByte(n, v.asInstanceOf[Byte])
-          case other => throw new IllegalStateException(
-            s"columnar reader on non-primitive type $other")
-        }
+        else setters(c)(vectors(c), n, v)
         c += 1
       }
       n += 1
