@@ -38,6 +38,36 @@ object FaiIndex {
     } finally in.close()
   }
 
+  /** Number of sequences the index describes (= exact FASTA record count):
+    * one non-empty `.fai` line per sequence. Reads only the tiny index.
+    */
+  def countEntries(fs: FileSystem, fasta: Path): Option[Long] = {
+    val fp = faiPath(fasta)
+    if (!fs.exists(fp)) None
+    else {
+      val in = fs.open(fp)
+      try {
+        var n = 0L
+        var sawByte = false
+        val buf = new Array[Byte](1 << 16)
+        var r = in.read(buf)
+        var lastWasNl = true
+        while (r > 0) {
+          var i = 0
+          while (i < r) {
+            sawByte = true
+            if (buf(i) == '\n') { if (!lastWasNl) n += 1; lastWasNl = true }
+            else lastWasNl = false
+            i += 1
+          }
+          r = in.read(buf)
+        }
+        if (!lastWasNl) n += 1 // final line without a trailing newline
+        Some(if (sawByte) n else 0L)
+      } finally in.close()
+    }
+  }
+
   /** Write a `.fai` for an (uncompressed) FASTA — used by tests and by users
     * producing seekable references with the FASTA writer.
     */

@@ -166,9 +166,14 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
 
   def listNow(): (Seq[(FileStatus, Array[String])], Seq[String]) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val partCols = mutable.LinkedHashSet[String]()
-    val missing = mutable.ArrayBuffer[String]()
-    val files = mutable.ArrayBuffer[(FileStatus, mutable.LinkedHashMap[String, String])]()
+    val missing = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val files =
+      new java.util.concurrent.ConcurrentLinkedQueue[(FileStatus, List[(String, String)])]()
+    // Partition-column order must be deterministic under a parallel walk:
+    // record each column's directory depth and sort by (depth, name) — in a
+    // hive layout a column sits at a fixed nesting depth, so this reproduces
+    // the serial DFS discovery order.
+    val colDepth = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
     def nameMatches(name: String): Boolean = {
       val lower = name.toLowerCase
@@ -179,41 +184,76 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
       extensions.exists(e => base.endsWith("." + e))
     }
 
-    def walk(fsPath: Path, partVals: mutable.LinkedHashMap[String, String],
-             root: Boolean): Unit = {
+    final case class DirTask(path: Path, parentVals: List[(String, String)], root: Boolean)
+
+    // One directory's listStatus: appends matching files, returns child dirs.
+    def expand(t: DirTask): Seq[DirTask] = {
+      val active = GraftScan.activeListings.incrementAndGet()
+      GraftScan.maxConcurrentListings.accumulateAndGet(active, math.max)
+      try {
+        val fs = t.path.getFileSystem(conf)
+        val name = t.path.getName
+        val vals =
+          if (!t.root && name.contains("=")) {
+            val Array(k, v) = name.split("=", 2)
+            colDepth.merge(k, Integer.valueOf(t.parentVals.size),
+              (a, b) => if (a.intValue <= b.intValue) a else b)
+            t.parentVals :+ (k -> v)
+          } else t.parentVals
+        val next = mutable.ArrayBuffer[DirTask]()
+        fs.listStatus(t.path).foreach { child =>
+          if (child.isDirectory) next += DirTask(child.getPath, vals, root = false)
+          else if (nameMatches(child.getPath.getName) && child.getLen > 0)
+            files.add((child, vals))
+        }
+        next.toSeq
+      } finally GraftScan.activeListings.decrementAndGet()
+    }
+
+    // Roots: one glob per user-supplied path (serial; the fan-out below is
+    // what matters at scale, not the handful of top-level globs).
+    var level: Seq[DirTask] = paths.flatMap { p =>
+      val fsPath = new Path(p)
       val fs = fsPath.getFileSystem(conf)
       val matches = fs.globStatus(fsPath)
-      if (matches == null || matches.isEmpty) {
-        missing += fsPath.toString
-        return
-      }
-      matches.foreach { st =>
-        if (st.isDirectory) {
-          val name = st.getPath.getName
-          val vals =
-            if (!root && name.contains("=")) {
-              val Array(k, v) = name.split("=", 2)
-              partCols += k
-              partVals + (k -> v)
-            } else partVals
-          fs.listStatus(st.getPath).foreach { child =>
-            if (child.isDirectory) walk(child.getPath, vals, root = false)
-            else if (nameMatches(child.getPath.getName) && child.getLen > 0)
-              files += ((child, vals))
-          }
-        } else if (st.getLen > 0) {
+      if (matches == null || matches.isEmpty) { missing.add(fsPath.toString); Nil }
+      else matches.toSeq.flatMap { st =>
+        if (st.isDirectory) Seq(DirTask(st.getPath, Nil, root = true))
+        else {
           // explicit file path: no extension filtering
-          files += ((st, partVals))
+          if (st.getLen > 0) files.add((st, Nil))
+          Nil
         }
       }
     }
 
-    paths.foreach(p => walk(new Path(p), mutable.LinkedHashMap.empty, root = true))
-    missingPaths = missing.toSeq
-    val cols = partCols.toSeq
-    val resolved = files.toSeq.map { case (st, vals) =>
-      (st, cols.map(c => vals.getOrElse(c, null)).toArray)
+    // Level-synchronous BFS; each level's directory listings fan out over a
+    // bounded pool. At 10k+ hive partition dirs on an object store (~10 ms
+    // RTT per listStatus) a serial recursive walk is the dominant planning
+    // stall — the same reason index pruning got its bounded pool.
+    while (level.nonEmpty) {
+      level =
+        if (level.size == 1) expand(level.head)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, level.size))
+          try {
+            val tasks: java.util.List[java.util.concurrent.Callable[Seq[DirTask]]] =
+              level.map(t => (() => expand(t)): java.util.concurrent.Callable[Seq[DirTask]]).asJava
+            pool.invokeAll(tasks).asScala.toSeq.flatMap(_.get())
+          } finally pool.shutdown()
+        }
     }
+
+    missingPaths = missing.asScala.toSeq
+    val cols = colDepth.asScala.toSeq
+      .sortBy { case (k, d) => (d.intValue, k) }.map(_._1)
+    val resolved = files.asScala.toSeq
+      .sortBy(_._1.getPath.toString) // deterministic under the parallel walk
+      .map { case (st, vals) =>
+        val m = vals.toMap
+        (st, cols.map(c => m.getOrElse(c, null)).toArray)
+      }
     (resolved, cols)
   }
 
@@ -257,12 +297,44 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
 
 final class GraftScanBuilder(table: GraftTable)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
   private var filterRegion: Option[(String, Long, Long)] = None
   private var limit: Option[Int] = None
+  private var pushedCount: Option[Long] = None
+
+  /** count(*) on a `.fai`-indexed FASTA is answered from index metadata
+    * alone — zero sequence bytes read (the reference's benchmark queries
+    * are count-shaped, exon-benchmarks/src/main.rs:241). Only complete
+    * pushdown, only when nothing else constrains the row set: no data or
+    * partition filters, no region, no limit, and every listed file is an
+    * uncompressed FASTA with a `.fai` sibling.
+    */
+  private def metadataCount(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Long] = {
+    val countStarOnly = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (!countStarOnly || pushed.nonEmpty || filterRegion.nonEmpty ||
+        table.regionsOption.nonEmpty || limit.nonEmpty) None
+    else GraftScan.faiRowCount(table.format, table.listing._1,
+      SparkSession.active.sparkContext.hadoopConfiguration)
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metadataCount(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metadataCount(agg) match {
+      case some @ Some(_) => pushedCount = some; true
+      case None => false
+    }
 
   /** Spark only offers a limit when no un-pushed operator sits between it
     * and the scan, so stopping each partition reader after `limit` rows is
@@ -312,8 +384,45 @@ final class GraftScanBuilder(table: GraftTable)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new GraftScan(table, requiredSchema, pushed, filterRegion, limit)
+  override def build(): Scan = pushedCount match {
+    case Some(n) => new GraftCountScan(table, n)
+    case None => new GraftScan(table, requiredSchema, pushed, filterRegion, limit)
+  }
+}
+
+/** Scan for a completely-pushed-down count(*): one partition, one row, the
+  * count taken from `.fai` metadata — no data file is ever opened.
+  */
+final class GraftCountScan(table: GraftTable, count: Long)
+  extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType =
+    new StructType().add("count(*)", LongType, nullable = false)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCountScan(${table.format.shortName}, count=$count from .fai metadata)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftCountPartition(count))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCountReaderFactory
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(8L)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(1L)
+  }
+}
+
+final case class GraftCountPartition(count: Long) extends InputPartition
+
+final class GraftCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val n = partition.asInstanceOf[GraftCountPartition].count
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](n))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final class GraftScan(table: GraftTable, required: StructType, partFilters: Array[Filter],
@@ -492,10 +601,20 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
           raw * compressedInflation
         else raw
       }.sum
+    // Exact row counts from .fai metadata (whole-file scans only): a row
+    // estimate — not just bytes — lets Catalyst size joins and pick shuffle
+    // parallelism. Region/limit scans return fewer rows than the index says,
+    // so they report no estimate rather than a wrong one.
+    val rows: Option[Long] =
+      if (region.nonEmpty || limit.nonEmpty) None
+      else GraftScan.faiRowCount(table.format,
+        prunePartitions(table.listing._1, table.listing._2),
+        SparkSession.active.sparkContext.hadoopConfiguration)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(bytes, 1L))
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
     }
   }
 
@@ -546,6 +665,45 @@ object GraftScan {
     */
   private[sources] val activeIndexLookups = new java.util.concurrent.atomic.AtomicInteger
   private[sources] val maxConcurrentIndexLookups = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Test instrumentation: high-water mark of concurrent per-directory
+    * listStatus calls during listNow (proves the listing fan-out).
+    */
+  private[sources] val activeListings = new java.util.concurrent.atomic.AtomicInteger
+  private[sources] val maxConcurrentListings = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Exact row count from `.fai` siblings — defined only when EVERY file in
+    * the set is an uncompressed FASTA with an index (one .fai line per
+    * sequence). Counts are cached by (path, mtime, length); the .fai itself
+    * is tiny, so a miss costs one small read, never a data-file scan.
+    */
+  private val faiCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
+
+  private[sources] def faiRowCount(format: GraftFormat,
+      files: Seq[(FileStatus, Array[String])],
+      conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+    if (format.shortName != "fasta" || files.isEmpty) return None
+    var total = 0L
+    val it = files.iterator
+    while (it.hasNext) {
+      val st = it.next()._1
+      if (Codecs.isCompressed(st.getPath.getName)) return None
+      val key = (st.getPath.toString, st.getModificationTime, st.getLen)
+      var c = faiCountCache.get(key)
+      if (c == null) {
+        FaiIndex.countEntries(st.getPath.getFileSystem(conf), st.getPath) match {
+          case Some(n) =>
+            if (faiCountCache.size > 65536) faiCountCache.clear()
+            c = java.lang.Long.valueOf(n)
+            faiCountCache.put(key, c)
+          case None => return None
+        }
+      }
+      total += c.longValue
+    }
+    Some(total)
+  }
 
   /** Driver-side cache of parsed .tbi/.bai/.csi indexes, keyed by the data
     * file's (path, mtime, length): repeated region queries over the same

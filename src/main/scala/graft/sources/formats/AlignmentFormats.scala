@@ -194,7 +194,37 @@ object VcfFormat extends LineFormat with IndexableGraftFormat {
   }
 
   override def recordRegion(values: Array[Any]): (String, Long, Long) = {
+    // htslib's tabix VCF preset spans the whole REF allele
+    // (end = POS + len(REF) - 1) and honors INFO END for symbolic
+    // alleles/SVs — without this, an external tabix/htslib consumer of the
+    // sink's .tbi misses deletions whose POS precedes a queried region but
+    // whose span overlaps it. (Internal reads are pos-only and unaffected.)
     val pos = values(1).asInstanceOf[Long]
-    (String.valueOf(values(0)), pos - 1, pos)
+    val refLen = values(3) match {
+      case null => 1L
+      case r => math.max(1L, String.valueOf(r).length.toLong)
+    }
+    val infoEnd: Long = values(7) match {
+      case null => -1L
+      case info =>
+        val s = String.valueOf(info)
+        var i = s.indexOf("END=")
+        var found = -1L
+        while (i >= 0 && found < 0) {
+          if (i == 0 || s.charAt(i - 1) == ';') { // not SVEND=/GENE_END=
+            var j = i + 4
+            var v = 0L
+            var any = false
+            while (j < s.length && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
+              v = v * 10 + (s.charAt(j) - '0'); j += 1; any = true
+            }
+            if (any && (j >= s.length || s.charAt(j) == ';')) found = v
+          }
+          i = s.indexOf("END=", i + 1)
+        }
+        found
+    }
+    val end1 = if (infoEnd >= pos) infoEnd else pos + refLen - 1
+    (String.valueOf(values(0)), pos - 1, math.max(pos, end1))
   }
 }

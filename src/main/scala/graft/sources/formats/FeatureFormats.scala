@@ -51,10 +51,60 @@ object GffFormat extends LineFormat with IndexableGraftFormat {
       val eq = kv.indexOf('=')
       val k = if (eq < 0) kv else kv.substring(0, eq)
       val v = if (eq < 0) "" else kv.substring(eq + 1)
-      (utf8(k): Any, utf8Array(v.split(',')): Any)
+      (utf8(pctDecode(k)): Any,
+        utf8Array(v.split(',').map(pctDecode)): Any)
     }.toArray
     new ArrayBasedMapData(
       new GenericArrayData(pairs.map(_._1)), new GenericArrayData(pairs.map(_._2)))
+  }
+
+  /** GFF3 column-9 reserved characters (';' '=' ',' '%' and control chars)
+    * are percent-encoded on write and decoded on read — a value containing
+    * ';' or ',' must survive the round trip, and a literal tab/newline would
+    * corrupt record framing and the sibling .tbi offsets.
+    */
+  private def pctEncode(s: String): String = {
+    var needs = false
+    var i = 0
+    while (i < s.length && !needs) {
+      val c = s.charAt(i)
+      needs = c == '%' || c == ';' || c == '=' || c == ',' ||
+        c == '\t' || c == '\n' || c == '\r'
+      i += 1
+    }
+    if (!needs) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      s.foreach {
+        case '%' => sb.append("%25")
+        case ';' => sb.append("%3B")
+        case '=' => sb.append("%3D")
+        case ',' => sb.append("%2C")
+        case '\t' => sb.append("%09")
+        case '\n' => sb.append("%0A")
+        case '\r' => sb.append("%0D")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+  }
+
+  private def pctDecode(s: String): String = {
+    if (s.indexOf('%') < 0) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        if (c == '%' && j + 2 < s.length) {
+          val h = Character.digit(s.charAt(j + 1), 16)
+          val l = Character.digit(s.charAt(j + 2), 16)
+          if (h >= 0 && l >= 0) { sb.append(((h << 4) | l).toChar); j += 3 }
+          else { sb.append(c); j += 1 }
+        } else { sb.append(c); j += 1 }
+      }
+      sb.toString
+    }
   }
 
   // ---- sink (annotation write-side of the tabix pruning shape) ----------
@@ -85,12 +135,12 @@ object GffFormat extends LineFormat with IndexableGraftFormat {
         var i = 0
         while (i < m.numElements()) {
           if (i > 0) out.append(';')
-          out.append(ks.getUTF8String(i).toString).append('=')
+          out.append(pctEncode(ks.getUTF8String(i).toString)).append('=')
           val arr = vs.getArray(i)
           var j = 0
           while (j < arr.numElements()) {
             if (j > 0) out.append(',')
-            out.append(arr.getUTF8String(j).toString)
+            out.append(pctEncode(arr.getUTF8String(j).toString))
             j += 1
           }
           i += 1

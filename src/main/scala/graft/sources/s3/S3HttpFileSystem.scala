@@ -75,8 +75,9 @@ class S3HttpFileSystem extends FileSystem {
   }
 
   private def urlFor(key: String, query: String = ""): URL = {
-    val enc = key.split("/", -1).map(s =>
-      java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")).mkString("/")
+    // AWS canonical encoding on the wire (never URLEncoder's '+'-for-space
+    // or encoded '~'): the signed path must byte-match what S3 sees.
+    val enc = SigV4.uriEncode(key, encodeSlash = false)
     new URL(s"$endpoint/$bucket/$enc" + (if (query.isEmpty) "" else s"?$query"))
   }
 
@@ -155,11 +156,9 @@ class S3HttpFileSystem extends FileSystem {
   private def listOnce(prefix: String, delimiter: Option[String],
       token: Option[String]): (Listing, Option[String]) = {
     val q = new StringBuilder("list-type=2")
-    q.append("&prefix=").append(java.net.URLEncoder.encode(prefix, "UTF-8"))
-    delimiter.foreach(d => q.append("&delimiter=")
-      .append(java.net.URLEncoder.encode(d, "UTF-8")))
-    token.foreach(t => q.append("&continuation-token=")
-      .append(java.net.URLEncoder.encode(t, "UTF-8")))
+    q.append("&prefix=").append(SigV4.uriEncode(prefix))
+    delimiter.foreach(d => q.append("&delimiter=").append(SigV4.uriEncode(d)))
+    token.foreach(t => q.append("&continuation-token=").append(SigV4.uriEncode(t)))
     val conn = request("GET", "", q.toString)
     val code = conn.getResponseCode
     val body = new String(drain(conn), StandardCharsets.UTF_8)

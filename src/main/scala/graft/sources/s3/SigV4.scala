@@ -29,16 +29,47 @@ object SigV4 {
     mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
   }
 
-  /** Canonical query string: split the raw (already percent-encoded) query
-    * on '&', give bare flags (`uploads`) an empty value, sort by full
-    * `k=v`. Both signer and verifier canonicalize the wire form, matching
-    * the spec's sorted-parameter requirement.
+  /** AWS URI-encoding: unreserved characters (A-Za-z0-9 - _ . ~) pass
+    * through, everything else is %XX (uppercase hex, UTF-8 bytes), space is
+    * %20 (never '+'). `encodeSlash = false` for object-key paths.
+    */
+  def uriEncode(s: String, encodeSlash: Boolean = true): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.getBytes(StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') ||
+          c == '-' || c == '_' || c == '.' || c == '~' ||
+          (c == '/' && !encodeSlash)) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  private def pctDecode(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  /** Canonical query string per the AWS rules: split the wire query into
+    * (key, value) pairs (bare flags like `uploads` get an empty value),
+    * percent-DECODE the wire form, re-encode with [[uriEncode]] (%20 for
+    * space, unreserved '~'), and sort by key name then value — NOT by the
+    * concatenated `k=v` string, which misorders pairs where one key is a
+    * prefix of another (`tag` vs `tagging`). AWS recanonicalizes received
+    * requests exactly this way, so signing any other form fails on real
+    * S3/MinIO even when a self-consistent verifier accepts it.
     */
   def canonicalQuery(rawQuery: String): String =
     if (rawQuery == null || rawQuery.isEmpty) ""
-    else rawQuery.split("&").toSeq
-      .map(kv => if (kv.contains("=")) kv else kv + "=")
-      .sorted.mkString("&")
+    else rawQuery.split("&").toSeq.filter(_.nonEmpty)
+      .map { kv =>
+        val eq = kv.indexOf('=')
+        val k = if (eq < 0) kv else kv.substring(0, eq)
+        val v = if (eq < 0) "" else kv.substring(eq + 1)
+        (uriEncode(pctDecode(k)), uriEncode(pctDecode(v)))
+      }
+      .sorted // tuple order: key name first, then value
+      .map { case (k, v) => s"$k=$v" }
+      .mkString("&")
 
   /** The canonical request per the public algorithm. `pathEnc` is the
     * percent-encoded URI path as sent on the wire (S3 rule: no double

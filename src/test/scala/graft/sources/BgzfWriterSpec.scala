@@ -102,4 +102,28 @@ class BgzfWriterSpec extends AnyFunSuite with SharedSpark {
     val all = try in.readAllBytes() finally in.close()
     assert(all.length == 100 * 3000)
   }
+
+  test("VCF recordRegion spans the REF allele and honors INFO END (tabix preset)") {
+    import graft.sources.formats.VcfFormat
+    def region(pos: Long, ref: String, info: String): (String, Long, Long) =
+      VcfFormat.recordRegion(Array[Any](
+        "chr1", pos, null, ref, null, null, null, info, null))
+
+    // SNP: 1-base span, unchanged semantics
+    assert(region(100, "A", "AC=1") == (("chr1", 99L, 100L)))
+    // 10-base deletion: end = pos + len(ref) - 1
+    assert(region(100, "AACGTACGTA", "AC=1") == (("chr1", 99L, 109L)))
+    // symbolic SV: INFO END wins
+    assert(region(100, "A", "SVTYPE=DEL;END=5000") == (("chr1", 99L, 5000L)))
+    assert(region(100, "A", "END=5000;SVTYPE=DEL") == (("chr1", 99L, 5000L)))
+    // SVEND= / GENE_END= must NOT be mistaken for END=
+    assert(region(100, "A", "SVEND=9999") == (("chr1", 99L, 100L)))
+    assert(region(100, "A", "GENE_END=9999;AC=2") == (("chr1", 99L, 100L)))
+    // END= with a non-numeric value or mid-token stop is ignored
+    assert(region(100, "A", "END=abc") == (("chr1", 99L, 100L)))
+    // END before POS (malformed) falls back to the REF span
+    assert(region(100, "ACG", "END=50") == (("chr1", 99L, 102L)))
+    // null REF/INFO degrade to the 1-base span
+    assert(region(100, null, null) == (("chr1", 99L, 100L)))
+  }
 }

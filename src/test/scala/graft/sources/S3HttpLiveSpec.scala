@@ -184,6 +184,22 @@ class S3HttpLiveSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("live s3: signed reads under a prefix containing spaces and '~' (AWS encoding)") {
+    withSignedS3 { s3 =>
+      // space + tilde in the key: URLEncoder's '+'-for-space / %7E-for-~
+      // wire form would sign differently from the AWS-canonical form and
+      // 403 here; the directory scan also exercises a signed ListObjectsV2
+      // with an encoded prefix= parameter.
+      load(s3, "graft-test", "dir with space/ti~lde.fasta", s"$fx/fasta/test.fasta")
+      val one = spark.read.format("fasta")
+        .load("s3://graft-test/dir with space/ti~lde.fasta").count()
+      assert(one == 2)
+      val dir = spark.read.format("fasta")
+        .load("s3://graft-test/dir with space").count()
+      assert(dir == 2)
+    }
+  }
+
   test("live s3: a wrong secret key is rejected with 403") {
     val s3 = new MiniS3().withAuth("graft-test-access", "the-real-secret").start()
     val conf = spark.sparkContext.hadoopConfiguration

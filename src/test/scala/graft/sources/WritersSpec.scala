@@ -102,6 +102,41 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     assert(files.contains(part + ".tbi"), files.toSeq)
   }
 
+  test("gff sink percent-encodes reserved attribute characters (dirty round trip)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = graft.TestTmp.dir("gff_dirty").toString + "/t"
+    // values containing every reserved char: ';' '=' ',' '%' tab newline
+    val dirty = Seq(
+      ("chr1", 10L, 20L, "note", "a;b=c,d%e"),
+      ("chr1", 30L, 40L, "desc", "tab\there\nand newline")
+    ).toDF("seqname", "start", "end", "key", "value")
+      .select(col("seqname"), lit("src").as("source"), lit("gene").as("type"),
+        col("start"), col("end"), lit(null).cast("float").as("score"),
+        lit("+").as("strand"), lit(null).cast("string").as("phase"),
+        map(col("key"), array(col("value"))).as("attributes"))
+    dirty.repartitionByRange(1, col("seqname"), col("start"))
+      .sortWithinPartitions("seqname", "start")
+      .write.format("gff").mode("overwrite").save(dir)
+    val back = spark.read.format("gff").load(dir).orderBy("start")
+      .select(col("start"), map_keys(col("attributes"))(0).as("k"),
+        map_values(col("attributes"))(0)(0).as("v"))
+      .collect()
+    assert(back(0).getString(1) == "note" && back(0).getString(2) == "a;b=c,d%e",
+      back.toSeq.toString)
+    assert(back(1).getString(2) == "tab\there\nand newline", back.toSeq.toString)
+    // on disk the reserved chars are encoded — no raw tab/newline/semicolon
+    // inside column 9 values, so framing and any .tbi offsets stay valid
+    val raw = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gff"))
+      .map(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .mkString
+    assert(raw.contains("a%3Bb%3Dc%2Cd%25e"), raw)
+    assert(raw.contains("tab%09here%0Aand newline"), raw)
+  }
+
   test("fastq round trip preserves quality strings") {
     val dir = graft.TestTmp.dir("fastq_rt").toString
     val src = spark.read.format("fastq").load(s"$fx/fastq/test.fastq")
