@@ -438,6 +438,31 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Skew-robust exact top-k per group: a single window over
+    // partitionBy(lang) routes every row of a dominant language through one
+    // task (the classic 100-TB skew killer when one language is 90% of the
+    // corpus). Instead, phase 1 ranks within (lang, salt) cells — splitting
+    // hot groups 16 ways on a deterministic salt — and phase 2 re-ranks only
+    // the <= 16*k survivors per language. Same exact answer, bounded task
+    // size regardless of group skew.
+    "l23_salted_topk" -> ((s, d) => {
+      val k = 5
+      val salted = documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          pmod(col("doc_id"), lit(16L)).as("salt"))
+      val w1 = Window.partitionBy(col("lang"), col("salt"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val cand = salted.withColumn("r", row_number().over(w1))
+        .filter(col("r") <= k)
+      val w2 = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      cand.select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+        .select(col("lang"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // Deterministic stratified sampling (training-mix ratios): keep a
     // per-language permille of documents chosen by an arithmetic hash of
     // doc_id — reproducible across engines and runs (unlike rng-based
@@ -1259,6 +1284,14 @@ object LlmQueries {
         |  round(coalesce(n_cross, 0)::DOUBLE / n_spans, 4) AS dup_ratio
         |FROM tot LEFT JOIN cr ON tot.doc_id = cr.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+
+    "l23_salted_topk" ->
+      """SELECT lang, rk, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
     "l16_stratified_sample" ->
       s"""WITH rates(lang, keep_permille) AS (VALUES
