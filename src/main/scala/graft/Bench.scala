@@ -257,7 +257,8 @@ object Bench {
     // ----------------------------------------------------------------------
     final case class Timing(value: Double, reps: Seq[Double],
                             loadBefore: Double, loadAfter: Double,
-                            retries: Int, contended: Boolean)
+                            retries: Int, contended: Boolean,
+                            canaryRatio: Double, stealPct: Double)
 
     def loadavg(): Double =
       try {
@@ -265,21 +266,57 @@ object Bench {
         try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case _: Throwable => -1.0 }
 
+    // Host-steal detection: on a VM whose host is contended, EVERY thread
+    // runs slowly but uniformly — reps agree with each other, guest loadavg
+    // stays low, and rep-disagreement sees nothing wrong (exactly the round-6
+    // record-window failure). Two independent probes catch it:
+    //  (a) a fixed single-threaded arithmetic canary, calibrated once after
+    //      warm-up — if the same loop now takes >1.6x its baseline, the box
+    //      is degraded no matter how consistent the reps look;
+    //  (b) the /proc/stat steal column — jiffies the hypervisor withheld.
+    def canaryOnce(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 20000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def stealAndTotal(): (Long, Long) =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+          (if (f.length > 7) f(7) else 0L, f.sum)
+        } finally src.close()
+      } catch { case _: Throwable => (0L, 0L) }
+
+    lazy val canaryBase: Double = (0 until 5).map(_ => canaryOnce()).min
+
     def timedEntry(nReps: Int)(rep: () => Double): Timing = {
       val lb = loadavg()
       var attempt = 0
-      var agree = false
+      var ok = false
+      var canaryRatio = 1.0
+      var stealPct = 0.0
       val all = scala.collection.mutable.ArrayBuffer.empty[Double]
-      while (attempt <= 2 && !agree) {
+      while (attempt <= 2 && !ok) {
         if (attempt > 0) Thread.sleep(3000) // let a transient spike drain
+        val (s0, t0) = stealAndTotal()
         val reps = (0 until nReps).map(_ => rep())
+        val (s1, t1) = stealAndTotal()
         all ++= reps
         // 50 ms absolute slack: sub-100ms entries jitter past any ratio
         // bound from scheduler noise alone and must not retry forever.
-        agree = reps.max <= math.max(2.0 * reps.min, reps.min + 0.05)
+        val agree = reps.max <= math.max(2.0 * reps.min, reps.min + 0.05)
+        canaryRatio = canaryOnce() / canaryBase
+        stealPct = if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0
+        ok = agree && canaryRatio <= 1.6 && stealPct <= 5.0
         attempt += 1
       }
-      Timing(all.min, all.toSeq, lb, loadavg(), attempt - 1, !agree)
+      Timing(all.min, all.toSeq, lb, loadavg(), attempt - 1, !ok,
+        canaryRatio, stealPct)
     }
 
     var details = Map.empty[String, Timing]
@@ -373,7 +410,8 @@ object Bench {
       .map { case (k, t) =>
         jstr(k) + ":" + s"""{"reps":[${t.reps.map(r => f"$r%.4f").mkString(",")}],""" +
           s""""load_before":${t.loadBefore},"load_after":${t.loadAfter},""" +
-          s""""retries":${t.retries},"contended":${t.contended}}"""
+          s""""retries":${t.retries},"contended":${t.contended},""" +
+          f""""canary_ratio":${t.canaryRatio}%.2f,"steal_pct":${t.stealPct}%.2f}"""
       }.mkString("{", ",", "}")
     val anyContended = details.values.exists(_.contended)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"contended":$anyContended,"detail":$ds,"sf":${jstr(sfDir)}}""")

@@ -259,6 +259,19 @@ object FormatQueries {
       agg.select(col("count").as("n"))
     }),
 
+    // BAM count(*) from .bai metadata pseudo-bins (bin 37450 mapped/unmapped
+    // counts + trailing n_no_coor — the `samtools idxstats` numbers): like
+    // f37, the gate refuses to grade unless the plan chose GraftCountScan,
+    // and the metadata answer must match the full-scan fixture count (f19).
+    "f39_bam_count_pushdown" -> ((s, _) => {
+      val agg = s.read.format("bam").load(s"$fx/bam/test.bam")
+        .groupBy().count()
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("GraftCountScan"),
+        s"count(*) was not answered from .bai metadata:\n$plan")
+      agg.select(col("count").as("n"))
+    }),
+
     // Dirty-attribute GFF round trip: reserved characters (';' '=' ',' '%')
     // plus literal tab/newline inside attribute values must survive
     // write -> percent-encode -> parse -> decode without corrupting record
@@ -639,6 +652,11 @@ object FormatQueries {
     // sum_{i=0..7} (100 + i) = 828
     "f37_fasta_count_pushdown" ->
       "SELECT CAST(828 AS BIGINT) AS n",
+
+    // 61 mapped + 0 unmapped + 0 no-coor in the fixture's .bai (= f19/f30's
+    // full-scan count)
+    "f39_bam_count_pushdown" ->
+      "SELECT CAST(61 AS BIGINT) AS n",
 
     "f38_gff_dirty_attrs" ->
       """SELECT * FROM (VALUES

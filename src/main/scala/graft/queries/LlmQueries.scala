@@ -463,6 +463,38 @@ object LlmQueries {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // Exact per-group quantile filtering WITHOUT a global sort: doc lengths
+    // first collapse to a per-(lang, n_chars) count table — bounded by the
+    // number of distinct lengths, tiny vs the corpus — the cumulative window
+    // runs over that small aggregate, and the resulting per-lang p05/p95
+    // thresholds broadcast back. The corpus is touched only by one
+    // map-side-combinable aggregate and one broadcast join; a naive
+    // percent_rank() window would instead sort every row of every language
+    // inside single tasks. Thresholds use pure integer arithmetic
+    // (ceil(q*tot) as (tot*q+99) div 100) so both engines agree bit-wise.
+    "l24_quantile_filter" -> ((s, d) => {
+      val docs = documents(s, d)
+      val hist = docs.groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      val wt = Window.partitionBy(col("lang"))
+      val th = hist
+        .withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("tot", sum(col("c")).over(wt))
+        .withColumn("lo_needed", expr("(tot * 5 + 99) div 100"))
+        .withColumn("hi_needed", expr("(tot * 95 + 99) div 100"))
+        .groupBy(col("lang"))
+        .agg(
+          min(when(col("cum") >= col("lo_needed"), col("n_chars"))).as("p05"),
+          min(when(col("cum") >= col("hi_needed"), col("n_chars"))).as("p95"))
+      docs.join(broadcast(th), "lang")
+        .filter(col("n_chars").between(col("p05"), col("p95")))
+        .groupBy(col("lang"), col("p05"), col("p95"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Deterministic stratified sampling (training-mix ratios): keep a
     // per-language permille of documents chosen by an arithmetic hash of
     // doc_id — reproducible across engines and runs (unlike rng-based
@@ -1292,6 +1324,25 @@ object LlmQueries {
         |      PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "l24_quantile_filter" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, n_chars, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS tot
+        |  FROM hist),
+        |th AS (
+        |  SELECT lang,
+        |    min(CASE WHEN cum >= (tot * 5 + 99) // 100 THEN n_chars END) AS p05,
+        |    min(CASE WHEN cum >= (tot * 95 + 99) // 100 THEN n_chars END) AS p95
+        |  FROM cum GROUP BY lang)
+        |SELECT d.lang, th.p05, th.p95, count(*) AS n_kept,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN th ON d.lang = th.lang
+        |WHERE d.n_chars BETWEEN th.p05 AND th.p95
+        |GROUP BY 1, 2, 3 ORDER BY d.lang""".stripMargin,
 
     "l16_stratified_sample" ->
       s"""WITH rates(lang, keep_permille) AS (VALUES

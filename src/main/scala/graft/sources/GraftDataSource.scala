@@ -321,7 +321,7 @@ final class GraftScanBuilder(table: GraftTable)
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
     if (!countStarOnly || pushed.nonEmpty || filterRegion.nonEmpty ||
         table.regionsOption.nonEmpty || limit.nonEmpty) None
-    else GraftScan.faiRowCount(table.format, table.listing._1,
+    else GraftScan.indexRowCount(table.format, table.listing._1,
       SparkSession.active.sparkContext.hadoopConfiguration)
   }
 
@@ -607,7 +607,7 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
     // so they report no estimate rather than a wrong one.
     val rows: Option[Long] =
       if (region.nonEmpty || limit.nonEmpty) None
-      else GraftScan.faiRowCount(table.format,
+      else GraftScan.indexRowCount(table.format,
         prunePartitions(table.listing._1, table.listing._2),
         SparkSession.active.sparkContext.hadoopConfiguration)
     new Statistics {
@@ -680,19 +680,29 @@ object GraftScan {
   private val faiCountCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
 
-  private[sources] def faiRowCount(format: GraftFormat,
+  private[sources] def indexRowCount(format: GraftFormat,
       files: Seq[(FileStatus, Array[String])],
       conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
-    if (format.shortName != "fasta" || files.isEmpty) return None
+    if (files.isEmpty) return None
+    // Exact per-file record counts from index siblings: .fai line counts
+    // for FASTA; .bai metadata pseudo-bins (the `samtools idxstats`
+    // numbers) for BAM. Any file without a trustworthy index degrades the
+    // whole answer to None — the scan then reads data, never estimates.
+    val perFile: FileStatus => Option[Long] = format.shortName match {
+      case "fasta" => st =>
+        if (Codecs.isCompressed(st.getPath.getName)) None
+        else FaiIndex.countEntries(st.getPath.getFileSystem(conf), st.getPath)
+      case "bam" => st => BaiIndex.recordCount(st.getPath, conf)
+      case _ => return None
+    }
     var total = 0L
     val it = files.iterator
     while (it.hasNext) {
       val st = it.next()._1
-      if (Codecs.isCompressed(st.getPath.getName)) return None
       val key = (st.getPath.toString, st.getModificationTime, st.getLen)
       var c = faiCountCache.get(key)
       if (c == null) {
-        FaiIndex.countEntries(st.getPath.getFileSystem(conf), st.getPath) match {
+        perFile(st) match {
           case Some(n) =>
             if (faiCountCache.size > 65536) faiCountCache.clear()
             c = java.lang.Long.valueOf(n)

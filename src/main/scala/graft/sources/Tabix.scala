@@ -193,4 +193,57 @@ object BaiIndex {
     }
     Some(TabixIndex(names.toSeq, bins.result(), linear.result()))
   }
+
+  /** Total record count from `.bai` metadata: per-reference pseudo-bin
+    * 37450 carries (n_mapped, n_unmapped) in its second chunk — exactly
+    * what `samtools idxstats` reads — and the index tail carries the
+    * placed-nowhere count as a trailing u64 (SAMv1 spec §5.2). Returns
+    * None unless every reference that has bins also carries the
+    * pseudo-bin AND the trailing n_no_coor is present: older indexers
+    * omitted both, and without them a metadata count would silently
+    * miss reads. Count answers never fall back to guessing — a None
+    * here just means the scan reads the data.
+    */
+  def recordCount(bamPath: Path, conf: Configuration): Option[Long] = {
+    val bai = new Path(bamPath.getParent, bamPath.getName + ".bai")
+    val fs = bai.getFileSystem(conf)
+    if (!fs.exists(bai)) return None
+    val in = fs.open(bai)
+    val bytes = try in.readAllBytes() finally in.close()
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (b.remaining() < 8) return None
+    val magic = new Array[Byte](4); b.get(magic)
+    if (new String(magic, 0, 3) != "BAI") return None
+    val nRef = b.getInt
+    var total = 0L
+    var i = 0
+    while (i < nRef) {
+      val nBin = b.getInt
+      var sawPseudo = false
+      var j = 0
+      while (j < nBin) {
+        val bin = b.getInt
+        val nChunk = b.getInt
+        if (bin == 37450 && nChunk >= 2) {
+          b.getLong; b.getLong // virtual span of this reference
+          total += b.getLong   // n_mapped
+          total += b.getLong   // n_unmapped
+          var k = 2
+          while (k < nChunk) { b.getLong; b.getLong; k += 1 }
+          sawPseudo = true
+        } else {
+          var k = 0
+          while (k < nChunk) { b.getLong; b.getLong; k += 1 }
+        }
+        j += 1
+      }
+      if (nBin > 0 && !sawPseudo) return None
+      val nIntv = b.getInt
+      b.position(b.position() + 8 * nIntv)
+      i += 1
+    }
+    if (b.remaining() < 8) return None
+    total += b.getLong // n_no_coor
+    Some(total)
+  }
 }

@@ -193,4 +193,31 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!filtered.queryExecution.executedPlan.toString.contains("GraftCountScan"))
     assert(real >= 0) // silence unused warning; fixture sanity
   }
+
+  test("count(*) on an indexed BAM is answered from .bai pseudo-bin metadata") {
+    val fx = "/root/reference/exon/exon-core/test-data/datasources"
+    val df = spark.read.format("bam").load(s"$fx/bam/test.bam")
+    val agg = df.groupBy().count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCountScan"), plan)
+    // metadata answer must equal a real scan of the same file
+    assert(agg.head().getLong(0) == df.collect().length.toLong)
+    // a region-optioned read must NOT use the metadata path
+    val regioned = spark.read.format("bam").option("region", "chr1")
+      .load(s"$fx/bam/test.bam").groupBy().count()
+    assert(!regioned.queryExecution.executedPlan.toString.contains("GraftCountScan"))
+  }
+
+  test("l23 salted top-k: phase-1 window shuffles on (lang, salt), not lang alone") {
+    val df = graft.queries.LlmQueries.queries("l23_salted_topk")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // two window phases, and the first exchange keys include the salt so a
+    // dominant language cannot collapse into a single task
+    assert("Window".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("salt"), plan)
+    val firstExchange = plan.linesIterator
+      .find(l => l.contains("hashpartitioning") && l.contains("salt"))
+    assert(firstExchange.isDefined, s"no salt-keyed exchange:\n$plan")
+  }
 }
