@@ -188,6 +188,28 @@ object Bench {
       }
     } catch { case e: Throwable => recordErr("gen_vcfidx_corpus", e) }
 
+    // b09 corpus: the same indexed VCF served over live HTTP through the
+    // from-scratch S3 FileSystem with SigV4 signing — the baseline's
+    // "region query over an object store" shape (exon-bam-s3-query,
+    // src/main.rs:188-218) without external jars: index fetch + BGZF chunk
+    // reads become signed ranged GETs against an in-process MiniS3.
+    var miniS3: graft.tools.MiniS3 = null
+    try {
+      miniS3 = new graft.tools.MiniS3()
+        .withAuth("graft-bench-access", "graft-bench-secret").start()
+      miniS3.put("graft-bench", "bench.vcf.gz",
+        java.nio.file.Files.readAllBytes(vcfFile.toPath))
+      miniS3.put("graft-bench", "bench.vcf.gz.tbi",
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(vcfDir, "bench.vcf.gz.tbi")))
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3.impl", classOf[graft.sources.s3.S3HttpFileSystem].getName)
+      hc.set("fs.s3.endpoint", miniS3.endpoint)
+      hc.set("fs.s3.impl.disable.cache", "true")
+      hc.set("fs.s3.access.key", "graft-bench-access")
+      hc.set("fs.s3.secret.key", "graft-bench-secret")
+    } catch { case e: Throwable => recordErr("gen_s3_corpus", e) }
+
     // b07 corpus: the b02 corpus replicated 6x (~3.6M records, still 8
     // files) so per-worker scan time dominates fixed job overhead in the
     // workers-N sweep, matching the baseline sweep's seconds-long @1 shape.
@@ -240,7 +262,12 @@ object Bench {
       // Narrow region on the 2M-row tabix-indexed VCF — .tbi chunk seeks.
       "b08_vcf_tabix_region" -> (() =>
         spark.read.format("vcf").option("region", "chr20:3000000-3030000")
-          .load(vcfFile.getAbsolutePath).count())
+          .load(vcfFile.getAbsolutePath).count()),
+      // Same region query with the corpus behind an S3 endpoint: .tbi
+      // fetch + chunk seeks become SigV4-signed ranged GETs over HTTP.
+      "b09_vcf_tabix_region_s3" -> (() =>
+        spark.read.format("vcf").option("region", "chr20:3000000-3030000")
+          .load("s3://graft-bench/bench.vcf.gz").count())
     )
 
     val queries = SparkEntry.queries
@@ -372,6 +399,10 @@ object Bench {
         results = results :+ (name -> t.value)
       } catch { case e: Throwable => recordErr(name, e); results = results :+ (name -> -1.0) }
     }
+
+    // The MiniS3 executor pool is non-daemon: stop it as soon as the last
+    // S3-backed entry has been timed or the JVM never exits.
+    if (miniS3 != null) { try miniS3.stop() catch { case _: Throwable => () } }
 
     // ----------------------------------------------------------------------
     // PHASE 5 — b07: parallel-scan scaling curve, mirroring the baseline's

@@ -56,12 +56,22 @@ final class MiniS3 {
   def start(): MiniS3 = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", handle _)
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // Daemon threads: a forgotten stop() must never pin the host JVM open
+    // (HttpServer.stop does not shut down a user-supplied executor).
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      r => { val t = new Thread(r, "minis3-handler"); t.setDaemon(true); t }))
     server.start()
     this
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = if (server != null) {
+    val ex = server.getExecutor
+    server.stop(0)
+    ex match {
+      case e: java.util.concurrent.ExecutorService => e.shutdownNow()
+      case _ =>
+    }
+  }
 
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
