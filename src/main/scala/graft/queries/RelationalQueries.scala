@@ -461,6 +461,61 @@ object RelationalQueries {
         .groupBy(col("p_brand"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
+
+    // Pure range join (no equi key): each purchase joined to all clicks in
+    // the strictly-preceding hour, across ALL users. Spark's planner can
+    // only express `c.ts BETWEEN p.ts - 1h AND p.ts` as a broadcast-
+    // nested-loop O(n*m); banding by the window width W turns it into a
+    // keyed equi-join — every click lands in band ts div W, every probe
+    // window [p-W, p) spans exactly bands (p div W - 1, p div W), so the
+    // probe side is replicated 2x and joined on band, with the exact range
+    // check as a post-join filter. One shuffle, per-task work proportional
+    // to band population (band width = window width bounds replication at
+    // 2x regardless of data volume; sub-salt a hot band if event time is
+    // heavily clustered). PlanAuditSpec asserts no nested-loop join
+    // survives in the physical plan.
+    "q41_range_join_banded" -> ((s, d) => {
+      val W = 3600000000L // 1 hour in microseconds = band width
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("pus"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("cus"), col("value"))
+        .withColumn("band", expr(s"cus div $W"))
+      purchases
+        .withColumn("band",
+          explode(array(expr(s"pus div $W - 1"), expr(s"pus div $W"))))
+        .join(clicks, "band")
+        .filter(col("cus") >= col("pus") - W && col("cus") < col("pus"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum(col("value")), 2).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // As-of join (latest click strictly before each purchase, per user)
+    // with ZERO joins: union both event kinds, one shuffle on user_id, and
+    // a range-frame window carries the latest prior click's timestamp
+    // forward (rangeBetween excludes same-instant rows, so the strict
+    // `c.ts < p.ts` semantics match DuckDB's native ASOF JOIN oracle
+    // exactly). The pairwise-join formulation would shuffle clicks AND
+    // purchases into a join then re-aggregate to pick the max — this shape
+    // touches each row once and scales with |events|, not |pairs|.
+    "q42_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      ev
+        .withColumn("click_us",
+          last(when(col("event_type") === "click", col("us")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("click_us").isNotNull)
+        .select(col("event_id"), (col("us") - col("click_us")).as("gap_us"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -773,6 +828,23 @@ object RelationalQueries {
         |WHERE l_suppkey NOT IN (
         |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
         |GROUP BY p_brand, p_size
-        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q41_range_join_banded" ->
+      """SELECT p.event_id, count(*) AS n_clicks,
+        |  round(sum(c.value), 2) AS click_value
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(c.ts) < epoch_us(p.ts)
+        |GROUP BY p.event_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q42_asof_join" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+        |ORDER BY p.event_id""".stripMargin
   )
 }

@@ -208,6 +208,14 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!regioned.queryExecution.executedPlan.toString.contains("GraftCountScan"))
   }
 
+  test("q41 banded range join: keyed equi-join on band, no nested-loop join") {
+    val df = graft.queries.RelationalQueries.queries("q41_range_join_banded")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("band"), plan)
+  }
+
   test("l23 salted top-k: phase-1 window shuffles on (lang, salt), not lang alone") {
     val df = graft.queries.LlmQueries.queries("l23_salted_topk")(
       spark, "/root/testdata/sf0.001")
