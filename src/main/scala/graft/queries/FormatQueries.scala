@@ -272,6 +272,36 @@ object FormatQueries {
       agg.select(col("count").as("n"))
     }),
 
+    // BAM through the indexed sink (beyond reference — its COPY is
+    // text-only): the htslib-produced fixture re-written as sharded
+    // bgzf BAM + per-part .bai by the engine itself, then (a) read back
+    // with zero row-level diff vs the original, (b) region-queried
+    // through its own .bai, and (c) count(*)-answered from its own
+    // .bai metadata pseudo-bins — the gate refuses to grade unless the
+    // plan chose GraftCountScan.
+    "f40_bam_write_indexed" -> ((s, _) => {
+      val dir = gateDir("bam_sink").getAbsolutePath
+      val out = s"$dir/t"
+      s.read.format("bam").load(s"$fx/bam/test.bam")
+        .repartitionByRange(2, col("reference"), col("start"))
+        .sortWithinPartitions(col("reference").asc_nulls_last,
+          col("start").asc_nulls_last)
+        .write.format("bam").mode("overwrite")
+        .option("headerFrom", s"$fx/bam/test.bam").save(out)
+      val back = s.read.format("bam").load(out)
+      val orig = s.read.format("bam").load(s"$fx/bam/test.bam")
+      val full = back.agg(count(lit(1)).as("n_full"))
+      val diff = back.exceptAll(orig).agg(count(lit(1)).as("n_diff"))
+      val reg = s.read.format("bam").option("region", "chr1:1-12209145")
+        .load(out).agg(count(lit(1)).as("n_region"))
+      val meta = s.read.format("bam").load(out).groupBy().count()
+      val plan = meta.queryExecution.executedPlan.toString
+      require(plan.contains("GraftCountScan"),
+        s"count(*) was not answered from the sink's own .bai metadata:\n$plan")
+      full.crossJoin(diff).crossJoin(reg)
+        .crossJoin(meta.select(col("count").as("n_meta")))
+    }),
+
     // Dirty-attribute GFF round trip: reserved characters (';' '=' ',' '%')
     // plus literal tab/newline inside attribute values must survive
     // write -> percent-encode -> parse -> decode without corrupting record
@@ -657,6 +687,12 @@ object FormatQueries {
     // full-scan count)
     "f39_bam_count_pushdown" ->
       "SELECT CAST(61 AS BIGINT) AS n",
+
+    // fixture constants: 61 records total (f19), 7 in chr1:1-12209145 (f20),
+    // zero row-level diff after the sink round trip, metadata count = total
+    "f40_bam_write_indexed" ->
+      """SELECT CAST(61 AS BIGINT) AS n_full, CAST(0 AS BIGINT) AS n_diff,
+        |  CAST(7 AS BIGINT) AS n_region, CAST(61 AS BIGINT) AS n_meta""".stripMargin,
 
     "f38_gff_dirty_attrs" ->
       """SELECT * FROM (VALUES

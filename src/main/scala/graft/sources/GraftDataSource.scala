@@ -273,7 +273,7 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
   override def schema(): StructType =
     StructType(resolvedDataSchema.fields ++ partitionSchema.fields)
   override def capabilities(): java.util.Set[TableCapability] = format match {
-    case _: WritableGraftFormat => java.util.EnumSet.of(
+    case _: WritableGraftFormat | formats.BamFormat => java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     case _ => java.util.EnumSet.of(
@@ -290,6 +290,9 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
     case w: WritableGraftFormat =>
       val writeOpts = info.options().asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
       new GraftWriteBuilder(this, w, info, this.options ++ writeOpts)
+    case formats.BamFormat =>
+      val writeOpts = info.options().asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
+      new BamWriteBuilder(this, info, this.options ++ writeOpts)
     case _ => throw new UnsupportedOperationException(
       s"${format.shortName} does not support writes")
   }

@@ -93,16 +93,22 @@ final class GraftBatchWrite(format: WritableGraftFormat, dir: String, schema: St
   // task would lose its in-flight files): set
   // spark.hadoop.graft.write.orphanTempTtlMs to a duration safely above
   // the longest job you run concurrently against the directory.
-  override def commit(messages: Array[WriterCommitMessage]): Unit = cleanTemp()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanTemp()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteTemp.clean(dir, jobId, conf.value)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteTemp.clean(dir, jobId, conf.value)
+}
 
-  private def cleanTemp(): Unit = {
+/** Job-temp cleanup shared by every graft sink (text and BAM). */
+object GraftWriteTemp {
+  def clean(dir: String, jobId: String,
+            conf: org.apache.hadoop.conf.Configuration): Unit = {
     val parent = new Path(dir, "_temporary")
     val tmp = new Path(parent, jobId)
-    val fs = tmp.getFileSystem(conf.value)
+    val fs = tmp.getFileSystem(conf)
     try {
       fs.delete(tmp, true)
-      val ttl = conf.value.getLong("graft.write.orphanTempTtlMs", -1L)
+      val ttl = conf.getLong("graft.write.orphanTempTtlMs", -1L)
       if (ttl > 0) {
         val cutoff = System.currentTimeMillis() - ttl
         fs.listStatus(parent).foreach { st =>
