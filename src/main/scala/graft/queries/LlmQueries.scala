@@ -338,6 +338,7 @@ object LlmQueries {
     // Multimodal plumbing: binary payload column + batched per-partition
     // "decode" (a deterministic stub standing in for a real image decoder —
     // the schema, partitioning and batch shape are the real thing).
+
     "l10_multimodal_stub" -> ((s, d) => {
       import s.implicits._
       val ds = documents(s, d)
@@ -493,6 +494,79 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // Semantic dedup (SemDeDup shape: k-means the embedding space, prune
+    // high-cosine pairs WITHIN each cluster — the pairwise work drops from
+    // O(n²) to O(Σ cluster²) and every stage is keyed, never cartesian).
+    // Distributed Lloyd's: centroids are tiny (K×dim) so assignment is a
+    // broadcast join + argmax window; the update is one exploded
+    // groupBy(cid, pos) SUM with map-side partial aggregation; the driver
+    // only ever touches K×dim numbers. At 100 TB, K grows ∝ n (the paper
+    // uses sqrt-ish K to cap cluster size) and the per-iteration plan is
+    // unchanged. Everything runs in fixed-point: vectors are unit-normalized
+    // then quantized to a 1e-6 integer grid, so distributed sums are exact
+    // longs — bit-identical results under any partitioning, pinned by
+    // tools/pin_l25.py (independent Python reimplementation).
+    "l25_semantic_dedup" -> ((s, d) => {
+      val K = 8
+      val iters = 4
+      val tau = 0.4
+      // quantized unit vector: q_i = floor(x_i / ||x|| * 1e6 + 0.5)
+      val norm = sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x))
+      val emb = embeddings(s, d)
+        .withColumn("q", transform(col("embedding"),
+          x => floor(x.cast("double") / norm * 1e6 + 0.5)))
+        .select(col("vec_id"), col("q"))
+      def dotq(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+      import s.implicits._
+      var cents: Array[(Int, Seq[Long])] = emb.filter(col("vec_id") < K)
+        .orderBy("vec_id").collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }
+      def assign(cdf: DataFrame): DataFrame = {
+        val aw = Window.partitionBy(col("vec_id"))
+          .orderBy(dotq(col("cvec"), col("q")).desc, col("cid"))
+        emb.join(broadcast(cdf))
+          .withColumn("rn", row_number().over(aw))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("q"), col("cid"))
+      }
+      (1 to iters).foreach { _ =>
+        val sums = assign(cents.toSeq.toDF("cid", "cvec"))
+          .select(col("cid"), posexplode(col("q")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byCid = sums.groupBy(_.getInt(0))
+        cents = cents.map { case (cid, old) =>
+          byCid.get(cid) match {
+            case None => (cid, old) // empty cluster keeps its centroid
+            case Some(rows) =>
+              val n = rows.head.getLong(3)
+              val mean = new Array[Double](old.length)
+              rows.foreach(r => mean(r.getInt(1)) = r.getLong(2).toDouble / n)
+              var m2 = 0.0
+              var i = 0
+              while (i < mean.length) { m2 += mean(i) * mean(i); i += 1 }
+              val mnorm = math.sqrt(m2)
+              (cid, mean.toSeq.map(v => math.floor(v / mnorm * 1e6 + 0.5).toLong))
+          }
+        }
+      }
+      val a = assign(cents.toSeq.toDF("cid", "cvec"))
+      a.alias("a").join(a.alias("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("score_raw", dotq(col("a.q"), col("b.q")) / lit(1e12))
+        .filter(col("score_raw") >= tau)
+        .groupBy(col("b.vec_id").as("vec_id"))
+        .agg(min(struct(col("a.vec_id").as("dup_of"), col("score_raw"))).as("m"))
+        .select(col("vec_id"), col("m.dup_of").as("dup_of"),
+          round(col("m.score_raw"), 4).as("score"))
+        .orderBy(col("vec_id"))
     }),
 
     // Deterministic stratified sampling (training-mix ratios): keep a
@@ -1259,6 +1333,40 @@ object LlmQueries {
         |  CAST(sum(sampled) AS BIGINT) AS sum_sampled,
         |  CAST(sum(feat) AS BIGINT) AS sum_feat
         |FROM r""".stripMargin,
+
+    // pinned by tools/pin_l25.py (independent Python fixed-point k-means +
+    // within-cluster cosine reimplementation; bit-exact by construction)
+    "l25_semantic_dedup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(142 AS BIGINT), CAST(108 AS BIGINT), CAST(0.4372 AS DOUBLE)),
+        |  (CAST(152 AS BIGINT), CAST(150 AS BIGINT), CAST(0.4183 AS DOUBLE)),
+        |  (CAST(190 AS BIGINT), CAST(84 AS BIGINT), CAST(0.4124 AS DOUBLE)),
+        |  (CAST(232 AS BIGINT), CAST(108 AS BIGINT), CAST(0.4068 AS DOUBLE)),
+        |  (CAST(234 AS BIGINT), CAST(53 AS BIGINT), CAST(0.4005 AS DOUBLE)),
+        |  (CAST(245 AS BIGINT), CAST(202 AS BIGINT), CAST(0.41 AS DOUBLE)),
+        |  (CAST(256 AS BIGINT), CAST(75 AS BIGINT), CAST(0.4563 AS DOUBLE)),
+        |  (CAST(287 AS BIGINT), CAST(238 AS BIGINT), CAST(0.4516 AS DOUBLE)),
+        |  (CAST(301 AS BIGINT), CAST(44 AS BIGINT), CAST(0.4597 AS DOUBLE)),
+        |  (CAST(324 AS BIGINT), CAST(166 AS BIGINT), CAST(0.474 AS DOUBLE)),
+        |  (CAST(325 AS BIGINT), CAST(290 AS BIGINT), CAST(0.4588 AS DOUBLE)),
+        |  (CAST(326 AS BIGINT), CAST(207 AS BIGINT), CAST(0.4168 AS DOUBLE)),
+        |  (CAST(331 AS BIGINT), CAST(290 AS BIGINT), CAST(0.4129 AS DOUBLE)),
+        |  (CAST(340 AS BIGINT), CAST(7 AS BIGINT), CAST(0.4928 AS DOUBLE)),
+        |  (CAST(351 AS BIGINT), CAST(35 AS BIGINT), CAST(0.4065 AS DOUBLE)),
+        |  (CAST(388 AS BIGINT), CAST(387 AS BIGINT), CAST(0.4666 AS DOUBLE)),
+        |  (CAST(402 AS BIGINT), CAST(16 AS BIGINT), CAST(0.4463 AS DOUBLE)),
+        |  (CAST(406 AS BIGINT), CAST(338 AS BIGINT), CAST(0.4827 AS DOUBLE)),
+        |  (CAST(414 AS BIGINT), CAST(203 AS BIGINT), CAST(0.4098 AS DOUBLE)),
+        |  (CAST(417 AS BIGINT), CAST(355 AS BIGINT), CAST(0.4007 AS DOUBLE)),
+        |  (CAST(421 AS BIGINT), CAST(120 AS BIGINT), CAST(0.4104 AS DOUBLE)),
+        |  (CAST(425 AS BIGINT), CAST(7 AS BIGINT), CAST(0.4075 AS DOUBLE)),
+        |  (CAST(430 AS BIGINT), CAST(53 AS BIGINT), CAST(0.4079 AS DOUBLE)),
+        |  (CAST(438 AS BIGINT), CAST(156 AS BIGINT), CAST(0.4749 AS DOUBLE)),
+        |  (CAST(440 AS BIGINT), CAST(172 AS BIGINT), CAST(0.4315 AS DOUBLE)),
+        |  (CAST(466 AS BIGINT), CAST(169 AS BIGINT), CAST(0.5128 AS DOUBLE)),
+        |  (CAST(485 AS BIGINT), CAST(205 AS BIGINT), CAST(0.4074 AS DOUBLE)))
+        |t(vec_id, dup_of, score)
+        |ORDER BY vec_id""".stripMargin,
 
     "l10_multimodal_stub" ->
       """SELECT count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,

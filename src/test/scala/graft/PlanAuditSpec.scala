@@ -216,6 +216,17 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("band"), plan)
   }
 
+  test("l25 semantic dedup: pair join is keyed on cluster id, never cartesian") {
+    val df = graft.queries.LlmQueries.queries("l25_semantic_dedup")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the n x K assignment join broadcasts the centroids; the final pair
+    // join must be a keyed equi-join on cid
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("cid"), plan)
+  }
+
   test("l23 salted top-k: phase-1 window shuffles on (lang, salt), not lang alone") {
     val df = graft.queries.LlmQueries.queries("l23_salted_topk")(
       spark, "/root/testdata/sf0.001")
