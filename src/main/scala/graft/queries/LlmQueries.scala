@@ -569,6 +569,115 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // PII redaction — the scrub pass every released corpus runs (emails,
+    // phone numbers, IPs -> placeholder tokens). The synthetic corpus has
+    // no natural PII, so the gate deterministically injects some first
+    // (keyed off doc_id, reproduced verbatim in the DuckDB oracle) and then
+    // proves the redaction kernel removes exactly what was planted. Scale
+    // shape: injection + three regexp_replace/regexp_count passes are a
+    // pure codegen'd map — zero shuffles before the per-lang aggregate;
+    // the same plan at 100 TB is embarrassingly parallel.
+    "l26_pii_redaction" -> ((s, d) => {
+      val injected = documents(s, d).withColumn("t",
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-"),
+              (lit(1000L) + col("doc_id") % 9000L).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10."), (col("doc_id") % 256L).cast("string"),
+              lit("."), (col("doc_id") % 256L).cast("string"),
+              lit("."), (col("doc_id") % 100L).cast("string")))
+            .otherwise(lit(""))))
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\b555-[0-9]{4}\\b"
+      val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      injected
+        .withColumn("n_email", regexp_count(col("t"), lit(emailRe)))
+        .withColumn("n_phone", regexp_count(col("t"), lit(phoneRe)))
+        .withColumn("n_ip", regexp_count(col("t"), lit(ipRe)))
+        .withColumn("red",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"),
+            ipRe, "<IP>"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("n_emails"),
+          sum(col("n_phone")).as("n_phones"),
+          sum(col("n_ip")).as("n_ips"),
+          sum(length(col("t")) - length(col("red"))).as("chars_removed"))
+        .orderBy(col("lang"))
+    }),
+
+    // Sequence packing (concat-and-chunk): lay every document's tokens out
+    // on one global tape in doc_id order and cut it into fixed 512-token
+    // training windows; each doc reports the window its first token lands
+    // in. The naive plan is a single global cumulative-sum window — one
+    // task sorts the whole corpus. This implementation is the two-level
+    // distributed prefix sum: (1) per-block token totals (one map-side-
+    // combinable aggregate over blocks of 64 docs — at 100 TB pick 1e5-doc
+    // blocks and the block table is ~1e4 rows for 1e9 docs), (2) the
+    // cumulative window runs over that tiny block table only, (3) block
+    // start offsets broadcast back and a PARALLEL per-block window
+    // (partitionBy block) finishes the prefix sum. Identical answers to
+    // the naive window (the DuckDB oracle IS the naive window), but no
+    // stage ever funnels the corpus through one task.
+    "l27_sequence_packing" -> ((s, d) => {
+      val budget = 512L
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("block", (col("doc_id") / 64L).cast("long"))
+      val blockW = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blockOffsets = toks.groupBy(col("block"))
+        .agg(sum(col("tokens")).as("btokens"))
+        .withColumn("block_off", sum(col("btokens")).over(blockW) - col("btokens"))
+        .select(col("block"), col("block_off"))
+      val inW = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.join(broadcast(blockOffsets), Seq("block"))
+        .withColumn("start",
+          col("block_off") + sum(col("tokens")).over(inW) - col("tokens"))
+        .withColumn("seq_id", expr(s"start div $budget"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+          sum(col("tokens")).as("sum_tokens"))
+        .orderBy(col("seq_id"))
+    }),
+
+    // Keyword extraction (tokenizer-prep / corpus indexing shape): per-doc
+    // top-3 salient words ranked by (tf desc, df asc, word) — the integer
+    // TF-IDF ordering (high in-doc frequency, rare across docs), with the
+    // lexicographic tiebreak making ranks exact in both engines. Scale
+    // shape: explode -> one (doc, word) aggregate (map-side combine), df
+    // is a vocabulary-sized aggregate broadcast back, and the top-3 window
+    // partitions BY DOC — thousands of parallel tiny sorts, never a global
+    // one. Output is the vocabulary-bounded keyword histogram.
+    "l28_keyword_extract" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("word").asc)
+      tf.join(broadcast(df), Seq("word"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_docs_keyword"), sum(col("tf")).as("sum_tf"))
+        .orderBy(col("word"))
+    }),
+
     // Deterministic stratified sampling (training-mix ratios): keep a
     // per-language permille of documents chosen by an arithmetic hash of
     // doc_id — reproducible across engines and runs (unlike rng-based
@@ -1367,6 +1476,65 @@ object LlmQueries {
         |  (CAST(485 AS BIGINT), CAST(205 AS BIGINT), CAST(0.4074 AS DOUBLE)))
         |t(vec_id, dup_of, score)
         |ORDER BY vec_id""".stripMargin,
+
+    // injection reproduced verbatim; DuckDB regexp_replace needs the 'g'
+    // flag to match Spark's replace-all semantics
+    "l26_pii_redaction" ->
+      """WITH inj AS (
+        |  SELECT lang,
+        |    text
+        |      || CASE WHEN doc_id % 3 = 0
+        |           THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0
+        |           THEN ' call 555-' || (1000 + doc_id % 9000) ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0
+        |           THEN ' from 10.' || (doc_id % 256) || '.' || (doc_id % 256)
+        |                || '.' || (doc_id % 100) ELSE '' END AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT lang, t,
+        |    len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS n_phone,
+        |    len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS red
+        |  FROM inj)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
+        |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
+        |  CAST(sum(len(t) - len(red)) AS BIGINT) AS chars_removed
+        |FROM red GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the oracle IS the naive single-window plan the implementation avoids
+    "l27_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tokens,
+        |    sum(tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS start
+        |  FROM t)
+        |SELECT CAST(start // 512 AS BIGINT) AS seq_id, count(*) AS n_docs,
+        |  min(doc_id) AS first_doc, CAST(sum(tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l28_keyword_extract" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.word ASC) AS rk
+        |  FROM tf JOIN df USING (word))
+        |SELECT word, count(*) AS n_docs_keyword, CAST(sum(tf) AS BIGINT) AS sum_tf
+        |FROM r WHERE rk <= 3 GROUP BY word ORDER BY word""".stripMargin,
 
     "l10_multimodal_stub" ->
       """SELECT count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,

@@ -227,6 +227,31 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("cid"), plan)
   }
 
+  test("l27 sequence packing: corpus-side window is partitioned by block") {
+    val df = graft.queries.LlmQueries.queries("l27_sequence_packing")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-doc prefix sum must run under partitionBy(block) — parallel
+    // tiny sorts; the only unpartitioned window is over the block TOTALS
+    // (one row per 64 docs), and block offsets broadcast back
+    val docWindow = plan.linesIterator.find(l =>
+      l.contains("Window") && l.contains("doc_id") && l.contains("ASC"))
+    assert(docWindow.isDefined, plan)
+    assert(docWindow.get.contains("block"), s"corpus window not block-keyed:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("l28 keyword extract: vocabulary df broadcasts; top-k window keyed by doc") {
+    val df = graft.queries.LlmQueries.queries("l28_keyword_extract")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    val topkWindow = plan.linesIterator.find(l =>
+      l.contains("Window") && l.contains("row_number"))
+    assert(topkWindow.isDefined && topkWindow.get.contains("doc_id"),
+      s"top-k window not doc-keyed:\n$plan")
+  }
+
   test("l23 salted top-k: phase-1 window shuffles on (lang, salt), not lang alone") {
     val df = graft.queries.LlmQueries.queries("l23_salted_topk")(
       spark, "/root/testdata/sf0.001")
