@@ -516,6 +516,69 @@ object RelationalQueries {
         .filter(col("event_type") === "purchase" && col("click_us").isNotNull)
         .select(col("event_id"), (col("us") - col("click_us")).as("gap_us"))
         .orderBy(col("event_id"))
+    }),
+
+    // Pivot (wide-table reshaping): daily event counts, one column per event
+    // type. The EXPLICIT value list matters at scale: without it Spark first
+    // runs a distinct-values discovery job over the full input; with it the
+    // whole pivot is one map-side-combinable aggregate — a single shuffle of
+    // (day -> 5 counters), never the raw events.
+    "q43_pivot_events" -> ((s, d) => {
+      events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("day"), col("click").as("n_click"), col("error").as("n_error"),
+          col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+          col("view").as("n_view"))
+        .orderBy(col("day"))
+    }),
+
+    // Grouping sets (non-hierarchical multi-aggregate): per-returnflag AND
+    // per-linestatus AND grand totals in ONE pass — Catalyst's Expand feeds
+    // all three groupings through a single map-side-combinable shuffle,
+    // where three separate aggregates would scan lineitem three times.
+    // Cents-exact like q07 (double rounding at the 2-decimal boundary
+    // diverges between engines on groups this large).
+    "q44_grouping_sets" -> ((s, d) => {
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg((round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")), 2) * 100).cast("long").as("revenue_cents"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("revenue_cents"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // Bloom semi-join pruning — the 100 TB join pattern when the build side
+    // is too big to broadcast but its KEY SET still fits a sketch: one
+    // aggregate builds a bloom filter over the build keys (~1.2 MB per 1M
+    // keys at 1% fpp), it broadcasts, and probe rows drop BEFORE the shuffle
+    // join. False positives are eliminated by the exact join that follows,
+    // so the answer is identical to the plain join (the oracle IS the plain
+    // join) — the bloom only cuts the probe side's shuffle volume. Spark's
+    // own runtime bloom injection does this adaptively; the explicit form
+    // works when the build side comes from outside the query (e.g. an
+    // allowlist computed by an earlier pipeline stage).
+    "q45_bloom_semijoin_prune" -> ((s, d) => {
+      val bigOrders = orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val bfB = s.sparkContext.broadcast(
+        bigOrders.stat.bloomFilter("o_orderkey", 100000L, 0.01))
+      val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+      lineitem(s, d)
+        .filter(mightContain(col("l_orderkey")))
+        .join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg((round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")), 2) * 100).cast("long").as("revenue_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -845,6 +908,36 @@ object RelationalQueries {
         |     c AS (SELECT * FROM events WHERE event_type = 'click')
         |SELECT p.event_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q43_pivot_events" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'error') AS n_error,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (event_type = 'view') AS n_view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q44_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS revenue_cents,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    // plain join: bloom false positives are removed by the exact join, so
+    // the pruned plan must produce byte-identical results to this
+    "q45_bloom_semijoin_prune" ->
+      """SELECT o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS revenue_cents,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

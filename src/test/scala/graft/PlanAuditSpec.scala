@@ -216,6 +216,26 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("band"), plan)
   }
 
+  test("q44 grouping sets: one Expand-fed aggregate, not three scans") {
+    val df = graft.queries.RelationalQueries.queries("q44_grouping_sets")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    // all three groupings share a single parquet scan
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q45 bloom prune: probe-side filter sits below the join") {
+    val df = graft.queries.RelationalQueries.queries("q45_bloom_semijoin_prune")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val joinAt = plan.linesIterator.indexWhere(_.contains("Join"))
+    val bloomAt = plan.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("UDF"))
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      s"bloom filter not below the join (join@$joinAt bloom@$bloomAt):\n$plan")
+  }
+
   test("l25 semantic dedup: pair join is keyed on cluster id, never cartesian") {
     val df = graft.queries.LlmQueries.queries("l25_semantic_dedup")(
       spark, "/root/testdata/sf0.001")
