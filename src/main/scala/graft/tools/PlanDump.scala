@@ -90,7 +90,26 @@ object PlanDump {
           "ColumnarBatch and Spark inserts codegen'd ColumnarToRow; " +
           "string projections deliberately keep the row path.",
         () => spark.read.format("vcf").load(s"$fx/vcf/index.vcf")
-          .select("pos"))
+          .select("pos")),
+      ("q44_grouping_sets",
+        "Three groupings (per-returnflag, per-linestatus, grand total) " +
+          "through ONE Expand-fed shuffle — a single parquet scan, not three.",
+        () => graft.queries.RelationalQueries.queries("q44_grouping_sets")(spark, d)),
+      ("q45_bloom_semijoin_prune",
+        "Build-side key bloom broadcasts and filters the probe BELOW the " +
+          "join: pruned rows never reach the exchange; the exact join " +
+          "removes false positives so results equal the plain join.",
+        () => graft.queries.RelationalQueries.queries("q45_bloom_semijoin_prune")(spark, d)),
+      ("l27_sequence_packing",
+        "Two-level distributed prefix sum: the only unpartitioned window " +
+          "runs over per-block totals (one row per 64 docs); the per-doc " +
+          "window is partitionBy(block) — parallel tiny sorts.",
+        () => graft.queries.LlmQueries.queries("l27_sequence_packing")(spark, d)),
+      ("l25_semantic_dedup",
+        "SemDeDup: centroid assignment is a broadcast join; the pair join " +
+          "is keyed on cluster id — pairwise work O(sum cluster^2), never " +
+          "cartesian.",
+        () => graft.queries.LlmQueries.queries("l25_semantic_dedup")(spark, d))
     )
 
     val sb = new StringBuilder
