@@ -11,6 +11,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 final case class DocEvent(doc_id: Long, hash: String, ts: Timestamp)
 
+/** One user interaction on a stream, for gap-based sessionization. */
+final case class UserEvent(user_id: Long, ts: Timestamp)
+
+/** A closed session: emitted once, when the gap elapses (in-batch) or the
+  * watermark passes session_end + gap (via event-time timeout).
+  */
+final case class ClosedSession(user_id: Long, session_start: Timestamp,
+                               session_end: Timestamp, n_events: Long)
+
+private[streaming] final case class OpenSession(start: Long, end: Long, n: Long)
+
 /** Streaming shapes for a continuously-ingesting training-data pipeline:
   * the batch pack's dedup/quality operators re-expressed over unbounded
   * input with watermarks and explicit state. All state is keyed and
@@ -62,6 +73,62 @@ object StreamingOps {
             state.setTimeoutTimestamp(
               math.max(state.getCurrentWatermarkMs() + 1, state.get + ttlMs))
             first.iterator
+          }
+      }
+  }
+
+  /** Gap-based streaming sessionization — the streaming twin of the batch
+    * q33 query: a session is a maximal run of a user's events with no gap
+    * larger than `gapMs`. Sessions that close INSIDE a micro-batch (a
+    * larger gap between two arriving events) are emitted immediately; the
+    * trailing open session is held in keyed state and emitted by event-time
+    * timeout once the watermark passes its end + gap. State is one
+    * (start, end, n) triple per ACTIVE user — bounded by the watermark, not
+    * by history — so a 1000-executor deployment holds live users only.
+    */
+  def sessionize(events: Dataset[UserEvent], gapMs: Long = 30L * 60 * 1000,
+                 watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid,
+              new Timestamp(s.start), new Timestamp(s.end), s.n))
+          } else {
+            // Fold this batch's events (sorted by event time) into sessions,
+            // closing whenever the gap is exceeded; late events inside the
+            // watermark still merge correctly because the sort is per batch
+            // and the state carries the open session across batches.
+            val sorted = evs.toArray.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open = open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid,
+                    new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // clamp past the watermark: a backfilled key whose end + gap
+              // precedes the current watermark would be an illegal timeout
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, s.end + gapMs))
+            }
+            closed.iterator
           }
       }
   }

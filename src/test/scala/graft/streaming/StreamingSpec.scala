@@ -146,6 +146,36 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got == Seq(("click", 2L), ("view", 1L)), s"got $got")
   }
 
+  test("streaming sessionization: in-batch gaps close immediately, trailing session by timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = StreamingOps.sessionize(in.toDS(), gapMs = 30L * 60000,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // user 1: three events then a 48-min in-batch gap -> first session
+    // (3 events, min 0-2) closes inside the batch
+    in.addData(UserEvent(1, ts(0)), UserEvent(1, ts(1)), UserEvent(1, ts(2)),
+      UserEvent(1, ts(50)))
+    q.processAllAvailable()
+    val afterBatch1 = spark.sql("SELECT count(*) FROM sess_out").head().getLong(0)
+    assert(afterBatch1 == 1, s"in-batch gap must close the first session, got $afterBatch1")
+    // advance the watermark far past min 50 + gap: user 1's trailing open
+    // session must time out and emit (timeouts fire the batch AFTER the
+    // watermark advances, hence two pokes)
+    in.addData(UserEvent(2, ts(200)))
+    q.processAllAvailable()
+    in.addData(UserEvent(2, ts(201)))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT user_id, n_events FROM sess_out ORDER BY session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    q.stop()
+    assert(got.take(2) == Seq((1L, 3L), (1L, 1L)),
+      s"expected user 1's two sessions (3 events, then 1), got $got")
+  }
+
   test("dropDuplicatesWithinWatermark + quality filter compose on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
