@@ -579,6 +579,26 @@ object RelationalQueries {
           .cast("decimal(18,6)")), 2) * 100).cast("long").as("revenue_cents"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Incremental rollup (the 100 TB ETL identity): a daily pre-aggregate is
+    // computed once, persisted, and coarser windows re-aggregate the SMALL
+    // daily table instead of rescanning raw events — valid because counts
+    // and integer cents are monoids (per-row cents fixed BEFORE summing, so
+    // partial sums re-associate exactly; a post-sum rounding would not).
+    // The oracle aggregates raw events directly: daily->monthly must be
+    // byte-identical to straight monthly.
+    "q46_incremental_rollup" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          (round(col("value").cast("decimal(18,6)"), 2) * 100)
+            .cast("long").as("cents"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("value_cents"))
+      daily
+        .groupBy(trunc(col("day"), "MM").as("month"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"))
+        .orderBy(col("month"), col("event_type"))
     })
   )
 
@@ -938,6 +958,16 @@ object RelationalQueries {
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // straight monthly from raw events — the incremental daily->monthly
+    // path must reproduce this exactly
+    "q46_incremental_rollup" ->
+      """SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(CAST(value AS DECIMAL(18,6)), 2) * 100
+        |    AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
   )
 }
