@@ -302,6 +302,25 @@ object FormatQueries {
         .crossJoin(meta.select(col("count").as("n_meta")))
     }),
 
+    // CRAM 3.0 no_ref sink round trip: the BAM fixture written as
+    // reference-less CRAM (RR=false, bases verbatim in feature series) must
+    // read back through the fixture-proven CRAM reader with zero row diffs
+    // and reconstruct every base without a reference FASTA.
+    "f41_cram_write_roundtrip" -> ((s, _) => {
+      val dir = gateDir("cram_sink").getAbsolutePath
+      val out = s"$dir/t"
+      s.read.format("bam").load(s"$fx/bam/test.bam")
+        .repartition(2)
+        .write.format("cram").mode("overwrite")
+        .option("headerFrom", s"$fx/bam/test.bam").save(out)
+      val back = s.read.format("cram").load(out)
+      val orig = s.read.format("bam").load(s"$fx/bam/test.bam")
+      val full = back.agg(count(lit(1)).as("n_full"),
+        sum(length(col("sequence"))).as("sum_seq"))
+      val diff = back.exceptAll(orig).agg(count(lit(1)).as("n_diff"))
+      full.crossJoin(diff)
+    }),
+
     // Dirty-attribute GFF round trip: reserved characters (';' '=' ',' '%')
     // plus literal tab/newline inside attribute values must survive
     // write -> percent-encode -> parse -> decode without corrupting record
@@ -693,6 +712,12 @@ object FormatQueries {
     "f40_bam_write_indexed" ->
       """SELECT CAST(61 AS BIGINT) AS n_full, CAST(0 AS BIGINT) AS n_diff,
         |  CAST(7 AS BIGINT) AS n_region, CAST(61 AS BIGINT) AS n_meta""".stripMargin,
+
+    // 61 fixture records, 4636 bases reconstructed without a reference,
+    // zero row diffs vs the htslib-produced BAM original
+    "f41_cram_write_roundtrip" ->
+      """SELECT CAST(61 AS BIGINT) AS n_full, CAST(4636 AS BIGINT) AS sum_seq,
+        |  CAST(0 AS BIGINT) AS n_diff""".stripMargin,
 
     "f38_gff_dirty_attrs" ->
       """SELECT * FROM (VALUES

@@ -273,9 +273,10 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
   override def schema(): StructType =
     StructType(resolvedDataSchema.fields ++ partitionSchema.fields)
   override def capabilities(): java.util.Set[TableCapability] = format match {
-    case _: WritableGraftFormat | formats.BamFormat => java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    case _: WritableGraftFormat | formats.BamFormat | _: formats.CramFormat =>
+      java.util.EnumSet.of(
+        TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     case _ => java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   }
@@ -293,6 +294,9 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
     case formats.BamFormat =>
       val writeOpts = info.options().asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
       new BamWriteBuilder(this, info, this.options ++ writeOpts)
+    case _: formats.CramFormat =>
+      val writeOpts = info.options().asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
+      new CramWriteBuilder(this, info, this.options ++ writeOpts)
     case _ => throw new UnsupportedOperationException(
       s"${format.shortName} does not support writes")
   }

@@ -485,13 +485,14 @@ class CramFormat(refPath: Option[String],
     var nk = ph.itf8()
     var apDelta = true
     var rnPreserved = true
+    var refRequired = true
     var sm: Array[Byte] = null
     var td: Array[Array[(String, Char)]] = Array(Array.empty)
     (0 until nk).foreach { _ =>
       new String(ph.bytes(2)) match {
         case "RN" => rnPreserved = ph.u8() == 1
         case "AP" => apDelta = ph.u8() == 1
-        case "RR" => ph.u8()
+        case "RR" => refRequired = ph.u8() == 1
         case "SM" => sm = ph.bytes(5)
         case "TD" =>
           val l = ph.itf8()
@@ -550,7 +551,8 @@ class CramFormat(refPath: Option[String],
               case _ => null
             })
         }
-        decodeSlice(sNRec, sRef, sStart, apDelta, rnPreserved, td, encs.toMap,
+        decodeSlice(sNRec, sRef, sStart, apDelta, rnPreserved, refRequired,
+          td, encs.toMap,
           tagEncs.toMap, core, ext, refs, sm, refWinFor, required, rows)
         bi = end
       } else bi += 1
@@ -558,7 +560,8 @@ class CramFormat(refPath: Option[String],
   }
 
   private def decodeSlice(nRec: Int, sliceRef: Int, sliceStart: Int, apDelta: Boolean,
-                          rnPreserved: Boolean, td: Array[Array[(String, Char)]],
+                          rnPreserved: Boolean, refRequired: Boolean,
+                          td: Array[Array[(String, Char)]],
                           encs: Map[String, Encoding], tagEncs: Map[Int, Encoding],
                           core: Bits, ext: Map[Int, In], refs: Array[String],
                           sm: Array[Byte], refWinFor: Int => CramFormat.RefWindow,
@@ -614,12 +617,14 @@ class CramFormat(refPath: Option[String],
       if ((bf & 4) == 0) { // mapped
         val refWin: CramFormat.RefWindow =
           if (ri >= 0 && ri < refs.length) refWinFor(ri) else null
-        val bases = if (refWin != null) new Array[Char](rl) else null
+        val bases =
+          if (refWin != null || !refRequired) new Array[Char](rl) else null
         var refOfs = 0 // reference bases consumed minus read bases consumed
         def fillRef(readPos1: Int): Unit = {
           if (bases != null) {
             val rp0 = pos - 1 + refOfs + readPos1 - 1
-            bases(readPos1 - 1) = refWin.charAt0(rp0)
+            bases(readPos1 - 1) =
+              if (refWin == null) 'N' else refWin.charAt0(rp0)
           }
         }
         val fn = encs("FN").readInt(core, ext)
@@ -638,7 +643,8 @@ class CramFormat(refPath: Option[String],
               val code = encs("BS").readInt(core, ext)
               if (bases != null) {
                 val rp0 = pos - 1 + refOfs + readPos - 1
-                bases(readPos - 1) = substitute(refWin.charAt0(rp0), code)
+                bases(readPos - 1) = substitute(
+                  if (refWin == null) 'N' else refWin.charAt0(rp0), code)
               }
               ops += ((1, 'M')); readPos += 1
             case 'I' =>
