@@ -20,14 +20,17 @@ import org.apache.spark.sql.types.StructType
   * GFF/.tbi, now CRAM).
   *
   * Layout per spec (§6, §8-9): file definition, FILE_HEADER container with
-  * the SAM text, then one multi-reference data container (refSeqId -2) per
-  * `containerRecords` rows — each a compression header block (preservation
-  * map RN=1 AP=0 RR=0, TD built from this container's tag layouts, all data
-  * series EXTERNAL / BYTE_ARRAY_STOP / BYTE_ARRAY_LEN into per-series
-  * external blocks), one slice, gzip'd blocks with per-block CRC32 — and
-  * the canonical 38-byte EOF container. Mate info is written detached
-  * (CF 0x2), positions absolute (AP=0), so records are self-contained and
-  * containers parallelize with no cross-container state.
+  * the SAM text, then single-reference data containers — one per
+  * consecutive same-reference run of ≤ `containerRecords` rows — each a
+  * compression header block (preservation map RN=1 AP=0 RR=0, TD built from
+  * this container's tag layouts, all data series EXTERNAL /
+  * BYTE_ARRAY_STOP / BYTE_ARRAY_LEN into per-series external blocks), one
+  * slice, gzip'd blocks with per-block CRC32 — and the canonical 38-byte
+  * EOF container, plus a `.crai` sibling. Single-reference headers carry
+  * real aliStart/aliSpan, so region readers prune the sink's own output by
+  * header coordinates AND by the `.crai` without decoding. Mate info is
+  * written detached (CF 0x2), positions absolute (AP=0), so records are
+  * self-contained and containers parallelize with no cross-container state.
   *
   * Same header contract as the BAM sink: `option("headerFrom", <.bam>)` or
   * `option("refs", "name:len,...")` resolves the dictionary on the driver so
@@ -214,10 +217,18 @@ final class CramDataWriter(dir: String, srcIdx: Array[Int],
 
   // one buffered row = the resolved per-record values; flushed per container
   private final case class Rec(name: String, flag: Int, refId: Int, pos: Long,
-                               mapq: Int, cigar: String, mateRefId: Int,
-                               seq: String, quals: Array[Int],
+                               refSpan: Long, mapq: Int, cigar: String,
+                               mateRefId: Int, seq: String, quals: Array[Int],
                                tags: Array[(String, Char, Array[Byte])])
   private val pending = new scala.collection.mutable.ArrayBuffer[Rec](containerRecords)
+  private var written = 0L // absolute file offset, for the .crai sibling
+  private val craiEntries =
+    new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long, Long)]
+
+  private def emit(bytes: Array[Byte]): Unit = {
+    out.write(bytes)
+    written += bytes.length
+  }
 
   private def open(): Unit = {
     opened = true
@@ -225,18 +236,18 @@ final class CramDataWriter(dir: String, srcIdx: Array[Int],
     raw = fs.create(tmpPath, true)
     out = new BufferedOutputStream(raw, 1 << 16)
     // file definition: magic, 3.0, 20-byte id
-    out.write(Array[Byte]('C', 'R', 'A', 'M', 3, 0))
+    emit(Array[Byte]('C', 'R', 'A', 'M', 3, 0))
     val id = new Array[Byte](20)
     fileName.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
       .take(20).copyToArray(id)
-    out.write(id)
+    emit(id)
     // FILE_HEADER container: i32 text length + SAM text in one block
     val text = headerText.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val payload = new java.io.ByteArrayOutputStream(text.length + 4)
     i32le(payload, text.length); payload.write(text, 0, text.length)
     val blk = block(0 /* FILE_HEADER */, 0, payload.toByteArray)
-    out.write(containerHeader(blk.length, 0, 0, 0, 0, 0L, 1, Seq(0)))
-    out.write(blk)
+    emit(containerHeader(blk.length, 0, 0, 0, 0, 0L, 1, Seq(0)))
+    emit(blk)
   }
 
   override def write(row: InternalRow): Unit = {
@@ -291,13 +302,26 @@ final class CramDataWriter(dir: String, srcIdx: Array[Int],
               value.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
         }.toArray
     }
+    val cigarStr = if (v(6) == null) null else v(6).toString
+    // reference span (M/D/N/=/X) for the container header's aliStart/aliSpan
+    var refSpan = 0L
+    if (cigarStr != null && cigarStr != "*") {
+      var n = 0L; var ci = 0
+      while (ci < cigarStr.length) {
+        val c = cigarStr.charAt(ci)
+        if (c >= '0' && c <= '9') n = n * 10 + (c - '0')
+        else { if ("MDN=X".indexOf(c) >= 0) refSpan += n; n = 0 }
+        ci += 1
+      }
+    }
     pending += Rec(
       name = if (v(0) == null) "*" else v(0).toString,
       flag = v(1).asInstanceOf[Int],
       refId = refId,
       pos = if (v(3) == null) 0L else v(3).asInstanceOf[Long],
+      refSpan = math.max(refSpan, 1L),
       mapq = if (v(5) == null) 255 else v(5).toString.toInt,
-      cigar = if (v(6) == null) null else v(6).toString,
+      cigar = cigarStr,
       mateRefId = mateRefId,
       seq = if (v(8) == null) null else v(8).toString,
       quals = quals, tags = tags)
@@ -316,8 +340,31 @@ final class CramDataWriter(dir: String, srcIdx: Array[Int],
     val IN = 23; val SC = 24; val MQ = 25; val TagLen = 26; val TagVal = 27
   }
 
+  /** Flush buffered rows as one container per consecutive same-reference
+    * run: sorted input yields few single-reference containers whose header
+    * coordinates (and `.crai` lines) let region readers skip them without
+    * decoding — the same pruning the reader proves on htslib files.
+    * Unsorted input still writes correctly, just in more containers.
+    */
   private def flushContainer(): Unit = {
     if (pending.isEmpty) return
+    var i = 0
+    while (i < pending.length) {
+      var j = i + 1
+      while (j < pending.length && pending(j).refId == pending(i).refId) j += 1
+      emitContainer(pending.view.slice(i, j).toIndexedSeq)
+      i = j
+    }
+    pending.clear()
+  }
+
+  private def emitContainer(run: IndexedSeq[Rec]): Unit = {
+    val refSeqId = run.head.refId
+    val mappedPos = run.filter(r => r.refId >= 0 && r.pos > 0)
+    val aliStart = if (mappedPos.isEmpty) 0L else mappedPos.map(_.pos).min
+    val aliEnd =
+      if (mappedPos.isEmpty) 0L else mappedPos.map(r => r.pos + r.refSpan - 1).max
+    val aliSpan = if (mappedPos.isEmpty) 0L else aliEnd - aliStart + 1
     val streams = scala.collection.mutable.LinkedHashMap.empty[Int, java.io.ByteArrayOutputStream]
     def st(cid: Int): java.io.ByteArrayOutputStream =
       streams.getOrElseUpdate(cid, new java.io.ByteArrayOutputStream(4096))
@@ -335,14 +382,15 @@ final class CramDataWriter(dir: String, srcIdx: Array[Int],
     }
 
     var bases = 0L
-    pending.foreach { r =>
+    run.foreach { r =>
       val rl = if (r.seq == null) 0 else r.seq.length
       bases += rl
       val unmapped = (r.flag & 4) != 0
       val cf = 0x2 /* detached */ | (if (r.quals != null) 0x1 else 0)
       wInt(Cid.BF, r.flag)
       wInt(Cid.CF, cf)
-      wInt(Cid.RI, r.refId)
+      // no RI series: single-reference slices carry the ref in the header,
+      // and the reader only consults RI when the slice id is -2
       wInt(Cid.RL, rl)
       wInt(Cid.AP, r.pos.toInt)
       wInt(Cid.RG, -1)
@@ -438,7 +486,7 @@ final class CramDataWriter(dir: String, srcIdx: Array[Int],
     }
     locally { // data series encodings: EXTERNAL (1) ints/bytes, stop (5) arrays
       val m = new java.io.ByteArrayOutputStream(512)
-      val ext = Seq("BF" -> Cid.BF, "CF" -> Cid.CF, "RI" -> Cid.RI,
+      val ext = Seq("BF" -> Cid.BF, "CF" -> Cid.CF,
         "RL" -> Cid.RL, "AP" -> Cid.AP, "RG" -> Cid.RG, "MF" -> Cid.MF,
         "NS" -> Cid.NS, "NP" -> Cid.NP, "TS" -> Cid.TS, "TL" -> Cid.TL,
         "FN" -> Cid.FN, "FC" -> Cid.FC, "FP" -> Cid.FP, "DL" -> Cid.DL,
@@ -487,8 +535,8 @@ final class CramDataWriter(dir: String, srcIdx: Array[Int],
       block(4 /* EXTERNAL */, cid, s.toByteArray)
     }
     val sh = new java.io.ByteArrayOutputStream(128)
-    itf8(sh, -2); itf8(sh, 0); itf8(sh, 0) // multi-ref slice: id, start, span
-    itf8(sh, pending.length)
+    itf8(sh, refSeqId); itf8(sh, aliStart.toInt); itf8(sh, aliSpan.toInt)
+    itf8(sh, run.length)
     ltf8(sh, 0L) // record counter
     itf8(sh, 1 + extBlocks.length) // core + externals
     itf8(sh, streams.size); streams.keys.foreach(itf8(sh, _))
@@ -505,18 +553,34 @@ final class CramDataWriter(dir: String, srcIdx: Array[Int],
     blocks.write(coreBlock, 0, coreBlock.length)
     extBlocks.foreach(b => blocks.write(b, 0, b.length))
 
-    out.write(containerHeader(blocks.size(), -2, 0, 0, pending.length, bases,
-      1 + 1 + 1 + extBlocks.length, landmarks))
-    blocks.writeTo(out)
-    pending.clear()
+    val containerOffset = written
+    emit(containerHeader(blocks.size(), refSeqId, aliStart.toInt,
+      aliSpan.toInt, run.length, bases, 1 + 1 + 1 + extBlocks.length,
+      landmarks))
+    val blockBytes = blocks.toByteArray
+    emit(blockBytes)
+    craiEntries += ((refSeqId, aliStart, aliSpan, containerOffset,
+      landmarks.head.toLong, (blockBytes.length - landmarks.head).toLong))
   }
 
   override def commit(): WriterCommitMessage = {
     if (opened) {
       flushContainer()
-      out.write(CramCodec.eofContainer())
+      emit(CramCodec.eofContainer())
       out.close()
       val fs = path.getFileSystem(conf.value)
+      // `.crai` sibling: one gzip'd text line per slice (spec §4), so region
+      // readers prune this part's containers without decoding them
+      val craiTmp = tmpPath.suffix(".crai")
+      val cs = new java.util.zip.GZIPOutputStream(fs.create(craiTmp, true))
+      try {
+        craiEntries.foreach { case (seqId, start, span, cOff, sOff, sSize) =>
+          cs.write(s"$seqId\t$start\t$span\t$cOff\t$sOff\t$sSize\n"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        }
+      } finally cs.close()
+      if (!fs.rename(craiTmp, path.suffix(".crai")))
+        throw new java.io.IOException(s"failed to commit $craiTmp")
       if (!fs.rename(tmpPath, path))
         throw new java.io.IOException(s"failed to commit $tmpPath -> $path")
     }
@@ -526,7 +590,9 @@ final class CramDataWriter(dir: String, srcIdx: Array[Int],
   override def abort(): Unit = {
     if (opened) {
       try out.close() catch { case _: Throwable => () }
-      tmpPath.getFileSystem(conf.value).delete(tmpPath, false)
+      val fs = tmpPath.getFileSystem(conf.value)
+      fs.delete(tmpPath, false)
+      fs.delete(tmpPath.suffix(".crai"), false)
     }
   }
   override def close(): Unit = ()

@@ -94,6 +94,38 @@ class CramSinkSpec extends AnyFunSuite with SharedSpark {
     assert(byName("r3").getString(7) == "ctgA")
   }
 
+  test("region reads prune the sink's own containers via headers and .crai") {
+    import spark.implicits._
+    val dir = graft.TestTmp.dir("graft_cram_sink_prune").toString
+    val df = (1 to 600).map { i =>
+      val chrom = if (i <= 300) "ctgA" else "ctgB"
+      val pos = (if (i <= 300) i else i - 300) * 3L + 1
+      (s"read$i", 0, Option(chrom), Option(pos), Option.empty[Long],
+        Option("60"), Option("10M"), Option.empty[String],
+        Option("ACGTACGTAC"), Option(Seq.fill(10)(30L)))
+    }.toDF(cols.init: _*)
+      .withColumn("tags", lit(null).cast("array<struct<tag:string,value:string>>"))
+    // sorted input -> one single-ref container per reference
+    df.orderBy(col("reference"), col("start")).coalesce(1)
+      .write.format("cram").mode("overwrite")
+      .option("refs", "ctgA:2000,ctgB:2000").save(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".cram")).head
+    assert(new java.io.File(part.getAbsolutePath + ".crai").exists(),
+      "sink must commit a .crai sibling")
+    // a ctgB region must skip ctgA's container (counter is process-global;
+    // delta over this one read)
+    val before = graft.sources.formats.CramFormat.containersSkipped.get()
+    val got = spark.read.format("cram").option("region", "ctgB:1-100")
+      .load(dir).count()
+    val skipped = graft.sources.formats.CramFormat.containersSkipped.get() - before
+    val exp = spark.read.format("cram").load(dir)
+      .filter(col("reference") === "ctgB" && col("start") <= 100L &&
+        col("end") >= 1L).count()
+    assert(got == exp && got > 0, s"region=$got filter=$exp")
+    assert(skipped >= 1, s"ctgA container was not pruned (skipped=$skipped)")
+  }
+
   test("containers stream: multi-container output reads back whole") {
     import spark.implicits._
     val dir = graft.TestTmp.dir("graft_cram_sink_multi").toString
