@@ -321,6 +321,26 @@ object FormatQueries {
       full.crossJoin(diff)
     }),
 
+    // CRAM/BCF table functions (beyond the reference's 17-UDTF surface):
+    // cram_indexed_scan prunes containers via .crai + header coordinates,
+    // bcf_indexed_scan via .csi — same counts the option-based reads prove
+    // in f32/f21.
+    "f42_cram_bcf_tvf" -> ((s, _) => {
+      graft.GraftSession.registerAll(s)
+      s.sql(
+        s"""SELECT
+           |  (SELECT count(*) FROM cram_scan(
+           |     '$fx/cram/1404_index_multislice.cram')) AS n_cram,
+           |  (SELECT count(*) FROM cram_indexed_scan(
+           |     '$fx/cram/1404_index_multislice.cram',
+           |     'CHROMOSOME_II')) AS n_cram_chr2,
+           |  (SELECT count(*) FROM cram_indexed_scan(
+           |     '$fx/cram/1404_index_multislice.cram',
+           |     'CHROMOSOME_I:200-210')) AS n_cram_interval,
+           |  (SELECT count(*) FROM bcf_indexed_scan(
+           |     '$fx/bcf/index.bcf', '1')) AS n_bcf_chr1""".stripMargin)
+    }),
+
     // Dirty-attribute GFF round trip: reserved characters (';' '=' ',' '%')
     // plus literal tab/newline inside attribute values must survive
     // write -> percent-encode -> parse -> decode without corrupting record
@@ -718,6 +738,11 @@ object FormatQueries {
     "f41_cram_write_roundtrip" ->
       """SELECT CAST(61 AS BIGINT) AS n_full, CAST(4636 AS BIGINT) AS sum_seq,
         |  CAST(0 AS BIGINT) AS n_diff""".stripMargin,
+
+    "f42_cram_bcf_tvf" ->
+      """SELECT CAST(910 AS BIGINT) AS n_cram, CAST(10 AS BIGINT) AS n_cram_chr2,
+        |  CAST(20 AS BIGINT) AS n_cram_interval,
+        |  CAST(191 AS BIGINT) AS n_bcf_chr1""".stripMargin,
 
     "f38_gff_dirty_attrs" ->
       """SELECT * FROM (VALUES

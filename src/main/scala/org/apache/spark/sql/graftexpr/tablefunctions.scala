@@ -39,7 +39,9 @@ object GraftTableFunctions {
   private val indexedScans: Map[String, GraftFormat] = Map(
     "gff_indexed_scan" -> GffFormat,
     "vcf_indexed_scan" -> VcfFormat,
-    "bam_indexed_scan" -> BamFormat)
+    "bam_indexed_scan" -> BamFormat,
+    // beyond the reference's 17: BCF prunes via its .csi like the others
+    "bcf_indexed_scan" -> BcfFormat)
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -71,6 +73,32 @@ object GraftTableFunctions {
         relation(fmt, opts)
       }, "built-in")
     }
+
+    // CRAM scans (beyond the reference's 17 — it has no cram UDTF): the
+    // optional trailing argument is a FASTA reference for base
+    // reconstruction, not a compression codec (CRAM compression is
+    // internal). The indexed variant prunes containers via `.crai` and
+    // header coordinates exactly like `.option("region", ...)` reads.
+    reg.createOrReplaceTempFunction("cram_scan", { args =>
+      require(args.length <= 2, "cram_scan takes (path [, fastaReference])")
+      val path = literal("cram_scan", args, 0)
+      val opts = Map("path" -> path) ++
+        (if (args.length > 1)
+          Map("fastaReference" -> literal("cram_scan", args, 1))
+        else Map.empty)
+      relation(CramFormat, opts)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("cram_indexed_scan", { args =>
+      require(args.length >= 2 && args.length <= 3,
+        "cram_indexed_scan takes (path, region-or-regionFile [, fastaReference])")
+      val path = literal("cram_indexed_scan", args, 0)
+      val regionArg = literal("cram_indexed_scan", args, 1)
+      val opts = Map("path" -> path, regionKey(regionArg) -> regionArg) ++
+        (if (args.length > 2)
+          Map("fastaReference" -> literal("cram_indexed_scan", args, 2))
+        else Map.empty)
+      relation(CramFormat, opts)
+    }, "built-in")
 
     // FASTA indexed scan extracts subsequences; the second argument is a
     // region string OR a path to a file of regions.

@@ -32,6 +32,19 @@ class TableFunctionsSpec extends AnyFunSuite with SharedSpark {
       s"SELECT COUNT(*) FROM bam_indexed_scan('$fx/bam/test.bam', 'chr1:1-12209145')") == 7)
   }
 
+  test("cram and bcf TVFs (beyond the reference surface)") {
+    graft.GraftSession.registerAll(spark)
+    def count(sql: String): Long = spark.sql(sql).head().getLong(0)
+    val cram = s"$fx/cram/1404_index_multislice.cram"
+    assert(count(s"SELECT COUNT(*) FROM cram_scan('$cram')") == 910)
+    assert(count(
+      s"SELECT COUNT(*) FROM cram_indexed_scan('$cram', 'CHROMOSOME_II')") == 10)
+    assert(count(
+      s"SELECT COUNT(*) FROM cram_indexed_scan('$cram', 'CHROMOSOME_I:200-210')") == 20)
+    assert(count(
+      s"SELECT COUNT(*) FROM bcf_indexed_scan('$fx/bcf/index.bcf', '1')") == 191)
+  }
+
   test("fasta_indexed_scan: region string and region file") {
     graft.GraftSession.registerAll(spark)
     val r = spark.sql(
