@@ -599,6 +599,67 @@ object RelationalQueries {
         .groupBy(trunc(col("day"), "MM").as("month"), col("event_type"))
         .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"))
         .orderBy(col("month"), col("event_type"))
+    }),
+
+    // Interval OVERLAP join — the genomics-join shape (variable-length
+    // intervals, unlike q41's fixed time band). Each event is an interval
+    // [ts, ts + (floor(value)+1) minutes); purchases join views of the same
+    // user whose intervals overlap. The naive plan is a per-user cartesian
+    // with a range predicate; the scalable plan explodes each interval into
+    // the 1-hour bands it covers and equi-joins on (user_id, band) — join
+    // fan-out is bounded by interval length / band width (<=9 here), and a
+    // pair sharing several bands is counted once by assigning it to the band
+    // containing the overlap start (both sides necessarily cover it). At
+    // 100 TB this is a pure keyed shuffle; no range-predicate nested loop.
+    "q47_interval_overlap_join" -> ((s, d) => {
+      val W = 3600000000L // 1-hour bands, microseconds
+      val iv = events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("s0"),
+          (unix_micros(col("ts")) +
+            (floor(col("value")).cast("long") + 1L) * 60000000L).as("e0"))
+      def banded(df: DataFrame, p: String) = df
+        .withColumn("band",
+          explode(sequence(expr(s"s0 div $W"), expr(s"(e0 - 1) div $W"))))
+        .select(col("event_id").as(s"${p}_id"), col("user_id"),
+          col("s0").as(s"${p}s"), col("e0").as(s"${p}e"), col("band"))
+      val p = banded(iv.filter(col("event_type") === "purchase"), "p")
+      val v = banded(iv.filter(col("event_type") === "view"), "v")
+        .withColumnRenamed("user_id", "v_user")
+        .withColumnRenamed("band", "v_band")
+      p.join(v, col("user_id") === col("v_user") &&
+          col("band") === col("v_band") &&
+          col("ps") < col("ve") && col("vs") < col("pe"))
+        .filter(col("band") === expr(s"greatest(ps, vs) div $W"))
+        .groupBy(col("p_id").as("event_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("pe"), col("ve")) - greatest(col("ps"), col("vs")))
+            .as("overlap_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Sweep-line coverage depth (pileup shape): max number of concurrently
+    // open 'view' intervals per user. Each interval becomes two boundary
+    // events (+1 at start, -1 at end); a per-user ordered cumulative sum is
+    // the depth profile. Orders by (pos, delta) so a close at t sorts before
+    // an open at t (half-open intervals). Scales as one explode (2x rows) +
+    // one keyed window — never materializes per-position coverage; at 100 TB
+    // the partition key (user / chromosome) bounds each in-memory sort.
+    "q48_coverage_sweep" -> ((s, d) => {
+      val b = events(s, d).filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("s0"),
+          (unix_micros(col("ts")) +
+            (floor(col("value")).cast("long") + 1L) * 60000000L).as("e0"))
+        .select(col("user_id"), explode(array(
+          struct(col("s0").as("pos"), lit(1).as("d")),
+          struct(col("e0").as("pos"), lit(-1).as("d")))).as("ev"))
+        .select(col("user_id"), col("ev.pos").as("pos"), col("ev.d").as("d"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("pos"), col("d"))
+      b.withColumn("depth", sum(col("d")).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("depth")).as("max_concurrent"),
+          sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_intervals"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -968,6 +1029,40 @@ object RelationalQueries {
         |  CAST(sum(CAST(round(CAST(value AS DECIMAL(18,6)), 2) * 100
         |    AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events
-        |GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin,
+
+    // straight overlap join with range predicates — the banded plan must
+    // produce exactly this pair set
+    "q47_interval_overlap_join" ->
+      """WITH iv AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS s0,
+        |    epoch_us(ts) + (CAST(floor(value) AS BIGINT) + 1) * 60000000 AS e0
+        |  FROM events),
+        |p AS (SELECT * FROM iv WHERE event_type = 'purchase'),
+        |v AS (SELECT * FROM iv WHERE event_type = 'view')
+        |SELECT p.event_id, count(*) AS n_overlaps,
+        |  CAST(sum(least(p.e0, v.e0) - greatest(p.s0, v.s0)) AS BIGINT)
+        |    AS overlap_us
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND p.s0 < v.e0 AND v.s0 < p.e0
+        |GROUP BY p.event_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q48_coverage_sweep" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s0,
+        |    epoch_us(ts) + (CAST(floor(value) AS BIGINT) + 1) * 60000000 AS e0
+        |  FROM events WHERE event_type = 'view'),
+        |b AS (
+        |  SELECT user_id, s0 AS pos, 1 AS d FROM iv
+        |  UNION ALL
+        |  SELECT user_id, e0 AS pos, -1 AS d FROM iv),
+        |c AS (
+        |  SELECT user_id, d,
+        |    sum(d) OVER (PARTITION BY user_id ORDER BY pos, d) AS depth
+        |  FROM b)
+        |SELECT user_id, CAST(max(depth) AS BIGINT) AS max_concurrent,
+        |  CAST(count(*) FILTER (d = 1) AS BIGINT) AS n_intervals
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -90,6 +90,22 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(desc.contains("GraftScan"), desc)
   }
 
+  test("q47: interval overlap join is band-keyed, no nested-loop range join") {
+    val df = RelationalQueries.queries("q47_interval_overlap_join")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("band"), plan) // equi-join keys include the band
+  }
+
+  test("q48: coverage sweep is one keyed window, no self-join") {
+    val df = RelationalQueries.queries("q48_coverage_sweep")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Join"), plan) // sweep-line, not interval self-join
+    assert(plan.contains("Window"), plan)
+  }
+
   test("l04: no cartesian product; candidate join is keyed on (band, sig)") {
     val df = graft.queries.LlmQueries.queries("l04_minhash_lsh_dedup")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
