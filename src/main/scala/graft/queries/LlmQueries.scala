@@ -678,6 +678,33 @@ object LlmQueries {
         .orderBy(col("word"))
     }),
 
+    // Incremental corpus dedup (the 100 TB ingest shape): a NEW batch is
+    // deduplicated against the existing corpus WITHOUT joining the corpus
+    // in full. Phase 1 builds a Bloom filter over the corpus content-hashes
+    // (one scan, merged and broadcast — at scale this sketch is persisted
+    // with the snapshot and only UPDATED per ingest). Phase 2 splits the
+    // batch: bloom MISSES are definitely new and never reach a join; only
+    // bloom HITS (true dups + ~1% false positives) go to the exact-confirm
+    // anti-join. Work joined is O(|dups| + eps*|batch|), not O(|corpus|) —
+    // re-ingesting a day of data never rescans the lake. The batch overlaps
+    // the corpus (doc_id 200-299) to model a re-delivered chunk.
+    "l29_incremental_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("h"))
+      val corpus = docs.filter(col("doc_id") < 300)
+      val batch = docs.filter(col("doc_id") >= 200)
+      val bfB = s.sparkContext.broadcast(
+        corpus.stat.bloomFilter("h", 100000L, 0.01))
+      val mightContain = udf((h: String) => bfB.value.mightContainString(h))
+      val definitelyNew = batch.filter(!mightContain(col("h")))
+      val confirmedNew = batch.filter(mightContain(col("h")))
+        .join(corpus.select(col("h")).distinct(), Seq("h"), "left_anti")
+      definitelyNew.unionByName(confirmedNew)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_new"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
+
     // Deterministic stratified sampling (training-mix ratios): keep a
     // per-language permille of documents chosen by an arithmetic hash of
     // doc_id — reproducible across engines and runs (unlike rng-based
@@ -1535,6 +1562,18 @@ object LlmQueries {
         |  FROM tf JOIN df USING (word))
         |SELECT word, count(*) AS n_docs_keyword, CAST(sum(tf) AS BIGINT) AS sum_tf
         |FROM r WHERE rk <= 3 GROUP BY word ORDER BY word""".stripMargin,
+
+    // plain anti-join against the corpus — the bloom-pruned two-phase plan
+    // must keep exactly this survivor set
+    "l29_incremental_dedup" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, sha256(text) AS h FROM documents),
+        |corpus AS (SELECT * FROM h WHERE doc_id < 300),
+        |batch AS (SELECT * FROM h WHERE doc_id >= 200)
+        |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "l10_multimodal_stub" ->
       """SELECT count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,

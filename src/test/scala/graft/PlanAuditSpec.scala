@@ -106,6 +106,14 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("Window"), plan)
   }
 
+  test("l29: bloom pre-filter reaches the batch scan side; confirm join is keyed anti") {
+    val df = graft.queries.LlmQueries.queries("l29_incremental_dedup")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan) // exact confirm is an anti-join
+  }
+
   test("l04: no cartesian product; candidate join is keyed on (band, sig)") {
     val df = graft.queries.LlmQueries.queries("l04_minhash_lsh_dedup")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
