@@ -341,6 +341,55 @@ object FormatQueries {
            |     '$fx/bcf/index.bcf', '1')) AS n_bcf_chr1""".stripMargin)
     }),
 
+    // SAM text sink: 1000 synthesized coordinate-sorted alignments written
+    // as bgzf shards with .tbi siblings; full count, region count through
+    // the sink's own index, and read-back identity are all arithmetic.
+    "f43_sam_write_indexed" -> ((s, _) => {
+      val dir = gateDir("sam_sink").getAbsolutePath
+      val out = s"$dir/t"
+      val src = s.range(0, 1000).select(
+        concat(lit("r"), col("id")).as("name"),
+        lit(0).as("flag"),
+        when(col("id") < 600, "chr1").otherwise("chr2").as("reference"),
+        (col("id") * 10 + 1).as("start"),
+        (col("id") * 10 + 10).as("end"),
+        lit("30").as("mapping_quality"),
+        lit("10M").as("cigar"),
+        lit(null).cast("string").as("mate_reference"),
+        lit("ACGTACGTAC").as("sequence"),
+        lit(null).cast("array<long>").as("quality_score"),
+        // the reader yields [] (not null) for tag-less records
+        array().cast("array<struct<tag:string,value:string>>").as("tags"))
+      src.repartitionByRange(2, col("reference"), col("start"))
+        .sortWithinPartitions("reference", "start")
+        .write.format("sam").mode("overwrite")
+        .option("compression", "bgzf").save(out)
+      val back = s.read.format("sam").load(out)
+      val full = back.agg(count(lit(1)).as("n_full"))
+      val diff = back.exceptAll(src).agg(count(lit(1)).as("n_diff"))
+      val reg = s.read.format("sam").option("region", "chr1:1-3000")
+        .load(out).agg(count(lit(1)).as("n_region"))
+      full.crossJoin(diff).crossJoin(reg)
+    }),
+
+    // BED sink: fixture round trip (prefix-truncated columns) + region
+    // read-back through the sink's own .tbi.
+    "f44_bed_write_indexed" -> ((s, _) => {
+      val dir = gateDir("bed_sink").getAbsolutePath
+      val out = s"$dir/t"
+      val src = s.read.format("bed").load(s"$fx/bed/test.bed")
+      src.repartitionByRange(1, col("reference_sequence_name"), col("start"))
+        .sortWithinPartitions("reference_sequence_name", "start")
+        .write.format("bed").mode("overwrite")
+        .option("compression", "bgzf").save(out)
+      val back = s.read.format("bed").load(out)
+      val full = back.agg(count(lit(1)).as("n_full"))
+      val diff = back.exceptAll(src).agg(count(lit(1)).as("n_diff"))
+      val reg = s.read.format("bed").option("region", "chr1:11874-12300")
+        .load(out).agg(count(lit(1)).as("n_region"))
+      full.crossJoin(diff).crossJoin(reg)
+    }),
+
     // Dirty-attribute GFF round trip: reserved characters (';' '=' ',' '%')
     // plus literal tab/newline inside attribute values must survive
     // write -> percent-encode -> parse -> decode without corrupting record
@@ -743,6 +792,17 @@ object FormatQueries {
       """SELECT CAST(910 AS BIGINT) AS n_cram, CAST(10 AS BIGINT) AS n_cram_chr2,
         |  CAST(20 AS BIGINT) AS n_cram_interval,
         |  CAST(191 AS BIGINT) AS n_bcf_chr1""".stripMargin,
+
+    // 1000 synthesized alignments; chr1:1-3000 overlaps starts 1..2991 =
+    // ids 0..299
+    "f43_sam_write_indexed" ->
+      """SELECT CAST(1000 AS BIGINT) AS n_full, CAST(0 AS BIGINT) AS n_diff,
+        |  CAST(300 AS BIGINT) AS n_region""".stripMargin,
+
+    // 10 fixture records; one overlaps chr1:11874-12300
+    "f44_bed_write_indexed" ->
+      """SELECT CAST(10 AS BIGINT) AS n_full, CAST(0 AS BIGINT) AS n_diff,
+        |  CAST(1 AS BIGINT) AS n_region""".stripMargin,
 
     "f38_gff_dirty_attrs" ->
       """SELECT * FROM (VALUES

@@ -18,7 +18,7 @@ import graft.sources.FormatUtil._
   *  - `tags` is ARRAY<STRUCT<tag,value>> of the raw tag values (unparsed
   *    mode of `exon.sam_parse_tags`).
   */
-object SamFormat extends LineFormat {
+object SamFormat extends LineFormat with IndexableGraftFormat {
   override def shortName: String = "sam"
   override def defaultExtensions: Seq[String] = Seq("sam")
   override def regionColumns: Option[(String, String, String)] =
@@ -97,6 +97,83 @@ object SamFormat extends LineFormat {
         }
         new GenericArrayData(tags)
     }
+  }
+
+  // ---- sink: schema-faithful text SAM ----------------------------------
+  // The schema carries no PNEXT/TLEN (the reader drops them), so those
+  // columns write as 0 — a read->write->read round trip is identity on
+  // every schema column. Tag TYPE codes were also dropped at read; write
+  // re-infers them (integer -> i, float -> f, numeric csv -> B:i/B:f,
+  // else Z), htslib's best-fit convention for typeless tag text.
+
+  override def fileHeader: Option[String] = Some("@HD\tVN:1.6\n")
+
+  override def tabixPreset: (Int, Int, Int, Int) = (1, 3, 4, 0) // tabix -p sam
+
+  private val intRe = "[-+]?\\d+".r
+  private val floatRe = "[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?".r
+
+  override def writeRecord(values: Array[Any], out: StringBuilder): Unit = {
+    def star(v: Any): Unit = if (v == null) out.append('*') else out.append(v)
+    star(values(0)); out.append('\t')              // QNAME
+    out.append(values(1)).append('\t')             // FLAG
+    star(values(2)); out.append('\t')              // RNAME
+    if (values(3) == null) out.append('0') else out.append(values(3))
+    out.append('\t')                               // POS
+    if (values(5) == null) out.append("255") else out.append(values(5))
+    out.append('\t')                               // MAPQ
+    star(values(6)); out.append('\t')              // CIGAR
+    values(7) match {                              // RNEXT ('=' when equal)
+      case null => out.append('*')
+      case m if values(2) != null && m.toString == values(2).toString =>
+        out.append('=')
+      case m => out.append(m)
+    }
+    out.append("\t0\t0\t")                         // PNEXT, TLEN: not in schema
+    star(values(8)); out.append('\t')              // SEQ
+    values(9) match {                              // QUAL (phred+33)
+      case null => out.append('*')
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        var i = 0
+        while (i < a.numElements()) {
+          out.append((a.getLong(i) + 33).toChar); i += 1
+        }
+      case other => out.append(other)
+    }
+    values(10) match {
+      case null => ()
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        var i = 0
+        while (i < a.numElements()) {
+          val t = a.getStruct(i, 2)
+          val v = t.getUTF8String(1).toString
+          out.append('\t').append(t.getUTF8String(0)).append(':')
+          lazy val parts = v.split(',')
+          if (v.indexOf(',') >= 0 &&
+              parts.forall(e => intRe.matches(e) || floatRe.matches(e))) {
+            val elem = if (parts.forall(intRe.matches(_))) 'i' else 'f'
+            out.append("B:").append(elem).append(',').append(v)
+          } else if (intRe.matches(v)) out.append("i:").append(v)
+          else if (floatRe.matches(v)) out.append("f:").append(v)
+          else out.append("Z:").append(v)
+          i += 1
+        }
+      case _ => ()
+    }
+    out.append('\n')
+  }
+
+  override def recordRegion(values: Array[Any]): (String, Long, Long) = {
+    if (values(2) == null || values(3) == null)
+      throw new IllegalArgumentException(
+        "bgzf+tabix SAM write cannot index unmapped records; filter them " +
+          "out (flag & 4 = 0) or write with option(\"compression\",\"gzip\")")
+    val start0 = values(3).asInstanceOf[Long] - 1
+    val end0 = values(4) match {
+      case null => start0 + 1
+      case e => e.asInstanceOf[Long] // 1-based inclusive == 0-based exclusive
+    }
+    (String.valueOf(values(2)), start0, end0)
   }
 
   /** `TAG:TYPE:VALUE` → struct(tag, value-as-string); B-array values drop the

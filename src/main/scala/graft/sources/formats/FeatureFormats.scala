@@ -207,7 +207,7 @@ object GtfFormat extends LineFormat {
   * columns are null; raw 0-based coordinates are preserved
   * (bed-select-tests.slt golden `chr1 11873 12227 …`).
   */
-object BedFormat extends LineFormat {
+object BedFormat extends LineFormat with IndexableGraftFormat {
   override def shortName: String = "bed"
   override def defaultExtensions: Seq[String] = Seq("bed")
   override def regionColumns: Option[(String, String, String)] =
@@ -244,6 +244,29 @@ object BedFormat extends LineFormat {
       case i => str(i)
     }
   }
+
+  // ---- sink: prefix-truncated BED (fields after the last non-null column
+  // are omitted, matching the reader's nFields model; interior nulls write
+  // the '.' placeholder UCSC tools accept) --------------------------------
+
+  override def tabixPreset: (Int, Int, Int, Int) = (0x10000, 1, 2, 3) // -p bed
+
+  override def writeRecord(values: Array[Any], out: StringBuilder): Unit = {
+    var last = values.length - 1
+    while (last > 2 && values(last) == null) last -= 1
+    var i = 0
+    while (i <= last) {
+      if (i > 0) out.append('\t')
+      if (values(i) == null) out.append('.') else out.append(values(i))
+      i += 1
+    }
+    out.append('\n')
+  }
+
+  /** BED is natively 0-based half-open — coordinates index as stored. */
+  override def recordRegion(values: Array[Any]): (String, Long, Long) =
+    (String.valueOf(values(0)), values(1).asInstanceOf[Long],
+      values(2).asInstanceOf[Long])
 }
 
 /** BED restricted to the first `n` columns (the reference's `n_fields`

@@ -137,6 +137,79 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
     assert(raw.contains("tab%09here%0Aand newline"), raw)
   }
 
+  test("sam sink: schema-faithful round trip incl. re-inferred tag types") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TestTmp.dir("sam_sink").toString
+    val src = spark.read.format("sam").load(s"$fx/sam/test.sam")
+    src.write.format("sam").mode("overwrite").save(s"$dir/plain")
+    val back = spark.read.format("sam").load(s"$dir/plain")
+    val key = Seq("name", "flag")
+    assert(back.orderBy(key.head, key.tail: _*).collect().toSeq ==
+      src.orderBy(key.head, key.tail: _*).collect().toSeq)
+
+    // bgzf sink on mapped, coordinate-sorted records: .tbi sibling + its own
+    // region read-back
+    val mapped = src.filter(col("reference").isNotNull)
+      .repartitionByRange(1, col("reference"), col("start"))
+      .sortWithinPartitions("reference", "start")
+    mapped.write.format("sam").mode("overwrite")
+      .option("compression", "bgzf").save(s"$dir/bgzf")
+    val files = new java.io.File(s"$dir/bgzf").listFiles().map(_.getName)
+      .filterNot(_.startsWith("_"))
+    val part = files.find(_.endsWith(".sam.gz")).get
+    assert(files.contains(part + ".tbi"), files.toSeq)
+    val full = spark.read.format("sam").load(s"$dir/bgzf")
+    assert(full.count() == mapped.count())
+    val r1 = spark.read.format("sam").option("region", "ref1")
+      .load(s"$dir/bgzf").count()
+    assert(r1 == src.filter(col("reference") === "ref1").count(), r1)
+
+    // unmapped records under bgzf must refuse loudly, not mis-index
+    val unmapped = src.limit(1)
+      .withColumn("reference", lit(null).cast("string"))
+      .withColumn("start", lit(null).cast("long"))
+      .withColumn("end", lit(null).cast("long"))
+    val err = intercept[org.apache.spark.SparkException] {
+      mapped.unionByName(unmapped).coalesce(1)
+        .sortWithinPartitions(col("reference").asc_nulls_last, col("start"))
+        .write.format("sam").mode("overwrite")
+        .option("compression", "bgzf").save(s"$dir/bad")
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("bed sink: prefix-truncated round trip; bgzf + .tbi region read-back") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TestTmp.dir("bed_sink").toString
+    val src = spark.read.format("bed").load(s"$fx/bed/test.bed")
+    src.write.format("bed").mode("overwrite").save(s"$dir/plain")
+    val back = spark.read.format("bed").load(s"$dir/plain")
+    val key = Seq("reference_sequence_name", "start", "end")
+    assert(back.orderBy(key.head, key.tail: _*).collect().toSeq ==
+      src.orderBy(key.head, key.tail: _*).collect().toSeq)
+    // prefix truncation: test.bed is 6-column, the sink must not emit
+    // 6 trailing dots
+    val raw = new java.io.File(s"$dir/plain").listFiles()
+      .filter(_.getName.endsWith(".bed")).map(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).mkString
+    assert(raw.linesIterator.next().count(_ == '\t') == 5, raw.take(200))
+
+    val sorted = src.repartitionByRange(1, col("reference_sequence_name"),
+        col("start"))
+      .sortWithinPartitions("reference_sequence_name", "start")
+    sorted.write.format("bed").mode("overwrite")
+      .option("compression", "bgzf").save(s"$dir/bgzf")
+    val files = new java.io.File(s"$dir/bgzf").listFiles().map(_.getName)
+      .filterNot(_.startsWith("_"))
+    val part = files.find(_.endsWith(".bed.gz")).get
+    assert(files.contains(part + ".tbi"), files.toSeq)
+    val hit = spark.read.format("bed").option("region", "chr1:11874-12300")
+      .load(s"$dir/bgzf")
+    assert(hit.count() ==
+      src.filter(col("reference_sequence_name") === "chr1" &&
+        col("start") < 12300 && col("end") > 11873).count(), hit.count())
+  }
+
   test("fastq round trip preserves quality strings") {
     val dir = graft.TestTmp.dir("fastq_rt").toString
     val src = spark.read.format("fastq").load(s"$fx/fastq/test.fastq")
