@@ -390,6 +390,49 @@ object FormatQueries {
       full.crossJoin(diff).crossJoin(reg)
     }),
 
+    // GTF sink: fixture round trip (quoted-attribute form) + region
+    // read-back through the sink's own .tbi.
+    "f45_gtf_write_indexed" -> ((s, _) => {
+      val dir = gateDir("gtf_sink").getAbsolutePath
+      val out = s"$dir/t"
+      val src = s.read.format("gtf").load(s"$fx/gtf/test.gtf")
+      src.repartitionByRange(1, col("seqname"), col("start"))
+        .sortWithinPartitions("seqname", "start")
+        .write.format("gtf").mode("overwrite")
+        .option("compression", "bgzf").save(out)
+      val back = s.read.format("gtf").load(out)
+      // set ops refuse MAP columns; write/read both preserve attribute
+      // order, so to_json is a faithful canonical form for the diff
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("attributes", to_json(col("attributes")))
+      val full = back.agg(count(lit(1)).as("n_full"))
+      val diff = canon(back).exceptAll(canon(src))
+        .agg(count(lit(1)).as("n_diff"))
+      val reg = s.read.format("gtf").option("region", "chr1:12000-12999")
+        .load(out).agg(count(lit(1)).as("n_region"))
+      full.crossJoin(diff).crossJoin(reg)
+    }),
+
+    // FASTA sink with .fai siblings: 40 synthesized sequences, then a
+    // subsequence region read served by the sink's own index (samtools
+    // faidx semantics — id column carries the region string back).
+    "f46_fasta_write_fai" -> ((s, _) => {
+      val dir = gateDir("fasta_fai").getAbsolutePath
+      val out = s"$dir/t"
+      val src = s.range(0, 40).select(
+        concat(lit("s"), col("id")).as("id"),
+        lit(null).cast("string").as("description"),
+        // deterministic per-id sequence: "ACGT" repeated (id % 5 + 3) times
+        expr("repeat('ACGT', id % 5 + 3)").as("sequence"))
+      src.coalesce(2).write.format("fasta").mode("overwrite").save(out)
+      val sub = s.read.format("fasta").option("region", "s7:3-10").load(out)
+        .select(col("sequence").as("sub"))
+      val full = s.read.format("fasta").load(out)
+        .agg(count(lit(1)).as("n_full"),
+          sum(length(col("sequence"))).as("sum_len"))
+      full.crossJoin(sub)
+    }),
+
     // Dirty-attribute GFF round trip: reserved characters (';' '=' ',' '%')
     // plus literal tab/newline inside attribute values must survive
     // write -> percent-encode -> parse -> decode without corrupting record
@@ -803,6 +846,17 @@ object FormatQueries {
     "f44_bed_write_indexed" ->
       """SELECT CAST(10 AS BIGINT) AS n_full, CAST(0 AS BIGINT) AS n_diff,
         |  CAST(1 AS BIGINT) AS n_region""".stripMargin,
+
+    // 77 fixture records; 10 overlap chr1:12000-12999
+    "f45_gtf_write_indexed" ->
+      """SELECT CAST(77 AS BIGINT) AS n_full, CAST(0 AS BIGINT) AS n_diff,
+        |  CAST(10 AS BIGINT) AS n_region""".stripMargin,
+
+    // 40 sequences of 4*(id%5+3) bases = 800 total; s7 = "ACGT"*5, bases
+    // 3..10 = GTACGTAC
+    "f46_fasta_write_fai" ->
+      """SELECT CAST(40 AS BIGINT) AS n_full, CAST(800 AS BIGINT) AS sum_len,
+        |  'GTACGTAC' AS sub""".stripMargin,
 
     "f38_gff_dirty_attrs" ->
       """SELECT * FROM (VALUES

@@ -24,6 +24,14 @@ trait WritableGraftFormat extends GraftFormat {
 
   /** Header block ('#' lines etc.) written once at the top of each file. */
   def fileHeader: Option[String] = None
+
+  /** Flat-file per-record index line (the `.fai` family): given the record
+    * values and the byte offset where the record starts in the uncompressed
+    * output, return one index line. Consulted only for uncompressed writes
+    * (`.fai` offsets are plain-file positions); when any line is produced
+    * the task commits a sibling `<part>.fai` alongside the data file.
+    */
+  def faiLine(values: Array[Any], recordStart: Long): Option[String] = None
 }
 
 /** A writable format whose records carry genomic coordinates, enabling the
@@ -180,9 +188,16 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
     format.fileHeader.foreach { h =>
       val b = h.getBytes(UTF_8)
       if (bgzf != null) bgzf.write(b) else stream.write(b)
+      plainOffset += b.length
     }
     stream
   }
+
+  // uncompressed byte position (drives faiLine); meaningful only when
+  // compression == "none"
+  private var plainOffset = 0L
+  private val faiSb =
+    if (compression == "none" || compression.isEmpty) new StringBuilder else null
 
   private val sb = new StringBuilder(1 << 14)
   private val dataTypes = format.dataSchema.fields.map(_.dataType)
@@ -215,7 +230,12 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
       val vs = bgzf.virtualPos
       bgzf.write(bytes)
       tbi.add(t, beg0, end0, vs, bgzf.virtualPos)
-    } else out.write(bytes)
+    } else {
+      if (faiSb != null)
+        format.faiLine(values, plainOffset).foreach(faiSb.append)
+      out.write(bytes)
+      plainOffset += bytes.length
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -232,7 +252,16 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
         try tbi.write(ts, pf, pc, pb, pe) finally ts.close()
         if (!fs.rename(tbiTmp, path.suffix(".tbi")))
           throw new java.io.IOException(s"failed to commit $tbiTmp")
-      } else out.close()
+      } else {
+        out.close()
+        if (faiSb != null && faiSb.nonEmpty) {
+          val faiTmp = tmpPath.suffix(".fai")
+          val fos = fs.create(faiTmp, true)
+          try fos.write(faiSb.toString.getBytes(UTF_8)) finally fos.close()
+          if (!fs.rename(faiTmp, path.suffix(".fai")))
+            throw new java.io.IOException(s"failed to commit $faiTmp")
+        }
+      }
       if (!fs.rename(tmpPath, path))
         throw new java.io.IOException(s"failed to commit $tmpPath -> $path")
     }

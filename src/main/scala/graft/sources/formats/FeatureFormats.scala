@@ -158,7 +158,7 @@ object GffFormat extends LineFormat with IndexableGraftFormat {
 /** GTF: GFF columns but `frame` and flat MAP<STRING,STRING> attributes in
   * `key "value";` form (exon/exon-gtf/src/config.rs:28-41).
   */
-object GtfFormat extends LineFormat {
+object GtfFormat extends LineFormat with IndexableGraftFormat {
   override def shortName: String = "gtf"
   override def defaultExtensions: Seq[String] = Seq("gtf")
   override def regionColumns: Option[(String, String, String)] =
@@ -201,6 +201,52 @@ object GtfFormat extends LineFormat {
     new ArrayBasedMapData(
       new GenericArrayData(pairs.map(_._1)), new GenericArrayData(pairs.map(_._2)))
   }
+
+  // ---- sink: GTF's `key "value";` attribute form over the GFF column
+  // layout; same tabix preset (coordinates are identical). Values keep
+  // their quotes verbatim — GTF has no percent-encoding convention, but a
+  // literal tab/newline would corrupt framing, so those are refused.
+
+  override def tabixPreset: (Int, Int, Int, Int) = (0, 1, 4, 5)
+
+  override def writeRecord(values: Array[Any], out: StringBuilder): Unit = {
+    def dot(v: Any): Unit = if (v == null) out.append('.') else out.append(v)
+    out.append(values(0)).append('\t')
+    dot(values(1)); out.append('\t')
+    out.append(values(2)).append('\t').append(values(3)).append('\t')
+    out.append(values(4)).append('\t')
+    values(5) match {
+      case null => out.append('.')
+      case f: java.lang.Float =>
+        if (f.floatValue == f.intValue.toFloat) out.append(f.intValue)
+        else out.append(f.floatValue)
+      case other => out.append(other)
+    }
+    out.append('\t')
+    dot(values(6)); out.append('\t')
+    dot(values(7)); out.append('\t')
+    values(8) match {
+      case null => ()
+      case m: org.apache.spark.sql.catalyst.util.MapData =>
+        val ks = m.keyArray(); val vs = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          if (i > 0) out.append(' ')
+          val v = vs.getUTF8String(i).toString
+          if (v.indexOf('\t') >= 0 || v.indexOf('\n') >= 0)
+            throw new IllegalArgumentException(
+              s"gtf write: attribute value contains tab/newline: $v")
+          out.append(ks.getUTF8String(i)).append(" \"").append(v).append("\";")
+          i += 1
+        }
+      case other => out.append(other)
+    }
+    out.append('\n')
+  }
+
+  override def recordRegion(values: Array[Any]): (String, Long, Long) =
+    (String.valueOf(values(0)), values(3).asInstanceOf[Long] - 1,
+      values(4).asInstanceOf[Long])
 }
 
 /** BED 3..12 columns (`n_fields` option, default 12); missing trailing

@@ -20,6 +20,24 @@ object FastaFormat extends WritableGraftFormat {
     if (values(1) != null) out.append(' ').append(values(1))
     out.append('\n').append(values(2)).append('\n')
   }
+
+  /** The sink writes one line per sequence, so the `.fai` tuple is exact:
+    * linebases = sequence length, linewidth = +1 for the newline. Each part
+    * file commits its own sibling index, making region subsequence reads
+    * (`samtools faidx` semantics) work against the sink's own output.
+    */
+  override def faiLine(values: Array[Any], recordStart: Long): Option[String] = {
+    val id = String.valueOf(values(0))
+    val idLen = id.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    val descLen =
+      if (values(1) == null) 0
+      else 1 + String.valueOf(values(1))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    val seqLen = String.valueOf(values(2))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    val seqOffset = recordStart + 1 + idLen + descLen + 1
+    Some(s"$id\t$seqLen\t$seqOffset\t$seqLen\t${seqLen + 1}\n")
+  }
   override def defaultExtensions: Seq[String] = Seq("fasta", "fa", "fna", "faa")
   override def splittable: Boolean = true
   override val dataSchema: StructType = StructType(Seq(

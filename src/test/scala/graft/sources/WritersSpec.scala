@@ -210,6 +210,62 @@ class WritersSpec extends AnyFunSuite with SharedSpark {
         col("start") < 12300 && col("end") > 11873).count(), hit.count())
   }
 
+  test("gtf sink: attribute round trip; bgzf + .tbi region read-back") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TestTmp.dir("gtf_sink").toString
+    val src = spark.read.format("gtf").load(s"$fx/gtf/test.gtf")
+    src.write.format("gtf").mode("overwrite").save(s"$dir/plain")
+    val back = spark.read.format("gtf").load(s"$dir/plain")
+    val key = Seq("seqname", "start", "end", "type")
+    assert(back.orderBy(key.head, key.tail: _*).collect().toSeq ==
+      src.orderBy(key.head, key.tail: _*).collect().toSeq)
+
+    src.repartitionByRange(1, col("seqname"), col("start"))
+      .sortWithinPartitions("seqname", "start")
+      .write.format("gtf").mode("overwrite")
+      .option("compression", "bgzf").save(s"$dir/bgzf")
+    val files = new java.io.File(s"$dir/bgzf").listFiles().map(_.getName)
+      .filterNot(_.startsWith("_"))
+    val part = files.find(_.endsWith(".gtf.gz")).get
+    assert(files.contains(part + ".tbi"), files.toSeq)
+    val hit = spark.read.format("gtf").option("region", "chr1:12000-12999")
+      .load(s"$dir/bgzf").count()
+    assert(hit == src.filter(col("seqname") === "chr1" &&
+      col("start") <= 12999 && col("end") >= 12000).count(), hit)
+  }
+
+  test("fasta sink commits .fai siblings; region reads seek the sink's own output") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = graft.TestTmp.dir("fasta_fai_sink").toString + "/t"
+    val src = Seq(
+      ("s1", "first", "ACGTACGTAC"),
+      ("s2", null, "TTTTGGGGCCCCAAAA"),
+      ("s3", "third", "GATTACA")
+    ).toDF("id", "description", "sequence")
+    src.coalesce(1).write.format("fasta").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith("_"))
+    val part = files.find(_.endsWith(".fasta")).get
+    assert(files.contains(part + ".fai"), files.toSeq)
+    // offsets in the .fai must address the true sequence bytes
+    val data = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, part).toPath)
+    val fai = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, part + ".fai").toPath), "UTF-8")
+    fai.linesIterator.foreach { l =>
+      val Array(name, len, off, _, _) = l.split('\t')
+      val seq = new String(data, off.toInt, len.toInt, "UTF-8")
+      val want = src.filter(col("id") === name).head().getString(2)
+      assert(seq == want, s"$name: fai-addressed '$seq' != '$want'")
+    }
+    // region subsequence extraction through the sink's own .fai
+    val sub = spark.read.format("fasta").option("region", "s2:5-8")
+      .load(dir).head()
+    assert(sub.getString(2) == "GGGG", sub.toString)
+  }
+
   test("fastq round trip preserves quality strings") {
     val dir = graft.TestTmp.dir("fastq_rt").toString
     val src = spark.read.format("fastq").load(s"$fx/fastq/test.fastq")
