@@ -445,8 +445,14 @@ object Bench {
           f""""canary_ratio":${t.canaryRatio}%.2f,"steal_pct":${t.stealPct}%.2f}"""
       }.mkString("{", ",", "}")
     val anyContended = details.values.exists(_.contended)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"contended":$anyContended,"detail":$ds,"sf":${jstr(sfDir)}}""")
+    // Stop Spark BEFORE printing so no shutdown log lines land after the
+    // payload; emit the bulky per-rep detail on its own line first, then the
+    // canonical compact JSON as the absolute final line of output — the
+    // driver's tail capture must always contain the complete payload.
     if (SparkSession.getActiveSession.isDefined) spark.stop()
+    println(s"""{"bench_detail":$ds}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"contended":$anyContended,"sf":${jstr(sfDir)}}""")
+    System.out.flush()
     if (errors.nonEmpty) sys.exit(0) // errors are in the JSON; exit clean
   }
 }

@@ -433,6 +433,25 @@ object FormatQueries {
       full.crossJoin(sub)
     }),
 
+    // WHERE-derived MULTI-region index pruning: `seqname IN (...)` and an OR
+    // of per-chrom region conjuncts both feed the same tabix chunk-pruning
+    // path as the region/regionFile options (the reference accepts region
+    // LISTS via region files, fasta_indexed_scan.rs:62-125). The filters
+    // stay residual, so results are exact; PlanAuditSpec asserts both
+    // regions reach the scan.
+    "f47_multi_region_where" -> ((s, _) => {
+      val p = s"$fx/gff-index/gencode.v38.polyAs.gff.gz"
+      val inBoth = s.read.format("gff").load(p)
+        .filter(col("seqname").isin("chr1", "chr2"))
+        .agg(count(lit(1)).as("n_in"))
+      val orRegions = s.read.format("gff").load(p)
+        .filter((col("seqname") === "chr1" &&
+                 col("start") <= 200000 && col("end") >= 100000) ||
+                col("seqname") === "chr2")
+        .agg(count(lit(1)).as("n_or"))
+      inBoth.crossJoin(orRegions)
+    }),
+
     // Dirty-attribute GFF round trip: reserved characters (';' '=' ',' '%')
     // plus literal tab/newline inside attribute values must survive
     // write -> percent-encode -> parse -> decode without corrupting record
@@ -857,6 +876,10 @@ object FormatQueries {
     "f46_fasta_write_fai" ->
       """SELECT CAST(40 AS BIGINT) AS n_full, CAST(800 AS BIGINT) AS sum_len,
         |  'GTACGTAC' AS sub""".stripMargin,
+
+    // chr1=8813 + chr2=7223 = 16036; chr1∩[100000,200000]=4 + chr2 = 7227
+    "f47_multi_region_where" ->
+      "SELECT CAST(16036 AS BIGINT) AS n_in, CAST(7227 AS BIGINT) AS n_or",
 
     "f38_gff_dirty_attrs" ->
       """SELECT * FROM (VALUES

@@ -410,6 +410,18 @@ object LlmQueries {
       connectedComponentsStar(jaccardPairs(s, d).select(col("ida"), col("idb")))
         .orderBy("doc_id")),
 
+    // Star contraction in RELIABLE-checkpoint mode (setCheckpointDir +
+    // df.checkpoint() per round) — the fault-tolerant configuration a
+    // 100 TB CC run needs (per-round cuts survive executor loss, unlike
+    // localCheckpoint's executor-local blocks). Same recursive-CTE oracle
+    // as l14/l21: both checkpoint modes are pinned to identical clusters.
+    "l30_dup_clusters_ckpt" -> ((s, d) => {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+      connectedComponentsStar(jaccardPairs(s, d).select(col("ida"), col("idb")),
+        checkpointDir = Some(ckpt.toString))
+        .orderBy("doc_id")
+    }),
+
     // Exact duplicated-SPAN stats (the Lee et al. "Deduplicating Training
     // Data" substring-level shape, vs l01's whole-doc and l03/l04's
     // whole-doc-similarity dedup): per document, how many of its distinct
@@ -631,10 +643,15 @@ object LlmQueries {
     // stage ever funnels the corpus through one task.
     "l27_sequence_packing" -> ((s, d) => {
       val budget = 512L
-      val toks = documents(s, d)
+      // Block width scales with corpus size so the block table stays ~1e4
+      // rows at any scale (1e9 docs -> 1e5-doc blocks); the decomposition is
+      // answer-invariant in the width, so any value gives identical packing.
+      val docsDf = documents(s, d)
+      val blockWidth = math.max(64L, docsDf.count() / 10000L)
+      val toks = docsDf
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("tokens"))
-        .withColumn("block", (col("doc_id") / 64L).cast("long"))
+        .withColumn("block", (col("doc_id") / blockWidth).cast("long"))
       val blockW = Window.orderBy(col("block"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val blockOffsets = toks.groupBy(col("block"))
@@ -693,8 +710,12 @@ object LlmQueries {
         .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("h"))
       val corpus = docs.filter(col("doc_id") < 300)
       val batch = docs.filter(col("doc_id") >= 200)
+      // Size the sketch from the actual corpus count (count() is a cheap
+      // metadata/aggregate pass) so FPP holds at any corpus scale instead
+      // of silently degrading past a hardcoded capacity.
+      val corpusN = math.max(corpus.count(), 1000L)
       val bfB = s.sparkContext.broadcast(
-        corpus.stat.bloomFilter("h", 100000L, 0.01))
+        corpus.stat.bloomFilter("h", corpusN, 0.01))
       val mightContain = udf((h: String) => bfB.value.mightContainString(h))
       val definitelyNew = batch.filter(!mightContain(col("h")))
       val confirmedNew = batch.filter(mightContain(col("h")))
@@ -703,6 +724,75 @@ object LlmQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_new"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("lang"))
+    }),
+
+    // Bigram-LM perplexity scoring (the KenLM-shaped quality signal real
+    // curation stacks rank documents by): train an un-smoothed bigram MLE
+    // model ON the corpus — P(w2|w1) = c(w1,w2)/c(w1·) — in two keyed
+    // aggregates, then score every document's mean negative log-likelihood.
+    // Scale shape: documents decompose to bigrams by a codegen'd map (no
+    // text ever shuffles); count tables are map-side-combined aggregates;
+    // scoring is two KEYED joins — the bigram table is corpus-vocabulary-
+    // sized at 100 TB, so it shuffles on its key, never broadcasts. Zero
+    // probabilities cannot occur (the model is trained on the scored
+    // corpus), so no smoothing branch is needed.
+    "l31_bigram_perplexity" -> ((s, d) => {
+      val bg = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i+1] as w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-avg(log(col("c12").cast("double") / col("cnt1"))), 6).as("nll"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fixed-size deterministic global sample (eval-holdout carve-out): the
+    // k documents with the smallest arithmetic-hash value, ties broken by
+    // doc_id — reproducible across engines/runs and stable under
+    // repartitioning, unlike rng sample(). Scale shape: ORDER BY + LIMIT
+    // plans as TakeOrderedAndProject — per-partition top-k heaps then a
+    // k-row merge, the corpus is NEVER globally sorted (PlanAuditSpec
+    // asserts the shape).
+    "l32_deterministic_sample" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("h", (col("doc_id") * 998244353L + 12345L) % 1000000007L)
+        .orderBy(col("h"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Leakage-free train/test split: near-dup CLUSTERS (not documents) are
+    // the split unit, so no near-duplicate pair ever straddles train/test
+    // — the contamination-safe eval carve-out. Composes the CC labels
+    // (same pairs as l14; docs in no pair are their own singleton cluster)
+    // with a deterministic hash split on the CLUSTER id; max_parts proves
+    // no cluster straddles. Scale shape: CC as proven in l14/l21, one
+    // keyed label join, then a pure map — the split itself shuffles
+    // nothing.
+    "l33_leakage_free_split" -> ((s, d) => {
+      val labels = connectedComponents(
+        jaccardPairs(s, d).select(col("ida"), col("idb")))
+      val labeled = documents(s, d).select(col("doc_id"), col("n_chars"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("part",
+          when((col("cluster") * 998244353L + 12345L) % 1000000007L % 10L < 2L,
+            "test").otherwise("train"))
+      val straddle = labeled.groupBy(col("cluster"))
+        .agg(countDistinct(col("part")).as("np"))
+        .agg(max(col("np")).as("max_parts_per_cluster"))
+      labeled.groupBy(col("part"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(straddle)
+        .orderBy(col("part"))
     }),
 
     // Deterministic stratified sampling (training-mix ratios): keep a
@@ -1575,6 +1665,56 @@ object LlmQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "l31_bigram_perplexity" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest([w[i] for i in generate_series(1, len(w) - 1)]) AS w1,
+        |         unnest([w[i+1] for i in generate_series(1, len(w) - 1)]) AS w2
+        |       FROM toks WHERE len(w) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) cnt1 FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(-avg(ln(c12::DOUBLE / cnt1)), 6) AS nll
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "l32_deterministic_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  ORDER BY (doc_id * 998244353 + 12345) % 1000000007, doc_id
+        |  LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    "l33_leakage_free_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
+        |        for i in generate_series(1, len(w) - 4)]) s FROM toks),
+        |p AS (SELECT ida, idb FROM (
+        |  SELECT a.doc_id ida, b.doc_id idb,
+        |      round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |            len(list_distinct(list_concat(a.s, b.s))), 4) j
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.5),
+        |edges AS (SELECT ida a, idb b FROM p UNION SELECT idb, ida FROM p),
+        |reach(a, b) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        |labeled AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    coalesce(l.cluster_id, d.doc_id) AS cluster,
+        |    CASE WHEN (coalesce(l.cluster_id, d.doc_id) * 998244353 + 12345)
+        |           % 1000000007 % 10 < 2 THEN 'test' ELSE 'train' END AS part
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+        |straddle AS (
+        |  SELECT max(np) AS max_parts_per_cluster FROM (
+        |    SELECT cluster, count(DISTINCT part) AS np FROM labeled GROUP BY cluster))
+        |SELECT part, count(*) AS n_docs,
+        |  count(DISTINCT cluster) AS n_clusters,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  (SELECT max_parts_per_cluster FROM straddle) AS max_parts_per_cluster
+        |FROM labeled GROUP BY part ORDER BY part""".stripMargin,
+
     "l10_multimodal_stub" ->
       """SELECT count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
         |  CAST(sum(64 + octet_length(encode(text)) % 576) AS BIGINT) AS sum_w,
@@ -1602,6 +1742,23 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "l21_dup_clusters_star" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
+        |        for i in generate_series(1, len(w) - 4)]) s FROM toks),
+        |p AS (SELECT ida, idb FROM (
+        |  SELECT a.doc_id ida, b.doc_id idb,
+        |      round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |            len(list_distinct(list_concat(a.s, b.s))), 4) j
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.5),
+        |edges AS (SELECT ida a, idb b FROM p UNION SELECT idb, ida FROM p),
+        |reach(a, b) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+        |ORDER BY doc_id""".stripMargin,
+
+    "l30_dup_clusters_ckpt" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
         |        for i in generate_series(1, len(w) - 4)]) s FROM toks),

@@ -568,8 +568,11 @@ object RelationalQueries {
     "q45_bloom_semijoin_prune" -> ((s, d) => {
       val bigOrders = orders(s, d).filter(col("o_totalprice") > 400000.0)
         .select(col("o_orderkey"), col("o_orderpriority"))
+      // Capacity from the actual build-side count so FPP holds at any scale
+      // (a fixed capacity degrades silently once the key set outgrows it).
+      val buildN = math.max(bigOrders.count(), 1000L)
       val bfB = s.sparkContext.broadcast(
-        bigOrders.stat.bloomFilter("o_orderkey", 100000L, 0.01))
+        bigOrders.stat.bloomFilter("o_orderkey", buildN, 0.01))
       val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
       lineitem(s, d)
         .filter(mightContain(col("l_orderkey")))
@@ -660,7 +663,25 @@ object RelationalQueries {
         .agg(max(col("depth")).as("max_concurrent"),
           sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_intervals"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // HyperLogLog++ cardinality — THE 100 TB distinct-count operator (an
+    // exact countDistinct shuffles every distinct key; the sketch is a
+    // fixed few KB per partition, merged without a key shuffle). Sketches
+    // are engine-specific, so the gate pins the exact counts and asserts
+    // the approximation lands inside its configured 5% error envelope —
+    // the property that actually matters for planning at scale.
+    "q49_approx_distinct" -> ((s, d) =>
+      lineitem(s, d).agg(
+        countDistinct(col("l_orderkey")).as("n_orders_exact"),
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("a_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("a_parts"))
+        .select(col("n_orders_exact"), col("n_parts_exact"),
+          (abs(col("a_orders") - col("n_orders_exact")) <=
+            col("n_orders_exact") * 0.05).as("orders_within_5pct"),
+          (abs(col("a_parts") - col("n_parts_exact")) <=
+            col("n_parts_exact") * 0.05).as("parts_within_5pct")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1063,6 +1084,12 @@ object RelationalQueries {
         |  FROM b)
         |SELECT user_id, CAST(max(depth) AS BIGINT) AS max_concurrent,
         |  CAST(count(*) FILTER (d = 1) AS BIGINT) AS n_intervals
-        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q49_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders_exact,
+        |  count(DISTINCT l_partkey) AS n_parts_exact,
+        |  true AS orders_within_5pct, true AS parts_within_5pct
+        |FROM lineitem""".stripMargin
   )
 }

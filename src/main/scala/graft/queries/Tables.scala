@@ -12,14 +12,25 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. Read nanos as LongType and truncate
-    * to micros with integer division (`div`, not `/` — double division loses
-    * precision above 2^53 ns) exactly as DuckDB truncates ns→µs.
+  /** `events.parquet` has stored `ts` as either parquet TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects — read nanos as LongType and
+    * truncate to micros with integer division, `div` not `/`, exactly as
+    * DuckDB truncates ns→µs) or plain timestamp[us] (usable as-is). Branch
+    * on the loaded schema so either generation of the testdata resolves.
     */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Session TZ is pinned to UTC (GraftSession/LocalSession), so this
+        // cast is the identity on the stored micros — same LTZ values the
+        // nanos shim produced, and unix_micros(ts) downstream stays valid.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already TIMESTAMP (LTZ µs); matches DuckDB directly
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, EqualNullSafe, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, EqualNullSafe, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -309,7 +309,7 @@ final class GraftScanBuilder(table: GraftTable)
 
   private var requiredSchema: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
-  private var filterRegion: Option[(String, Long, Long)] = None
+  private var filterRegion: Seq[(String, Long, Long)] = Nil
   private var limit: Option[Int] = None
   private var pushedCount: Option[Long] = None
 
@@ -368,25 +368,60 @@ final class GraftScanBuilder(table: GraftTable)
       case _ => false
     }
     pushed = accepted
-    filterRegion = extractRegion(filters)
+    filterRegion = extractRegions(filters)
     residual
   }
 
-  private def extractRegion(filters: Array[Filter]): Option[(String, Long, Long)] =
-    table.format.regionColumns.flatMap { case (chromCol, startCol, endCol) =>
-      var chrom: Option[String] = None
-      var lo = 1L
-      var hi = Long.MaxValue / 2 // reg2bins clamps to each index's max position
+  /** Capture the region set a conjunctive WHERE implies, for index pruning.
+    * Handles a single (chrom, lo, hi) conjunct, `chrom IN (...)` fan-out,
+    * and a top-level OR of per-chrom region conjuncts (every branch must
+    * name a chrom, else the OR prunes nothing). Pruning only needs an
+    * over-approximation — the filters stay residuals, so the scan is exact.
+    */
+  private def extractRegions(filters: Array[Filter]): Seq[(String, Long, Long)] =
+    table.format.regionColumns.toSeq.flatMap { case (chromCol, startCol, endCol) =>
+      val MaxP = Long.MaxValue / 2 // reg2bins clamps to each index's max position
       def num(v: Any): Long = v.asInstanceOf[Number].longValue()
-      filters.foreach {
-        case EqualTo(c, v) if c == chromCol => chrom = Some(String.valueOf(v))
-        case GreaterThanOrEqual(c, v) if c == endCol => lo = math.max(lo, num(v))
-        case GreaterThan(c, v) if c == endCol => lo = math.max(lo, num(v) + 1)
-        case LessThanOrEqual(c, v) if c == startCol => hi = math.min(hi, num(v))
-        case LessThan(c, v) if c == startCol => hi = math.min(hi, num(v) - 1)
-        case _ => ()
+      // Conjunctive-tree summary: (chrom set if constrained, lo, hi).
+      def conj(f: Filter): (Option[Seq[String]], Long, Long) = f match {
+        case And(l, r) =>
+          val (c1, lo1, hi1) = conj(l); val (c2, lo2, hi2) = conj(r)
+          val cs = (c1, c2) match {
+            case (Some(a), Some(b)) => Some(a.intersect(b))
+            case (a, b) => a.orElse(b)
+          }
+          (cs, math.max(lo1, lo2), math.min(hi1, hi2))
+        case EqualTo(c, v) if c == chromCol => (Some(Seq(String.valueOf(v))), 1L, MaxP)
+        case In(c, vs) if c == chromCol =>
+          (Some(vs.toSeq.map(String.valueOf(_)).distinct), 1L, MaxP)
+        case GreaterThanOrEqual(c, v) if c == endCol => (None, num(v), MaxP)
+        case GreaterThan(c, v) if c == endCol => (None, num(v) + 1, MaxP)
+        case LessThanOrEqual(c, v) if c == startCol => (None, 1L, num(v))
+        case LessThan(c, v) if c == startCol => (None, 1L, num(v) - 1)
+        case _ => (None, 1L, MaxP) // unconstrained — sound over-approximation
       }
-      chrom.map(c => (c, lo, hi))
+      // Region set of an arbitrary tree; None = cannot constrain (full scan).
+      def regionSet(f: Filter): Option[Seq[(String, Long, Long)]] = f match {
+        case Or(l, r) => for { a <- regionSet(l); b <- regionSet(r) } yield a ++ b
+        case other =>
+          val (cs, lo, hi) = conj(other)
+          cs.map(_.map(c => (c, math.max(lo, 1L), hi)))
+      }
+      // The array is a conjunction: fold the simple conjuncts, then tighten
+      // any OR-derived region set with the global coordinate bounds.
+      val (chromSet, lo, hi) = filters.filterNot(_.isInstanceOf[Or])
+        .foldLeft((Option.empty[Seq[String]], 1L, MaxP)) { case ((cs0, lo0, hi0), f) =>
+          val (cs1, lo1, hi1) = conj(f)
+          val cs = (cs0, cs1) match {
+            case (Some(a), Some(b)) => Some(a.intersect(b))
+            case (a, b) => a.orElse(b)
+          }
+          (cs, math.max(lo0, lo1), math.min(hi0, hi1))
+        }
+      val base = chromSet.map(_.map(c => (c, lo, hi)))
+      val orDerived = filters.collect { case o: Or => regionSet(o) }.flatten.headOption
+        .map(_.map { case (c, l, h) => (c, math.max(l, lo), math.min(h, hi)) })
+      base.orElse(orDerived).getOrElse(Nil).filter { case (_, l, h) => l <= h }.distinct
     }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -433,15 +468,15 @@ final class GraftCountReaderFactory extends PartitionReaderFactory {
 }
 
 final class GraftScan(table: GraftTable, required: StructType, partFilters: Array[Filter],
-                      filterRegion: Option[(String, Long, Long)],
+                      filterRegion: Seq[(String, Long, Long)],
                       limit: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeFiltering {
 
-  // Option-regions win; WHERE-derived region otherwise. Only the option path
+  // Option-regions win; WHERE-derived regions otherwise. Only the option path
   // needs reader-side row filtering (WHERE filters stay as Spark residuals).
   private val region: Seq[(String, Long, Long)] =
-    if (table.regionsOption.nonEmpty) table.regionsOption else filterRegion.toSeq
+    if (table.regionsOption.nonEmpty) table.regionsOption else filterRegion
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -106,6 +106,31 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("Window"), plan)
   }
 
+  test("l31: bigram LM scoring is keyed joins only, no cartesian") {
+    val df = graft.queries.LlmQueries.queries("l31_bigram_perplexity")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("l32: deterministic sample plans as per-partition top-k, not a global sort") {
+    val df = graft.queries.LlmQueries.queries("l32_deterministic_sample")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("l33: leakage-free split is keyed label join + pure map, no cartesian") {
+    val df = graft.queries.LlmQueries.queries("l33_leakage_free_split")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q49: HLL sketch aggregates partial+final (no distinct-key shuffle for approx)") {
+    val df = RelationalQueries.queries("q49_approx_distinct")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("approx_count_distinct") || plan.contains("HyperLogLog"), plan)
+  }
+
   test("l29: bloom pre-filter reaches the batch scan side; confirm join is keyed anti") {
     val df = graft.queries.LlmQueries.queries("l29_incremental_dedup")(spark, d)
     val plan = df.queryExecution.executedPlan.toString

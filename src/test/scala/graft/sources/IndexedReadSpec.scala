@@ -35,6 +35,34 @@ class IndexedReadSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("GraftScan"), plan)
   }
 
+  test("indexed gff: WHERE seqname IN ('chr1','chr2') prunes both chroms via the index") {
+    val df = spark.read.format("gff").load(gff)
+      .filter(col("seqname").isin("chr1", "chr2"))
+    assert(df.count() == 8813 + 7223)
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("(chr1,") && desc.contains("(chr2,"), desc)
+  }
+
+  test("indexed gff: OR of region conjuncts prunes to a two-region set") {
+    val df = spark.read.format("gff").load(gff)
+      .filter((col("seqname") === "chr1" &&
+               col("start") <= 200000 && col("end") >= 100000) ||
+              col("seqname") === "chr2")
+    assert(df.count() == 4 + 7223)
+    val desc = df.queryExecution.executedPlan.toString
+    // chr1 branch carries its coordinate window; chr2 branch is whole-chrom
+    assert(desc.contains("(chr1,100000,200000)") && desc.contains("(chr2,"), desc)
+  }
+
+  test("indexed gff: OR with an unconstrained branch falls back to full scan, stays exact") {
+    val df = spark.read.format("gff").load(gff)
+      .filter(col("seqname") === "chr1" || col("start") < 100000)
+    // no chrom on the right branch: pruning must NOT engage (region empty)
+    val desc = df.queryExecution.executedPlan.toString
+    assert(!desc.contains("(chr1,"), desc)
+    assert(df.count() > 8813) // chr1 rows plus low-coordinate rows elsewhere
+  }
+
   test("indexed gff: gff_region_filter end-to-end (slt golden)") {
     graft.GraftSession.registerAll(spark)
     spark.read.format("gff").load(gff).createOrReplaceTempView("new_gff")

@@ -11,11 +11,16 @@ class PackingSpec extends AnyFunSuite {
 
   test("100k chunks pack in well under a second") {
     val chunks = (0 until 100000).map(i => chunk(i, 1000L + i % 977))
-    val t0 = System.nanoTime()
+    // best-of-3 so a GC pause or CPU contention from a parallel suite can't
+    // flake a complexity guard (this asserts O(n) packing, not wall-clock)
+    val ms = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val parts = GraftScan.pack(chunks, openCost = 100L, maxSplit = 128L * 1024)
+      assert(parts.map(_.length).sum == 100000)
+      (System.nanoTime() - t0) / 1e6
+    }.min
     val parts = GraftScan.pack(chunks, openCost = 100L, maxSplit = 128L * 1024)
-    val ms = (System.nanoTime() - t0) / 1e6
-    assert(parts.map(_.length).sum == 100000)
-    assert(ms < 1000.0, s"packing took $ms ms")
+    assert(ms < 1000.0, s"packing took $ms ms (best of 3)")
     // every partition except possibly the last respects the target
     parts.foreach { p =>
       if (p.length > 1)
