@@ -795,6 +795,30 @@ object LlmQueries {
         .orderBy(col("part"))
     }),
 
+    // Sub-document dedup at chunk granularity (the CCNet paragraph-dedup
+    // shape — here the unit is a fixed non-overlapping 10-word chunk since
+    // the synthetic corpus has no paragraph breaks): every chunk keeps one
+    // global survivor (min doc_id), and each document reports how much of
+    // it survives. Unlike l22 (overlapping span STATS), this picks
+    // survivors — the retained-corpus computation. Scale shape: chunks are
+    // produced by a codegen'd map, deduped by ONE chunk-keyed aggregate
+    // (map-side combine), and attributed back by one keyed join — cost is
+    // O(total chunks), no pairwise comparison, no text shuffle beyond the
+    // chunk rows themselves.
+    "l34_chunk_dedup" -> ((s, d) => {
+      val ch = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1)," +
+            " i -> array_join(slice(w, i * 10 + 1, 10), ' '))")).as("chunk"))
+      val survivors = ch.groupBy(col("chunk")).agg(min(col("doc_id")).as("keeper"))
+      ch.join(survivors, Seq("chunk"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("keeper") === col("doc_id"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic stratified sampling (training-mix ratios): keep a
     // per-language permille of documents chosen by an arithmetic hash of
     // doc_id — reproducible across engines and runs (unlike rng-based
@@ -1714,6 +1738,18 @@ object LlmQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  (SELECT max_parts_per_cluster FROM straddle) AS max_parts_per_cluster
         |FROM labeled GROUP BY part ORDER BY part""".stripMargin,
+
+    "l34_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |ch AS (SELECT doc_id,
+        |         unnest([array_to_string(w[i:i+9], ' ')
+        |                 for i in generate_series(1, len(w), 10)]) AS chunk
+        |       FROM toks),
+        |sv AS (SELECT chunk, min(doc_id) AS keeper FROM ch GROUP BY chunk)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN keeper = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM ch JOIN sv USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "l10_multimodal_stub" ->
       """SELECT count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,

@@ -681,7 +681,32 @@ object RelationalQueries {
           (abs(col("a_orders") - col("n_orders_exact")) <=
             col("n_orders_exact") * 0.05).as("orders_within_5pct"),
           (abs(col("a_parts") - col("n_parts_exact")) <=
-            col("n_parts_exact") * 0.05).as("parts_within_5pct")))
+            col("n_parts_exact") * 0.05).as("parts_within_5pct"))),
+
+    // Explicit key-salting for a skewed shuffle join — the manual fix when
+    // AQE's skew split can't help (e.g. the skew is in the JOIN KEY's hash
+    // bucket, or the engine predates runtime re-plan): the probe side gets
+    // a deterministic per-row salt, the build side replicates 16x with
+    // every salt value, and the join key becomes (key, salt) so one hot
+    // user spreads over 16 tasks instead of one straggler. SHUFFLE_MERGE
+    // hint keeps the demonstration honest (a broadcast would hide the
+    // skew problem entirely — and is the right fix when the dim is small).
+    // Decimal sums keep the aggregate exact, so the answer is
+    // byte-identical to the oracle's plain un-salted join.
+    "q50_salted_skew_join" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          (col("event_id") % 16L).as("salt"))
+      val dim = customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("salt", explode(sequence(lit(0L), lit(15L))))
+      ev.hint("SHUFFLE_MERGE")
+        .join(dim, ev("user_id") === dim("c_custkey") && ev("salt") === dim("salt"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1090,6 +1115,13 @@ object RelationalQueries {
       """SELECT count(DISTINCT l_orderkey) AS n_orders_exact,
         |  count(DISTINCT l_partkey) AS n_parts_exact,
         |  true AS orders_within_5pct, true AS parts_within_5pct
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    "q50_salted_skew_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin
   )
 }

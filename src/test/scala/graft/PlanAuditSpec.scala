@@ -131,6 +131,14 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("approx_count_distinct") || plan.contains("HyperLogLog"), plan)
   }
 
+  test("q50: salted join is a sort-merge on (key, salt), no broadcast hiding the skew") {
+    val df = RelationalQueries.queries("q50_salted_skew_join")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("salt"), plan) // salt is part of the join key
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("l29: bloom pre-filter reaches the batch scan side; confirm join is keyed anti") {
     val df = graft.queries.LlmQueries.queries("l29_incremental_dedup")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
