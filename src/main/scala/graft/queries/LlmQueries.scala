@@ -581,6 +581,83 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Product quantization (Jégou et al.) — the vector-COMPRESSION half of
+    // billion-scale ANN (IVF-PQ): the 64-dim embedding splits into M=4
+    // 16-dim subspaces, each learns K=16 centroids by Lloyd's k-means, and
+    // every vector compresses to 4 one-byte codes (64x smaller than fp32)
+    // plus an exact integer reconstruction error. Runs on the same 1e-6
+    // integer grid as l25 so distributed sums are exact longs and results
+    // are bit-identical under any partitioning (pinned by the independent
+    // Python reimplementation in tools/pin_l35.py). Scale shape: the
+    // codebook is M*K*16 numbers — driver/broadcast-sized at ANY corpus
+    // scale; assignment is a broadcast join + per-(vec,subspace) window;
+    // the update is one exploded groupBy SUM with map-side combine. No
+    // stage ever moves the corpus except keyed on (vec_id, m).
+    "l35_pq_encode" -> ((s, d) => {
+      val M = 4; val SUB = 16; val K = 16; val iters = 3
+      val emb = embeddings(s, d)
+        .withColumn("q", transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + 0.5).cast("long")))
+        .select(col("vec_id"), col("q"))
+      val sub = emb.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1})," +
+          s" m -> struct(m as m, slice(q, m * $SUB + 1, $SUB) as sub))")).as("t"))
+        .select(col("vec_id"), col("t.m").as("m"), col("t.sub").as("sub"))
+      def dist(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+
+      import s.implicits._
+      var cents: Array[(Int, Int, Seq[Long])] = sub.filter(col("vec_id") < K)
+        .orderBy("m", "vec_id").collect()
+        .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Long](2)))
+      def assign(cdf: DataFrame): DataFrame = {
+        val aw = Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(dist(col("cvec"), col("sub")).asc, col("cid"))
+        sub.join(broadcast(cdf), Seq("m"))
+          .withColumn("rn", row_number().over(aw))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("sub"), col("cid"),
+            dist(col("cvec"), col("sub")).as("err"))
+      }
+      (1 to iters).foreach { _ =>
+        val sums = assign(cents.toSeq.toDF("m", "cid", "cvec"))
+          .select(col("m"), col("cid"), posexplode(col("sub")))
+          .groupBy(col("m"), col("cid"), col("pos"))
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        cents = cents.map { case (m, cid, old) =>
+          byKey.get((m, cid)) match {
+            case None => (m, cid, old) // empty cluster keeps its centroid
+            case Some(rows) =>
+              val n = rows.head.getLong(4)
+              val mean = old.toArray
+              rows.foreach(r =>
+                mean(r.getInt(2)) = math.floor(r.getLong(3).toDouble / n + 0.5).toLong)
+              (m, cid, mean.toSeq)
+          }
+        }
+      }
+      val codes = assign(cents.toSeq.toDF("m", "cid", "cvec"))
+        .groupBy(col("vec_id"))
+        .agg(
+          max(when(col("m") === 0, col("cid"))).as("c0"),
+          max(when(col("m") === 1, col("cid"))).as("c1"),
+          max(when(col("m") === 2, col("cid"))).as("c2"),
+          max(when(col("m") === 3, col("cid"))).as("c3"),
+          sum(col("err")).as("err"))
+      // per-label summary: count, exact total reconstruction error, and a
+      // positional checksum over the code tuples — any change to any code
+      // or any centroid moves at least one output cell
+      codes.join(embeddings(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("err")).as("sum_err"),
+          sum(col("c0") + col("c1") * 17L + col("c2") * 289L +
+            col("c3") * 4913L).as("code_checksum"))
+        .orderBy(col("label"))
+    }),
+
     // PII redaction — the scrub pass every released corpus runs (emails,
     // phone numbers, IPs -> placeholder tokens). The synthetic corpus has
     // no natural PII, so the gate deterministically injects some first
@@ -1617,6 +1694,22 @@ object LlmQueries {
         |  (CAST(485 AS BIGINT), CAST(205 AS BIGINT), CAST(0.4074 AS DOUBLE)))
         |t(vec_id, dup_of, score)
         |ORDER BY vec_id""".stripMargin,
+
+    // pinned by tools/pin_l35.py (independent Python PQ on the same
+    // integer grid) at sf0.01 — the driver's grading scale
+    "l35_pq_encode" ->
+      """SELECT * FROM (VALUES
+        |  (0, CAST(50 AS BIGINT), CAST(36079512282547 AS BIGINT), CAST(2221292 AS BIGINT)),
+        |  (1, CAST(46 AS BIGINT), CAST(34233404095252 AS BIGINT), CAST(1963817 AS BIGINT)),
+        |  (2, CAST(47 AS BIGINT), CAST(33850511182729 AS BIGINT), CAST(1922058 AS BIGINT)),
+        |  (3, CAST(59 AS BIGINT), CAST(43856175755430 AS BIGINT), CAST(2709200 AS BIGINT)),
+        |  (4, CAST(52 AS BIGINT), CAST(37644084150269 AS BIGINT), CAST(2297513 AS BIGINT)),
+        |  (5, CAST(44 AS BIGINT), CAST(31634882930256 AS BIGINT), CAST(1840462 AS BIGINT)),
+        |  (6, CAST(46 AS BIGINT), CAST(33829853760896 AS BIGINT), CAST(1885625 AS BIGINT)),
+        |  (7, CAST(53 AS BIGINT), CAST(39332233832819 AS BIGINT), CAST(2279043 AS BIGINT)),
+        |  (8, CAST(49 AS BIGINT), CAST(35602292864606 AS BIGINT), CAST(2036977 AS BIGINT)),
+        |  (9, CAST(54 AS BIGINT), CAST(38921526575557 AS BIGINT), CAST(2003529 AS BIGINT)))
+        |t(label, n, sum_err, code_checksum) ORDER BY label""".stripMargin,
 
     // injection reproduced verbatim; DuckDB regexp_replace needs the 'g'
     // flag to match Spark's replace-all semantics

@@ -139,6 +139,13 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("l35: PQ assignment is a broadcast codebook join, no cartesian") {
+    val df = graft.queries.LlmQueries.queries("l35_pq_encode")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("l29: bloom pre-filter reaches the batch scan side; confirm join is keyed anti") {
     val df = graft.queries.LlmQueries.queries("l29_incremental_dedup")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
