@@ -594,52 +594,7 @@ object LlmQueries {
     // the update is one exploded groupBy SUM with map-side combine. No
     // stage ever moves the corpus except keyed on (vec_id, m).
     "l35_pq_encode" -> ((s, d) => {
-      val M = 4; val SUB = 16; val K = 16; val iters = 3
-      val emb = embeddings(s, d)
-        .withColumn("q", transform(col("embedding"),
-          x => floor(x.cast("double") * 1e6 + 0.5).cast("long")))
-        .select(col("vec_id"), col("q"))
-      val sub = emb.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${M - 1})," +
-          s" m -> struct(m as m, slice(q, m * $SUB + 1, $SUB) as sub))")).as("t"))
-        .select(col("vec_id"), col("t.m").as("m"), col("t.sub").as("sub"))
-      def dist(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x)
-
-      import s.implicits._
-      var cents: Array[(Int, Int, Seq[Long])] = sub.filter(col("vec_id") < K)
-        .orderBy("m", "vec_id").collect()
-        .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Long](2)))
-      def assign(cdf: DataFrame): DataFrame = {
-        val aw = Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(dist(col("cvec"), col("sub")).asc, col("cid"))
-        sub.join(broadcast(cdf), Seq("m"))
-          .withColumn("rn", row_number().over(aw))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("m"), col("sub"), col("cid"),
-            dist(col("cvec"), col("sub")).as("err"))
-      }
-      (1 to iters).foreach { _ =>
-        val sums = assign(cents.toSeq.toDF("m", "cid", "cvec"))
-          .select(col("m"), col("cid"), posexplode(col("sub")))
-          .groupBy(col("m"), col("cid"), col("pos"))
-          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-          .collect()
-        val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
-        cents = cents.map { case (m, cid, old) =>
-          byKey.get((m, cid)) match {
-            case None => (m, cid, old) // empty cluster keeps its centroid
-            case Some(rows) =>
-              val n = rows.head.getLong(4)
-              val mean = old.toArray
-              rows.foreach(r =>
-                mean(r.getInt(2)) = math.floor(r.getLong(3).toDouble / n + 0.5).toLong)
-              (m, cid, mean.toSeq)
-          }
-        }
-      }
-      val codes = assign(cents.toSeq.toDF("m", "cid", "cvec"))
+      val codes = pqModel(s, d)._1
         .groupBy(col("vec_id"))
         .agg(
           max(when(col("m") === 0, col("cid"))).as("c0"),
@@ -656,6 +611,44 @@ object LlmQueries {
           sum(col("c0") + col("c1") * 17L + col("c2") * 289L +
             col("c3") * 4913L).as("code_checksum"))
         .orderBy(col("label"))
+    }),
+
+    // PQ asymmetric-distance search (the query half of IVF-PQ): each query
+    // precomputes a 16-entry distance TABLE per subspace against the
+    // codebook, and every database vector scores as 4 table LOOKUPS summed
+    // — no float math per candidate, the trick that makes billion-vector
+    // scans memory-bandwidth-bound instead of FLOP-bound. Integer tables
+    // on the 1e-6 grid keep every distance exact (pinned by
+    // tools/pin_l36.py). Scale shape: tables are |queries|*M*K longs —
+    // broadcast; the scan is one broadcast join over the CODES (4 bytes a
+    // vector, not 256), one keyed sum, one per-query top-k window.
+    "l36_pq_adc_search" -> ((s, d) => {
+      val K = 16
+      val (codes, cents) = pqModel(s, d)
+      import s.implicits._
+      // query set: every 50th vector, via its exact integer subvectors
+      val qsubs: Array[(Long, Int, Seq[Long])] =
+        codes.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id"), col("m"), col("sub")).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+      val centMap = cents.map { case (m, cid, v) => ((m, cid), v) }.toMap
+      val tables = qsubs.map { case (qid, m, sv) =>
+        val tbl = (0 until K).map { cid =>
+          sv.zip(centMap((m, cid))).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        (qid, m, tbl)
+      }.toSeq.toDF("qid", "m", "tbl")
+      val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+      codes.select(col("vec_id"), col("m"), col("cid"))
+        .join(broadcast(tables), Seq("m"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dpart", element_at(col("tbl"), col("cid") + 1))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("dpart")).as("adist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), col("adist"))
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // PII redaction — the scrub pass every released corpus runs (emails,
@@ -1040,6 +1033,66 @@ object LlmQueries {
     * adds the presentation sort, l14 feeds the pairs straight into
     * connected components.
     */
+  /** Shared product-quantization trainer for l35/l36: per-subspace Lloyd's
+    * k-means on the 1e-6 integer grid (M=4 subspaces of 16 dims, K=16
+    * centroids, 3 iterations; init = subvectors of vec_id < K; ties to the
+    * smaller cid; empty clusters keep their centroid). Returns the code
+    * assignment (vec_id, m, sub, cid, err — err is the exact integer L2)
+    * and the trained codebook. The codebook is M*K*16 longs — driver- and
+    * broadcast-sized at any corpus scale; each iteration touches the corpus
+    * with one broadcast join + per-(vec, subspace) window and one exploded
+    * keyed SUM with map-side combine.
+    */
+  private def pqModel(s: SparkSession, d: String)
+      : (DataFrame, Array[(Int, Int, Seq[Long])]) = {
+    val M = 4; val SUB = 16; val K = 16; val iters = 3
+    val emb = embeddings(s, d)
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + 0.5).cast("long")))
+      .select(col("vec_id"), col("q"))
+    val sub = emb.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${M - 1})," +
+        s" m -> struct(m as m, slice(q, m * $SUB + 1, $SUB) as sub))")).as("t"))
+      .select(col("vec_id"), col("t.m").as("m"), col("t.sub").as("sub"))
+    def dist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+
+    import s.implicits._
+    var cents: Array[(Int, Int, Seq[Long])] = sub.filter(col("vec_id") < K)
+      .orderBy("m", "vec_id").collect()
+      .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Long](2)))
+    def assign(cdf: DataFrame): DataFrame = {
+      val aw = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(dist(col("cvec"), col("sub")).asc, col("cid"))
+      sub.join(broadcast(cdf), Seq("m"))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("sub"), col("cid"),
+          dist(col("cvec"), col("sub")).as("err"))
+    }
+    (1 to iters).foreach { _ =>
+      val sums = assign(cents.toSeq.toDF("m", "cid", "cvec"))
+        .select(col("m"), col("cid"), posexplode(col("sub")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cents = cents.map { case (m, cid, old) =>
+        byKey.get((m, cid)) match {
+          case None => (m, cid, old) // empty cluster keeps its centroid
+          case Some(rows) =>
+            val n = rows.head.getLong(4)
+            val mean = old.toArray
+            rows.foreach(r =>
+              mean(r.getInt(2)) = math.floor(r.getLong(3).toDouble / n + 0.5).toLong)
+            (m, cid, mean.toSeq)
+        }
+      }
+    }
+    (assign(cents.toSeq.toDF("m", "cid", "cvec")), cents)
+  }
+
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val t = 0.5
     val sh = shingles(s, d)
@@ -1710,6 +1763,40 @@ object LlmQueries {
         |  (8, CAST(49 AS BIGINT), CAST(35602292864606 AS BIGINT), CAST(2036977 AS BIGINT)),
         |  (9, CAST(54 AS BIGINT), CAST(38921526575557 AS BIGINT), CAST(2003529 AS BIGINT)))
         |t(label, n, sum_err, code_checksum) ORDER BY label""".stripMargin,
+
+    "l36_pq_adc_search" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 1, CAST(415 AS BIGINT), CAST(717478038083 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 2, CAST(478 AS BIGINT), CAST(719745732281 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), 3, CAST(85 AS BIGINT), CAST(794630795693 AS BIGINT)),
+        |  (CAST(50 AS BIGINT), 1, CAST(79 AS BIGINT), CAST(865403946042 AS BIGINT)),
+        |  (CAST(50 AS BIGINT), 2, CAST(88 AS BIGINT), CAST(895579446984 AS BIGINT)),
+        |  (CAST(50 AS BIGINT), 3, CAST(91 AS BIGINT), CAST(896195626921 AS BIGINT)),
+        |  (CAST(100 AS BIGINT), 1, CAST(202 AS BIGINT), CAST(759135768186 AS BIGINT)),
+        |  (CAST(100 AS BIGINT), 2, CAST(398 AS BIGINT), CAST(761305652526 AS BIGINT)),
+        |  (CAST(100 AS BIGINT), 3, CAST(374 AS BIGINT), CAST(767953113133 AS BIGINT)),
+        |  (CAST(150 AS BIGINT), 1, CAST(160 AS BIGINT), CAST(811225612937 AS BIGINT)),
+        |  (CAST(150 AS BIGINT), 2, CAST(224 AS BIGINT), CAST(886404956988 AS BIGINT)),
+        |  (CAST(150 AS BIGINT), 3, CAST(420 AS BIGINT), CAST(888242244676 AS BIGINT)),
+        |  (CAST(200 AS BIGINT), 1, CAST(480 AS BIGINT), CAST(876167352436 AS BIGINT)),
+        |  (CAST(200 AS BIGINT), 2, CAST(32 AS BIGINT), CAST(899626490412 AS BIGINT)),
+        |  (CAST(200 AS BIGINT), 3, CAST(204 AS BIGINT), CAST(915251510278 AS BIGINT)),
+        |  (CAST(250 AS BIGINT), 1, CAST(477 AS BIGINT), CAST(765072254261 AS BIGINT)),
+        |  (CAST(250 AS BIGINT), 2, CAST(380 AS BIGINT), CAST(864574560247 AS BIGINT)),
+        |  (CAST(250 AS BIGINT), 3, CAST(475 AS BIGINT), CAST(892058662246 AS BIGINT)),
+        |  (CAST(300 AS BIGINT), 1, CAST(475 AS BIGINT), CAST(799265119579 AS BIGINT)),
+        |  (CAST(300 AS BIGINT), 2, CAST(285 AS BIGINT), CAST(827615122386 AS BIGINT)),
+        |  (CAST(300 AS BIGINT), 3, CAST(134 AS BIGINT), CAST(890829020010 AS BIGINT)),
+        |  (CAST(350 AS BIGINT), 1, CAST(374 AS BIGINT), CAST(742223763650 AS BIGINT)),
+        |  (CAST(350 AS BIGINT), 2, CAST(479 AS BIGINT), CAST(792216287426 AS BIGINT)),
+        |  (CAST(350 AS BIGINT), 3, CAST(398 AS BIGINT), CAST(837985736669 AS BIGINT)),
+        |  (CAST(400 AS BIGINT), 1, CAST(361 AS BIGINT), CAST(933558470578 AS BIGINT)),
+        |  (CAST(400 AS BIGINT), 2, CAST(329 AS BIGINT), CAST(941473099283 AS BIGINT)),
+        |  (CAST(400 AS BIGINT), 3, CAST(94 AS BIGINT), CAST(976927673529 AS BIGINT)),
+        |  (CAST(450 AS BIGINT), 1, CAST(325 AS BIGINT), CAST(847714163656 AS BIGINT)),
+        |  (CAST(450 AS BIGINT), 2, CAST(32 AS BIGINT), CAST(903561017039 AS BIGINT)),
+        |  (CAST(450 AS BIGINT), 3, CAST(471 AS BIGINT), CAST(903776233174 AS BIGINT)))
+        |t(qid, rank, vec_id, adist) ORDER BY qid, rank""".stripMargin,
 
     // injection reproduced verbatim; DuckDB regexp_replace needs the 'g'
     // flag to match Spark's replace-all semantics

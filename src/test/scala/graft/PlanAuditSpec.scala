@@ -146,6 +146,13 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("l36: ADC search scans codes via broadcast tables, no cartesian") {
+    val df = graft.queries.LlmQueries.queries("l36_pq_adc_search")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("l29: bloom pre-filter reaches the batch scan side; confirm join is keyed anti") {
     val df = graft.queries.LlmQueries.queries("l29_incremental_dedup")(spark, d)
     val plan = df.queryExecution.executedPlan.toString

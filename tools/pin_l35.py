@@ -22,7 +22,9 @@ import pyarrow.parquet as pq
 M, SUB, K, ITERS = 4, 16, 16, 3
 
 
-def main(sf_dir):
+def train(sf_dir):
+    """Returns (subs, cents, a, lab): subvectors, trained codebook, final
+    assignment {(vid, m): (err, cid)}, and vec_id -> label."""
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     vec_ids = t.column("vec_id").to_pylist()
     embs = t.column("embedding").to_pylist()
@@ -57,9 +59,13 @@ def main(sf_dir):
         for (m, cid), (n, s) in sums.items():
             cents[(m, cid)] = [math.floor(si / n + 0.5) for si in s]
 
-    a = assign()
+    return subs, cents, assign(), lab
+
+
+def main(sf_dir):
+    _, _, a, lab = train(sf_dir)
     per_label = {}
-    for vid in q:
+    for vid in sorted(lab):
         err = sum(a[(vid, m)][0] for m in range(M))
         c = [a[(vid, m)][1] for m in range(M)]
         ck = c[0] + 17 * c[1] + 289 * c[2] + 4913 * c[3]
