@@ -528,10 +528,13 @@ object LlmQueries {
       val norm = sqrt(aggregate(
         transform(col("embedding"), x => x.cast("double") * x.cast("double")),
         lit(0.0), (a, x) => a + x))
+      // materialized once: every Lloyd's iteration and the final pairwise
+      // prune re-read the quantized vectors (at corpus scale: persist)
       val emb = embeddings(s, d)
         .withColumn("q", transform(col("embedding"),
           x => floor(x.cast("double") / norm * 1e6 + 0.5)))
         .select(col("vec_id"), col("q"))
+        .localCheckpoint()
       def dotq(a: Column, b: Column): Column =
         aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
@@ -1050,10 +1053,14 @@ object LlmQueries {
       .withColumn("q", transform(col("embedding"),
         x => floor(x.cast("double") * 1e6 + 0.5).cast("long")))
       .select(col("vec_id"), col("q"))
+    // materialize the quantized subvectors ONCE — every k-means iteration
+    // (and the final encode) re-reads them; without the cut each assign()
+    // would re-scan the parquet and re-quantize (at corpus scale: persist)
     val sub = emb.select(col("vec_id"), explode(expr(
       s"transform(sequence(0, ${M - 1})," +
         s" m -> struct(m as m, slice(q, m * $SUB + 1, $SUB) as sub))")).as("t"))
       .select(col("vec_id"), col("t.m").as("m"), col("t.sub").as("sub"))
+      .localCheckpoint()
     def dist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, x) => acc + x)
