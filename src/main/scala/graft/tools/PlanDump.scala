@@ -109,7 +109,31 @@ object PlanDump {
         "SemDeDup: centroid assignment is a broadcast join; the pair join " +
           "is keyed on cluster id — pairwise work O(sum cluster^2), never " +
           "cartesian.",
-        () => graft.queries.LlmQueries.queries("l25_semantic_dedup")(spark, d))
+        () => graft.queries.LlmQueries.queries("l25_semantic_dedup")(spark, d)),
+      ("gff_multi_region_where",
+        "OR-of-region WHERE: both (chrom, lo, hi) branches reach the " +
+          "GraftScan region list for tabix chunk pruning; the OR stays a " +
+          "residual filter so the scan is exact.",
+        () => spark.read.format("gff")
+          .load(s"$fx/gff-index/gencode.v38.polyAs.gff.gz")
+          .filter(org.apache.spark.sql.functions.expr(
+            "(seqname = 'chr1' AND start <= 200000 AND `end` >= 100000)" +
+              " OR seqname = 'chr2'"))),
+      ("q50_salted_skew_join",
+        "Explicit skew salting: SortMergeJoin keys include the salt, so a " +
+          "hot user key spreads over 16 tasks; SHUFFLE_MERGE hint keeps " +
+          "the demonstration from degenerating to a broadcast.",
+        () => graft.queries.RelationalQueries.queries("q50_salted_skew_join")(spark, d)),
+      ("l32_deterministic_sample",
+        "Global smallest-k sample plans as TakeOrderedAndProject: " +
+          "per-partition top-k heaps + a k-row merge — no global sort, no " +
+          "full-corpus exchange.",
+        () => graft.queries.LlmQueries.queries("l32_deterministic_sample")(spark, d)),
+      ("l36_pq_adc_search",
+        "PQ ADC search: per-query integer distance tables broadcast; the " +
+          "scan touches only the 4-byte code columns, scores by table " +
+          "lookup, and top-k is a per-query window.",
+        () => graft.queries.LlmQueries.queries("l36_pq_adc_search")(spark, d))
     )
 
     val sb = new StringBuilder
