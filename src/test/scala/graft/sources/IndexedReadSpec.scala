@@ -87,6 +87,16 @@ class IndexedReadSpec extends AnyFunSuite with SharedSpark {
     assert(whole == 191)
   }
 
+  test("indexed vcf: chrom IN ('1','2') prunes to a two-region set via tabix") {
+    val df = spark.read.format("vcf").load(vcf)
+      .filter(col("chrom").isin("1", "2"))
+    val raw = spark.read.format("vcf").load(vcf)
+      .filter(col("chrom") === "1" || col("chrom") === "2").count()
+    assert(df.count() == raw && raw > 0)
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("(1,") && desc.contains("(2,"), desc)
+  }
+
   test("indexed vcf: WHERE vcf_region_filter uses the index (golden 82)") {
     graft.GraftSession.registerAll(spark)
     spark.read.format("vcf").load(vcf).createOrReplaceTempView("ivcf")
