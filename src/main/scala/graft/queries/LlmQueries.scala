@@ -892,6 +892,36 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Importance weighting for domain-targeted data selection (the DSIR
+    // shape, Xie et al.: rank source documents by how target-like their
+    // unigram distribution is). A smoothed log-likelihood-ratio table is
+    // built over the vocabulary — ln of add-one-smoothed P_target(w) /
+    // P_source(w), with the 'en' slice standing in for the target domain —
+    // and every document scores as the sum of its tokens' log-ratios.
+    // Scale shape: two vocabulary aggregates (map-side combine), the
+    // ratio table is VOCAB-sized so Catalyst's stats broadcast it, and
+    // scoring is one keyed join + per-doc aggregate — the corpus text
+    // never shuffles, only (doc_id, token) pairs.
+    "l37_importance_weights" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      val srcCnt = toks.groupBy(col("w")).agg(count(lit(1)).as("cs"))
+      val tgtCnt = toks.filter(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      val vocab = srcCnt.join(tgtCnt, Seq("w"), "left").na.fill(0L, Seq("ct"))
+      val totals = vocab.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tt"),
+        count(lit(1)).as("v"))
+      val ratio = vocab.crossJoin(broadcast(totals))
+        .withColumn("logr",
+          log((col("ct") + 1.0) / (col("tt") + col("v")) *
+            ((col("ts") + col("v")) / (col("cs") + 1.0))))
+        .select(col("w"), col("logr"))
+      toks.join(ratio, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), round(sum(col("logr")), 6).as("logw"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic stratified sampling (training-mix ratios): keep a
     // per-language permille of documents chosen by an arithmetic hash of
     // doc_id — reproducible across engines and runs (unlike rng-based
@@ -1925,6 +1955,21 @@ object LlmQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  (SELECT max_parts_per_cluster FROM straddle) AS max_parts_per_cluster
         |FROM labeled GROUP BY part ORDER BY part""".stripMargin,
+
+    "l37_importance_weights" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |src AS (SELECT w, count(*) cs FROM toks GROUP BY w),
+        |tgt AS (SELECT w, count(*) ct FROM toks WHERE lang = 'en' GROUP BY w),
+        |vocab AS (SELECT s.w, cs, coalesce(ct, 0) AS ct
+        |          FROM src s LEFT JOIN tgt t ON s.w = t.w),
+        |tot AS (SELECT CAST(sum(cs) AS BIGINT) ts, CAST(sum(ct) AS BIGINT) tt,
+        |          count(*) v FROM vocab),
+        |ratio AS (SELECT w, ln((ct + 1.0) / (tt + v) * ((ts + v) / (cs + 1.0))) logr
+        |          FROM vocab, tot)
+        |SELECT doc_id, count(*) AS n_tokens, round(sum(logr), 6) AS logw
+        |FROM toks JOIN ratio USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "l34_chunk_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

@@ -153,6 +153,12 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("l37: importance scoring joins a vocab-sized ratio table, no cartesian") {
+    val df = graft.queries.LlmQueries.queries("l37_importance_weights")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("l29: bloom pre-filter reaches the batch scan side; confirm join is keyed anti") {
     val df = graft.queries.LlmQueries.queries("l29_incremental_dedup")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
