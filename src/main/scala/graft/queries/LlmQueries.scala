@@ -902,6 +902,7 @@ object LlmQueries {
     // ratio table is VOCAB-sized so Catalyst's stats broadcast it, and
     // scoring is one keyed join + per-doc aggregate — the corpus text
     // never shuffles, only (doc_id, token) pairs.
+
     "l37_importance_weights" -> ((s, d) => {
       val toks = documents(s, d)
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
@@ -920,6 +921,46 @@ object LlmQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), round(sum(col("logr")), 6).as("logw"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BPE merge induction (tokenizer training, Sennrich et al.): learn the
+    // first merges of a byte-pair-encoding vocabulary from the corpus.
+    // The ONLY corpus-sized operation is the word-frequency aggregate;
+    // every merge round then works on the VOCABULARY table (Zipf-bounded,
+    // tiny relative to the corpus at any scale): explode adjacent symbol
+    // pairs weighted by word freq, aggregate, take the argmax (ties to the
+    // lexicographically smaller pair), and rewrite symbol arrays with a
+    // greedy left-to-right fold — a pure codegen'd higher-order function,
+    // no UDF. Pinned by tools/pin_l38.py (independent Python BPE).
+    "l38_bpe_merges" -> ((s, d) => {
+      val roundsN = 3
+      var vocab = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .withColumn("syms", split(col("word"), ""))
+        .select(col("freq"), col("syms"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+      (1 to roundsN).foreach { r =>
+        val best = vocab.filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(syms) - 2)," +
+              " i -> concat(syms[i], ' ', syms[i + 1]))")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()(0)
+        val bp = best.getString(0)
+        merges += ((r, bp, best.getLong(1)))
+        val Array(a, b) = bp.split(" ", 2)
+        vocab = vocab.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+      }
+      import s.implicits._
+      merges.toSeq.toDF("round", "pair", "cnt").orderBy(col("round"))
     }),
 
     // Deterministic stratified sampling (training-mix ratios): keep a
@@ -1955,6 +1996,13 @@ object LlmQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  (SELECT max_parts_per_cluster FROM straddle) AS max_parts_per_cluster
         |FROM labeled GROUP BY part ORDER BY part""".stripMargin,
+
+    "l38_bpe_merges" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'e r', CAST(4568 AS BIGINT)),
+        |  (2, 'i n', CAST(2760 AS BIGINT)),
+        |  (3, 'o w', CAST(2747 AS BIGINT)))
+        |t(round, pair, cnt) ORDER BY round""".stripMargin,
 
     "l37_importance_weights" ->
       """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w

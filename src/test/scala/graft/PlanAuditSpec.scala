@@ -159,6 +159,16 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("l38: BPE argmax is a top-1 over the aggregated pair table, not a global sort") {
+    // the per-round argmax inside the query plans as TakeOrderedAndProject;
+    // here we assert the final output shape stays trivially small and that
+    // building it ran no cartesian anywhere
+    val df = graft.queries.LlmQueries.queries("l38_bpe_merges")(spark, d)
+    assert(df.count() == 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("l29: bloom pre-filter reaches the batch scan side; confirm join is keyed anti") {
     val df = graft.queries.LlmQueries.queries("l29_incremental_dedup")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
