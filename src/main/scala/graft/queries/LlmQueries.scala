@@ -933,34 +933,84 @@ object LlmQueries {
     // greedy left-to-right fold — a pure codegen'd higher-order function,
     // no UDF. Pinned by tools/pin_l38.py (independent Python BPE).
     "l38_bpe_merges" -> ((s, d) => {
-      val roundsN = 3
-      var vocab = documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .withColumn("syms", split(col("word"), ""))
-        .select(col("freq"), col("syms"))
-        .localCheckpoint()
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-      (1 to roundsN).foreach { r =>
-        val best = vocab.filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(0, size(syms) - 2)," +
-              " i -> concat(syms[i], ' ', syms[i + 1]))")).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()(0)
-        val bp = best.getString(0)
-        merges += ((r, bp, best.getLong(1)))
-        val Array(a, b) = bp.split(" ", 2)
-        vocab = vocab.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, lit(-1)) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(x)))))
-          .localCheckpoint()
-      }
+      val (_, merges) = bpeLearnMerges(bpeWordVocab(s, d), rounds = 3)
       import s.implicits._
-      merges.toSeq.toDF("round", "pair", "cnt").orderBy(col("round"))
+      merges.toDF("round", "pair", "cnt").orderBy(col("round"))
+    }),
+
+    // BPE encoding (tokenizer application): learn 8 merges as in l38,
+    // then ENCODE the corpus with them and report per-language token
+    // statistics — the compression number a tokenizer-training run is
+    // actually judged on. The key scale property: encoding never touches
+    // document text again. The merge fold runs on the VOCABULARY table
+    // (Zipf-bounded), the per-word token/char counts are broadcast, and
+    // the corpus is touched by exactly one explode + broadcast join +
+    // keyed aggregate — so a 100 TB corpus costs one pass regardless of
+    // merge count. chars_per_token_permille is an exact integer divide
+    // (floor of chars*1000/tokens), engine-independent by construction.
+    // Pinned by tools/pin_l39.py (independent Python BPE encoder).
+    "l39_bpe_encode" -> ((s, d) => {
+      val (vocab, _) = bpeLearnMerges(bpeWordVocab(s, d), rounds = 8)
+      val wordStats = vocab.select(col("word"),
+        size(col("syms")).cast("long").as("w_tokens"),
+        length(col("word")).cast("long").as("w_chars"))
+      documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(wordStats), Seq("word"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("w_tokens")).as("n_tokens"),
+          sum(col("w_chars")).as("n_chars"))
+        .withColumn("chars_per_token_permille",
+          expr("(n_chars * 1000) div n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // WordPiece-style tokenizer induction by maximum-matching hard-EM
+    // (the E-step is the exact min-piece segmentation DP that fast
+    // WordPiece tokenizers linearize): seed the piece inventory with the
+    // corpus's most frequent substrings (len <= 4), then alternate
+    // segment -> re-count usage -> prune, keeping every single character
+    // so words always stay segmentable. Scoring is ALL-INTEGER (min
+    // piece count, ties by max summed piece frequency, then by longest
+    // trailing piece), so the fixpoint is engine-exact with no float
+    // drift. Scale shape: the corpus is touched ONLY by the shared
+    // word-frequency aggregate; seeding, the DP (a codegen'd aggregate
+    // fold, no UDF), and pruning all run on the Zipf-bounded VOCABULARY
+    // table, and the <= ~60-entry piece inventory rides along as a map
+    // literal (at a real vocab scale it becomes a broadcast join — same
+    // plan shape). Pinned by tools/pin_l40.py (independent Python DP).
+    "l40_tokenizer_maxmatch" -> ((s, d) => {
+      val maxLen = 4; val seedMulti = 40; val keepMulti = 24
+      val vocab = bpeWordVocab(s, d)
+        .filter(col("word") =!= "").localCheckpoint()
+      // substring seed counts, weighted by word frequency
+      val subCnt = vocab.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, size(syms)),
+           |  i -> transform(sequence(i, least(size(syms), i + ${maxLen - 1})),
+           |    j -> array_join(slice(syms, i, j - i + 1), ''))))""".stripMargin))
+          .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val singles = subCnt.keySet.filter(p => p.codePointCount(0, p.length) == 1)
+      def inventory(counts: Map[String, Long], topN: Int): Map[String, Long] = {
+        val multi = counts.filterNot(kv => singles(kv._1)).toSeq
+          .sortBy { case (p, c) => (-c, p) }.take(topN)
+        (singles.toSeq.map(c => c -> counts.getOrElse(c, 0L)) ++ multi).toMap
+      }
+      var pieces = inventory(subCnt, seedMulti)
+      var usage: DataFrame = null
+      (1 to 2).foreach { _ =>
+        usage = vocab
+          .withColumn("pm", typedLit(pieces))
+          .withColumn("best", expr(maxMatchSegExpr(maxLen)))
+          .select(col("freq"), explode(col("best.seg")).as("piece"))
+          .groupBy(col("piece")).agg(sum(col("freq")).as("used"))
+        pieces = inventory(
+          usage.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+          keepMulti)
+      }
+      usage.orderBy(col("used").desc, col("piece")).limit(10)
     }),
 
     // Deterministic stratified sampling (training-mix ratios): keep a
@@ -1107,6 +1157,92 @@ object LlmQueries {
     * adds the presentation sort, l14 feeds the pairs straight into
     * connected components.
     */
+  /** Word-frequency vocabulary with per-character symbol arrays — the
+    * input to BPE merge induction (l38/l39). The ONLY corpus-sized step
+    * of the whole tokenizer pipeline is this one keyed aggregate.
+    */
+  private def bpeWordVocab(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("word"), ""))
+
+  /** Shared BPE merge-induction loop (Sennrich et al., l38/l39): each
+    * round counts adjacent symbol pairs weighted by word freq over the
+    * VOCABULARY table (Zipf-bounded, tiny vs the corpus at any scale),
+    * takes the argmax (ties to the lexicographically smaller pair), and
+    * rewrites the symbol arrays with a greedy left-to-right fold — a
+    * pure codegen'd higher-order function, no UDF. Returns the merged
+    * vocabulary (word, freq, syms) and the merge list (round, pair, cnt).
+    * Cross-checked by the independent Python BPEs in tools/pin_l38.py
+    * and tools/pin_l39.py.
+    */
+  private def bpeLearnMerges(vocab0: DataFrame, rounds: Int)
+      : (DataFrame, Seq[(Int, String, Long)]) = {
+    var vocab = vocab0.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    (1 to rounds).foreach { r =>
+      val best = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> concat(syms[i], ' ', syms[i + 1]))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()(0)
+      val bp = best.getString(0)
+      merges += ((r, bp, best.getLong(1)))
+      val Array(a, b) = bp.split(" ", 2)
+      vocab = vocab.withColumn("syms",
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x)))))
+        .localCheckpoint()
+    }
+    (vocab, merges.toSeq)
+  }
+
+  /** Exact maximum-matching segmentation DP for l40, as a single codegen'd
+    * aggregate fold (no UDF). For a word's symbol array `syms` and a piece
+    * inventory map column `pm` (piece -> frequency), computes the best
+    * segmentation under ALL-INTEGER scoring: minimize piece count, ties ->
+    * maximize summed piece frequency, ties -> prefer the longest trailing
+    * piece (smallest start). `acc[p]` holds the best solution for the
+    * prefix of length p-1; step i appends the winner over candidate last
+    * pieces syms[p..i] (p in [i-maxLen+1, i]) that exist in `pm`. Single
+    * characters are always in the inventory, so a valid candidate always
+    * exists. Mirrored independently in Python by tools/pin_l40.py.
+    */
+  private def maxMatchSegExpr(maxLen: Int): String =
+    s"""element_at(
+       |  aggregate(
+       |    sequence(1, size(syms)),
+       |    array(named_struct(
+       |      'np', 0, 'sc', cast(0 as bigint), 'p', 0, 'ok', true,
+       |      'seg', cast(array() as array<string>))),
+       |    (acc, i) -> concat(acc, array(element_at(
+       |      array_sort(
+       |        filter(
+       |          transform(sequence(greatest(1, i - ${maxLen - 1}), i),
+       |            p -> named_struct(
+       |              'np', element_at(acc, p).np + 1,
+       |              'sc', element_at(acc, p).sc + coalesce(
+       |                element_at(pm, array_join(slice(syms, p, i - p + 1), '')),
+       |                cast(0 as bigint)),
+       |              'p', p,
+       |              'ok', element_at(pm,
+       |                array_join(slice(syms, p, i - p + 1), '')) is not null,
+       |              'seg', concat(element_at(acc, p).seg,
+       |                array(array_join(slice(syms, p, i - p + 1), ''))))),
+       |          c -> c.ok),
+       |        (x, y) -> case
+       |          when x.np < y.np then -1 when x.np > y.np then 1
+       |          when x.sc > y.sc then -1 when x.sc < y.sc then 1
+       |          when x.p < y.p then -1 when x.p > y.p then 1
+       |          else 0 end),
+       |      1)))),
+       |  size(syms) + 1)""".stripMargin
+
   /** Shared product-quantization trainer for l35/l36: per-subspace Lloyd's
     * k-means on the 1e-6 integer grid (M=4 subspaces of 16 dims, K=16
     * centroids, 3 iterations; init = subvectors of vec_id < K; ties to the
@@ -2003,6 +2139,30 @@ object LlmQueries {
         |  (2, 'i n', CAST(2760 AS BIGINT)),
         |  (3, 'o w', CAST(2747 AS BIGINT)))
         |t(round, pair, cnt) ORDER BY round""".stripMargin,
+
+    "l39_bpe_encode" ->
+      """SELECT * FROM (VALUES
+        |  ('de', CAST(3549 AS BIGINT), CAST(13280 AS BIGINT), CAST(16046 AS BIGINT), CAST(1208 AS BIGINT)),
+        |  ('en', CAST(11757 AS BIGINT), CAST(43889 AS BIGINT), CAST(52898 AS BIGINT), CAST(1205 AS BIGINT)),
+        |  ('es', CAST(3958 AS BIGINT), CAST(14814 AS BIGINT), CAST(17871 AS BIGINT), CAST(1206 AS BIGINT)),
+        |  ('fr', CAST(3758 AS BIGINT), CAST(14010 AS BIGINT), CAST(16929 AS BIGINT), CAST(1208 AS BIGINT)),
+        |  ('zh', CAST(4143 AS BIGINT), CAST(15541 AS BIGINT), CAST(18765 AS BIGINT), CAST(1207 AS BIGINT)))
+        |t(lang, n_words, n_tokens, n_chars, chars_per_token_permille)
+        |ORDER BY lang""".stripMargin,
+
+    "l40_tokenizer_maxmatch" ->
+      """SELECT * FROM (VALUES
+        |  ('e', CAST(6272 AS BIGINT)),
+        |  ('s', CAST(5468 AS BIGINT)),
+        |  ('l', CAST(4597 AS BIGINT)),
+        |  ('g', CAST(4474 AS BIGINT)),
+        |  ('t', CAST(4435 AS BIGINT)),
+        |  ('a', CAST(4431 AS BIGINT)),
+        |  ('c', CAST(3716 AS BIGINT)),
+        |  ('m', CAST(2750 AS BIGINT)),
+        |  ('d', CAST(2732 AS BIGINT)),
+        |  ('or', CAST(2696 AS BIGINT)))
+        |t(piece, used) ORDER BY used DESC, piece""".stripMargin,
 
     "l37_importance_weights" ->
       """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w

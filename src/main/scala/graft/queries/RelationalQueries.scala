@@ -706,6 +706,71 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
         .orderBy(col("c_mktsegment"), col("event_type"))
+    }),
+
+    // Events: trailing time-RANGE window (rolling-rate / rate-limiter
+    // shape). A ROWS frame counts a fixed number of rows; the 1-hour
+    // RANGE frame is value-based — each row's frame is [ts - 1h, ts]
+    // however many events landed in it, so a burst shows up as a high
+    // trailing count. Both window aggregates share ONE pass keyed on
+    // user_id (per-user sort only, never a global sort), then a plain
+    // keyed aggregate takes the per-user peaks. The windowed sum runs
+    // over decimals so it is exact and order-independent — the peak row
+    // chosen by max() is then engine-independent too.
+    "q51_trailing_range_window" -> ((s, d) => {
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("value"))
+        .selectExpr(
+          "user_id",
+          "count(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN" +
+            " INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS c1h",
+          "sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id" +
+            " ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND" +
+            " CURRENT ROW) AS s1h")
+        .groupBy(col("user_id"))
+        .agg(max(col("c1h")).as("peak_1h_events"),
+          round(max(col("s1h")), 2).cast("double").as("peak_1h_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Events: funnel conversion (signup -> click -> purchase by strict
+    // first-occurrence order). The naive funnel is k-1 self-joins on
+    // user_id — k-1 corpus-sized shuffles; here ONE keyed aggregate
+    // computes each user's first ts per stage via conditional min, and a
+    // 1-row rollup counts survivors, so the event log is scanned exactly
+    // once no matter how many stages the funnel has.
+    "q52_funnel_conversion" -> ((s, d) => {
+      val firsts = events(s, d).groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+        min(when(col("event_type") === "click", col("ts"))).as("t2"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+      firsts.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("t2") > col("t1"), 1L).otherwise(0L)).as("n_signup_click"),
+        sum(when(col("t2") > col("t1") && col("t3") > col("t2"), 1L)
+          .otherwise(0L)).as("n_full_funnel"))
+    }),
+
+    // Events: CDC log compaction (last-write-wins upsert). The change-log
+    // shape every ingest pipeline needs: many updates per (user, type)
+    // key, only the latest version survives. row_number() over a window
+    // KEYED on the upsert key (ties broken by event_id so replays are
+    // deterministic) — per-key sorts run in parallel, no global sort, and
+    // at 100 TB this is exactly one shuffle by the compaction key. The
+    // survivors are then rolled up per type so the gate output is stable.
+    "q53_cdc_compaction" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_live_keys"),
+          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+            .as("sum_live_value"),
+          sum(col("event_id")).as("sum_live_ids"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1122,6 +1187,44 @@ object RelationalQueries {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment, event_type
-        |ORDER BY c_mktsegment, event_type""".stripMargin
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    "q51_trailing_range_window" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    count(*) OVER win AS c1h,
+        |    sum(CAST(value AS DECIMAL(18,6))) OVER win AS s1h
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+        |SELECT user_id, max(c1h) AS peak_1h_events,
+        |  CAST(round(max(s1h), 2) AS DOUBLE) AS peak_1h_value
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q52_funnel_conversion" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+        |  sum(CASE WHEN t2 > t1 THEN 1 ELSE 0 END) AS n_signup_click,
+        |  sum(CASE WHEN t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS n_full_funnel
+        |FROM firsts""".stripMargin,
+
+    "q53_cdc_compaction" ->
+      """WITH ranked AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_live_keys,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS sum_live_value,
+        |  sum(event_id) AS sum_live_ids
+        |FROM ranked WHERE rn = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

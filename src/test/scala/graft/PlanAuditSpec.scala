@@ -371,4 +371,69 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       .find(l => l.contains("hashpartitioning") && l.contains("salt"))
     assert(firstExchange.isDefined, s"no salt-keyed exchange:\n$plan")
   }
+
+  test("q51 time-RANGE window: keyed on user_id, never a global single-partition sort") {
+    val df = graft.queries.RelationalQueries.queries("q51_trailing_range_window")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val win = plan.linesIterator.find(_.contains("Window"))
+    assert(win.isDefined && win.get.contains("user_id"),
+      s"range window not user-keyed:\n$plan")
+    // both trailing aggregates share ONE window operator (a single
+    // per-user sort), fed by a hash exchange on user_id — the range
+    // exchange allowed above it is only the final presentation orderBy
+    // over the already-aggregated per-user rows
+    assert("Window".r.findAllIn(plan).size == 1, plan)
+    val lines = plan.linesIterator.toSeq
+    val winAt = lines.indexWhere(_.contains("Window"))
+    val hashAt = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(winAt >= 0 && hashAt > winAt,
+      s"window not fed by a user_id hash exchange (win@$winAt hash@$hashAt):\n$plan")
+  }
+
+  test("q52 funnel: one keyed aggregate over events, no per-stage self-joins") {
+    val df = graft.queries.RelationalQueries.queries("q52_funnel_conversion")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"funnel must not self-join:\n$plan")
+    // events parquet is scanned exactly once
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q53 cdc compaction: row_number window keyed on the full upsert key") {
+    val df = graft.queries.RelationalQueries.queries("q53_cdc_compaction")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"compaction must not join:\n$plan")
+    val ex = plan.linesIterator.find(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(ex.isDefined && ex.get.contains("event_type"),
+      s"window exchange not keyed on (user_id, event_type):\n$plan")
+    // rank-limit pushdown: only per-key top-1 candidates survive the sort
+    // (partial WindowGroupLimit runs map-side, before the shuffle)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("l40 tokenizer: segmentation DP is a codegen'd fold on the vocab, no UDF, no rescan") {
+    val df = graft.queries.LlmQueries.queries("l40_tokenizer_maxmatch")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // all iteration inputs are checkpointed vocabulary tables — the final
+    // plan must not rescan the corpus parquet, not contain a Scala UDF,
+    // and the only ordering is the bounded top-10
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("l39 bpe encode: corpus joins the word stats via broadcast, one corpus pass") {
+    val df = graft.queries.LlmQueries.queries("l39_bpe_encode")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // vocabulary word->token stats must broadcast (the corpus-side join
+    // cannot shuffle document text by word at 100 TB)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
