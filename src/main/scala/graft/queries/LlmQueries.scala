@@ -296,6 +296,37 @@ object LlmQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
+    // Hard-negative mining for contrastive embedding training (the data
+    // op behind retrieval-model fine-tunes): for each anchor, the top-1
+    // POSITIVE (most similar vector) and the 3 hardest NEGATIVES — the
+    // most similar vectors BELOW a near-duplicate ceiling — i.e. the
+    // informative triplets for InfoNCE/triplet losses. Both picks come
+    // from windows sharing one anchor-keyed shuffle; the anchor set
+    // broadcasts over the corpus (exact brute force at gate scale — at
+    // 100 TB candidate generation swaps to the l07/l15 bucketed joins,
+    // same downstream shape).
+    "l41_hard_negatives" -> ((s, d) => {
+      graft.GraftSession.registerAll(s)
+      val emb = embeddings(s, d)
+      val anchors = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("aid"), col("embedding").as("avec"))
+      val scored = emb.join(broadcast(anchors), col("vec_id") =!= col("aid"))
+        .withColumn("raw",
+          callUDF("cosine_similarity", col("avec"), col("embedding")))
+      val w = Window.partitionBy(col("aid"))
+        .orderBy(col("raw").desc, col("vec_id"))
+      val pos = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("aid"), lit("pos").as("role"), col("rn").as("rnk"),
+          col("vec_id").as("cand_id"), round(col("raw"), 4).as("score"))
+      val negs = scored.filter(col("raw") < 0.95)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("aid"), lit("neg").as("role"), col("rn").as("rnk"),
+          col("vec_id").as("cand_id"), round(col("raw"), 4).as("score"))
+      pos.unionAll(negs).orderBy(col("aid"), col("role"), col("rnk"))
+    }),
+
     // Winnowing document fingerprint (char 8-gram hashes, window 4, XOR of
     // selected minima): one stable BIGINT per document, the classic
     // copy-detection sketch. Oracle pinned by tools/pin_l12.py (independent
@@ -1883,6 +1914,24 @@ object LlmQueries {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY ida, idb""".stripMargin,
+
+    "l41_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |a AS (SELECT vec_id aid, v av FROM e WHERE vec_id % 50 = 0),
+        |scored AS (SELECT a.aid, e.vec_id,
+        |    list_cosine_similarity(a.av, e.v) raw
+        |  FROM e JOIN a ON e.vec_id <> a.aid),
+        |pos AS (SELECT aid, 'pos' AS role, rn AS rnk, vec_id AS cand_id,
+        |    round(raw, 4) AS score FROM (
+        |  SELECT aid, vec_id, raw, row_number() OVER (PARTITION BY aid
+        |      ORDER BY raw DESC, vec_id) rn FROM scored) WHERE rn = 1),
+        |negs AS (SELECT aid, 'neg' AS role, rn AS rnk, vec_id AS cand_id,
+        |    round(raw, 4) AS score FROM (
+        |  SELECT aid, vec_id, raw, row_number() OVER (PARTITION BY aid
+        |      ORDER BY raw DESC, vec_id) rn FROM scored WHERE raw < 0.95)
+        |  WHERE rn <= 3)
+        |SELECT * FROM (SELECT * FROM pos UNION ALL SELECT * FROM negs)
+        |ORDER BY aid, role, rnk""".stripMargin,
 
     "l09_lang_quality" -> s"""
         |WITH t AS (SELECT string_split(text, ' ') w FROM documents),

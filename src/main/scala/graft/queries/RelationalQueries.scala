@@ -771,7 +771,42 @@ object RelationalQueries {
             .as("sum_live_value"),
           sum(col("event_id")).as("sum_live_ids"))
         .orderBy(col("event_type"))
-    })
+    }),
+
+    // Events: sliding 7-day distinct users (the WAU/DAU dashboard shape).
+    // The naive plan keeps a distinct-user set per window — a set union
+    // per day over every user at 100 TB. The scalable EXACT shape inverts
+    // it: dedup to (user, active-day) first (one keyed shuffle with
+    // map-side combine — the only corpus-sized step), explode each active
+    // day into the <= 7 windows it serves, dedup (user, window), and
+    // count. Bounded 7x growth on the already-tiny activity table; every
+    // step is a keyed aggregate, no per-window distinct state.
+    "q54_sliding_wau" -> ((s, d) => {
+      val active = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      active
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("win_end"))
+        .distinct()
+        .groupBy(col("win_end")).agg(count(lit(1)).as("wau"))
+        .orderBy(col("win_end"))
+    }),
+
+    // Mergeable quantile sketch vs exact percentiles (companion to q49's
+    // HLL gate): approx_percentile is the one-pass, map-side-mergeable
+    // sketch you'd actually run at 100 TB; the exact interpolated
+    // percentile anchors the oracle and bounds the sketch error at 1%.
+    "q55_approx_quantile" -> ((s, d) =>
+      lineitem(s, d).agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_exact"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("a99"))
+      .select(col("p50_exact"), col("p99_exact"),
+        (abs(col("a50") - col("p50_exact")) <= col("p50_exact") * 0.01)
+          .as("p50_within_1pct"),
+        (abs(col("a99") - col("p99_exact")) <= col("p99_exact") * 0.01)
+          .as("p99_within_1pct")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1225,6 +1260,22 @@ object RelationalQueries {
         |    AS sum_live_value,
         |  sum(event_id) AS sum_live_ids
         |FROM ranked WHERE rn = 1
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q54_sliding_wau" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |wins AS (SELECT DISTINCT user_id, win_end FROM (
+        |  SELECT user_id, CAST(unnest(generate_series(day,
+        |    day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS win_end
+        |  FROM active))
+        |SELECT win_end, count(*) AS wau FROM wins
+        |GROUP BY win_end ORDER BY win_end""".stripMargin,
+
+    "q55_approx_quantile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_exact,
+        |  true AS p50_within_1pct, true AS p99_within_1pct
+        |FROM lineitem""".stripMargin
   )
 }

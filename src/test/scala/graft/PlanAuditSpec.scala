@@ -427,6 +427,36 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q54 sliding WAU: explode+dedup shape — keyed aggregates, no per-window distinct") {
+    val df = graft.queries.RelationalQueries.queries("q54_sliding_wau")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // the sliding window is materialized by a bounded explode, never by
+    // window-function state over the corpus
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("Window"), plan)
+    // every aggregate has a map-side partial before its exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
+  test("q55 approx quantile: sketch aggregates have map-side partials") {
+    val df = graft.queries.RelationalQueries.queries("q55_approx_quantile")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("l41 hard negatives: anchors broadcast; ranking windows keyed on anchor") {
+    val df = graft.queries.LlmQueries.queries("l41_hard_negatives")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+    val win = plan.linesIterator.find(_.contains("Window"))
+    assert(win.isDefined && win.get.contains("aid"), s"window not anchor-keyed:\n$plan")
+  }
+
   test("l39 bpe encode: corpus joins the word stats via broadcast, one corpus pass") {
     val df = graft.queries.LlmQueries.queries("l39_bpe_encode")(
       spark, "/root/testdata/sf0.001")
