@@ -774,6 +774,39 @@ object LlmQueries {
         .orderBy(col("seq_id"))
     }),
 
+    // Mix-balanced shard assignment (the write-side op that makes every
+    // training shard match the corpus's language mix): deterministic
+    // round-robin of each language's documents over the shards by global
+    // per-language position. The naive definition — row_number() over
+    // (PARTITION BY lang ORDER BY doc_id) — funnels each language into
+    // ONE task at 100 TB. This is l27's two-level prefix sum instead:
+    // per-(lang, block) counts, cumsum over the tiny block-totals table,
+    // offsets broadcast back, and a (lang, block)-keyed window for the
+    // within-block position — thousands of parallel small sorts, answer
+    // identical to the naive definition (the oracle states the naive
+    // form; block width is answer-invariant).
+    "l42_balanced_shards" -> ((s, d) => {
+      val nShards = 8L
+      val docsDf = documents(s, d)
+      val blockWidth = math.max(64L, docsDf.count() / 10000L)
+      val docs = docsDf.select(col("doc_id"), col("lang"))
+        .withColumn("block", (col("doc_id") / blockWidth).cast("long"))
+      val wb = Window.partitionBy(col("lang")).orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = docs.groupBy(col("lang"), col("block"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("off", sum(col("n")).over(wb) - col("n"))
+        .select(col("lang"), col("block"), col("off"))
+      val wi = Window.partitionBy(col("lang"), col("block"))
+        .orderBy(col("doc_id"))
+      docs.join(broadcast(offsets), Seq("lang", "block"))
+        .withColumn("pos", col("off") + row_number().over(wi) - 1)
+        .withColumn("shard", col("pos") % nShards)
+        .groupBy(col("shard"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("shard"), col("lang"))
+    }),
+
     // Keyword extraction (tokenizer-prep / corpus indexing shape): per-doc
     // top-3 salient words ranked by (tf desc, df asc, word) — the integer
     // TF-IDF ordering (high in-doc frequency, rare across docs), with the
@@ -2212,6 +2245,14 @@ object LlmQueries {
         |  ('d', CAST(2732 AS BIGINT)),
         |  ('or', CAST(2696 AS BIGINT)))
         |t(piece, used) ORDER BY used DESC, piece""".stripMargin,
+
+    "l42_balanced_shards" ->
+      """WITH pos AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS pos
+        |  FROM documents)
+        |SELECT pos % 8 AS shard, lang, count(*) AS n_docs,
+        |  sum(doc_id) AS sum_ids
+        |FROM pos GROUP BY 1, 2 ORDER BY shard, lang""".stripMargin,
 
     "l37_importance_weights" ->
       """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w

@@ -457,6 +457,19 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(win.isDefined && win.get.contains("aid"), s"window not anchor-keyed:\n$plan")
   }
 
+  test("l42 balanced shards: corpus window keyed on (lang, block); offsets broadcast") {
+    val df = graft.queries.LlmQueries.queries("l42_balanced_shards")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the within-block position window must include block in its keys —
+    // a lang-only window would serialize each language into one task
+    val rowNumWin = plan.linesIterator.find(l =>
+      l.contains("Window") && l.contains("row_number"))
+    assert(rowNumWin.isDefined && rowNumWin.get.contains("block"),
+      s"corpus window not block-keyed:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("l39 bpe encode: corpus joins the word stats via broadcast, one corpus pass") {
     val df = graft.queries.LlmQueries.queries("l39_bpe_encode")(
       spark, "/root/testdata/sf0.001")
