@@ -807,6 +807,46 @@ object LlmQueries {
         .orderBy(col("shard"), col("lang"))
     }),
 
+    // Tokenize-then-pack, end to end: the l39 BPE encoder's per-word token
+    // counts feed l27's two-level prefix-sum packer — the actual
+    // pretraining materialization step (real tokenizer counts, not
+    // whitespace proxies). Corpus cost stays two keyed passes: one
+    // explode + broadcast join + per-doc aggregate for token totals, one
+    // block-keyed window for pack offsets; the merge learning and the
+    // block cumsum never touch document text. Pinned by tools/pin_l43.py
+    // (independent Python BPE + packer).
+    "l43_tokenize_pack" -> ((s, d) => {
+      val budget = 512L
+      val (vocab, _) = bpeLearnMerges(bpeWordVocab(s, d), rounds = 8)
+      val wordTok = vocab.select(col("word"),
+        size(col("syms")).cast("long").as("w_tokens"))
+      val docsDf = documents(s, d)
+      val blockWidth = math.max(64L, docsDf.count() / 10000L)
+      val docToks = docsDf
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(wordTok), Seq("word"))
+        .groupBy(col("doc_id")).agg(sum(col("w_tokens")).as("tokens"))
+        .withColumn("block", (col("doc_id") / blockWidth).cast("long"))
+      val blockW = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blockOffsets = docToks.groupBy(col("block"))
+        .agg(sum(col("tokens")).as("btokens"))
+        .withColumn("block_off", sum(col("btokens")).over(blockW) - col("btokens"))
+        .select(col("block"), col("block_off"))
+      val inW = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seqs = docToks.join(broadcast(blockOffsets), Seq("block"))
+        .withColumn("start",
+          col("block_off") + sum(col("tokens")).over(inW) - col("tokens"))
+        .withColumn("seq_id", expr(s"start div $budget"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("docs"), sum(col("tokens")).as("toks"))
+      seqs.agg(count(lit(1)).as("n_seqs"), sum(col("docs")).as("n_docs"),
+        sum(col("toks")).as("sum_tokens"),
+        max(col("docs")).as("max_docs_per_seq"),
+        sum(col("seq_id") * col("docs")).as("seq_checksum"))
+    }),
+
     // Keyword extraction (tokenizer-prep / corpus indexing shape): per-doc
     // top-3 salient words ranked by (tf desc, df asc, word) — the integer
     // TF-IDF ordering (high in-doc frequency, rare across docs), with the
@@ -2245,6 +2285,11 @@ object LlmQueries {
         |  ('d', CAST(2732 AS BIGINT)),
         |  ('or', CAST(2696 AS BIGINT)))
         |t(piece, used) ORDER BY used DESC, piece""".stripMargin,
+
+    "l43_tokenize_pack" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(199 AS BIGINT), CAST(500 AS BIGINT), CAST(101534 AS BIGINT), CAST(5 AS BIGINT), CAST(49049 AS BIGINT)))
+        |t(n_seqs, n_docs, sum_tokens, max_docs_per_seq, seq_checksum)""".stripMargin,
 
     "l42_balanced_shards" ->
       """WITH pos AS (SELECT doc_id, lang,

@@ -16,12 +16,11 @@ import pyarrow.parquet as pq
 ROUNDS = 8
 
 
-def main(sf_dir):
+def word_token_counts(sf_dir):
+    """Learn ROUNDS merges, return ({word: n_bpe_tokens}, pyarrow table)."""
     t = pq.read_table(f"{sf_dir}/documents.parquet")
-    texts = t.column("text").to_pylist()
-    langs = t.column("lang").to_pylist()
     freqs = Counter()
-    for text in texts:
+    for text in t.column("text").to_pylist():
         freqs.update(text.split(" "))
     vocab = {w: list(w) for w in freqs}
     for _ in range(ROUNDS):
@@ -39,12 +38,19 @@ def main(sf_dir):
                 else:
                     out.append(x)
             vocab[w] = out
+    return {w: len(syms) for w, syms in vocab.items()}, t
+
+
+def main(sf_dir):
+    ntok, t = word_token_counts(sf_dir)
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
     stats = defaultdict(lambda: [0, 0, 0])  # lang -> [words, tokens, chars]
     for text, lang in zip(texts, langs):
         st = stats[lang]
         for w in text.split(" "):
             st[0] += 1
-            st[1] += len(vocab[w])
+            st[1] += ntok[w]
             st[2] += len(w)
     print('    "l39_bpe_encode" ->')
     print('      """SELECT * FROM (VALUES')
