@@ -573,16 +573,22 @@ object LlmQueries {
       var cents: Array[(Int, Seq[Long])] = emb.filter(col("vec_id") < K)
         .orderBy("vec_id").collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }
-      def assign(cdf: DataFrame): DataFrame = {
-        val aw = Window.partitionBy(col("vec_id"))
-          .orderBy(dotq(col("cvec"), col("q")).desc, col("cid"))
-        emb.join(broadcast(cdf))
-          .withColumn("rn", row_number().over(aw))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("q"), col("cid"))
+      // Map-ONLY nearest-centroid assignment: the K x dim codebook rides
+      // into the plan as a literal (the degenerate broadcast), and the
+      // argmax over K runs inside one codegen'd expression per row —
+      // no join, no window, no shuffle. Ties -> lowest cid, exactly the
+      // rule tools/pin_l25.py pins. (A join+window assignment shuffles
+      // the corpus K-ways-duplicated EVERY Lloyd's iteration.)
+      def assign(cs: Array[(Int, Seq[Long])]): DataFrame = {
+        val centsLit = typedLit(cs.toSeq)
+        emb.withColumn("best", array_max(transform(centsLit,
+            c => struct(dotq(c.getField("_2"), col("q")).as("dot"),
+              (lit(0) - c.getField("_1")).as("ncid"),
+              c.getField("_1").as("cid")))))
+          .select(col("vec_id"), col("q"), col("best.cid").as("cid"))
       }
       (1 to iters).foreach { _ =>
-        val sums = assign(cents.toSeq.toDF("cid", "cvec"))
+        val sums = assign(cents)
           .select(col("cid"), posexplode(col("q")))
           .groupBy(col("cid"), col("pos"))
           .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
@@ -603,7 +609,7 @@ object LlmQueries {
           }
         }
       }
-      val a = assign(cents.toSeq.toDF("cid", "cvec"))
+      val a = assign(cents)
       a.alias("a").join(a.alias("b"),
           col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("score_raw", dotq(col("a.q"), col("b.q")) / lit(1e12))
@@ -1380,17 +1386,24 @@ object LlmQueries {
     var cents: Array[(Int, Int, Seq[Long])] = sub.filter(col("vec_id") < K)
       .orderBy("m", "vec_id").collect()
       .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Long](2)))
-    def assign(cdf: DataFrame): DataFrame = {
-      val aw = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(dist(col("cvec"), col("sub")).asc, col("cid"))
-      sub.join(broadcast(cdf), Seq("m"))
-        .withColumn("rn", row_number().over(aw))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("sub"), col("cid"),
-          dist(col("cvec"), col("sub")).as("err"))
+    // Map-ONLY code assignment (same shape as l25): the M x K x SUB
+    // codebook is a plan literal indexed by subspace, and the min-distance
+    // argmin over K runs inside one codegen'd expression per (vec, m) row
+    // — no join, no window, no shuffle per iteration. Ties -> lowest cid,
+    // exactly as tools/pin_l35.py pins.
+    def assign(cs: Array[(Int, Int, Seq[Long])]): DataFrame = {
+      val byM: Seq[Seq[(Int, Seq[Long])]] =
+        (0 until M).map(m => cs.filter(_._1 == m).map(c => (c._2, c._3)).toSeq)
+      val centsLit = typedLit(byM)
+      sub.withColumn("best", array_min(transform(
+          element_at(centsLit, col("m") + 1),
+          c => struct(dist(c.getField("_2"), col("sub")).as("err"),
+            c.getField("_1").as("cid")))))
+        .select(col("vec_id"), col("m"), col("sub"),
+          col("best.cid").as("cid"), col("best.err").as("err"))
     }
     (1 to iters).foreach { _ =>
-      val sums = assign(cents.toSeq.toDF("m", "cid", "cvec"))
+      val sums = assign(cents)
         .select(col("m"), col("cid"), posexplode(col("sub")))
         .groupBy(col("m"), col("cid"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
@@ -1408,7 +1421,7 @@ object LlmQueries {
         }
       }
     }
-    (assign(cents.toSeq.toDF("m", "cid", "cvec")), cents)
+    (assign(cents), cents)
   }
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {

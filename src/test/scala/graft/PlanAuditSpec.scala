@@ -139,14 +139,14 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("l35: PQ assignment is a broadcast codebook join, no cartesian") {
+  test("l35: PQ assignment is map-only (literal codebook); no cartesian") {
     val df = graft.queries.LlmQueries.queries("l35_pq_encode")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
-  test("l36: ADC search scans codes via broadcast tables, no cartesian") {
+  test("l36: ADC search scans codes via broadcast distance tables, no cartesian") {
     val df = graft.queries.LlmQueries.queries("l36_pq_adc_search")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
@@ -328,10 +328,14 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
-    // the n x K assignment join broadcasts the centroids; the final pair
-    // join must be a keyed equi-join on cid
-    assert(plan.contains("BroadcastExchange"), plan)
+    // centroid assignment is map-only (the codebook is a plan literal —
+    // no join, no window, no shuffle); the final pair join must be a
+    // keyed equi-join on cid
+    assert(!plan.contains("Window"), s"assignment must not need a window:\n$plan")
     assert(plan.contains("cid"), plan)
+    val pairJoin = plan.linesIterator.find(_.contains("Join"))
+    assert(pairJoin.isDefined && pairJoin.get.contains("cid"),
+      s"pair join not cid-keyed:\n$plan")
   }
 
   test("l27 sequence packing: corpus-side window is partitioned by block") {
