@@ -806,7 +806,44 @@ object RelationalQueries {
         (abs(col("a50") - col("p50_exact")) <= col("p50_exact") * 0.01)
           .as("p50_within_1pct"),
         (abs(col("a99") - col("p99_exact")) <= col("p99_exact") * 0.01)
-          .as("p99_within_1pct")))
+          .as("p99_within_1pct"))),
+
+    // Events: cumulative-unique-users growth curve. Exact running
+    // distincts without running-distinct state: each user collapses to
+    // their FIRST active day (one keyed aggregate — the only corpus-sized
+    // step), and the cumulative sum runs over the tiny per-day new-user
+    // table. The corpus never enters a window.
+    "q56_user_growth" -> ((s, d) => {
+      val firstDay = events(s, d)
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+      val newPerDay = firstDay.groupBy(col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      newPerDay
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy(col("day"))
+    }),
+
+    // Events: retention cohort triangle (users grouped by signup day,
+    // tracked by week offset). The corpus collapses to distinct
+    // (user, week) activity plus a per-user cohort day — two keyed
+    // aggregates and ONE user-keyed join; the cohort matrix itself is
+    // tiny. No per-cohort scans, no window over the corpus.
+    "q57_retention_cohorts" -> ((s, d) => {
+      val activity = events(s, d)
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+            .cast("long").as("week"))
+        .distinct()
+      val cohort = activity.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      activity.join(cohort, Seq("user_id"))
+        .withColumn("offset", col("week") - col("cohort_week"))
+        .groupBy(col("cohort_week"), col("offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("offset"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1276,6 +1313,27 @@ object RelationalQueries {
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
         |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_exact,
         |  true AS p50_within_1pct, true AS p99_within_1pct
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    "q56_user_growth" ->
+      """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY user_id),
+        |npd AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day)
+        |SELECT day, new_users,
+        |  sum(new_users) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS cum_users
+        |FROM npd ORDER BY day""".stripMargin,
+
+    "q57_retention_cohorts" ->
+      """WITH activity AS (SELECT DISTINCT user_id,
+        |    CAST(floor(datediff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week
+        |  FROM activity GROUP BY user_id)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS "offset",
+        |  count(*) AS n_users
+        |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, "offset"""".stripMargin
   )
 }

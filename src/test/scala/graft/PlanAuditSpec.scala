@@ -461,6 +461,21 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(win.isDefined && win.get.contains("aid"), s"window not anchor-keyed:\n$plan")
   }
 
+  test("q56/q57 growth + cohorts: corpus enters keyed aggregates only, never a window") {
+    for (q <- Seq("q56_user_growth", "q57_retention_cohorts")) {
+      val df = graft.queries.RelationalQueries.queries(q)(
+        spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      // any Window may only sit above an aggregate (the tiny per-day /
+      // per-cohort table), never directly over the events scan
+      val lines = plan.linesIterator.toSeq
+      val winAt = lines.indexWhere(_.contains("Window"))
+      val aggBelow = lines.drop(winAt + 1).exists(_.contains("HashAggregate"))
+      assert(winAt < 0 || aggBelow, s"$q: window directly over the corpus:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
   test("l42 balanced shards: corpus window keyed on (lang, block); offsets broadcast") {
     val df = graft.queries.LlmQueries.queries("l42_balanced_shards")(
       spark, "/root/testdata/sf0.001")
