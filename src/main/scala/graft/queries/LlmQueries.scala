@@ -853,6 +853,38 @@ object LlmQueries {
         sum(col("seq_id") * col("docs")).as("seq_checksum"))
     }),
 
+    // Epoch upsampling (LLaMA-style data mixing): each language's target
+    // char budget divided by its corpus size gives a fractional epoch
+    // count; every doc repeats floor(epochs) times and the fractional
+    // remainder is realized by the deterministic permille bucket (same
+    // arithmetic hash as l16/l17, bit-equal in both engines) — so reruns,
+    // repartitions and engines all pick the SAME extra copies. All the
+    // epoch math is integer (div / % / permille), never float. Plan: one
+    // tiny per-lang table broadcast back, then a single keyed aggregate;
+    // the write-side materialization is explode(sequence(1, copies)) —
+    // audited here pre-materialization so the answer stays exact.
+    "l44_epoch_upsampling" -> ((s, d) => {
+      import s.implicits._
+      val targets = Seq(("en", 60000L), ("zh", 50000L), ("de", 40000L),
+        ("fr", 30000L), ("es", 20000L)).toDF("lang", "target")
+      val plan = documents(s, d).groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("sz"))
+        .join(targets, Seq("lang"))
+        .withColumn("full", expr("target div sz"))
+        .withColumn("fp", expr("((target % sz) * 1000) div sz"))
+        .select(col("lang"), col("full"), col("fp"))
+      documents(s, d)
+        .join(broadcast(plan), Seq("lang"))
+        .withColumn("copies", col("full") +
+          when(mixBucket(col("doc_id")) < col("fp"), 1L).otherwise(0L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_source_docs"),
+          sum(col("copies")).as("n_upsampled"),
+          sum(col("n_chars") * col("copies")).as("chars_upsampled"),
+          sum(col("doc_id") * col("copies")).as("mix_checksum"))
+        .orderBy(col("lang"))
+    }),
+
     // Keyword extraction (tokenizer-prep / corpus indexing shape): per-doc
     // top-3 salient words ranked by (tf desc, df asc, word) — the integer
     // TF-IDF ordering (high in-doc frequency, rare across docs), with the
@@ -2303,6 +2335,24 @@ object LlmQueries {
       """SELECT * FROM (VALUES
         |  (CAST(199 AS BIGINT), CAST(500 AS BIGINT), CAST(101534 AS BIGINT), CAST(5 AS BIGINT), CAST(49049 AS BIGINT)))
         |t(n_seqs, n_docs, sum_tokens, max_docs_per_seq, seq_checksum)""".stripMargin,
+
+    "l44_epoch_upsampling" -> s"""
+        |WITH sizes AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sz
+        |  FROM documents GROUP BY lang),
+        |t(lang, target) AS (VALUES ('en', 60000), ('zh', 50000),
+        |  ('de', 40000), ('fr', 30000), ('es', 20000)),
+        |p AS (SELECT s.lang, target // sz AS "full",
+        |    ((target % sz) * 1000) // sz AS fp
+        |  FROM sizes s JOIN t ON s.lang = t.lang),
+        |docs AS (SELECT d.lang, d.doc_id, d.n_chars,
+        |    p."full" + CASE WHEN ${mixBucketSql("d.doc_id")} < p.fp
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN p ON d.lang = p.lang)
+        |SELECT lang, count(*) AS n_source_docs,
+        |  CAST(sum(copies) AS BIGINT) AS n_upsampled,
+        |  CAST(sum(n_chars * copies) AS BIGINT) AS chars_upsampled,
+        |  CAST(sum(doc_id * copies) AS BIGINT) AS mix_checksum
+        |FROM docs GROUP BY lang ORDER BY lang""".stripMargin,
 
     "l42_balanced_shards" ->
       """WITH pos AS (SELECT doc_id, lang,

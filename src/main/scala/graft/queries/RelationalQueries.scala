@@ -843,6 +843,43 @@ object RelationalQueries {
         .groupBy(col("cohort_week"), col("offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_week"), col("offset"))
+    }),
+
+    // Events: SCD2 history reconstruction from the change log — each
+    // (user, type) version gets a validity interval [ts, next ts), the
+    // companion of q53's latest-only compaction. One lead() window keyed
+    // on the dimension key (parallel per-key sorts, no global order),
+    // then a keyed rollup; open (current) versions count NULL valid_to.
+    "q58_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"),
+          sum(when(col("valid_to").isNotNull,
+            unix_micros(col("valid_to")) - unix_micros(col("ts")))
+            .otherwise(0L)).as("sum_validity_us"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Referential-integrity audit (the ETL data-quality gate): orphan
+    // counts via anti-joins on each foreign key. Anti-joins shuffle keyed
+    // on the FK (or broadcast when the parent is small — Catalyst picks);
+    // the three audits run as three independent 1-row aggregates
+    // combined by cross joins of singletons.
+    "q59_fk_orphan_audit" -> ((s, d) => {
+      val orphanLi = lineitem(s, d).join(orders(s, d),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      val orphanOrd = orders(s, d).join(customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_orders"))
+      val orphanEv = events(s, d).join(customer(s, d),
+          col("user_id") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_events"))
+      orphanLi.crossJoin(orphanOrd).crossJoin(orphanEv)
     })
   )
 
@@ -1334,6 +1371,31 @@ object RelationalQueries {
         |SELECT c.cohort_week, a.week - c.cohort_week AS "offset",
         |  count(*) AS n_users
         |FROM activity a JOIN cohort c ON a.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY cohort_week, "offset"""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort_week, "offset"""".stripMargin,
+
+    "q58_scd2_intervals" ->
+      """WITH v AS (
+        |  SELECT event_type, ts,
+        |    lead(ts) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS valid_to
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_versions,
+        |  sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_open,
+        |  sum(CASE WHEN valid_to IS NOT NULL
+        |      THEN epoch_us(valid_to) - epoch_us(ts) ELSE 0 END)
+        |    AS sum_validity_us
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q59_fk_orphan_audit" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS orphan_lineitems,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS orphan_orders,
+        |  (SELECT count(*) FROM events e WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |    AS orphan_events""".stripMargin
   )
 }

@@ -129,6 +129,28 @@ object PlanDump {
           "per-partition top-k heaps + a k-row merge — no global sort, no " +
           "full-corpus exchange.",
         () => graft.queries.LlmQueries.queries("l32_deterministic_sample")(spark, d)),
+      ("q51_trailing_range_window",
+        "Both trailing 1-hour RANGE aggregates share ONE Window keyed on " +
+          "user_id (hash exchange, per-user sort only); the range exchange " +
+          "above it orders only the per-user aggregate rows.",
+        () => graft.queries.RelationalQueries.queries("q51_trailing_range_window")(spark, d)),
+      ("q53_cdc_compaction",
+        "WindowGroupLimit (rank-limit pushdown) keeps only per-key top-1 " +
+          "candidates ahead of the (user_id, event_type)-keyed window; no join.",
+        () => graft.queries.RelationalQueries.queries("q53_cdc_compaction")(spark, d)),
+      ("q54_sliding_wau",
+        "Sliding distinct via Generate explode + keyed aggregates with " +
+          "map-side partials; no Window over the corpus, no join.",
+        () => graft.queries.RelationalQueries.queries("q54_sliding_wau")(spark, d)),
+      ("l40_tokenizer_maxmatch",
+        "Segmentation DP runs as a codegen'd aggregate fold over the " +
+          "checkpointed vocabulary (no UDF, no parquet rescan); output is " +
+          "the bounded TakeOrderedAndProject top-10.",
+        () => graft.queries.LlmQueries.queries("l40_tokenizer_maxmatch")(spark, d)),
+      ("l43_tokenize_pack",
+        "BPE word stats broadcast into one corpus explode+join+aggregate; " +
+          "pack offsets from the block-keyed window over broadcast block totals.",
+        () => graft.queries.LlmQueries.queries("l43_tokenize_pack")(spark, d)),
       ("l36_pq_adc_search",
         "PQ ADC search: per-query integer distance tables broadcast; the " +
           "scan touches only the 4-byte code columns, scores by table " +

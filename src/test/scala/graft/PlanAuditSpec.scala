@@ -476,6 +476,33 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q58 scd2: lead window keyed on the full dimension key") {
+    val df = graft.queries.RelationalQueries.queries("q58_scd2_intervals")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    val win = plan.linesIterator.find(_.contains("Window"))
+    assert(win.isDefined && win.get.contains("user_id") && win.get.contains("event_type"),
+      s"lead window not keyed on (user_id, event_type):\n$plan")
+  }
+
+  test("q59 fk audit: orphan checks are anti-joins, never cartesian") {
+    val df = graft.queries.RelationalQueries.queries("q59_fk_orphan_audit")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    // the only nested-loop joins allowed are the 1-row x 1-row result combiners
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("l44 epoch upsampling: per-lang plan broadcasts; one keyed aggregate") {
+    val df = graft.queries.LlmQueries.queries("l44_epoch_upsampling")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("l42 balanced shards: corpus window keyed on (lang, block); offsets broadcast") {
     val df = graft.queries.LlmQueries.queries("l42_balanced_shards")(
       spark, "/root/testdata/sf0.001")
