@@ -853,6 +853,45 @@ object LlmQueries {
         sum(col("seq_id") * col("docs")).as("seq_checksum"))
     }),
 
+    // Vocabulary growth curve (Heaps'-law diversity audit — is the corpus
+    // still contributing NEW content, or has collection saturated?): docs
+    // bucket by id, each distinct shingle attributes to its FIRST bucket
+    // (one shingle-keyed min aggregate — the only corpus-sized step), and
+    // the cumulative curve is a cumsum over the tiny per-bucket table.
+    // The corpus never enters a window.
+    "l45_vocab_growth" -> ((s, d) => {
+      val width = 50L
+      val firsts = shinglePostings(s, d)
+        .select(col("shingle"), expr(s"doc_id div $width").as("bucket"))
+        .groupBy(col("shingle")).agg(min(col("bucket")).as("fb"))
+      val perBucket = firsts.groupBy(col("fb").as("bucket"))
+        .agg(count(lit(1)).as("new_shingles"))
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBucket
+        .withColumn("cum_vocab", sum(col("new_shingles")).over(w))
+        .orderBy(col("bucket"))
+    }),
+
+    // Cross-source duplicate overlap matrix (the dedup REPORT that tells
+    // you which sources copy from each other, driving crawl dedup
+    // priorities): exact near-dup pairs from the PPJoin-pruned candidate
+    // join (l03's machinery — never all-pairs), attributed to sources by
+    // two doc-keyed joins, rolled up per unordered source pair.
+    "l46_source_overlap" -> ((s, d) => {
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      jaccardPairs(s, d).select(col("ida"), col("idb"))
+        .join(src.withColumnRenamed("doc_id", "ida")
+          .withColumnRenamed("source", "sa"), Seq("ida"))
+        .join(src.withColumnRenamed("doc_id", "idb")
+          .withColumnRenamed("source", "sb"), Seq("idb"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Epoch upsampling (LLaMA-style data mixing): each language's target
     // char budget divided by its corpus size gives a fractional epoch
     // count; every doc repeats floor(epochs) times and the fractional
@@ -2335,6 +2374,35 @@ object LlmQueries {
       """SELECT * FROM (VALUES
         |  (CAST(199 AS BIGINT), CAST(500 AS BIGINT), CAST(101534 AS BIGINT), CAST(5 AS BIGINT), CAST(49049 AS BIGINT)))
         |t(n_seqs, n_docs, sum_tokens, max_docs_per_seq, seq_checksum)""".stripMargin,
+
+    "l45_vocab_growth" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
+        |        for i in generate_series(1, len(w) - 4)]) s FROM toks),
+        |postings AS (SELECT doc_id // 50 AS bucket, unnest(s) AS shingle FROM sh),
+        |firsts AS (SELECT shingle, min(bucket) AS fb FROM postings GROUP BY shingle),
+        |npb AS (SELECT fb AS bucket, count(*) AS new_shingles FROM firsts GROUP BY fb)
+        |SELECT bucket, new_shingles,
+        |  sum(new_shingles) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |    AS cum_vocab
+        |FROM npb ORDER BY bucket""".stripMargin,
+
+    "l46_source_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
+        |        for i in generate_series(1, len(w) - 4)]) s FROM toks),
+        |pairs AS (SELECT ida, idb FROM (
+        |  SELECT a.doc_id ida, b.doc_id idb,
+        |      round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |            len(list_distinct(list_concat(a.s, b.s))), 4) j
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.5),
+        |lab AS (SELECT least(da.source, db.source) AS source_a,
+        |    greatest(da.source, db.source) AS source_b
+        |  FROM pairs p
+        |  JOIN documents da ON da.doc_id = p.ida
+        |  JOIN documents db ON db.doc_id = p.idb)
+        |SELECT source_a, source_b, count(*) AS n_pairs
+        |FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
     "l44_epoch_upsampling" -> s"""
         |WITH sizes AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sz

@@ -503,6 +503,27 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("l45 vocab growth: shingle-keyed min aggregate; no corpus window, no join") {
+    val df = graft.queries.LlmQueries.queries("l45_vocab_growth")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // the only window runs over the per-bucket aggregate, below it sit
+    // the two keyed aggregates
+    val lines = plan.linesIterator.toSeq
+    val winAt = lines.indexWhere(_.contains("Window"))
+    assert(winAt >= 0 && lines.drop(winAt + 1).exists(_.contains("HashAggregate")),
+      s"window not above the aggregates:\n$plan")
+  }
+
+  test("l46 source overlap: pair generation stays PPJoin-pruned, attribution keyed") {
+    val df = graft.queries.LlmQueries.queries("l46_source_overlap")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("l42 balanced shards: corpus window keyed on (lang, block); offsets broadcast") {
     val df = graft.queries.LlmQueries.queries("l42_balanced_shards")(
       spark, "/root/testdata/sf0.001")
