@@ -140,6 +140,39 @@ object StreamingOps {
                            watermark: String = "1 hour"): DataFrame =
     docs.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(hashCol)
 
+  /** Streaming sliding N-day distinct users (the WAU dashboard fed by an
+    * unbounded event stream) — the streaming twin of the batch q54 query,
+    * using the same inversion: instead of per-window distinct-user SETS
+    * (state proportional to users x windows), each event expands into the
+    * <= N day-windows it serves, an exact streaming dedup keeps one row
+    * per (user, window-end) inside the watermark horizon, and a windowed
+    * count aggregates. State is the dedup's (user, win_end) keys plus
+    * tiny per-window counters, both bounded by the watermark.
+    */
+  def slidingDistinctUsers(events: DataFrame, tsCol: String, userCol: String,
+                           days: Int = 7,
+                           watermarkDays: Int = 1): DataFrame = {
+    val expanded = events
+      .select(col(userCol).as("user_id"),
+        explode(sequence(
+          date_trunc("DAY", col(tsCol)),
+          date_trunc("DAY", col(tsCol)) + expr(s"INTERVAL ${days - 1} DAY"),
+          expr("INTERVAL 1 DAY"))).as("win_end"))
+    // the dedup/aggregation key carries the event time itself. CRITICAL:
+    // win_end runs up to N-1 days AHEAD of the event's own time, so the
+    // global watermark (max win_end - delay) would outrun punctual
+    // events' earlier windows and drop them as late. The delay therefore
+    // absorbs the expansion: input lateness bound + (N-1) days. Both the
+    // dedup keys and the per-window counters still evict on watermark
+    // advance — state stays bounded by (N + lateness) days of windows.
+    expanded
+      .withWatermark("win_end", s"${watermarkDays + days - 1} days")
+      .dropDuplicatesWithinWatermark("user_id", "win_end")
+      .groupBy(col("win_end"))
+      .count()
+      .withColumnRenamed("count", "wau")
+  }
+
   /** Streaming quality gate: language-ID + quality score per document,
     * filtering below-threshold rows — stateless, fuses into the stream's
     * scan stage (same kernels as the batch l09 query).

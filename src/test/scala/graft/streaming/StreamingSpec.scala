@@ -146,6 +146,41 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got == Seq(("click", 2L), ("view", 1L)), s"got $got")
   }
 
+  test("streaming sliding distinct users: explode-dedup-count, windows finalize on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def dayTs(day: Int, min: Int = 0) =
+      new Timestamp(1700000000000L + (day * 1440L + min) * 60000L)
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = StreamingOps.slidingDistinctUsers(df, "ts", "user_id",
+      days = 7, watermarkDays = 1)
+      .writeStream.format("memory").queryName("wau_out")
+      .outputMode("append").start()
+    in.addData((dayTs(0), 1L), (dayTs(0, 10), 2L))
+    q.processAllAvailable()
+    // next day: user 1 again (dedups into existing windows), new user 3
+    // with a late-but-inside-watermark day-0 event
+    in.addData((dayTs(1), 1L), (dayTs(0, 20), 3L))
+    q.processAllAvailable()
+    // push the watermark far past day 7 so every early window finalizes
+    in.addData((dayTs(30), 99L))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT win_end, wau FROM wau_out ORDER BY win_end")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    q.stop()
+    // day0 window saw users 1,2,3; day7 window only user 1's day-1 event
+    def wau(day: Int): Option[Long] = {
+      val target = new Timestamp(
+        java.time.Instant.ofEpochMilli(1700000000000L)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.plusDays(day)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+      got.find(_._1 == target).map(_._2)
+    }
+    assert(wau(0).contains(3L), s"day0: ${got.mkString(",")}")
+    assert(wau(7).contains(1L), s"day7: ${got.mkString(",")}")
+  }
+
   test("streaming sessionization: in-batch gaps close immediately, trailing session by timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
