@@ -880,6 +880,35 @@ object RelationalQueries {
           col("user_id") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("orphan_events"))
       orphanLi.crossJoin(orphanOrd).crossJoin(orphanEv)
+    }),
+
+    // Z-order (Morton) clustering audit — the lakehouse layout op for
+    // 2-D data skipping: interleaving the bits of (user, day) gives a
+    // 1-D sort key whose ranges stay LOCAL in both dimensions, so
+    // min/max parquet footer stats prune on either predicate. At 100 TB
+    // the write is repartitionByRange(zkey) + sortWithinPartitions; this
+    // gate pins the key arithmetic (pure integer bit-spreading, same
+    // value in any engine) and audits per-bucket extents — small
+    // per-bucket (max-min) spans in BOTH dims is exactly the property
+    // that makes the layout skip.
+    "q60_zorder_extents" -> ((s, d) => {
+      def spread(x: String): String = {
+        val a = s"($x & 255)"
+        val b = s"(($a | shiftleft($a, 4)) & 3855)"
+        val c = s"(($b | shiftleft($b, 2)) & 13107)"
+        s"(($c | shiftleft($c, 1)) & 21845)"
+      }
+      events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("dayi"))
+        .withColumn("zkey",
+          expr(s"${spread("user_id")} + 2 * ${spread("dayi")}"))
+        .withColumn("zbucket", expr("zkey div 64"))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("user_id")) - min(col("user_id"))).as("user_span"),
+          (max(col("dayi")) - min(col("dayi"))).as("day_span"))
+        .orderBy(col("zbucket"))
     })
   )
 
@@ -1396,6 +1425,28 @@ object RelationalQueries {
         |    AS orphan_orders,
         |  (SELECT count(*) FROM events e WHERE NOT EXISTS
         |    (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
-        |    AS orphan_events""".stripMargin
+        |    AS orphan_events""".stripMargin,
+
+    "q60_zorder_extents" ->
+      """WITH base AS (SELECT user_id,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS dayi
+        |  FROM events),
+        |sp AS (SELECT user_id, dayi,
+        |    ((((((user_id & 255) | ((user_id & 255) << 4)) & 3855)
+        |      | ((((user_id & 255) | ((user_id & 255) << 4)) & 3855) << 2)) & 13107)
+        |      | (((((((user_id & 255) | ((user_id & 255) << 4)) & 3855)
+        |      | ((((user_id & 255) | ((user_id & 255) << 4)) & 3855) << 2)) & 13107)) << 1)) & 21845
+        |      AS su,
+        |    ((((((dayi & 255) | ((dayi & 255) << 4)) & 3855)
+        |      | ((((dayi & 255) | ((dayi & 255) << 4)) & 3855) << 2)) & 13107)
+        |      | (((((((dayi & 255) | ((dayi & 255) << 4)) & 3855)
+        |      | ((((dayi & 255) | ((dayi & 255) << 4)) & 3855) << 2)) & 13107)) << 1)) & 21845
+        |      AS sd
+        |  FROM base)
+        |SELECT (su + 2 * sd) // 64 AS zbucket, count(*) AS n,
+        |  max(user_id) - min(user_id) AS user_span,
+        |  max(dayi) - min(dayi) AS day_span
+        |FROM sp GROUP BY 1 ORDER BY zbucket""".stripMargin
   )
 }
