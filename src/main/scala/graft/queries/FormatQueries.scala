@@ -452,6 +452,46 @@ object FormatQueries {
       inBoth.crossJoin(orRegions)
     }),
 
+    // Variant annotation — the canonical genomics interval op: every VCF
+    // variant gets its nearest GFF feature within a 1 Mb window via a
+    // BANDED range join (the q41 shape on format sources): features
+    // explode to their ±1 band range of 1 Mb buckets, variants carry one
+    // bucket, and the join is keyed on (seqname, band) — never all-pairs,
+    // so 1e9 variants × 1e6 features stays a keyed shuffle whose per-key
+    // width is the local feature density. Nearest = min(struct(dist,
+    // start, type)) per variant: 0 inside [start, end], else gap to the
+    // closer edge, ties to the lower start. Pinned by tools/pin_f48.py
+    // (independent raw-text parse of both fixtures).
+    "f48_variant_annotation" -> ((s, _) => {
+      val W = 1000000L
+      // Multiplicity folds in BEFORE the join (the fixture has one fully
+      // duplicated variant line), so the join input is already distinct.
+      val vcf = s.read.format("vcf").load(s"$fx/biobear-vcf/vcf_file.vcf.gz")
+        .select(concat(lit("chr"), col("chrom")).as("seqname"),
+          col("pos"), col("ref"))
+        .groupBy(col("seqname"), col("pos"), col("ref"))
+        .agg(count(lit(1)).as("n_var"))
+        .withColumn("band", expr(s"pos div ${W}L"))
+      val feats = s.read.format("gff")
+        .load(s"$fx/gff-index/gencode.v38.polyAs.gff.gz")
+        .select(col("seqname"), col("start"), col("end"), col("type"))
+        .withColumn("band",
+          explode(expr(s"sequence(`start` div ${W}L - 1, `end` div ${W}L + 1)")))
+      vcf.join(feats, Seq("seqname", "band"))
+        .filter(col("start") <= col("pos") + W && col("end") >= col("pos") - W)
+        .withColumn("dist",
+          when(col("pos") >= col("start") && col("pos") <= col("end"), 0L)
+            .otherwise(when(col("pos") < col("start"), col("start") - col("pos"))
+              .otherwise(col("pos") - col("end"))))
+        .groupBy(col("seqname"), col("pos"), col("ref"))
+        .agg(max(col("n_var")).as("n_var"),
+          min(struct(col("dist"), col("start"), col("type"))).as("nf"))
+        .select(col("seqname"), col("pos"), col("ref"), col("n_var"),
+          col("nf.dist").as("dist"), col("nf.start").as("f_start"),
+          col("nf.type").as("f_type"))
+        .orderBy(col("pos"), col("ref"))
+    }),
+
     // Dirty-attribute GFF round trip: reserved characters (';' '=' ',' '%')
     // plus literal tab/newline inside attribute values must survive
     // write -> percent-encode -> parse -> decode without corrupting record
@@ -880,6 +920,26 @@ object FormatQueries {
     // chr1=8813 + chr2=7223 = 16036; chr1∩[100000,200000]=4 + chr2 = 7227
     "f47_multi_region_where" ->
       "SELECT CAST(16036 AS BIGINT) AS n_in, CAST(7227 AS BIGINT) AS n_or",
+
+    // tools/pin_f48.py — independent raw-text parse of both fixtures
+    "f48_variant_annotation" ->
+      """SELECT * FROM (VALUES
+        |  ('chr1', CAST(3000150 AS BIGINT), 'C', CAST(1 AS BIGINT), CAST(22733 AS BIGINT), CAST(3022883 AS BIGINT), 'polyA_signal'),
+        |  ('chr1', CAST(3000151 AS BIGINT), 'C', CAST(1 AS BIGINT), CAST(22732 AS BIGINT), CAST(3022883 AS BIGINT), 'polyA_signal'),
+        |  ('chr1', CAST(3062915 AS BIGINT), 'G', CAST(1 AS BIGINT), CAST(1157 AS BIGINT), CAST(3064072 AS BIGINT), 'polyA_site'),
+        |  ('chr1', CAST(3062915 AS BIGINT), 'GTTT', CAST(1 AS BIGINT), CAST(1157 AS BIGINT), CAST(3064072 AS BIGINT), 'polyA_site'),
+        |  ('chr1', CAST(3106154 AS BIGINT), 'C', CAST(1 AS BIGINT), CAST(42056 AS BIGINT), CAST(3064093 AS BIGINT), 'polyA_signal'),
+        |  ('chr1', CAST(3106154 AS BIGINT), 'CAAA', CAST(1 AS BIGINT), CAST(42056 AS BIGINT), CAST(3064093 AS BIGINT), 'polyA_signal'),
+        |  ('chr1', CAST(3157410 AS BIGINT), 'GA', CAST(1 AS BIGINT), CAST(93312 AS BIGINT), CAST(3064093 AS BIGINT), 'polyA_signal'),
+        |  ('chr1', CAST(3162006 AS BIGINT), 'GAA', CAST(1 AS BIGINT), CAST(97908 AS BIGINT), CAST(3064093 AS BIGINT), 'polyA_signal'),
+        |  ('chr1', CAST(3177144 AS BIGINT), 'G', CAST(2 AS BIGINT), CAST(113046 AS BIGINT), CAST(3064093 AS BIGINT), 'polyA_signal'),
+        |  ('chr1', CAST(3184885 AS BIGINT), 'TAAAA', CAST(1 AS BIGINT), CAST(120787 AS BIGINT), CAST(3064093 AS BIGINT), 'polyA_signal'),
+        |  ('chr2', CAST(3199812 AS BIGINT), 'G', CAST(1 AS BIGINT), CAST(10821 AS BIGINT), CAST(3188986 AS BIGINT), 'polyA_signal'),
+        |  ('chr3', CAST(3212016 AS BIGINT), 'CTT', CAST(1 AS BIGINT), CAST(44564 AS BIGINT), CAST(3167447 AS BIGINT), 'polyA_signal'),
+        |  ('chr4', CAST(3258448 AS BIGINT), 'TACACACAC', CAST(1 AS BIGINT), CAST(1836 AS BIGINT), CAST(3256611 AS BIGINT), 'polyA_site'),
+        |  ('chr4', CAST(3258501 AS BIGINT), 'C', CAST(1 AS BIGINT), CAST(1889 AS BIGINT), CAST(3256611 AS BIGINT), 'polyA_site'))
+        |t(seqname, pos, ref, n_var, dist, f_start, f_type)
+        |ORDER BY pos, ref""".stripMargin,
 
     "f38_gff_dirty_attrs" ->
       """SELECT * FROM (VALUES

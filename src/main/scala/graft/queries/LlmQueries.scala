@@ -1328,6 +1328,41 @@ object LlmQueries {
           round(avg(col("dup_frac")), 4).as("avg_dup_frac"),
           round(avg(col("top_frac")), 4).as("avg_top_frac"))
         .orderBy(col("lang"))
+    }),
+
+    // Intra-document repeated-span scrub (Rae et al.'s within-doc dedup,
+    // the fix for what l20 only measures): every token 3-gram occurrence
+    // after its first WITHIN the same doc marks its 3 tokens for removal;
+    // overlapping marks merge by the classic sorted-interval union (sum of
+    // min(3, gap) via one lead() window). Scale shape: trigrams come from
+    // a codegen'd transform/explode map; "first occurrence" is ONE
+    // (doc,gram)-keyed aggregate with map-side combine; the interval union
+    // is a doc-keyed window bounded by doc length — the corpus text itself
+    // never shuffles, only (doc_id, position) pairs do.
+    "l47_intradoc_scrub" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val tri = toks.filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 3)," +
+            " i -> struct(i as i, concat_ws(' ', w[i], w[i+1], w[i+2]) as g))")).as("t"))
+        .select(col("doc_id"), col("t.i").as("i"), col("t.g").as("g"))
+      val first = tri.groupBy(col("doc_id"), col("g")).agg(min(col("i")).as("i0"))
+      val dups = tri.join(first, Seq("doc_id", "g")).filter(col("i") > col("i0"))
+        .select(col("doc_id"), col("i"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val scrub = dups
+        .withColumn("nxt", lead(col("i"), 1).over(w))
+        .withColumn("cov", when(col("nxt").isNull, 3L)
+          .otherwise(least(lit(3L), col("nxt") - col("i"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_spans"), sum(col("cov")).as("n_removed"))
+      toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+        .join(scrub, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_dup_spans", "n_removed"))
+        .withColumn("kept_permille",
+          expr("(n_tokens - n_removed) * 1000 div n_tokens"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2643,6 +2678,32 @@ object LlmQueries {
         |  CAST(sum(CASE WHEN dup_frac > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
         |  round(avg(dup_frac), 4) AS avg_dup_frac,
         |  round(avg(top_frac), 4) AS avg_top_frac
-        |FROM fr GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM fr GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "l47_intradoc_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |tri AS (SELECT doc_id,
+        |    unnest(generate_series(1, len(w) - 2)) AS i,
+        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |            for i in generate_series(1, len(w) - 2)]) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |fst AS (SELECT doc_id, g, min(i) AS i0 FROM tri GROUP BY 1, 2),
+        |dups AS (SELECT t.doc_id, t.i FROM tri t
+        |  JOIN fst f ON t.doc_id = f.doc_id AND t.g = f.g WHERE t.i > f.i0),
+        |cov AS (SELECT doc_id, i,
+        |    CASE WHEN lead(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |      THEN 3 ELSE least(3,
+        |        lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i) END AS c
+        |  FROM dups),
+        |scrub AS (SELECT doc_id, count(*) AS n_dup_spans,
+        |    CAST(sum(c) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks)
+        |SELECT b.doc_id, b.n_tokens,
+        |  coalesce(s.n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(s.n_removed, 0) AS n_removed,
+        |  (b.n_tokens - coalesce(s.n_removed, 0)) * 1000 // b.n_tokens
+        |    AS kept_permille
+        |FROM base b LEFT JOIN scrub s USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin
   )
 }

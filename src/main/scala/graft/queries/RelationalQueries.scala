@@ -909,6 +909,43 @@ object RelationalQueries {
           (max(col("user_id")) - min(col("user_id"))).as("user_span"),
           (max(col("dayi")) - min(col("dayi"))).as("day_span"))
         .orderBy(col("zbucket"))
+    }),
+
+    // Heavy hitters via a Misra-Gries candidate pass + exact confirm — the
+    // mergeable-summary shape for key spaces too large to groupBy outright.
+    // Each partition streams through a capacity-128 MG summary; by the
+    // pigeonhole argument over partition totals, any key with GLOBAL count
+    // > N/128 must survive in at least one partition's summary, so the tiny
+    // candidate union (≤ 128/partition) is a guaranteed superset. Phase 2
+    // computes EXACT counts restricted to candidates via a broadcast
+    // semi-join and applies the threshold with integer math (cnt*128 > N).
+    // At 100 TB with ~1e11 distinct keys the full-cardinality shuffle never
+    // happens: only candidates and their exact counts move. The final
+    // output is partition-layout-independent because the confirm pass is
+    // exact and the MG guarantee is one-sided (superset).
+    "q61_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val k = 128
+      val uid = events(s, d).select(col("user_id")).as[Long]
+      val cands = uid.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        it.foreach { u =>
+          if (m.contains(u)) m(u) += 1L
+          else if (m.size < k) m(u) = 1L
+          else { // MG decrement step: new key absorbed by decrementing all
+            m.mapValuesInPlace((_, c) => c - 1L)
+            m.filterInPlace((_, c) => c > 0L)
+          }
+        }
+        m.keysIterator
+      }.toDF("user_id").distinct()
+      val total = events(s, d).agg(count(lit(1)).as("n_total"))
+      events(s, d).join(broadcast(cands), Seq("user_id"), "left_semi")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * k > col("n_total"))
+        .select(col("user_id"), col("cnt"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1447,6 +1484,12 @@ object RelationalQueries {
         |SELECT (su + 2 * sd) // 64 AS zbucket, count(*) AS n,
         |  max(user_id) - min(user_id) AS user_span,
         |  max(dayi) - min(dayi) AS day_span
-        |FROM sp GROUP BY 1 ORDER BY zbucket""".stripMargin
+        |FROM sp GROUP BY 1 ORDER BY zbucket""".stripMargin,
+
+    "q61_heavy_hitters" ->
+      """WITH t AS (SELECT count(*) AS n FROM events),
+        |c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT user_id, cnt FROM c, t WHERE cnt * 128 > n
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -546,4 +546,36 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q61 heavy hitters: candidates broadcast into a semi-join; no full-key shuffle before it") {
+    val df = RelationalQueries.queries("q61_heavy_hitters")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // the MG candidate set must reach the confirm pass as a broadcast
+    // semi-join — a shuffled semi-join would re-pay the full-cardinality
+    // exchange the sketch exists to avoid
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exact confirm aggregates with map-side combine
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("l47 intradoc scrub: doc-keyed window and aggregates; no cartesian") {
+    val df = graft.queries.LlmQueries.queries("l47_intradoc_scrub")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the interval-union window must be keyed by doc_id, never global
+    val win = plan.linesIterator.find(_.contains("Window"))
+    assert(win.isDefined && win.get.contains("doc_id"),
+      s"window not doc-keyed:\n$plan")
+  }
+
+  test("f48 variant annotation: banded range join stays a hash join on (seqname, band)") {
+    val df = graft.queries.FormatQueries.queries("f48_variant_annotation")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Join"), plan)
+  }
 }
