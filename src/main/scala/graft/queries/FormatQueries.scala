@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Format-reader coverage over the reference's own test fixtures
   * (read-only at /root/reference/exon/exon-core/test-data/datasources).
@@ -492,6 +493,44 @@ object FormatQueries {
         .orderBy(col("pos"), col("ref"))
     }),
 
+    // BAM coverage depth (the samtools-depth pileup profile) by exact
+    // sweep line: each mapped read's [start, end] reference span (end from
+    // CIGAR reference consumption) contributes +1/-1 breakpoint deltas;
+    // depth is the running sum over a reference-keyed window; constant-
+    // depth segments between consecutive breakpoints give covered bases,
+    // max depth, and total depth mass. This is q48's proven shape on a
+    // format source. At 100 TB the window key becomes (reference, 16 kb
+    // tile) with reads clipped per tile so no single contig serializes
+    // into one task. Pinned by tools/pin_f49.py (independent binary BAM
+    // parse, no graft code).
+    "f49_bam_depth" -> ((s, _) => {
+      val reads = s.read.format("bam").load(s"$fx/bam/test.bam")
+        .filter(col("reference").isNotNull && col("start").isNotNull &&
+          col("end") >= col("start"))
+        .select(col("reference"), col("start"), col("end"))
+      val deltas = reads
+        .select(col("reference"), explode(array(
+          struct(col("start").as("pos"), lit(1L).as("d")),
+          struct((col("end") + 1L).as("pos"), lit(-1L).as("d")))).as("e"))
+        .groupBy(col("reference"), col("e.pos").as("pos"))
+        .agg(sum(col("e.d")).as("d"))
+      val w = Window.partitionBy(col("reference")).orderBy(col("pos"))
+      val segs = deltas
+        .withColumn("depth", sum(col("d")).over(w))
+        .withColumn("nxt", lead(col("pos"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("len", col("nxt") - col("pos"))
+      segs.groupBy(col("reference"))
+        .agg(sum(when(col("depth") > 0, col("len")).otherwise(0L)).as("covered_bases"),
+          max(col("depth")).as("max_depth"),
+          sum(col("depth") * col("len")).as("sum_depth"))
+        .join(reads.groupBy(col("reference")).agg(count(lit(1)).as("n_reads")),
+          Seq("reference"))
+        .select(col("reference"), col("n_reads"), col("covered_bases"),
+          col("max_depth"), col("sum_depth"))
+        .orderBy(col("reference"))
+    }),
+
     // Dirty-attribute GFF round trip: reserved characters (';' '=' ',' '%')
     // plus literal tab/newline inside attribute values must survive
     // write -> percent-encode -> parse -> decode without corrupting record
@@ -940,6 +979,13 @@ object FormatQueries {
         |  ('chr4', CAST(3258501 AS BIGINT), 'C', CAST(1 AS BIGINT), CAST(1889 AS BIGINT), CAST(3256611 AS BIGINT), 'polyA_site'))
         |t(seqname, pos, ref, n_var, dist, f_start, f_type)
         |ORDER BY pos, ref""".stripMargin,
+
+    // tools/pin_f49.py — independent binary BAM parse + exact sweep line
+    "f49_bam_depth" ->
+      """SELECT * FROM (VALUES
+        |  ('chr1', CAST(61 AS BIGINT), CAST(13470 AS BIGINT), CAST(61 AS BIGINT), CAST(17764 AS BIGINT)))
+        |t(reference, n_reads, covered_bases, max_depth, sum_depth)
+        |ORDER BY reference""".stripMargin,
 
     "f38_gff_dirty_attrs" ->
       """SELECT * FROM (VALUES

@@ -1363,8 +1363,50 @@ object LlmQueries {
         .withColumn("kept_permille",
           expr("(n_tokens - n_removed) * 1000 div n_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Taxonomy tagging (the data-mixing labeler: tag every document with
+    // its dominant topic from keyword dictionaries, then report the mix
+    // per language). The dictionary is a broadcast-sized table at ANY
+    // corpus scale, so the corpus pays one explode + broadcast join +
+    // doc-keyed aggregate; the dominant category is an argmax via
+    // min(struct(-hits, category)) — ties break to the alphabetically
+    // first category, identically in both engines. Docs hitting no
+    // category tag as 'other'.
+    "l48_taxonomy_tags" -> ((s, d) => {
+      import s.implicits._
+      val dict = taxonomyDict.toDF("w", "category")
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      val perCat = toks.join(broadcast(dict), Seq("w"))
+        .groupBy(col("doc_id"), col("lang"), col("category"))
+        .agg(count(lit(1)).as("hits"))
+      val dominant = perCat
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(min(struct((-col("hits")).as("neg"), col("category"))).as("top"))
+        .select(col("doc_id"), col("lang"),
+          col("top.category").as("category"), (-col("top.neg")).as("hits"))
+      documents(s, d).select(col("doc_id"), col("lang"))
+        .join(dominant.drop("lang"), Seq("doc_id"), "left")
+        .na.fill("other", Seq("category")).na.fill(0L, Seq("hits"))
+        .groupBy(col("lang"), col("category"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("hits")).as("sum_hits"))
+        .orderBy(col("lang"), col("category"))
     })
   )
+
+  /** Keyword → topic dictionary for l48 (interpolated into the DuckDB
+    * oracle by [[taxonomyDictSql]] so the two can never drift).
+    */
+  private val taxonomyDict: Seq[(String, String)] = Seq(
+    "scan" -> "execution", "filter" -> "execution", "join" -> "execution",
+    "agg" -> "execution", "sort" -> "execution", "merge" -> "execution",
+    "hash" -> "execution",
+    "table" -> "storage", "row" -> "storage", "column" -> "storage",
+    "part" -> "storage", "batch" -> "storage", "vector" -> "storage",
+    "stream" -> "streaming", "window" -> "streaming", "spark" -> "streaming")
+  private def taxonomyDictSql: String =
+    taxonomyDict.map { case (w, c) => s"('$w', '$c')" }.mkString(", ")
 
   /** Exact n-gram Jaccard pairs (j >= 0.5) via a PPJoin-style prefix
     * filter: only the (sz - ceil(sz*t) + 1) rarest shingles of each doc
@@ -2704,6 +2746,23 @@ object LlmQueries {
         |  (b.n_tokens - coalesce(s.n_removed, 0)) * 1000 // b.n_tokens
         |    AS kept_permille
         |FROM base b LEFT JOIN scrub s USING (doc_id)
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "l48_taxonomy_tags" ->
+      s"""WITH dict(w, category) AS (VALUES $taxonomyDictSql),
+        |toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |per_cat AS (SELECT doc_id, lang, category, count(*) AS hits
+        |  FROM toks JOIN dict USING (w) GROUP BY 1, 2, 3),
+        |dom AS (SELECT doc_id, lang, category, hits FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hits DESC, category) AS rn FROM per_cat) WHERE rn = 1),
+        |tagged AS (SELECT d.doc_id, d.lang,
+        |    coalesce(dom.category, 'other') AS category,
+        |    coalesce(dom.hits, 0) AS hits
+        |  FROM documents d LEFT JOIN dom ON d.doc_id = dom.doc_id)
+        |SELECT lang, category, count(*) AS n_docs,
+        |  CAST(sum(hits) AS BIGINT) AS sum_hits
+        |FROM tagged GROUP BY 1, 2 ORDER BY lang, category""".stripMargin
   )
 }

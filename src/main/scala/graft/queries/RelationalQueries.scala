@@ -946,6 +946,29 @@ object RelationalQueries {
         .filter(col("cnt") * k > col("n_total"))
         .select(col("user_id"), col("cnt"))
         .orderBy(col("user_id"))
+    }),
+
+    // EXACT range-partition split points (equi-depth histogram bounds) —
+    // what repartitionByRange only approximates by sampling. The corpus
+    // collapses to a per-value histogram first (ONE keyed aggregate with
+    // map-side combine), the cumulative window then runs over the DISTINCT
+    // values only, and the 7 bucket targets join back as a 7-row broadcast.
+    // At 100 TB with a near-unique double column the histogram pre-buckets
+    // to a fixed-width grid first (two-level, the l24 discipline); here the
+    // value column's distinct count is already bounded. bound_i = smallest
+    // value whose cumulative count reaches ceil(i*N/8) — integer-exact on
+    // both engines because cum >= ceil(x) ⟺ 8*cum >= i*N.
+    "q62_range_bounds" -> ((s, d) => {
+      val ev = events(s, d).select(col("value"))
+      val hist = ev.groupBy(col("value")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      val targets = ev.agg(count(lit(1)).as("n"))
+        .select(explode(expr("sequence(1L, 7L)")).as("i"), col("n"))
+      cum.join(broadcast(targets), col("cum") * 8 >= col("i") * col("n"))
+        .groupBy(col("i")).agg(min(col("value")).as("bound"))
+        .orderBy(col("i"))
     })
   )
 
@@ -1490,6 +1513,15 @@ object RelationalQueries {
       """WITH t AS (SELECT count(*) AS n FROM events),
         |c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
         |SELECT user_id, cnt FROM c, t WHERE cnt * 128 > n
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q62_range_bounds" ->
+      """WITH t AS (SELECT count(*) AS n FROM events),
+        |h AS (SELECT value, count(*) AS c FROM events GROUP BY 1),
+        |cum AS (SELECT value, sum(c) OVER (ORDER BY value) AS cum FROM h),
+        |tg AS (SELECT i, n FROM t, generate_series(1, 7) g(i))
+        |SELECT i, min(value) AS bound FROM cum JOIN tg
+        |  ON cum.cum * 8 >= tg.i * tg.n
+        |GROUP BY i ORDER BY i""".stripMargin
   )
 }

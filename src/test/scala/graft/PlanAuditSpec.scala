@@ -578,4 +578,34 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("Join"), plan)
   }
+
+  test("f49 bam depth: sweep-line window keyed by reference, breakpoints pre-aggregated") {
+    val df = graft.queries.FormatQueries.queries("f49_bam_depth")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val win = plan.linesIterator.find(_.contains("Window"))
+    assert(win.isDefined && win.get.contains("reference"),
+      s"window not reference-keyed:\n$plan")
+  }
+
+  test("l48 taxonomy tags: dictionary broadcasts; corpus never shuffles by word") {
+    val df = graft.queries.LlmQueries.queries("l48_taxonomy_tags")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q62 range bounds: cumulative window runs over the collapsed histogram only") {
+    val df = RelationalQueries.queries("q62_range_bounds")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // the histogram aggregate must sit BELOW the global window — the
+    // window may only see distinct values, never the raw corpus
+    val lines = plan.linesIterator.toSeq
+    val winAt = lines.indexWhere(_.contains("Window"))
+    assert(winAt >= 0 && lines.drop(winAt + 1).exists(_.contains("HashAggregate")),
+      s"window not above the histogram aggregate:\n$plan")
+    // the 7 targets reach the histogram as a broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
 }
