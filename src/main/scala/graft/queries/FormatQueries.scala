@@ -531,6 +531,28 @@ object FormatQueries {
         .orderBy(col("reference"))
     }),
 
+    // FASTQ 3'-end quality trimming (the Trimmomatic TRAILING /
+    // seqtk-trimfq preprocessing op): a read's trimmed length is the last
+    // position whose Phred score clears Q30, computed entirely inside
+    // whole-stage codegen by higher-order functions over the existing
+    // quality_scores_to_list expression — no UDF, no extra pass, a pure
+    // per-row map that fuses into the scan at any scale. Expected values
+    // derived by hand from the fixture's Phred+33 string (both reads share
+    // it; last >= '?' char is position 58; the fixture's sequence is 4
+    // chars longer than its quality string — zip_with's null padding
+    // contributes zeros, exercising the ragged edge).
+    "f50_fastq_trim" -> ((s, _) => {
+      val r = s.read.format("fastq").load(s"$fx/fastq/test.fastq")
+        .withColumn("q", expr("quality_scores_to_list(quality_scores)"))
+        .withColumn("trim_len", expr(
+          "coalesce(array_max(zip_with(q, sequence(1, size(q))," +
+            " (qi, i) -> IF(qi >= 30, i, 0))), 0)"))
+      r.agg(count(lit(1)).as("n_reads"),
+        sum(length(col("sequence"))).cast("long").as("sum_len"),
+        sum(col("trim_len")).cast("long").as("sum_trimmed"),
+        sum(when(col("trim_len") === 0, 1L).otherwise(0L)).as("n_dropped"))
+    }),
+
     // Dirty-attribute GFF round trip: reserved characters (';' '=' ',' '%')
     // plus literal tab/newline inside attribute values must survive
     // write -> percent-encode -> parse -> decode without corrupting record
@@ -986,6 +1008,12 @@ object FormatQueries {
         |  ('chr1', CAST(61 AS BIGINT), CAST(13470 AS BIGINT), CAST(61 AS BIGINT), CAST(17764 AS BIGINT)))
         |t(reference, n_reads, covered_bases, max_depth, sum_depth)
         |ORDER BY reference""".stripMargin,
+
+    // hand-derived from the fixture quality string (see query comment)
+    "f50_fastq_trim" ->
+      """SELECT CAST(2 AS BIGINT) AS n_reads, CAST(128 AS BIGINT) AS sum_len,
+        |  CAST(116 AS BIGINT) AS sum_trimmed,
+        |  CAST(0 AS BIGINT) AS n_dropped""".stripMargin,
 
     "f38_gff_dirty_attrs" ->
       """SELECT * FROM (VALUES

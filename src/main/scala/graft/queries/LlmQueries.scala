@@ -1392,6 +1392,46 @@ object LlmQueries {
         .groupBy(col("lang"), col("category"))
         .agg(count(lit(1)).as("n_docs"), sum(col("hits")).as("sum_hits"))
         .orderBy(col("lang"), col("category"))
+    }),
+
+    // Incremental NEAR-dedup at ingest (l29's bloom shape upgraded from
+    // exact-hash to MinHash-LSH): a new batch is checked against the
+    // standing corpus WITHOUT ever generating corpus×corpus pairs — band
+    // signatures join batch-side vs corpus-side only, so ingest cost is
+    // O(batch × bucket density), independent of corpus self-similarity.
+    // Candidates are verified with EXACT shingle Jaccard using the
+    // integer form 2·|A∩B| >= |A∪B| (no float threshold), and surviving
+    // batch docs aggregate per language. Banding recall at j >= 0.5 is
+    // proven corpus-wide by l04 matching l03's exact pairs (and re-proven
+    // at sf0.1 by tools.CrossCheck), so the LSH path reproduces the exact
+    // oracle here.
+    "l49_incremental_neardedup" -> ((s, d) => {
+      import s.implicits._
+      val bands = documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.functions.TextOps.minhashBands(
+            graft.functions.TextOps.wordShingles(t, 5).toSeq)
+            .iterator.zipWithIndex.map { case (sig, band) => (id, band, sig) }
+        }
+        .toDF("doc_id", "band", "sig")
+      val cand = bands.filter(col("doc_id") >= 400).alias("b")
+        .join(bands.filter(col("doc_id") < 400).alias("c"),
+          col("b.band") === col("c.band") && col("b.sig") === col("c.sig"))
+        .select(col("b.doc_id").as("idb"), col("c.doc_id").as("idc"))
+        .distinct()
+      val sh = shingles(s, d)
+      val rejected = cand
+        .join(sh.select(col("doc_id").as("idb"), col("s").as("sb")), "idb")
+        .join(sh.select(col("doc_id").as("idc"), col("s").as("sc")), "idc")
+        .filter(size(array_intersect(col("sb"), col("sc"))) * 2 >=
+          size(array_union(col("sb"), col("sc"))))
+        .select(col("idb").as("doc_id")).distinct()
+      documents(s, d).filter(col("doc_id") >= 400)
+        .join(rejected, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_accepted"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -2763,6 +2803,20 @@ object LlmQueries {
         |  FROM documents d LEFT JOIN dom ON d.doc_id = dom.doc_id)
         |SELECT lang, category, count(*) AS n_docs,
         |  CAST(sum(hits) AS BIGINT) AS sum_hits
-        |FROM tagged GROUP BY 1, 2 ORDER BY lang, category""".stripMargin
+        |FROM tagged GROUP BY 1, 2 ORDER BY lang, category""".stripMargin,
+
+    "l49_incremental_neardedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
+        |        for i in generate_series(1, len(w) - 4)]) s FROM toks),
+        |rej AS (SELECT DISTINCT b.doc_id FROM sh b JOIN sh c
+        |  ON b.doc_id >= 400 AND c.doc_id < 400
+        |  AND 2 * len(list_intersect(b.s, c.s)) >=
+        |      len(list_distinct(list_concat(b.s, c.s))))
+        |SELECT lang, count(*) AS n_accepted,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents d WHERE doc_id >= 400
+        |  AND NOT EXISTS (SELECT 1 FROM rej r WHERE r.doc_id = d.doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -969,6 +969,41 @@ object RelationalQueries {
       cum.join(broadcast(targets), col("cum") * 8 >= col("i") * col("n"))
         .groupBy(col("i")).agg(min(col("value")).as("bound"))
         .orderBy(col("i"))
+    }),
+
+    // Dynamic partition pruning over the engine's OWN lakehouse layout:
+    // events re-land hive-partitioned by event_type, and a star join
+    // against a filtered dimension must prune partitions at RUNTIME (the
+    // dim filter isn't knowable at plan time). This is the layout+join
+    // shape that makes a 100 TB fact table affordable: only the dim's
+    // surviving keys' directories are listed and scanned. PlanAuditSpec
+    // asserts the scan carries a dynamicpruning subquery filter. The
+    // write is a one-time idempotent gate fixture (skipped when present);
+    // results are graded against DuckDB on the raw table.
+    "q63_dpp_prune" -> ((s, d) => {
+      import s.implicits._
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_gate_dpp_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+      val dimDir = new java.io.File(dir, "dim")
+      val factDir = new java.io.File(dir, "fact")
+      if (!new java.io.File(factDir, "_SUCCESS").exists()) {
+        events(s, d).write.mode("overwrite")
+          .partitionBy("event_type").parquet(factDir.getAbsolutePath)
+        // the dim must be file-based: a LocalRelation dim folds its filter
+        // at plan time and the PartitionPruning rule then sees no
+        // selective predicate to build the DPP subquery from
+        Seq(("click", 10L), ("purchase", 500L), ("view", 1L),
+          ("signup", 50L), ("error", 0L)).toDF("event_type", "weight")
+          .coalesce(1).write.mode("overwrite").parquet(dimDir.getAbsolutePath)
+      }
+      val fact = s.read.parquet(factDir.getAbsolutePath)
+      val dim = s.read.parquet(dimDir.getAbsolutePath)
+      fact.join(dim.filter(col("weight") >= 10L), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") * col("weight")), 2).as("weighted"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1522,6 +1557,16 @@ object RelationalQueries {
         |tg AS (SELECT i, n FROM t, generate_series(1, 7) g(i))
         |SELECT i, min(value) AS bound FROM cum JOIN tg
         |  ON cum.cum * 8 >= tg.i * tg.n
-        |GROUP BY i ORDER BY i""".stripMargin
+        |GROUP BY i ORDER BY i""".stripMargin,
+
+    "q63_dpp_prune" ->
+      """WITH dim(event_type, weight) AS (VALUES
+        |  ('click', 10), ('purchase', 500), ('view', 1),
+        |  ('signup', 50), ('error', 0))
+        |SELECT event_type, count(*) AS n,
+        |  round(sum(value * weight), 2) AS weighted
+        |FROM events JOIN dim USING (event_type)
+        |WHERE weight >= 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

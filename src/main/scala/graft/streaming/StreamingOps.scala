@@ -173,6 +173,34 @@ object StreamingOps {
       .withColumnRenamed("count", "wau")
   }
 
+  /** Stream-stream interval join (the click-attribution shape): each
+    * click joins the impression with the same key that precedes it by at
+    * most `horizonMinutes`. BOTH sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, which is exactly
+    * what lets Spark evict buffered rows once no future match is
+    * possible — without the time-range conjunct a two-unbounded-stream
+    * join's state grows forever. Inner join semantics: rows later than
+    * the watermark drop on either side. At scale the join shuffles both
+    * streams keyed on ad_id only (state and shuffle are per-key local);
+    * no broadcast, no cross product.
+    */
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame,
+                       horizonMinutes: Int = 30,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val imp = impressions
+      .select(col("ad_id"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", watermark)
+    val clk = clicks
+      .select(col("ad_id").as("c_ad_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    imp.join(clk,
+        col("ad_id") === col("c_ad_id") &&
+          col("click_ts") >= col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") +
+            expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("ad_id"), col("imp_ts"), col("click_ts"))
+  }
+
   /** Streaming quality gate: language-ID + quality score per document,
     * filtering below-threshold rows — stateless, fuses into the stream's
     * scan stage (same kernels as the batch l09 query).

@@ -608,4 +608,28 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     // the 7 targets reach the histogram as a broadcast
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("l49 incremental neardedup: band joins keyed, no cartesian anywhere") {
+    val df = graft.queries.LlmQueries.queries("l49_incremental_neardedup")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("f50 fastq trim: per-read HOF trim is join-free, one pass over the scan") {
+    val df = graft.queries.FormatQueries.queries("f50_fastq_trim")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // the trim is a pure projection over the scan: the only exchange is
+    // the final 1-row aggregate's
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("GraftScan(fastq"), plan)
+  }
+
+  test("q63: dynamic partition pruning filter reaches the fact scan") {
+    val df = RelationalQueries.queries("q63_dpp_prune")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"), plan)
+  }
 }

@@ -228,4 +228,30 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got.length == 1 && got(0).getString(0) == "h1")
     assert(got(0).getString(1) == "en")
   }
+
+  test("stream-stream interval join: clicks attribute within horizon, state evicts on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impIn = MemoryStream[(Long, Timestamp)]
+    val clkIn = MemoryStream[(Long, Timestamp)]
+    val q = StreamingOps.clickAttribution(
+        impIn.toDF().toDF("ad_id", "ts"), clkIn.toDF().toDF("ad_id", "ts"),
+        horizonMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    impIn.addData((1L, ts(0)), (2L, ts(5)))
+    clkIn.addData((1L, ts(10)),  // inside horizon -> attributes
+      (1L, ts(45)),              // beyond 30-min horizon -> no match
+      (3L, ts(12)))              // no impression for ad 3 -> no match
+    q.processAllAvailable()
+    // clicks may arrive before their impression lands in a batch: the
+    // buffered click must still match once the impression shows up
+    clkIn.addData((2L, ts(20)))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT ad_id, imp_ts, click_ts FROM attr_out ORDER BY ad_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq
+    q.stop()
+    assert(got == Seq((1L, ts(0), ts(10)), (2L, ts(5), ts(20))), s"got $got")
+  }
 }
