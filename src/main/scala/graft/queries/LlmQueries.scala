@@ -1432,8 +1432,75 @@ object LlmQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_accepted"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("lang"))
-    })
+    }),
+
+    // Longest duplicated token span: the maximum n for which some token
+    // n-gram occurs at least twice corpus-wide (the "longest repeated
+    // substring" corpus statistic from span-dedup work — l22 removes known
+    // spans; this FINDS the worst one). "Some n-gram repeats at n" is
+    // monotone decreasing in n (a repeated n-gram's prefix repeats at
+    // n-1), which licenses a driver-side binary search of O(log maxLen)
+    // Spark jobs instead of materializing all O(len²) substrings the way a
+    // suffix-array build would. Each probe shuffles only 64-bit gram
+    // hashes with map-side partial counts; a probe whose duplicated-HASH
+    // set is non-empty confirms on the exact gram strings via a semi-join
+    // against that (tiny near the answer) set, so a 64-bit collision —
+    // a real event at 100 TB gram counts — can never inflate the answer.
+    // Token arrays are localCheckpoint'ed once and reused by every probe.
+    // Pinned by tools/pin_l50.py (independent Python Counter + binary
+    // search over the same monotone predicate).
+    "l50_longest_dup_span" -> ((s, d) =>
+      longestDupSpan(documents(s, d)))
   )
+
+  /** l50 core (factored out for direct testing on synthetic corpora):
+    * binary search for the max n with a corpus-wide duplicated token
+    * n-gram, then the exact duplicated-gram set at that n.
+    */
+  private[queries] def longestDupSpan(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(col("text")).as[String]
+      .map(_.split(" ")).toDF("w").localCheckpoint()
+    def grams(n: Int) = toks.as[Seq[String]].flatMap { w =>
+      if (w.length < n) Iterator.empty
+      else (0 to w.length - n).iterator.map(i => w.slice(i, i + n).mkString(" "))
+    }.toDF("g")
+    // Exact duplicated n-grams: hash-count phase (longs only on the
+    // wire), then string confirm restricted to duplicated hashes.
+    def dupGrams(n: Int) = {
+      val g = grams(n).withColumn("h", xxhash64(col("g")))
+      val dupH = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("h"))
+      g.join(dupH, Seq("h"), "left_semi")
+        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+    }
+    def dupAt(n: Int): Boolean = {
+      val g = grams(n).withColumn("h", xxhash64(col("g")))
+      val dupH = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("h")).localCheckpoint()
+      !dupH.isEmpty && !g.join(dupH, Seq("h"), "left_semi")
+        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).isEmpty
+    }
+    if (!dupAt(1)) {
+      Seq((0L, 0L, "", 0L))
+        .toDF("max_n", "n_dup_grams", "min_gram", "min_gram_cnt")
+    } else {
+      val maxLen = toks.select(max(size(col("w")))).head().getInt(0)
+      var lo = 1; var hi = maxLen
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (dupAt(mid)) lo = mid else hi = mid - 1
+      }
+      dupGrams(lo).agg(
+        max(lit(lo.toLong)).as("max_n"),
+        count(lit(1)).as("n_dup_grams"),
+        min(col("g")).as("min_gram"),
+        min(struct(col("g"), col("cnt"))).getField("cnt").as("min_gram_cnt"))
+    }
+  }
 
   /** Keyword → topic dictionary for l48 (interpolated into the DuckDB
     * oracle by [[taxonomyDictSql]] so the two can never drift).
@@ -2817,6 +2884,13 @@ object LlmQueries {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents d WHERE doc_id >= 400
         |  AND NOT EXISTS (SELECT 1 FROM rej r WHERE r.doc_id = d.doc_id)
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Pinned by tools/pin_l50.py (independent Python Counter + binary
+    // search over the same monotone repeated-n-gram predicate).
+    "l50_longest_dup_span" ->
+      """SELECT * FROM (VALUES
+  (CAST(93 AS BIGINT), CAST(3 AS BIGINT), 'group fast fast data row data stream part stream hash stream order a scan batch order big a spark join group scan stream data spark vector query column window spark a table hash slow small sort a small big sort sort merge merge a value order merge batch fast row customer fast line agg data vector value key table line slow key column slow data window merge agg vector spark window vector merge group batch spark batch small spark table key customer column filter hash line hash scan value data slow big hash', CAST(2 AS BIGINT))
+) t(max_n, n_dup_grams, min_gram, min_gram_cnt)"""
   )
 }
