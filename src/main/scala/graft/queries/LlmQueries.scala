@@ -142,7 +142,7 @@ object LlmQueries {
       .distinct()
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     // Exact dedup: one shuffle keyed on the content hash.
     "l01_exact_dedup" -> ((s, d) =>
       documents(s, d).agg(
@@ -1451,6 +1451,75 @@ object LlmQueries {
     // search over the same monotone predicate).
     "l50_longest_dup_span" -> ((s, d) =>
       longestDupSpan(documents(s, d)))
+  ) ++ Map[String, Q](
+
+    // Crawl/sampling budget allocation by water-filling: spread a global
+    // document budget B (= 3/5 of the corpus here) across (lang, source)
+    // domains so no domain exceeds the common water level t — the classic
+    // fair-allocation answer to "big domains would eat the whole budget
+    // under proportional sampling". t has a closed form over the SORTED
+    // per-domain counts: at boundary i, used(t) = prefix_i + (k - i)·t, so
+    // the max feasible boundary plus integer division gives t exactly —
+    // all on a k-row aggregate (k = #domains), never on the corpus. The
+    // residual B - Σ min(avail, t) (< #capped domains) goes +1 to the
+    // largest capped domains, making the allocation exactly budget-tight.
+    // Concrete docs are then picked per domain by a deterministic integer
+    // hash rank (the mixBucket permutation, ties by doc_id) — the corpus
+    // is touched exactly twice: one count aggregate and one per-domain
+    // rank window (at petabyte domains, swap the rank window for l24's
+    // two-level histogram selection). Unpartitioned windows here run over
+    // the k-row domain aggregate only.
+    "l51_budget_waterfill" -> ((s, d) => {
+      val docs = documents(s, d)
+      val counts = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("avail"))
+      val tot = docs.agg(expr("(count(1) * 3) div 5").as("b"))
+      val k = counts.agg(count(lit(1)).as("k"))
+      val ord = Window.orderBy(col("avail"), col("lang"), col("source"))
+      val sorted = counts
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("pre", sum(col("avail")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(k)).crossJoin(broadcast(tot))
+        .withColumn("used", col("pre") + (col("k") - col("rn")) * col("avail"))
+        .select("avail", "rn", "pre", "k", "b", "used")
+      // virtual boundary rn=0 (t below the smallest count): always feasible
+      val zero = k.crossJoin(tot).select(lit(0L).as("avail"),
+        lit(0L).as("rn"), lit(0L).as("pre"), col("k"), col("b"),
+        lit(0L).as("used"))
+      val lvl = sorted.unionByName(zero).filter(col("used") <= col("b"))
+        .orderBy(col("rn").desc).limit(1)
+        .select(when(col("k") === col("rn"), col("avail"))
+          .otherwise(col("avail") + expr("(b - used) div (k - rn)"))
+          .as("t"), col("b"))
+      val alloc0 = counts.crossJoin(broadcast(lvl))
+        .withColumn("a", least(col("avail"), col("t")))
+      val resid = alloc0.groupBy(col("b"))
+        .agg((col("b") - sum(col("a"))).as("r")).select("r")
+      val capped = alloc0.filter(col("avail") > col("a"))
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("avail").desc, col("lang"), col("source")))
+          .cast("long"))
+        .select("lang", "source", "rr")
+      val alloc = alloc0.join(capped, Seq("lang", "source"), "left")
+        .crossJoin(broadcast(resid))
+        .withColumn("alloc", col("a") +
+          when(col("rr").isNotNull && col("rr") <= col("r"), 1L).otherwise(0L))
+        .select("lang", "source", "avail", "alloc")
+      val h = ((col("doc_id") % 1000003L) * 998244353L + 12345L) % 1000007L
+      val sel = docs.select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"), col("source")).orderBy(h, col("doc_id"))))
+        .join(broadcast(alloc.select(col("lang"), col("source"), col("alloc"))),
+          Seq("lang", "source"))
+        .filter(col("rn") <= col("alloc"))
+      alloc.join(
+          sel.groupBy(col("lang"), col("source"))
+            .agg(sum(col("doc_id")).as("sum_sel")),
+          Seq("lang", "source"), "left")
+        .na.fill(0L, Seq("sum_sel"))
+        .orderBy(col("lang"), col("source"))
+    })
   )
 
   /** l50 core (factored out for direct testing on synthetic corpora):
@@ -2891,6 +2960,52 @@ object LlmQueries {
     "l50_longest_dup_span" ->
       """SELECT * FROM (VALUES
   (CAST(93 AS BIGINT), CAST(3 AS BIGINT), 'group fast fast data row data stream part stream hash stream order a scan batch order big a spark join group scan stream data spark vector query column window spark a table hash slow small sort a small big sort sort merge merge a value order merge batch fast row customer fast line agg data vector value key table line slow key column slow data window merge agg vector spark window vector merge group batch spark batch small spark table key customer column filter hash line hash scan value data slow big hash', CAST(2 AS BIGINT))
-) t(max_n, n_dup_grams, min_gram, min_gram_cnt)"""
+) t(max_n, n_dup_grams, min_gram, min_gram_cnt)""",
+
+    "l51_budget_waterfill" ->
+      """WITH counts AS (SELECT lang, source, count(*) AS avail
+        |  FROM documents GROUP BY 1, 2),
+        |b AS (SELECT (count(*) * 3) // 5 AS b FROM documents),
+        |k AS (SELECT count(*) AS k FROM counts),
+        |sorted AS (SELECT avail,
+        |    row_number() OVER (ORDER BY avail, lang, source) AS rn,
+        |    sum(avail) OVER (ORDER BY avail, lang, source
+        |      ROWS UNBOUNDED PRECEDING) AS pre
+        |  FROM counts),
+        |bounds AS (
+        |  SELECT s.avail, s.rn, s.pre, s.pre + (k.k - s.rn) * s.avail AS used
+        |  FROM sorted s, k
+        |  UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |feas AS (SELECT bounds.* FROM bounds, b WHERE bounds.used <= b.b
+        |  ORDER BY rn DESC LIMIT 1),
+        |lvl AS (SELECT CASE WHEN k.k = f.rn THEN f.avail
+        |    ELSE f.avail + (b.b - f.used) // (k.k - f.rn) END AS t
+        |  FROM feas f, k, b),
+        |alloc0 AS (SELECT lang, source, avail, least(avail, t) AS a
+        |  FROM counts, lvl),
+        |resid AS (SELECT b.b - sum(a) AS r FROM alloc0, b GROUP BY b.b),
+        |capped AS (SELECT lang, source,
+        |    row_number() OVER (ORDER BY avail DESC, lang, source) AS rr
+        |  FROM alloc0 WHERE avail > a),
+        |alloc AS (SELECT a0.lang, a0.source, a0.avail,
+        |    a0.a + CASE WHEN c.rr IS NOT NULL AND c.rr <= r.r
+        |      THEN 1 ELSE 0 END AS alloc
+        |  FROM alloc0 a0 CROSS JOIN resid r
+        |  LEFT JOIN capped c ON a0.lang = c.lang AND a0.source = c.source),
+        |ranked AS (SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY ((doc_id % 1000003) * 998244353 + 12345) % 1000007,
+        |        doc_id) AS rn
+        |  FROM documents),
+        |sel AS (SELECT rk.lang, rk.source, rk.doc_id
+        |  FROM ranked rk JOIN alloc al
+        |    ON rk.lang = al.lang AND rk.source = al.source
+        |  WHERE rk.rn <= al.alloc)
+        |SELECT al.lang, al.source, al.avail, CAST(al.alloc AS BIGINT) AS alloc,
+        |  CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS sum_sel
+        |FROM alloc al LEFT JOIN sel s
+        |  ON al.lang = s.lang AND al.source = s.source
+        |GROUP BY 1, 2, 3, 4 ORDER BY al.lang, al.source""".stripMargin
   )
 }

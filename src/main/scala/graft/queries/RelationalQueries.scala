@@ -406,10 +406,11 @@ object RelationalQueries {
         .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
       val minc = offers.groupBy(col("l_partkey"))
         .agg(min(col("l_extendedprice")).as("min_price"))
+        .withColumnRenamed("l_partkey", "min_partkey")
       offers
-        .join(minc, offers("l_partkey") === minc("l_partkey") &&
+        .join(minc, col("l_partkey") === col("min_partkey") &&
           col("l_extendedprice") === col("min_price"))
-        .drop(minc("l_partkey"))
+        .drop("min_partkey")
         .join(part(s, d).filter(col("p_size") < 10), col("l_partkey") === col("p_partkey"))
         .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .select(col("p_partkey"), col("p_name"), col("s_name"),
