@@ -265,4 +265,38 @@ object VectorOps {
     }
     sig
   }
+
+  // kNN-GRAPH candidate tables: T independent 6-bit hyperplane tables
+  // (64 buckets each). One 8-bit table is too selective for graph
+  // construction — most nodes would see too few candidates to fill k
+  // neighbors; the union over T coarser tables is the standard
+  // multi-table LSH recall fix. Seeds 1000+t; mirrored bit-exactly by
+  // tools/pin_l52.py's JavaRandom reimplementation.
+  val KnnTables = 4
+  val KnnBits = 6
+  private val knnPlanes: Array[Array[Array[Double]]] =
+    Array.tabulate(KnnTables) { t =>
+      val rnd = new java.util.Random(1000L + t)
+      Array.fill(KnnBits)(Array.fill(64)(rnd.nextGaussian()))
+    }
+
+  /** Per-table bucket keys for the kNN-graph candidate join: entry t is
+    * t*64 + the 6-bit signature under table t (key space disjoint across
+    * tables, so one explode+self-join covers all tables).
+    */
+  def knnBuckets(v: Seq[Float]): Array[Int] =
+    Array.tabulate(KnnTables) { t =>
+      var sig = 0
+      var p = 0
+      while (p < KnnBits) {
+        val plane = knnPlanes(t)(p)
+        var dot = 0.0
+        val n = math.min(v.length, plane.length)
+        var i = 0
+        while (i < n) { dot += v(i) * plane(i); i += 1 }
+        if (dot >= 0) sig |= (1 << p)
+        p += 1
+      }
+      t * 64 + sig
+    }
 }

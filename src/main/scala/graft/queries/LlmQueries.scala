@@ -1519,8 +1519,83 @@ object LlmQueries {
           Seq("lang", "source"), "left")
         .na.fill(0L, Seq("sum_sel"))
         .orderBy(col("lang"), col("source"))
+    }),
+
+    // Semi-supervised label propagation over an approximate kNN graph —
+    // the curation move that turns a small hand-labeled seed set into
+    // corpus-wide quality/topic labels. Graph build is the multi-table
+    // LSH shape: explode each vector to its T=4 coarse hyperplane
+    // buckets (disjoint key spaces), candidate pairs come from ONE keyed
+    // self-join on bucket (never all-pairs), and exact cosine reranks to
+    // the top-5 out-neighbors per node. Propagation is 4 rounds of
+    // edge-keyed majority vote (ties → smallest label); seeds
+    // (vec_id % 5 == 0, 20%) stay clamped, everyone else adopts the
+    // majority of labeled in-round neighbors. Per round: one join + two
+    // keyed aggregates over |E| = 5·n edges, lineage cut per round —
+    // the same bounded-round discipline as l14's connected components.
+    // Output is the non-seed confusion matrix (true label vs propagated;
+    // -1 = never reached). Pinned by tools/pin_l52.py (independent
+    // Python JavaRandom + cosine + propagation).
+    "l52_label_propagation" -> ((s, d) => {
+      graft.GraftSession.registerAll(s)
+      val emb = embeddings(s, d)
+      val edges = knnGraphEdges(emb).localCheckpoint()
+      var labels = emb.select(col("vec_id"),
+          col("label").cast("long").as("truth"),
+          (col("vec_id") % 5 === 0).as("seed"))
+        .withColumn("cur",
+          when(col("seed"), col("truth")).otherwise(lit(-1L)))
+        .select("vec_id", "seed", "truth", "cur").localCheckpoint()
+      for (_ <- 1 to 4) {
+        val votes = edges
+          .join(labels.select(col("vec_id").as("dst"), col("cur").as("nl")),
+            "dst")
+          .filter(col("nl") =!= -1L)
+          .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("n"))
+          .groupBy(col("src"))
+          .agg(min(struct((-col("n")).as("neg"), col("nl").as("l"))).as("m"))
+          .select(col("src").as("vec_id"), col("m.l").as("maj"))
+        labels = labels.join(votes, Seq("vec_id"), "left")
+          .withColumn("cur", when(col("seed"), col("cur"))
+            .otherwise(coalesce(col("maj"), col("cur"))))
+          .select("vec_id", "seed", "truth", "cur").localCheckpoint()
+      }
+      labels.filter(!col("seed"))
+        .groupBy(col("truth"), col("cur")).agg(count(lit(1)).as("n"))
+        .select(col("truth").as("label"), col("cur").as("pred"), col("n"))
+        .orderBy(col("label"), col("pred"))
     })
   )
+
+  /** l52's approximate kNN-graph build (factored out so PlanAuditSpec can
+    * inspect the pre-checkpoint plan): multi-table hyperplane buckets →
+    * ONE keyed self-join on bucket → exact cosine rerank to the top-5
+    * out-neighbors per node. Requires `cosine_similarity` registered.
+    */
+  private[graft] def knnGraphEdges(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val bucketed = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        graft.functions.VectorOps.knnBuckets(v).iterator.map(b => (id, b))
+      }.toDF("vec_id", "bucket")
+    val cand = bucketed.alias("x").join(bucketed.alias("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.select(col("vec_id").as("src"), col("embedding").as("sv")),
+        "src")
+      .join(vecs.select(col("vec_id").as("dst"), col("embedding").as("dv")),
+        "dst")
+      .withColumn("cos", callUDF("cosine_similarity", col("sv"), col("dv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rn") <= 5).select(col("src"), col("dst"))
+  }
 
   /** l50 core (factored out for direct testing on synthetic corpora):
     * binary search for the max n with a corpus-wide duplicated token
@@ -3006,6 +3081,74 @@ object LlmQueries {
         |  CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS sum_sel
         |FROM alloc al LEFT JOIN sel s
         |  ON al.lang = s.lang AND al.source = s.source
-        |GROUP BY 1, 2, 3, 4 ORDER BY al.lang, al.source""".stripMargin
+        |GROUP BY 1, 2, 3, 4 ORDER BY al.lang, al.source""".stripMargin,
+
+    // Pinned by tools/pin_l52.py (independent Python JavaRandom +
+    // hyperplane tables + cosine + clamped majority propagation). The
+    // synthetic embeddings carry no label-geometry correlation (exact
+    // top-5 neighbor label agreement is ~10% = chance), so the pinned
+    // confusion matrix is honestly near-uniform with a smallest-label
+    // tie-break cascade toward 0 -- the verified deliverable is the
+    // graph-build + propagation plumbing, not classifier accuracy.
+    "l52_label_propagation" ->
+      """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(23 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(6 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(25 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(7 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(8 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(25 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(4 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(31 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(9 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(31 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(6 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(6 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(8 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(21 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(6 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(6 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(8 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(20 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(8 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(33 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(1 AS BIGINT), CAST(7 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(6 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(8 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(0 AS BIGINT), CAST(28 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(1 AS BIGINT), CAST(7 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(0 AS BIGINT), CAST(27 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(1 AS BIGINT), CAST(9 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(3 AS BIGINT), CAST(5 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(9 AS BIGINT), CAST(1 AS BIGINT))
+) t(label, pred, n) ORDER BY label, pred"""
   )
 }

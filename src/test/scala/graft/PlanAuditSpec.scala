@@ -632,4 +632,16 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     val plan = df.queryExecution.executedPlan.toString.toLowerCase
     assert(plan.contains("dynamicpruning"), plan)
   }
+
+  test("l52 kNN graph: candidates come from a keyed bucket join, no cartesian") {
+    graft.GraftSession.registerAll(spark)
+    val edges = graft.queries.LlmQueries.knnGraphEdges(
+      graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    val plan = edges.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the rerank window is per-node (partitioned by src), never global
+    assert(plan.linesIterator.filter(_.contains("Window"))
+      .forall(_.contains("src")), plan)
+  }
 }
