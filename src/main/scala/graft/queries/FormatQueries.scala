@@ -29,6 +29,39 @@ object FormatQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // Assembly stats (the `seqkit stats` shape): contig count, total/max
+    // length, N50 and N90 — computed over sequences that ROUND-TRIP
+    // through the engine's own FASTA sink and reader (documents text,
+    // spaces stripped), so the sink, the reader, and the stats are all on
+    // the gate at once. N50 is exact via histogram collapse: lengths
+    // group to (length, count) first, and the desc-cumulative window runs
+    // over DISTINCT lengths only (l24's discipline) — a billion-contig
+    // assembly costs one keyed groupBy plus a window over the tiny
+    // histogram, never a sort of the contig list.
+    "f51_assembly_stats" -> ((s, d) => {
+      val dir = gateDir("assembly_stats").getAbsolutePath
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("string").as("id"),
+          lit(null).cast("string").as("description"),
+          regexp_replace(col("text"), " ", "").as("sequence"))
+        .write.format("fasta").mode("overwrite").save(s"$dir/t")
+      val lens = s.read.format("fasta").load(s"$dir/t")
+        .select(length(col("sequence")).cast("long").as("l"))
+      val tot = lens.agg(count(lit(1)).as("n_contigs"),
+        sum(col("l")).as("total_len"), max(col("l")).as("max_len"))
+      val w = Window.orderBy(col("l").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = lens.groupBy(col("l")).agg(count(lit(1)).as("c"))
+        .withColumn("cw", sum(col("l") * col("c")).over(w))
+      val n50 = cum.crossJoin(broadcast(tot))
+        .filter(col("cw") * 2 >= col("total_len"))
+        .agg(max(col("l")).as("n50"))
+      val n90 = cum.crossJoin(broadcast(tot))
+        .filter(col("cw") * 10 >= col("total_len") * 9)
+        .agg(max(col("l")).as("n90"))
+      tot.crossJoin(broadcast(n50)).crossJoin(broadcast(n90))
+    }),
+
     // fasta-scan-tests.slt / fasta-copy-tests.slt golden rows
     "f01_fasta_scan" -> ((s, _) =>
       s.read.format("fasta").load(s"$fx/fasta/test.fasta")
@@ -832,6 +865,20 @@ object FormatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f51_assembly_stats" ->
+      """WITH lens AS (SELECT CAST(length(replace(text, ' ', ''))
+        |    AS BIGINT) AS l FROM documents),
+        |tot AS (SELECT count(*) AS n_contigs, sum(l) AS total_len,
+        |  max(l) AS max_len FROM lens),
+        |cum AS (SELECT l, sum(l * c) OVER (ORDER BY l DESC
+        |    ROWS UNBOUNDED PRECEDING) AS cw
+        |  FROM (SELECT l, count(*) AS c FROM lens GROUP BY l)),
+        |n50 AS (SELECT max(l) AS n50 FROM cum, tot WHERE cw * 2 >= total_len),
+        |n90 AS (SELECT max(l) AS n90 FROM cum, tot
+        |  WHERE cw * 10 >= total_len * 9)
+        |SELECT n_contigs, CAST(total_len AS BIGINT) AS total_len, max_len,
+        |  n50, n90 FROM tot, n50, n90""".stripMargin,
+
     "f01_fasta_scan" ->
       """SELECT * FROM (VALUES
         |  ('a', 'description', 'ATCG'),
