@@ -1536,6 +1536,35 @@ object LlmQueries {
     // Output is the non-seed confusion matrix (true label vs propagated;
     // -1 = never reached). Pinned by tools/pin_l52.py (independent
     // Python JavaRandom + cosine + propagation).
+    // Per-document n-gram NOVELTY attribution: every distinct 5-gram
+    // shingle credits its FIRST corpus occurrence (min doc_id); a
+    // document's novelty is the fraction of its shingles it introduced.
+    // The dual of dedup scoring — low-novelty docs are rehashes of
+    // earlier content even when no single pair crosses a Jaccard
+    // threshold, and "stale" (novelty < 1/2) is the drop gate. Two keyed
+    // shuffles total: one groupBy shingle (map-side combine) for the
+    // first-occurrence table, one groupBy doc for the credit counts; the
+    // lang rollup is integer-exact permille. At 100 TB the shingle key
+    // would be its 64-bit hash (collisions only merge credit).
+    "l53_novelty_scores" -> ((s, d) => {
+      val sh = shinglePostings(s, d)
+      val firsts = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("doc_id"))
+      val own = firsts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_first"))
+      val per = sh.groupBy(col("doc_id")).agg(max(col("sz")).cast("long").as("n_sh"))
+      documents(s, d).select(col("doc_id"), col("lang"))
+        .join(per, Seq("doc_id"))
+        .join(own, Seq("doc_id"), "left").na.fill(0L, Seq("n_first"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_first")).as("sum_first"),
+          sum(col("n_sh")).as("sum_shingles"),
+          sum(when(col("n_first") * 2 < col("n_sh"), 1L).otherwise(0L))
+            .as("n_stale"))
+        .withColumn("novelty_permille",
+          expr("(1000 * sum_first) div sum_shingles"))
+        .orderBy(col("lang"))
+    }),
+
     "l52_label_propagation" -> ((s, d) => {
       graft.GraftSession.registerAll(s)
       val emb = embeddings(s, d)
@@ -3090,6 +3119,29 @@ object LlmQueries {
     // confusion matrix is honestly near-uniform with a smallest-label
     // tie-break cascade toward 0 -- the verified deliverable is the
     // graph-build + propagation plumbing, not classifier accuracy.
+    "l53_novelty_scores" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, lang, list_distinct(
+        |    [w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3]
+        |      || '_' || w[i+4] for i in generate_series(1, len(w) - 4)]) AS s
+        |  FROM toks),
+        |posts AS (SELECT doc_id, lang, len(s) AS n_sh, unnest(s) AS shingle
+        |  FROM sh),
+        |firsts AS (SELECT shingle, min(doc_id) AS doc_id FROM posts
+        |  GROUP BY shingle),
+        |own AS (SELECT doc_id, count(*) AS n_first FROM firsts GROUP BY doc_id),
+        |per AS (SELECT doc_id, lang, max(n_sh) AS n_sh FROM posts GROUP BY 1, 2)
+        |SELECT p.lang, count(*) AS n_docs,
+        |  CAST(sum(coalesce(o.n_first, 0)) AS BIGINT) AS sum_first,
+        |  CAST(sum(p.n_sh) AS BIGINT) AS sum_shingles,
+        |  CAST(sum(CASE WHEN coalesce(o.n_first, 0) * 2 < p.n_sh
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+        |  (1000 * CAST(sum(coalesce(o.n_first, 0)) AS BIGINT))
+        |    // CAST(sum(p.n_sh) AS BIGINT) AS novelty_permille
+        |FROM per p LEFT JOIN own o USING (doc_id)
+        |GROUP BY p.lang ORDER BY p.lang""".stripMargin,
+
     "l52_label_propagation" ->
       """SELECT * FROM (VALUES
   (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(23 AS BIGINT)),
