@@ -62,6 +62,35 @@ object FormatQueries {
       tot.crossJoin(broadcast(n50)).crossJoin(broadcast(n90))
     }),
 
+    // BigWig SINK round trip on driver data: an hourly event-count track
+    // (chrom = event_type, 100 units per hour) written as real bbi —
+    // header, chrom B+ tree, zlib bedGraph sections, R-tree — then read
+    // back through the independent BbiFile reader path and gate-compared
+    // against DuckDB computing the same track relationally. The write is
+    // range-partitioned by chromosome so each `.bw` shard owns whole
+    // chroms — the layout that keeps zoom bins shard-local at scale.
+    "f52_bigwig_write_roundtrip" -> ((s, d) => {
+      val dir = gateDir("bigwig_rt").getAbsolutePath
+      bigwigTrack(s, d).write.format("bigwig_value")
+        .option("zoomLevels", "1000").mode("overwrite").save(s"$dir/t")
+      s.read.format("bigwig_value").load(s"$dir/t")
+        .orderBy("name", "start")
+    }),
+
+    // Zoom levels COMPUTED BY THE SINK (not copied from any input): the
+    // writer aggregates the track into 1000-unit bins per the Kent spec
+    // (validCount = covered bases, per-base weighted sums, ends clipped
+    // to the chrom extent), and DuckDB re-derives the identical summary
+    // from raw events — so the zoom math itself is on the oracle gate.
+    // All values are integer-valued, so float32 zoom storage is exact.
+    "f53_bigwig_write_zoom" -> ((s, d) => {
+      val dir = gateDir("bigwig_zoom_w").getAbsolutePath
+      bigwigTrack(s, d).write.format("bigwig_value")
+        .option("zoomLevels", "1000").mode("overwrite").save(s"$dir/t")
+      s.read.format("bigwig_zoom").option("reductionLevel", "1000")
+        .load(s"$dir/t").orderBy("name", "start")
+    }),
+
     // fasta-scan-tests.slt / fasta-copy-tests.slt golden rows
     "f01_fasta_scan" -> ((s, _) =>
       s.read.format("fasta").load(s"$fx/fasta/test.fasta")
@@ -864,7 +893,54 @@ object FormatQueries {
     })
   )
 
+  /** Shared f52/f53 input: hourly event-count track, one chromosome per
+    * event_type, 100 coordinate units per hour from the corpus' first
+    * hour. Range-partitioned by chrom so each sink shard owns whole
+    * chromosomes (zoom bins never straddle part files).
+    */
+  private def bigwigTrack(s: SparkSession, d: String): DataFrame = {
+    val hours = Tables.events(s, d).select(col("event_type").as("name"),
+      expr("unix_micros(ts) div 3600000000").as("h"))
+    val h0 = hours.agg(min(col("h")).as("h0"))
+    hours.groupBy(col("name"), col("h")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(h0))
+      .select(col("name"),
+        ((col("h") - col("h0")) * 100).cast("int").as("start"),
+        ((col("h") - col("h0")) * 100 + 100).cast("int").as("end"),
+        col("n").cast("float").as("value"))
+      .repartitionByRange(4, col("name"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "f52_bigwig_write_roundtrip" ->
+      """WITH h AS (SELECT event_type AS name,
+        |    epoch_us(ts) // 3600000000 AS hr FROM events),
+        |h0 AS (SELECT min(hr) AS h0 FROM h)
+        |SELECT name, CAST((hr - h0) * 100 AS INT) AS start,
+        |  CAST((hr - h0) * 100 + 100 AS INT) AS "end",
+        |  CAST(count(*) AS REAL) AS value
+        |FROM h, h0 GROUP BY 1, 2, 3
+        |ORDER BY name, start""".stripMargin,
+
+    "f53_bigwig_write_zoom" ->
+      """WITH h AS (SELECT event_type AS name,
+        |    epoch_us(ts) // 3600000000 AS hr FROM events),
+        |h0 AS (SELECT min(hr) AS h0 FROM h),
+        |t AS (SELECT name, (hr - h0) * 100 AS start, count(*) AS n
+        |  FROM h, h0 GROUP BY 1, 2),
+        |ext AS (SELECT name, max(start + 100) AS csize FROM t GROUP BY name),
+        |b AS (SELECT name, start // 1000 AS bin, count(*) AS k,
+        |    max(n) AS mx, min(n) AS mn, sum(n * n) AS sq, sum(n) AS sm
+        |  FROM t GROUP BY 1, 2)
+        |SELECT b.name, CAST(bin * 1000 AS INT) AS start,
+        |  CAST(least(bin * 1000 + 1000, e.csize) AS INT) AS "end",
+        |  CAST(0 AS INT) AS total_items,
+        |  CAST(100 * k AS INT) AS bases_covered,
+        |  CAST(mx AS DOUBLE) AS max_value, CAST(mn AS DOUBLE) AS min_value,
+        |  CAST(sq * 100 AS DOUBLE) AS sum_squares,
+        |  CAST(sm * 100 AS DOUBLE) AS sum
+        |FROM b JOIN ext e USING (name) ORDER BY b.name, start""".stripMargin,
+
     "f51_assembly_stats" ->
       """WITH lens AS (SELECT CAST(length(replace(text, ' ', ''))
         |    AS BIGINT) AS l FROM documents),
