@@ -1005,6 +1005,33 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value") * col("weight")), 2).as("weighted"))
         .orderBy(col("event_type"))
+    }),
+
+    // Market-basket co-occurrence with lift: part pairs ordered together
+    // at support >= 3, scored by integer-exact lift permille. Pair
+    // generation is a keyed self-join on l_orderkey — candidate volume is
+    // Σ width² per order, bounded by basket width, never corpus²; at
+    // skewed scale the wide baskets get capped first (l04's hot-bucket
+    // discipline). The order total is a 1-row broadcast; the per-part
+    // counts join the tiny post-support pair set, not the raw pairs.
+    "q64_part_cooccurrence" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+      val tot = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders_total"))
+      val pcnt = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("pc"))
+      li.alias("a").join(li.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 3)
+        .join(pcnt.select(col("l_partkey").as("pa"), col("pc").as("ca")), Seq("pa"))
+        .join(pcnt.select(col("l_partkey").as("pb"), col("pc").as("cb")), Seq("pb"))
+        .crossJoin(broadcast(tot))
+        .select(col("pa"), col("pb"), col("n_orders"), col("ca"), col("cb"),
+          expr("(1000 * n_orders * n_orders_total) div (ca * cb)")
+            .as("lift_permille"))
+        .orderBy(col("n_orders").desc, col("pa"), col("pb"))
     })
   )
 
@@ -1568,6 +1595,21 @@ object RelationalQueries {
         |  round(sum(value * weight), 2) AS weighted
         |FROM events JOIN dim USING (event_type)
         |WHERE weight >= 10
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q64_part_cooccurrence" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS t FROM li),
+        |pcnt AS (SELECT l_partkey, count(*) AS pc FROM li GROUP BY 1),
+        |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    count(*) AS n_orders
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pa, pb, n_orders, ca.pc AS ca, cb.pc AS cb,
+        |  (1000 * n_orders * tot.t) // (ca.pc * cb.pc) AS lift_permille
+        |FROM pairs JOIN pcnt ca ON pairs.pa = ca.l_partkey
+        |  JOIN pcnt cb ON pairs.pb = cb.l_partkey, tot
+        |ORDER BY n_orders DESC, pa, pb""".stripMargin
   )
 }
