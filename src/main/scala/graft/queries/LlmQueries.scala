@@ -1521,6 +1521,47 @@ object LlmQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // TOKEN-level 13-gram decontamination — the GPT-3 appendix-C spec
+    // moved from word space to tokenizer space (l19 is the word-level
+    // variant; tokenizer-space overlap additionally catches eval leakage
+    // that word splits miss once BPE merges cross word fragments). The
+    // corpus tokenizes through the SAME learned 8-round BPE as l38/l39
+    // (vocabulary-sized broadcast join, token streams reassembled by one
+    // doc-keyed aggregate), distinct 13-token grams per doc, eval =
+    // doc_id % 7 (l19's convention); a broadcast semi-join against the
+    // eval gram set flags contaminated training docs. Pinned by
+    // tools/pin_l54.py (independent Python BPE + gram sets).
+    "l54_token_decontamination" -> ((s, d) => {
+      import s.implicits._
+      val (vocab, _) = bpeLearnMerges(bpeWordVocab(s, d), rounds = 8)
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "lang", "pos", "word")
+        .join(broadcast(vocab.select(col("word"), col("syms"))), Seq("word"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(expr("flatten(transform(array_sort(collect_list(" +
+          "struct(pos, syms))), x -> x.syms))").as("toks"))
+      val grams = toks.as[(Long, String, Seq[String])]
+        .flatMap { case (id, lang, tk) =>
+          tk.sliding(13).filter(_.length == 13).map(_.mkString(" "))
+            .toSet.iterator.map((g: String) => (id, lang, g))
+        }.toDF("doc_id", "lang", "g")
+      val evalG = grams.filter(col("doc_id") % 7 === 0)
+        .select(col("g")).distinct()
+      val shared = grams.filter(col("doc_id") % 7 =!= 0)
+        .join(broadcast(evalG), Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      documents(s, d).filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("lang"))
+        .join(shared, Seq("doc_id"), "left").na.fill(0L, Seq("n_shared"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("n_shared") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+          sum(col("n_shared")).as("sum_shared"))
+        .orderBy(col("lang"))
+    }),
+
     // Semi-supervised label propagation over an approximate kNN graph —
     // the curation move that turns a small hand-labeled seed set into
     // corpus-wide quality/topic labels. Graph build is the multi-table
@@ -3119,6 +3160,17 @@ object LlmQueries {
     // confusion matrix is honestly near-uniform with a smallest-label
     // tie-break cascade toward 0 -- the verified deliverable is the
     // graph-build + propagation plumbing, not classifier accuracy.
+    // Pinned by tools/pin_l54.py (independent Python BPE + 13-gram sets).
+    "l54_token_decontamination" ->
+      """SELECT * FROM (VALUES
+        |  ('de', CAST(60 AS BIGINT), CAST(47 AS BIGINT), CAST(471 AS BIGINT)),
+        |  ('en', CAST(180 AS BIGINT), CAST(147 AS BIGINT), CAST(1849 AS BIGINT)),
+        |  ('es', CAST(66 AS BIGINT), CAST(51 AS BIGINT), CAST(515 AS BIGINT)),
+        |  ('fr', CAST(55 AS BIGINT), CAST(47 AS BIGINT), CAST(238 AS BIGINT)),
+        |  ('zh', CAST(67 AS BIGINT), CAST(59 AS BIGINT), CAST(868 AS BIGINT)))
+        |t(lang, n_train, n_contaminated, sum_shared)
+        |ORDER BY lang""".stripMargin,
+
     "l53_novelty_scores" ->
       """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
         |  FROM documents),
