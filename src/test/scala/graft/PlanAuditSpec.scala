@@ -633,6 +633,41 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("dynamicpruning"), plan)
   }
 
+  test("l51 water-fill: doc-rank window is per-domain; corpus never cartesian") {
+    val df = graft.queries.LlmQueries.queries("l51_budget_waterfill")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only windows over the corpus partition by (lang, source); the
+    // k-row domain aggregate's global windows don't mention doc_id
+    assert(plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .filter(_.contains("doc_id")).forall(_.contains("lang")), plan)
+  }
+
+  test("l53 novelty: two keyed aggregates, no cartesian, no window") {
+    val df = graft.queries.LlmQueries.queries("l53_novelty_scores")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("l54 token decontamination: eval-gram semi-join is broadcast, keyed") {
+    val df = graft.queries.LlmQueries.queries("l54_token_decontamination")(
+      spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("q64 co-occurrence: pair join keyed on order, no cartesian") {
+    val df = RelationalQueries.queries("q64_part_cooccurrence")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop join is the 1-row order-total broadcast
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 1, plan)
+  }
+
   test("l52 kNN graph: candidates come from a keyed bucket join, no cartesian") {
     graft.GraftSession.registerAll(spark)
     val edges = graft.queries.LlmQueries.knnGraphEdges(
