@@ -1521,6 +1521,35 @@ object LlmQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Span PROVENANCE — the directional copy graph: every distinct word
+    // 8-gram attributes to its EARLIEST document, and each later doc
+    // containing it gains a (source → copier) edge weighted by shared
+    // span count, normalized by the copier's gram inventory. The
+    // directional complement of l03's symmetric Jaccard pairs — it says
+    // who copied WHOM, the lineage question behind news-wire and
+    // boilerplate families in web corpora. One gram-keyed min aggregate
+    // (the only corpus-sized shuffle) + one pair aggregate; no pair ever
+    // forms except through a shared gram.
+    "l55_span_provenance" -> ((s, d) => {
+      import s.implicits._
+      val sh = documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val g = graft.functions.TextOps.wordShingles(t, 8)
+          g.iterator.map(x => (id, g.length, x))
+        }.toDF("doc_id", "sz", "g")
+      val src = sh.groupBy(col("g")).agg(min(col("doc_id")).as("src"))
+      sh.join(src, Seq("g"))
+        .filter(col("doc_id") > col("src"))
+        .groupBy(col("src"), col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          max(col("sz")).cast("long").as("dst_total"))
+        .select(col("src"), col("doc_id").as("dst"), col("n_spans"),
+          col("dst_total"),
+          expr("(1000 * n_spans) div dst_total").as("share_permille"))
+        .orderBy(col("n_spans").desc, col("src"), col("dst"))
+    }),
+
     // TOKEN-level 13-gram decontamination — the GPT-3 appendix-C spec
     // moved from word space to tokenizer space (l19 is the word-level
     // variant; tokenizer-space overlap additionally catches eval leakage
@@ -3160,6 +3189,21 @@ object LlmQueries {
     // confusion matrix is honestly near-uniform with a smallest-label
     // tie-break cascade toward 0 -- the verified deliverable is the
     // graph-build + propagation plumbing, not classifier accuracy.
+    "l55_span_provenance" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM (
+        |  SELECT doc_id, list_distinct(
+        |    [w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_'
+        |      || w[i+4] || '_' || w[i+5] || '_' || w[i+6] || '_' || w[i+7]
+        |     for i in generate_series(1, len(w) - 7)]) AS s FROM toks)),
+        |src AS (SELECT g, min(doc_id) AS src FROM sh GROUP BY g)
+        |SELECT s2.src, sh.doc_id AS dst, count(*) AS n_spans,
+        |  CAST(max(sh.sz) AS BIGINT) AS dst_total,
+        |  (1000 * count(*)) // CAST(max(sh.sz) AS BIGINT) AS share_permille
+        |FROM sh JOIN src s2 USING (g) WHERE sh.doc_id > s2.src
+        |GROUP BY 1, 2 ORDER BY n_spans DESC, src, dst""".stripMargin,
+
     // Pinned by tools/pin_l54.py (independent Python BPE + 13-gram sets).
     "l54_token_decontamination" ->
       """SELECT * FROM (VALUES
