@@ -274,7 +274,7 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
     StructType(resolvedDataSchema.fields ++ partitionSchema.fields)
   override def capabilities(): java.util.Set[TableCapability] = format match {
     case _: WritableGraftFormat | formats.BamFormat | _: formats.CramFormat |
-         formats.BigWigValueFormat =>
+         _: formats.BigWigValueFormat =>
       java.util.EnumSet.of(
         TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
@@ -298,7 +298,7 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
     case _: formats.CramFormat =>
       val writeOpts = info.options().asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
       new CramWriteBuilder(this, info, this.options ++ writeOpts)
-    case formats.BigWigValueFormat =>
+    case _: formats.BigWigValueFormat =>
       val writeOpts = info.options().asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
       new BigWigWriteBuilder(this, info, this.options ++ writeOpts)
     case _ => throw new UnsupportedOperationException(

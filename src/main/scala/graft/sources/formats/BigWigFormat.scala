@@ -14,8 +14,46 @@ import graft.sources.FormatUtil._
   * distributed datasets"); decoded by hand — the reference delegates to the
   * bigtools crate.
   */
-private[formats] object BbiFile {
+private[graft] object BbiFile {
   val BigWigMagic = 0x888FFC26
+
+  /** Test instrumentation: blocks actually read+inflated (proves R-tree
+    * region pruning skips non-overlapping blocks).
+    */
+  private[graft] val blocksDecoded = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Region [lo, hi] (1-based inclusive, the engine-wide convention) →
+    * R-tree overlap predicate over 0-based half-open (chromIx, base)
+    * bounds, matching the row filter's arithmetic exactly: a span
+    * overlaps iff start <= hi-1 && end >= lo, compared lexicographically
+    * so multi-chromosome items are handled.
+    */
+  /** Regions by chrom NAME → id-space predicate via the file's chrom
+    * tree. A region naming an absent chromosome contributes nothing; all
+    * regions absent → constant-false predicate (no blocks read at all).
+    */
+  private[formats] def resolveRegionPred(regions: Seq[(String, Long, Long)],
+                                         names: Map[Int, String])
+      : Option[(Int, Int, Int, Int) => Boolean] =
+    if (regions.isEmpty) None
+    else {
+      val idOf = names.map(_.swap)
+      Some(regionPred(regions.flatMap { case (c, lo, hi) =>
+        idOf.get(c).map(cx => (cx, lo, hi))
+      }))
+    }
+
+  private[formats] def regionPred(qs: Seq[(Int, Long, Long)])
+      : (Int, Int, Int, Int) => Boolean = {
+    (sc, sb, ec, eb) =>
+      qs.exists { case (qc, lo, hi) =>
+        val startsBeforeEnd =
+          sc < qc || (sc == qc && sb.toLong <= hi - 1)
+        val endsAfterStart =
+          ec > qc || (ec == qc && eb.toLong >= lo)
+        startsBeforeEnd && endsAfterStart
+      }
+  }
 
   final case class ZoomLevel(reductionLevel: Int, dataOffset: Long, indexOffset: Long)
   final case class Header(version: Int, zooms: Seq[ZoomLevel], chromTreeOffset: Long,
@@ -82,8 +120,15 @@ private[formats] object BbiFile {
       out.toMap
     }
 
-    /** All (dataOffset, dataSize) blocks under an R-tree index. */
-    def rTreeBlocks(indexOffset: Long): Seq[(Long, Long)] = {
+    /** All (dataOffset, dataSize) blocks under an R-tree index whose
+      * (chromIx, base) bounds satisfy `pred` — THE point of the R-tree:
+      * with a region predicate, non-overlapping subtrees are never
+      * descended and their blocks never read or inflated. `pred` takes
+      * (startChromIx, startBase, endChromIx, endBase); None keeps all.
+      */
+    def rTreeBlocks(indexOffset: Long,
+                    pred: Option[(Int, Int, Int, Int) => Boolean] = None)
+        : Seq[(Long, Long)] = {
       val head = readAt(indexOffset, 48)
       require(head.getInt == 0x2468ACE0, "bad r-tree magic")
       val out = mutable.ArrayBuffer[(Long, Long)]()
@@ -95,9 +140,16 @@ private[formats] object BbiFile {
         val itemSize = if (isLeaf) 32 else 24
         val items = readAt(offset + 4, count * itemSize)
         (0 until count).foreach { _ =>
-          items.getInt; items.getInt; items.getInt; items.getInt
-          if (isLeaf) out += ((items.getLong, items.getLong))
-          else walk(items.getLong)
+          val sc = items.getInt; val sb = items.getInt
+          val ec = items.getInt; val eb = items.getInt
+          val keep = pred.forall(p => p(sc, sb, ec, eb))
+          if (isLeaf) {
+            val off = items.getLong; val sz = items.getLong
+            if (keep) out += ((off, sz))
+          } else {
+            val child = items.getLong
+            if (keep) walk(child)
+          }
         }
       }
       walk(indexOffset + 48)
@@ -105,6 +157,7 @@ private[formats] object BbiFile {
     }
 
     def blockBytes(offset: Long, size: Long): ByteBuffer = {
+      BbiFile.blocksDecoded.incrementAndGet()
       val raw = new Array[Byte](size.toInt)
       in.readFully(offset, raw)
       val bytes =
@@ -123,9 +176,13 @@ private[formats] object BbiFile {
 
 /** BIGWIG_VALUE: one row per wig interval (bedgraph/var-step/fixed-step
   * sections), 0-based half-open coordinates
-  * (bigwig-tests.slt golden: 6 rows in test.bw).
+  * (bigwig-tests.slt golden: 6 rows in test.bw). With `regions`
+  * (from `.option("region"/"regionFile")`), the R-tree walk descends
+  * only overlapping subtrees — non-overlapping blocks are never read or
+  * inflated; the generic row filter then trims within-block rows.
   */
-object BigWigValueFormat extends GraftFormat {
+class BigWigValueFormat(val regions: Seq[(String, Long, Long)])
+  extends GraftFormat {
   override def shortName: String = "bigwig_value"
   override def defaultExtensions: Seq[String] = Seq("bw", "bigwig")
   override val dataSchema: StructType = StructType(Seq(
@@ -145,9 +202,10 @@ object BigWigValueFormat extends GraftFormat {
     val fsIn = input.stream.asInstanceOf[FSDataInputStream]
     val r = new BbiFile.Reader(fsIn)
     val names = r.chromNames
+    val pred = BbiFile.resolveRegionPred(regions, names)
     // Block list is offsets only (small); block DECODE is lazy, one block
     // resident at a time, so memory is bounded by a block, not the file.
-    val blocks = r.rTreeBlocks(r.header.fullIndexOffset)
+    val blocks = r.rTreeBlocks(r.header.fullIndexOffset, pred)
     val rowIt = blocks.iterator.flatMap { case (off, size) =>
       val b = r.blockBytes(off, size)
       val rows = mutable.ArrayBuffer[Array[Any]]()
@@ -182,11 +240,16 @@ object BigWigValueFormat extends GraftFormat {
   }
 }
 
+object BigWigValueFormat extends BigWigValueFormat(Nil)
+
 /** BIGWIG_ZOOM: summary records at one reduction level, selected with
   * `.option("reductionLevel", n)` (exact match, like the reference's
   * `reduction_level` table option). Golden rows in bigwig-tests.slt:5-10.
+  * Regions prune the zoom R-tree exactly as in [[BigWigValueFormat]].
   */
-final class BigWigZoomFormat(reductionLevel: Option[Int]) extends GraftFormat {
+final class BigWigZoomFormat(reductionLevel: Option[Int],
+                             regions: Seq[(String, Long, Long)] = Nil)
+  extends GraftFormat {
   override def shortName: String = "bigwig_zoom"
   override def defaultExtensions: Seq[String] = Seq("bw", "bigwig")
   override val dataSchema: StructType = StructType(Seq(
@@ -212,7 +275,8 @@ final class BigWigZoomFormat(reductionLevel: Option[Int]) extends GraftFormat {
       throw new IllegalArgumentException(
         s"bigwig_zoom: no zoom level $rl (available: ${r.header.zooms.map(_.reductionLevel).mkString(",")})"))
     val names = r.chromNames
-    val rowIt = r.rTreeBlocks(zoom.indexOffset).iterator.flatMap { case (off, size) =>
+    val pred = BbiFile.resolveRegionPred(regions, names)
+    val rowIt = r.rTreeBlocks(zoom.indexOffset, pred).iterator.flatMap { case (off, size) =>
       val b = r.blockBytes(off, size)
       val rows = mutable.ArrayBuffer[Array[Any]]()
       while (b.remaining() >= 32) {

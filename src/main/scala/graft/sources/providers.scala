@@ -114,9 +114,21 @@ class GraftAutoSourceProvider extends GraftTableProvider(FastaFormat) {
   }
 }
 
-class BigWigValueSourceProvider extends GraftTableProvider(BigWigValueFormat)
+class BigWigValueSourceProvider extends GraftTableProvider(BigWigValueFormat) {
+  /** Regions additionally prune the bbi R-tree (blocks outside every
+    * region are never read) — the row filter resolves through the same
+    * bounds helper, so pruning can never drop a row the filter keeps.
+    */
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
+    val regions = graft.functions.GenomicRegion.boundsFromOptions(opts,
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    if (regions.isEmpty) BigWigValueFormat else new BigWigValueFormat(regions)
+  }
+}
 class BigWigZoomSourceProvider extends GraftTableProvider(new BigWigZoomFormat(None)) {
   override protected def resolveFormat(opts: Map[String, String]): GraftFormat =
     new BigWigZoomFormat(
-      opts.get("reductionlevel").orElse(opts.get("reduction_level")).map(_.toInt))
+      opts.get("reductionlevel").orElse(opts.get("reduction_level")).map(_.toInt),
+      graft.functions.GenomicRegion.boundsFromOptions(opts,
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
