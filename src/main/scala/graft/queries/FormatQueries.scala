@@ -91,6 +91,18 @@ object FormatQueries {
         .load(s"$dir/t").orderBy("name", "start")
     }),
 
+    // Indexed BigWig region reads: the `.option("region", ...)` path now
+    // descends only overlapping R-tree subtrees (BigWigRegionSpec proves
+    // non-overlapping blocks are never inflated); golden sub-regions of
+    // the reference's test.bw fixture.
+    "f54_bigwig_indexed_region" -> ((s, _) => {
+      val a = s.read.format("bigwig_value").option("region", "1:101-150")
+        .load(s"$fx/bigwig/test.bw")
+      val b = s.read.format("bigwig_value").option("region", "10:250-260")
+        .load(s"$fx/bigwig/test.bw")
+      a.unionByName(b).orderBy("name", "start")
+    }),
+
     // fasta-scan-tests.slt / fasta-copy-tests.slt golden rows
     "f01_fasta_scan" -> ((s, _) =>
       s.read.format("fasta").load(s"$fx/fasta/test.fasta")
@@ -1216,6 +1228,12 @@ object FormatQueries {
         |  ('1', 0, 1, CAST(0.1 AS REAL)), ('1', 1, 2, CAST(0.2 AS REAL)),
         |  ('1', 2, 3, CAST(0.3 AS REAL)), ('1', 100, 150, CAST(1.4 AS REAL)),
         |  ('1', 150, 151, CAST(1.5 AS REAL)), ('10', 200, 300, CAST(2.0 AS REAL)))
+        |t(name, start, "end", value) ORDER BY name, start""".stripMargin,
+
+    "f54_bigwig_indexed_region" ->
+      """SELECT * FROM (VALUES
+        |  ('1', 100, 150, CAST(1.4 AS REAL)),
+        |  ('10', 200, 300, CAST(2.0 AS REAL)))
         |t(name, start, "end", value) ORDER BY name, start""".stripMargin,
 
     "f24_fasta_indexed" ->
