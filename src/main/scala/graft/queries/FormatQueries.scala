@@ -207,7 +207,13 @@ object FormatQueries {
            |     '$fx/gff-index/gencode.v38.polyAs.gff.gz', 'chr1')) AS n_gff_region,
            |  (SELECT max(pos) FROM bcf_scan('$fx/bcf/index.bcf')) AS max_bcf_pos,
            |  (SELECT count(*) FROM fasta_indexed_scan('$fx/fasta/test.fasta',
-           |     'a:1-2')) AS n_fasta_region""".stripMargin)
+           |     'a:1-2')) AS n_fasta_region,
+           |  (SELECT count(*) FROM bigwig_value_scan('$fx/bigwig/test.bw'))
+           |     AS n_bw,
+           |  (SELECT count(*) FROM bigwig_value_indexed_scan(
+           |     '$fx/bigwig/test.bw', '1:101-150')) AS n_bw_region,
+           |  (SELECT count(*) FROM bigwig_zoom_scan('$fx/bigwig/test.bw',
+           |     400)) AS n_bw_zoom""".stripMargin)
     }),
 
     // .fai-seek region extraction over a 4 MB synthetic reference: base i of
@@ -1044,7 +1050,9 @@ object FormatQueries {
         |  CAST(61 AS BIGINT) AS n_bam, CAST(82 AS BIGINT) AS n_vcf_region,
         |  CAST(8813 AS BIGINT) AS n_gff_region,
         |  CAST(10000109 AS BIGINT) AS max_bcf_pos,
-        |  CAST(1 AS BIGINT) AS n_fasta_region""".stripMargin,
+        |  CAST(1 AS BIGINT) AS n_fasta_region,
+        |  CAST(6 AS BIGINT) AS n_bw, CAST(1 AS BIGINT) AS n_bw_region,
+        |  CAST(2 AS BIGINT) AS n_bw_zoom""".stripMargin,
 
     "f31_fasta_fai_seek" ->
       """SELECT * FROM (VALUES

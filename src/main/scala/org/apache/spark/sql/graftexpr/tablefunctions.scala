@@ -100,6 +100,46 @@ object GraftTableFunctions {
       relation(CramFormat, opts)
     }, "built-in")
 
+    // BigWig TVFs (beyond the reference — it exposes bigwig only as table
+    // providers): the indexed variant and the zoom's optional region
+    // argument prune the bbi R-tree, so `SELECT ... FROM
+    // bigwig_value_indexed_scan(p, 'chr1:1-100')` reads only overlapping
+    // blocks.
+    reg.createOrReplaceTempFunction("bigwig_value_scan", { args =>
+      require(args.length == 1, "bigwig_value_scan takes (path)")
+      relation(BigWigValueFormat,
+        Map("path" -> literal("bigwig_value_scan", args, 0)))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("bigwig_value_indexed_scan", { args =>
+      require(args.length == 2,
+        "bigwig_value_indexed_scan takes (path, region-or-regionFile)")
+      val path = literal("bigwig_value_indexed_scan", args, 0)
+      val regionArg = literal("bigwig_value_indexed_scan", args, 1)
+      val opts = Map("path" -> path, regionKey(regionArg) -> regionArg)
+      val bounds = graft.functions.GenomicRegion.boundsFromOptions(opts,
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      DataSourceV2Relation.create(
+        new GraftTable(new BigWigValueFormat(bounds), opts), None, None)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("bigwig_zoom_scan", { args =>
+      require(args.length >= 2 && args.length <= 3,
+        "bigwig_zoom_scan takes (path, reductionLevel [, region-or-regionFile])")
+      val path = literal("bigwig_zoom_scan", args, 0)
+      val level = intLiteral("bigwig_zoom_scan", args, 1)
+      val regionOpts: Map[String, String] =
+        if (args.length > 2) {
+          val regionArg = literal("bigwig_zoom_scan", args, 2)
+          Map(regionKey(regionArg) -> regionArg)
+        } else Map.empty
+      val opts = Map("path" -> path,
+        "reductionlevel" -> level.toString) ++ regionOpts
+      val bounds = graft.functions.GenomicRegion.boundsFromOptions(opts,
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      DataSourceV2Relation.create(
+        new GraftTable(new BigWigZoomFormat(Some(level), bounds), opts),
+        None, None)
+    }, "built-in")
+
     // FASTA indexed scan extracts subsequences; the second argument is a
     // region string OR a path to a file of regions.
     reg.createOrReplaceTempFunction("fasta_indexed_scan", { args =>
@@ -159,6 +199,19 @@ object GraftTableFunctions {
             "it as a region file, or add coordinates ('name:1-') to force a " +
             "region")
       "region"
+    }
+  }
+
+  private def intLiteral(name: String, args: Seq[Expression], i: Int): Int = {
+    require(args.length > i, s"$name: missing argument ${i + 1}")
+    val e = args(i)
+    require(e.foldable && (e.dataType == org.apache.spark.sql.types.IntegerType ||
+        e.dataType == org.apache.spark.sql.types.LongType),
+      s"$name: argument ${i + 1} must be an integer literal, got $e")
+    e.eval(null) match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} must be an integer literal, got $other")
     }
   }
 
