@@ -1521,6 +1521,33 @@ object LlmQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Multilingual temperature sampling at τ = 1/2 (the mT5/XLM-R recipe
+    // that up-samples low-resource languages): mix weights ∝ sqrt(n_lang),
+    // allocating half the corpus budget by largest-remainder so the
+    // result is exactly budget-tight. IEEE-754 requires sqrt to be
+    // correctly rounded, so floor(sqrt(bigint)) is engine-exact, and
+    // every step after the sqrt is integer arithmetic (remainders
+    // compared as b·w − base·W, never as floats). All on the per-language
+    // aggregate — the corpus is touched once by the count.
+    "l56_temperature_mix" -> ((s, d) => {
+      val w = documents(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt(col("n"))).cast("long"))
+      val tot = w.agg(sum(col("w")).as("wt"), expr("sum(n) div 2").as("b"))
+      val a0 = w.crossJoin(broadcast(tot))
+        .withColumn("base", expr("(b * w) div wt"))
+        .withColumn("rem", col("b") * col("w") - col("base") * col("wt"))
+      val resid = a0.groupBy(col("b"))
+        .agg((col("b") - sum(col("base"))).as("r")).select("r")
+      a0.withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
+        .crossJoin(broadcast(resid))
+        .withColumn("alloc",
+          col("base") + when(col("rr") <= col("r"), 1L).otherwise(0L))
+        .select(col("lang"), col("n"), col("w"), col("alloc"),
+          expr("(1000 * alloc) div n").as("rate_permille"))
+        .orderBy(col("lang"))
+    }),
+
     // Span PROVENANCE — the directional copy graph: every distinct word
     // 8-gram attributes to its EARLIEST document, and each later doc
     // containing it gains a (source → copier) edge weighted by shared
@@ -3189,6 +3216,22 @@ object LlmQueries {
     // confusion matrix is honestly near-uniform with a smallest-label
     // tie-break cascade toward 0 -- the verified deliverable is the
     // graph-build + propagation plumbing, not classifier accuracy.
+    "l56_temperature_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w
+        |  FROM counts),
+        |tot AS (SELECT sum(w) AS wt, sum(n) // 2 AS b FROM w),
+        |a0 AS (SELECT lang, n, w, (b * w) // wt AS base,
+        |    b * w - ((b * w) // wt) * wt AS rem FROM w, tot),
+        |resid AS (SELECT b - sum(base) AS r FROM a0, tot GROUP BY b),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rr
+        |  FROM a0)
+        |SELECT lang, n, w,
+        |  base + CASE WHEN rr <= r THEN 1 ELSE 0 END AS alloc,
+        |  (1000 * (base + CASE WHEN rr <= r THEN 1 ELSE 0 END)) // n
+        |    AS rate_permille
+        |FROM rk, resid ORDER BY lang""".stripMargin,
+
     "l55_span_provenance" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),

@@ -1032,6 +1032,23 @@ object RelationalQueries {
           expr("(1000 * n_orders * n_orders_total) div (ca * cb)")
             .as("lift_permille"))
         .orderBy(col("n_orders").desc, col("pa"), col("pb"))
+    }),
+
+    // Semi-structured props: the events table's JSON column parsed with a
+    // DECLARED schema (`from_json(props, 'k INT')` — codegen'd, no
+    // driver-side schema inference pass, the only way JSON parse scales
+    // to a 100 TB fact table), then a decile rollup of the extracted
+    // field. get_json_object-per-field would re-parse the document per
+    // path; one schema'd from_json parses once however many fields are
+    // pulled.
+    "q65_json_props" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_type"),
+          expr("from_json(props, 'k INT').k").cast("long").as("k"))
+        .withColumn("decile", expr("k div 10"))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"), col("decile"))
     })
   )
 
@@ -1610,6 +1627,14 @@ object RelationalQueries {
         |  (1000 * n_orders * tot.t) // (ca.pc * cb.pc) AS lift_permille
         |FROM pairs JOIN pcnt ca ON pairs.pa = ca.l_partkey
         |  JOIN pcnt cb ON pairs.pb = cb.l_partkey, tot
-        |ORDER BY n_orders DESC, pa, pb""".stripMargin
+        |ORDER BY n_orders DESC, pa, pb""".stripMargin,
+
+    "q65_json_props" ->
+      """SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS decile,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
