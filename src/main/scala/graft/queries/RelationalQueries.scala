@@ -1034,6 +1034,32 @@ object RelationalQueries {
         .orderBy(col("n_orders").desc, col("pa"), col("pb"))
     }),
 
+    // Time-series gap fill: the hourly per-type series is sparse (not
+    // every (type, hour) has events); materialize the dense grid with a
+    // generator (sequence + explode — never a driver loop), left-join the
+    // sparse counts, and forward-fill with last(ignoreNulls) over a
+    // per-type ordered window. The grid is |types| × |hours| — the window
+    // partitions by type, so at scale each series fills independently.
+    "q66_gapfill" -> ((s, d) => {
+      val hours = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      val counts = hours.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = hours.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = counts.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(counts, Seq("event_type", "h"), "left")
+        .withColumn("filled", last(col("n"), ignoreNulls = true).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_gaps"),
+          sum(coalesce(col("filled"), lit(0L))).as("sum_filled"))
+        .orderBy(col("event_type"))
+    }),
+
     // Semi-structured props: the events table's JSON column parsed with a
     // DECLARED schema (`from_json(props, 'k INT')` — codegen'd, no
     // driver-side schema inference pass, the only way JSON parse scales
@@ -1628,6 +1654,26 @@ object RelationalQueries {
         |FROM pairs JOIN pcnt ca ON pairs.pa = ca.l_partkey
         |  JOIN pcnt cb ON pairs.pb = cb.l_partkey, tot
         |ORDER BY n_orders DESC, pa, pb""".stripMargin,
+
+    "q66_gapfill" ->
+      """WITH hrs AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+        |  FROM events),
+        |counts AS (SELECT event_type, h, count(*) AS n FROM hrs
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hrs),
+        |grid AS (SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM counts) t,
+        |    bounds b, unnest(generate_series(b.h0, b.h1)) AS g(h)),
+        |joined AS (SELECT g.event_type, g.h, c.n,
+        |    last_value(c.n IGNORE NULLS) OVER (PARTITION BY g.event_type
+        |      ORDER BY g.h ROWS UNBOUNDED PRECEDING) AS filled
+        |  FROM grid g LEFT JOIN counts c
+        |    ON g.event_type = c.event_type AND g.h = c.h)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gaps,
+        |  CAST(sum(coalesce(filled, 0)) AS BIGINT) AS sum_filled
+        |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q65_json_props" ->
       """SELECT event_type,
