@@ -103,6 +103,28 @@ object FormatQueries {
       a.unionByName(b).orderBy("name", "start")
     }),
 
+    // `samtools flagstat` twin over the BAM fixture, computed with the
+    // engine's native bitwise flag predicates (one codegen'd aggregate
+    // pass, no UDFs). Oracle pinned by tools/pin_f55.py, which re-parses
+    // the BAM with Python gzip + struct — independent of this reader.
+    "f55_bam_flagstat" -> ((s, _) => {
+      graft.GraftSession.registerAll(s)
+      def n(pred: String) =
+        sum(when(expr(pred), 1L).otherwise(0L))
+      s.read.format("bam").load(s"$fx/bam/test.bam")
+        .agg(count(lit(1)).as("total"),
+          n("not is_unmapped(flag)").as("mapped"),
+          n("is_segmented(flag)").as("paired"),
+          n("is_properly_aligned(flag)").as("proper_pair"),
+          n("is_reverse_complemented(flag)").as("reverse"),
+          n("is_first_segment(flag)").as("first_seg"),
+          n("is_last_segment(flag)").as("last_seg"),
+          n("is_secondary(flag)").as("secondary"),
+          n("is_qc_fail(flag)").as("qc_fail"),
+          n("is_duplicate(flag)").as("dup"),
+          n("is_supplementary(flag)").as("supplementary"))
+    }),
+
     // fasta-scan-tests.slt / fasta-copy-tests.slt golden rows
     "f01_fasta_scan" -> ((s, _) =>
       s.read.format("fasta").load(s"$fx/fasta/test.fasta")
@@ -930,6 +952,15 @@ object FormatQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Pinned by tools/pin_f55.py (independent Python gzip+struct BAM parse).
+    "f55_bam_flagstat" ->
+      """SELECT CAST(61 AS BIGINT) AS total, CAST(61 AS BIGINT) AS mapped,
+        |  CAST(61 AS BIGINT) AS paired, CAST(58 AS BIGINT) AS proper_pair,
+        |  CAST(59 AS BIGINT) AS reverse, CAST(34 AS BIGINT) AS first_seg,
+        |  CAST(27 AS BIGINT) AS last_seg, CAST(0 AS BIGINT) AS secondary,
+        |  CAST(7 AS BIGINT) AS qc_fail, CAST(0 AS BIGINT) AS dup,
+        |  CAST(1 AS BIGINT) AS supplementary""".stripMargin,
+
     "f52_bigwig_write_roundtrip" ->
       """WITH h AS (SELECT event_type AS name,
         |    epoch_us(ts) // 3600000000 AS hr FROM events),
