@@ -125,6 +125,29 @@ object FormatQueries {
           n("is_supplementary(flag)").as("supplementary"))
     }),
 
+    // `bcftools stats` twin: allele-class counts (SNP / transition /
+    // transversion / indel, multiallelic sites) over the VCF fixture in
+    // two codegen'd aggregate passes (record-level + exploded
+    // allele-level, combined as 1-row broadcasts). Oracle verified
+    // against an independent Python text parse of the same vcf.gz.
+    "f56_vcf_stats" -> ((s, _) => {
+      val v = s.read.format("vcf").load(s"$fx/vcf/index.vcf.gz")
+      val recs = v.agg(count(lit(1)).as("n_records"),
+        sum(when(size(col("alt")) > 1, 1L).otherwise(0L)).as("n_multiallelic"))
+      val al = v.select(col("ref"), explode(col("alt")).as("a"))
+        .withColumn("is_snp", length(col("ref")) === 1 &&
+          length(col("a")) === 1 && col("a").isin("A", "C", "G", "T"))
+        .withColumn("is_ts",
+          concat(col("ref"), col("a")).isin("AG", "GA", "CT", "TC"))
+      val types = al.agg(
+        sum(when(col("is_snp"), 1L).otherwise(0L)).as("n_snp"),
+        sum(when(col("is_snp") && col("is_ts"), 1L).otherwise(0L)).as("n_ts"),
+        sum(when(col("is_snp") && !col("is_ts"), 1L).otherwise(0L)).as("n_tv"),
+        sum(when(length(col("ref")) =!= length(col("a")), 1L).otherwise(0L))
+          .as("n_indel"))
+      recs.crossJoin(broadcast(types))
+    }),
+
     // fasta-scan-tests.slt / fasta-copy-tests.slt golden rows
     "f01_fasta_scan" -> ((s, _) =>
       s.read.format("fasta").load(s"$fx/fasta/test.fasta")
@@ -952,6 +975,14 @@ object FormatQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Pinned from an independent Python text parse of index.vcf.gz
+    // (2 SNPs — both transitions — among 621 mostly-indel records).
+    "f56_vcf_stats" ->
+      """SELECT CAST(621 AS BIGINT) AS n_records,
+        |  CAST(2 AS BIGINT) AS n_multiallelic, CAST(2 AS BIGINT) AS n_snp,
+        |  CAST(2 AS BIGINT) AS n_ts, CAST(0 AS BIGINT) AS n_tv,
+        |  CAST(621 AS BIGINT) AS n_indel""".stripMargin,
+
     // Pinned by tools/pin_f55.py (independent Python gzip+struct BAM parse).
     "f55_bam_flagstat" ->
       """SELECT CAST(61 AS BIGINT) AS total, CAST(61 AS BIGINT) AS mapped,
