@@ -1521,6 +1521,35 @@ object LlmQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Inverse-cloze contrastive pair construction (the ICT pretraining
+    // task behind dense retrievers): each document splits
+    // deterministically into a middle-third "sentence" view and its
+    // surrounding context view; the lexical-overlap count diagnoses how
+    // many pairs share surface vocabulary (overlapping pairs are the easy
+    // positives that weaken contrastive training). Pure typed map per doc
+    // — token sets never shuffle; one per-language aggregate.
+    "l57_ict_pairs" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (_, lang, t) =>
+          val w = t.split(" ")
+          val n = w.length
+          val s0 = n / 3; val s1 = 2 * n / 3
+          val sent = w.slice(s0, s1)
+          val ctx = w.take(s0) ++ w.drop(s1)
+          val overlap = sent.toSet.intersect(ctx.toSet).nonEmpty
+          (lang, sent.length.toLong, ctx.length.toLong, if (overlap) 1L else 0L)
+        }
+        .toDF("lang", "la", "lb", "ov")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("la")).as("sum_sentence_tokens"),
+          sum(col("lb")).as("sum_context_tokens"),
+          sum(col("ov")).as("n_lexical_overlap"))
+        .orderBy(col("lang"))
+    }),
+
     // Multilingual temperature sampling at τ = 1/2 (the mT5/XLM-R recipe
     // that up-samples low-resource languages): mix weights ∝ sqrt(n_lang),
     // allocating half the corpus budget by largest-remainder so the
@@ -3216,6 +3245,21 @@ object LlmQueries {
     // confusion matrix is honestly near-uniform with a smallest-label
     // tie-break cascade toward 0 -- the verified deliverable is the
     // graph-build + propagation plumbing, not classifier accuracy.
+    "l57_ict_pairs" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |v AS (SELECT lang,
+        |    w[n // 3 + 1 : 2 * n // 3] AS sent,
+        |    list_concat(w[1 : n // 3], w[2 * n // 3 + 1 : n]) AS ctx
+        |  FROM t)
+        |SELECT lang, count(*) AS n_pairs,
+        |  CAST(sum(len(sent)) AS BIGINT) AS sum_sentence_tokens,
+        |  CAST(sum(len(ctx)) AS BIGINT) AS sum_context_tokens,
+        |  CAST(sum(CASE WHEN len(list_intersect(list_distinct(sent),
+        |    list_distinct(ctx))) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lexical_overlap
+        |FROM v GROUP BY lang ORDER BY lang""".stripMargin,
+
     "l56_temperature_mix" ->
       """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w
