@@ -1034,6 +1034,27 @@ object RelationalQueries {
         .orderBy(col("n_orders").desc, col("pa"), col("pb"))
     }),
 
+    // Pivot → UNPIVOT round trip: the wide daily matrix (q43's pivot
+    // shape) melts back to long form with `stack` (codegen'd generator,
+    // the relational melt), and the re-aggregated totals must equal the
+    // direct long-form aggregate — proving the melt loses nothing.
+    // Counts, not sums, so every value is integer-exact.
+    "q67_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", types).agg(count(lit(1)))
+      wide.select(col("day"), expr(
+          s"stack(${types.length}, " +
+            types.map(t => s"'$t', `$t`").mkString(", ") +
+            ") as (event_type, n)"))
+        .filter(col("n").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
     // Time-series gap fill: the hourly per-type series is sparse (not
     // every (type, hour) has events); materialize the dense grid with a
     // generator (sequence + explode — never a driver loop), left-join the
@@ -1654,6 +1675,11 @@ object RelationalQueries {
         |FROM pairs JOIN pcnt ca ON pairs.pa = ca.l_partkey
         |  JOIN pcnt cb ON pairs.pb = cb.l_partkey, tot
         |ORDER BY n_orders DESC, pa, pb""".stripMargin,
+
+    "q67_unpivot" ->
+      """SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(*) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q66_gapfill" ->
       """WITH hrs AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
