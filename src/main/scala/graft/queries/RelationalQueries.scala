@@ -1034,6 +1034,25 @@ object RelationalQueries {
         .orderBy(col("n_orders").desc, col("pa"), col("pb"))
     }),
 
+    // MERGEABLE sketch states — the incremental-dashboard pattern: one
+    // Datasketches HLL sketch per day (a storable binary state), then
+    // hll_union_agg over the states instead of reprocessing raw events.
+    // At 100 TB this is the difference between scanning all history per
+    // dashboard refresh and merging kilobyte sketches; the estimate is
+    // deterministic (hash-based, union is order-insensitive) and checked
+    // against the exact distinct inline, q49-style.
+    "q68_sketch_merge" -> ((s, d) => {
+      val ev = events(s, d).select(to_date(col("ts")).as("day"), col("user_id"))
+      val merged = ev.groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      ev.agg(countDistinct(col("user_id")).as("n_exact"))
+        .crossJoin(broadcast(merged))
+        .select(col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("within_5pct"))
+    }),
+
     // Pivot → UNPIVOT round trip: the wide daily matrix (q43's pivot
     // shape) melts back to long form with `stack` (codegen'd generator,
     // the relational melt), and the re-aggregated totals must equal the
@@ -1675,6 +1694,10 @@ object RelationalQueries {
         |FROM pairs JOIN pcnt ca ON pairs.pa = ca.l_partkey
         |  JOIN pcnt cb ON pairs.pb = cb.l_partkey, tot
         |ORDER BY n_orders DESC, pa, pb""".stripMargin,
+
+    "q68_sketch_merge" ->
+      """SELECT count(DISTINCT user_id) AS n_exact, true AS within_5pct
+        |FROM events""".stripMargin,
 
     "q67_unpivot" ->
       """SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days,
