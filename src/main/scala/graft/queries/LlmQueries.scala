@@ -1521,6 +1521,52 @@ object LlmQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // MERGEABLE MinHash sketches at the SOURCE level (q68's HLL pattern
+    // for set SIMILARITY): per-doc 64-perm signatures are a pure map,
+    // a source's sketch is the columnwise MIN of its docs' signatures —
+    // exactly the union-set signature, because min is associative over
+    // the shingle union — so corpus-partition sketches merge without
+    // touching raw text again. Source-pair Jaccard estimates (matching
+    // signature positions) are then checked inline against the exact
+    // shingle-set Jaccard, q49-style: the oracle pins the exact permille
+    // and the estimate must land within ±250.
+    "l58_source_minhash" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val sigs = docs.select(col("source"), col("text")).as[(String, String)]
+        .map { case (src, t) =>
+          (src, graft.functions.TextOps.minhashSignature(
+            graft.functions.TextOps.wordShingles(t, 5).toSeq))
+        }.toDF("source", "sig")
+      val merged = sigs.select(col("source"), posexplode(col("sig")))
+        .toDF("source", "p", "v")
+        .groupBy(col("source"), col("p")).agg(min(col("v")).as("v"))
+      val est = merged.alias("a").join(merged.alias("b"),
+          col("a.p") === col("b.p") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("sa"), col("b.source").as("sb"),
+          (col("a.v") === col("b.v")).cast("long").as("m"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(expr("(sum(m) * 1000) div 64").as("est_permille"))
+      val srcSh = shinglePostings(s, d)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("shingle")).distinct()
+      val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val exact = srcSh.alias("x").join(srcSh.alias("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.source") < col("y.source"))
+        .select(col("x.source").as("sa"), col("y.source").as("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("i"))
+        .join(broadcast(sizes.select(col("source").as("sa"), col("sz").as("za"))), Seq("sa"))
+        .join(broadcast(sizes.select(col("source").as("sb"), col("sz").as("zb"))), Seq("sb"))
+        .select(col("sa"), col("sb"),
+          expr("(1000 * i) div (za + zb - i)").as("exact_permille"))
+      exact.join(est, Seq("sa", "sb"), "left")
+        .select(col("sa"), col("sb"), col("exact_permille"),
+          (abs(coalesce(col("est_permille"), lit(0L)) - col("exact_permille"))
+            <= 250L).as("est_within_250"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
     // Inverse-cloze contrastive pair construction (the ICT pretraining
     // task behind dense retrievers): each document splits
     // deterministically into a middle-third "sentence" view and its
@@ -3245,6 +3291,23 @@ object LlmQueries {
     // confusion matrix is honestly near-uniform with a smallest-label
     // tie-break cascade toward 0 -- the verified deliverable is the
     // graph-build + propagation plumbing, not classifier accuracy.
+    "l58_source_minhash" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source, unnest(list_distinct(
+        |    [w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_'
+        |      || w[i+4] for i in generate_series(1, len(w) - 4)])) AS g
+        |  FROM toks),
+        |sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+        |ix AS (SELECT a.source AS sa, b.source AS sb, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, (1000 * i) // (za.sz + zb.sz - i) AS exact_permille,
+        |  true AS est_within_250
+        |FROM ix JOIN sizes za ON sa = za.source
+        |  JOIN sizes zb ON sb = zb.source
+        |ORDER BY sa, sb""".stripMargin,
+
     "l57_ict_pairs" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS w,
         |    len(string_split(text, ' ')) AS n FROM documents),
