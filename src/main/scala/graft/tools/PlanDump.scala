@@ -155,7 +155,40 @@ object PlanDump {
         "PQ ADC search: per-query integer distance tables broadcast; the " +
           "scan touches only the 4-byte code columns, scores by table " +
           "lookup, and top-k is a per-query window.",
-        () => graft.queries.LlmQueries.queries("l36_pq_adc_search")(spark, d))
+        () => graft.queries.LlmQueries.queries("l36_pq_adc_search")(spark, d)),
+      ("l51_budget_waterfill",
+        "Water-filling allocation: waterline math rides the k-row domain " +
+          "aggregate (1-row broadcasts); the corpus is touched by one " +
+          "count aggregate and one per-domain rank window only.",
+        () => graft.queries.LlmQueries.queries("l51_budget_waterfill")(spark, d)),
+      ("l53_novelty_scores",
+        "Novelty attribution: two keyed aggregates (shingle-min, doc " +
+          "credit count), no window, no cartesian.",
+        () => graft.queries.LlmQueries.queries("l53_novelty_scores")(spark, d)),
+      ("l54_token_decontamination",
+        "Token-level decontamination: vocabulary-sized broadcast for the " +
+          "BPE join, doc-keyed reassembly aggregate, broadcast LeftSemi " +
+          "against the eval gram set.",
+        () => graft.queries.LlmQueries.queries("l54_token_decontamination")(spark, d)),
+      ("q64_part_cooccurrence",
+        "Market-basket pairs: keyed self-join on l_orderkey (candidate " +
+          "volume bounded by basket width), per-part counts join the tiny " +
+          "post-support pair set; the only BNLJ is the 1-row total.",
+        () => graft.queries.RelationalQueries.queries("q64_part_cooccurrence")(spark, d)),
+      ("q66_gapfill",
+        "Gap fill: dense grid from a generator (no driver loop), " +
+          "forward-fill window partitioned per series.",
+        () => graft.queries.RelationalQueries.queries("q66_gapfill")(spark, d)),
+      ("q68_sketch_merge",
+        "Mergeable HLL: per-day sketch states aggregated, union-merged " +
+          "without reprocessing raw events; exact check is a separate " +
+          "1-row broadcast.",
+        () => graft.queries.RelationalQueries.queries("q68_sketch_merge")(spark, d)),
+      ("l58_source_minhash",
+        "Mergeable MinHash: per-doc signatures map-only, columnwise-min " +
+          "merge keyed on (source, position), estimate join keyed on " +
+          "position — the corpus text never shuffles.",
+        () => graft.queries.LlmQueries.queries("l58_source_minhash")(spark, d))
     )
 
     val sb = new StringBuilder
