@@ -1521,6 +1521,47 @@ object LlmQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Copy-LINEAGE depth — the WITH RECURSIVE twin: over l55's
+    // provenance DAG (acyclic by construction, every edge has
+    // src < dst), each document's depth is its LONGEST chain of
+    // copied-from ancestors, computed by iterative frontier relaxation
+    // (depth(v) = 1 + max depth over in-edges) with a 1-row convergence
+    // aggregate per round and lineage cut per round — rounds = DAG
+    // depth, the l14/l21 bounded-iteration discipline. The DuckDB oracle
+    // is a literal recursive CTE over the same edge derivation, so the
+    // relaxation is verified against real WITH RECURSIVE semantics.
+    // Output is the depth histogram (0 = never copied from anyone).
+    "l59_copy_lineage" -> ((s, d) => {
+      val sh = provenancePostings(s, d)
+      val src = sh.groupBy(col("g")).agg(min(col("doc_id")).as("src"))
+      val edges = sh.join(src, Seq("g"))
+        .filter(col("doc_id") > col("src"))
+        .select(col("src"), col("doc_id").as("dst")).distinct()
+        .localCheckpoint()
+      var depth = documents(s, d).select(col("doc_id"), lit(0L).as("dp"))
+        .localCheckpoint()
+      var prev = -1L
+      var cur = 0L
+      while (cur != prev) {
+        prev = cur
+        val nd = edges
+          .join(depth.select(col("doc_id").as("src"), col("dp").as("sdp")),
+            Seq("src"))
+          .groupBy(col("dst")).agg((max(col("sdp")) + 1L).as("cand"))
+        depth = depth
+          .join(nd.select(col("dst").as("doc_id"), col("cand")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            greatest(col("dp"), coalesce(col("cand"), lit(0L))).as("dp"))
+          .localCheckpoint()
+        cur = depth.agg(sum(col("dp"))).head().getLong(0)
+      }
+      depth.groupBy(col("dp"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .select(col("dp").as("depth"), col("n_docs"), col("sum_ids"))
+        .orderBy(col("depth"))
+    }),
+
     // MERGEABLE MinHash sketches at the SOURCE level (q68's HLL pattern
     // for set SIMILARITY): per-doc 64-perm signatures are a pure map,
     // a source's sketch is the columnwise MIN of its docs' signatures —
@@ -1633,13 +1674,7 @@ object LlmQueries {
     // (the only corpus-sized shuffle) + one pair aggregate; no pair ever
     // forms except through a shared gram.
     "l55_span_provenance" -> ((s, d) => {
-      import s.implicits._
-      val sh = documents(s, d).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .flatMap { case (id, t) =>
-          val g = graft.functions.TextOps.wordShingles(t, 8)
-          g.iterator.map(x => (id, g.length, x))
-        }.toDF("doc_id", "sz", "g")
+      val sh = provenancePostings(s, d)
       val src = sh.groupBy(col("g")).agg(min(col("doc_id")).as("src"))
       sh.join(src, Seq("g"))
         .filter(col("doc_id") > col("src"))
@@ -1767,6 +1802,19 @@ object LlmQueries {
         .orderBy(col("label"), col("pred"))
     })
   )
+
+  /** (doc_id, doc 8-gram count, 8-gram) postings for the provenance
+    * family (l55 copy graph, l59 lineage depth).
+    */
+  private def provenancePostings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val g = graft.functions.TextOps.wordShingles(t, 8)
+        g.iterator.map(x => (id, g.length, x))
+      }.toDF("doc_id", "sz", "g")
+  }
 
   /** l52's approximate kNN-graph build (factored out so PlanAuditSpec can
     * inspect the pre-checkpoint plan): multi-table hyperplane buckets →
@@ -3291,6 +3339,28 @@ object LlmQueries {
     // confusion matrix is honestly near-uniform with a smallest-label
     // tie-break cascade toward 0 -- the verified deliverable is the
     // graph-build + propagation plumbing, not classifier accuracy.
+    "l59_copy_lineage" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_'
+        |      || w[i+4] || '_' || w[i+5] || '_' || w[i+6] || '_' || w[i+7]
+        |     for i in generate_series(1, len(w) - 7)])) AS g FROM toks),
+        |srcs AS (SELECT g, min(doc_id) AS src FROM sh GROUP BY g),
+        |edges AS (SELECT DISTINCT s2.src, sh.doc_id AS dst
+        |  FROM sh JOIN srcs s2 USING (g) WHERE sh.doc_id > s2.src),
+        |paths(dst, depth) AS (
+        |  SELECT dst, 1 FROM edges
+        |  UNION ALL
+        |  SELECT e.dst, p.depth + 1 FROM paths p JOIN edges e
+        |    ON e.src = p.dst),
+        |dd AS (SELECT dst AS doc_id, max(depth) AS depth FROM paths
+        |  GROUP BY 1)
+        |SELECT CAST(coalesce(dd.depth, 0) AS BIGINT) AS depth,
+        |  count(*) AS n_docs, CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
+        |FROM documents d LEFT JOIN dd USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "l58_source_minhash" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents),
