@@ -1521,6 +1521,56 @@ object LlmQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Isotonic (Pool-Adjacent-Violators) calibration of a data-quality
+    // signal: stale rate (l53's first-occurrence rule) as a NON-DECREASING
+    // function of length decile — the order-constrained regression used
+    // to turn raw classifier/heuristic scores into calibrated keep
+    // probabilities. The corpus work is the same two keyed aggregates as
+    // l53 plus one bucket rollup; PAV itself is inherently sequential
+    // over the <= 10 pooled buckets, so it runs on the driver over the
+    // collected aggregate (l50's k-row driver-math discipline), with
+    // every rate comparison done by integer cross-multiplication — no
+    // float anywhere. Pinned by tools/pin_l60.py (independent DuckDB
+    // bucketing + pure-Python PAV).
+    "l60_isotonic_calibration" -> ((s, d) => {
+      import s.implicits._
+      val sh = shinglePostings(s, d)
+      val per = sh.groupBy(col("doc_id")).agg(max(col("sz")).cast("long").as("n_sh"))
+      val own = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_first"))
+      val mx = documents(s, d).agg(max(col("n_chars")).as("m"))
+      val buckets = documents(s, d).select(col("doc_id"), col("n_chars"))
+        .join(per, Seq("doc_id"))
+        .join(own, Seq("doc_id"), "left").na.fill(0L, Seq("n_first"))
+        .crossJoin(broadcast(mx))
+        .select(expr("(n_chars * 10) div (m + 1)").as("bucket"),
+          when(col("n_first") * 2 < col("n_sh"), 1L).otherwise(0L).as("stale"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("stale")).as("pos"))
+        .orderBy(col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val blocks = scala.collection.mutable.ArrayBuffer
+        .empty[(List[Long], Long, Long)]
+      buckets.foreach { case (b, n, pos) =>
+        blocks += ((List(b), n, pos))
+        while (blocks.length >= 2 && {
+          val t = blocks(blocks.length - 1); val p = blocks(blocks.length - 2)
+          t._3 * p._2 < p._3 * t._2
+        }) {
+          val t = blocks.remove(blocks.length - 1)
+          val p = blocks.remove(blocks.length - 1)
+          blocks += ((p._1 ++ t._1, p._2 + t._2, p._3 + t._3))
+        }
+      }
+      val fit = blocks.flatMap { case (bs, n, pos) =>
+        bs.map(b => b -> (1000L * pos / n))
+      }.toMap
+      buckets.toSeq
+        .map { case (b, n, pos) => (b, n, pos, fit(b)) }
+        .toDF("bucket", "n", "n_stale", "fit_permille")
+        .orderBy(col("bucket"))
+    }),
+
     // Copy-LINEAGE depth — the WITH RECURSIVE twin: over l55's
     // provenance DAG (acyclic by construction, every edge has
     // src < dst), each document's depth is its LONGEST chain of
@@ -1531,6 +1581,7 @@ object LlmQueries {
     // is a literal recursive CTE over the same edge derivation, so the
     // relaxation is verified against real WITH RECURSIVE semantics.
     // Output is the depth histogram (0 = never copied from anyone).
+
     "l59_copy_lineage" -> ((s, d) => {
       val sh = provenancePostings(s, d)
       val src = sh.groupBy(col("g")).agg(min(col("doc_id")).as("src"))
@@ -3339,6 +3390,23 @@ object LlmQueries {
     // confusion matrix is honestly near-uniform with a smallest-label
     // tie-break cascade toward 0 -- the verified deliverable is the
     // graph-build + propagation plumbing, not classifier accuracy.
+    // Pinned by tools/pin_l60.py (independent DuckDB bucketing +
+    // pure-Python PAV).
+    "l60_isotonic_calibration" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(45 AS BIGINT), CAST(1 AS BIGINT), CAST(22 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(67 AS BIGINT), CAST(4 AS BIGINT), CAST(48 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(57 AS BIGINT), CAST(6 AS BIGINT), CAST(48 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(54 AS BIGINT), CAST(2 AS BIGINT), CAST(48 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(61 AS BIGINT), CAST(3 AS BIGINT), CAST(48 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), CAST(53 AS BIGINT), CAST(1 AS BIGINT), CAST(48 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), CAST(65 AS BIGINT), CAST(2 AS BIGINT), CAST(48 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), CAST(56 AS BIGINT), CAST(2 AS BIGINT), CAST(48 AS BIGINT)),
+        |  (CAST(9 AS BIGINT), CAST(39 AS BIGINT), CAST(3 AS BIGINT), CAST(76 AS BIGINT)))
+        |t(bucket, n, n_stale, fit_permille)
+        |ORDER BY bucket""".stripMargin,
+
     "l59_copy_lineage" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),
