@@ -1521,6 +1521,29 @@ object LlmQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Near-dup cluster CANONICALIZATION: exact dedup keeps min-hash-id
+    // (l02), but near-dup families should keep their BEST member — per
+    // connected component (l14's labels), the canonical doc is the
+    // longest (ties by id), picked with one min(struct(-quality, id))
+    // aggregate — no per-cluster sort, no window over the corpus. The
+    // oracle recomputes clusters with the same recursive CTE as l14 and
+    // the argmax with a window, so the struct-min trick is verified
+    // against the straightforward formulation.
+    "l61_cluster_canonical" -> ((s, d) => {
+      val cc = connectedComponents(
+        jaccardPairs(s, d).select(col("ida"), col("idb")))
+      cc.join(documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("csize"),
+          min(struct((-col("n_chars")).as("negq"), col("doc_id"))).as("c"),
+          sum(col("doc_id")).as("sum_members"))
+        .select(col("cluster_id"), col("csize"),
+          col("c.doc_id").as("canonical"),
+          (-col("c.negq")).as("canonical_chars"), col("sum_members"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Isotonic (Pool-Adjacent-Violators) calibration of a data-quality
     // signal: stale rate (l53's first-occurrence rule) as a NON-DECREASING
     // function of length decile — the order-constrained regression used
@@ -3094,6 +3117,33 @@ object LlmQueries {
 
     // connected components via transitive closure (recursive CTE) over the
     // same exact-Jaccard pairs l03 grades against
+    "l61_cluster_canonical" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_'
+        |    || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
+        |    for i in generate_series(1, len(w) - 4)]) s FROM toks),
+        |p AS (SELECT ida, idb FROM (
+        |  SELECT a.doc_id ida, b.doc_id idb,
+        |      round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |            len(list_distinct(list_concat(a.s, b.s))), 4) j
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.5),
+        |edges AS (SELECT ida a, idb b FROM p UNION SELECT idb, ida FROM p),
+        |reach(a, b) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        |cj AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+        |  FROM cl JOIN documents d USING (doc_id))
+        |SELECT cluster_id, count(*) AS csize,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS canonical,
+        |  max(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_members
+        |FROM cj GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+
     "l14_dup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |sh AS (SELECT doc_id, list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
