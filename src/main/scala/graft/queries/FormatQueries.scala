@@ -813,6 +813,23 @@ object FormatQueries {
           |FROM f17_mzml""".stripMargin)
     }),
 
+    // Mass-spec peak analytics over the decoded binary arrays: base peak
+    // (argmax intensity via array_position — ties take the first index,
+    // i.e. the smallest m/z on ascending arrays) and total ion current as
+    // a sequential HOF fold, all codegen'd array expressions — no UDF, no
+    // explode. Oracle pinned by an independent Python base64+zlib+struct
+    // decode of the same fixture (sequential float64 sum matches the
+    // fold's evaluation order exactly).
+    "f57_mzml_peaks" -> ((s, _) =>
+      s.read.format("mzml").load(s"$fx/mzml-pyoteomics/pyoteomics.mzML")
+        .select(col("id"),
+          size(col("mz.mz")).cast("long").as("n_points"),
+          expr("element_at(mz.mz, CAST(array_position(intensity.intensity," +
+            " array_max(intensity.intensity)) AS INT))").as("base_mz"),
+          expr("array_max(intensity.intensity)").as("base_intensity"),
+          expr("aggregate(intensity.intensity, 0D, (a, x) -> a + x)").as("tic"))
+        .orderBy("id")),
+
     // FCS binary reader over a synthesized FCS3.0 file (reference fixture
     // not shipped in this checkout)
     "f18_fcs_scan" -> ((s, _) => {
@@ -975,6 +992,15 @@ object FormatQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Pinned from an independent Python base64+zlib+struct decode of the
+    // pyoteomics fixture.
+    "f57_mzml_peaks" ->
+      """SELECT * FROM (VALUES
+        |  ('controllerType=0 controllerNumber=1 scan=1', CAST(19914 AS BIGINT), CAST(810.4154747204038 AS DOUBLE), CAST(1471224.875 AS DOUBLE), CAST(69381842.11895752 AS DOUBLE)),
+        |  ('controllerType=0 controllerNumber=1 scan=2', CAST(19914 AS BIGINT), CAST(810.4154663085938 AS DOUBLE), CAST(1471224.875 AS DOUBLE), CAST(69381842.11895752 AS DOUBLE)))
+        |t(id, n_points, base_mz, base_intensity, tic)
+        |ORDER BY id""".stripMargin,
+
     // Pinned from an independent Python text parse of index.vcf.gz
     // (2 SNPs — both transitions — among 621 mostly-indel records).
     "f56_vcf_stats" ->
