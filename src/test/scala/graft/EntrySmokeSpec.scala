@@ -21,8 +21,8 @@ class EntrySmokeSpec extends AnyFunSuite with SharedSpark {
     val d = "/root/testdata/sf0.01"
     val msg = "testdata regenerated? re-run tools/pin_l35.py, pin_l36.py, " +
       "pin_l38.py, pin_l39.py, pin_l40.py, pin_l43.py, pin_l25.py, " +
-      "pin_l05_l07.py, pin_l12.py, pin_l50.py and refresh the pinned " +
-      "VALUES oracles " +
+      "pin_l05_l07.py, pin_l12.py, pin_l50.py, pin_l52.py, pin_l54.py, " +
+      "pin_l60.py and refresh the pinned VALUES oracles " +
       "in LlmQueries"
     val docs = graft.queries.Tables.documents(spark, d)
       .agg(org.apache.spark.sql.functions.count(
