@@ -1521,6 +1521,47 @@ object LlmQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Copy-influence PageRank — link analysis over the provenance
+    // CITATION graph (a copier cites its earliest source per shared
+    // 8-gram): which documents' content actually propagates through the
+    // corpus? Ten rounds of the PageRank recurrence in INTEGER
+    // micro-units (share = (pr·850) div (1000·outdeg), damping base
+    // 150 000) — integer division plus long sums make every round
+    // engine-exact with no float accumulation-order hazard; dangling
+    // mass leaks, as in the simplified recurrence, and is documented in
+    // the pin. Per round: one keyed join + one keyed aggregate over |E|,
+    // lineage cut per round — the l14/l59 bounded-iteration discipline.
+    // Pinned by tools/pin_l62.py (independent DuckDB edge derivation +
+    // Python integer iteration).
+    "l62_copy_pagerank" -> ((s, d) => {
+      val sh = provenancePostings(s, d)
+      val src = sh.groupBy(col("g")).agg(min(col("doc_id")).as("src"))
+      val cites = sh.join(src, Seq("g"))
+        .filter(col("doc_id") > col("src"))
+        .select(col("doc_id").as("citer"), col("src").as("cited")).distinct()
+        .localCheckpoint()
+      val outdeg = cites.groupBy(col("citer")).agg(count(lit(1)).as("odeg"))
+        .localCheckpoint()
+      var pr = documents(s, d).select(col("doc_id"), lit(1000000L).as("pr"))
+        .localCheckpoint()
+      for (_ <- 1 to 10) {
+        val shares = cites
+          .join(outdeg, Seq("citer"))
+          .join(pr.select(col("doc_id").as("citer"), col("pr")), Seq("citer"))
+          .select(col("cited"), expr("(pr * 850) div (1000 * odeg)").as("share"))
+          .groupBy(col("cited")).agg(sum(col("share")).as("in_mass"))
+        pr = documents(s, d).select(col("doc_id"))
+          .join(shares.select(col("cited").as("doc_id"), col("in_mass")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("pr"))
+          .localCheckpoint()
+      }
+      pr.filter(col("pr") > 150000L)
+        .select(col("doc_id"), col("pr").as("pr_micros"))
+        .orderBy(col("pr_micros").desc, col("doc_id"))
+    }),
+
     // Near-dup cluster CANONICALIZATION: exact dedup keeps min-hash-id
     // (l02), but near-dup families should keep their BEST member — per
     // connected component (l14's labels), the canonical doc is the
@@ -3117,6 +3158,35 @@ object LlmQueries {
 
     // connected components via transitive closure (recursive CTE) over the
     // same exact-Jaccard pairs l03 grades against
+    // Pinned by tools/pin_l62.py (independent integer PageRank).
+"l62_copy_pagerank" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(45 AS BIGINT), CAST(405000 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(26 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(31 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(44 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(58 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(61 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(70 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(72 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(87 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(92 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(98 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(107 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(120 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(152 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(166 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(285 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(295 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(310 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(326 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(393 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(435 AS BIGINT), CAST(277500 AS BIGINT)),
+        |  (CAST(458 AS BIGINT), CAST(277500 AS BIGINT)))
+        |t(doc_id, pr_micros)
+        |ORDER BY pr_micros DESC, doc_id""".stripMargin,
+
     "l61_cluster_canonical" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') w
         |  FROM documents),
