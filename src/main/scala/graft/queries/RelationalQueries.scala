@@ -1034,6 +1034,37 @@ object RelationalQueries {
         .orderBy(col("n_orders").desc, col("pa"), col("pb"))
     }),
 
+    // Day-over-day DAU RECONCILIATION — the FULL OUTER join surface
+    // (absent from every other query): today's distinct-user set outer-
+    // joined against yesterday's (shifted by one day) on (user_id, day),
+    // so one-sided users survive the join and classify as new (today
+    // only) / churned (yesterday only) / retained (both); per-day
+    // conditional rollup. Keyed on (user, day) throughout — at scale the
+    // shifted self-join is one co-partitioned shuffle.
+    "q69_reconciliation" -> ((s, d) => {
+      val du = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val bounds = du.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val today = du.withColumn("present_today", lit(1))
+      val yesterday = du
+        .select(col("user_id"), date_add(col("day"), 1).as("day"),
+          lit(1).as("present_yday"))
+      today.join(yesterday, Seq("user_id", "day"), "full_outer")
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") > col("d0") && col("day") <= col("d1"))
+        .withColumn("status",
+          when(col("present_today").isNotNull && col("present_yday").isNotNull,
+            "retained")
+            .when(col("present_today").isNotNull, "new").otherwise("churned"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("status") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("status") === "churned", 1L).otherwise(0L))
+            .as("n_churned"))
+        .orderBy(col("day"))
+    }),
+
     // MERGEABLE sketch states — the incremental-dashboard pattern: one
     // Datasketches HLL sketch per day (a storable binary state), then
     // hll_union_agg over the states instead of reprocessing raw events.
@@ -1698,6 +1729,24 @@ object RelationalQueries {
     "q68_sketch_merge" ->
       """SELECT count(DISTINCT user_id) AS n_exact, true AS within_5pct
         |FROM events""".stripMargin,
+
+    "q69_reconciliation" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
+        |t AS (SELECT user_id, day, 1 AS pt FROM du),
+        |y AS (SELECT user_id, day + CAST(1 AS INT) AS day, 1 AS py FROM du),
+        |j AS (SELECT user_id, day, pt, py
+        |  FROM t FULL OUTER JOIN y USING (user_id, day))
+        |SELECT day,
+        |  CAST(sum(CASE WHEN pt IS NOT NULL AND py IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN pt IS NOT NULL AND py IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN pt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_churned
+        |FROM j, b WHERE day > d0 AND day <= d1
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "q67_unpivot" ->
       """SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days,
