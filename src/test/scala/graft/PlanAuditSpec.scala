@@ -668,6 +668,20 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(bnlj.size <= 1, plan)
   }
 
+  test("l61 canonicalization: one struct-min aggregate, no window over corpus") {
+    val df = graft.queries.LlmQueries.queries("l61_cluster_canonical")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q69 reconciliation: full outer join keyed on (user, day), no cartesian") {
+    val df = RelationalQueries.queries("q69_reconciliation")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("l52 kNN graph: candidates come from a keyed bucket join, no cartesian") {
     graft.GraftSession.registerAll(spark)
     val edges = graft.queries.LlmQueries.knnGraphEdges(

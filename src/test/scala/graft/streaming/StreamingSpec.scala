@@ -41,6 +41,40 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(ids.toSeq == Seq("a1", "a2", "b1", "b2", "b3"))
   }
 
+  test("streaming BINARY source: bigwig shards arrive as new micro-batches") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.TestTmp.dir("graft_bw_stream").toString
+    val ckpt = graft.TestTmp.dir("graft_bw_ckpt").toString
+    def addTrack(name: String, rows: Seq[(String, Int, Int, Float)]): Unit = {
+      import spark.implicits._
+      val stage = graft.TestTmp.dir("graft_bw_stage").toString
+      rows.toDF("name", "start", "end", "value").coalesce(1)
+        .write.format("bigwig_value").mode("overwrite").save(s"$stage/t")
+      val part = new java.io.File(s"$stage/t").listFiles()
+        .filter(_.getName.endsWith(".bw")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    addTrack("a.bw", Seq(("chrA", 0, 10, 1f), ("chrA", 10, 20, 2f),
+      ("chrB", 0, 5, 3f)))
+    val out = graft.TestTmp.dir("graft_bw_sink").toString
+    def runOnce(): Long = {
+      val q = spark.readStream.format("bigwig_value").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    assert(runOnce() == 3)
+    addTrack("b.bw", Seq(("chrC", 0, 10, 4f), ("chrC", 10, 30, 5f)))
+    assert(runOnce() == 5, "second run must read only the new shard")
+    val sums = spark.read.parquet(out)
+      .agg(org.apache.spark.sql.functions.sum(col("value"))).head().getDouble(0)
+    assert(sums == 15.0)
+  }
+
   test("streaming restart survives deletion of an already-processed file") {
     // Boundary-key offsets (mtime, path) — not counts — so removing a
     // processed file must neither re-read survivors nor skip arrivals.
