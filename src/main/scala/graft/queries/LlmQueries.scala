@@ -1521,6 +1521,30 @@ object LlmQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // OOV curve — the tokenizer-design diagnostic: corpus token share
+    // lost when the word vocabulary truncates to its top-k (k = 100 /
+    // 200 / 400 / 800), i.e. how fast does out-of-vocabulary mass decay
+    // with vocab budget. One corpus pass builds the word-frequency
+    // table; ranking is a window over the Zipf-bounded VOCABULARY (never
+    // the corpus), all four k cutoffs fold into ONE conditional
+    // aggregate pass, and the wide row melts to (k, oov_permille) rows
+    // with stack. Integer permille throughout.
+    "l63_oov_curve" -> ((s, d) => {
+      val ks = Seq(100, 200, 400, 800)
+      val ranked = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("f"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("f").desc, col("word"))))
+      val sums = ranked.agg(sum(col("f")).as("total"),
+        ks.map(k =>
+          sum(when(col("rnk") > k, col("f")).otherwise(0L)).as(s"oov_$k")): _*)
+      sums.select(col("total"), expr("stack(" + ks.length + ", " +
+          ks.map(k => s"${k}L, oov_$k").mkString(", ") + ") as (k, oov)"))
+        .select(col("k"), expr("(1000 * oov) div total").as("oov_permille"))
+        .orderBy(col("k"))
+    }),
+
     // Copy-influence PageRank — link analysis over the provenance
     // CITATION graph (a copier cites its earliest source per shared
     // 8-gram): which documents' content actually propagates through the
@@ -3158,6 +3182,25 @@ object LlmQueries {
 
     // connected components via transitive closure (recursive CTE) over the
     // same exact-Jaccard pairs l03 grades against
+    "l63_oov_curve" ->
+      """WITH wf AS (SELECT w AS word, count(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, word) AS rnk
+        |  FROM wf),
+        |s AS (SELECT CAST(sum(f) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN rnk > 100 THEN f ELSE 0 END) AS BIGINT) AS o100,
+        |  CAST(sum(CASE WHEN rnk > 200 THEN f ELSE 0 END) AS BIGINT) AS o200,
+        |  CAST(sum(CASE WHEN rnk > 400 THEN f ELSE 0 END) AS BIGINT) AS o400,
+        |  CAST(sum(CASE WHEN rnk > 800 THEN f ELSE 0 END) AS BIGINT) AS o800
+        |  FROM rk)
+        |SELECT k, (1000 * oov) // total AS oov_permille FROM (
+        |  SELECT CAST(100 AS BIGINT) AS k, o100 AS oov, total FROM s
+        |  UNION ALL SELECT 200, o200, total FROM s
+        |  UNION ALL SELECT 400, o400, total FROM s
+        |  UNION ALL SELECT 800, o800, total FROM s)
+        |ORDER BY k""".stripMargin,
+
     // Pinned by tools/pin_l62.py (independent integer PageRank).
 "l62_copy_pagerank" ->
       """SELECT * FROM (VALUES
