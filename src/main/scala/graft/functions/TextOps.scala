@@ -140,6 +140,22 @@ object TextOps {
     (a, b)
   }
 
+  /** Fold ONE shingle into a 64-perm signature buffer in place — the
+    * native `minhash_agg` aggregate's update step; identical math to
+    * [[minhashSignature]], so the two paths produce equal signatures
+    * (duplicate shingles are absorbed by min, so raw postings need no
+    * distinct before aggregating).
+    */
+  def minhashUpdateInPlace(buf: Array[Long], s: String): Unit = {
+    val h = MurmurHash3.stringHash(s).toLong & 0xffffffffL
+    var i = 0
+    while (i < NumHashes) {
+      val v = (hashA(i) * h + hashB(i)) >>> 1
+      if (v < buf(i)) buf(i) = v
+      i += 1
+    }
+  }
+
   /** 64 minhash values over a shingle set (murmur3 base hash, fixed-seed
     * universal rehashes).
     */

@@ -1521,6 +1521,39 @@ object LlmQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Native MinHash AGGREGATE vs the relational merge plan: the custom
+    // Catalyst TypedImperativeAggregate `minhash_agg` builds each
+    // source's 64-perm signature in ONE aggregation pass (partial
+    // update + executor merge, 64× less shuffle input than l58's
+    // posexplode + groupBy-min), and this query proves the two plans
+    // byte-identical position-by-position across every source — the
+    // oracle pins n_positions = n_equal = 64 · |sources|. Raw postings
+    // feed the aggregate with no pre-distinct (min absorbs duplicates).
+    "l64_minhash_agg_parity" -> ((s, d) => {
+      graft.GraftSession.registerAll(s)
+      val docs = documents(s, d)
+      val withSource = shinglePostings(s, d)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val nativePos = withSource
+        .groupBy(col("source")).agg(expr("minhash_agg(shingle)").as("sig"))
+        .select(col("source"), posexplode(col("sig")))
+        .toDF("source", "p", "v1")
+      val explodePos = {
+        import s.implicits._
+        withSource.select(col("source"), col("shingle"))
+          .as[(String, String)]
+          .map { case (src, sh) =>
+            (src, graft.functions.TextOps.minhashSignature(Seq(sh)))
+          }.toDF("source", "sig")
+          .select(col("source"), posexplode(col("sig")))
+          .toDF("source", "p", "v")
+          .groupBy(col("source"), col("p")).agg(min(col("v")).as("v2"))
+      }
+      nativePos.join(explodePos, Seq("source", "p"))
+        .agg(count(lit(1)).as("n_positions"),
+          sum(when(col("v1") === col("v2"), 1L).otherwise(0L)).as("n_equal"))
+    }),
+
     // OOV curve — the tokenizer-design diagnostic: corpus token share
     // lost when the word vocabulary truncates to its top-k (k = 100 /
     // 200 / 400 / 800), i.e. how fast does out-of-vocabulary mass decay
@@ -3182,6 +3215,11 @@ object LlmQueries {
 
     // connected components via transitive closure (recursive CTE) over the
     // same exact-Jaccard pairs l03 grades against
+    "l64_minhash_agg_parity" ->
+      """SELECT CAST(64 * k AS BIGINT) AS n_positions,
+        |  CAST(64 * k AS BIGINT) AS n_equal
+        |FROM (SELECT count(DISTINCT source) AS k FROM documents)""".stripMargin,
+
     "l63_oov_curve" ->
       """WITH wf AS (SELECT w AS word, count(*) AS f FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -143,3 +143,65 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native mergeable MinHash aggregate: `minhash_agg(shingle)` folds each
+  * input string into a 64-perm signature buffer (columnwise min), with
+  * partial aggregation + executor-side merge like any built-in — ONE
+  * aggregation pass replaces the explode-64-positions + groupBy-min plan
+  * (64× less shuffle input for the same signature). Duplicate shingles
+  * are absorbed by min, so inputs need no pre-distinct. Identical math
+  * to `TextOps.minhashSignature` (asserted by MinHashAggSpec), so
+  * signatures interoperate with every existing MinHash consumer.
+  */
+case class MinHashAggExpr(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with ImplicitCastInputTypes
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "minhash_agg"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(graft.functions.TextOps.NumHashes)(Long.MaxValue)
+
+  override def update(buffer: Array[Long],
+                      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      graft.functions.TextOps.minhashUpdateInPlace(
+        buffer, v.asInstanceOf[UTF8String].toString)
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashAggExpr =
+    copy(child = newChild)
+}
