@@ -1744,16 +1744,15 @@ object LlmQueries {
     // shingle-set Jaccard, q49-style: the oracle pins the exact permille
     // and the estimate must land within ±250.
     "l58_source_minhash" -> ((s, d) => {
-      import s.implicits._
+      graft.GraftSession.registerAll(s)
       val docs = documents(s, d)
-      val sigs = docs.select(col("source"), col("text")).as[(String, String)]
-        .map { case (src, t) =>
-          (src, graft.functions.TextOps.minhashSignature(
-            graft.functions.TextOps.wordShingles(t, 5).toSeq))
-        }.toDF("source", "sig")
-      val merged = sigs.select(col("source"), posexplode(col("sig")))
+      // ONE aggregation pass via the native minhash_agg (l64 pins its
+      // parity with the explode+groupBy-min formulation)
+      val merged = shinglePostings(s, d)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source")).agg(expr("minhash_agg(shingle)").as("sig"))
+        .select(col("source"), posexplode(col("sig")))
         .toDF("source", "p", "v")
-        .groupBy(col("source"), col("p")).agg(min(col("v")).as("v"))
       val est = merged.alias("a").join(merged.alias("b"),
           col("a.p") === col("b.p") && col("a.source") < col("b.source"))
         .select(col("a.source").as("sa"), col("b.source").as("sb"),
