@@ -49,6 +49,7 @@ object Bench {
     val mz8Dir = tmpPath("graft_bench_mzml8")
     val vcfDir = tmpPath("graft_bench_vcfidx")
     val vcfFile = new java.io.File(vcfDir, "bench.vcf.gz")
+    val bwDir = tmpPath("graft_bench_bigwig")
     val scaleDir = tmpPath(s"graft_bench_fasta6x_$slug")
 
     // b01/b02 corpus: ~|lineitem| synthetic sequences through our own FASTA
@@ -188,6 +189,23 @@ object Bench {
       }
     } catch { case e: Throwable => recordErr("gen_vcfidx_corpus", e) }
 
+    // b10/b11 corpus: a 400k-interval track through the engine's own
+    // BigWig sink (4 chroms, one shard per chrom via range partitioning)
+    // — the region query then measures R-tree block pruning, not a scan.
+    try {
+      if (!new java.io.File(bwDir, "_done").exists()) {
+        spark.range(400000L)
+          .select(concat(lit("chr"), (col("id") % 4)).as("name"),
+            ((col("id") / 4) * 10).cast("int").as("start"),
+            ((col("id") / 4) * 10 + 10).cast("int").as("end"),
+            (col("id") % 97).cast("float").as("value"))
+          .repartitionByRange(4, col("name"))
+          .write.format("bigwig_value").option("zoomLevels", "10000")
+          .mode("overwrite").save(s"$bwDir/t")
+        new java.io.File(bwDir, "_done").createNewFile()
+      }
+    } catch { case e: Throwable => recordErr("gen_bigwig_corpus", e) }
+
     // b09 corpus: the same indexed VCF served over live HTTP through the
     // from-scratch S3 FileSystem with SigV4 signing — the baseline's
     // "region query over an object store" shape (exon-bam-s3-query,
@@ -267,7 +285,17 @@ object Bench {
       // fetch + chunk seeks become SigV4-signed ranged GETs over HTTP.
       "b09_vcf_tabix_region_s3" -> (() =>
         spark.read.format("vcf").option("region", "chr20:3000000-3030000")
-          .load("s3://graft-bench/bench.vcf.gz").count())
+          .load("s3://graft-bench/bench.vcf.gz").count()),
+      // Full value scan over the sink-produced 400k-interval track.
+      "b10_bigwig_scan" -> (() =>
+        spark.read.format("bigwig_value").load(s"$bwDir/t")
+          .agg(sum(col("value"))).count()),
+      // Narrow region: the R-tree walk must descend only overlapping
+      // subtrees — time reflects one block inflate, not the file.
+      "b11_bigwig_region_pruned" -> (() =>
+        spark.read.format("bigwig_value")
+          .option("region", "chr2:500001-500500")
+          .load(s"$bwDir/t").count())
     )
 
     val queries = SparkEntry.queries
