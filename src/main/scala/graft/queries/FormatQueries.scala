@@ -447,6 +447,27 @@ object FormatQueries {
       full.crossJoin(diff)
     }),
 
+    // Multi-sink interop CHAIN: fixture BAM → engine BAM sink → read →
+    // engine CRAM sink → read — every hop through a different binary
+    // writer/reader pair, with the final alignment-field sums pinned by
+    // the independent Python gzip+struct parse of the ORIGINAL fixture
+    // (tools/pin_f55.py's parser), so a loss anywhere in the chain breaks
+    // the gate.
+    "f58_sink_chain" -> ((s, _) => {
+      val dir = gateDir("sink_chain").getAbsolutePath
+      s.read.format("bam").load(s"$fx/bam/test.bam")
+        .coalesce(1).sortWithinPartitions(col("reference"), col("start"))
+        .write.format("bam").mode("overwrite")
+        .option("headerFrom", s"$fx/bam/test.bam").save(s"$dir/b1")
+      s.read.format("bam").load(s"$dir/b1")
+        .coalesce(1).sortWithinPartitions(col("reference"), col("start"))
+        .write.format("cram").mode("overwrite")
+        .option("headerFrom", s"$fx/bam/test.bam").save(s"$dir/c1")
+      s.read.format("cram").load(s"$dir/c1")
+        .agg(count(lit(1)).as("n"), sum(col("flag")).as("sum_flag"),
+          sum(col("start")).as("sum_start"))
+    }),
+
     // CRAM/BCF table functions (beyond the reference's 17-UDTF surface):
     // cram_indexed_scan prunes containers via .crai + header coordinates,
     // bcf_indexed_scan via .csi — same counts the option-based reads prove
@@ -1008,6 +1029,11 @@ object FormatQueries {
         |  CAST(2 AS BIGINT) AS n_multiallelic, CAST(2 AS BIGINT) AS n_snp,
         |  CAST(2 AS BIGINT) AS n_ts, CAST(0 AS BIGINT) AS n_tv,
         |  CAST(621 AS BIGINT) AS n_indel""".stripMargin,
+
+    // Same independent parse as f55 pins the chain-end sums.
+    "f58_sink_chain" ->
+      """SELECT CAST(61 AS BIGINT) AS n, CAST(12417 AS BIGINT) AS sum_flag,
+        |  CAST(744752726 AS BIGINT) AS sum_start""".stripMargin,
 
     // Pinned by tools/pin_f55.py (independent Python gzip+struct BAM parse).
     "f55_bam_flagstat" ->
