@@ -185,10 +185,19 @@ object PlanDump {
           "1-row broadcast.",
         () => graft.queries.RelationalQueries.queries("q68_sketch_merge")(spark, d)),
       ("l58_source_minhash",
-        "Mergeable MinHash: per-doc signatures map-only, columnwise-min " +
-          "merge keyed on (source, position), estimate join keyed on " +
-          "position — the corpus text never shuffles.",
-        () => graft.queries.LlmQueries.queries("l58_source_minhash")(spark, d))
+        "Mergeable MinHash via the native minhash_agg " +
+          "TypedImperativeAggregate: ONE aggregation pass (partial " +
+          "update + executor merge) builds every source signature; " +
+          "estimate join keyed on position.",
+        () => graft.queries.LlmQueries.queries("l58_source_minhash")(spark, d)),
+      ("l63_oov_curve",
+        "OOV curve: ranking window over the Zipf-bounded vocabulary " +
+          "only; all four cutoffs fold into one conditional aggregate.",
+        () => graft.queries.LlmQueries.queries("l63_oov_curve")(spark, d)),
+      ("q69_reconciliation",
+        "DAU churn: FULL OUTER join keyed on (user, day); the shifted " +
+          "self-join co-partitions, no cartesian anywhere.",
+        () => graft.queries.RelationalQueries.queries("q69_reconciliation")(spark, d))
     )
 
     val sb = new StringBuilder
