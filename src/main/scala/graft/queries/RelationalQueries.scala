@@ -1584,9 +1584,9 @@ object RelationalQueries {
         |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
         |  FROM events GROUP BY user_id)
         |SELECT count(*) AS n_users,
-        |  sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-        |  sum(CASE WHEN t2 > t1 THEN 1 ELSE 0 END) AS n_signup_click,
-        |  sum(CASE WHEN t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS n_full_funnel
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+        |  CAST(sum(CASE WHEN t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
         |FROM firsts""".stripMargin,
 
     "q53_cdc_compaction" ->
@@ -1598,7 +1598,7 @@ object RelationalQueries {
         |SELECT event_type, count(*) AS n_live_keys,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
         |    AS sum_live_value,
-        |  sum(event_id) AS sum_live_ids
+        |  CAST(sum(event_id) AS BIGINT) AS sum_live_ids
         |FROM ranked WHERE rn = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -1623,8 +1623,8 @@ object RelationalQueries {
         |  FROM events GROUP BY user_id),
         |npd AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day)
         |SELECT day, new_users,
-        |  sum(new_users) OVER (ORDER BY day
-        |    ROWS UNBOUNDED PRECEDING) AS cum_users
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
         |FROM npd ORDER BY day""".stripMargin,
 
     "q57_retention_cohorts" ->
@@ -1646,10 +1646,10 @@ object RelationalQueries {
         |      ORDER BY ts, event_id) AS valid_to
         |  FROM events)
         |SELECT event_type, count(*) AS n_versions,
-        |  sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_open,
-        |  sum(CASE WHEN valid_to IS NOT NULL
+        |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(sum(CASE WHEN valid_to IS NOT NULL
         |      THEN epoch_us(valid_to) - epoch_us(ts) ELSE 0 END)
-        |    AS sum_validity_us
+        |    AS BIGINT) AS sum_validity_us
         |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q59_fk_orphan_audit" ->

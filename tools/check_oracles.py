@@ -59,6 +59,24 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ spark={scols} oracle={ocols}")
             n_fail += 1
             continue
+        # Type-level guard: the driver's hash is type-sensitive. DuckDB
+        # sum(BIGINT) returns HUGEINT -> arrow decimal128(38,0), which
+        # hash-mismatches Spark's int64 even when values are identical.
+        # Flag any decimal oracle column whose Spark twin is not decimal
+        # as an oracle bug (missing CAST(... AS BIGINT)), so the class
+        # cannot ship again just because str()-normalized values agree.
+        import pyarrow as _pa
+        type_bugs = []
+        for c in ocols:
+            ot = odf.schema.field(c).type
+            st = sdf.schema.field(c).type
+            if _pa.types.is_decimal(ot) and not _pa.types.is_decimal(st):
+                type_bugs.append(f"{c}: oracle {ot} vs spark {st}")
+        if type_bugs:
+            print(f"FAIL {name}: oracle type bug (missing CAST AS BIGINT?): "
+                  f"{type_bugs}")
+            n_fail += 1
+            continue
         orows = rows_key(zip(*[odf.column(c).to_pylist() for c in ocols])) if odf.num_rows else []
         srows = rows_key(zip(*[sdf.column(c).to_pylist() for c in scols])) if sdf.num_rows else []
         if len(orows) != len(srows):
