@@ -51,9 +51,16 @@ final class BigWigWriteBuilder(table: GraftTable, info: LogicalWriteInfo,
       val fs = dir.getFileSystem(conf)
       if (doTruncate && fs.exists(dir)) fs.delete(dir, true)
       fs.mkdirs(dir)
-      val zooms = options.getOrElse("zoomlevels", "1000,10000")
-        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).sorted
-      require(zooms.forall(_ > 0), "zoomLevels must be positive")
+      val zoomsRaw = options.getOrElse("zoomlevels", "1000,10000")
+      val zooms = zoomsRaw.split(",").map(_.trim).filter(_.nonEmpty).map { t =>
+        try t.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"bigwig write: bad zoomLevels entry '$t' in '$zoomsRaw' " +
+              "(expect comma-separated positive ints)")
+        }
+      }.distinct.sorted
+      require(zooms.forall(_ > 0),
+        s"bigwig write: zoomLevels must be positive (got '$zoomsRaw')")
       val compress = options.getOrElse("compression", "zlib") match {
         case "zlib" => true
         case "none" => false
@@ -112,6 +119,15 @@ final class BigWigDataWriter(dir: String, srcIdx: Array[Int],
   private val rows = mutable.ArrayBuffer[(String, Int, Int, Float)]()
 
   override def write(row: InternalRow): Unit = {
+    // DSv2 does not reliably enforce nullable=false on sink input; check
+    // explicitly so a null surfaces as a named error, not an NPE mid-task.
+    val colNames = Array("name", "start", "end", "value")
+    var i = 0
+    while (i < 4) {
+      if (row.isNullAt(srcIdx(i))) throw new IllegalArgumentException(
+        s"bigwig write: null in required column '${colNames(i)}'")
+      i += 1
+    }
     val name = row.getUTF8String(srcIdx(0)).toString
     val s = row.getInt(srcIdx(1))
     val e = row.getInt(srcIdx(2))
@@ -135,6 +151,21 @@ final class BigWigDataWriter(dir: String, srcIdx: Array[Int],
     def bytes(b: Array[Byte]): Unit = out.write(b)
     def size: Int = out.size()
     def toArray: Array[Byte] = out.toByteArray
+  }
+
+  /** Little-endian writer over a stream — same surface as Buf, but emits
+    * directly to the (buffered) file stream instead of accumulating.
+    */
+  private final class LEOut(os: java.io.OutputStream) {
+    def u8(v: Int): Unit = os.write(v & 0xff)
+    def u16(v: Int): Unit = { os.write(v & 0xff); os.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = {
+      os.write(v & 0xff); os.write((v >> 8) & 0xff)
+      os.write((v >> 16) & 0xff); os.write((v >> 24) & 0xff)
+    }
+    def u64(v: Long): Unit = { u32(v.toInt); u32((v >> 32).toInt) }
+    def f64(v: Double): Unit = u64(java.lang.Double.doubleToLongBits(v))
+    def bytes(b: Array[Byte]): Unit = os.write(b)
   }
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {
@@ -161,15 +192,21 @@ final class BigWigDataWriter(dir: String, srcIdx: Array[Int],
     * in the file (child offsets are absolute). One or two levels — a
     * two-level tree indexes 256·65535 blocks per part, far beyond any
     * sane shard.
+    *
+    * `itemCount`/`itemsPerSlot` follow Kent semantics (verified against
+    * the externally-produced fixture): the MAIN index counts sections
+    * with itemsPerSlot=1 (one leaf item per section); a ZOOM index
+    * counts zoom RECORDS with itemsPerSlot = records per block.
     */
   private def rTree(blocks: Seq[(Block, Long, Long)], treeOffset: Long,
-                    endDataOffset: Long): Array[Byte] = {
+                    endDataOffset: Long, itemCount: Long,
+                    itemsPerSlot: Int): Array[Byte] = {
     require(blocks.size <= RTreeBlockSize * 0xffff,
       s"bigwig write: ${blocks.size} blocks exceed a two-level R-tree")
     val b = new Buf
     b.u32(0x2468ACE0)              // magic
     b.u32(RTreeBlockSize)          // blockSize
-    b.u64(blocks.size.toLong)      // itemCount (blocks indexed)
+    b.u64(itemCount)               // items indexed (Kent semantics)
     val (minCx, minS) = if (blocks.isEmpty) (0, 0)
       else (blocks.map(_._1.chromIx).min,
         blocks.filter(_._1.chromIx == blocks.map(_._1.chromIx).min).map(_._1.start).min)
@@ -178,7 +215,7 @@ final class BigWigDataWriter(dir: String, srcIdx: Array[Int],
         blocks.filter(_._1.chromIx == blocks.map(_._1.chromIx).max).map(_._1.end).max)
     b.u32(minCx); b.u32(minS); b.u32(maxCx); b.u32(maxE)
     b.u64(endDataOffset)           // endFileOffset of the indexed data
-    b.u32(ItemsPerSlot); b.u32(0)  // itemsPerSlot, reserved
+    b.u32(itemsPerSlot); b.u32(0)  // itemsPerSlot, reserved
     def leafNode(group: Seq[(Block, Long, Long)], buf: Buf): Unit = {
       buf.u8(1); buf.u8(0); buf.u16(group.size)
       group.foreach { case (blk, off, sz) =>
@@ -336,7 +373,8 @@ final class BigWigDataWriter(dir: String, srcIdx: Array[Int],
       t
     }.toSeq
     val fullIndexOffset = cursor
-    val fullIndexBytes = rTree(placedData, fullIndexOffset, fullIndexOffset)
+    val fullIndexBytes = rTree(placedData, fullIndexOffset, fullIndexOffset,
+      placedData.size.toLong, 1)
     cursor += fullIndexBytes.length
     // zoom levels: u32 record count, blocks, then that level's R-tree
     val placedZooms = zoomData.map { case (rl, recs, blocks) =>
@@ -348,13 +386,22 @@ final class BigWigDataWriter(dir: String, srcIdx: Array[Int],
         t
       }
       val indexOff = cursor
-      val indexBytes = rTree(placed, indexOff, indexOff)
+      val indexBytes = rTree(placed, indexOff, indexOff,
+        recs.size.toLong, ItemsPerSlot)
       cursor += indexBytes.length
       (rl, recs.size, placed, dataOff, indexOff, indexBytes)
     }
 
     // ---- emit --------------------------------------------------------
-    val file = new Buf
+    // Sections stream straight to the temp file (offsets were computed in
+    // the layout pass above) — no whole-file in-heap assembly, so a
+    // shard's peak memory is its rows + compressed blocks, with no
+    // Int-indexed full-file array and its ~2 GB ceiling.
+    val fs = tmpPath.getFileSystem(conf.value)
+    val rawOut = fs.create(tmpPath, true)
+    val bufOut = new java.io.BufferedOutputStream(rawOut, 1 << 16)
+    val file = new LEOut(bufOut)
+    try {
     file.u32(BigWigWriteMagic.Magic)
     file.u16(4)                         // version
     file.u16(zooms.length)
@@ -380,10 +427,7 @@ final class BigWigDataWriter(dir: String, srcIdx: Array[Int],
       file.bytes(indexBytes)
     }
     file.u32(BigWigWriteMagic.Magic)    // trailing magic, per Kent files
-
-    val fs = tmpPath.getFileSystem(conf.value)
-    val out = fs.create(tmpPath, true)
-    try out.write(file.toArray) finally out.close()
+    } finally bufOut.close()
     if (!fs.rename(tmpPath, path))
       throw new java.io.IOException(s"bigwig write: rename to $path failed")
     GraftCommitted

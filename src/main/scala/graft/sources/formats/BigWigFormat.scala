@@ -22,15 +22,12 @@ private[graft] object BbiFile {
     */
   private[graft] val blocksDecoded = new java.util.concurrent.atomic.AtomicInteger
 
-  /** Region [lo, hi] (1-based inclusive, the engine-wide convention) →
-    * R-tree overlap predicate over 0-based half-open (chromIx, base)
-    * bounds, matching the row filter's arithmetic exactly: a span
-    * overlaps iff start <= hi-1 && end >= lo, compared lexicographically
-    * so multi-chromosome items are handled.
-    */
-  /** Regions by chrom NAME → id-space predicate via the file's chrom
-    * tree. A region naming an absent chromosome contributes nothing; all
-    * regions absent → constant-false predicate (no blocks read at all).
+  /** Regions by chrom NAME — [lo, hi] 1-based inclusive, the engine-wide
+    * convention — resolved to an id-space R-tree overlap predicate via the
+    * file's chrom tree, matching the row filter's arithmetic exactly (see
+    * regionPred). A region naming an absent chromosome contributes
+    * nothing; all regions absent → constant-false predicate (no blocks
+    * read at all).
     */
   private[formats] def resolveRegionPred(regions: Seq[(String, Long, Long)],
                                          names: Map[Int, String])

@@ -15,6 +15,67 @@ private object ProviderConf {
   }
 }
 
+/** Option->format resolution shared between each dedicated provider and the
+  * auto provider, so `format("graft")` on an inferred path threads region /
+  * reference / typed-parse options into region-capable formats exactly as
+  * the dedicated short names do (same pruning, same typed schemas).
+  */
+private[sources] object FormatResolvers {
+  private def hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  def fasta(opts: Map[String, String]): GraftFormat = {
+    val regions: Seq[String] = opts.get("region").map(Seq(_)).getOrElse(Nil) ++
+      opts.get("regionfile").toSeq.flatMap(p =>
+        graft.functions.GenomicRegion.readRegionFile(p, hadoopConf))
+    if (regions.nonEmpty) new FastaIndexedFormat(regions)
+    else opts.get("sequencedatatype").orElse(opts.get("fasta.sequence_data_type")) match {
+      case Some("integer_encode_dna") => new FastaIntegerFormat(dna = true)
+      case Some("integer_encode_protein") => new FastaIntegerFormat(dna = false)
+      case Some("utf8") | Some("large_utf8") | None => FastaFormat
+      case Some(other) => throw new IllegalArgumentException(
+        s"fasta: unknown sequenceDataType '$other'")
+    }
+  }
+
+  def bed(opts: Map[String, String]): GraftFormat =
+    opts.get("nfields").orElse(opts.get("n_fields")) match {
+      case Some(n) => new BedNFieldsFormat(n.toInt)
+      case None => BedFormat
+    }
+
+  def sam(opts: Map[String, String]): GraftFormat =
+    if (ProviderConf.flag(opts, Seq("parsetags", "sam_parse_tags"),
+        "spark.graft.sam.parseTags")) new SamTypedFormat
+    else SamFormat
+
+  def vcf(opts: Map[String, String]): GraftFormat = {
+    val pi = ProviderConf.flag(opts, Seq("parseinfo", "vcf_parse_info"),
+      "spark.graft.vcf.parseInfo")
+    val pf = ProviderConf.flag(opts, Seq("parseformats", "vcf_parse_formats"),
+      "spark.graft.vcf.parseFormats")
+    if (pi || pf) new VcfTypedFormat(pi, pf) else VcfFormat
+  }
+
+  def cram(opts: Map[String, String]): GraftFormat = {
+    val ref = opts.get("fastareference").orElse(opts.get("fasta_reference"))
+    // The regions ALSO drive the reader-side row filter via regionColumns;
+    // handing them to the format additionally enables container pruning by
+    // header coordinates and the .crai index. boundsFromOptions is the same
+    // helper the row filter resolves through, so the pruning set cannot
+    // diverge and drop rows the filter would accept.
+    val regions: Seq[(String, Long, Long)] =
+      graft.functions.GenomicRegion.boundsFromOptions(opts, hadoopConf)
+    if (ref.isEmpty && regions.isEmpty) CramFormat
+    else new CramFormat(ref, regions)
+  }
+
+  def bigwigValue(opts: Map[String, String]): GraftFormat = {
+    val regions = graft.functions.GenomicRegion.boundsFromOptions(opts, hadoopConf)
+    if (regions.isEmpty) BigWigValueFormat else new BigWigValueFormat(regions)
+  }
+}
+
 /** Concrete zero-arg providers, one per format, registered as DSv2 short
   * names in META-INF/services/org.apache.spark.sql.sources.DataSourceRegister
   * so `spark.read.format("fasta").load(path)` works — the Spark equivalent of
@@ -26,46 +87,24 @@ class FastaSourceProvider extends GraftTableProvider(FastaFormat) {
   /** `.option("region", "a:3-4")` / `.option("regionFile", path)` switch the
     * table to indexed-subsequence extraction (fasta_indexed_scan parity).
     */
-  override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
-    val regions: Seq[String] = opts.get("region").map(Seq(_)).getOrElse(Nil) ++
-      opts.get("regionfile").toSeq.flatMap(p =>
-        graft.functions.GenomicRegion.readRegionFile(p,
-          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
-    if (regions.nonEmpty) new FastaIndexedFormat(regions)
-    else opts.get("sequencedatatype").orElse(opts.get("fasta.sequence_data_type")) match {
-      case Some("integer_encode_dna") => new FastaIntegerFormat(dna = true)
-      case Some("integer_encode_protein") => new FastaIntegerFormat(dna = false)
-      case Some("utf8") | Some("large_utf8") | None => FastaFormat
-      case Some(other) => throw new IllegalArgumentException(
-        s"fasta: unknown sequenceDataType '$other'")
-    }
-  }
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat =
+    FormatResolvers.fasta(opts)
 }
 class FastqSourceProvider extends GraftTableProvider(FastqFormat)
 class GffSourceProvider extends GraftTableProvider(GffFormat)
 class GtfSourceProvider extends GraftTableProvider(GtfFormat)
 class BedSourceProvider extends GraftTableProvider(BedFormat) {
   override protected def resolveFormat(opts: Map[String, String]): GraftFormat =
-    opts.get("nfields").orElse(opts.get("n_fields")) match {
-      case Some(n) => new BedNFieldsFormat(n.toInt)
-      case None => BedFormat
-    }
+    FormatResolvers.bed(opts)
 }
 class HmmDomTabSourceProvider extends GraftTableProvider(HmmDomTabFormat)
 class SamSourceProvider extends GraftTableProvider(SamFormat) {
   override protected def resolveFormat(opts: Map[String, String]): GraftFormat =
-    if (ProviderConf.flag(opts, Seq("parsetags", "sam_parse_tags"),
-        "spark.graft.sam.parseTags")) new SamTypedFormat
-    else SamFormat
+    FormatResolvers.sam(opts)
 }
 class VcfSourceProvider extends GraftTableProvider(VcfFormat) {
-  override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
-    val pi = ProviderConf.flag(opts, Seq("parseinfo", "vcf_parse_info"),
-      "spark.graft.vcf.parseInfo")
-    val pf = ProviderConf.flag(opts, Seq("parseformats", "vcf_parse_formats"),
-      "spark.graft.vcf.parseFormats")
-    if (pi || pf) new VcfTypedFormat(pi, pf) else VcfFormat
-  }
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat =
+    FormatResolvers.vcf(opts)
 }
 class SdfSourceProvider extends GraftTableProvider(SdfFormat)
 class FcsSourceProvider extends GraftTableProvider(FcsFormat)
@@ -74,19 +113,8 @@ class MzMlSourceProvider extends GraftTableProvider(MzMlFormat)
 class BamSourceProvider extends GraftTableProvider(BamFormat)
 class BcfSourceProvider extends GraftTableProvider(BcfFormat)
 class CramSourceProvider extends GraftTableProvider(CramFormat) {
-  override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
-    val ref = opts.get("fastareference").orElse(opts.get("fasta_reference"))
-    // The regions ALSO drive the reader-side row filter via regionColumns;
-    // handing them to the format additionally enables container pruning by
-    // header coordinates and the .crai index. boundsFromOptions is the same
-    // helper the row filter resolves through, so the pruning set cannot
-    // diverge and drop rows the filter would accept.
-    val regions: Seq[(String, Long, Long)] =
-      graft.functions.GenomicRegion.boundsFromOptions(opts,
-        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    if (ref.isEmpty && regions.isEmpty) CramFormat
-    else new CramFormat(ref, regions)
-  }
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat =
+    FormatResolvers.cram(opts)
 }
 /** Auto-detecting provider: picks the concrete format from the path's file
   * extension (compression suffixes stripped) — `spark.read.format("graft")
@@ -108,9 +136,22 @@ class GraftAutoSourceProvider extends GraftTableProvider(FastaFormat) {
     val base = Codecs.stripCompression(new org.apache.hadoop.fs.Path(path).getName)
       .toLowerCase
     val ext = base.substring(base.lastIndexOf('.') + 1)
-    byExt.getOrElse(ext, throw new IllegalArgumentException(
+    val inferred = byExt.getOrElse(ext, throw new IllegalArgumentException(
       s"graft: cannot infer format from extension '.$ext' " +
         s"(known: ${byExt.keys.toSeq.sorted.mkString(", ")})"))
+    // Thread options through the SAME resolvers as the dedicated short
+    // names, so an inferred read loses no pruning or typed parsing:
+    // .option("region") on a .bw/.cram path still prunes via R-tree /
+    // .crai, parseTags/parseInfo still switch to the typed schemas.
+    inferred match {
+      case FastaFormat => FormatResolvers.fasta(opts)
+      case BedFormat => FormatResolvers.bed(opts)
+      case SamFormat => FormatResolvers.sam(opts)
+      case VcfFormat => FormatResolvers.vcf(opts)
+      case CramFormat => FormatResolvers.cram(opts)
+      case BigWigValueFormat => FormatResolvers.bigwigValue(opts)
+      case other => other
+    }
   }
 }
 
@@ -119,11 +160,8 @@ class BigWigValueSourceProvider extends GraftTableProvider(BigWigValueFormat) {
     * region are never read) — the row filter resolves through the same
     * bounds helper, so pruning can never drop a row the filter keeps.
     */
-  override protected def resolveFormat(opts: Map[String, String]): GraftFormat = {
-    val regions = graft.functions.GenomicRegion.boundsFromOptions(opts,
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    if (regions.isEmpty) BigWigValueFormat else new BigWigValueFormat(regions)
-  }
+  override protected def resolveFormat(opts: Map[String, String]): GraftFormat =
+    FormatResolvers.bigwigValue(opts)
 }
 class BigWigZoomSourceProvider extends GraftTableProvider(new BigWigZoomFormat(None)) {
   override protected def resolveFormat(opts: Map[String, String]): GraftFormat =

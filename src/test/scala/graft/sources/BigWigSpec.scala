@@ -51,6 +51,26 @@ class BigWigSpec extends AnyFunSuite with SharedSpark {
     assert(two.count() == 2)
   }
 
+  test("auto provider threads region into R-tree pruning like bigwig_value") {
+    // format("graft") on a .bw path must resolve through the SAME
+    // region-capable resolver as the dedicated provider — identical rows
+    // AND identical pruned scan (not the generic row filter over all
+    // blocks).
+    val auto = spark.read.format("graft").option("region", "1:1-1")
+      .load(s"$fx/bigwig/test.bw")
+    assert(auto.collect().toSeq == Seq(Row("1", 0, 1, 0.1f)))
+    // the scan resolved to a region-CARRYING BigWigValueFormat (R-tree
+    // pruning), not the region-less companion with a generic row filter
+    val fmt = auto.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.asInstanceOf[GraftTable].format
+    }.head
+    assert(fmt.isInstanceOf[graft.sources.formats.BigWigValueFormat])
+    val regions =
+      fmt.asInstanceOf[graft.sources.formats.BigWigValueFormat].regions
+    assert(regions.map(_._1) == Seq("1"), regions)
+  }
+
   test("bigwig zoom: missing reduction level errors with available levels") {
     val e = intercept[Exception] {
       spark.read.format("bigwig_zoom").option("reductionLevel", "123")

@@ -64,6 +64,72 @@ class BigWigWriteSpec extends AnyFunSuite with SharedSpark {
     assert(agg.getInt(2) == n * 10)
   }
 
+  // ---- independent pure-Python cross-validation (tools/pin_bigwig.py,
+  // written from the public Kent spec with no shared code) — closes the
+  // "no external bigwig tool in sandbox" caveat: sink output must decode
+  // under a non-JVM reader, and that reader is itself validated against
+  // the externally-produced reference fixture below.
+
+  private def pin(args: String*): (Int, Seq[String]) = {
+    import scala.sys.process._
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val cmd = Seq("python3", "tools/pin_bigwig.py") ++ args
+    val code = cmd ! ProcessLogger(buf += _, buf += _)
+    (code, buf.toSeq)
+  }
+
+  private def python3Available: Boolean =
+    try { import scala.sys.process._
+      Seq("python3", "-c", "0").! == 0
+    } catch { case _: Exception => false }
+
+  private def partFile(dir: String): java.io.File =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".bw")).head
+
+  test("sink output decodes under the independent Python reader") {
+    assume(python3Available, "python3 not on PATH")
+    val dir = TestTmp.dir("bw_pin").toString
+    val rows = Seq(
+      ("chrA", 0, 100, 1.5f), ("chrA", 100, 250, 2.0f), ("chrA", 300, 400, 0.5f),
+      ("chrB", 10, 60, 7.25f))
+    track(rows).coalesce(1).write.format("bigwig_value").mode("overwrite")
+      .option("zoomLevels", "100").save(s"$dir/t")
+    val bw = partFile(s"$dir/t").getPath
+    val (c0, structural) = pin(bw, "--check")
+    assert(c0 == 0, structural.mkString("\n"))
+    assert(structural.exists(_.endsWith("OK")), structural.mkString("\n"))
+    val (c1, values) = pin(bw)
+    assert(c1 == 0)
+    val expected = rows.sortBy(t => (t._1, t._2)).map { case (n, s, e, v) =>
+      s"$n\t$s\t$e\t${java.lang.Float.floatToIntBits(v) & 0xffffffffL}"
+    }
+    assert(values == expected)
+    // zoom rl=100: per-base weighted summaries, f32 bit-exact
+    val (c2, zoom) = pin(bw, "--zoom", "100")
+    assert(c2 == 0)
+    def bits(f: Float) = java.lang.Float.floatToIntBits(f) & 0xffffffffL
+    assert(zoom == Seq(
+      s"chrA\t0\t100\t100\t${bits(1.5f)}\t${bits(1.5f)}\t${bits(150f)}\t${bits(225f)}",
+      s"chrA\t100\t200\t100\t${bits(2f)}\t${bits(2f)}\t${bits(200f)}\t${bits(400f)}",
+      s"chrA\t200\t300\t50\t${bits(2f)}\t${bits(2f)}\t${bits(100f)}\t${bits(200f)}",
+      s"chrA\t300\t400\t100\t${bits(0.5f)}\t${bits(0.5f)}\t${bits(50f)}\t${bits(25f)}",
+      s"chrB\t0\t60\t50\t${bits(7.25f)}\t${bits(7.25f)}\t${bits(362.5f)}\t${bits(2628.125f)}"))
+  }
+
+  test("Python reader and Spark reader agree on the external fixture") {
+    assume(python3Available, "python3 not on PATH")
+    val fx = "/root/reference/exon/exon-core/test-data/datasources/bigwig/test.bw"
+    assume(new java.io.File(fx).exists(), "reference fixture not present")
+    val (code, pyRows) = pin(fx)
+    assert(code == 0)
+    val sparkRows = spark.read.format("bigwig_value").load(fx)
+      .collect().map { r =>
+        s"${r.getString(0)}\t${r.getInt(1)}\t${r.getInt(2)}\t" +
+          s"${java.lang.Float.floatToIntBits(r.getFloat(3)) & 0xffffffffL}"
+      }.sorted.toSeq
+    assert(pyRows.sorted == sparkRows)
+  }
+
   test("overlapping intervals are refused") {
     val dir = TestTmp.dir("bw_bad").toString
     val e = intercept[Exception] {
