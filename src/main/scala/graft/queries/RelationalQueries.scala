@@ -21,6 +21,39 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The MERGE resolution plan for q70 (exposed for PlanAuditSpec): both
+    * sides compact with one window keyed on the merge key, then a single
+    * keyed FULL OUTER join resolves matched/not-matched — the canonical
+    * physical shape lakehouse MERGE lowers to.
+    */
+  private[graft] def mergeUpsertLog(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    val wKey = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val tgt = events(s, d).filter(col("ts") <= cutoff)
+      .withColumn("rn", row_number().over(wKey)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("t_id"), col("value").as("t_value"))
+    val src = events(s, d).filter(col("ts") > cutoff)
+      .withColumn("rn", row_number().over(wKey)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("s_id"), col("value").as("s_value"),
+        (col("event_id") % 19 === 0).as("tomb"))
+    tgt.join(src, Seq("user_id", "event_type"), "full_outer")
+      .withColumn("action",
+        when(col("s_id").isNull, "keep")
+          .when(col("tomb") && col("t_id").isNotNull, "delete")
+          .when(col("tomb"), "skip") // NOT MATCHED + tombstone: no-op
+          .when(col("t_id").isNotNull, "update")
+          .otherwise("insert"))
+      .filter(col("action") =!= "skip")
+      .select(col("user_id"), col("event_type"), col("action"),
+        when(col("s_id").isNull, col("t_id")).otherwise(col("s_id"))
+          .as("event_id"),
+        when(col("s_id").isNull, col("t_value")).otherwise(col("s_value"))
+          .as("value"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Q1: full-scan aggregate; map-side combine then 6-group shuffle.
     "q01_pricing_summary" -> ((s, d) => {
@@ -1065,6 +1098,43 @@ object RelationalQueries {
         .orderBy(col("day"))
     }),
 
+    // MERGE INTO-style upsert, end to end THROUGH a file sink — the one
+    // lakehouse op the CDC (q53) and SCD2 (q58) shapes circle but never
+    // land. Target = latest state per (user_id, event_type) as of a
+    // cutoff; source = the post-cutoff CDC batch compacted to one row per
+    // key; tombstones (event_id % 19 == 0) delete. The physical shape is
+    // the canonical MERGE plan every lakehouse engine lowers to: both
+    // sides compact with ONE window keyed on the merge key, then a single
+    // FULL OUTER join on that key resolves WHEN MATCHED (update/delete) /
+    // NOT MATCHED (insert/skip) — no broadcast of the big side, no second
+    // pass over history, scales as one shuffle per side at 100 TB. The
+    // merge log (snapshot rows + applied action, deletes included — the
+    // shape of a commit's change stream) is WRITTEN to a real parquet
+    // sink and re-read before summarizing, so the gate covers the
+    // write-path too.
+    "q70_merge_upsert" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_merge_log").toString
+      mergeUpsertLog(s, d).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("action") =!= "delete", 1L).otherwise(0L)).as("n_keys"),
+          sum(when(col("action") === "keep", 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("action") === "update", 1L).otherwise(0L))
+            .as("n_updated"),
+          sum(when(col("action") === "insert", 1L).otherwise(0L))
+            .as("n_inserted"),
+          sum(when(col("action") === "delete", 1L).otherwise(0L))
+            .as("n_deleted"),
+          sum(when(col("action") =!= "delete", col("event_id"))
+            .otherwise(0L)).as("sum_ids"),
+          round(sum(when(col("action") =!= "delete", col("value"))
+            .otherwise(lit(0.0)).cast("decimal(18,6)")), 2).cast("double")
+            .as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // MERGEABLE sketch states — the incremental-dashboard pattern: one
     // Datasketches HLL sketch per day (a storable binary state), then
     // hll_union_agg over the states instead of reprocessing raw events.
@@ -1747,6 +1817,48 @@ object RelationalQueries {
         |    AS n_churned
         |FROM j, b WHERE day > d0 AND day <= d1
         |GROUP BY day ORDER BY day""".stripMargin,
+
+    "q70_merge_upsert" ->
+      """WITH tgt AS (SELECT user_id, event_type, t_id, t_value FROM (
+        |    SELECT user_id, event_type, event_id AS t_id, value AS t_value,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1),
+        |src AS (SELECT user_id, event_type, s_id, s_value, tomb FROM (
+        |    SELECT user_id, event_type, event_id AS s_id, value AS s_value,
+        |      event_id % 19 = 0 AS tomb,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1),
+        |m AS (SELECT user_id, event_type,
+        |    CASE WHEN s_id IS NULL THEN 'keep'
+        |      WHEN tomb AND t_id IS NOT NULL THEN 'delete'
+        |      WHEN tomb THEN 'skip'
+        |      WHEN t_id IS NOT NULL THEN 'update'
+        |      ELSE 'insert' END AS action,
+        |    CASE WHEN s_id IS NULL THEN t_id ELSE s_id END AS event_id,
+        |    CASE WHEN s_id IS NULL THEN t_value ELSE s_value END AS value
+        |  FROM tgt FULL OUTER JOIN src USING (user_id, event_type)),
+        |log AS (SELECT * FROM m WHERE action <> 'skip')
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN action <> 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_keys,
+        |  CAST(sum(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated,
+        |  CAST(sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inserted,
+        |  CAST(sum(CASE WHEN action = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted,
+        |  CAST(sum(CASE WHEN action <> 'delete' THEN event_id ELSE 0 END)
+        |    AS BIGINT) AS sum_ids,
+        |  CAST(round(sum(CASE WHEN action <> 'delete'
+        |      THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM log GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q67_unpivot" ->
       """SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days,

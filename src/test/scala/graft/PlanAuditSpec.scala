@@ -682,6 +682,22 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q70 merge upsert: keyed full-outer resolution, rank-limited compaction") {
+    val log = RelationalQueries.mergeUpsertLog(spark, d)
+    val plan = log.queryExecution.executedPlan.toString
+    // the canonical MERGE physical shape: one keyed FULL OUTER join, no
+    // cartesian/broadcast-nested-loop, and both CDC compactions push the
+    // per-key top-1 limit map-side before the shuffle
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val ex = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(ex.nonEmpty && ex.forall(_.contains("event_type")),
+      s"shuffles not keyed on the merge key:\n$plan")
+  }
+
   test("l52 kNN graph: candidates come from a keyed bucket join, no cartesian") {
     graft.GraftSession.registerAll(spark)
     val edges = graft.queries.LlmQueries.knnGraphEdges(
