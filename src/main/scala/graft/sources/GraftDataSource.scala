@@ -852,19 +852,23 @@ final class GraftReaderFactory(format: GraftFormat, dataSchema: StructType,
       limit)
   }
 
-  /** Columnar scan path: when every projected column is a PRIMITIVE type
-    * the reader emits ColumnarBatch directly, so scan-bound queries stay
-    * vectorized end-to-end (Spark's ColumnarToRow is codegen'd; per-row
-    * GenericInternalRow allocation disappears from the hot loop). This
-    * includes the empty count(*) projection. String/binary columns keep
-    * the row path on purpose: appending their bytes into a vector costs
-    * an extra copy per value that measurably loses to handing Spark the
-    * parser's UTF8String directly (b02 regressed ~15% columnar).
+  /** Columnar scan path: when every projected column is a primitive,
+    * string, or binary type the reader emits ColumnarBatch directly, so
+    * scan-bound queries stay vectorized end-to-end (Spark's ColumnarToRow
+    * is codegen'd; per-row GenericInternalRow allocation disappears from
+    * the hot loop). This includes the empty count(*) projection.
+    * Primitives fill OnHeapColumnVectors (downstream codegen reads them
+    * unboxed); strings/binaries fill a REFERENCE vector (RefColumnVector)
+    * that hands Spark the parser's UTF8String without re-copying its
+    * bytes — an earlier attempt that appended string bytes into on-heap
+    * vectors regressed b02 ~15% on exactly that copy. Nested types keep
+    * the row path.
     */
   private val columnarEligible: Boolean =
     outputSchema != null && outputSchema.fields.forall(f => f.dataType match {
       case IntegerType | LongType | DoubleType | FloatType |
            BooleanType | ShortType | ByteType => true
+      case StringType | BinaryType => true
       case _ => false
     })
 
@@ -879,49 +883,112 @@ final class GraftReaderFactory(format: GraftFormat, dataSchema: StructType,
   }
 }
 
-/** Packs the row reader's raw values into on-heap column vectors,
-  * 4096 rows per batch.
+/** Reference-holding column vector for string/binary columns: stores the
+  * parser's UTF8String / byte-array values directly (one array store per
+  * cell, zero byte copies) and hands the same reference back to Spark's
+  * codegen. Safe because the text parsers allocate fresh value objects per
+  * record (no buffer reuse), and every cell in [0, numRows) is re-written
+  * on each batch.
+  */
+final class RefColumnVector(dt: DataType, capacity: Int)
+  extends org.apache.spark.sql.vectorized.ColumnVector(dt) {
+  private val values = new Array[AnyRef](capacity)
+  def put(i: Int, v: AnyRef): Unit = values(i) = v
+  override def close(): Unit = ()
+  override def hasNull: Boolean = true
+  override def numNulls(): Int = 0 // unused by the codegen read path
+  override def isNullAt(i: Int): Boolean = values(i) == null
+  override def getUTF8String(i: Int): UTF8String =
+    values(i).asInstanceOf[UTF8String]
+  override def getBinary(i: Int): Array[Byte] =
+    values(i).asInstanceOf[Array[Byte]]
+  private def unsupported: Nothing =
+    throw new UnsupportedOperationException(s"RefColumnVector($dt)")
+  override def getBoolean(i: Int): Boolean = unsupported
+  override def getByte(i: Int): Byte = unsupported
+  override def getShort(i: Int): Short = unsupported
+  override def getInt(i: Int): Int = unsupported
+  override def getLong(i: Int): Long = unsupported
+  override def getFloat(i: Int): Float = unsupported
+  override def getDouble(i: Int): Double = unsupported
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    unsupported
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    unsupported
+  override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+    unsupported
+  override def getChild(i: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    unsupported
+}
+
+/** Packs the row reader's raw values into column vectors, 4096 rows per
+  * batch: on-heap primitive vectors (codegen reads them unboxed) and
+  * reference vectors for string/binary (no byte re-copy).
   */
 final class GraftColumnarReader(rows: GraftPartitionReader, schema: StructType)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   private val capacity = 4096
-  private val vectors =
-    org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-      .allocateColumns(capacity, schema)
-  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
-    vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+  private val vectors: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+    schema.fields.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          new RefColumnVector(f.dataType, capacity)
+            : org.apache.spark.sql.vectorized.ColumnVector
+        case dt =>
+          new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(
+            capacity, dt): org.apache.spark.sql.vectorized.ColumnVector
+      }
+    }
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(vectors)
 
   /** One setter per column, resolved once at construction: the per-value
     * loop below is the single hottest loop of the columnar path and must
     * not re-match DataType (megamorphic dispatch) for every cell.
     */
   private type Setter =
-    (org.apache.spark.sql.execution.vectorized.OnHeapColumnVector, Int, Any) => Unit
+    (org.apache.spark.sql.vectorized.ColumnVector, Int, Any) => Unit
+  private type OnHeap = org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   private val setters: Array[Setter] = schema.fields.map { f =>
     (f.dataType match {
-      case LongType => (v, n, x) => v.putLong(n, x.asInstanceOf[Long])
-      case IntegerType => (v, n, x) => v.putInt(n, x.asInstanceOf[Int])
-      case DoubleType => (v, n, x) => v.putDouble(n, x.asInstanceOf[Double])
-      case FloatType => (v, n, x) => v.putFloat(n, x.asInstanceOf[Float])
-      case BooleanType => (v, n, x) => v.putBoolean(n, x.asInstanceOf[Boolean])
-      case ShortType => (v, n, x) => v.putShort(n, x.asInstanceOf[Short])
-      case ByteType => (v, n, x) => v.putByte(n, x.asInstanceOf[Byte])
+      case StringType | BinaryType =>
+        (v, n, x) => v.asInstanceOf[RefColumnVector].put(n, x.asInstanceOf[AnyRef])
+      case LongType => (v, n, x) => v.asInstanceOf[OnHeap].putLong(n, x.asInstanceOf[Long])
+      case IntegerType => (v, n, x) => v.asInstanceOf[OnHeap].putInt(n, x.asInstanceOf[Int])
+      case DoubleType => (v, n, x) => v.asInstanceOf[OnHeap].putDouble(n, x.asInstanceOf[Double])
+      case FloatType => (v, n, x) => v.asInstanceOf[OnHeap].putFloat(n, x.asInstanceOf[Float])
+      case BooleanType => (v, n, x) => v.asInstanceOf[OnHeap].putBoolean(n, x.asInstanceOf[Boolean])
+      case ShortType => (v, n, x) => v.asInstanceOf[OnHeap].putShort(n, x.asInstanceOf[Short])
+      case ByteType => (v, n, x) => v.asInstanceOf[OnHeap].putByte(n, x.asInstanceOf[Byte])
       case other => throw new IllegalStateException(
-        s"columnar reader on non-primitive type $other")
+        s"columnar reader on unsupported type $other")
     }): Setter
   }
+  private val nullers: Array[(org.apache.spark.sql.vectorized.ColumnVector, Int) => Unit] =
+    schema.fields.map { f =>
+      (f.dataType match {
+        case StringType | BinaryType =>
+          (v, n) => v.asInstanceOf[RefColumnVector].put(n, null)
+        case _ => (v, n) => v.asInstanceOf[OnHeap].putNull(n)
+      }): ((org.apache.spark.sql.vectorized.ColumnVector, Int) => Unit)
+    }
 
   override def next(): Boolean = {
     var i = 0
-    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    while (i < vectors.length) {
+      vectors(i) match {
+        case oh: OnHeap => oh.reset()
+        case _ => () // RefColumnVector: every live cell is re-written below
+      }
+      i += 1
+    }
     var n = 0
     while (n < capacity && rows.next()) {
       val vals = rows.currentValues
       var c = 0
       while (c < vectors.length) {
         val v = vals(c)
-        if (v == null) vectors(c).putNull(n)
+        if (v == null) nullers(c)(vectors(c), n)
         else setters(c)(vectors(c), n, v)
         c += 1
       }

@@ -70,6 +70,100 @@ final class ByteLineReader(in: InputStream, startOffset: Long) {
 
   private def stripCr(s: String): String =
     if (s.nonEmpty && s.charAt(s.length - 1) == '\r') s.substring(0, s.length - 1) else s
+
+  // ---- byte-span path (hot text formats) -----------------------------
+  // readLineSpan exposes the next line as a (bytes, offset, length) view
+  // with NO String materialisation: ASCII formats (FASTA/FASTQ) parse and
+  // build UTF8String values straight from these bytes, skipping the
+  // UTF-8 -> UTF-16 -> UTF-8 transcode the String path pays per line.
+  // The view is valid only until the next readLine/readLineSpan call.
+
+  private var sideBuf = new Array[Byte](256)
+  private var spanArr: Array[Byte] = _
+  private var spanOff = 0
+  private var spanLen = 0
+
+  /** Backing array of the last span line (valid until the next read). */
+  def lineBytes: Array[Byte] = spanArr
+  /** Offset of the last span line within lineBytes. */
+  def lineOff: Int = spanOff
+  /** Length of the last span line (terminator stripped). */
+  def lineLen: Int = spanLen
+
+  /** Advance to the next line, exposing it via lineBytes/lineOff/lineLen
+    * (\n or \r\n stripped); false at EOF. Lines contained in one buffer
+    * fill are zero-copy views into the read buffer; boundary-crossing
+    * lines accumulate into a reusable side buffer. Offset bookkeeping is
+    * identical to readLine, so the two can interleave on one stream.
+    */
+  def readLineSpan(): Boolean = {
+    if (pos >= len) { fill(); if (pos >= len) return false }
+    lastLineStart = off
+    var i = pos
+    while (i < len && buf(i) != '\n') i += 1
+    if (i < len) {
+      off += (i - pos + 1)
+      var e = i
+      if (e > pos && buf(e - 1) == '\r') e -= 1
+      spanArr = buf; spanOff = pos; spanLen = e - pos
+      pos = i + 1
+      true
+    } else {
+      var sn = 0
+      def copyOut(from: Int, until: Int): Unit = {
+        val n = until - from
+        if (sn + n > sideBuf.length) {
+          var cap = sideBuf.length * 2
+          while (cap < sn + n) cap *= 2
+          sideBuf = java.util.Arrays.copyOf(sideBuf, cap)
+        }
+        System.arraycopy(buf, from, sideBuf, sn, n)
+        sn += n
+      }
+      var done = false
+      while (!done) {
+        copyOut(pos, len)
+        off += (len - pos)
+        fill()
+        if (pos >= len) done = true // EOF: unterminated final line
+        else {
+          var j = pos
+          while (j < len && buf(j) != '\n') j += 1
+          if (j < len) {
+            copyOut(pos, j)
+            off += (j - pos + 1)
+            pos = j + 1
+            done = true
+          }
+          // else: no newline in this whole fill; loop copies it and refills
+        }
+      }
+      if (sn > 0 && sideBuf(sn - 1) == '\r') sn -= 1
+      spanArr = sideBuf; spanOff = 0; spanLen = sn
+      true
+    }
+  }
+}
+
+/** Minimal growable byte buffer — an unsynchronized ByteArrayOutputStream
+  * for the per-record hot loop (BAOS methods are synchronized and its array
+  * escapes, so the JIT cannot reliably elide the locks).
+  */
+final class ByteArrayBuilder(initial: Int = 256) {
+  private var buf = new Array[Byte](initial)
+  private var n = 0
+  def length: Int = n
+  def append(src: Array[Byte], off: Int, len: Int): Unit = {
+    if (n + len > buf.length) {
+      var cap = buf.length * 2
+      while (cap < n + len) cap *= 2
+      buf = java.util.Arrays.copyOf(buf, cap)
+    }
+    System.arraycopy(src, off, buf, n, len)
+    n += len
+  }
+  def reset(): Unit = n = 0
+  def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, n)
 }
 
 /** Compression handling by file extension. BGZF (.bgz, and most .gz files in

@@ -45,6 +45,12 @@ object FastaFormat extends WritableGraftFormat {
     StructField("description", StringType, nullable = true),
     StructField("sequence", StringType, nullable = false)))
 
+  /** Byte-level parse (readLineSpan): the sequence — the overwhelming bulk
+    * of the bytes — is appended from raw line spans and wrapped as a
+    * UTF8String with ONE copy and zero UTF-16 transcoding; only the short
+    * header line materialises as a String. FASTA is ASCII by spec, so
+    * byte-wise trim/compare is exact.
+    */
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
     new Iterator[Array[Any]] {
       private val lines = input.lines
@@ -53,13 +59,20 @@ object FastaFormat extends WritableGraftFormat {
 
       // Align to the first record whose header starts in this split.
       locally {
-        var l = lines.readLine()
-        while (l != null && !(l.nonEmpty && l.charAt(0) == '>')) l = lines.readLine()
-        header = l
+        var more = lines.readLineSpan()
+        while (more &&
+            !(lines.lineLen > 0 && lines.lineBytes(lines.lineOff) == '>'))
+          more = lines.readLineSpan()
+        header = if (more)
+          new String(lines.lineBytes, lines.lineOff, lines.lineLen,
+            java.nio.charset.StandardCharsets.UTF_8)
+        else null
         headerStart = lines.lastLineStart
       }
 
       private val needSeq = required.contains(2)
+      private val seqBuf: ByteArrayBuilder =
+        if (needSeq) new ByteArrayBuilder(1024) else null
 
       override def hasNext: Boolean = header != null && headerStart < input.end
 
@@ -68,18 +81,30 @@ object FastaFormat extends WritableGraftFormat {
         val sp = indexOfWhitespace(h)
         val id = if (sp < 0) h else h.substring(0, sp)
         val desc = if (sp < 0) null else h.substring(sp + 1).trim
-        val seq = if (needSeq) new java.lang.StringBuilder() else null
-        var l = lines.readLine()
-        while (l != null && !(l.nonEmpty && l.charAt(0) == '>')) {
-          if (needSeq) seq.append(l.trim)
-          l = lines.readLine()
+        if (needSeq) seqBuf.reset()
+        var more = lines.readLineSpan()
+        while (more &&
+            !(lines.lineLen > 0 && lines.lineBytes(lines.lineOff) == '>')) {
+          if (needSeq) {
+            // String.trim semantics bytewise: drop ends <= ' '
+            val b = lines.lineBytes
+            var s = lines.lineOff
+            var e = lines.lineOff + lines.lineLen
+            while (s < e && (b(s) & 0xff) <= ' ') s += 1
+            while (e > s && (b(e - 1) & 0xff) <= ' ') e -= 1
+            seqBuf.append(b, s, e - s)
+          }
+          more = lines.readLineSpan()
         }
-        header = l
-        headerStart = if (l == null) Long.MaxValue else lines.lastLineStart
+        header = if (more)
+          new String(lines.lineBytes, lines.lineOff, lines.lineLen,
+            java.nio.charset.StandardCharsets.UTF_8)
+        else null
+        headerStart = if (header == null) Long.MaxValue else lines.lastLineStart
         required.map {
           case 0 => utf8(id)
           case 1 => if (desc == null || desc.isEmpty) null else utf8(desc)
-          case 2 => utf8(seq.toString)
+          case 2 => UTF8String.fromBytes(seqBuf.toArray)
         }
       }
 
@@ -237,12 +262,26 @@ object FastqFormat extends WritableGraftFormat {
     StructField("sequence", StringType, nullable = false),
     StructField("quality_scores", StringType, nullable = false)))
 
+  /** Byte-level parse: sequence and quality lines — the bulk of the bytes
+    * — become UTF8Strings straight from the raw line spans (one copy, no
+    * UTF-16 transcode); only the short name line materialises as String.
+    */
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
     new Iterator[Array[Any]] {
       private val lines = input.lines
       private var nameLine: String = lines.readLine()
+      private val needSeq = required.contains(2)
+      private val needQual = required.contains(3)
 
       override def hasNext: Boolean = nameLine != null && nameLine.nonEmpty
+
+      private def spanUtf8(keep: Boolean): UTF8String = {
+        if (!lines.readLineSpan()) null
+        else if (!keep) UTF8String.EMPTY_UTF8 // non-null marker; value unused
+        else UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(lines.lineBytes, lines.lineOff,
+            lines.lineOff + lines.lineLen))
+      }
 
       override def next(): Array[Any] = {
         require(nameLine.charAt(0) == '@', s"malformed FASTQ record: '$nameLine'")
@@ -250,17 +289,18 @@ object FastqFormat extends WritableGraftFormat {
         val sp = h.indexOf(' ')
         val name = if (sp < 0) h else h.substring(0, sp)
         val desc = if (sp < 0) null else h.substring(sp + 1)
-        val seq = lines.readLine()
-        val plus = lines.readLine()
-        val qual = lines.readLine()
-        require(seq != null && plus != null && qual != null && plus.startsWith("+"),
+        val seq = spanUtf8(needSeq)
+        val plusOk = lines.readLineSpan() && lines.lineLen > 0 &&
+          lines.lineBytes(lines.lineOff) == '+'
+        val qual = spanUtf8(needQual)
+        require(seq != null && plusOk && qual != null,
           s"truncated FASTQ record for '$name'")
         nameLine = lines.readLine()
         required.map {
           case 0 => utf8(name)
           case 1 => if (desc == null || desc.isEmpty) null else utf8(desc)
-          case 2 => utf8(seq)
-          case 3 => utf8(qual)
+          case 2 => seq
+          case 3 => qual
         }
       }
     }
