@@ -1043,12 +1043,23 @@ object RelationalQueries {
     // Market-basket co-occurrence with lift: part pairs ordered together
     // at support >= 3, scored by integer-exact lift permille. Pair
     // generation is a keyed self-join on l_orderkey — candidate volume is
-    // Σ width² per order, bounded by basket width, never corpus²; at
-    // skewed scale the wide baskets get capped first (l04's hot-bucket
-    // discipline). The order total is a 1-row broadcast; the per-part
-    // counts join the tiny post-support pair set, not the raw pairs.
+    // Σ width² per order, never corpus² — AND the width itself is capped:
+    // baskets wider than maxBasket (32; TPC-H maxes at 7, so nothing is
+    // dropped here) are excluded from mining via a left-semi width filter
+    // and surfaced in n_overflow_orders, so one hot basket can never
+    // explode a task at skewed 100 TB scale (l04's hot-bucket
+    // discipline). Order total and overflow count are 1-row broadcasts;
+    // the per-part counts join the tiny post-support pair set, not the
+    // raw pairs.
     "q64_part_cooccurrence" -> ((s, d) => {
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+      val maxBasket = 32
+      val li0 = lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+      val widths = li0.groupBy(col("l_orderkey")).agg(count(lit(1)).as("w"))
+      val li = li0.join(
+        widths.filter(col("w") <= maxBasket).select(col("l_orderkey")),
+        Seq("l_orderkey"), "left_semi")
+      val ovf = widths.agg(
+        sum(when(col("w") > maxBasket, 1L).otherwise(0L)).as("n_overflow_orders"))
       val tot = li.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_orders_total"))
       val pcnt = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("pc"))
@@ -1061,9 +1072,11 @@ object RelationalQueries {
         .join(pcnt.select(col("l_partkey").as("pa"), col("pc").as("ca")), Seq("pa"))
         .join(pcnt.select(col("l_partkey").as("pb"), col("pc").as("cb")), Seq("pb"))
         .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(ovf))
         .select(col("pa"), col("pb"), col("n_orders"), col("ca"), col("cb"),
           expr("(1000 * n_orders * n_orders_total) div (ca * cb)")
-            .as("lift_permille"))
+            .as("lift_permille"),
+          col("n_overflow_orders"))
         .orderBy(col("n_orders").desc, col("pa"), col("pb"))
     }),
 
@@ -1112,9 +1125,13 @@ object RelationalQueries {
     // shape of a commit's change stream) is WRITTEN to a real parquet
     // sink and re-read before summarizing, so the gate covers the
     // write-path too.
+    // NOTE: constructing this query EAGERLY writes the merge log to a
+    // temp parquet dir (that is the point of the gate — the sink is part
+    // of the op); the dir is removed on JVM exit via deleteRecursivelyOnExit.
     "q70_merge_upsert" -> ((s, d) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_merge_log").toString
+      val outPath = java.nio.file.Files.createTempDirectory("graft_merge_log")
+      graft.queries.QueryTmp.deleteRecursivelyOnExit(outPath)
+      val out = outPath.toString
       mergeUpsertLog(s, d).write.mode("overwrite").parquet(out)
       s.read.parquet(out)
         .groupBy(col("event_type"))
@@ -1782,7 +1799,12 @@ object RelationalQueries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q64_part_cooccurrence" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |w AS (SELECT l_orderkey, count(*) AS w FROM li0 GROUP BY 1),
+        |ovf AS (SELECT CAST(sum(CASE WHEN w > 32 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overflow_orders FROM w),
+        |li AS (SELECT li0.l_orderkey, li0.l_partkey FROM li0
+        |  JOIN w USING (l_orderkey) WHERE w.w <= 32),
         |tot AS (SELECT count(DISTINCT l_orderkey) AS t FROM li),
         |pcnt AS (SELECT l_partkey, count(*) AS pc FROM li GROUP BY 1),
         |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
@@ -1791,9 +1813,10 @@ object RelationalQueries {
         |    AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT pa, pb, n_orders, ca.pc AS ca, cb.pc AS cb,
-        |  (1000 * n_orders * tot.t) // (ca.pc * cb.pc) AS lift_permille
+        |  (1000 * n_orders * tot.t) // (ca.pc * cb.pc) AS lift_permille,
+        |  ovf.n_overflow_orders
         |FROM pairs JOIN pcnt ca ON pairs.pa = ca.l_partkey
-        |  JOIN pcnt cb ON pairs.pb = cb.l_partkey, tot
+        |  JOIN pcnt cb ON pairs.pb = cb.l_partkey, tot, ovf
         |ORDER BY n_orders DESC, pa, pb""".stripMargin,
 
     "q68_sketch_merge" ->

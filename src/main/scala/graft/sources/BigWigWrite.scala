@@ -118,10 +118,11 @@ final class BigWigDataWriter(dir: String, srcIdx: Array[Int],
   // (name, start, end, value) buffered per task; sorted per chrom at commit
   private val rows = mutable.ArrayBuffer[(String, Int, Int, Float)]()
 
+  // DSv2 does not reliably enforce nullable=false on sink input; checked
+  // per row so a null surfaces as a named error, not an NPE mid-task.
+  private val colNames = Array("name", "start", "end", "value")
+
   override def write(row: InternalRow): Unit = {
-    // DSv2 does not reliably enforce nullable=false on sink input; check
-    // explicitly so a null surfaces as a named error, not an NPE mid-task.
-    val colNames = Array("name", "start", "end", "value")
     var i = 0
     while (i < 4) {
       if (row.isNullAt(srcIdx(i))) throw new IllegalArgumentException(

@@ -893,10 +893,16 @@ final class GraftReaderFactory(format: GraftFormat, dataSchema: StructType,
 final class RefColumnVector(dt: DataType, capacity: Int)
   extends org.apache.spark.sql.vectorized.ColumnVector(dt) {
   private val values = new Array[AnyRef](capacity)
+  private var nullCount = 0
   def put(i: Int, v: AnyRef): Unit = values(i) = v
+  def putNull(i: Int): Unit = { values(i) = null; nullCount += 1 }
+  /** Called once per batch before refill; keeps numNulls() exact for the
+    * rows of the CURRENT batch (every live cell is re-written each fill).
+    */
+  def resetNulls(): Unit = nullCount = 0
   override def close(): Unit = ()
-  override def hasNull: Boolean = true
-  override def numNulls(): Int = 0 // unused by the codegen read path
+  override def hasNull: Boolean = nullCount > 0
+  override def numNulls(): Int = nullCount
   override def isNullAt(i: Int): Boolean = values(i) == null
   override def getUTF8String(i: Int): UTF8String =
     values(i).asInstanceOf[UTF8String]
@@ -968,7 +974,7 @@ final class GraftColumnarReader(rows: GraftPartitionReader, schema: StructType)
     schema.fields.map { f =>
       (f.dataType match {
         case StringType | BinaryType =>
-          (v, n) => v.asInstanceOf[RefColumnVector].put(n, null)
+          (v, n) => v.asInstanceOf[RefColumnVector].putNull(n)
         case _ => (v, n) => v.asInstanceOf[OnHeap].putNull(n)
       }): ((org.apache.spark.sql.vectorized.ColumnVector, Int) => Unit)
     }
@@ -978,7 +984,8 @@ final class GraftColumnarReader(rows: GraftPartitionReader, schema: StructType)
     while (i < vectors.length) {
       vectors(i) match {
         case oh: OnHeap => oh.reset()
-        case _ => () // RefColumnVector: every live cell is re-written below
+        case rv: RefColumnVector => rv.resetNulls() // cells re-written below
+        case _ => ()
       }
       i += 1
     }

@@ -24,6 +24,17 @@ final class RecordInput(mkLines: () => ByteLineReader, val stream: java.io.Input
   * that order), as Catalyst internal values (UTF8String, Long, ArrayData…).
   * Column pruning therefore reaches the parser — unreferenced columns are
   * never materialized (SURVEY §4.1 projection pushdown).
+  *
+  * CONTRACT (no buffer reuse): every UTF8String / Array[Byte] a format
+  * yields must be a FRESH immutable value — never a view into a buffer the
+  * parser will overwrite for a later record. The columnar read path
+  * (RefColumnVector in GraftDataSource.scala) stores these references
+  * directly into the batch handed to Spark codegen with zero byte copies;
+  * a reused backing buffer would silently corrupt earlier rows of the
+  * batch. All current parsers copy out of their span/line buffers
+  * (UTF8String.fromBytes with a fresh array, or fromString). A test in
+  * ColumnarPathSpec scans each string-bearing format columnar and asserts
+  * value stability across the whole batch.
   */
 trait GraftFormat extends Serializable {
   def shortName: String

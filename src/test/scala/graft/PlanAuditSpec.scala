@@ -43,7 +43,7 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("primitive-projection graft scans run columnar; string scans keep the row path") {
+  test("graft scans run columnar for primitive AND string projections") {
     val fx = "/root/reference/exon/exon-core/test-data/datasources"
     // count(*) still answers correctly whichever path the planner picks
     // for the empty projection
@@ -54,11 +54,15 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     val pos = spark.read.format("vcf").load(s"$fx/vcf/index.vcf").select("pos")
     assert(pos.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
     assert(pos.count() > 0)
-    // string projections deliberately stay on the row path (vector append
-    // is an extra per-value copy that loses to UTF8String handoff)
+    // string projections ALSO go columnar: RefColumnVector stores the
+    // parser's UTF8String reference (zero byte copies), unlike the earlier
+    // rejected design that appended bytes into on-heap vectors
     val seq = spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
       .select("sequence")
-    assert(!seq.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(seq.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // and values through the columnar string path stay correct
+    val seqs = seq.collect().map(_.getString(0)).sorted
+    assert(seqs.length == 2 && seqs.forall(s => s.nonEmpty && s.matches("[ACGTNacgtn]+")), seqs.toSeq)
   }
 
   test("runtime (DPP-style) filters on partition columns re-prune the file set") {
@@ -659,13 +663,17 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("LeftSemi"), plan)
   }
 
-  test("q64 co-occurrence: pair join keyed on order, no cartesian") {
+  test("q64 co-occurrence: pair join keyed on order, capped baskets, no cartesian") {
     val df = RelationalQueries.queries("q64_part_cooccurrence")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
-    // the only nested-loop join is the 1-row order-total broadcast
+    // the only nested-loop joins are the 1-row broadcasts (order total +
+    // overflow count)
     val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
-    assert(bnlj.size <= 1, plan)
+    assert(bnlj.size <= 2, plan)
+    // basket-size cap: pair generation reads only orders that pass the
+    // width filter (left-semi against the <=32-wide order set)
+    assert(plan.contains("LeftSemi"), plan)
   }
 
   test("l61 canonicalization: one struct-min aggregate, no window over corpus") {

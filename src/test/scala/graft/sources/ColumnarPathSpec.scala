@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.{SharedSpark, TestTmp}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Gates on the columnar string path (RefColumnVector):
+  *  - nulls survive the columnar path and numNulls() reports the real count
+  *  - per-batch values are stable (the no-buffer-reuse contract on
+  *    GraftFormat.records — a reused backing buffer would make every cell
+  *    in a batch read as the last record's value)
+  */
+class ColumnarPathSpec extends AnyFunSuite with SharedSpark {
+
+  test("RefColumnVector tracks the real null count and resets per batch") {
+    val v = new RefColumnVector(StringType, 8)
+    assert(v.numNulls() == 0 && !v.hasNull)
+    v.put(0, UTF8String.fromString("a"))
+    v.putNull(1)
+    v.putNull(2)
+    assert(v.numNulls() == 2 && v.hasNull)
+    assert(!v.isNullAt(0) && v.isNullAt(1) && v.isNullAt(2))
+    assert(v.getUTF8String(0).toString == "a")
+    v.resetNulls()
+    assert(v.numNulls() == 0 && !v.hasNull)
+  }
+
+  test("null description column flows through the columnar scan path") {
+    val dir = TestTmp.dir("colnull")
+    val fa = dir.resolve("mix.fasta")
+    val txt = new StringBuilder
+    // alternate records WITH and WITHOUT a description → nullable strings
+    (0 until 50).foreach { i =>
+      if (i % 2 == 0) txt.append(s">id$i desc$i\nACGT\n")
+      else txt.append(s">id$i\nTTAA\n")
+    }
+    java.nio.file.Files.write(fa, txt.toString.getBytes)
+    val df = spark.read.format("fasta").load(fa.toString)
+      .select("id", "description")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      df.queryExecution.executedPlan.toString)
+    val rows = df.collect().sortBy(_.getString(0))
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val i = r.getString(0).stripPrefix("id").toInt
+      if (i % 2 == 0) assert(r.getString(1) == s"desc$i", r)
+      else assert(r.isNullAt(1), r)
+    }
+  }
+
+  test("string values are batch-stable across string-bearing formats (no buffer reuse)") {
+    val dir = TestTmp.dir("colstable")
+    // FASTA: 300 records with distinct sequences in one columnar batch
+    val fa = dir.resolve("many.fasta")
+    val fasta = (0 until 300).map(i => s">r$i\n${"ACGT" * (1 + i % 7)}CC${i}\n").mkString
+    java.nio.file.Files.write(fa, fasta.getBytes)
+    val seqs = spark.read.format("fasta").load(fa.toString)
+      .select("id", "sequence").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(seqs.size == 300)
+    (0 until 300).foreach { i =>
+      assert(seqs(s"r$i") == s"${"ACGT" * (1 + i % 7)}CC${i}", s"r$i")
+    }
+
+    // FASTQ: distinct sequence + quality per record
+    val fq = dir.resolve("many.fastq")
+    val fastq = (0 until 200).map { i =>
+      val s = "ACGT" * (1 + i % 5)
+      s"@q$i\n$s\n+\n${"I" * s.length}"
+    }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(fq, fastq.getBytes)
+    val qs = spark.read.format("fastq").load(fq.toString)
+      .select("name", "sequence").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(qs.size == 200)
+    (0 until 200).foreach { i => assert(qs(s"q$i") == "ACGT" * (1 + i % 5)) }
+
+    // GFF: distinct seqname per line through its string projection
+    val gf = dir.resolve("many.gff")
+    val gff = (0 until 200).map(i =>
+      s"chr$i\tsrc\tgene\t${i + 1}\t${i + 100}\t.\t+\t.\tID=g$i").mkString("\n")
+    java.nio.file.Files.write(gf, gff.getBytes)
+    val gnames = spark.read.format("gff").load(gf.toString)
+      .select("seqname").collect().map(_.getString(0)).toSet
+    assert(gnames == (0 until 200).map(i => s"chr$i").toSet)
+  }
+}
