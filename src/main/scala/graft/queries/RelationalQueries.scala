@@ -54,6 +54,52 @@ object RelationalQueries {
           .as("value"))
   }
 
+  /** q71's merge plan (exposed for PlanAuditSpec): deterministic synthetic
+    * VCF target (20k rows over chr0..chr3) merged with a delta of 3k
+    * updates (each with a stale + final version, compacted by ONE window
+    * keyed on the merge key (chrom,pos)), 300 of them tombstones, plus 3k
+    * inserts — resolved by a single keyed FULL OUTER join, exactly the
+    * q70 lakehouse-MERGE physical shape. Returns the live merged rows in
+    * the VCF sink schema.
+    */
+  private[graft] def indexedMergeRows(s: SparkSession): DataFrame = {
+    val n = 5000L
+    val tgt = s.range(0, 4 * n).select(
+      concat(lit("chr"), (col("id") / n).cast("long").cast("string")).as("chrom"),
+      ((col("id") % n) * 100 + 1).as("pos"),
+      (col("id") % 50).cast("double").as("qual"))
+    val updKeys = s.range(0, 3000).select(
+      concat(lit("chr"), ((col("id") * 5) / n).cast("long").cast("string")).as("chrom"),
+      (((col("id") * 5) % n) * 100 + 1).as("pos"),
+      col("id").as("j"))
+    val updStale = updKeys.select(col("chrom"), col("pos"),
+      lit(-1.0).as("qual"), lit("update").as("op"), lit(0).as("seq"))
+    val updFinal = updKeys.select(col("chrom"), col("pos"),
+      (lit(50) + col("j") % 25).cast("double").as("qual"),
+      when(col("j") % 10 === 0, "delete").otherwise("update").as("op"),
+      lit(1).as("seq"))
+    val ins = s.range(0, 3000).select(
+      concat(lit("chr"), (col("id") % 4).cast("string")).as("chrom"),
+      (lit(500001L) + (col("id") / 4).cast("long") * 100).as("pos"),
+      (lit(10) + col("id") % 40).cast("double").as("qual"),
+      lit("insert").as("op"), lit(0).as("seq"))
+    val wKey = Window.partitionBy(col("chrom"), col("pos"))
+      .orderBy(col("seq").desc)
+    val delta = updStale.union(updFinal).union(ins)
+      .withColumn("rn", row_number().over(wKey)).filter(col("rn") === 1)
+      .select(col("chrom"), col("pos"), col("qual").as("d_qual"), col("op"))
+    tgt.join(delta, Seq("chrom", "pos"), "full_outer")
+      .withColumn("action", coalesce(col("op"), lit("keep")))
+      .filter(col("action") =!= "delete")
+      .select(
+        col("chrom"), col("pos"),
+        lit(null).cast("array<string>").as("id"),
+        lit("A").as("ref"), array(lit("G")).as("alt"),
+        coalesce(col("d_qual"), col("qual")).cast("float").as("qual"),
+        array(lit("PASS")).as("filter"), lit("AC=1").as("info"),
+        lit(null).cast("string").as("formats"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Q1: full-scan aggregate; map-side combine then 6-group shuffle.
     "q01_pricing_summary" -> ((s, d) => {
@@ -1152,6 +1198,37 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // MERGE upsert INTO AN INDEXED GENOMIC TABLE — composes the lakehouse
+    // MERGE surface (q70) with the indexed VCF sink surface (f35): the
+    // merged table (see indexedMergeRows) is WRITTEN through the bgzf+.tbi
+    // VCF sink (range-partitioned + sorted as the index requires), then
+    // re-read BOTH fully and REGION-PRUNED — `region=chr2:100001-200001`
+    // descends the .tbi and reads only matching byte ranges, proving
+    // upsert-into-an-indexed-genomic-table end to end. Deterministic
+    // synthetic rows so the DuckDB oracle is closed-form. Fixed gate dir
+    // with mode=overwrite (no temp accumulation); the write happens
+    // EAGERLY at construction — the sink is the point of the gate.
+    "q71_indexed_merge" -> ((s, _) => {
+      val gate = new java.io.File(
+        sys.props.get("java.io.tmpdir").getOrElse("/tmp"), "graft_gate_q71")
+      gate.mkdirs()
+      val out = new java.io.File(gate, "t").getAbsolutePath
+      indexedMergeRows(s)
+        .repartitionByRange(4, col("chrom"), col("pos"))
+        .sortWithinPartitions("chrom", "pos")
+        .write.format("vcf").mode("overwrite")
+        .option("compression", "bgzf").save(out)
+      val full = s.read.format("vcf").load(out).agg(
+        count(lit(1)).as("n_full"),
+        sum(col("pos")).as("sum_pos"),
+        sum(col("qual")).cast("long").as("sum_qual"))
+      val reg = s.read.format("vcf").option("region", "chr2:100001-200001")
+        .load(out).agg(
+          count(lit(1)).as("n_region"),
+          sum(col("qual")).cast("long").as("sum_qual_region"))
+      full.crossJoin(reg)
+    }),
+
     // MERGEABLE sketch states — the incremental-dashboard pattern: one
     // Datasketches HLL sketch per day (a storable binary state), then
     // hll_union_agg over the states instead of reprocessing raw events.
@@ -1822,6 +1899,42 @@ object RelationalQueries {
     "q68_sketch_merge" ->
       """SELECT count(DISTINCT user_id) AS n_exact, true AS within_5pct
         |FROM events""".stripMargin,
+
+    "q71_indexed_merge" ->
+      """WITH tgt AS (
+        |  SELECT 'chr' || CAST(i // 5000 AS VARCHAR) AS chrom,
+        |         (i % 5000) * 100 + 1 AS pos,
+        |         CAST(i % 50 AS DOUBLE) AS qual
+        |  FROM generate_series(0, 19999) t(i)),
+        |upd AS (
+        |  SELECT 'chr' || CAST((j*5) // 5000 AS VARCHAR) AS chrom,
+        |         ((j*5) % 5000) * 100 + 1 AS pos,
+        |         CAST(50 + j % 25 AS DOUBLE) AS qual,
+        |         CASE WHEN j % 10 = 0 THEN 'delete' ELSE 'update' END AS op
+        |  FROM generate_series(0, 2999) t(j)),
+        |ins AS (
+        |  SELECT 'chr' || CAST(j % 4 AS VARCHAR) AS chrom,
+        |         500001 + (j // 4) * 100 AS pos,
+        |         CAST(10 + j % 40 AS DOUBLE) AS qual,
+        |         'insert' AS op
+        |  FROM generate_series(0, 2999) t(j)),
+        |delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |merged AS (
+        |  SELECT coalesce(d.chrom, t.chrom) AS chrom,
+        |         coalesce(d.pos, t.pos) AS pos,
+        |         coalesce(d.qual, t.qual) AS qual,
+        |         coalesce(d.op, 'keep') AS op
+        |  FROM tgt t FULL OUTER JOIN delta d
+        |    ON t.chrom = d.chrom AND t.pos = d.pos),
+        |live AS (SELECT * FROM merged WHERE op <> 'delete')
+        |SELECT (SELECT count(*) FROM live) AS n_full,
+        |  (SELECT CAST(sum(pos) AS BIGINT) FROM live) AS sum_pos,
+        |  (SELECT CAST(sum(qual) AS BIGINT) FROM live) AS sum_qual,
+        |  (SELECT count(*) FROM live
+        |     WHERE chrom = 'chr2' AND pos BETWEEN 100001 AND 200001) AS n_region,
+        |  (SELECT CAST(sum(qual) AS BIGINT) FROM live
+        |     WHERE chrom = 'chr2' AND pos BETWEEN 100001 AND 200001)
+        |    AS sum_qual_region""".stripMargin,
 
     "q69_reconciliation" ->
       """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -676,6 +676,32 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("q71 indexed merge: keyed full-outer resolution; region re-read prunes bytes") {
+    val rows = RelationalQueries.indexedMergeRows(spark)
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // materialize the sink once, then prove the .tbi region descent plans
+    // strictly fewer shard files than the full scan of the same table
+    // (chunk lengths are BGZF-virtual-rounded, so compare files not bytes)
+    assert(RelationalQueries.queries("q71_indexed_merge")(spark, d).count() == 1)
+    val out = new java.io.File(new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_gate_q71/t").getAbsolutePath
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val scan = df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head.asInstanceOf[graft.sources.GraftScan]
+      scan.toBatch.planInputPartitions()
+        .flatMap(_.asInstanceOf[graft.sources.GraftInputPartition].chunks)
+        .map(_.path).toSet
+    }
+    val fullF = scanFiles(spark.read.format("vcf").load(out))
+    val regF = scanFiles(spark.read.format("vcf")
+      .option("region", "chr2:100001-200001").load(out))
+    assert(fullF.size >= 4, fullF)
+    assert(regF.nonEmpty && regF.size < fullF.size, s"region=$regF full=$fullF")
+  }
+
   test("l61 canonicalization: one struct-min aggregate, no window over corpus") {
     val df = graft.queries.LlmQueries.queries("l61_cluster_canonical")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
