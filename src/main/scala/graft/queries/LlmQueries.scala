@@ -317,12 +317,12 @@ object LlmQueries {
         .orderBy(col("raw").desc, col("vec_id"))
       val pos = scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("aid"), lit("pos").as("role"), col("rn").as("rnk"),
+        .select(col("aid"), lit("pos").as("role"), col("rn").cast("long").as("rnk"),
           col("vec_id").as("cand_id"), round(col("raw"), 4).as("score"))
       val negs = scored.filter(col("raw") < 0.95)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("aid"), lit("neg").as("role"), col("rn").as("rnk"),
+        .select(col("aid"), lit("neg").as("role"), col("rn").cast("long").as("rnk"),
           col("vec_id").as("cand_id"), round(col("raw"), 4).as("score"))
       pos.unionAll(negs).orderBy(col("aid"), col("role"), col("rnk"))
     }),

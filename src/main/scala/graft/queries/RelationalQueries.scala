@@ -218,7 +218,7 @@ object RelationalQueries {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       lineitem(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"))
@@ -388,7 +388,8 @@ object RelationalQueries {
     // Events: per-type hourly aggregate (timestamp truncation parity via date+hour).
     "q30_events_hourly" -> ((s, d) => {
       events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"), hour(col("ts")).as("h"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          hour(col("ts")).cast("long").as("h"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
         .filter(col("n") >= 2)
         .orderBy(col("event_type"), col("day"), col("h"))
@@ -406,7 +407,9 @@ object RelationalQueries {
         .orderBy(col("total").desc, col("user_id"))
         .limit(25)
       totals
-        .withColumn("rnk", row_number().over(Window.orderBy(col("total").desc, col("user_id"))))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("total").desc, col("user_id")))
+            .cast("long"))
         .select(col("rnk"), col("user_id"), col("total"), col("n_purchases"))
         .orderBy(col("rnk"))
     }),
@@ -425,7 +428,7 @@ object RelationalQueries {
           col("c_nationkey") === col("cnk"))
         .filter(col("supp_nation") < col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).as("l_year"))
+          year(col("l_shipdate")).cast("long").as("l_year"))
         // exact decimal accumulation + integer-cent output: these groups are
         // large enough that double rounding at the 2-decimal boundary
         // diverges between engines
@@ -440,7 +443,7 @@ object RelationalQueries {
       val joined = lineitem(s, d)
         .join(part(s, d), col("l_partkey") === col("p_partkey"))
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
         .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
       joined.groupBy(col("o_year"))
         .agg(round(
@@ -455,7 +458,7 @@ object RelationalQueries {
         .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
           col("l_quantity") * lit(10.0)), 2).as("profit"))
         .orderBy(col("n_name"), col("o_year").desc)

@@ -66,15 +66,40 @@ def main(sf_dir, out_dir):
         # as an oracle bug (missing CAST(... AS BIGINT)), so the class
         # cannot ship again just because str()-normalized values agree.
         import pyarrow as _pa
+
+        def tclass(t):
+            """Normalized type label: differences WITHIN a label are
+            representation detail (large vs small string, timestamp unit —
+            same normalized value string); differences ACROSS labels
+            (decimal vs int64, int32 vs int64, float32 vs float64…) are
+            oracle/Spark typing bugs that can hash-mismatch under the
+            driver even when the printed values agree."""
+            if _pa.types.is_large_string(t) or _pa.types.is_string(t):
+                return "string"
+            if _pa.types.is_large_binary(t) or _pa.types.is_binary(t):
+                return "binary"
+            if _pa.types.is_timestamp(t):
+                return "timestamp"
+            if _pa.types.is_date(t):
+                return "date"
+            if _pa.types.is_list(t) or _pa.types.is_large_list(t):
+                return f"list<{tclass(t.value_type)}>"
+            if _pa.types.is_struct(t):
+                inner = ",".join(
+                    f"{t.field(i).name}:{tclass(t.field(i).type)}"
+                    for i in range(t.num_fields))
+                return f"struct<{inner}>"
+            return str(t)  # int8/16/32/64, float/double, bool, decimal(p,s)…
+
         type_bugs = []
         for c in ocols:
             ot = odf.schema.field(c).type
             st = sdf.schema.field(c).type
-            if _pa.types.is_decimal(ot) and not _pa.types.is_decimal(st):
+            if tclass(ot) != tclass(st):
                 type_bugs.append(f"{c}: oracle {ot} vs spark {st}")
         if type_bugs:
-            print(f"FAIL {name}: oracle type bug (missing CAST AS BIGINT?): "
-                  f"{type_bugs}")
+            print(f"FAIL {name}: oracle/spark dtype mismatch (add matching "
+                  f"CASTs on both sides): {type_bugs}")
             n_fail += 1
             continue
         orows = rows_key(zip(*[odf.column(c).to_pylist() for c in ocols])) if odf.num_rows else []
@@ -94,5 +119,34 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 
+def selftest():
+    """Prove the dtype guard fires: a Spark-side int64 column against an
+    oracle that returns INTEGER (int32) must FAIL on type, not silently
+    pass because str()-normalized values agree; the BIGINT twin must PASS.
+    """
+    import tempfile, os
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    d = tempfile.mkdtemp(prefix="check_oracles_selftest")
+    sf = os.path.join(d, "sf"); os.makedirs(sf)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"COPY (SELECT 1 AS x) TO '{sf}/{t}.parquet' (FORMAT PARQUET)")
+    out = os.path.join(d, "out")
+    tbl = pa.table({"a": pa.array([1], type=pa.int64())})
+    for q in ("t_mistyped", "t_ok"):
+        os.makedirs(f"{out}/{q}")
+        _pq.write_table(tbl, f"{out}/{q}/part-0.parquet")
+    with open(f"{out}/oracle_sql.json", "w") as f:
+        json.dump({"t_mistyped": "SELECT CAST(1 AS INTEGER) AS a",
+                   "t_ok": "SELECT CAST(1 AS BIGINT) AS a"}, f)
+    rc = main(sf, out)
+    assert rc == 1, "selftest: mistyped oracle did not fail the gate"
+    print("SELFTEST OK: int32-vs-int64 oracle flagged, bigint twin passed")
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
