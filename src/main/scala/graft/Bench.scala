@@ -50,6 +50,7 @@ object Bench {
     val vcfDir = tmpPath("graft_bench_vcfidx")
     val vcfFile = new java.io.File(vcfDir, "bench.vcf.gz")
     val bwDir = tmpPath("graft_bench_bigwig")
+    val gffDir = tmpPath("graft_bench_gff")
     val scaleDir = tmpPath(s"graft_bench_fasta6x_$slug")
 
     // b01/b02 corpus: ~|lineitem| synthetic sequences through our own FASTA
@@ -206,6 +207,29 @@ object Bench {
       }
     } catch { case e: Throwable => recordErr("gen_bigwig_corpus", e) }
 
+    // b12 corpus: 2M-feature GFF through the engine's own sink (8 plain
+    // splittable shards) — benches the text-feature byte-span parse path.
+    try {
+      if (!new java.io.File(gffDir, "_done").exists()) {
+        val types = array(lit("gene"), lit("exon"), lit("mRNA"), lit("CDS"))
+        spark.range(0, 2000000L)
+          .select(
+            concat(lit("chr"), (col("id") % 24).cast("string")).as("seqname"),
+            lit("bench").as("source"),
+            element_at(types, (col("id") % 4 + 1).cast("int")).as("type"),
+            (col("id") % 1000000 * 50 + 1).as("start"),
+            (col("id") % 1000000 * 50 + 11 + col("id") % 900).as("end"),
+            when(col("id") % 5 === 0, (col("id") % 100).cast("float")).as("score"),
+            lit("+").as("strand"),
+            lit(null).cast("string").as("phase"),
+            map(lit("ID"),
+              array(concat(lit("feat"), col("id").cast("string")))).as("attributes"))
+          .repartition(8)
+          .write.format("gff").mode("overwrite").save(gffDir)
+        new java.io.File(gffDir, "_done").createNewFile()
+      }
+    } catch { case e: Throwable => recordErr("gen_gff_corpus", e) }
+
     // b09 corpus: the same indexed VCF served over live HTTP through the
     // from-scratch S3 FileSystem with SigV4 signing — the baseline's
     // "region query over an object store" shape (exon-bam-s3-query,
@@ -295,7 +319,14 @@ object Bench {
       "b11_bigwig_region_pruned" -> (() =>
         spark.read.format("bigwig_value")
           .option("region", "chr2:500001-500500")
-          .load(s"$bwDir/t").count())
+          .load(s"$bwDir/t").count()),
+      // Text-feature scan: type filter + coordinate arithmetic over the
+      // 2M-line GFF corpus — the byte-span tab-split parse path, with
+      // attributes pruned away by the projection.
+      "b12_gff_scan" -> (() =>
+        spark.read.format("gff").load(gffDir)
+          .filter(col("type") === "gene")
+          .agg(sum(col("end") - col("start"))).count())
     )
 
     val queries = SparkEntry.queries

@@ -91,26 +91,131 @@ abstract class LineFormat extends GraftFormat {
   /** Parse one data line into the required columns; null to drop the line. */
   def parseLine(line: String, required: Array[Int]): Array[Any]
 
+  /** Opt-in byte-span path: formats returning true here parse via
+    * skipLineBytes/parseLineBytes and never materialise the line as a
+    * String (no UTF-8→UTF-16→UTF-8 transcode). Values handed out must be
+    * FRESH objects (see the records contract) — the line span is only
+    * valid until the next readLineSpan call.
+    */
+  def parsesBytes: Boolean = false
+  def skipLineBytes(b: Array[Byte], off: Int, len: Int): Boolean =
+    len == 0 || b(off) == '#'
+  def parseLineBytes(b: Array[Byte], off: Int, len: Int,
+                     required: Array[Int]): Array[Any] =
+    throw new UnsupportedOperationException(s"$shortName: no byte-span parser")
+
   final override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
-    new Iterator[Array[Any]] {
-      private var nextRow: Array[Any] = _
-      private def advance(): Unit = {
-        nextRow = null
-        while (nextRow == null) {
-          if (input.lines.nextLineStart >= input.end) return
-          val line = input.lines.readLine()
-          if (line == null) return
-          if (!skipLine(line)) nextRow = parseLine(line, required)
+    if (parsesBytes)
+      new Iterator[Array[Any]] {
+        private val lines = input.lines
+        private var nextRow: Array[Any] = _
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null) {
+            if (lines.nextLineStart >= input.end) return
+            if (!lines.readLineSpan()) return
+            if (!skipLineBytes(lines.lineBytes, lines.lineOff, lines.lineLen))
+              nextRow = parseLineBytes(
+                lines.lineBytes, lines.lineOff, lines.lineLen, required)
+          }
         }
+        advance()
+        override def hasNext: Boolean = nextRow != null
+        override def next(): Array[Any] = { val r = nextRow; advance(); r }
       }
-      advance()
-      override def hasNext: Boolean = nextRow != null
-      override def next(): Array[Any] = { val r = nextRow; advance(); r }
-    }
+    else
+      new Iterator[Array[Any]] {
+        private var nextRow: Array[Any] = _
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null) {
+            if (input.lines.nextLineStart >= input.end) return
+            val line = input.lines.readLine()
+            if (line == null) return
+            if (!skipLine(line)) nextRow = parseLine(line, required)
+          }
+        }
+        advance()
+        override def hasNext: Boolean = nextRow != null
+        override def next(): Array[Any] = { val r = nextRow; advance(); r }
+      }
 }
 
 object FormatUtil {
   import org.apache.spark.unsafe.types.UTF8String
+
+  /** Reusable delimiter-split scratch over a raw line span: after split(),
+    * field i is (bytes, off(i), len(i)). Semantics match
+    * String.split(delim) — trailing empty fields dropped, fields beyond
+    * `max` dropped (well-formed lines never hit the cap). One instance per
+    * executor thread via ThreadLocal; results never outlive one
+    * parseLineBytes call.
+    */
+  final class SpanFields(val max: Int) {
+    val off = new Array[Int](max)
+    val len = new Array[Int](max)
+    var n = 0
+    def split(b: Array[Byte], lineOff: Int, lineLen: Int, delim: Byte): Int = {
+      n = 0
+      var s = lineOff
+      val end = lineOff + lineLen
+      var i = lineOff
+      while (i < end && n < max) {
+        if (b(i) == delim) { off(n) = s; len(n) = i - s; n += 1; s = i + 1 }
+        i += 1
+      }
+      if (n < max) { off(n) = s; len(n) = end - s; n += 1 }
+      while (n > 0 && len(n - 1) == 0) n -= 1 // String.split: drop trailing empties
+      n
+    }
+  }
+
+  /** Fresh-copy UTF8String from a span (RefColumnVector contract: never a
+    * view into the reader's reused line buffer). */
+  @inline def utf8Span(b: Array[Byte], off: Int, len: Int): UTF8String =
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, off, off + len))
+
+  @inline def isDotSpan(b: Array[Byte], off: Int, len: Int): Boolean =
+    len == 1 && b(off) == '.'
+
+  @inline def dotNullSpan(b: Array[Byte], off: Int, len: Int): UTF8String =
+    if (len == 0 || isDotSpan(b, off, len)) null else utf8Span(b, off, len)
+
+  def parseLongSpan(b: Array[Byte], off: Int, len: Int): Long = {
+    var i = off
+    val end = off + len
+    var neg = false
+    if (i < end && (b(i) == '-' || b(i) == '+')) { neg = b(i) == '-'; i += 1 }
+    if (i >= end) throw new NumberFormatException(spanString(b, off, len))
+    var v = 0L
+    while (i < end) {
+      val d = b(i) - '0'
+      if (d < 0 || d > 9) throw new NumberFormatException(spanString(b, off, len))
+      v = v * 10 + d
+      i += 1
+    }
+    if (neg) -v else v
+  }
+
+  @inline def dotNullLongSpan(b: Array[Byte], off: Int, len: Int): Any =
+    if (len == 0 || isDotSpan(b, off, len)) null else parseLongSpan(b, off, len)
+
+  @inline def dotNullFloatSpan(b: Array[Byte], off: Int, len: Int): Any =
+    if (len == 0 || isDotSpan(b, off, len)) null
+    else java.lang.Float.parseFloat(spanString(b, off, len))
+
+  @inline def spanString(b: Array[Byte], off: Int, len: Int): String =
+    new String(b, off, len, java.nio.charset.StandardCharsets.UTF_8)
+
+  @inline def spanStartsWith(b: Array[Byte], off: Int, len: Int, p: String): Boolean = {
+    if (len < p.length) return false
+    var i = 0
+    while (i < p.length) {
+      if (b(off + i) != p.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
 
   @inline def utf8(s: String): UTF8String = UTF8String.fromString(s)
 

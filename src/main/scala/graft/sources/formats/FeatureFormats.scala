@@ -46,6 +46,35 @@ object GffFormat extends LineFormat with IndexableGraftFormat {
     }
   }
 
+  /** Byte-span parse (the hot path): tab-split on the raw span, numeric
+    * fields parsed digit-wise, strings copied once with no UTF-16
+    * transcode. Attributes (rarely projected — column pruning drops them
+    * for coordinate queries) reuse the String-based map parser.
+    */
+  override def parsesBytes: Boolean = true
+  private val scratch = new ThreadLocal[SpanFields] {
+    override def initialValue(): SpanFields = new SpanFields(16)
+  }
+  override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
+                              required: Array[Int]): Array[Any] = {
+    if (len > 0 && b(off) == '>') return null // FASTA directive section
+    val f = scratch.get()
+    val nf = f.split(b, off, len, '\t')
+    if (nf < 8) return null
+    required.map {
+      case 0 => utf8Span(b, f.off(0), f.len(0))
+      case 1 => dotNullSpan(b, f.off(1), f.len(1))
+      case 2 => utf8Span(b, f.off(2), f.len(2))
+      case 3 => parseLongSpan(b, f.off(3), f.len(3))
+      case 4 => parseLongSpan(b, f.off(4), f.len(4))
+      case 5 => dotNullFloatSpan(b, f.off(5), f.len(5))
+      case 6 => utf8Span(b, f.off(6), f.len(6))
+      case 7 => dotNullSpan(b, f.off(7), f.len(7))
+      case 8 => if (nf < 9) null
+        else parseAttributes(spanString(b, f.off(8), f.len(8)))
+    }
+  }
+
   private def parseAttributes(s: String): ArrayBasedMapData = {
     val pairs = s.split(';').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
       val eq = kv.indexOf('=')
@@ -191,6 +220,32 @@ object GtfFormat extends LineFormat with IndexableGraftFormat {
     }
   }
 
+  /** Byte-span parse, mirroring GffFormat's (GTF differs only in the
+    * attribute form, which reuses the String-based parser when projected).
+    */
+  override def parsesBytes: Boolean = true
+  private val scratch = new ThreadLocal[SpanFields] {
+    override def initialValue(): SpanFields = new SpanFields(16)
+  }
+  override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
+                              required: Array[Int]): Array[Any] = {
+    val f = scratch.get()
+    val nf = f.split(b, off, len, '\t')
+    if (nf < 8) return null
+    required.map {
+      case 0 => utf8Span(b, f.off(0), f.len(0))
+      case 1 => dotNullSpan(b, f.off(1), f.len(1))
+      case 2 => utf8Span(b, f.off(2), f.len(2))
+      case 3 => parseLongSpan(b, f.off(3), f.len(3))
+      case 4 => parseLongSpan(b, f.off(4), f.len(4))
+      case 5 => dotNullFloatSpan(b, f.off(5), f.len(5))
+      case 6 => dotNullSpan(b, f.off(6), f.len(6))
+      case 7 => dotNullSpan(b, f.off(7), f.len(7))
+      case 8 => if (nf < 9) null
+        else parseAttributes(spanString(b, f.off(8), f.len(8)))
+    }
+  }
+
   private def parseAttributes(s: String): ArrayBasedMapData = {
     val pairs = s.split(';').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
       val sp = kv.indexOf(' ')
@@ -286,6 +341,29 @@ object BedFormat extends LineFormat with IndexableGraftFormat {
       case 0 => utf8(f(0))
       case 1 => java.lang.Long.parseLong(f(1))
       case 2 => java.lang.Long.parseLong(f(2))
+      case i @ (4 | 6 | 7 | 9) => lng(i)
+      case i => str(i)
+    }
+  }
+
+  override def parsesBytes: Boolean = true
+  override def skipLineBytes(b: Array[Byte], off: Int, len: Int): Boolean =
+    len == 0 || b(off) == '#' ||
+      spanStartsWith(b, off, len, "browser") || spanStartsWith(b, off, len, "track")
+  private val scratch = new ThreadLocal[SpanFields] {
+    override def initialValue(): SpanFields = new SpanFields(12)
+  }
+  override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
+                              required: Array[Int]): Array[Any] = {
+    val f = scratch.get()
+    val nf = f.split(b, off, len, '\t')
+    if (nf < 3) return null
+    def str(i: Int): Any = if (i >= nf) null else dotNullSpan(b, f.off(i), f.len(i))
+    def lng(i: Int): Any = if (i >= nf) null else dotNullLongSpan(b, f.off(i), f.len(i))
+    required.map {
+      case 0 => utf8Span(b, f.off(0), f.len(0))
+      case 1 => parseLongSpan(b, f.off(1), f.len(1))
+      case 2 => parseLongSpan(b, f.off(2), f.len(2))
       case i @ (4 | 6 | 7 | 9) => lng(i)
       case i => str(i)
     }

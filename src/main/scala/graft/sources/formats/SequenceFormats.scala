@@ -54,8 +54,29 @@ object FastaFormat extends WritableGraftFormat {
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
     new Iterator[Array[Any]] {
       private val lines = input.lines
-      private var header: String = _
+      private var haveHeader = false
       private var headerStart: Long = 0L
+      // id/description parsed straight off the header span at read time
+      // (fresh UTF8String copies — the span buffer is reused by the next
+      // readLineSpan while sequence lines stream past).
+      private var idU: UTF8String = _
+      private var descU: UTF8String = _
+
+      private def parseHeader(): Unit = {
+        val b = lines.lineBytes
+        val o = lines.lineOff + 1 // past '>'
+        val end = lines.lineOff + lines.lineLen
+        var sp = o
+        while (sp < end && b(sp) != ' ' && b(sp) != '\t') sp += 1
+        idU = FormatUtil.utf8Span(b, o, sp - o)
+        // description = rest, String.trim semantics bytewise; null if empty
+        var ds = sp + 1
+        var de = end
+        while (ds < de && (b(ds) & 0xff) <= ' ') ds += 1
+        while (de > ds && (b(de - 1) & 0xff) <= ' ') de -= 1
+        descU = if (sp >= end || de <= ds) null
+          else FormatUtil.utf8Span(b, ds, de - ds)
+      }
 
       // Align to the first record whose header starts in this split.
       locally {
@@ -63,10 +84,8 @@ object FastaFormat extends WritableGraftFormat {
         while (more &&
             !(lines.lineLen > 0 && lines.lineBytes(lines.lineOff) == '>'))
           more = lines.readLineSpan()
-        header = if (more)
-          new String(lines.lineBytes, lines.lineOff, lines.lineLen,
-            java.nio.charset.StandardCharsets.UTF_8)
-        else null
+        haveHeader = more
+        if (more) parseHeader()
         headerStart = lines.lastLineStart
       }
 
@@ -74,13 +93,11 @@ object FastaFormat extends WritableGraftFormat {
       private val seqBuf: ByteArrayBuilder =
         if (needSeq) new ByteArrayBuilder(1024) else null
 
-      override def hasNext: Boolean = header != null && headerStart < input.end
+      override def hasNext: Boolean = haveHeader && headerStart < input.end
 
       override def next(): Array[Any] = {
-        val h = header.substring(1)
-        val sp = indexOfWhitespace(h)
-        val id = if (sp < 0) h else h.substring(0, sp)
-        val desc = if (sp < 0) null else h.substring(sp + 1).trim
+        val id = idU
+        val desc = descU
         if (needSeq) seqBuf.reset()
         var more = lines.readLineSpan()
         while (more &&
@@ -96,25 +113,14 @@ object FastaFormat extends WritableGraftFormat {
           }
           more = lines.readLineSpan()
         }
-        header = if (more)
-          new String(lines.lineBytes, lines.lineOff, lines.lineLen,
-            java.nio.charset.StandardCharsets.UTF_8)
-        else null
-        headerStart = if (header == null) Long.MaxValue else lines.lastLineStart
+        haveHeader = more
+        if (more) parseHeader()
+        headerStart = if (more) lines.lastLineStart else Long.MaxValue
         required.map {
-          case 0 => utf8(id)
-          case 1 => if (desc == null || desc.isEmpty) null else utf8(desc)
+          case 0 => id
+          case 1 => desc
           case 2 => UTF8String.fromBytes(seqBuf.toArray)
         }
-      }
-
-      private def indexOfWhitespace(s: String): Int = {
-        var i = 0
-        while (i < s.length) {
-          if (s.charAt(i) == ' ' || s.charAt(i) == '\t') return i
-          i += 1
-        }
-        -1
       }
     }
 }
@@ -262,18 +268,36 @@ object FastqFormat extends WritableGraftFormat {
     StructField("sequence", StringType, nullable = false),
     StructField("quality_scores", StringType, nullable = false)))
 
-  /** Byte-level parse: sequence and quality lines — the bulk of the bytes
-    * — become UTF8Strings straight from the raw line spans (one copy, no
-    * UTF-16 transcode); only the short name line materialises as String.
+  /** Byte-level parse: ALL four lines stay on the raw span path — name and
+    * description come off the header span as fresh UTF8Strings (no UTF-16
+    * transcode), sequence and quality straight from their spans (one copy
+    * each).
     */
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
     new Iterator[Array[Any]] {
       private val lines = input.lines
-      private var nameLine: String = lines.readLine()
       private val needSeq = required.contains(2)
       private val needQual = required.contains(3)
+      private var nameU: UTF8String = _
+      private var descU: UTF8String = _
+      private var more: Boolean = readHeader()
 
-      override def hasNext: Boolean = nameLine != null && nameLine.nonEmpty
+      private def readHeader(): Boolean = {
+        if (!lines.readLineSpan() || lines.lineLen == 0) return false
+        val b = lines.lineBytes
+        val o = lines.lineOff
+        val end = o + lines.lineLen
+        require(b(o) == '@',
+          s"malformed FASTQ record: '${FormatUtil.spanString(b, o, end - o)}'")
+        var sp = o + 1
+        while (sp < end && b(sp) != ' ') sp += 1
+        nameU = FormatUtil.utf8Span(b, o + 1, sp - (o + 1))
+        descU = if (sp + 1 < end) FormatUtil.utf8Span(b, sp + 1, end - (sp + 1))
+          else null
+        true
+      }
+
+      override def hasNext: Boolean = more
 
       private def spanUtf8(keep: Boolean): UTF8String = {
         if (!lines.readLineSpan()) null
@@ -284,21 +308,18 @@ object FastqFormat extends WritableGraftFormat {
       }
 
       override def next(): Array[Any] = {
-        require(nameLine.charAt(0) == '@', s"malformed FASTQ record: '$nameLine'")
-        val h = nameLine.substring(1)
-        val sp = h.indexOf(' ')
-        val name = if (sp < 0) h else h.substring(0, sp)
-        val desc = if (sp < 0) null else h.substring(sp + 1)
+        val name = nameU
+        val desc = descU
         val seq = spanUtf8(needSeq)
         val plusOk = lines.readLineSpan() && lines.lineLen > 0 &&
           lines.lineBytes(lines.lineOff) == '+'
         val qual = spanUtf8(needQual)
         require(seq != null && plusOk && qual != null,
           s"truncated FASTQ record for '$name'")
-        nameLine = lines.readLine()
+        more = readHeader()
         required.map {
-          case 0 => utf8(name)
-          case 1 => if (desc == null || desc.isEmpty) null else utf8(desc)
+          case 0 => name
+          case 1 => desc
           case 2 => seq
           case 3 => qual
         }
