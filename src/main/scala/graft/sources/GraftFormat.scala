@@ -146,25 +146,29 @@ object FormatUtil {
 
   /** Reusable delimiter-split scratch over a raw line span: after split(),
     * field i is (bytes, off(i), len(i)). Semantics match
-    * String.split(delim) — trailing empty fields dropped, fields beyond
-    * `max` dropped (well-formed lines never hit the cap). One instance per
-    * executor thread via ThreadLocal; results never outlive one
-    * parseLineBytes call.
+    * String.split(delim) exactly — trailing empty fields dropped, interior
+    * empties kept; the arrays grow as needed (multi-sample VCF lines have
+    * unbounded column counts). One instance per executor thread via
+    * ThreadLocal; results never outlive one parseLineBytes call.
     */
-  final class SpanFields(val max: Int) {
-    val off = new Array[Int](max)
-    val len = new Array[Int](max)
+  final class SpanFields(initial: Int) {
+    var off = new Array[Int](initial)
+    var len = new Array[Int](initial)
     var n = 0
+    @inline private def ensure(): Unit = if (n == off.length) {
+      off = java.util.Arrays.copyOf(off, n * 2)
+      len = java.util.Arrays.copyOf(len, n * 2)
+    }
     def split(b: Array[Byte], lineOff: Int, lineLen: Int, delim: Byte): Int = {
       n = 0
       var s = lineOff
       val end = lineOff + lineLen
       var i = lineOff
-      while (i < end && n < max) {
-        if (b(i) == delim) { off(n) = s; len(n) = i - s; n += 1; s = i + 1 }
+      while (i < end) {
+        if (b(i) == delim) { ensure(); off(n) = s; len(n) = i - s; n += 1; s = i + 1 }
         i += 1
       }
-      if (n < max) { off(n) = s; len(n) = end - s; n += 1 }
+      ensure(); off(n) = s; len(n) = end - s; n += 1
       while (n > 0 && len(n - 1) == 0) n -= 1 // String.split: drop trailing empties
       n
     }
@@ -206,6 +210,45 @@ object FormatUtil {
 
   @inline def spanString(b: Array[Byte], off: Int, len: Int): String =
     new String(b, off, len, java.nio.charset.StandardCharsets.UTF_8)
+
+  def parseIntSpan(b: Array[Byte], off: Int, len: Int): Int = {
+    val v = parseLongSpan(b, off, len)
+    if (v < Int.MinValue || v > Int.MaxValue)
+      throw new NumberFormatException(spanString(b, off, len))
+    v.toInt
+  }
+
+  @inline def spanEq(b: Array[Byte], off: Int, len: Int, c: Char): Boolean =
+    len == 1 && b(off) == c
+
+  /** Sub-split a field span on `sep` into an array of UTF8Strings with
+    * String.split semantics: "" yields [""], trailing empties dropped.
+    */
+  def utf8ArraySpan(b: Array[Byte], off: Int, len: Int, sep: Byte)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (len == 0) // "".split(sep) == [""]
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](UTF8String.EMPTY_UTF8))
+    var cnt = 1
+    var i = off
+    val end = off + len
+    while (i < end) { if (b(i) == sep) cnt += 1; i += 1 }
+    val parts = new Array[Any](cnt)
+    var m = 0
+    var s = off
+    i = off
+    while (i <= end) {
+      if (i == end || b(i) == sep) {
+        parts(m) = utf8Span(b, s, i - s); m += 1; s = i + 1
+      }
+      i += 1
+    }
+    while (m > 0 && parts(m - 1).asInstanceOf[UTF8String].numBytes == 0) m -= 1
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == cnt) parts
+      else java.util.Arrays.copyOf(parts.asInstanceOf[Array[AnyRef]], m)
+        .asInstanceOf[Array[Any]])
+  }
 
   @inline def spanStartsWith(b: Array[Byte], off: Int, len: Int, p: String): Boolean = {
     if (len < p.length) return false

@@ -99,6 +99,76 @@ object SamFormat extends LineFormat with IndexableGraftFormat {
     }
   }
 
+  /** CIGAR reference length off a raw span (M/D/N/=/X ops). */
+  private def cigarRefLenSpan(b: Array[Byte], off: Int, len: Int): Long = {
+    var total = 0L
+    var n = 0L
+    var i = off
+    val end = off + len
+    while (i < end) {
+      val c = b(i)
+      if (c >= '0' && c <= '9') n = n * 10 + (c - '0')
+      else {
+        if (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X') total += n
+        n = 0
+      }
+      i += 1
+    }
+    total
+  }
+
+  override def parsesBytes: Boolean = true
+  override def skipLineBytes(b: Array[Byte], off: Int, len: Int): Boolean =
+    len == 0 || b(off) == '@'
+  private val scratch = new ThreadLocal[SpanFields] {
+    override def initialValue(): SpanFields = new SpanFields(16)
+  }
+  override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
+                              required: Array[Int]): Array[Any] = {
+    val f = scratch.get()
+    val nf = f.split(b, off, len, '\t')
+    if (nf < 11) return null
+    @inline def star(i: Int): Boolean = spanEq(b, f.off(i), f.len(i), '*')
+    val pos = parseLongSpan(b, f.off(3), f.len(3))
+    val unmapped = pos == 0L || star(5)
+    required.map {
+      case 0 => if (star(0)) null else utf8Span(b, f.off(0), f.len(0))
+      case 1 => parseIntSpan(b, f.off(1), f.len(1))
+      case 2 => if (star(2)) null else utf8Span(b, f.off(2), f.len(2))
+      case 3 => if (pos == 0L) null else pos
+      case 4 => if (unmapped) null
+        else pos + cigarRefLenSpan(b, f.off(5), f.len(5)) - 1
+      case 5 => if (f.len(4) == 3 && b(f.off(4)) == '2' && b(f.off(4) + 1) == '5' &&
+          b(f.off(4) + 2) == '5') null
+        else utf8Span(b, f.off(4), f.len(4))
+      case 6 => if (star(5)) null else utf8Span(b, f.off(5), f.len(5))
+      case 7 =>
+        if (star(6)) null
+        else if (spanEq(b, f.off(6), f.len(6), '=')) {
+          if (star(2)) null else utf8Span(b, f.off(2), f.len(2))
+        } else utf8Span(b, f.off(6), f.len(6))
+      case 8 => if (star(9)) null else utf8Span(b, f.off(9), f.len(9))
+      case 9 =>
+        if (star(10)) null
+        else {
+          val qo = f.off(10)
+          val ql = f.len(10)
+          val arr = new Array[Any](ql)
+          var i = 0
+          while (i < ql) { arr(i) = (b(qo + i) - 33).toLong; i += 1 }
+          new GenericArrayData(arr)
+        }
+      case 10 =>
+        val tags = new Array[Any](math.max(0, nf - 11))
+        var i = 11
+        while (i < nf) {
+          tags(i - 11) = parseTag(spanString(b, f.off(i), f.len(i)))
+          i += 1
+        }
+        new GenericArrayData(tags)
+    }
+  }
+
   // ---- sink: schema-faithful text SAM ----------------------------------
   // The schema carries no PNEXT/TLEN (the reader drops them), so those
   // columns write as 0 — a read->write->read round trip is identity on
@@ -227,6 +297,38 @@ object VcfFormat extends LineFormat with IndexableGraftFormat {
       case 8 =>
         if (f.length <= 8) null
         else utf8(f.drop(8).mkString("\t"))
+    }
+  }
+
+  /** Byte-span parse: tab-split on the raw span (growable scratch — sample
+    * column counts are unbounded); the `formats` column is the raw byte
+    * range of fields 8..n-1 (identical to the tab re-join of the String
+    * path, with zero intermediate Strings).
+    */
+  override def parsesBytes: Boolean = true
+  private val scratch = new ThreadLocal[SpanFields] {
+    override def initialValue(): SpanFields = new SpanFields(16)
+  }
+  override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
+                              required: Array[Int]): Array[Any] = {
+    val f = scratch.get()
+    val nf = f.split(b, off, len, '\t')
+    if (nf < 8) return null
+    required.map {
+      case 0 => utf8Span(b, f.off(0), f.len(0))
+      case 1 => parseLongSpan(b, f.off(1), f.len(1))
+      case 2 => if (isDotSpan(b, f.off(2), f.len(2))) null
+        else utf8ArraySpan(b, f.off(2), f.len(2), ';')
+      case 3 => utf8Span(b, f.off(3), f.len(3))
+      case 4 => if (isDotSpan(b, f.off(4), f.len(4))) null
+        else utf8ArraySpan(b, f.off(4), f.len(4), ',')
+      case 5 => dotNullFloatSpan(b, f.off(5), f.len(5))
+      case 6 => if (isDotSpan(b, f.off(6), f.len(6))) null
+        else utf8ArraySpan(b, f.off(6), f.len(6), ';')
+      case 7 => dotNullSpan(b, f.off(7), f.len(7))
+      case 8 =>
+        if (nf <= 8) null
+        else utf8Span(b, f.off(8), f.off(nf - 1) + f.len(nf - 1) - f.off(8))
     }
   }
 
