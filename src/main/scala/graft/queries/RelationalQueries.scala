@@ -1090,36 +1090,37 @@ object RelationalQueries {
     }),
 
     // Market-basket co-occurrence with lift: part pairs ordered together
-    // at support >= 3, scored by integer-exact lift permille. Pair
-    // generation is a keyed self-join on l_orderkey — candidate volume is
-    // Σ width² per order, never corpus² — AND the width itself is capped:
-    // baskets wider than maxBasket (32; TPC-H maxes at 7, so nothing is
-    // dropped here) are excluded from mining via a left-semi width filter
-    // and surfaced in n_overflow_orders, so one hot basket can never
-    // explode a task at skewed 100 TB scale (l04's hot-bucket
-    // discipline). Order total and overflow count are 1-row broadcasts;
-    // the per-part counts join the tiny post-support pair set, not the
-    // raw pairs.
+    // at support >= 3, scored by integer-exact lift permille. ONE shuffle
+    // builds per-order baskets (collect_set keyed on l_orderkey — the
+    // aggregation buffer holds one order's distinct parts, linear in
+    // basket width, never quadratic); baskets wider than maxBasket (32;
+    // TPC-H maxes at 7, so nothing is dropped here) are excluded from
+    // mining and surfaced in n_overflow_orders, so one hot basket cannot
+    // explode a task at skewed 100 TB scale. Pair generation is then a
+    // MAP-side double explode over the capped arrays (≤ 32²/2 pairs per
+    // order, no self-join, no cartesian); tot/ovf/pcnt all reuse the one
+    // basket exchange. Order total and overflow count are 1-row
+    // broadcasts; per-part counts join the tiny post-support pair set,
+    // not the raw pairs.
     "q64_part_cooccurrence" -> ((s, d) => {
       val maxBasket = 32
-      val li0 = lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
-      val widths = li0.groupBy(col("l_orderkey")).agg(count(lit(1)).as("w"))
-      val li = li0.join(
-        widths.filter(col("w") <= maxBasket).select(col("l_orderkey")),
-        Seq("l_orderkey"), "left_semi")
-      val ovf = widths.agg(
-        sum(when(col("w") > maxBasket, 1L).otherwise(0L)).as("n_overflow_orders"))
-      val tot = li.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("n_orders_total"))
-      val pcnt = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("pc"))
-      li.alias("a").join(li.alias("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      val baskets = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("parts"))
+      val ovf = baskets.agg(
+        sum(when(size(col("parts")) > maxBasket, 1L).otherwise(0L))
+          .as("n_overflow_orders"))
+      val kept = baskets.filter(size(col("parts")) <= maxBasket)
+      val tot = kept.agg(count(lit(1)).as("n_orders_total"))
+      val pcnt = kept.select(explode(col("parts")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("pc"))
+      kept.select(explode(col("parts")).as("pa"), col("parts"))
+        .select(col("pa"), explode(col("parts")).as("pb"))
+        .filter(col("pa") < col("pb"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 3)
-        .join(pcnt.select(col("l_partkey").as("pa"), col("pc").as("ca")), Seq("pa"))
-        .join(pcnt.select(col("l_partkey").as("pb"), col("pc").as("cb")), Seq("pb"))
+        .join(pcnt.select(col("pk").as("pa"), col("pc").as("ca")), Seq("pa"))
+        .join(pcnt.select(col("pk").as("pb"), col("pc").as("cb")), Seq("pb"))
         .crossJoin(broadcast(tot))
         .crossJoin(broadcast(ovf))
         .select(col("pa"), col("pb"), col("n_orders"), col("ca"), col("cb"),

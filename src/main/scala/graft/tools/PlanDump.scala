@@ -87,10 +87,16 @@ object PlanDump {
         }),
       ("vcf_numeric_columnar_scan",
         "Primitive-only projection runs columnar: BatchScan emits " +
-          "ColumnarBatch and Spark inserts codegen'd ColumnarToRow; " +
-          "string projections deliberately keep the row path.",
+          "ColumnarBatch and Spark inserts codegen'd ColumnarToRow over " +
+          "on-heap vectors.",
         () => spark.read.format("vcf").load(s"$fx/vcf/index.vcf")
           .select("pos")),
+      ("fasta_string_columnar_scan",
+        "String projections ALSO run columnar: RefColumnVector hands the " +
+          "parser's UTF8String references to codegen with zero byte " +
+          "copies — ColumnarToRow over BatchScan fasta.",
+        () => spark.read.format("fasta").load(s"$fx/fasta/test.fasta")
+          .select("sequence")),
       ("q44_grouping_sets",
         "Three groupings (per-returnflag, per-linestatus, grand total) " +
           "through ONE Expand-fed shuffle — a single parquet scan, not three.",
@@ -171,10 +177,20 @@ object PlanDump {
           "against the eval gram set.",
         () => graft.queries.LlmQueries.queries("l54_token_decontamination")(spark, d)),
       ("q64_part_cooccurrence",
-        "Market-basket pairs: keyed self-join on l_orderkey (candidate " +
-          "volume bounded by basket width), per-part counts join the tiny " +
-          "post-support pair set; the only BNLJ is the 1-row total.",
+        "Market-basket pairs: keyed self-join on l_orderkey with baskets " +
+          "wider than 32 excluded via a LeftSemi width filter (counted in " +
+          "n_overflow_orders) — candidate volume capped even under skew; " +
+          "the only BNLJs are the 1-row total/overflow broadcasts.",
         () => graft.queries.RelationalQueries.queries("q64_part_cooccurrence")(spark, d)),
+      ("q70_merge_upsert_log",
+        "Lakehouse MERGE: both sides compact with ONE window keyed on the " +
+          "merge key (WindowGroupLimit pushes top-1 map-side), a single " +
+          "keyed FULL OUTER join resolves matched/not-matched.",
+        () => graft.queries.RelationalQueries.mergeUpsertLog(spark, d)),
+      ("q71_indexed_merge_rows",
+        "The same MERGE shape feeding the indexed bgzf+.tbi VCF sink: " +
+          "window-compacted delta, keyed FullOuter, no cartesian.",
+        () => graft.queries.RelationalQueries.indexedMergeRows(spark)),
       ("q66_gapfill",
         "Gap fill: dense grid from a generator (no driver loop), " +
           "forward-fill window partitioned per series.",

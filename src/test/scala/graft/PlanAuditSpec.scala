@@ -663,7 +663,7 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("LeftSemi"), plan)
   }
 
-  test("q64 co-occurrence: pair join keyed on order, capped baskets, no cartesian") {
+  test("q64 co-occurrence: one basket shuffle, map-side pair explode, capped, no cartesian") {
     val df = RelationalQueries.queries("q64_part_cooccurrence")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
@@ -671,9 +671,11 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     // overflow count)
     val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
     assert(bnlj.size <= 2, plan)
-    // basket-size cap: pair generation reads only orders that pass the
-    // width filter (left-semi against the <=32-wide order set)
-    assert(plan.contains("LeftSemi"), plan)
+    // pair generation is a generator over the capped basket arrays — no
+    // self-join of the item table anywhere in the plan
+    assert(plan.contains("Generate"), plan)
+    // the basket-width cap sits under the explode
+    assert(plan.contains("size(parts") && plan.contains("<= 32"), plan)
   }
 
   test("q71 indexed merge: keyed full-outer resolution; region re-read prunes bytes") {
