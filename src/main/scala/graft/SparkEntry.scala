@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{FormatQueries, LlmQueries, RelationalQueries, UdfQueries}
+import graft.queries.{FormatQueries, LlmQueries, RelationalQueries, StreamQueries, UdfQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracles),
       (UdfQueries.queries, UdfQueries.oracles),
       (FormatQueries.queries, FormatQueries.oracles),
-      (LlmQueries.queries, LlmQueries.oracles)
+      (LlmQueries.queries, LlmQueries.oracles),
+      (StreamQueries.queries, StreamQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -84,5 +84,30 @@ class ColumnarPathSpec extends AnyFunSuite with SharedSpark {
     val gnames = spark.read.format("gff").load(gf.toString)
       .select("seqname").collect().map(_.getString(0)).toSet
     assert(gnames == (0 until 200).map(i => s"chr$i").toSet)
+
+    // VCF: chrom/ref string projection through the byte-span parser
+    val vf = dir.resolve("many.vcf")
+    val vcf = "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n" +
+      (0 until 200).map(i =>
+        s"c$i\t${i + 1}\t.\tA${i % 7}\tG\t50\tPASS\tAC=$i").mkString("\n")
+    java.nio.file.Files.write(vf, vcf.getBytes)
+    val vrows = spark.read.format("vcf").load(vf.toString)
+      .select("chrom", "ref", "info").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(vrows.size == 200)
+    (0 until 200).foreach { i =>
+      assert(vrows(s"c$i") == (s"A${i % 7}", s"AC=$i"), s"c$i")
+    }
+
+    // SAM: name/cigar string projection through the byte-span parser
+    val sf = dir.resolve("many.sam")
+    val sam = "@HD\tVN:1.6\n" + (0 until 200).map(i =>
+      s"r$i\t0\tc${i % 5}\t${i + 1}\t60\t${4 + i % 9}M\t*\t0\t0\tACGT\tIIII").mkString("\n")
+    java.nio.file.Files.write(sf, sam.getBytes)
+    val srows = spark.read.format("sam").load(sf.toString)
+      .select("name", "cigar").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(srows.size == 200)
+    (0 until 200).foreach { i => assert(srows(s"r$i") == s"${4 + i % 9}M", s"r$i") }
   }
 }
