@@ -172,6 +172,32 @@ object FormatUtil {
       while (n > 0 && len(n - 1) == 0) n -= 1 // String.split: drop trailing empties
       n
     }
+
+    @inline private def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\t' || c == '\f' || c == 0x0B || c == '\r'
+
+    /** Whitespace-RUN split with a positive limit, matching
+      * trim().split("\\s+", limit): runs of whitespace separate fields and
+      * field limit-1 is the verbatim remainder. Pass a pre-trimmed span.
+      */
+    def splitWs(b: Array[Byte], lineOff: Int, lineLen: Int, limit: Int): Int = {
+      n = 0
+      val end = lineOff + lineLen
+      var i = lineOff
+      while (i < end) {
+        while (i < end && isWs(b(i))) i += 1
+        if (i < end) {
+          val s = i
+          if (n == limit - 1) {
+            ensure(); off(n) = s; len(n) = end - s; n += 1; i = end
+          } else {
+            while (i < end && !isWs(b(i))) i += 1
+            ensure(); off(n) = s; len(n) = i - s; n += 1
+          }
+        }
+      }
+      n
+    }
   }
 
   /** Fresh-copy UTF8String from a span (RefColumnVector contract: never a

@@ -451,4 +451,31 @@ object HmmDomTabFormat extends LineFormat {
       else dotNull(f(i))
     }
   }
+
+  /** Byte-span parse: whitespace-run split (limit 23 — the description
+    * field keeps its interior spaces verbatim); doubles still go through
+    * Double.parseDouble on a per-field mini-String (exact grammar match),
+    * everything else stays on the span.
+    */
+  override def parsesBytes: Boolean = true
+  private val scratch = new ThreadLocal[SpanFields] {
+    override def initialValue(): SpanFields = new SpanFields(23)
+  }
+  override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
+                              required: Array[Int]): Array[Any] = {
+    var s = off
+    var e = off + len
+    while (s < e && (b(s) & 0xff) <= ' ') s += 1
+    while (e > s && (b(e - 1) & 0xff) <= ' ') e -= 1
+    val f = scratch.get()
+    val nf = f.splitWs(b, s, e - s, 23)
+    if (nf < 22) return null
+    required.map { i =>
+      if (i == 22) { if (nf < 23) null else dotNullSpan(b, f.off(22), f.len(22)) }
+      else if (longCols.contains(i)) parseLongSpan(b, f.off(i), f.len(i))
+      else if (doubleCols.contains(i))
+        java.lang.Double.parseDouble(spanString(b, f.off(i), f.len(i)))
+      else dotNullSpan(b, f.off(i), f.len(i))
+    }
+  }
 }
