@@ -1107,11 +1107,14 @@ object RelationalQueries {
       val baskets = lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(collect_set(col("l_partkey")).as("parts"))
-      val ovf = baskets.agg(
+      // overflow count + kept-order total in ONE scalar aggregate (one
+      // 1-row broadcast instead of two, one fewer basket recomputation)
+      val totOvf = baskets.agg(
+        sum(when(size(col("parts")) <= maxBasket, 1L).otherwise(0L))
+          .as("n_orders_total"),
         sum(when(size(col("parts")) > maxBasket, 1L).otherwise(0L))
           .as("n_overflow_orders"))
       val kept = baskets.filter(size(col("parts")) <= maxBasket)
-      val tot = kept.agg(count(lit(1)).as("n_orders_total"))
       val pcnt = kept.select(explode(col("parts")).as("pk"))
         .groupBy(col("pk")).agg(count(lit(1)).as("pc"))
       kept.select(explode(col("parts")).as("pa"), col("parts"))
@@ -1121,8 +1124,7 @@ object RelationalQueries {
         .filter(col("n_orders") >= 3)
         .join(pcnt.select(col("pk").as("pa"), col("pc").as("ca")), Seq("pa"))
         .join(pcnt.select(col("pk").as("pb"), col("pc").as("cb")), Seq("pb"))
-        .crossJoin(broadcast(tot))
-        .crossJoin(broadcast(ovf))
+        .crossJoin(broadcast(totOvf))
         .select(col("pa"), col("pb"), col("n_orders"), col("ca"), col("cb"),
           expr("(1000 * n_orders * n_orders_total) div (ca * cb)")
             .as("lift_permille"),
