@@ -114,6 +114,76 @@ object StreamQueries {
       q.processAllAvailable()
       q.stop()
       s.table(name).select(col("doc_id"), col("hash")).orderBy(col("doc_id"))
+    }),
+
+    // Gap-based sessionization via mapGroupsWithState: an in-batch gap
+    // closes a session immediately; the trailing open session closes by
+    // event-time TIMEOUT once the watermark passes session_end + gap
+    // (timeouts fire the batch after the watermark advances, hence the
+    // second poke). Session bounds surface as minute offsets.
+    "s04_stream_sessionize" -> ((s, _) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.UserEvent]
+      val name = memName("s04m")
+      val q = graft.streaming.StreamingOps
+        .sessionize(in.toDS(), gapMs = 30L * 60000, watermark = "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      in.addData(graft.streaming.UserEvent(1, ts(0)),
+        graft.streaming.UserEvent(1, ts(1)),
+        graft.streaming.UserEvent(1, ts(2)),
+        graft.streaming.UserEvent(1, ts(50)))
+      q.processAllAvailable()
+      in.addData(graft.streaming.UserEvent(2, ts(200)))
+      q.processAllAvailable()
+      in.addData(graft.streaming.UserEvent(2, ts(201)))
+      q.processAllAvailable()
+      q.stop()
+      // user 2's session is still open when the stream stops — only user
+      // 1's two closed sessions are graded
+      s.table(name).filter(col("user_id") === 1)
+        .select(col("user_id"),
+          ((unix_millis(col("session_start")) - 1700000000000L) / 60000L)
+            .cast("long").as("start_min"),
+          ((unix_millis(col("session_end")) - 1700000000000L) / 60000L)
+            .cast("long").as("end_min"),
+          col("n_events"))
+        .orderBy(col("start_min"))
+    }),
+
+    // Stream-stream interval join (click attribution): both sides
+    // watermarked, two-sided event-time range condition (what lets Spark
+    // evict join buffers); a click beyond the horizon and a click with no
+    // impression do NOT attribute, and a click buffered BEFORE its
+    // impression arrives still matches once it lands.
+    "s05_stream_interval_join" -> ((s, _) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val impIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val clkIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val name = memName("s05m")
+      val q = graft.streaming.StreamingOps.clickAttribution(
+          impIn.toDF().toDF("ad_id", "ts"), clkIn.toDF().toDF("ad_id", "ts"),
+          horizonMinutes = 30, watermark = "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      impIn.addData((1L, ts(0)), (2L, ts(5)))
+      clkIn.addData((1L, ts(10)), (1L, ts(45)), (3L, ts(12)))
+      q.processAllAvailable()
+      clkIn.addData((2L, ts(20)))
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .select(col("ad_id"),
+          ((unix_millis(col("imp_ts")) - 1700000000000L) / 60000L)
+            .cast("long").as("imp_min"),
+          ((unix_millis(col("click_ts")) - 1700000000000L) / 60000L)
+            .cast("long").as("click_min"))
+        .orderBy(col("ad_id"))
     })
   )
 
@@ -138,6 +208,27 @@ object StreamQueries {
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 'h1'), (CAST(3 AS BIGINT), 'h2'),
         |  (CAST(5 AS BIGINT), 'h3'))
-        |t(doc_id, hash) ORDER BY doc_id""".stripMargin
+        |t(doc_id, hash) ORDER BY doc_id""".stripMargin,
+
+    // user 1: events at min 0,1,2 then min 50 — the 48-min gap closes
+    // session [0,2] (3 events) in-batch; the trailing [50,50] session (1
+    // event) closes by event-time timeout
+    "s04_stream_sessionize" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(3 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(50 AS BIGINT), CAST(50 AS BIGINT),
+        |   CAST(1 AS BIGINT)))
+        |t(user_id, start_min, end_min, n_events) ORDER BY start_min""".stripMargin,
+
+    // ad 1: click at min 10 inside the 30-min horizon (impression min 0);
+    // ad 2: click min 20 attributes to impression min 5 even though the
+    // click arrived in an earlier batch than processed order; the min-45
+    // click (beyond horizon) and ad-3 click (no impression) are absent
+    "s05_stream_interval_join" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(10 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(20 AS BIGINT)))
+        |t(ad_id, imp_min, click_min) ORDER BY ad_id""".stripMargin
   )
 }
