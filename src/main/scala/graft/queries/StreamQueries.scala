@@ -29,6 +29,22 @@ object StreamQueries {
   private def memName(p: String): String =
     p + java.util.UUID.randomUUID.toString.replace("-", "").take(12)
 
+  /** The stateful gates carry a handful of keys; their cost is pure state
+    * store overhead (instances × micro-batches = shuffle partitions ×
+    * batches, each with a checkpoint commit). Pin the STREAMING state
+    * partitioning to 2 for the duration of the gate — a real deployment
+    * sizes this to key cardinality, and 32 one-key state stores per batch
+    * is waste, not work. Restored afterwards; Verify/Bench run queries
+    * sequentially so the temporary session conf cannot leak into another
+    * query's plan.
+    */
+  private def withTinyStreamState[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "2")
+    try body finally s.conf.set(key, prev)
+  }
+
   private def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
 
   val queries: Map[String, Q] = Map(
@@ -69,6 +85,7 @@ object StreamQueries {
     // result. Window start surfaces as epoch millis so the oracle is a
     // timezone-free literal.
     "s02_stream_window_counts" -> ((s, _) => {
+      withTinyStreamState(s) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val in = org.apache.spark.sql.execution.streaming.runtime
@@ -90,12 +107,14 @@ object StreamQueries {
         .select(unix_millis(col("window_start")).as("w_ms"), col("kind"),
           col("n"))
         .orderBy(col("w_ms"), col("kind"))
+      }
     }),
 
     // Streaming exact dedup via flatMapGroupsWithState: a document emits
     // the FIRST time its content hash is seen, across batches; later
     // sightings are dropped from the stream.
     "s03_stream_dedup" -> ((s, _) => {
+      withTinyStreamState(s) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val in = org.apache.spark.sql.execution.streaming.runtime
@@ -114,6 +133,7 @@ object StreamQueries {
       q.processAllAvailable()
       q.stop()
       s.table(name).select(col("doc_id"), col("hash")).orderBy(col("doc_id"))
+      }
     }),
 
     // Gap-based sessionization via mapGroupsWithState: an in-batch gap
@@ -122,6 +142,7 @@ object StreamQueries {
     // (timeouts fire the batch after the watermark advances, hence the
     // second poke). Session bounds surface as minute offsets.
     "s04_stream_sessionize" -> ((s, _) => {
+      withTinyStreamState(s) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val in = org.apache.spark.sql.execution.streaming.runtime
@@ -151,6 +172,7 @@ object StreamQueries {
             .cast("long").as("end_min"),
           col("n_events"))
         .orderBy(col("start_min"))
+      }
     }),
 
     // Stream-stream interval join (click attribution): both sides
@@ -159,6 +181,7 @@ object StreamQueries {
     // impression do NOT attribute, and a click buffered BEFORE its
     // impression arrives still matches once it lands.
     "s05_stream_interval_join" -> ((s, _) => {
+      withTinyStreamState(s) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val impIn = org.apache.spark.sql.execution.streaming.runtime
@@ -184,6 +207,7 @@ object StreamQueries {
           ((unix_millis(col("click_ts")) - 1700000000000L) / 60000L)
             .cast("long").as("click_min"))
         .orderBy(col("ad_id"))
+      }
     })
   )
 
