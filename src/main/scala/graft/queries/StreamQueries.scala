@@ -208,6 +208,50 @@ object StreamQueries {
             .cast("long").as("click_min"))
         .orderBy(col("ad_id"))
       }
+    }),
+
+    // Streaming == batch on REAL data: the sf events table read through
+    // the file-stream source (AvailableNow), hourly tumbling windows per
+    // event_type in complete mode — the graded result must equal DuckDB's
+    // batch date_trunc aggregation over the same parquet. Replicates
+    // Tables.events' ts-encoding adaptation (TIMESTAMP_NANOS-as-long /
+    // NTZ / LTZ) on the streaming side.
+    "s06_stream_events_hourly" -> ((s, d) => {
+      withTinyStreamState(s) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val path = s"$d/events.parquet"
+        // FileStreamSource wants a DIRECTORY; expose the single-file table
+        // through a symlink in a per-sfdir gate dir (one-time setup).
+        val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = gateDir(s"stream_events_$slug")
+        val link = new java.io.File(dir, "events.parquet").toPath
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(
+            link, java.nio.file.Paths.get(path))
+        val raw = s.read.parquet(path)
+        val stream0 = s.readStream.schema(raw.schema)
+          .parquet(dir.getAbsolutePath)
+        val stream = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            stream0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            stream0.withColumn("ts",
+              col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => stream0
+        }
+        val name = memName("s06m")
+        val q = stream
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+          .select(unix_millis(col("window.start")).as("w_ms"),
+            col("event_type"), col("n"))
+          .orderBy(col("w_ms"), col("event_type"))
+      }
     })
   )
 
@@ -253,6 +297,11 @@ object StreamQueries {
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(10 AS BIGINT)),
         |  (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(20 AS BIGINT)))
-        |t(ad_id, imp_min, click_min) ORDER BY ad_id""".stripMargin
+        |t(ad_id, imp_min, click_min) ORDER BY ad_id""".stripMargin,
+
+    "s06_stream_events_hourly" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS w_ms,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY w_ms, event_type""".stripMargin
   )
 }
