@@ -91,6 +91,13 @@ object PlanDump {
           "on-heap vectors.",
         () => spark.read.format("vcf").load(s"$fx/vcf/index.vcf")
           .select("pos")),
+      ("gff_feature_scan_pruned",
+        "Text-feature scan (the b12 shape): projection pruning reaches the " +
+          "byte-span parser — GraftScan lists only type/start/end, the " +
+          "attributes map is never parsed.",
+        () => spark.read.format("gff").load(s"$fx/gff/test.gff")
+          .filter(org.apache.spark.sql.functions.col("type") === "gene")
+          .groupBy().sum("start")),
       ("fasta_string_columnar_scan",
         "String projections ALSO run columnar: RefColumnVector hands the " +
           "parser's UTF8String references to codegen with zero byte " +

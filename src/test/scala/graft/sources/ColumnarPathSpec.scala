@@ -109,5 +109,44 @@ class ColumnarPathSpec extends AnyFunSuite with SharedSpark {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(srows.size == 200)
     (0 until 200).foreach { i => assert(srows(s"r$i") == s"${4 + i % 9}M", s"r$i") }
+
+    // GTF: seqname/type through the byte-span parser
+    val tf = dir.resolve("many.gtf")
+    val gtf = (0 until 200).map(i =>
+      s"""g$i\tsrc\tkind$i\t${i + 1}\t${i + 50}\t.\t+\t.\tgene_id "x$i";""").mkString("\n")
+    java.nio.file.Files.write(tf, gtf.getBytes)
+    val trows = spark.read.format("gtf").load(tf.toString)
+      .select("seqname", "type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(trows.size == 200)
+    (0 until 200).foreach { i => assert(trows(s"g$i") == s"kind$i", s"g$i") }
+
+    // BED: name column (nullable string) through the byte-span parser
+    val bf = dir.resolve("many.bed")
+    val bed = (0 until 200).map(i =>
+      s"b${i % 7}\t${i * 10}\t${i * 10 + 5}\t${if (i % 3 == 0) "." else s"feat$i"}")
+      .mkString("\n")
+    java.nio.file.Files.write(bf, bed.getBytes)
+    val brows = spark.read.format("bed").load(bf.toString)
+      .select("start", "name").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(brows.size == 200)
+    (0 until 200).foreach { i =>
+      assert(brows(i * 10L) == (if (i % 3 == 0) null else s"feat$i"), s"bed $i")
+    }
+
+    // HMMDOMTAB: target/query names through the whitespace-run byte parser
+    val hf = dir.resolve("many.domtblout")
+    val hmm = (0 until 100).map(i =>
+      s"t$i acc$i 100 q$i . 200 1e-5 12.5 0.1 1 2 1e-4 1e-3 11.0 0.2 " +
+        s"1 50 ${i + 1} ${i + 60} 1 70 0.9 desc $i").mkString("\n")
+    java.nio.file.Files.write(hf, hmm.getBytes)
+    val hrows = spark.read.format("hmmdomtab").load(hf.toString)
+      .select("target_name", "query_name", "ali_from").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(hrows.size == 100)
+    (0 until 100).foreach { i =>
+      assert(hrows(s"t$i") == ((s"q$i", (i + 1).toLong)), s"hmm $i")
+    }
   }
 }
