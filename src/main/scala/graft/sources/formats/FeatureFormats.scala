@@ -405,6 +405,12 @@ final class BedNFieldsFormat(n: Int) extends LineFormat {
   override def skipLine(line: String): Boolean = BedFormat.skipLine(line)
   override def parseLine(line: String, required: Array[Int]): Array[Any] =
     BedFormat.parseLine(line, required)
+  override def parsesBytes: Boolean = true
+  override def skipLineBytes(b: Array[Byte], off: Int, len: Int): Boolean =
+    BedFormat.skipLineBytes(b, off, len)
+  override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
+                              required: Array[Int]): Array[Any] =
+    BedFormat.parseLineBytes(b, off, len, required)
 }
 
 /** HMMER domain table: whitespace-delimited, 22 fixed columns + free-text
