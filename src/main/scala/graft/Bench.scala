@@ -475,8 +475,19 @@ object Bench {
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
-        Seq(1, 2, 4, 8).foreach { w =>
+        // w16 goes beyond the baseline's 8-worker sweep: the corpus files
+        // are uncompressed FASTA (record-aligned SPLITTABLE), so
+        // parallelism is NOT capped at the 8-file count the way the
+        // reference's whole-file regrouping is. The ~100 MB files sit
+        // under the default 128 MB maxPartitionBytes (1 split each), so
+        // the w16 session sets a 48 MB split target — the knob a real
+        // deployment sizes to its block size — to let one file fan out
+        // over multiple tasks; w1..w8 keep the default for round-over-
+        // round comparability.
+        Seq(1, 2, 4, 8, 16).foreach { w =>
           val s = LocalSession.buildBench(w.toString)
+          if (w > 8)
+            s.conf.set("spark.sql.files.maxPartitionBytes", "48m")
           def scan(): Long = s.read.format("fasta").load(scaleDir)
             .agg(sum(length(col("sequence")))).count()
           scan() // warm-up, same policy as the query pack
