@@ -42,6 +42,10 @@ object StreamQueries {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, "2")
+    // s02/s04 rely on the no-data micro-batch that fires after a watermark
+    // advance to emit finalized windows / fire event-time timeouts; pin the
+    // behavior rather than inheriting whatever the session default is.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try body finally s.conf.set(key, prev)
   }
 
