@@ -453,6 +453,58 @@ object FormatQueries {
     // the independent Python gzip+struct parse of the ORIGINAL fixture
     // (tools/pin_f55.py's parser), so a loss anywhere in the chain breaks
     // the gate.
+    // BED `nFields` table option (reference: bed/table_options.rs 3..=12,
+    // exon-bed/src/schema.rs:27-49): the same 12-column file read at
+    // nFields=4 must expose exactly the first 4 columns (schema truncation,
+    // not null-padding), while the default read keeps all 12.
+    "f59_bed_nfields" -> ((s, _) => {
+      val dir = gateDir("bed_nfields")
+      val f = new java.io.File(dir, "t.bed")
+      if (!f.exists()) {
+        val w = new java.io.BufferedWriter(new java.io.FileWriter(f))
+        (0 until 100).foreach { i =>
+          w.write(s"chr${i % 4}\t${i * 10}\t${i * 10 + 5}\tfeat$i\t${i % 50}\t+" +
+            s"\t${i * 10}\t${i * 10 + 5}\t0\t1\t5\t0\n")
+        }
+        w.close()
+      }
+      val n4 = s.read.format("bed").option("nFields", "4")
+        .load(f.getAbsolutePath)
+      val full = s.read.format("bed").load(f.getAbsolutePath)
+      n4.agg(
+        count(lit(1)).as("n"),
+        lit(n4.schema.fields.length.toLong).as("n_cols_4"),
+        lit(full.schema.fields.length.toLong).as("n_cols_12"),
+        sum(col("end") - col("start")).as("sum_span"))
+        .crossJoin(broadcast(
+          full.agg(sum(col("score")).as("sum_score"))))
+    }),
+
+    // zstd decode through the driver gate (f33 covers bzip2+xz; sbt specs
+    // cover gzip/zstd): the same synthetic FASTA written raw and as .zst
+    // must produce identical aggregates through extension-driven decode.
+    "f60_zstd_scan" -> ((s, _) => {
+      val dir = gateDir("zstd_scan")
+      val raw = new java.io.File(dir, "t.fasta")
+      val zst = new java.io.File(dir, "t.fasta.zst")
+      if (!zst.exists()) {
+        val body = (0 until 500)
+          .map(i => s">z$i\n${"ACGT" * (1 + i % 9)}\n").mkString
+        java.nio.file.Files.writeString(raw.toPath, body)
+        val out = new com.github.luben.zstd.ZstdOutputStream(
+          new java.io.FileOutputStream(zst))
+        out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      }
+      val a = s.read.format("fasta").load(raw.getAbsolutePath)
+        .agg(count(lit(1)).as("n_raw"),
+          sum(length(col("sequence"))).as("len_raw"))
+      val b = s.read.format("fasta").load(zst.getAbsolutePath)
+        .agg(count(lit(1)).as("n_zst"),
+          sum(length(col("sequence"))).as("len_zst"))
+      a.crossJoin(broadcast(b))
+    }),
+
     "f58_sink_chain" -> ((s, _) => {
       val dir = gateDir("sink_chain").getAbsolutePath
       s.read.format("bam").load(s"$fx/bam/test.bam")
@@ -1034,6 +1086,19 @@ object FormatQueries {
     "f58_sink_chain" ->
       """SELECT CAST(61 AS BIGINT) AS n, CAST(12417 AS BIGINT) AS sum_flag,
         |  CAST(744752726 AS BIGINT) AS sum_start""".stripMargin,
+
+    // 500 seqs of length 4*(1 + i%9): sum(i%9 for i in 0..499) =
+    // 55 full cycles * 36 + (0+1+2+3+4) = 1990, so total len =
+    // 4 * (500 + 1990) = 9960
+    "f60_zstd_scan" ->
+      """SELECT CAST(500 AS BIGINT) AS n_raw, CAST(9960 AS BIGINT) AS len_raw,
+        |  CAST(500 AS BIGINT) AS n_zst, CAST(9960 AS BIGINT) AS len_zst""".stripMargin,
+
+    // 100 rows, span 5 each; sum(score) = sum(i % 50 for i in 0..99) = 2450
+    "f59_bed_nfields" ->
+      """SELECT CAST(100 AS BIGINT) AS n, CAST(4 AS BIGINT) AS n_cols_4,
+        |  CAST(12 AS BIGINT) AS n_cols_12, CAST(500 AS BIGINT) AS sum_span,
+        |  CAST(2450 AS BIGINT) AS sum_score""".stripMargin,
 
     // Pinned by tools/pin_f55.py (independent Python gzip+struct BAM parse).
     "f55_bam_flagstat" ->
