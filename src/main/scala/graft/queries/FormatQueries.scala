@@ -505,6 +505,54 @@ object FormatQueries {
       a.crossJoin(broadcast(b))
     }),
 
+    // Object-store region query through the driver gate (previously
+    // sbt+bench only): a bgzf+.tbi VCF table written by the engine's own
+    // indexed sink is served by an in-process MiniS3 with SigV4 auth; the
+    // full scan and the .tbi-pruned region read both run over
+    // `s3://` (signed ranged GETs). EAGER like q70/q71 — the aggregates
+    // materialize inside the gate so the server can stop before returning.
+    "f61_s3_region" -> ((s, _) => {
+      val dir = gateDir("s3_region")
+      val tbl = new java.io.File(dir, "t")
+      if (!new java.io.File(dir, "_done").exists()) {
+        val n = 2000L
+        s.range(0, 4 * n).select(
+            concat(lit("chr"), (col("id") / n).cast("long").cast("string")).as("chrom"),
+            ((col("id") % n) * 150 + 1).as("pos"),
+            lit(null).cast("array<string>").as("id"),
+            lit("A").as("ref"), array(lit("G")).as("alt"),
+            (col("id") % 60).cast("float").as("qual"),
+            array(lit("PASS")).as("filter"), lit("AC=1").as("info"),
+            lit(null).cast("string").as("formats"))
+          .repartitionByRange(4, col("chrom"), col("pos"))
+          .sortWithinPartitions("chrom", "pos")
+          .write.format("vcf").mode("overwrite")
+          .option("compression", "bgzf").save(tbl.getAbsolutePath)
+        new java.io.File(dir, "_done").createNewFile()
+      }
+      val mini = new graft.tools.MiniS3()
+        .withAuth("graft-gate-access", "graft-gate-secret").start()
+      try {
+        tbl.listFiles().filter(_.isFile).foreach { f =>
+          mini.put("graft-gate", s"t/${f.getName}",
+            java.nio.file.Files.readAllBytes(f.toPath))
+        }
+        val hc = s.sparkContext.hadoopConfiguration
+        hc.set("fs.s3.impl", classOf[graft.sources.s3.S3HttpFileSystem].getName)
+        hc.set("fs.s3.endpoint", mini.endpoint)
+        hc.set("fs.s3.impl.disable.cache", "true")
+        hc.set("fs.s3.access.key", "graft-gate-access")
+        hc.set("fs.s3.secret.key", "graft-gate-secret")
+        val nFull = s.read.format("vcf").load("s3://graft-gate/t").count()
+        val reg = s.read.format("vcf").option("region", "chr2:150001-300001")
+          .load("s3://graft-gate/t")
+          .agg(count(lit(1)), sum(col("qual")).cast("long")).collect().head
+        import s.implicits._
+        Seq((nFull, reg.getLong(0), reg.getLong(1)))
+          .toDF("n_full", "n_region", "sum_qual")
+      } finally mini.stop()
+    }),
+
     "f58_sink_chain" -> ((s, _) => {
       val dir = gateDir("sink_chain").getAbsolutePath
       s.read.format("bam").load(s"$fx/bam/test.bam")
@@ -1093,6 +1141,18 @@ object FormatQueries {
     "f60_zstd_scan" ->
       """SELECT CAST(500 AS BIGINT) AS n_raw, CAST(9960 AS BIGINT) AS len_raw,
         |  CAST(500 AS BIGINT) AS n_zst, CAST(9960 AS BIGINT) AS len_zst""".stripMargin,
+
+    "f61_s3_region" ->
+      """WITH rows AS (
+        |  SELECT 'chr' || CAST(i // 2000 AS VARCHAR) AS chrom,
+        |         (i % 2000) * 150 + 1 AS pos,
+        |         CAST(i % 60 AS DOUBLE) AS qual
+        |  FROM generate_series(0, 7999) t(i))
+        |SELECT (SELECT count(*) FROM rows) AS n_full,
+        |  (SELECT count(*) FROM rows
+        |     WHERE chrom = 'chr2' AND pos BETWEEN 150001 AND 300001) AS n_region,
+        |  (SELECT CAST(sum(qual) AS BIGINT) FROM rows
+        |     WHERE chrom = 'chr2' AND pos BETWEEN 150001 AND 300001) AS sum_qual""".stripMargin,
 
     // 100 rows, span 5 each; sum(score) = sum(i % 50 for i in 0..99) = 2450
     "f59_bed_nfields" ->
