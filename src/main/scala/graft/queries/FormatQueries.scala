@@ -553,6 +553,25 @@ object FormatQueries {
       } finally mini.stop()
     }),
 
+    // CRAM 3.1 codec surface through the driver gate (previously CramSpec
+    // only): the htslib-produced 3.0 fixture and its 3.1 recompressions
+    // (v31: tok3 + rANS Nx16 all transform modes; v31a: arith tok3 +
+    // fqzcomp + adaptive-arith all modes — tools/recompress_cram.py) must
+    // produce IDENTICAL row-level aggregates. Fixture paths are the
+    // repo-committed test resources, read directly.
+    "f62_cram31_scan" -> ((s, _) => {
+      val rdir = "/root/repo/src/test/resources/cram"
+      def agg(p: String, suffix: String) =
+        s.read.format("cram").load(p).agg(
+          count(lit(1)).as(s"n_$suffix"),
+          sum(col("flag")).as(s"flag_$suffix"),
+          sum(col("start")).as(s"start_$suffix"),
+          sum(length(col("sequence"))).as(s"seq_$suffix"))
+      agg(s"$fx/cram/test_input_1_a.cram", "30")
+        .crossJoin(broadcast(agg(s"$rdir/test_input_1_a_v31.cram", "31")))
+        .crossJoin(broadcast(agg(s"$rdir/test_input_1_a_v31a.cram", "31a")))
+    }),
+
     "f58_sink_chain" -> ((s, _) => {
       val dir = gateDir("sink_chain").getAbsolutePath
       s.read.format("bam").load(s"$fx/bam/test.bam")
@@ -1141,6 +1160,15 @@ object FormatQueries {
     "f60_zstd_scan" ->
       """SELECT CAST(500 AS BIGINT) AS n_raw, CAST(9960 AS BIGINT) AS len_raw,
         |  CAST(500 AS BIGINT) AS n_zst, CAST(9960 AS BIGINT) AS len_zst""".stripMargin,
+
+    // all three encodings must reproduce the htslib original's aggregates
+    "f62_cram31_scan" ->
+      """SELECT CAST(15 AS BIGINT) AS n_30, CAST(576 AS BIGINT) AS flag_30,
+        |  CAST(282 AS BIGINT) AS start_30, CAST(250 AS BIGINT) AS seq_30,
+        |  CAST(15 AS BIGINT) AS n_31, CAST(576 AS BIGINT) AS flag_31,
+        |  CAST(282 AS BIGINT) AS start_31, CAST(250 AS BIGINT) AS seq_31,
+        |  CAST(15 AS BIGINT) AS n_31a, CAST(576 AS BIGINT) AS flag_31a,
+        |  CAST(282 AS BIGINT) AS start_31a, CAST(250 AS BIGINT) AS seq_31a""".stripMargin,
 
     "f61_s3_region" ->
       """WITH rows AS (
