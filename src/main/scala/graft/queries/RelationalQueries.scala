@@ -1235,6 +1235,60 @@ object RelationalQueries {
       full.crossJoin(reg)
     }),
 
+    // BUCKETED co-located join through the driver gate (previously
+    // BucketedJoinSpec only): lineitem and orders saved bucketBy(8) on the
+    // join key, then joined + same-key aggregated. The gate REFUSES to
+    // grade (f37 discipline) unless the physical plan is a SortMergeJoin
+    // with ZERO hashpartitioning exchanges — the layout that turns a
+    // repeated petabyte join into zero shuffles. Auto-broadcast is
+    // disabled during the run (at gate SF the small side would broadcast
+    // and hide the bucketed path); EAGER like q70 so the conf restore
+    // cannot re-plan the asserted query.
+    "q72_bucketed_join" -> ((s, d) => {
+      def dropHard(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        if (loc.exists()) rm(loc)
+      }
+      dropHard("graft_q72_li")
+      dropHard("graft_q72_o")
+      lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable("graft_q72_li")
+      orders(s, d).select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable("graft_q72_o")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val perKey = s.table("graft_q72_li")
+          .join(s.table("graft_q72_o"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("q"), max(col("o_totalprice")).as("p"))
+        val plan = perKey.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin"),
+          s"q72: bucketed join did not plan SortMergeJoin:\n$plan")
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"q72: bucketed join still shuffles:\n$plan")
+        val row = perKey.agg(
+          count(lit(1)).as("n_keys"),
+          round(sum(col("q")), 2).as("sum_q"),
+          round(sum(col("p")), 2).as("sum_p")).collect().head
+        import s.implicits._
+        Seq((row.getLong(0), row.getDouble(1), row.getDouble(2)))
+          .toDF("n_keys", "sum_q", "sum_p")
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        dropHard("graft_q72_li")
+        dropHard("graft_q72_o")
+      }
+    }),
+
     // MERGEABLE sketch states — the incremental-dashboard pattern: one
     // Datasketches HLL sketch per day (a storable binary state), then
     // hll_union_agg over the states instead of reprocessing raw events.
@@ -1905,6 +1959,14 @@ object RelationalQueries {
     "q68_sketch_merge" ->
       """SELECT count(DISTINCT user_id) AS n_exact, true AS within_5pct
         |FROM events""".stripMargin,
+
+    "q72_bucketed_join" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS q, max(o_totalprice) AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1)
+        |SELECT count(*) AS n_keys, round(CAST(sum(q) AS DOUBLE), 2) AS sum_q,
+        |  round(CAST(sum(p) AS DOUBLE), 2) AS sum_p FROM g""".stripMargin,
 
     "q71_indexed_merge" ->
       """WITH tgt AS (
