@@ -572,6 +572,29 @@ object FormatQueries {
         .crossJoin(broadcast(agg(s"$rdir/test_input_1_a_v31a.cram", "31a")))
     }),
 
+    // Zero-code deployment path through the driver gate: a FRESH isolated
+    // session (own Function/TableFunction registries) gains every graft
+    // function purely through the `spark.sql.extensions=graft.GraftExtensions`
+    // injection (run exactly as Spark runs it at session build — the
+    // static conf itself cannot be redone in a live JVM). Refuses to grade
+    // if the fresh session already had the functions (vacuous otherwise).
+    "f63_extensions_sql" -> ((s, _) => {
+      val ns = s.newSession()
+      val pre =
+        try { ns.sql("SELECT reverse_complement('ATCG')").collect(); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      require(!pre, "f63: fresh session already had graft functions")
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.graftexpr.ExtensionsHook.runCheckRuleBuilders(ext, ns)
+      val rc = ns.sql("SELECT reverse_complement('ATCG') AS rc").head().getString(0)
+      val un = ns.sql("SELECT is_unmapped(4) AS u").head().getBoolean(0)
+      val n = ns.sql(s"SELECT count(*) FROM fasta_scan('$fx/fasta/test.fasta')")
+        .head().getLong(0)
+      import s.implicits._
+      Seq((rc, un, n)).toDF("rc", "unmapped", "n_fasta")
+    }),
+
     "f58_sink_chain" -> ((s, _) => {
       val dir = gateDir("sink_chain").getAbsolutePath
       s.read.format("bam").load(s"$fx/bam/test.bam")
@@ -1160,6 +1183,9 @@ object FormatQueries {
     "f60_zstd_scan" ->
       """SELECT CAST(500 AS BIGINT) AS n_raw, CAST(9960 AS BIGINT) AS len_raw,
         |  CAST(500 AS BIGINT) AS n_zst, CAST(9960 AS BIGINT) AS len_zst""".stripMargin,
+
+    "f63_extensions_sql" ->
+      "SELECT 'CGAT' AS rc, true AS unmapped, CAST(2 AS BIGINT) AS n_fasta",
 
     // all three encodings must reproduce the htslib original's aggregates
     "f62_cram31_scan" ->
