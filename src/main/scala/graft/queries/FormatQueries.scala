@@ -532,12 +532,19 @@ object FormatQueries {
       }
       val mini = new graft.tools.MiniS3()
         .withAuth("graft-gate-access", "graft-gate-secret").start()
+      val hc = s.sparkContext.hadoopConfiguration
+      // the fs.s3.* keys are GLOBAL (hadoopConfiguration) and other
+      // consumers (the bench's b09 MiniS3) may have configured them —
+      // snapshot and restore so this gate cannot clobber a sibling's
+      // endpoint/credentials
+      val keys = Seq("fs.s3.impl", "fs.s3.endpoint", "fs.s3.impl.disable.cache",
+        "fs.s3.access.key", "fs.s3.secret.key")
+      val saved = keys.map(k => k -> Option(hc.get(k)))
       try {
         tbl.listFiles().filter(_.isFile).foreach { f =>
           mini.put("graft-gate", s"t/${f.getName}",
             java.nio.file.Files.readAllBytes(f.toPath))
         }
-        val hc = s.sparkContext.hadoopConfiguration
         hc.set("fs.s3.impl", classOf[graft.sources.s3.S3HttpFileSystem].getName)
         hc.set("fs.s3.endpoint", mini.endpoint)
         hc.set("fs.s3.impl.disable.cache", "true")
@@ -550,7 +557,12 @@ object FormatQueries {
         import s.implicits._
         Seq((nFull, reg.getLong(0), reg.getLong(1)))
           .toDF("n_full", "n_region", "sum_qual")
-      } finally mini.stop()
+      } finally {
+        mini.stop()
+        saved.foreach { case (k, v) =>
+          v match { case Some(x) => hc.set(k, x); case None => hc.unset(k) }
+        }
+      }
     }),
 
     // CRAM 3.1 codec surface through the driver gate (previously CramSpec
