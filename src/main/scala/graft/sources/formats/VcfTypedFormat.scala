@@ -158,6 +158,53 @@ final class VcfTypedFormat(parseInfo: Boolean, parseFormats: Boolean) extends Gr
             else parseFormatStructs(f, fmtSchema)
         }
       }
+
+      /** Byte-span top-level parse: the whole line never materialises as
+        * String — only the INFO field and the FORMAT/sample fields that
+        * feed the typed struct parsers do (their per-type dispatch needs
+        * Strings regardless).
+        */
+      override def parsesBytes: Boolean = true
+      private val scratch = new ThreadLocal[FormatUtil.SpanFields] {
+        override def initialValue(): FormatUtil.SpanFields =
+          new FormatUtil.SpanFields(16)
+      }
+      override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
+                                  req: Array[Int]): Array[Any] = {
+        import FormatUtil._
+        val fl = scratch.get()
+        val nf = fl.split(b, off, len, '\t')
+        if (nf < 8) return null
+        req.map {
+          case 0 => utf8Span(b, fl.off(0), fl.len(0))
+          case 1 => parseLongSpan(b, fl.off(1), fl.len(1))
+          case 2 => if (isDotSpan(b, fl.off(2), fl.len(2))) null
+            else utf8ArraySpan(b, fl.off(2), fl.len(2), ';')
+          case 3 => utf8Span(b, fl.off(3), fl.len(3))
+          case 4 => if (isDotSpan(b, fl.off(4), fl.len(4))) null
+            else utf8ArraySpan(b, fl.off(4), fl.len(4), ',')
+          case 5 => dotNullFloatSpan(b, fl.off(5), fl.len(5))
+          case 6 => if (isDotSpan(b, fl.off(6), fl.len(6))) null
+            else utf8ArraySpan(b, fl.off(6), fl.len(6), ';')
+          case 7 =>
+            if (infoSchema == null) dotNullSpan(b, fl.off(7), fl.len(7))
+            else parseInfoStruct(spanString(b, fl.off(7), fl.len(7)), infoSchema)
+          case 8 =>
+            if (nf <= 8) null
+            else if (fmtSchema == null)
+              utf8Span(b, fl.off(8), fl.off(nf - 1) + fl.len(nf - 1) - fl.off(8))
+            else {
+              // FORMAT + samples as per-field Strings for the typed parse
+              val tail = new Array[String](nf - 8)
+              var i = 8
+              while (i < nf) {
+                tail(i - 8) = spanString(b, fl.off(i), fl.len(i))
+                i += 1
+              }
+              parseFormatTail(tail, fmtSchema)
+            }
+        }
+      }
     }
     base.records(input, required)
   }
@@ -175,11 +222,15 @@ final class VcfTypedFormat(parseInfo: Boolean, parseFormats: Boolean) extends Gr
     }: Array[Any])
   }
 
-  private def parseFormatStructs(f: Array[String], s: StructType): Any = {
-    if (f.length <= 9) return null
-    val keys = f(8).split(':')
-    val samples = (9 until f.length).map { si =>
-      val vals = f(si).split(':')
+  private def parseFormatStructs(f: Array[String], s: StructType): Any =
+    parseFormatTail(f.drop(8), s)
+
+  /** tail(0) = FORMAT key list, tail(1..) = per-sample value lists. */
+  private def parseFormatTail(tail: Array[String], s: StructType): Any = {
+    if (tail.length <= 1) return null
+    val keys = tail(0).split(':')
+    val samples = (1 until tail.length).map { si =>
+      val vals = tail(si).split(':')
       val kv = keys.zip(vals.padTo(keys.length, null)).toMap
       new GenericInternalRow(s.fields.map { field =>
         kv.get(field.name) match {
