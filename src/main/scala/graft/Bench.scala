@@ -51,6 +51,7 @@ object Bench {
     val vcfFile = new java.io.File(vcfDir, "bench.vcf.gz")
     val bwDir = tmpPath("graft_bench_bigwig")
     val gffDir = tmpPath("graft_bench_gff")
+    val bamDir = tmpPath("graft_bench_bam")
     val scaleDir = tmpPath(s"graft_bench_fasta6x_$slug")
 
     // b01/b02 corpus: ~|lineitem| synthetic sequences through our own FASTA
@@ -230,6 +231,32 @@ object Bench {
       }
     } catch { case e: Throwable => recordErr("gen_gff_corpus", e) }
 
+    // b13 corpus: 2M-record BAM through the engine's own binary sink
+    // (bgzf blocks + .bai, 8 shards) — full-file decode throughput for
+    // the binary alignment path (b04 only measures the .bai region seek).
+    try {
+      if (!new java.io.File(bamDir, "_done").exists()) {
+        val refs = (0 until 8).map(i => s"chr$i:30000000").mkString(",")
+        spark.range(0, 2000000L).select(
+            concat(lit("r"), col("id")).as("name"),
+            lit(0).as("flag"),
+            concat(lit("chr"), (col("id") % 8).cast("string")).as("reference"),
+            ((col("id") / 8).cast("long") * 100 + 1).as("start"),
+            ((col("id") / 8).cast("long") * 100 + 100).as("end"),
+            lit("30").as("mapping_quality"),
+            lit("100M").as("cigar"),
+            lit(null).cast("string").as("mate_reference"),
+            rpad(lit(""), 100, "ACGT").as("sequence"),
+            array_repeat(lit(30L), 100).as("quality_score"),
+            array().cast("array<struct<tag:string,value:string>>").as("tags"))
+          .repartitionByRange(8, col("reference"), col("start"))
+          .sortWithinPartitions("reference", "start")
+          .write.format("bam").mode("overwrite")
+          .option("refs", refs).save(s"$bamDir/t")
+        new java.io.File(bamDir, "_done").createNewFile()
+      }
+    } catch { case e: Throwable => recordErr("gen_bam_corpus", e) }
+
     // b09 corpus: the same indexed VCF served over live HTTP through the
     // from-scratch S3 FileSystem with SigV4 signing — the baseline's
     // "region query over an object store" shape (exon-bam-s3-query,
@@ -326,7 +353,12 @@ object Bench {
       "b12_gff_scan" -> (() =>
         spark.read.format("gff").load(gffDir)
           .filter(col("type") === "gene")
-          .agg(sum(col("end") - col("start"))).count())
+          .agg(sum(col("end") - col("start"))).count()),
+      // Full binary decode over the 2M-record self-written BAM: BGZF
+      // inflate + record parse + 4-bit sequence unpack, 200 MB of bases.
+      "b13_bam_scan_full" -> (() =>
+        spark.read.format("bam").load(s"$bamDir/t")
+          .agg(sum(col("flag")), sum(length(col("sequence")))).count())
     )
 
     val queries = SparkEntry.queries
