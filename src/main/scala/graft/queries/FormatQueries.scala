@@ -607,6 +607,65 @@ object FormatQueries {
       Seq((rc, un, n)).toDF("rc", "unmapped", "n_fasta")
     }),
 
+    // Loud-failure safety properties through the driver gate: silent
+    // corruption paths must REFUSE, not produce wrong data. (a) the
+    // indexed sink rejects unsorted rows (a broken ordering would emit a
+    // silently-wrong .tbi); (b) a CRAM with an unsupported version is
+    // rejected by version, not decoded as garbage; (c) a CRAM with broken
+    // magic is rejected. Each arm must throw with the documented message.
+    "f64_safety_refusals" -> ((s, _) => {
+      // message text may sit anywhere in the Spark task-failure cause chain
+      def chainMessages(e: Throwable): String = {
+        val sb = new StringBuilder
+        var t: Throwable = e
+        while (t != null) { sb.append(String.valueOf(t.getMessage)).append('\n'); t = t.getCause }
+        sb.toString
+      }
+      val dir = gateDir("safety")
+      // (a) unsorted indexed write refused
+      val unsortedRefused =
+        try {
+          s.range(0, 100).select(
+              lit("chr1").as("chrom"), (lit(1000L) - col("id") * 7).as("pos"),
+              lit(null).cast("array<string>").as("id"), lit("A").as("ref"),
+              array(lit("G")).as("alt"), lit(50f).as("qual"),
+              array(lit("PASS")).as("filter"), lit("AC=1").as("info"),
+              lit(null).cast("string").as("formats"))
+            .coalesce(1)
+            .write.format("vcf").mode("overwrite")
+            .option("compression", "bgzf").save(s"$dir/unsorted")
+          false
+        } catch {
+          case e: Exception =>
+            val m = chainMessages(e)
+            m.contains("requires rows sorted by (chrom, pos)")
+        }
+      // (b) unsupported CRAM version refused by version check
+      val src = java.nio.file.Paths
+        .get(s"$fx/cram/test_input_1_a.cram")
+      def mutated(name: String)(f: Array[Byte] => Unit): String = {
+        val bytes = java.nio.file.Files.readAllBytes(src)
+        f(bytes)
+        val p = new java.io.File(dir, name).toPath
+        java.nio.file.Files.write(p, bytes)
+        p.toString
+      }
+      val v32 = mutated("v32.cram") { b => b(4) = 3; b(5) = 2 }
+      val versionRefused =
+        try { s.read.format("cram").load(v32).collect(); false }
+        catch { case e: Exception =>
+          chainMessages(e).contains("unsupported CRAM version 3.2")
+        }
+      // (c) broken magic refused
+      val bad = mutated("bad.cram") { b => b(0) = 'X'.toByte }
+      val magicRefused =
+        try { s.read.format("cram").load(bad).collect(); false }
+        catch { case _: Exception => true }
+      import s.implicits._
+      Seq((unsortedRefused, versionRefused, magicRefused))
+        .toDF("unsorted_refused", "version_refused", "magic_refused")
+    }),
+
     "f58_sink_chain" -> ((s, _) => {
       val dir = gateDir("sink_chain").getAbsolutePath
       s.read.format("bam").load(s"$fx/bam/test.bam")
@@ -1198,6 +1257,10 @@ object FormatQueries {
 
     "f63_extensions_sql" ->
       "SELECT 'CGAT' AS rc, true AS unmapped, CAST(2 AS BIGINT) AS n_fasta",
+
+    "f64_safety_refusals" ->
+      """SELECT true AS unsorted_refused, true AS version_refused,
+        |  true AS magic_refused""".stripMargin,
 
     // all three encodings must reproduce the htslib original's aggregates
     "f62_cram31_scan" ->
