@@ -112,9 +112,14 @@ class ByteParseEquivalenceSpec extends AnyFunSuite {
   }
 
   test("VCF byte parse == String parse") {
+    // incl. trailing/leading/double separators — String.split's
+    // trailing-empty-drop and interior-empty-keep semantics must match
     val list = Gen.oneOf(Gen.const("."), word,
-      word.flatMap(a => word.map(b => s"$a;$b")))
-    val alts = Gen.oneOf(Gen.const("."), Gen.const("A,G"), word)
+      word.flatMap(a => word.map(b => s"$a;$b")),
+      word.map(a => s"$a;"), word.map(a => s";$a"),
+      word.map(a => s"$a;;$a"), Gen.const(";"), Gen.const(""))
+    val alts = Gen.oneOf(Gen.const("."), Gen.const("A,G"), word,
+      word.map(a => s"$a,"), Gen.const(",A"), Gen.const(","))
     val gLine = for {
       ch <- word; pos <- num; id <- list; ref <- Gen.oneOf("A", "CTT")
       alt <- alts; q <- Gen.oneOf(".", "50", "12.5"); fl <- list
