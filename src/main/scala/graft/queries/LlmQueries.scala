@@ -1545,6 +1545,27 @@ object LlmQueries {
     // Native MinHash AGGREGATE vs the relational merge plan: the custom
     // Catalyst TypedImperativeAggregate `minhash_agg` builds each
     // source's 64-perm signature in ONE aggregation pass (partial
+    // DATASET CARD profile — the one-pass per-(lang,source) stats sheet
+    // every corpus release ships (counts, char-length min/mean/max, text
+    // nulls/empties, distinct docs): ONE groupBy with partial (map-side)
+    // aggregation, no second pass, no driver loop — at 100 TB this is a
+    // single scan-shaped job whose output is k rows. Mean is kept
+    // integer-exact (sum + count surfaced separately; ratio done by the
+    // reader) so the compare is hash-stable.
+    "l65_dataset_profile" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+            .otherwise(0L)).as("n_empty"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // update + executor merge, 64× less shuffle input than l58's
     // posexplode + groupBy-min), and this query proves the two plans
     // byte-identical position-by-position across every source — the
@@ -3235,6 +3256,16 @@ object LlmQueries {
 
     // connected components via transitive closure (recursive CTE) over the
     // same exact-Jaccard pairs l03 grades against
+    "l65_dataset_profile" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_empty
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+
     "l64_minhash_agg_parity" ->
       """SELECT CAST(64 * k AS BIGINT) AS n_positions,
         |  CAST(64 * k AS BIGINT) AS n_equal
