@@ -601,7 +601,72 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
           (0L until size by maxSplit).map { off =>
             FileChunk(p, off, math.min(maxSplit, size - off), size, vals)
           }
-        } else Seq(FileChunk(p, 0, size, size, vals))
+        } else bgzfFullScanChunks(st, vals, maxSplit).getOrElse(
+          Seq(FileChunk(p, 0, size, size, vals)))
+      }
+    }
+
+    /** Full-scan split of a big BGZF binary/bgzipped file (no region needed):
+      * an index sibling's chunk-begin virtual offsets are record starts, so
+      * cutting the file at a subset of them yields record-aligned pieces that
+      * decode in parallel — the head piece `[0, s1)` re-parses the in-stream
+      * header, every later piece `[s_i, s_{i+1})` starts at a record, and the
+      * tail runs to EOF so records past the last indexed one (BAM no-coor
+      * unmapped reads) are kept. Coverage is purely positional — every
+      * decompressed byte lands in exactly one piece — so the result is
+      * independent of the chunking (BgzfSplitSpec asserts invariance).
+      * Without an index the file stays one task: BGZF blocks are
+      * self-delimiting but record boundaries inside them are not
+      * discoverable without decoding. (The reference's BGZF-aware splits,
+      * exon/exon-core/src/datasources/bam; re-planned here at the DSv2
+      * partition level so a 300 GB production BAM fans out over the cluster
+      * instead of decoding on one core.)
+      */
+    def bgzfFullScanChunks(st: FileStatus, vals: Array[String],
+                           maxSplit: Long): Option[Seq[FileChunk]] = {
+      val p = st.getPath.toString
+      val size = st.getLen
+      if (size <= maxSplit) return None
+      val name = st.getPath.getName.toLowerCase
+      // .bam/.bcf are BGZF natively; .gz/.bgz text is BGZF iff a tabix
+      // sibling exists (plain gzip never has one). Other codecs never split.
+      if (!(name.endsWith(".bam") || name.endsWith(".bcf") ||
+            name.endsWith(".gz") || name.endsWith(".bgz"))) return None
+      val idxOpt = GraftScan.cachedIndex(st) {
+        if (name.endsWith(".bam")) BaiIndex.forBam(st.getPath, hadoopConf)
+        else if (name.endsWith(".bcf")) CsiIndex.forBcf(st.getPath, hadoopConf)
+        else TabixIndex.forFile(st.getPath, hadoopConf)
+      }
+      idxOpt.flatMap { idx =>
+        val starts = idx.bins.iterator
+          .flatMap(_.valuesIterator).flatten.map(_._1).toArray
+        java.util.Arrays.sort(starts)
+        // Boundary at the first record start every >= maxSplit compressed
+        // bytes: pieces track the same size target as uncompressed splits.
+        val points = mutable.ArrayBuffer[Long]()
+        var lastC = 0L
+        var i = 0
+        while (i < starts.length) {
+          val v = starts(i)
+          val c = v >>> 16
+          if (c - lastC >= maxSplit && (points.isEmpty || v > points.last)) {
+            points += v
+            lastC = c
+          }
+          i += 1
+        }
+        if (points.isEmpty) None
+        else {
+          val bounds = 0L +: points.toSeq
+          Some(bounds.indices.map { i =>
+            val vs = bounds(i)
+            val ve = if (i + 1 < bounds.length) bounds(i + 1) else Long.MaxValue
+            val cLen =
+              if (ve == Long.MaxValue) math.max(1L, size - (vs >>> 16))
+              else math.max(1L, (ve >>> 16) - (vs >>> 16))
+            FileChunk(p, 0, cLen, size, vals, vs, ve)
+          })
+        }
       }
     }
 
@@ -1094,7 +1159,8 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
       (if (v == null) null else UTF8String.fromString(v)): Any)
     val reopen = () => fs.open(path): java.io.InputStream
     it = format.records(
-      new RecordInput(mkLines, stream, end, isSplit, c.isBgzfChunk, reopen, path, fs),
+      new RecordInput(mkLines, stream, end, isSplit, c.isBgzfChunk, reopen, path, fs,
+        startsAtFileStart = !isSplit && (!c.isBgzfChunk || c.vStart == 0L)),
       dataSchema, parseCols)
     true
   }

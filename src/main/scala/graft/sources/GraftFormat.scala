@@ -7,6 +7,11 @@ import org.apache.spark.sql.types._
   * or after the split start). Binary formats (FCS, mzML) consume `stream`
   * (the decompressed byte stream) directly — those are always whole-file
   * inputs. `end == Long.MaxValue` means whole file.
+  *
+  * `startsAtFileStart` is true when the decompressed stream begins at the
+  * file's first byte (in-stream headers are present); a full-scan BGZF
+  * split's head chunk has it true while its later chunks (and all region
+  * chunks) start at a record boundary past the header.
   */
 final class RecordInput(mkLines: () => ByteLineReader, val stream: java.io.InputStream,
                         val end: Long, val isMidFileSplit: Boolean,
@@ -14,7 +19,8 @@ final class RecordInput(mkLines: () => ByteLineReader, val stream: java.io.Input
                         val reopenRaw: () => java.io.InputStream = () =>
                           throw new UnsupportedOperationException("reopen not available"),
                         val path: org.apache.hadoop.fs.Path = null,
-                        val fs: org.apache.hadoop.fs.FileSystem = null) {
+                        val fs: org.apache.hadoop.fs.FileSystem = null,
+                        val startsAtFileStart: Boolean = true) {
   lazy val lines: ByteLineReader = mkLines()
 }
 

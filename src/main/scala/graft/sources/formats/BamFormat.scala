@@ -68,7 +68,12 @@ object BamFormat extends GraftFormat {
   override def records(input: RecordInput, schema: StructType,
                        required: Array[Int]): Iterator[Array[Any]] = {
     val (stream, refs) =
-      if (input.isBgzfChunk) {
+      if (input.isBgzfChunk && input.startsAtFileStart) {
+        // head chunk of a full-scan split: the chunk stream already
+        // decompresses from byte 0, so the header (and its ref table) is
+        // read in-stream and records follow directly.
+        (input.stream, readHeaderRefs(input.stream))
+      } else if (input.isBgzfChunk) {
         // chunk starts at a record; reference names come from the header.
         // Cached per path on the executor — a region query mapping one BAM
         // to N chunks would otherwise re-decompress the header N times.

@@ -157,7 +157,12 @@ object BcfFormat extends GraftFormat {
     // CSI chunks start at a record boundary; the dictionaries still come
     // from the header, read via a separate stream.
     val (in, header) =
-      if (input.isBgzfChunk) {
+      if (input.isBgzfChunk && input.startsAtFileStart) {
+        // head chunk of a full-scan split: header is in-stream (the chunk
+        // decompresses from byte 0); records follow directly.
+        val s = new LE(input.stream)
+        (s, readHeaderFrom(s))
+      } else if (input.isBgzfChunk) {
         def readHdr(): Header = {
           val hs = new MultiMemberGzipInputStream(input.reopenRaw())
           try readHeaderFrom(new LE(hs)) finally hs.close()
