@@ -52,6 +52,7 @@ object Bench {
     val bwDir = tmpPath("graft_bench_bigwig")
     val gffDir = tmpPath("graft_bench_gff")
     val bamDir = tmpPath("graft_bench_bam")
+    val bam1Dir = tmpPath("graft_bench_bam1")
     val scaleDir = tmpPath(s"graft_bench_fasta6x_$slug")
 
     // b01/b02 corpus: ~|lineitem| synthetic sequences through our own FASTA
@@ -257,6 +258,33 @@ object Bench {
       }
     } catch { case e: Throwable => recordErr("gen_bam_corpus", e) }
 
+    // b14 corpus: the b13 data as ONE sorted shard + .bai — the production
+    // shape (a single huge coordinate-sorted BAM). The w1→w8 sweep then
+    // measures how well one file fans out over cores via the index-derived
+    // full-scan BGZF splits; before round 11 this shape was one task total.
+    try {
+      if (!new java.io.File(bam1Dir, "_done").exists()) {
+        val refs = (0 until 8).map(i => s"chr$i:30000000").mkString(",")
+        spark.range(0, 2000000L).select(
+            concat(lit("r"), col("id")).as("name"),
+            lit(0).as("flag"),
+            concat(lit("chr"), (col("id") % 8).cast("string")).as("reference"),
+            ((col("id") / 8).cast("long") * 100 + 1).as("start"),
+            ((col("id") / 8).cast("long") * 100 + 100).as("end"),
+            lit("30").as("mapping_quality"),
+            lit("100M").as("cigar"),
+            lit(null).cast("string").as("mate_reference"),
+            rpad(lit(""), 100, "ACGT").as("sequence"),
+            array_repeat(lit(30L), 100).as("quality_score"),
+            array().cast("array<struct<tag:string,value:string>>").as("tags"))
+          .repartitionByRange(1, col("reference"), col("start"))
+          .sortWithinPartitions("reference", "start")
+          .write.format("bam").mode("overwrite")
+          .option("refs", refs).save(s"$bam1Dir/t")
+        new java.io.File(bam1Dir, "_done").createNewFile()
+      }
+    } catch { case e: Throwable => recordErr("gen_bam1_corpus", e) }
+
     // b09 corpus: the same indexed VCF served over live HTTP through the
     // from-scratch S3 FileSystem with SigV4 signing — the baseline's
     // "region query over an object store" shape (exon-bam-s3-query,
@@ -455,6 +483,9 @@ object Bench {
     try spark.read.format("fasta").load(scaleDir)
       .agg(sum(length(col("sequence")))).count()
     catch { case _: Throwable => () }
+    try spark.read.format("bam").load(s"$bam1Dir/t")
+      .agg(sum(col("flag"))).count()
+    catch { case _: Throwable => () }
     System.gc()
 
     // ----------------------------------------------------------------------
@@ -516,6 +547,7 @@ object Bench {
         // deployment sizes to its block size — to let one file fan out
         // over multiple tasks; w1..w8 keep the default for round-over-
         // round comparability.
+        val bam1Ready = new java.io.File(bam1Dir, "_done").exists()
         Seq(1, 2, 4, 8, 16).foreach { w =>
           val s = LocalSession.buildBench(w.toString)
           if (w > 8)
@@ -528,6 +560,22 @@ object Bench {
           }
           details += s"b07_fasta_scan_w$w" -> t
           results = results :+ (s"b07_fasta_scan_w$w" -> t.value)
+          // b14: the SAME width, over ONE ~190 MB sorted BAM — full binary
+          // decode parallelised purely by the index-derived full-scan BGZF
+          // splits (maxSplit tracks size/defaultParallelism, so each width
+          // plans ~w chunks from one file with no conf override).
+          if (bam1Ready) {
+            try {
+              def bamScan(): Long = s.read.format("bam").load(s"$bam1Dir/t")
+                .agg(sum(col("flag")), sum(length(col("sequence")))).count()
+              bamScan() // warm-up
+              val tb = timedEntry(3) { () =>
+                val t0 = System.nanoTime(); bamScan(); (System.nanoTime() - t0) / 1e9
+              }
+              details += s"b14_bam_scan_w$w" -> tb
+              results = results :+ (s"b14_bam_scan_w$w" -> tb.value)
+            } catch { case e: Throwable => recordErr(s"b14_bam_scan_w$w", e) }
+          }
           s.stop()
           SparkSession.clearActiveSession()
           SparkSession.clearDefaultSession()

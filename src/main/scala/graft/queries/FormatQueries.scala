@@ -666,6 +666,61 @@ object FormatQueries {
         .toDF("unsorted_refused", "version_refused", "magic_refused")
     }),
 
+    // Full-scan BGZF split: ONE sorted single-shard BAM (with .bai) must
+    // fan out over multiple record-aligned chunk partitions with NO region
+    // predicate — the round-11 scale fix for the "300 GB production BAM
+    // decodes on one core" shape. Aggregates are computed EAGERLY under the
+    // split-forcing conf (save/restore) so the graded values come from the
+    // chunked read, and the gate refuses to grade an unsplit plan — the
+    // golden constants would pass on a one-task scan too, but the gate
+    // exists to prove the fan-out.
+    "f65_bgzf_fullscan_split" -> ((s, _) => {
+      val dir = gateDir("bgzf_split")
+      val tbl = new java.io.File(dir, "t")
+      if (!new java.io.File(dir, "_done").exists()) {
+        val refs = (0 until 4).map(i => s"chr$i:40000000").mkString(",")
+        s.range(0, 200000L).select(
+            concat(lit("r"), col("id")).as("name"),
+            (col("id") % 2).cast("int").as("flag"),
+            concat(lit("chr"), (col("id") % 4).cast("string")).as("reference"),
+            ((col("id") / 4).cast("long") * 150 + 1).as("start"),
+            ((col("id") / 4).cast("long") * 150 + 100).as("end"),
+            lit("30").as("mapping_quality"),
+            lit("100M").as("cigar"),
+            lit(null).cast("string").as("mate_reference"),
+            rpad(lit(""), 100, "ACGT").as("sequence"),
+            array_repeat(lit(30L), 100).as("quality_score"),
+            array().cast("array<struct<tag:string,value:string>>").as("tags"))
+          .repartitionByRange(1, col("reference"), col("start"))
+          .sortWithinPartitions("reference", "start")
+          .write.format("bam").mode("overwrite")
+          .option("refs", refs).save(tbl.getAbsolutePath)
+        new java.io.File(dir, "_done").createNewFile()
+      }
+      val keys = Seq("spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+        s.conf.set("spark.sql.files.openCostInBytes", "16384")
+        val df = s.read.format("bam").load(tbl.getAbsolutePath)
+          .select("name", "flag", "reference", "start")
+        val parts = df.rdd.getNumPartitions
+        require(parts >= 4,
+          s"full-scan BGZF split did not engage: $parts partition(s)")
+        val r = df.agg(count(lit(1)).as("n"),
+          sum(col("flag")).cast("long").as("sum_flag"),
+          sum(col("start")).cast("long").as("sum_start"),
+          count(when(col("reference") === "chr2", 1)).as("n_chr2"))
+          .collect().head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toDF("n", "sum_flag", "sum_start", "n_chr2")
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+    }),
+
     "f58_sink_chain" -> ((s, _) => {
       val dir = gateDir("sink_chain").getAbsolutePath
       s.read.format("bam").load(s"$fx/bam/test.bam")
@@ -1261,6 +1316,14 @@ object FormatQueries {
     "f64_safety_refusals" ->
       """SELECT true AS unsorted_refused, true AS version_refused,
         |  true AS magic_refused""".stripMargin,
+
+    // 200k records, flag=id%2, start=(id/4)*150+1 per ref, 4 refs x 50k
+    "f65_bgzf_fullscan_split" ->
+      """SELECT CAST(200000 AS BIGINT) AS n,
+        |  CAST(100000 AS BIGINT) AS sum_flag,
+        |  CAST((SELECT 4 * SUM(k * 150 + 1) FROM range(0, 50000) t(k)) AS BIGINT)
+        |    AS sum_start,
+        |  CAST(50000 AS BIGINT) AS n_chr2""".stripMargin,
 
     // all three encodings must reproduce the htslib original's aggregates
     "f62_cram31_scan" ->
