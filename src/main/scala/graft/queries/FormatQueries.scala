@@ -572,7 +572,14 @@ object FormatQueries {
     // produce IDENTICAL row-level aggregates. Fixture paths are the
     // repo-committed test resources, read directly.
     "f62_cram31_scan" -> ((s, _) => {
-      val rdir = "/root/repo/src/test/resources/cram"
+      // repo-committed fixtures, located relative to the working tree (env
+      // override for non-root CWDs) instead of a hardcoded checkout path
+      val root = sys.env.getOrElse("GRAFT_REPO_ROOT",
+        new java.io.File(".").getCanonicalPath)
+      val rdir = s"$root/src/test/resources/cram"
+      require(new java.io.File(rdir).isDirectory,
+        s"f62: CRAM 3.1 fixtures not found at $rdir " +
+          "(run from the repo root or set GRAFT_REPO_ROOT)")
       def agg(p: String, suffix: String) =
         s.read.format("cram").load(p).agg(
           count(lit(1)).as(s"n_$suffix"),

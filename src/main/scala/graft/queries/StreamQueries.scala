@@ -39,14 +39,18 @@ object StreamQueries {
     * query's plan.
     */
   private def withTinyStreamState[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "2")
     // s02/s04 rely on the no-data micro-batch that fires after a watermark
     // advance to emit finalized windows / fire event-time timeouts; pin the
     // behavior rather than inheriting whatever the session default is.
+    // Both keys snapshot/restore so nothing leaks past the gate.
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    try body finally s.conf.set(key, prev)
+    try body finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+    }
   }
 
   private def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
@@ -222,7 +226,8 @@ object StreamQueries {
     // NTZ / LTZ) on the streaming side.
     "s06_stream_events_hourly" -> ((s, d) => {
       withTinyStreamState(s) {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // nanosAsLong is already set session-wide by Tables (Tables.scala);
+        // no per-gate mutation needed here
         val path = s"$d/events.parquet"
         // FileStreamSource wants a DIRECTORY; expose the single-file table
         // through a symlink in a per-sfdir gate dir (one-time setup).

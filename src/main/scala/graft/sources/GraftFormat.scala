@@ -227,6 +227,12 @@ object FormatUtil {
     while (i < end) {
       val d = b(i) - '0'
       if (d < 0 || d > 9) throw new NumberFormatException(spanString(b, off, len))
+      // overflow guard: Long.parseLong throws on the String path, so the
+      // byte path must too — a 20+-digit coordinate silently wrapping to a
+      // wrong value is a parse-equivalence break (Long.MinValue's magnitude
+      // is unreachable unsigned, matching parseLong for any real field)
+      if (v > (Long.MaxValue - d) / 10)
+        throw new NumberFormatException(spanString(b, off, len))
       v = v * 10 + d
       i += 1
     }

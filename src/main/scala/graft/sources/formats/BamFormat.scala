@@ -87,7 +87,17 @@ object BamFormat extends GraftFormat {
           else readHdr()
         (input.stream, r)
       } else {
-        val s = new MultiMemberGzipInputStream(input.stream)
+        // Whole-file path. LEInput issues many 1-4 byte reads; against a
+        // bare GZIPInputStream every one is a JNI inflate call (~175k
+        // rec/s/core). Real BAMs are BGZF by spec, so decode via the block
+        // reader (serves from the inflated block array, no per-member CRC
+        // recompute — ~1.7M rec/s/core, same engine as the chunk path);
+        // a non-BGZF gzip stream falls back to buffered GZIPInputStream.
+        val buffered = new java.io.BufferedInputStream(input.stream, 1 << 16)
+        val s: InputStream =
+          if (Bgzf.looksLikeBgzf(buffered)) new BgzfStreamInputStream(buffered)
+          else new java.io.BufferedInputStream(
+            new MultiMemberGzipInputStream(buffered), 1 << 16)
         val r = readHeaderRefs(s)
         (s, r)
       }

@@ -174,7 +174,15 @@ object BcfFormat extends GraftFormat {
           else readHdr()
         (new LE(input.stream), h)
       } else {
-        val s = new LE(new MultiMemberGzipInputStream(input.stream))
+        // BGZF block decode for whole files (see BamFormat.records: ~10x
+        // over byte-at-a-time reads against a bare GZIPInputStream); a
+        // non-BGZF gzip stream falls back to the buffered generic path
+        val buffered = new java.io.BufferedInputStream(input.stream, 1 << 16)
+        val dec: java.io.InputStream =
+          if (Bgzf.looksLikeBgzf(buffered)) new BgzfStreamInputStream(buffered)
+          else new java.io.BufferedInputStream(
+            new MultiMemberGzipInputStream(buffered), 1 << 16)
+        val s = new LE(dec)
         (s, readHeaderFrom(s))
       }
 

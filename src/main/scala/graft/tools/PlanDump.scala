@@ -187,7 +187,11 @@ object PlanDump {
         "Market-basket pairs: keyed self-join on l_orderkey with baskets " +
           "wider than 32 excluded via a LeftSemi width filter (counted in " +
           "n_overflow_orders) — candidate volume capped even under skew; " +
-          "the only BNLJs are the 1-row total/overflow broadcasts.",
+          "the only BNLJs are the 1-row total/overflow broadcasts. The " +
+          "INITIAL plan below shows 4 basket subtrees; at runtime AQE " +
+          "stage reuse collapses them to ONE lineitem scan + ONE basket " +
+          "exchange reused 3x (FINAL executed plan asserted by " +
+          "PlanAuditSpec 'q64: AQE reuses the basket exchange').",
         () => graft.queries.RelationalQueries.queries("q64_part_cooccurrence")(spark, d)),
       ("q70_merge_upsert_log",
         "Lakehouse MERGE: both sides compact with ONE window keyed on the " +

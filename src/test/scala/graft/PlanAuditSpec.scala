@@ -734,6 +734,21 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"shuffles not keyed on the merge key:\n$plan")
   }
 
+  test("q64: AQE reuses the basket exchange (final plan: one scan, one basket shuffle)") {
+    val df = RelationalQueries.queries("q64_part_cooccurrence")(spark, d)
+    df.collect() // stage reuse only materialises in the FINAL adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(500))
+    // the executed tree is the section before the echoed initial plan
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // baskets appear 4x in the query; at runtime there must be exactly ONE
+    // partial collect_set + basket exchange, with the other three subtrees
+    // collapsing to ReusedExchange — otherwise q64 scans lineitem 4 times
+    assert("partial_collect_set".r.findAllIn(finalPlan).size == 1, finalPlan)
+    assert("ReusedExchange".r.findAllIn(finalPlan).size >= 3, finalPlan)
+    assert("FileScan parquet".r.findAllIn(finalPlan).size == 1, finalPlan)
+  }
+
   test("l52 kNN graph: candidates come from a keyed bucket join, no cartesian") {
     graft.GraftSession.registerAll(spark)
     val edges = graft.queries.LlmQueries.knnGraphEdges(

@@ -66,6 +66,28 @@ class ByteParseEquivalenceSpec extends AnyFunSuite {
   private val dotOr: Gen[String] = Gen.oneOf(Gen.const("."), word)
   private val num = Gen.chooseNum(0L, 500000000L).map(_.toString)
 
+  test("parseLongSpan overflow fails loudly, matching Long.parseLong") {
+    def spanOutcome(s: String): Either[String, Long] = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      try Right(FormatUtil.parseLongSpan(b, 0, b.length))
+      catch { case e: Exception => Left(e.getClass.getSimpleName) }
+    }
+    def parseOutcome(s: String): Either[String, Long] =
+      try Right(java.lang.Long.parseLong(s))
+      catch { case e: Exception => Left(e.getClass.getSimpleName) }
+    // beyond Long.MaxValue the byte path used to silently wrap; it must
+    // throw NumberFormatException exactly like the String path
+    val cases = Seq("9223372036854775807", "9223372036854775808",
+      "92233720368547758070", "18446744073709551616", "99999999999999999999",
+      "-9223372036854775807", "0", "1", "+42")
+    cases.foreach { s =>
+      assert(spanOutcome(s) == parseOutcome(s), s"diverged on $s")
+    }
+    // documented divergence: Long.MinValue's magnitude is unreachable via
+    // the positive accumulator — out of range for every genomic field
+    assert(spanOutcome("-9223372036854775808").isLeft)
+  }
+
   test("GFF byte parse == String parse") {
     val attrs = Gen.oneOf(
       Gen.const("."),
