@@ -52,7 +52,7 @@ object Bench {
     val bwDir = tmpPath("graft_bench_bigwig")
     val gffDir = tmpPath("graft_bench_gff")
     val bamDir = tmpPath("graft_bench_bam")
-    val bam1Dir = tmpPath("graft_bench_bam1")
+    val bam1Dir = tmpPath("graft_bench_bam1v2") // v2: high-entropy sequences
     val scaleDir = tmpPath(s"graft_bench_fasta6x_$slug")
 
     // b01/b02 corpus: ~|lineitem| synthetic sequences through our own FASTA
@@ -258,10 +258,13 @@ object Bench {
       }
     } catch { case e: Throwable => recordErr("gen_bam_corpus", e) }
 
-    // b14 corpus: the b13 data as ONE sorted shard + .bai — the production
-    // shape (a single huge coordinate-sorted BAM). The w1→w8 sweep then
-    // measures how well one file fans out over cores via the index-derived
-    // full-scan BGZF splits; before round 11 this shape was one task total.
+    // b14 corpus: the b13 shape as ONE sorted shard + .bai — the production
+    // shape (a single huge coordinate-sorted BAM). Sequences are
+    // md5-derived (high entropy, ~2 bits/base like real reads) so the file
+    // is ~100 MB compressed, not the 12 MB the b13 ACGT-repeat deflates
+    // to. The w1→w8 sweep then measures how well ONE file fans out over
+    // cores via the index-derived full-scan BGZF splits; before round 11
+    // this shape was one task total.
     try {
       if (!new java.io.File(bam1Dir, "_done").exists()) {
         val refs = (0 until 8).map(i => s"chr$i:30000000").mkString(",")
@@ -274,7 +277,12 @@ object Bench {
             lit("30").as("mapping_quality"),
             lit("100M").as("cigar"),
             lit(null).cast("string").as("mate_reference"),
-            rpad(lit(""), 100, "ACGT").as("sequence"),
+            translate(
+              substring(concat(md5(col("id").cast("string")),
+                md5((col("id") + 7000000L).cast("string")),
+                md5((col("id") + 14000000L).cast("string")),
+                md5((col("id") + 21000000L).cast("string"))), 1, 100),
+              "0123456789abcdef", "ACGTACGTACGTACGT").as("sequence"),
             array_repeat(lit(30L), 100).as("quality_score"),
             array().cast("array<struct<tag:string,value:string>>").as("tags"))
           .repartitionByRange(1, col("reference"), col("start"))
