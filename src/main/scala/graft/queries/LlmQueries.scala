@@ -552,7 +552,6 @@ object LlmQueries {
     // longs — bit-identical results under any partitioning, pinned by
     // tools/pin_l25.py (independent Python reimplementation).
     "l25_semantic_dedup" -> ((s, d) => {
-      val K = 8
       val iters = 4
       val tau = 0.4
       // quantized unit vector: q_i = floor(x_i / ||x|| * 1e6 + 0.5)
@@ -566,6 +565,13 @@ object LlmQueries {
           x => floor(x.cast("double") / norm * 1e6 + 0.5)))
         .select(col("vec_id"), col("q"))
         .localCheckpoint()
+      // SemDeDup-style cluster-count scaling: the within-cluster pairwise
+      // prune is quadratic in cluster SIZE, so a fixed K turns a 10x corpus
+      // into a 100x pair explosion (caught by the r11 sf1 ratchet: 4.5s ->
+      // 45s). K ~ sqrt(N) keeps cluster size ~ sqrt(N): assignment N*K and
+      // pairwise K*(N/K)^2 both grow ~N^1.5 instead of N^2. Floor of 8
+      // preserves the pinned K at the sf0.01 oracle scale (N=200 -> 8).
+      val K = math.max(8, (math.sqrt(emb.count().toDouble) / 3).toInt)
       def dotq(a: Column, b: Column): Column =
         aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
