@@ -18,9 +18,19 @@ object Bgzf {
   final case class Block(data: Array[Byte], compressedSize: Int)
 
   /** Read and inflate one BGZF block at the stream's current position.
-    * Returns null at clean EOF.
+    * Returns null at clean EOF. Allocates a fresh Inflater — block-loop
+    * callers should use the reusing overload (JNI inflater init per 18 KB
+    * block is a measurable tax on a multi-GB scan).
     */
   def readBlock(in: InputStream): Block = {
+    val inf = new Inflater(true)
+    try readBlock(in, inf) finally inf.end()
+  }
+
+  /** Reusing variant: `inf` is reset before use and stays owned by the
+    * caller.
+    */
+  def readBlock(in: InputStream, inf: Inflater): Block = {
     val header = new Array[Byte](12)
     var got = 0
     while (got < 12) {
@@ -48,7 +58,7 @@ object Bgzf {
     val isize = u32(tail, 4).toInt
     val out = new Array[Byte](isize)
     if (isize > 0) {
-      val inf = new Inflater(true)
+      inf.reset()
       inf.setInput(cdata)
       var off = 0
       while (off < isize && !inf.finished()) {
@@ -57,7 +67,6 @@ object Bgzf {
           throw new java.io.EOFException("corrupt BGZF block: inflater stalled")
         off += n
       }
-      inf.end()
     }
     Block(out, bsize)
   }
@@ -112,10 +121,11 @@ final class BgzfStreamInputStream(raw: InputStream) extends InputStream {
   private var pos = 0
   private var limit = 0
   private var done = false
+  private val inf = new Inflater(true) // reused across blocks
 
   private def advance(): Unit = {
     while (!done && pos >= limit) {
-      val b = Bgzf.readBlock(raw)
+      val b = Bgzf.readBlock(raw, inf)
       if (b == null) { done = true; return }
       buf = b.data
       pos = 0
@@ -137,7 +147,7 @@ final class BgzfStreamInputStream(raw: InputStream) extends InputStream {
     n
   }
 
-  override def close(): Unit = raw.close()
+  override def close(): Unit = { inf.end(); raw.close() }
 }
 
 /** InputStream over the BGZF-decompressed bytes of one virtual-position
@@ -155,6 +165,7 @@ final class BgzfChunkInputStream(raw: FSDataInputStream, vStart: Long, vEnd: Lon
   private var pos = 0
   private var limit = 0
   private var done = false
+  private val inf = new Inflater(true) // reused across blocks
 
   raw.seek(nextBlockOffset)
   advance()
@@ -166,7 +177,7 @@ final class BgzfChunkInputStream(raw: FSDataInputStream, vStart: Long, vEnd: Lon
     while (!done) {
       if (nextBlockOffset > endCoffset) { done = true; return }
       val cur = nextBlockOffset
-      val block = Bgzf.readBlock(raw)
+      val block = Bgzf.readBlock(raw, inf)
       if (block == null) { done = true; return }
       nextBlockOffset = cur + block.compressedSize
       buf = block.data
@@ -196,5 +207,5 @@ final class BgzfChunkInputStream(raw: FSDataInputStream, vStart: Long, vEnd: Lon
     n
   }
 
-  override def close(): Unit = raw.close()
+  override def close(): Unit = { inf.end(); raw.close() }
 }
