@@ -572,8 +572,10 @@ object LlmQueries {
       // pairwise K*(N/K)^2 both grow ~N^1.5 instead of N^2. Floor of 8
       // preserves the pinned K at the sf0.01 oracle scale (N=200 -> 8).
       val K = math.max(8, (math.sqrt(emb.count().toDouble) / 3).toInt)
-      def dotq(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      // native codegen'd integer dot (DotLongExpr) — the zip_with +
+      // aggregate formulation allocates an intermediate array per pair,
+      // and the pairwise prune below evaluates this millions of times
+      def dotq(a: Column, b: Column): Column = callUDF("dot_long", a, b)
 
       import s.implicits._
       var cents: Array[(Int, Seq[Long])] = emb.filter(col("vec_id") < K)

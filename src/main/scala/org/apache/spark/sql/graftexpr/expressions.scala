@@ -77,6 +77,22 @@ object SeqOpsBytes {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  def dotLong(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      // same loud-null policy as cosine: getLong on a null slot yields 0
+      // silently, which would skew scores instead of surfacing the bug
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"dot_long: null element at index $i")
+      dot += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    dot
+  }
+
   def qualityScoresToList(s: UTF8String): GenericArrayData = {
     val in = s.getBytes
     val out = new Array[Any](in.length)
@@ -139,6 +155,28 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
       s"org.apache.spark.sql.graftexpr.SeqOpsBytes.cosine($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot_long: integer dot product over two ARRAY<BIGINT>, codegen'd — the
+  * per-pair hot loop of the quantized-grid dedup/PQ queries (l25's
+  * within-cluster prune evaluates it millions of times; the zip_with +
+  * aggregate formulation it replaces allocates an intermediate array per
+  * pair).
+  */
+case class DotLongExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SeqOpsBytes.dotLong(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graftexpr.SeqOpsBytes.dotLong($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

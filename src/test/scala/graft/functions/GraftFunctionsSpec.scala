@@ -114,4 +114,23 @@ class GraftFunctionsSpec extends AnyFunSuite with SharedSpark {
     val gc = spark.sql("SELECT gc_content('GC\u00e9') AS gc").head().getFloat(0)
     assert(math.abs(gc - 2.0f / 3.0f) < 1e-6, s"gc=$gc (chars, not bytes)")
   }
+
+  test("dot_long: codegen'd integer dot product, int casts, negative values") {
+    graft.GraftSession.registerAll(spark)
+    val d = spark.sql(
+      "SELECT dot_long(array(2L, -3L, 5L), array(7L, 11L, -13L)) AS d")
+      .head().getLong(0)
+    assert(d == 2L * 7 - 3 * 11 - 5 * 13)
+    // int arrays implicitly cast to bigint arrays
+    val d2 = spark.sql("SELECT dot_long(array(1, 2), array(3, 4)) AS d")
+      .head().getLong(0)
+    assert(d2 == 11L)
+    // matches the zip_with + aggregate formulation it replaced
+    val both = spark.sql(
+      """SELECT dot_long(a, b) AS fast,
+        |  aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS slow
+        |FROM (SELECT array(12L, -7L, 9L, 0L) a, array(3L, 4L, -2L, 8L) b)""".stripMargin)
+      .head()
+    assert(both.getLong(0) == both.getLong(1))
+  }
 }
