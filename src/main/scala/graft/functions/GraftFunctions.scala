@@ -198,6 +198,10 @@ object GraftFunctions {
       require(args.length == 2, "dot_long takes two bigint-array arguments")
       org.apache.spark.sql.graftexpr.DotLongExpr(args(0), args(1))
     })
+    registerBuilder(spark, "sqdist_long", { args =>
+      require(args.length == 2, "sqdist_long takes two bigint-array arguments")
+      org.apache.spark.sql.graftexpr.SqDistLongExpr(args(0), args(1))
+    })
     registerBuilder(spark, "minhash_agg", { args =>
       require(args.length == 1, "minhash_agg takes one string argument")
       org.apache.spark.sql.graftexpr.MinHashAggExpr(args.head)

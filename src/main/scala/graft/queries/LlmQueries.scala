@@ -2247,9 +2247,9 @@ object LlmQueries {
         s" m -> struct(m as m, slice(q, m * $SUB + 1, $SUB) as sub))")).as("t"))
       .select(col("vec_id"), col("t.m").as("m"), col("t.sub").as("sub"))
       .localCheckpoint()
-    def dist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
+    // native codegen'd integer squared-L2 (SqDistLongExpr) — same per-pair
+    // allocation argument as l25's dot_long
+    def dist(a: Column, b: Column): Column = callUDF("sqdist_long", a, b)
 
     import s.implicits._
     var cents: Array[(Int, Int, Seq[Long])] = sub.filter(col("vec_id") < K)

@@ -93,6 +93,21 @@ object SeqOpsBytes {
     dot
   }
 
+  def sqDistLong(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                 b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"sqdist_long: null element at index $i")
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   def qualityScoresToList(s: UTF8String): GenericArrayData = {
     val in = s.getBytes
     val out = new Array[Any](in.length)
@@ -177,6 +192,25 @@ case class DotLongExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
       s"org.apache.spark.sql.graftexpr.SeqOpsBytes.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sqdist_long: integer squared-L2 over two ARRAY<BIGINT>, codegen'd —
+  * the per-(vec, subspace) hot loop of the PQ codebook queries.
+  */
+case class SqDistLongExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SeqOpsBytes.sqDistLong(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graftexpr.SeqOpsBytes.sqDistLong($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
