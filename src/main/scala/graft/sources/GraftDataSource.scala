@@ -673,9 +673,20 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
     // Index pruning opens one .tbi/.bai/.csi per file; at tens of thousands
     // of indexed files on an object store (~10 ms RTT each) a serial driver
     // loop is minutes of stall. Fan the per-file index queries out over a
-    // bounded pool; no-region plans stay serial (pure metadata math).
+    // bounded pool. Full scans need the pool too when files are
+    // BGZF-split-eligible (the full-scan split loads the same indexes);
+    // only plans that touch no index at all stay serial (pure metadata
+    // math).
+    def bgzfEligible(st: FileStatus): Boolean = {
+      val n = st.getPath.getName.toLowerCase
+      n.endsWith(".bam") || n.endsWith(".bcf") ||
+        n.endsWith(".gz") || n.endsWith(".bgz")
+    }
+    val needsIndexes = region.nonEmpty || pruned.exists { case (st, _) =>
+      bgzfEligible(st) && st.getLen > maxSplit
+    }
     val chunks: Seq[FileChunk] =
-      if (region.isEmpty || pruned.size <= 1)
+      if (!needsIndexes || pruned.size <= 1)
         pruned.flatMap { case (st, vals) => fileChunks(st, vals) }
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(

@@ -184,6 +184,25 @@ class BgzfSplitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("split scan keeps hive partition values and honors a pushed limit") {
+    // hive layout: the same single-shard BAM under sample=s1/
+    val root = graft.TestTmp.dir("bgzf_split_hive")
+    val part = new java.io.File(root.toFile, "sample=s1")
+    part.mkdirs()
+    new java.io.File(bamDir).listFiles().filter(_.isFile).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(part, f.getName).toPath)
+    }
+    withConf(splitConf: _*) {
+      val df = spark.read.format("bam").load(root.toString)
+        .select("name", "reference", "sample")
+      assert(df.rdd.getNumPartitions > 1, "hive-laid-out BAM did not split")
+      // every chunk of the split file must carry the partition value
+      assert(df.filter(col("sample") === "s1").count() == 100050L)
+      assert(spark.read.format("bam").load(root.toString).limit(7).count() == 7)
+    }
+  }
+
   test("file without an index stays one task (no split without record alignment)") {
     // strip the .bai sibling by copying just the .bam part elsewhere
     val src = new java.io.File(bamDir).listFiles()
