@@ -728,6 +728,61 @@ object FormatQueries {
       }
     }),
 
+    // BCF sink (beyond-reference surface): spec-derived BCF2.2 encoder +
+    // .csi writer. Deterministic rows go through write -> read-back, and
+    // the graded aggregates (incl. a .csi-pruned region count) must match
+    // the closed-form oracle; refuses to grade if the sink produced no
+    // .csi sibling.
+    "f66_bcf_sink" -> ((s, _) => {
+      val dir = gateDir("bcf_sink")
+      val header = new java.io.File(dir, "header.vcf")
+      if (!header.exists()) {
+        java.nio.file.Files.writeString(header.toPath,
+          """##fileformat=VCFv4.3
+            |##contig=<ID=chrA,length=100000000>
+            |##contig=<ID=chrB,length=100000000>
+            |##FILTER=<ID=PASS,Description="ok">
+            |##FILTER=<ID=q10,Description="low">
+            |##INFO=<ID=DP,Number=1,Type=Integer,Description="depth">
+            |##INFO=<ID=DB,Number=0,Type=Flag,Description="db">
+            |##FORMAT=<ID=DP,Number=1,Type=Integer,Description="depth">
+            |##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="quality">
+            |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	s1
+            |""".stripMargin)
+      }
+      val out = new java.io.File(dir, "t")
+      if (!new java.io.File(dir, "_done").exists()) {
+        s.range(0, 10000).select(
+            when(col("id") % 2 === 0, "chrA").otherwise("chrB").as("chrom"),
+            ((col("id") / 2).cast("long") * 37 + 11).as("pos"),
+            lit(null).cast("array<string>").as("id"),
+            lit("A").as("ref"),
+            array(lit("T")).as("alt"),
+            (col("id") % 50).cast("float").as("qual"),
+            when(col("id") % 4 === 0, array(lit("q10"))).otherwise(array(lit("PASS")))
+              .as("filter"),
+            concat(lit("DP="), (col("id") % 100).cast("string"),
+              when(col("id") % 6 === 0, ";DB").otherwise(lit(""))).as("info"),
+            concat(lit("DP:GQ\t"), (col("id") % 90).cast("string"), lit(":"),
+              (col("id") % 60).cast("string")).as("formats"))
+          .repartitionByRange(2, col("chrom"), col("pos"))
+          .sortWithinPartitions("chrom", "pos")
+          .write.format("bcf").mode("overwrite")
+          .option("headerFrom", header.getAbsolutePath).save(out.getAbsolutePath)
+        new java.io.File(dir, "_done").createNewFile()
+      }
+      require(out.listFiles().exists(_.getName.endsWith(".csi")),
+        "f66: bcf sink produced no .csi sibling")
+      val back = s.read.format("bcf").load(out.getAbsolutePath)
+      val reg = s.read.format("bcf").option("region", "chrB:1000-50000")
+        .load(out.getAbsolutePath).count()
+      back.agg(count(lit(1)).as("n"),
+        sum(col("pos")).cast("long").as("sum_pos"),
+        count(when(array_contains(col("filter"), "q10"), 1)).as("n_q10"),
+        count(when(col("info").endsWith(";DB"), 1)).as("n_db"))
+        .withColumn("n_region", lit(reg))
+    }),
+
     "f58_sink_chain" -> ((s, _) => {
       val dir = gateDir("sink_chain").getAbsolutePath
       s.read.format("bam").load(s"$fx/bam/test.bam")
@@ -1323,6 +1378,19 @@ object FormatQueries {
     "f64_safety_refusals" ->
       """SELECT true AS unsorted_refused, true AS version_refused,
         |  true AS magic_refused""".stripMargin,
+
+    // 10k rows, pos=(k/2)*37+11; region chrB:1000-50000 = odd k with
+    // k/2 in [ceil(989/37), floor(49989/37)] = [27, 1351]
+    "f66_bcf_sink" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  CAST((SELECT SUM((k // 2) * 37 + 11) FROM range(0, 10000) t(k)) AS BIGINT)
+        |    AS sum_pos,
+        |  CAST((SELECT SUM(CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END)
+        |        FROM range(0, 10000) t(k)) AS BIGINT) AS n_q10,
+        |  CAST((SELECT SUM(CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END)
+        |        FROM range(0, 10000) t(k)) AS BIGINT) AS n_db,
+        |  CAST((SELECT SUM(CASE WHEN k % 2 = 1 AND (k // 2) BETWEEN 27 AND 1351
+        |        THEN 1 ELSE 0 END) FROM range(0, 10000) t(k)) AS BIGINT) AS n_region""".stripMargin,
 
     // 200k records, flag=id%2, start=(id/4)*150+1 per ref, 4 refs x 50k
     "f65_bgzf_fullscan_split" ->

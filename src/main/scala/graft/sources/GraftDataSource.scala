@@ -273,8 +273,8 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
   override def schema(): StructType =
     StructType(resolvedDataSchema.fields ++ partitionSchema.fields)
   override def capabilities(): java.util.Set[TableCapability] = format match {
-    case _: WritableGraftFormat | formats.BamFormat | _: formats.CramFormat |
-         _: formats.BigWigValueFormat =>
+    case _: WritableGraftFormat | formats.BamFormat | formats.BcfFormat |
+         _: formats.CramFormat | _: formats.BigWigValueFormat =>
       java.util.EnumSet.of(
         TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
@@ -295,6 +295,9 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
     case formats.BamFormat =>
       val writeOpts = info.options().asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
       new BamWriteBuilder(this, info, this.options ++ writeOpts)
+    case formats.BcfFormat =>
+      val writeOpts = info.options().asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
+      new BcfWriteBuilder(this, info, this.options ++ writeOpts)
     case _: formats.CramFormat =>
       val writeOpts = info.options().asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
       new CramWriteBuilder(this, info, this.options ++ writeOpts)

@@ -105,6 +105,25 @@ object BcfFormat extends GraftFormat {
 
   private final case class Header(contigs: Map[Int, String], dict: Map[Int, String])
 
+  /** (contig id->name, dictionary id->name) for a header text — the sink
+    * inverts these so writer and reader agree on the implicit numbering by
+    * construction (same function both sides).
+    */
+  private[sources] def headerMaps(text: String): (Map[Int, String], Map[Int, String]) = {
+    val h = parseHeader(text)
+    (h.contigs, h.dict)
+  }
+
+  /** Raw header text of a BCF stream (positioned at magic). */
+  private[sources] def readHeaderText(decompressed: InputStream): String = {
+    val in = new LE(decompressed)
+    val magic = in.bytes(5)
+    require(magic(0) == 'B' && magic(1) == 'C' && magic(2) == 'F', "not a BCF file")
+    val lText = in.i32()
+    new String(in.bytes(lText), java.nio.charset.StandardCharsets.UTF_8)
+      .takeWhile(_ != 0)
+  }
+
   private def parseHeader(text: String): Header = {
     val idxRe = "IDX=(\\d+)".r
     val idRe = "<ID=([^,>]+)".r
