@@ -269,6 +269,9 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
     })
   }
 
+  /** Reader-option access for the streaming source (admission control). */
+  private[sources] def readOption(key: String): Option[String] = options.get(key)
+
   override def name(): String = s"${format.shortName}:${paths.mkString(",")}"
   override def schema(): StructType =
     StructType(resolvedDataSchema.fields ++ partitionSchema.fields)

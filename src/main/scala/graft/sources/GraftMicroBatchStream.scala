@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.FileStatus
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 
 /** Micro-batch streaming over a graft table's file listing: every format
   * (`spark.readStream.format("fasta")...`) becomes a file-arrival stream.
@@ -85,7 +85,8 @@ object GraftFilesOffset {
 }
 
 final class GraftMicroBatchStream(table: GraftTable, scan: GraftScan)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
 
   // Listing snapshot taken at latestOffset time: planInputPartitions slices
   // THIS listing when it still covers the end boundary, so the files
@@ -135,6 +136,77 @@ final class GraftMicroBatchStream(table: GraftTable, scan: GraftScan)
         val (m, p) = GraftFilesOffset.keyOf(st); GraftFilesOffset(m, p)
       }
       .getOrElse(floor)
+    floor = maxOffset(floor, listed)
+    floor
+  }
+
+  // ---- admission control: maxFilesPerTrigger / maxBytesPerTrigger --------
+
+  /** `option("maxFilesPerTrigger", n)` / `option("maxBytesPerTrigger",
+    * "128m")`: bound each micro-batch like Spark's file source does — at a
+    * landing zone a burst of thousands of files otherwise becomes one
+    * giant batch whose failure loses hours of progress.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val mf = table.readOption("maxfilespertrigger").map(_.trim.toInt)
+    val mb = table.readOption("maxbytespertrigger")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+    (mf, mb) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
+  }
+
+  /** AvailableNow cap: the drain processes only files present at prepare
+    * time, so it terminates even while files keep landing.
+    */
+  @volatile private var availableNowCap: GraftFilesOffset = null
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val max = table.listNow()._1.foldLeft(GraftFilesOffset.start) {
+      case (m, (st, _)) =>
+        val (mt, p) = GraftFilesOffset.keyOf(st)
+        if (GraftFilesOffset.lte((mt, p), m)) m else GraftFilesOffset(mt, p)
+    }
+    availableNowCap = maxOffset(floor, max)
+  }
+
+  private def applyLimit(files: Seq[(FileStatus, Array[String])],
+                         limit: ReadLimit): Seq[(FileStatus, Array[String])] =
+    limit match {
+      case f: ReadMaxFiles => files.take(f.maxFiles())
+      case b: ReadMaxBytes =>
+        // always admit at least one file or the stream can never advance
+        var total = 0L
+        files.takeWhile { case (st, _) =>
+          val first = total == 0L
+          total += st.getLen
+          first || total <= b.maxBytes()
+        }
+      case c: CompositeReadLimit => c.getReadLimits.foldLeft(files)(applyLimit)
+      case _ => files
+    }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftFilesOffset]
+    // start is authoritative for this batch; floor may lag it on restart
+    val base = maxOffset(floor, s)
+    var fresh = newFilesAfter(base)
+    val cap = availableNowCap
+    if (cap != null)
+      fresh = fresh.filter { case (st, _) =>
+        GraftFilesOffset.lte(GraftFilesOffset.keyOf(st), cap)
+      }
+    fresh = applyLimit(fresh, limit)
+    snapshot = fresh
+    val listed = fresh.lastOption
+      .map { case (st, _) =>
+        val (m, p) = GraftFilesOffset.keyOf(st); GraftFilesOffset(m, p)
+      }
+      .getOrElse(base)
     floor = maxOffset(floor, listed)
     floor
   }

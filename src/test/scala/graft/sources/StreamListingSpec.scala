@@ -11,6 +11,52 @@ import graft.SharedSpark
   */
 class StreamListingSpec extends AnyFunSuite with SharedSpark {
 
+  test("maxFilesPerTrigger bounds each micro-batch; AvailableNow drains in multiple batches") {
+    val dir = graft.TestTmp.dir("graft_stream_mft").toString
+    val ckpt = graft.TestTmp.dir("graft_stream_mft_ckpt").toString
+    val out = graft.TestTmp.dir("graft_stream_mft_out").toString
+    (0 until 10).foreach { i =>
+      val tmp = java.nio.file.Paths.get(dir, f".f$i%02d.fasta.tmp")
+      java.nio.file.Files.writeString(tmp, s">r$i\nACGT\n")
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, f"f$i%02d.fasta"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val q = spark.readStream.format("fasta")
+      .option("maxFilesPerTrigger", "3").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 10)
+    // 10 files at 3 per trigger = 4 committed batches
+    val batches = new java.io.File(ckpt, "offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 4, s"expected >=4 micro-batches, offsets log has $batches")
+  }
+
+  test("maxBytesPerTrigger admits at least one file and bounds batches") {
+    val dir = graft.TestTmp.dir("graft_stream_mbt").toString
+    val ckpt = graft.TestTmp.dir("graft_stream_mbt_ckpt").toString
+    val out = graft.TestTmp.dir("graft_stream_mbt_out").toString
+    (0 until 4).foreach { i =>
+      val tmp = java.nio.file.Paths.get(dir, f".g$i.fasta.tmp")
+      java.nio.file.Files.writeString(tmp, s">g$i\n" + "ACGT" * 100 + "\n")
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, f"g$i.fasta"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val q = spark.readStream.format("fasta")
+      .option("maxBytesPerTrigger", "1") // below one file: still admits one
+      .load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 4)
+    val batches = new java.io.File(ckpt, "offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 4, s"expected one file per batch, offsets log has $batches")
+  }
+
   test("steady-state triggers sort only newly-arrived files, not the full directory") {
     val dir = graft.TestTmp.dir("graft_stream_many").toString
     val ckpt = graft.TestTmp.dir("graft_stream_many_ckpt").toString
