@@ -261,6 +261,44 @@ object StreamQueries {
             col("event_type"), col("n"))
           .orderBy(col("w_ms"), col("event_type"))
       }
+    }),
+
+    // Admission control: the drain of 6 files under maxFilesPerTrigger=2
+    // must land in bounded micro-batches (>= 3 data-carrying batches) and
+    // still produce exactly the all-at-once answer. At a landing zone this
+    // is what keeps one giant catch-up batch from holding hours of progress
+    // hostage; the gate REFUSES to grade if the limit didn't bound the
+    // batches, so a silent fall-back to all-available cannot pass.
+    "s07_stream_bounded_batches" -> ((s, _) => {
+      val dir = gateDir("stream_bounded")
+      val done = new java.io.File(dir, "_done")
+      if (!done.exists()) {
+        (0 until 6).foreach { i =>
+          val w = new java.io.BufferedWriter(
+            new java.io.FileWriter(new java.io.File(dir, s"b$i.fasta")), 1 << 16)
+          (0 until 100).foreach { j =>
+            w.write(s">b${i}_$j\n${"ACGT" * (j % 4 + 1)}\n")
+          }
+          w.close()
+        }
+        done.createNewFile()
+      }
+      val name = memName("s07m")
+      val q = s.readStream.format("fasta")
+        .option("maxFilesPerTrigger", "2")
+        .load(dir.getAbsolutePath)
+        .groupBy(substring(col("id"), 1, 2).as("shard"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(length(col("sequence"))).as("sum_len"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 3,
+        "s07: admission control did not bound the drain - expected >=3 " +
+          s"data micro-batches (6 files at maxFilesPerTrigger=2), saw $dataBatches")
+      s.table(name).orderBy(col("shard"))
     })
   )
 
@@ -311,6 +349,13 @@ object StreamQueries {
     "s06_stream_events_hourly" ->
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS w_ms,
         |  event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY w_ms, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY w_ms, event_type""".stripMargin,
+
+    // 6 shards x 100 records; sum_len per shard = sum_{j=0..99} 4*(j%4+1)
+    // = 25 * 4 * (1+2+3+4) = 1000
+    "s07_stream_bounded_batches" ->
+      """SELECT 'b' || CAST(i AS VARCHAR) AS shard,
+        |  CAST(100 AS BIGINT) AS n_records, CAST(1000 AS BIGINT) AS sum_len
+        |FROM generate_series(0, 5) t(i) ORDER BY shard""".stripMargin
   )
 }
