@@ -299,6 +299,49 @@ object StreamQueries {
         "s07: admission control did not bound the drain - expected >=3 " +
           s"data micro-batches (6 files at maxFilesPerTrigger=2), saw $dataBatches")
       s.table(name).orderBy(col("shard"))
+    }),
+
+    // Streaming WRITE through a graft sink: a text VCF streams in through
+    // the micro-batch source and lands through writeStream.format("vcf")
+    // with compression=bgzf — the indexed-sink family under streaming
+    // commits (deterministic epoch part names, sibling .tbi per part).
+    // The gate then batch-reads the sink's own output REGION-PRUNED
+    // through its own .tbi (refusing to grade if the sibling index is
+    // absent) and grades the pruned aggregate against a closed-form
+    // oracle: readStream -> writeStream -> indexed re-read, end to end.
+    "s08_stream_sink_transcode" -> ((s, _) => {
+      val dir = gateDir("stream_sink_in")
+      val done = new java.io.File(dir, "_done")
+      if (!done.exists()) {
+        val sb = new StringBuilder("##fileformat=VCFv4.2\n")
+        sb.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        Seq("chr1", "chr2").foreach { c =>
+          (1 to 500).foreach { i =>
+            sb.append(s"$c\t${i * 100}\t.\tA\tT\t30\tPASS\tDP=$i\n")
+          }
+        }
+        java.nio.file.Files.writeString(
+          new java.io.File(dir, "calls.vcf").toPath, sb.toString)
+        done.createNewFile()
+      }
+      val run = java.nio.file.Files.createTempDirectory("graft_s08_")
+      QueryTmp.deleteRecursivelyOnExit(run)
+      val out = new java.io.File(run.toFile, "out").getAbsolutePath
+      val ckpt = new java.io.File(run.toFile, "ckpt").getAbsolutePath
+      val q = s.readStream.format("vcf").load(dir.getAbsolutePath)
+        .writeStream.format("vcf")
+        .option("path", out).option("compression", "bgzf")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val names = new java.io.File(out).listFiles.map(_.getName)
+      require(names.exists(_.endsWith(".vcf.gz.tbi")),
+        "s08: streaming bgzf commit produced no sibling .tbi - refusing " +
+          s"to grade an unindexed sink output (${names.mkString(",")})")
+      s.read.format("vcf").option("region", "chr2:10001-20000").load(out)
+        .groupBy(col("chrom"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("sum_pos"))
+        .orderBy(col("chrom"))
     })
   )
 
@@ -356,6 +399,13 @@ object StreamQueries {
     "s07_stream_bounded_batches" ->
       """SELECT 'b' || CAST(i AS VARCHAR) AS shard,
         |  CAST(100 AS BIGINT) AS n_records, CAST(1000 AS BIGINT) AS sum_len
-        |FROM generate_series(0, 5) t(i) ORDER BY shard""".stripMargin
+        |FROM generate_series(0, 5) t(i) ORDER BY shard""".stripMargin,
+
+    // region chr2:10001-20000 over pos = 100,200,...,50000 keeps
+    // 10100..20000 step 100: 100 rows, sum = (10100+20000)*100/2
+    "s08_stream_sink_transcode" ->
+      """SELECT * FROM (VALUES
+        |  ('chr2', CAST(100 AS BIGINT), CAST(1505000 AS BIGINT)))
+        |t(chrom, n, sum_pos) ORDER BY chrom""".stripMargin
   )
 }

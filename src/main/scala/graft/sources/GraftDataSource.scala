@@ -276,7 +276,15 @@ final class GraftTable(val format: GraftFormat, options: Map[String, String])
   override def schema(): StructType =
     StructType(resolvedDataSchema.fields ++ partitionSchema.fields)
   override def capabilities(): java.util.Set[TableCapability] = format match {
-    case _: WritableGraftFormat | formats.BamFormat | formats.BcfFormat |
+    // Text formats stream out too (writeStream.format("fasta")...): each
+    // epoch writes deterministic part files so failed-epoch replays are
+    // idempotent. The binary sinks (BAM/BCF/CRAM/BigWig) stay batch-only.
+    case _: WritableGraftFormat =>
+      java.util.EnumSet.of(
+        TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.STREAMING_WRITE)
+    case formats.BamFormat | formats.BcfFormat |
          _: formats.CramFormat | _: formats.BigWigValueFormat =>
       java.util.EnumSet.of(
         TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,

@@ -73,7 +73,61 @@ final class GraftWriteBuilder(table: GraftTable, format: WritableGraftFormat,
         options.getOrElse("compression", "none").toLowerCase,
         UUID.randomUUID().toString)
     }
+
+    // writeStream.format("fasta")... — append-only like Spark's file sink.
+    // Each epoch's part names are deterministic (epoch, partition), so a
+    // replayed epoch after failure overwrites its own files: idempotent
+    // exactly-once output without a metadata log.
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (doTruncate)
+        throw new UnsupportedOperationException(
+          s"${format.shortName} streaming sink is append-only (like Spark's " +
+            "file sink); use outputMode(\"append\")")
+      val dir = new Path(table.paths.head)
+      val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+      val fs = dir.getFileSystem(conf)
+      fs.mkdirs(dir)
+      new GraftStreamingWrite(format, table.paths.head, info.schema(),
+        new SerializableHadoopConf(conf),
+        options.getOrElse("compression", "none").toLowerCase,
+        info.queryId())
+    }
   }
+}
+
+/** Streaming flavor of [[GraftBatchWrite]]: one job-temp namespace per
+  * (queryId, epoch), deterministic part names per (epoch, partition).
+  */
+final class GraftStreamingWrite(format: WritableGraftFormat, dir: String,
+                                schema: StructType, conf: SerializableHadoopConf,
+                                compression: String, queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val srcIdx: Array[Int] = format.dataSchema.fieldNames.map { f =>
+      schema.fieldNames.indexWhere(_.equalsIgnoreCase(f))
+    }
+    new GraftStreamingDataWriterFactory(format, dir, srcIdx, schema, conf,
+      compression, queryId)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteTemp.clean(dir, s"$queryId-$epochId", conf.value)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteTemp.clean(dir, s"$queryId-$epochId", conf.value)
+}
+
+final class GraftStreamingDataWriterFactory(format: WritableGraftFormat, dir: String,
+                                            srcIdx: Array[Int], schema: StructType,
+                                            conf: SerializableHadoopConf,
+                                            compression: String, queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(format, dir, srcIdx, schema, conf, compression,
+      partitionId, taskId, s"$queryId-$epochId", epoch = Some(epochId))
 }
 
 final class GraftBatchWrite(format: WritableGraftFormat, dir: String, schema: StructType,
@@ -144,7 +198,8 @@ final class GraftDataWriterFactory(format: WritableGraftFormat, dir: String,
 final class GraftDataWriter(format: WritableGraftFormat, dir: String,
                             srcIdx: Array[Int], schema: StructType,
                             conf: SerializableHadoopConf, compression: String,
-                            partitionId: Int, taskId: Long, jobId: String)
+                            partitionId: Int, taskId: Long, jobId: String,
+                            epoch: Option[Long] = None)
   extends DataWriter[InternalRow] {
 
   private val ext = format.defaultExtensions.head + (compression match {
@@ -158,10 +213,20 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
     throw new IllegalArgumentException(
       s"${format.shortName}: bgzf compression is for coordinate formats " +
         "(the point is the sibling .tbi); use gzip here")
-  private val fileName =
-    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.$ext"
-  // written under the job's temp namespace, renamed into place at task commit
-  private val tmpPath = new Path(new Path(new Path(dir, "_temporary"), jobId), fileName)
+  // Batch parts get a random suffix (append-friendly, collision-free);
+  // streaming parts are DETERMINISTIC per (epoch, partition) so a replayed
+  // epoch overwrites its own output instead of duplicating it.
+  private val fileName = epoch match {
+    case Some(e) => f"part-$e%06d-$partitionId%05d.$ext"
+    case None =>
+      f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.$ext"
+  }
+  // written under the job's temp namespace, renamed into place at task
+  // commit; concurrent attempts of one streaming (epoch, partition) get
+  // distinct temp names (taskId) — the commit coordinator lets only one
+  // attempt rename into place
+  private val tmpName = if (epoch.isDefined) s"$fileName.t$taskId" else fileName
+  private val tmpPath = new Path(new Path(new Path(dir, "_temporary"), jobId), tmpName)
   private val path = new Path(dir, fileName)
 
   private var opened = false
@@ -242,6 +307,13 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
     // only close (and thereby create) the file if this task wrote anything
     if (opened) {
       val fs = path.getFileSystem(conf.value)
+      // a replayed streaming epoch re-commits the same deterministic names:
+      // clear the previous attempt's files so rename lands (idempotent)
+      if (epoch.isDefined) {
+        if (fs.exists(path)) fs.delete(path, false)
+        if (fs.exists(path.suffix(".tbi"))) fs.delete(path.suffix(".tbi"), false)
+        if (fs.exists(path.suffix(".fai"))) fs.delete(path.suffix(".fai"), false)
+      }
       if (bgzf != null) {
         bgzf.finish()
         raw.close()
