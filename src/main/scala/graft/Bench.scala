@@ -53,6 +53,7 @@ object Bench {
     val gffDir = tmpPath("graft_bench_gff")
     val bamDir = tmpPath("graft_bench_bam")
     val bam1Dir = tmpPath("graft_bench_bam1v2") // v2: high-entropy sequences
+    val vcfGzDir = tmpPath("graft_bench_vcfgz1") // b15: unindexed bgzip VCF
     val scaleDir = tmpPath(s"graft_bench_fasta6x_$slug")
 
     // b01/b02 corpus: ~|lineitem| synthetic sequences through our own FASTA
@@ -292,6 +293,39 @@ object Bench {
         new java.io.File(bam1Dir, "_done").createNewFile()
       }
     } catch { case e: Throwable => recordErr("gen_bam1_corpus", e) }
+
+    // b15 corpus: ONE bgzipped VCF with NO index sibling — the common
+    // landing-zone shape (bgzip without tabix). Decode parallelism comes
+    // purely from the index-free BGZF block split (validated boundary scan
+    // + line alignment); before round 11 this shape was one task total.
+    // INFO carries an md5 field so the file doesn't deflate to nothing.
+    try {
+      if (!new java.io.File(vcfGzDir, "_done").exists()) {
+        val sink = s"$vcfGzDir/sink"
+        spark.range(0, 2000000L).select(
+            concat(lit("chr"), (col("id") % 8).cast("string")).as("chrom"),
+            ((col("id") / 8).cast("long") * 40 + 1).as("pos"),
+            lit(null).cast("array<string>").as("id"),
+            lit("A").as("ref"),
+            array(lit("T")).as("alt"),
+            (col("id") % 60).cast("float").as("qual"),
+            lit(null).cast("array<string>").as("filter"),
+            concat(lit("DP="), (col("id") % 100).cast("string"),
+              lit(";H="), md5(col("id").cast("string"))).as("info"),
+            lit(null).cast("string").as("formats"))
+          .repartitionByRange(1, col("chrom"), col("pos"))
+          .sortWithinPartitions("chrom", "pos")
+          .write.format("vcf").mode("overwrite")
+          .option("compression", "bgzf").save(sink)
+        new java.io.File(sink).listFiles()
+          .filter(_.getName.endsWith(".vcf.gz")).foreach { f =>
+            java.nio.file.Files.copy(f.toPath,
+              new java.io.File(vcfGzDir, "calls.vcf.gz").toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        new java.io.File(vcfGzDir, "_done").createNewFile()
+      }
+    } catch { case e: Throwable => recordErr("gen_vcfgz_corpus", e) }
 
     // b09 corpus: the same indexed VCF served over live HTTP through the
     // from-scratch S3 FileSystem with SigV4 signing — the baseline's
@@ -556,6 +590,7 @@ object Bench {
         // over multiple tasks; w1..w8 keep the default for round-over-
         // round comparability.
         val bam1Ready = new java.io.File(bam1Dir, "_done").exists()
+        val vcfGzReady = new java.io.File(vcfGzDir, "_done").exists()
         Seq(1, 2, 4, 8, 16).foreach { w =>
           val s = LocalSession.buildBench(w.toString)
           if (w > 8)
@@ -583,6 +618,23 @@ object Bench {
               details += s"b14_bam_scan_w$w" -> tb
               results = results :+ (s"b14_bam_scan_w$w" -> tb.value)
             } catch { case e: Throwable => recordErr(s"b14_bam_scan_w$w", e) }
+          }
+          // b15: the SAME width, over ONE unindexed bgzipped VCF — text
+          // decode parallelised purely by the INDEX-FREE BGZF block split
+          // (no .tbi exists; readers find block boundaries by validated
+          // magic scan and align to lines).
+          if (vcfGzReady) {
+            try {
+              def vcfScan(): Long = s.read.format("vcf")
+                .load(s"$vcfGzDir/calls.vcf.gz")
+                .agg(sum(col("pos")), sum(length(col("info")))).count()
+              vcfScan() // warm-up
+              val tv = timedEntry(3) { () =>
+                val t0 = System.nanoTime(); vcfScan(); (System.nanoTime() - t0) / 1e9
+              }
+              details += s"b15_vcfgz_scan_w$w" -> tv
+              results = results :+ (s"b15_vcfgz_scan_w$w" -> tv.value)
+            } catch { case e: Throwable => recordErr(s"b15_vcfgz_scan_w$w", e) }
           }
           s.stop()
           SparkSession.clearActiveSession()

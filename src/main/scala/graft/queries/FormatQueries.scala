@@ -783,6 +783,55 @@ object FormatQueries {
         .withColumn("n_region", lit(reg))
     }),
 
+    // Index-FREE BGZF split: a bgzipped VCF with NO .tbi sibling — the
+    // common landing-zone shape — must still fan out over parallel chunks
+    // (validated block-boundary scan + Hadoop line alignment at block
+    // granularity; round-11's complement to f65's index-derived split).
+    // Aggregates computed EAGERLY under the split-forcing conf
+    // (save/restore); the gate refuses to grade an unsplit plan.
+    "f67_bgzf_indexfree_split" -> ((s, _) => {
+      val dir = gateDir("bgzf_indexfree")
+      val f = new java.io.File(dir, "calls.vcf.gz")
+      if (!new java.io.File(dir, "_done").exists()) {
+        val w = new graft.sources.BgzfWriter(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f), 1 << 16))
+        w.write(("##fileformat=VCFv4.2\n" +
+          "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n").getBytes("UTF-8"))
+        var c = 1
+        while (c <= 2) {
+          var i = 1
+          while (i <= 100000) {
+            w.write(s"chr$c\t${i * 3L}\t.\tA\tT\t30\tPASS\tDP=${i % 97}\n"
+              .getBytes("UTF-8"))
+            i += 1
+          }
+          c += 1
+        }
+        w.finish()
+        new java.io.File(dir, "_done").createNewFile()
+      }
+      val keys = Seq("spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+        s.conf.set("spark.sql.files.openCostInBytes", "16384")
+        val df = s.read.format("vcf").load(f.getAbsolutePath)
+          .select("chrom", "pos", "info")
+        val parts = df.rdd.getNumPartitions
+        require(parts >= 4,
+          s"index-free BGZF split did not engage: $parts partition(s)")
+        val rows = df.groupBy(col("chrom"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).cast("long").as("sum_pos"))
+          .orderBy("chrom").collect()
+        import s.implicits._
+        rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toDF("chrom", "n", "sum_pos")
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+    }),
+
     "f58_sink_chain" -> ((s, _) => {
       val dir = gateDir("sink_chain").getAbsolutePath
       s.read.format("bam").load(s"$fx/bam/test.bam")
@@ -1399,6 +1448,13 @@ object FormatQueries {
         |  CAST((SELECT 4 * SUM(k * 150 + 1) FROM range(0, 50000) t(k)) AS BIGINT)
         |    AS sum_start,
         |  CAST(50000 AS BIGINT) AS n_chr2""".stripMargin,
+
+    // 2 chroms x 100k rows, pos = 3i: sum_pos = 3 * 100000*100001/2
+    "f67_bgzf_indexfree_split" ->
+      """SELECT 'chr' || CAST(i AS VARCHAR) AS chrom,
+        |  CAST(100000 AS BIGINT) AS n,
+        |  CAST(15000150000 AS BIGINT) AS sum_pos
+        |FROM generate_series(1, 2) t(i) ORDER BY chrom""".stripMargin,
 
     // all three encodings must reproduce the htslib original's aggregates
     "f62_cram31_scan" ->

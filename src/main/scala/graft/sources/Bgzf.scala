@@ -89,6 +89,59 @@ object Bgzf {
   @inline private def u32(b: Array[Byte], i: Int): Long =
     (u16(b, i).toLong) | (u16(b, i + 2).toLong << 16)
 
+  /** Parse a candidate BGZF block header at `b(i)`, returning its total
+    * block size (BSIZE+1) or -1 when the bytes there are not a plausible
+    * header. Pure-buffer validation used by the split-point scan.
+    */
+  private def headerBsizeAt(b: Array[Byte], i: Int, avail: Int): Int = {
+    if (i + 12 > avail) return -1
+    if ((b(i) & 0xff) != 31 || (b(i + 1) & 0xff) != 139 ||
+        (b(i + 2) & 0xff) != 8 || (b(i + 3) & 4) == 0) return -1
+    val xlen = u16(b, i + 10)
+    if (xlen < 6 || i + 12 + xlen > avail) return -1
+    var j = i + 12
+    val xend = i + 12 + xlen
+    var bsize = -1
+    while (j + 4 <= xend && bsize < 0) {
+      val si1 = b(j) & 0xff; val si2 = b(j + 1) & 0xff
+      val slen = u16(b, j + 2)
+      if (si1 == 66 && si2 == 67 && slen == 2 && j + 6 <= xend)
+        bsize = u16(b, j + 4) + 1
+      j += 4 + slen
+    }
+    if (bsize < 12 + xlen + 8 || bsize > (1 << 16)) -1 else bsize
+  }
+
+  /** Find the first BGZF block boundary at/after raw offset `c` by scanning
+    * for a validated header (magic + FEXTRA + BC subfield) whose implied
+    * NEXT block also validates (or lands exactly at EOF) — the two-header
+    * chain makes a false positive inside compressed payload astronomically
+    * unlikely (the hadoop-bam technique). The true boundary is at most one
+    * block (64 KiB) away, so one bounded positioned read suffices. Returns
+    * -1 when no boundary exists at/after `c` (offset inside the last
+    * block).
+    */
+  def findBlockAtOrAfter(raw: FSDataInputStream, c: Long, fileSize: Long): Long = {
+    if (c >= fileSize) return -1
+    if (c == 0) return 0
+    val win = math.min(fileSize - c, (3L << 16) + 1024).toInt
+    val b = new Array[Byte](win)
+    raw.readFully(c, b, 0, win)
+    var i = 0
+    // the first real boundary is within one max-size block of c
+    val scanMax = math.min(win - 18, 1 << 16)
+    while (i <= scanMax) {
+      val bs = headerBsizeAt(b, i, win)
+      if (bs > 0) {
+        val nextAbs = c + i + bs
+        if (nextAbs == fileSize || headerBsizeAt(b, i + bs, win) > 0)
+          return c + i
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** Cheap sniff (mark/reset, no bytes consumed): gzip magic + FEXTRA flag
     * + a BC-first extra subfield — the layout every BGZF writer (htslib,
     * this repo's BgzfWriter) emits. A BGZF file with BC not first would
@@ -155,6 +208,80 @@ final class BgzfStreamInputStream(raw: InputStream) extends InputStream {
   * serves decompressed bytes until the end virtual position. Index chunk
   * boundaries are record-aligned, so line parsing terminates cleanly.
   */
+/** Decompressed stream over one COMPRESSED-offset split [cStart, cEnd) of a
+  * BGZF file with NO index: the index-free analog of the full-scan split,
+  * for one-line-per-record text formats (bgzipped VCF/GFF/BED/... without a
+  * .tbi sibling — the common landing-zone shape).
+  *
+  * Block ownership is positional and deterministic: the chunk owns every
+  * block whose start offset is in [findBlockAtOrAfter(cStart),
+  * first block >= cEnd). Record alignment is the Hadoop text convention
+  * lifted to block granularity — this stream ALWAYS serves past the last
+  * owned block through the first '\n' of the following blocks (so the line
+  * straddling the boundary completes here), and the READER of a cStart>0
+  * chunk always discards its first line (served by the predecessor's
+  * tail). Every line lands in exactly one chunk under any chunking;
+  * BgzfBlockSplitSpec asserts the invariance.
+  */
+final class BgzfBlockSplitInputStream(raw: FSDataInputStream, cStart: Long,
+                                      cEnd: Long, fileSize: Long)
+  extends InputStream {
+
+  private var buf: Array[Byte] = _
+  private var pos = 0
+  private var limit = 0
+  private var done = false
+  private var tailing = false
+  private var lastTail = false
+  private val inf = new Inflater(true) // reused across blocks
+  private var nextBlockOffset: Long =
+    Bgzf.findBlockAtOrAfter(raw, cStart, fileSize)
+
+  if (nextBlockOffset < 0) done = true
+  else { raw.seek(nextBlockOffset); advance() }
+
+  private def advance(): Unit = {
+    while (!done && pos >= limit) {
+      if (lastTail) { done = true; return }
+      if (!tailing && nextBlockOffset >= cEnd) tailing = true
+      val cur = nextBlockOffset
+      val block = Bgzf.readBlock(raw, inf)
+      if (block == null) { done = true; return }
+      nextBlockOffset = cur + block.compressedSize
+      buf = block.data
+      pos = 0
+      limit = block.data.length
+      if (tailing) {
+        // serve only through the first '\n' at/after the boundary; the
+        // straddling line's remainder may span multiple blocks
+        var i = 0
+        var nl = -1
+        while (i < limit && nl < 0) { if (buf(i) == '\n') nl = i; i += 1 }
+        if (nl >= 0) { limit = nl + 1; lastTail = true }
+      }
+    }
+  }
+
+  override def read(): Int = {
+    if (done) return -1
+    val b = buf(pos) & 0xff
+    pos += 1
+    if (pos >= limit) advance()
+    b
+  }
+
+  override def read(out: Array[Byte], off: Int, len: Int): Int = {
+    if (done) return -1
+    val n = math.min(len, limit - pos)
+    System.arraycopy(buf, pos, out, off, n)
+    pos += n
+    if (pos >= limit) advance()
+    n
+  }
+
+  override def close(): Unit = { inf.end(); raw.close() }
+}
+
 final class BgzfChunkInputStream(raw: FSDataInputStream, vStart: Long, vEnd: Long)
   extends InputStream {
 

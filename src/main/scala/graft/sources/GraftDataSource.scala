@@ -71,8 +71,10 @@ abstract class GraftTableProvider(format: GraftFormat)
   */
 final case class FileChunk(path: String, start: Long, length: Long, fileSize: Long,
                            partValues: Array[String],
-                           vStart: Long = -1L, vEnd: Long = -1L) {
-  def isWholeFile: Boolean = vStart < 0 && start == 0 && length >= fileSize
+                           vStart: Long = -1L, vEnd: Long = -1L,
+                           blockSplit: Boolean = false) {
+  def isWholeFile: Boolean =
+    vStart < 0 && !blockSplit && start == 0 && length >= fileSize
   def isBgzfChunk: Boolean = vStart >= 0
 }
 
@@ -615,9 +617,38 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
           (0L until size by maxSplit).map { off =>
             FileChunk(p, off, math.min(maxSplit, size - off), size, vals)
           }
-        } else bgzfFullScanChunks(st, vals, maxSplit).getOrElse(
-          Seq(FileChunk(p, 0, size, size, vals)))
+        } else bgzfFullScanChunks(st, vals, maxSplit)
+          .orElse(bgzfBlockSplitChunks(st, vals, maxSplit))
+          .getOrElse(Seq(FileChunk(p, 0, size, size, vals)))
       }
+    }
+
+    /** Index-free split of a big bgzipped one-line-per-record text file
+      * (.vcf.gz/.gff.gz/... with NO tabix sibling — the common landing-zone
+      * shape): cut at raw compressed offsets; each reader finds its first
+      * BGZF block boundary by validated magic scan and aligns to lines by
+      * the Hadoop convention at block granularity
+      * (BgzfBlockSplitInputStream). Gated on a 16-byte BGZF sniff — plain
+      * gzip cannot be entered mid-stream and stays one task.
+      */
+    def bgzfBlockSplitChunks(st: FileStatus, vals: Array[String],
+                             maxSplit: Long): Option[Seq[FileChunk]] = {
+      val p = st.getPath.toString
+      val size = st.getLen
+      if (size <= maxSplit || !table.format.lineRecords) return None
+      val name = st.getPath.getName.toLowerCase
+      if (!(name.endsWith(".gz") || name.endsWith(".bgz"))) return None
+      val isBgzf =
+        try {
+          val in = st.getPath.getFileSystem(hadoopConf).open(st.getPath)
+          try Bgzf.looksLikeBgzf(new java.io.BufferedInputStream(in, 64))
+          finally in.close()
+        } catch { case _: Exception => false }
+      if (!isBgzf) return None
+      Some((0L until size by maxSplit).map { off =>
+        FileChunk(p, off, math.min(maxSplit, size - off), size, vals,
+          blockSplit = true)
+      })
     }
 
     /** Full-scan split of a big BGZF binary/bgzipped file (no region needed):
@@ -1153,9 +1184,21 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
     val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
     val compressed = Codecs.isCompressed(path.getName)
-    val isSplit = c.start > 0 && !c.isBgzfChunk
+    val isSplit = c.start > 0 && !c.isBgzfChunk && !c.blockSplit
     val mkLines: () => ByteLineReader =
-      if (c.isBgzfChunk) {
+      if (c.blockSplit) {
+        stream = new BgzfBlockSplitInputStream(raw, c.start, c.start + c.length,
+          c.fileSize)
+        val s = stream
+        () => {
+          val r = new ByteLineReader(s, 0L)
+          // Hadoop convention at block granularity: the predecessor chunk
+          // always serves through the first '\n' past the boundary, so a
+          // mid-file chunk always discards its first line.
+          if (c.start > 0) r.readLine()
+          r
+        }
+      } else if (c.isBgzfChunk) {
         stream = new BgzfChunkInputStream(raw, c.vStart, c.vEnd)
         val s = stream
         () => new ByteLineReader(s, 0L)
@@ -1185,7 +1228,8 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
     val reopen = () => fs.open(path): java.io.InputStream
     it = format.records(
       new RecordInput(mkLines, stream, end, isSplit, c.isBgzfChunk, reopen, path, fs,
-        startsAtFileStart = !isSplit && (!c.isBgzfChunk || c.vStart == 0L)),
+        startsAtFileStart = !isSplit && (!c.isBgzfChunk || c.vStart == 0L) &&
+          (!c.blockSplit || c.start == 0L)),
       dataSchema, parseCols)
     true
   }

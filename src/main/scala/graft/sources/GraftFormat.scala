@@ -50,6 +50,14 @@ trait GraftFormat extends Serializable {
   /** Uncompressed files may be split at record boundaries. */
   def splittable: Boolean = false
 
+  /** One record == one line. Enables the index-free BGZF block split: a big
+    * bgzipped file with no tabix sibling still fans out, because line
+    * alignment at block boundaries is discoverable (Hadoop text-split
+    * convention lifted to BGZF blocks). Multi-line-record formats (FASTA,
+    * FASTQ, GenBank) must stay false — their record boundary is not '\n'.
+    */
+  def lineRecords: Boolean = false
+
   /** Formats with file-driven schemas (FCS parameters, SDF data headers)
     * override this; called once on the driver with the listed files.
     * `open` yields the decompressed stream of a file.
@@ -90,6 +98,7 @@ trait GraftFormat extends Serializable {
   */
 abstract class LineFormat extends GraftFormat {
   override def splittable: Boolean = true
+  override def lineRecords: Boolean = true
 
   /** Lines to skip entirely (comments, headers). */
   def skipLine(line: String): Boolean = line.isEmpty || line.charAt(0) == '#'

@@ -23,6 +23,9 @@ final class VcfTypedFormat(parseInfo: Boolean, parseFormats: Boolean) extends Gr
   override def defaultExtensions: Seq[String] = Seq("vcf")
   override val dataSchema: StructType = VcfFormat.dataSchema
   override def splittable: Boolean = true
+  // header-derived schema is resolved at planning time; record parsing is
+  // stateless per line, so index-free BGZF splits apply
+  override def lineRecords: Boolean = true
   override def regionColumns: Option[(String, String, String)] =
     Some(("chrom", "pos", "pos"))
 
