@@ -548,6 +548,23 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
   // chunk set, not the raw listing. A runtime filter invalidates the memo.
   @volatile private var planned: Array[InputPartition] = _
 
+  // Planning observability (recorded by computePartitions, surfaced on the
+  // scan node in the SQL UI via reportDriverMetrics).
+  @volatile private var mFilesScanned = 0L
+  @volatile private var mChunksPlanned = 0L
+  @volatile private var mPlannedBytes = 0L
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new FilesListedMetric, new ChunksPlannedMetric, new PlannedBytesMetric,
+      new ChunksReadMetric, new RecordsParsedMetric)
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    plannedPartitions // ensure planning ran (it has, by execution time)
+    Array(GraftTaskMetric("filesListed", mFilesScanned),
+      GraftTaskMetric("chunksPlanned", mChunksPlanned),
+      GraftTaskMetric("plannedBytes", mPlannedBytes))
+  }
+
   private def plannedPartitions: Array[InputPartition] = {
     var p = planned
     if (p == null) { p = computePartitions(); planned = p }
@@ -745,6 +762,9 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
         } finally pool.shutdown()
       }
 
+    mFilesScanned = chunks.iterator.map(_.path).toSet.size.toLong
+    mChunksPlanned = chunks.size.toLong
+    mPlannedBytes = chunks.iterator.map(_.length).sum
     GraftScan.pack(chunks, openCost, maxSplit)
       .map(p => GraftInputPartition(p): InputPartition)
   }
@@ -1055,6 +1075,9 @@ final class RefColumnVector(dt: DataType, capacity: Int)
 final class GraftColumnarReader(rows: GraftPartitionReader, schema: StructType)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    rows.currentMetricsValues()
+
   private val capacity = 4096
   private val vectors: Array[org.apache.spark.sql.vectorized.ColumnVector] =
     schema.fields.map { f =>
@@ -1179,6 +1202,7 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
     closeStream()
     chunkIdx += 1
     if (chunkIdx >= chunks.length) return false
+    mChunksRead += 1
     val c = chunks(chunkIdx)
     val path = new Path(c.path)
     val fs = path.getFileSystem(conf)
@@ -1262,6 +1286,12 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
   }
 
   private var emitted = 0L
+  private var mParsed = 0L
+  private var mChunksRead = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftTaskMetric("chunksRead", mChunksRead),
+      GraftTaskMetric("recordsParsed", mParsed))
 
   override def next(): Boolean = {
     if (limit.exists(emitted >= _)) return false // pushed limit: stop early
@@ -1271,6 +1301,7 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
         if (!openNextChunk()) return false
       }
       val candidate = it.next()
+      mParsed += 1
       if (inRegion(candidate)) data = candidate
     }
     val row = new Array[Any](fieldSources.length)
