@@ -783,6 +783,66 @@ object FormatQueries {
         .withColumn("n_region", lit(reg))
     }),
 
+    // Bgzipped indexed FASTA (the `samtools faidx ref.fa.gz` layout,
+    // engine-written end to end): the FASTA sink's bgzf mode commits
+    // .fa.gz + .fai (uncompressed-domain) + .gzi (block map) siblings;
+    // the gate then (a) extracts two region subsequences by SEEKING the
+    // compressed file through fai+gzi, (b) full-scans it split into
+    // record-aligned chunks derived from the same indexes ('>'-validated
+    // cuts; refuses to grade an unsplit plan), and (c) answers count(*)
+    // from .fai metadata (refuses to grade unless GraftCountScan planned).
+    "f68_fasta_bgzf_indexed" -> ((s, _) => {
+      val dir = gateDir("fasta_bgzf")
+      val tbl = new java.io.File(dir, "t")
+      if (!new java.io.File(dir, "_done").exists()) {
+        val pattern = "ACGTG" * 42 // 210 bases, every sequence a prefix
+        s.range(0, 9600).select(
+            concat(lit("seq"), format_string("%04d", col("id"))).as("id"),
+            lit(null).cast("string").as("description"),
+            substring(lit(pattern), lit(1),
+              (lit(200) + col("id") % 7).cast("int")).as("sequence"))
+          .coalesce(1).sortWithinPartitions("id")
+          .write.format("fasta").mode("overwrite")
+          .option("compression", "bgzf").save(tbl.getAbsolutePath)
+        new java.io.File(dir, "_done").createNewFile()
+      }
+      require(tbl.listFiles().exists(_.getName.endsWith(".gzi")),
+        "f68: bgzf fasta sink produced no .gzi sibling")
+      val gz = tbl.listFiles().filter(_.getName.endsWith(".fasta.gz"))
+        .head.getAbsolutePath
+      val sub1 = s.read.format("fasta")
+        .option("region", "seq0777:7-36").load(gz)
+        .select("sequence").head.getString(0)
+      val sub2 = s.read.format("fasta")
+        .option("region", "seq0003").load(gz)
+        .select("sequence").head.getString(0)
+      val counted = s.read.format("fasta").load(tbl.getAbsolutePath)
+        .groupBy().count()
+      require(counted.queryExecution.executedPlan.toString
+          .contains("GraftCountScan"),
+        "f68: count(*) did not choose the .fai metadata path")
+      val n = counted.head.getLong(0)
+      val keys = Seq("spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+        s.conf.set("spark.sql.files.openCostInBytes", "2048")
+        val df = s.read.format("fasta").load(tbl.getAbsolutePath)
+          .select("id", "sequence")
+        val parts = df.rdd.getNumPartitions
+        require(parts >= 3,
+          s"f68: fai+gzi full-scan split did not engage: $parts partition(s)")
+        val sumLen = df.agg(sum(length(col("sequence"))).cast("long"))
+          .head.getLong(0)
+        import s.implicits._
+        Seq((n, sumLen, sub1, sub2))
+          .toDF("n", "sum_len", "sub1", "sub2")
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+    }),
+
     // Index-FREE BGZF split: a bgzipped VCF with NO .tbi sibling — the
     // common landing-zone shape — must still fan out over parallel chunks
     // (validated block-boundary scan + Hadoop line alignment at block
@@ -1448,6 +1508,15 @@ object FormatQueries {
         |  CAST((SELECT 4 * SUM(k * 150 + 1) FROM range(0, 50000) t(k)) AS BIGINT)
         |    AS sum_start,
         |  CAST(50000 AS BIGINT) AS n_chr2""".stripMargin,
+
+    // 9600 sequences, lengths 200 + id%7, every sequence a prefix of the
+    // repeated 5-base pattern — region substrings are closed-form
+    "f68_fasta_bgzf_indexed" ->
+      """SELECT CAST(9600 AS BIGINT) AS n,
+        |  CAST((SELECT 9600 * 200 + SUM(i % 7)
+        |        FROM generate_series(0, 9599) t(i)) AS BIGINT) AS sum_len,
+        |  substring(repeat('ACGTG', 42), 7, 30) AS sub1,
+        |  substring(repeat('ACGTG', 42), 1, 203) AS sub2""".stripMargin,
 
     // 2 chroms x 100k rows, pos = 3i: sum_pos = 3 * 100000*100001/2
     "f67_bgzf_indexfree_split" ->

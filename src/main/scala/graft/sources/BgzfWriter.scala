@@ -19,6 +19,15 @@ final class BgzfWriter(out: OutputStream) {
   private val buf = new Array[Byte](65280) // htslib's payload size
   private var bufLen = 0
   private var compressedOffset = 0L
+  private var uncompressedOffset = 0L
+  // block starts after the first, in `.gzi` order — lets sinks commit a
+  // sibling bgzip index without re-reading their own output
+  private val blockStarts = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+
+  /** `(compressed, uncompressed)` start pairs of every data block except
+    * the implicit first — exactly the `.gzi` payload (GziIndex.write).
+    */
+  def blockIndex: Seq[(Long, Long)] = blockStarts.toSeq
   private val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
   private val crc = new CRC32()
   private val scratch = new Array[Byte](1 << 17)
@@ -41,6 +50,8 @@ final class BgzfWriter(out: OutputStream) {
 
   private def flushBlock(): Unit = {
     if (bufLen == 0) return
+    if (compressedOffset > 0) blockStarts += ((compressedOffset, uncompressedOffset))
+    uncompressedOffset += bufLen
     deflater.reset()
     deflater.setInput(buf, 0, bufLen)
     deflater.finish()

@@ -165,4 +165,41 @@ object FaiIndex {
     }
     (sb.toString, nBytes)
   }
+
+  /** `extract` over a BGZIPPED fasta: the same uncompressed-domain `.fai`
+    * arithmetic, with the sibling `.gzi` mapping both ends of the byte
+    * range to BGZF virtual positions — bytes decompressed stay proportional
+    * to the region, not the file (`samtools faidx ref.fa.gz` semantics).
+    */
+  def extractBgzf(fs: FileSystem, fasta: Path, gzi: GziIndex, e: FaiEntry,
+                  start: Long, end: Long): (String, Long) = {
+    val s = math.max(1L, start)
+    val t = math.min(e.length, end)
+    if (t < s) return ("", 0L)
+    val from = e.offsetOf(s)
+    val until = e.offsetOf(t) + 1
+    require(until - from <= Int.MaxValue - 8,
+      s"fai: requested span ${t - s + 1} of '${e.name}' exceeds the 2 GB " +
+        "single-extraction limit — request a smaller window")
+    val nBytes = (until - from).toInt
+    val buf = new Array[Byte](nBytes)
+    val in = new BgzfChunkInputStream(fs.open(fasta),
+      gzi.virtualFor(from), gzi.virtualFor(until))
+    try {
+      var got = 0
+      while (got < nBytes) {
+        val r = in.read(buf, got, nBytes - got)
+        require(r >= 0, s"fai+gzi: unexpected EOF extracting '${e.name}'")
+        got += r
+      }
+    } finally in.close()
+    val sb = new java.lang.StringBuilder((t - s + 1).toInt)
+    var i = 0
+    while (i < nBytes) {
+      val b = buf(i)
+      if (b != '\n' && b != '\r') sb.append(b.toChar)
+      i += 1
+    }
+    (sb.toString, nBytes)
+  }
 }

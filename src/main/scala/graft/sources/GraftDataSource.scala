@@ -640,6 +640,67 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       }
     }
 
+    /** Full-scan split of a bgzipped FASTA carrying `.fai` + `.gzi`
+      * siblings (the `samtools faidx ref.fa.gz` layout): record (header
+      * line) starts derive from the `.fai` — entry k's header begins right
+      * after entry k-1's last base plus its line terminator — and the
+      * `.gzi` maps them to BGZF virtual offsets, giving record-aligned
+      * virtual chunks the existing reader machinery serves unchanged.
+      * Because the header-start arithmetic assumes well-formed spacing
+      * (no stray bytes between records), every chosen cut is VALIDATED by
+      * decoding one block and checking the byte there is '>'; any mismatch
+      * abandons splitting (one task, never a mis-split).
+      */
+    def fastaFaiGziChunks(st: FileStatus, vals: Array[String],
+                          maxSplit: Long): Option[Seq[FileChunk]] = {
+      val p = st.getPath.toString
+      val size = st.getLen
+      val fs = st.getPath.getFileSystem(hadoopConf)
+      if (!FaiIndex.exists(fs, st.getPath) ||
+          !GziIndex.exists(fs, st.getPath)) return None
+      val entries = FaiIndex.read(fs, st.getPath).values.toArray
+        .sortBy(_.offset)
+      if (entries.length < 2) return None
+      val gzi = GziIndex.read(fs, st.getPath)
+      def byteAtV(v: Long): Int = {
+        val in = fs.open(st.getPath)
+        try {
+          in.seek(v >>> 16)
+          val b = Bgzf.readBlock(in)
+          val off = (v & 0xffff).toInt
+          if (b == null || off >= b.data.length) -1 else b.data(off) & 0xff
+        } finally in.close()
+      }
+      val points = mutable.ArrayBuffer[Long]()
+      var lastC = 0L
+      var k = 1
+      while (k < entries.length) {
+        val prev = entries(k - 1)
+        val headerStart =
+          prev.offsetOf(prev.length) + 1 + (prev.lineWidth - prev.lineBases)
+        val v = gzi.virtualFor(headerStart)
+        val c = v >>> 16
+        if (c - lastC >= maxSplit) {
+          if (byteAtV(v) != '>') return None // layout assumption failed
+          points += v
+          lastC = c
+        }
+        k += 1
+      }
+      if (points.isEmpty) None
+      else {
+        val bounds = 0L +: points.toSeq
+        Some(bounds.indices.map { i =>
+          val vs = bounds(i)
+          val ve = if (i + 1 < bounds.length) bounds(i + 1) else Long.MaxValue
+          val cLen =
+            if (ve == Long.MaxValue) math.max(1L, size - (vs >>> 16))
+            else math.max(1L, (ve >>> 16) - (vs >>> 16))
+          FileChunk(p, 0, cLen, size, vals, vs, ve)
+        })
+      }
+    }
+
     /** Index-free split of a big bgzipped one-line-per-record text file
       * (.vcf.gz/.gff.gz/... with NO tabix sibling — the common landing-zone
       * shape): cut at raw compressed offsets; each reader finds its first
@@ -694,6 +755,11 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       // sibling exists (plain gzip never has one). Other codecs never split.
       if (!(name.endsWith(".bam") || name.endsWith(".bcf") ||
             name.endsWith(".gz") || name.endsWith(".bgz"))) return None
+      // bgzipped FASTA with .fai + .gzi siblings: record starts derive from
+      // the .fai (multi-line records — the line-split path can't apply)
+      if ((name.endsWith(".gz") || name.endsWith(".bgz")) &&
+          table.format.splittable && !table.format.lineRecords)
+        return fastaFaiGziChunks(st, vals, maxSplit)
       val idxOpt = GraftScan.cachedIndex(st) {
         if (name.endsWith(".bam")) BaiIndex.forBam(st.getPath, hadoopConf)
         else if (name.endsWith(".bcf")) CsiIndex.forBcf(st.getPath, hadoopConf)
@@ -877,8 +943,13 @@ object GraftScan {
     // whole answer to None — the scan then reads data, never estimates.
     val perFile: FileStatus => Option[Long] = format.shortName match {
       case "fasta" => st =>
-        if (Codecs.isCompressed(st.getPath.getName)) None
-        else FaiIndex.countEntries(st.getPath.getFileSystem(conf), st.getPath)
+        val fs = st.getPath.getFileSystem(conf)
+        if (!Codecs.isCompressed(st.getPath.getName))
+          FaiIndex.countEntries(fs, st.getPath)
+        else if (GziIndex.exists(fs, st.getPath))
+          // bgzip+fai+gzi layout: the .fai still counts this file's records
+          FaiIndex.countEntries(fs, st.getPath)
+        else None
       case "bam" => st => BaiIndex.recordCount(st.getPath, conf)
       case _ => return None
     }

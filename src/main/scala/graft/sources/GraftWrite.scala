@@ -27,11 +27,20 @@ trait WritableGraftFormat extends GraftFormat {
 
   /** Flat-file per-record index line (the `.fai` family): given the record
     * values and the byte offset where the record starts in the uncompressed
-    * output, return one index line. Consulted only for uncompressed writes
-    * (`.fai` offsets are plain-file positions); when any line is produced
-    * the task commits a sibling `<part>.fai` alongside the data file.
+    * output, return one index line. Consulted for uncompressed writes and
+    * for bgzf writes of `writesFai` formats (`.fai` offsets are
+    * uncompressed-domain in both cases — under bgzf the sibling `.gzi`
+    * does the compressed mapping); when any line is produced the task
+    * commits a sibling `<part>.fai` alongside the data file.
     */
   def faiLine(values: Array[Any], recordStart: Long): Option[String] = None
+
+  /** True when faiLine produces a usable `.fai` — enables
+    * `option("compression","bgzf")` on non-coordinate formats (FASTA): the
+    * sink then commits `.fai` + `.gzi` siblings so the compressed output
+    * still supports `samtools faidx`-style region seeks.
+    */
+  def writesFai: Boolean = false
 }
 
 /** A writable format whose records carry genomic coordinates, enabling the
@@ -209,10 +218,15 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
     case other => throw new IllegalArgumentException(
       s"unsupported write compression '$other' (gzip, bgzf, zstd, none)")
   })
-  if (compression == "bgzf" && !format.isInstanceOf[IndexableGraftFormat])
+  if (compression == "bgzf" &&
+      !(format.isInstanceOf[IndexableGraftFormat] || format.writesFai))
     throw new IllegalArgumentException(
-      s"${format.shortName}: bgzf compression is for coordinate formats " +
-        "(the point is the sibling .tbi); use gzip here")
+      s"${format.shortName}: bgzf compression is for indexable formats " +
+        "(the point is the sibling .tbi or .fai+.gzi); use gzip here")
+  // bgzf mode family: coordinate formats index with tabix; fai formats
+  // (FASTA) keep uncompressed-domain .fai offsets + a .gzi block map
+  private val bgzfFai = compression == "bgzf" &&
+    !format.isInstanceOf[IndexableGraftFormat]
   // Batch parts get a random suffix (append-friendly, collision-free);
   // streaming parts are DETERMINISTIC per (epoch, partition) so a replayed
   // epoch overwrites its own output instead of duplicating it.
@@ -246,7 +260,7 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
       case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
       case "bgzf" =>
         bgzf = new BgzfWriter(new BufferedOutputStream(raw, 1 << 16))
-        tbi = new TabixWriter()
+        tbi = if (bgzfFai) null else new TabixWriter()
         null
       case _ => new BufferedOutputStream(raw, 1 << 16)
     }
@@ -258,11 +272,14 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
     stream
   }
 
-  // uncompressed byte position (drives faiLine); meaningful only when
-  // compression == "none"
+  // uncompressed byte position (drives faiLine): plain-file position for
+  // uncompressed writes, pre-compression position for bgzf+fai writes
+  // (the .gzi maps it to compressed blocks)
   private var plainOffset = 0L
   private val faiSb =
-    if (compression == "none" || compression.isEmpty) new StringBuilder else null
+    if (compression == "none" || compression.isEmpty || bgzfFai)
+      new StringBuilder
+    else null
 
   private val sb = new StringBuilder(1 << 14)
   private val dataTypes = format.dataSchema.fields.map(_.dataType)
@@ -279,7 +296,13 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
     format.writeRecord(values, sb)
     val bytes = sb.toString.getBytes(UTF_8)
     out // force open (header)
-    if (bgzf != null) {
+    if (bgzf != null && tbi == null) {
+      // bgzf+fai mode: uncompressed-domain index line, compressed output
+      if (faiSb != null)
+        format.faiLine(values, plainOffset).foreach(faiSb.append)
+      bgzf.write(bytes)
+      plainOffset += bytes.length
+    } else if (bgzf != null) {
       val (chrom, beg0, end0) = format.asInstanceOf[IndexableGraftFormat]
         .recordRegion(values)
       val t = tbi.tid(chrom)
@@ -310,29 +333,37 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
       // a replayed streaming epoch re-commits the same deterministic names:
       // clear the previous attempt's files so rename lands (idempotent)
       if (epoch.isDefined) {
-        if (fs.exists(path)) fs.delete(path, false)
-        if (fs.exists(path.suffix(".tbi"))) fs.delete(path.suffix(".tbi"), false)
-        if (fs.exists(path.suffix(".fai"))) fs.delete(path.suffix(".fai"), false)
+        Seq(path, path.suffix(".tbi"), path.suffix(".fai"), path.suffix(".gzi"))
+          .foreach(p => if (fs.exists(p)) fs.delete(p, false))
       }
       if (bgzf != null) {
         bgzf.finish()
         raw.close()
-        // sibling index, committed with the same temp+rename discipline
-        val tbiTmp = tmpPath.suffix(".tbi")
-        val ts = fs.create(tbiTmp, true)
-        val (pf, pc, pb, pe) = format.asInstanceOf[IndexableGraftFormat].tabixPreset
-        try tbi.write(ts, pf, pc, pb, pe) finally ts.close()
-        if (!fs.rename(tbiTmp, path.suffix(".tbi")))
-          throw new java.io.IOException(s"failed to commit $tbiTmp")
+        if (tbi != null) {
+          // sibling index, committed with the same temp+rename discipline
+          val tbiTmp = tmpPath.suffix(".tbi")
+          val ts = fs.create(tbiTmp, true)
+          val (pf, pc, pb, pe) = format.asInstanceOf[IndexableGraftFormat].tabixPreset
+          try tbi.write(ts, pf, pc, pb, pe) finally ts.close()
+          if (!fs.rename(tbiTmp, path.suffix(".tbi")))
+            throw new java.io.IOException(s"failed to commit $tbiTmp")
+        } else {
+          // bgzf+fai mode: sibling .gzi from the writer's own block map
+          val gziTmp = tmpPath.suffix(".gzi")
+          val gs = fs.create(gziTmp, true)
+          try GziIndex.write(gs, bgzf.blockIndex) finally gs.close()
+          if (!fs.rename(gziTmp, path.suffix(".gzi")))
+            throw new java.io.IOException(s"failed to commit $gziTmp")
+        }
       } else {
         out.close()
-        if (faiSb != null && faiSb.nonEmpty) {
-          val faiTmp = tmpPath.suffix(".fai")
-          val fos = fs.create(faiTmp, true)
-          try fos.write(faiSb.toString.getBytes(UTF_8)) finally fos.close()
-          if (!fs.rename(faiTmp, path.suffix(".fai")))
-            throw new java.io.IOException(s"failed to commit $faiTmp")
-        }
+      }
+      if (faiSb != null && faiSb.nonEmpty) {
+        val faiTmp = tmpPath.suffix(".fai")
+        val fos = fs.create(faiTmp, true)
+        try fos.write(faiSb.toString.getBytes(UTF_8)) finally fos.close()
+        if (!fs.rename(faiTmp, path.suffix(".fai")))
+          throw new java.io.IOException(s"failed to commit $faiTmp")
       }
       if (!fs.rename(tmpPath, path))
         throw new java.io.IOException(s"failed to commit $tmpPath -> $path")
@@ -346,6 +377,8 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
       val fs = tmpPath.getFileSystem(conf.value)
       fs.delete(tmpPath, false)
       if (bgzf != null) fs.delete(tmpPath.suffix(".tbi"), false)
+      if (bgzf != null) fs.delete(tmpPath.suffix(".gzi"), false)
+      if (faiSb != null) fs.delete(tmpPath.suffix(".fai"), false)
     }
   }
   override def close(): Unit = ()

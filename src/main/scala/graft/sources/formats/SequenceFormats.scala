@@ -40,6 +40,7 @@ object FastaFormat extends WritableGraftFormat {
   }
   override def defaultExtensions: Seq[String] = Seq("fasta", "fa", "fna", "faa")
   override def splittable: Boolean = true
+  override def writesFai: Boolean = true
   override val dataSchema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
     StructField("description", StringType, nullable = true),
@@ -204,11 +205,20 @@ final class FastaIndexedFormat(regions: Seq[String]) extends GraftFormat {
         case 2 => utf8(sub)
       }: Array[Any]
 
+    val isComp = input.path != null && Codecs.isCompressed(input.path.getName)
     val faiIdx: Option[Map[String, FaiEntry]] =
-      if (input.path != null && input.fs != null &&
-          !Codecs.isCompressed(input.path.getName) &&
+      if (input.path != null && input.fs != null && !isComp &&
           FaiIndex.exists(input.fs, input.path))
         Some(FaiIndex.read(input.fs, input.path))
+      else None
+    // bgzipped fasta with .fai + .gzi siblings (`samtools faidx ref.fa.gz`):
+    // the .fai stays uncompressed-domain, the .gzi maps to BGZF blocks
+    val faiGzi: Option[(Map[String, FaiEntry], GziIndex)] =
+      if (input.path != null && input.fs != null && isComp &&
+          FaiIndex.exists(input.fs, input.path) &&
+          GziIndex.exists(input.fs, input.path))
+        Some((FaiIndex.read(input.fs, input.path),
+          GziIndex.read(input.fs, input.path)))
       else None
 
     faiIdx match {
@@ -220,6 +230,17 @@ final class FastaIndexedFormat(regions: Seq[String]) extends GraftFormat {
             val start = g.start.getOrElse(1L)
             val end = g.end.getOrElse(e.length)
             val (sub, _) = FaiIndex.extract(input.fs, input.path, e, start, end)
+            row(regionStr, sub)
+          }
+        }
+      case None if faiGzi.isDefined =>
+        val (idx, gzi) = faiGzi.get
+        parsed.iterator.flatMap { case (regionStr, g) =>
+          idx.get(g.name).map { e =>
+            val start = g.start.getOrElse(1L)
+            val end = g.end.getOrElse(e.length)
+            val (sub, _) =
+              FaiIndex.extractBgzf(input.fs, input.path, gzi, e, start, end)
             row(regionStr, sub)
           }
         }
