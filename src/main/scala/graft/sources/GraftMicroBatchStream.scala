@@ -119,10 +119,27 @@ final class GraftMicroBatchStream(table: GraftTable, scan: GraftScan)
     * Spark's FileStreamSource; land files under a date-partitioned layout
     * and point the stream at the active prefix to bound n.
     */
+  /** `option("maxFileAge", "7d")`: ignore files older than the age,
+    * measured against the newest file in the listing — Spark file-source
+    * semantics. Lets a stream pointed at a long-lived landing zone start
+    * from recent data instead of replaying years of history; like Spark's,
+    * a file that was ever past the cutoff never becomes eligible (the
+    * cutoff is monotone because the max mtime only grows).
+    */
+  private val maxFileAgeMs: Option[Long] = table.readOption("maxfileage")
+    .map(org.apache.spark.network.util.JavaUtils.timeStringAsMs)
+
   private def newFilesAfter(base: GraftFilesOffset): Seq[(FileStatus, Array[String])] = {
-    val fresh = table.listNow()._1
+    val all = table.listNow()._1
+    val cutoff = maxFileAgeMs.map { age =>
+      all.foldLeft(Long.MinValue) { case (m, (st, _)) =>
+        math.max(m, st.getModificationTime)
+      } - age
+    }
+    val fresh = all
       .filter { case (st, _) =>
-        !GraftFilesOffset.lte(GraftFilesOffset.keyOf(st), base)
+        !GraftFilesOffset.lte(GraftFilesOffset.keyOf(st), base) &&
+          cutoff.forall(st.getModificationTime >= _)
       }
     GraftMicroBatchStream.maxTriggerSortedFiles
       .accumulateAndGet(fresh.size, math.max)

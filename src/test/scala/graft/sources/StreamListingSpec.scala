@@ -57,6 +57,32 @@ class StreamListingSpec extends AnyFunSuite with SharedSpark {
     assert(batches >= 4, s"expected one file per batch, offsets log has $batches")
   }
 
+  test("maxFileAge skips history: only files within the age of the newest process") {
+    val dir = graft.TestTmp.dir("graft_stream_age").toString
+    val ckpt = graft.TestTmp.dir("graft_stream_age_ckpt").toString
+    val out = graft.TestTmp.dir("graft_stream_age_out").toString
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { i => // stale backlog: 2 hours old
+      val p = java.nio.file.Paths.get(dir, s"old$i.fasta")
+      java.nio.file.Files.writeString(p, s">o$i\nAAAA\n")
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(now - 2 * 3600 * 1000L))
+    }
+    (0 until 3).foreach { i => // fresh landings
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, s"new$i.fasta"), s">n$i\nCCCC\n")
+    }
+    val q = spark.readStream.format("fasta")
+      .option("maxFileAge", "30m").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.read.parquet(out).select("id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("n0", "n1", "n2"),
+      s"expected only fresh files, got ${ids.mkString(",")}")
+  }
+
   test("steady-state triggers sort only newly-arrived files, not the full directory") {
     val dir = graft.TestTmp.dir("graft_stream_many").toString
     val ckpt = graft.TestTmp.dir("graft_stream_many_ckpt").toString
