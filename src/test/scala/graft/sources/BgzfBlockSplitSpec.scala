@@ -124,6 +124,39 @@ class BgzfBlockSplitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("stream-level property: any chunking yields every line exactly once") {
+    // drive BgzfBlockSplitInputStream directly (plus the reader-side
+    // first-line discard) across many cut layouts, including cuts inside
+    // blocks, at block boundaries, and tiny chunks smaller than one block
+    val gz = new java.io.File(gzOnlyDir).listFiles()
+      .filter(_.getName.endsWith(".vcf.gz")).head
+    val p = new org.apache.hadoop.fs.Path(gz.getAbsolutePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val size = gz.length()
+    def linesOf(cStart: Long, cEnd: Long): Seq[String] = {
+      val in = new BgzfBlockSplitInputStream(fs.open(p), cStart, cEnd, size)
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      try {
+        var out = List.newBuilder[String]
+        if (cStart > 0) r.readLine() // reader-side discard convention
+        var l = r.readLine()
+        while (l != null) { out += l; l = r.readLine() }
+        out.result()
+      } finally r.close()
+    }
+    val whole = linesOf(0L, size)
+    assert(whole.size > 100000) // header lines + 120k records
+    // deterministic pseudo-random chunk sizes (no Date/Random seeds needed)
+    Seq(7919L, 23456L, 65536L, 100003L, size / 3, size / 7).foreach { step =>
+      val cuts = (0L until size by math.max(1024L, step)) :+ size
+      val got = cuts.sliding(2).flatMap { w => linesOf(w(0), w(1)) }.toSeq
+      assert(got.size == whole.size,
+        s"step $step: ${got.size} lines vs ${whole.size}")
+      assert(got == whole, s"step $step: line sequence diverged")
+    }
+  }
+
   test("findBlockAtOrAfter lands on true block boundaries from arbitrary offsets") {
     val gz = new java.io.File(gzOnlyDir).listFiles()
       .filter(_.getName.endsWith(".vcf.gz")).head
