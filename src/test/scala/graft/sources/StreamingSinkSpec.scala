@@ -61,6 +61,31 @@ class StreamingSinkSpec extends AnyFunSuite with SharedSpark {
     assert(pruned.count() == 100) // pos 10100..20000 step 100
   }
 
+  test("streaming fasta transcode to bgzf commits .fai + .gzi; region read seeks the stream's output") {
+    val in = graft.TestTmp.dir("ssink_fagz_in").toString
+    val out = graft.TestTmp.dir("ssink_fagz_out").toString
+    val ckpt = graft.TestTmp.dir("ssink_fagz_ckpt").toString
+    Files.writeString(Paths.get(in, "refs.fasta"),
+      (0 until 300).map(i => s">r$i\n${"ACGTG" * 40}\n").mkString)
+    val q = spark.readStream.format("fasta").load(in)
+      .writeStream.format("fasta")
+      .option("path", out).option("compression", "bgzf")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val names = new java.io.File(out).listFiles.map(_.getName)
+    assert(names.exists(_.endsWith(".fasta.gz")), names.mkString(","))
+    assert(names.exists(_.endsWith(".fasta.gz.fai")), names.mkString(","))
+    assert(names.exists(_.endsWith(".fasta.gz.gzi")), names.mkString(","))
+    val gz = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".fasta.gz")).head.getAbsolutePath
+    val sub = spark.read.format("fasta")
+      .option("region", "r42:6-20").load(gz)
+      .select("sequence").head.getString(0)
+    assert(sub == ("ACGTG" * 40).substring(5, 20))
+    assert(spark.read.format("fasta").load(out).count() == 300)
+  }
+
   test("epoch replay is idempotent: a re-committed (epoch, partition) supersedes, not duplicates") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.unsafe.types.UTF8String
