@@ -124,6 +124,24 @@ class BgzfBlockSplitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("region option without an index: split parallel scan + exact row filter") {
+    // no .tbi exists, so the region can't prune chunks — but the scan
+    // still fans out via the index-free split and the row-level overlap
+    // filter keeps the result exact
+    val whole = spark.read.format("vcf").load(gzOnlyDir)
+      .filter(col("chrom") === "chr1" &&
+        col("pos").between(1000001L, 2000001L))
+      .select("chrom", "pos", "info")
+    withConf(splitConf: _*) {
+      val regioned = spark.read.format("vcf")
+        .option("region", "chr1:1000001-2000001").load(gzOnlyDir)
+        .select("chrom", "pos", "info")
+      assert(regioned.rdd.getNumPartitions > 2,
+        "unindexed region read should still scan in parallel chunks")
+      assertSameRows(regioned, whole)
+    }
+  }
+
   test("stream-level property: any chunking yields every line exactly once") {
     // drive BgzfBlockSplitInputStream directly (plus the reader-side
     // first-line discard) across many cut layouts, including cuts inside
