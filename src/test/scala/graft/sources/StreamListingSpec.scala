@@ -57,6 +57,23 @@ class StreamListingSpec extends AnyFunSuite with SharedSpark {
     assert(batches >= 4, s"expected one file per batch, offsets log has $batches")
   }
 
+  test("binary formats stream too: readStream over BAM files") {
+    val fx = "/root/reference/exon/exon-core/test-data/datasources"
+    val dir = graft.TestTmp.dir("graft_stream_bam").toString
+    val ckpt = graft.TestTmp.dir("graft_stream_bam_ckpt").toString
+    val out = graft.TestTmp.dir("graft_stream_bam_out").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$fx/bam/test.bam"),
+      java.nio.file.Paths.get(dir, "a.bam"))
+    val q = spark.readStream.format("bam").load(dir)
+      .select("name", "reference", "start")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 61)
+  }
+
   test("maxFileAge skips history: only files within the age of the newest process") {
     val dir = graft.TestTmp.dir("graft_stream_age").toString
     val ckpt = graft.TestTmp.dir("graft_stream_age_ckpt").toString
