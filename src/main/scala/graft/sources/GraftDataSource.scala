@@ -656,48 +656,56 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       val p = st.getPath.toString
       val size = st.getLen
       val fs = st.getPath.getFileSystem(hadoopConf)
-      if (!FaiIndex.exists(fs, st.getPath) ||
-          !GziIndex.exists(fs, st.getPath)) return None
-      val entries = FaiIndex.read(fs, st.getPath).values.toArray
-        .sortBy(_.offset)
-      if (entries.length < 2) return None
-      val gzi = GziIndex.read(fs, st.getPath)
-      def byteAtV(v: Long): Int = {
-        val in = fs.open(st.getPath)
-        try {
-          in.seek(v >>> 16)
-          val b = Bgzf.readBlock(in)
-          val off = (v & 0xffff).toInt
-          if (b == null || off >= b.data.length) -1 else b.data(off) & 0xff
-        } finally in.close()
-      }
-      val points = mutable.ArrayBuffer[Long]()
-      var lastC = 0L
-      var k = 1
-      while (k < entries.length) {
-        val prev = entries(k - 1)
-        val headerStart =
-          prev.offsetOf(prev.length) + 1 + (prev.lineWidth - prev.lineBases)
-        val v = gzi.virtualFor(headerStart)
-        val c = v >>> 16
-        if (c - lastC >= maxSplit) {
-          if (byteAtV(v) != '>') return None // layout assumption failed
-          points += v
-          lastC = c
+      // cut points memoized per (file, mtime, size, maxSplit): each cut's
+      // validation decodes one BGZF block on the driver
+      val pointsOpt = GraftScan.cachedFastaCuts(st, maxSplit) {
+        if (!FaiIndex.exists(fs, st.getPath) ||
+            !GziIndex.exists(fs, st.getPath)) None
+        else {
+          val entries = FaiIndex.read(fs, st.getPath).values.toArray
+            .sortBy(_.offset)
+          if (entries.length < 2) None
+          else {
+            val gzi = GziIndex.read(fs, st.getPath)
+            def byteAtV(v: Long): Int = {
+              val in = fs.open(st.getPath)
+              try {
+                in.seek(v >>> 16)
+                val b = Bgzf.readBlock(in)
+                val off = (v & 0xffff).toInt
+                if (b == null || off >= b.data.length) -1 else b.data(off) & 0xff
+              } finally in.close()
+            }
+            val points = mutable.ArrayBuffer[Long]()
+            var lastC = 0L
+            var k = 1
+            var ok = true
+            while (ok && k < entries.length) {
+              val prev = entries(k - 1)
+              val headerStart =
+                prev.offsetOf(prev.length) + 1 + (prev.lineWidth - prev.lineBases)
+              val v = gzi.virtualFor(headerStart)
+              val c = v >>> 16
+              if (c - lastC >= maxSplit) {
+                if (byteAtV(v) != '>') ok = false // layout assumption failed
+                else { points += v; lastC = c }
+              }
+              k += 1
+            }
+            if (!ok || points.isEmpty) None else Some(points.toSeq)
+          }
         }
-        k += 1
       }
-      if (points.isEmpty) None
-      else {
-        val bounds = 0L +: points.toSeq
-        Some(bounds.indices.map { i =>
+      pointsOpt.map { points =>
+        val bounds = 0L +: points
+        bounds.indices.map { i =>
           val vs = bounds(i)
           val ve = if (i + 1 < bounds.length) bounds(i + 1) else Long.MaxValue
           val cLen =
             if (ve == Long.MaxValue) math.max(1L, size - (vs >>> 16))
             else math.max(1L, (ve >>> 16) - (vs >>> 16))
           FileChunk(p, 0, cLen, size, vals, vs, ve)
-        })
+        }
       }
     }
 
@@ -716,12 +724,13 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       if (size <= maxSplit || !table.format.lineRecords) return None
       val name = st.getPath.getName.toLowerCase
       if (!(name.endsWith(".gz") || name.endsWith(".bgz"))) return None
-      val isBgzf =
+      val isBgzf = GraftScan.cachedBgzfSniff(st) {
         try {
           val in = st.getPath.getFileSystem(hadoopConf).open(st.getPath)
           try Bgzf.looksLikeBgzf(new java.io.BufferedInputStream(in, 64))
           finally in.close()
         } catch { case _: Exception => false }
+      }
       if (!isBgzf) return None
       Some((0L until size by maxSplit).map { off =>
         FileChunk(p, off, math.min(maxSplit, size - off), size, vals,
@@ -1005,6 +1014,47 @@ object GraftScan {
       loaded.foreach(idx => indexCache.put(key, idx))
       loaded
     }
+  }
+
+  // BGZF sniff results (16-byte probe) and fai+gzi full-scan cut points:
+  // both are per-(file, mtime, size[, maxSplit]) planning work that repeat
+  // queries would otherwise redo — one open per big .gz per PLAN is an RTT
+  // per file on an object store. Same LRU discipline as the index cache.
+  private val bgzfSniffCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), java.lang.Boolean](
+        256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), java.lang.Boolean]): Boolean =
+          size() > indexCacheCapacity
+      })
+
+  private[sources] def cachedBgzfSniff(st: FileStatus)(probe: => Boolean): Boolean = {
+    val key = (st.getPath.toString, st.getModificationTime, st.getLen)
+    val c = bgzfSniffCache.get(key)
+    if (c != null) c.booleanValue()
+    else { val v = probe; bgzfSniffCache.put(key, java.lang.Boolean.valueOf(v)); v }
+  }
+
+  private val fastaCutCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long, Long), Option[Seq[Long]]](
+        256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long, Long), Option[Seq[Long]]]): Boolean =
+          size() > indexCacheCapacity
+      })
+
+  /** Validated fasta fai+gzi cut virtual offsets, or None when splitting
+    * was abandoned — memoized because each cut's validation decodes one
+    * BGZF block on the driver.
+    */
+  private[sources] def cachedFastaCuts(st: FileStatus, maxSplit: Long)(
+      compute: => Option[Seq[Long]]): Option[Seq[Long]] = {
+    val key = (st.getPath.toString, st.getModificationTime, st.getLen, maxSplit)
+    val c = fastaCutCache.get(key)
+    if (c != null) c
+    else { val v = compute; fastaCutCache.put(key, v); v }
   }
 
   /** Coalesce BGZF virtual-position ranges: sort by start, merge any that
