@@ -299,33 +299,8 @@ object Bench {
     // purely from the index-free BGZF block split (validated boundary scan
     // + line alignment); before round 11 this shape was one task total.
     // INFO carries an md5 field so the file doesn't deflate to nothing.
-    try {
-      if (!new java.io.File(vcfGzDir, "_done").exists()) {
-        val sink = s"$vcfGzDir/sink"
-        spark.range(0, 2000000L).select(
-            concat(lit("chr"), (col("id") % 8).cast("string")).as("chrom"),
-            ((col("id") / 8).cast("long") * 40 + 1).as("pos"),
-            lit(null).cast("array<string>").as("id"),
-            lit("A").as("ref"),
-            array(lit("T")).as("alt"),
-            (col("id") % 60).cast("float").as("qual"),
-            lit(null).cast("array<string>").as("filter"),
-            concat(lit("DP="), (col("id") % 100).cast("string"),
-              lit(";H="), md5(col("id").cast("string"))).as("info"),
-            lit(null).cast("string").as("formats"))
-          .repartitionByRange(1, col("chrom"), col("pos"))
-          .sortWithinPartitions("chrom", "pos")
-          .write.format("vcf").mode("overwrite")
-          .option("compression", "bgzf").save(sink)
-        new java.io.File(sink).listFiles()
-          .filter(_.getName.endsWith(".vcf.gz")).foreach { f =>
-            java.nio.file.Files.copy(f.toPath,
-              new java.io.File(vcfGzDir, "calls.vcf.gz").toPath,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
-        new java.io.File(vcfGzDir, "_done").createNewFile()
-      }
-    } catch { case e: Throwable => recordErr("gen_vcfgz_corpus", e) }
+    try graft.tools.Corpora.writeUnindexedVcfGz(spark, vcfGzDir, 2000000L)
+    catch { case e: Throwable => recordErr("gen_vcfgz_corpus", e) }
 
     // b09 corpus: the same indexed VCF served over live HTTP through the
     // from-scratch S3 FileSystem with SigV4 signing — the baseline's

@@ -853,21 +853,24 @@ object FormatQueries {
       val dir = gateDir("bgzf_indexfree")
       val f = new java.io.File(dir, "calls.vcf.gz")
       if (!new java.io.File(dir, "_done").exists()) {
-        val w = new graft.sources.BgzfWriter(new java.io.BufferedOutputStream(
-          new java.io.FileOutputStream(f), 1 << 16))
-        w.write(("##fileformat=VCFv4.2\n" +
-          "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n").getBytes("UTF-8"))
-        var c = 1
-        while (c <= 2) {
-          var i = 1
-          while (i <= 100000) {
-            w.write(s"chr$c\t${i * 3L}\t.\tA\tT\t30\tPASS\tDP=${i % 97}\n"
-              .getBytes("UTF-8"))
-            i += 1
+        val fos = new java.io.FileOutputStream(f)
+        try {
+          val w = new graft.sources.BgzfWriter(
+            new java.io.BufferedOutputStream(fos, 1 << 16))
+          w.write(("##fileformat=VCFv4.2\n" +
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n").getBytes("UTF-8"))
+          var c = 1
+          while (c <= 2) {
+            var i = 1
+            while (i <= 100000) {
+              w.write(s"chr$c\t${i * 3L}\t.\tA\tT\t30\tPASS\tDP=${i % 97}\n"
+                .getBytes("UTF-8"))
+              i += 1
+            }
+            c += 1
           }
-          c += 1
-        }
-        w.finish()
+          w.finish()
+        } finally fos.close()
         new java.io.File(dir, "_done").createNewFile()
       }
       val keys = Seq("spark.sql.files.maxPartitionBytes",

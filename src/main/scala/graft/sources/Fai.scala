@@ -72,7 +72,21 @@ object FaiIndex {
     * producing seekable references with the FASTA writer.
     */
   def write(fs: FileSystem, fasta: Path): Unit = {
-    val in = new java.io.BufferedInputStream(fs.open(fasta), 1 << 16)
+    val text = derive(fs.open(fasta))
+    val o = fs.create(faiPath(fasta), true)
+    try o.write(text.getBytes("UTF-8")) finally o.close()
+  }
+
+  /** Derive `.fai` content from a DECOMPRESSED fasta byte stream (offsets
+    * are stream positions, i.e. uncompressed-domain — exactly what both the
+    * plain and the bgzip+.gzi layouts need). The single validation core
+    * shared by `write` and `graft.tools.Faidx`: rejects interior short
+    * lines, interior blank lines followed by more sequence, and lines
+    * LONGER than the first — any of which would make `offsetOf()` return
+    * garbage. Closes the stream.
+    */
+  def derive(rawIn: java.io.InputStream): String = {
+    val in = new java.io.BufferedInputStream(rawIn, 1 << 16)
     val out = new java.lang.StringBuilder()
     var name: String = null
     var length = 0L; var offset = 0L; var lineBases = 0L; var lineWidth = 0L
@@ -129,9 +143,7 @@ object FaiIndex {
     }
     flush()
     in.close()
-    val o = fs.create(faiPath(fasta), true)
-    o.write(out.toString.getBytes("UTF-8"))
-    o.close()
+    out.toString
   }
 
   /** Extract 1-based inclusive [start, end] of `e` by seeking to the

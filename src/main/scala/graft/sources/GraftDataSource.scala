@@ -657,44 +657,48 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       val size = st.getLen
       val fs = st.getPath.getFileSystem(hadoopConf)
       // cut points memoized per (file, mtime, size, maxSplit): each cut's
-      // validation decodes one BGZF block on the driver
+      // validation decodes one BGZF block on the driver. Any index-read
+      // failure (truncated .gzi from a partial copy, malformed .fai line)
+      // abandons SPLITTING, never the query — one task is slow, not wrong.
       val pointsOpt = GraftScan.cachedFastaCuts(st, maxSplit) {
-        if (!FaiIndex.exists(fs, st.getPath) ||
-            !GziIndex.exists(fs, st.getPath)) None
-        else {
-          val entries = FaiIndex.read(fs, st.getPath).values.toArray
-            .sortBy(_.offset)
-          if (entries.length < 2) None
+        try {
+          if (!FaiIndex.exists(fs, st.getPath) ||
+              !GziIndex.exists(fs, st.getPath)) None
           else {
-            val gzi = GziIndex.read(fs, st.getPath)
-            def byteAtV(v: Long): Int = {
-              val in = fs.open(st.getPath)
+            val entries = FaiIndex.read(fs, st.getPath).values.toArray
+              .sortBy(_.offset)
+            if (entries.length < 2) None
+            else {
+              val gzi = GziIndex.read(fs, st.getPath)
+              val in = fs.open(st.getPath) // one open, reused per cut probe
               try {
-                in.seek(v >>> 16)
-                val b = Bgzf.readBlock(in)
-                val off = (v & 0xffff).toInt
-                if (b == null || off >= b.data.length) -1 else b.data(off) & 0xff
+                def byteAtV(v: Long): Int = {
+                  in.seek(v >>> 16)
+                  val b = Bgzf.readBlock(in)
+                  val off = (v & 0xffff).toInt
+                  if (b == null || off >= b.data.length) -1 else b.data(off) & 0xff
+                }
+                val points = mutable.ArrayBuffer[Long]()
+                var lastC = 0L
+                var k = 1
+                var ok = true
+                while (ok && k < entries.length) {
+                  val prev = entries(k - 1)
+                  val headerStart =
+                    prev.offsetOf(prev.length) + 1 + (prev.lineWidth - prev.lineBases)
+                  val v = gzi.virtualFor(headerStart)
+                  val c = v >>> 16
+                  if (c - lastC >= maxSplit) {
+                    if (byteAtV(v) != '>') ok = false // layout assumption failed
+                    else { points += v; lastC = c }
+                  }
+                  k += 1
+                }
+                if (!ok || points.isEmpty) None else Some(points.toSeq)
               } finally in.close()
             }
-            val points = mutable.ArrayBuffer[Long]()
-            var lastC = 0L
-            var k = 1
-            var ok = true
-            while (ok && k < entries.length) {
-              val prev = entries(k - 1)
-              val headerStart =
-                prev.offsetOf(prev.length) + 1 + (prev.lineWidth - prev.lineBases)
-              val v = gzi.virtualFor(headerStart)
-              val c = v >>> 16
-              if (c - lastC >= maxSplit) {
-                if (byteAtV(v) != '>') ok = false // layout assumption failed
-                else { points += v; lastC = c }
-              }
-              k += 1
-            }
-            if (!ok || points.isEmpty) None else Some(points.toSeq)
           }
-        }
+        } catch { case _: Exception => None }
       }
       pointsOpt.map { points =>
         val bounds = 0L +: points

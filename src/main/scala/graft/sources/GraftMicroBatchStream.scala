@@ -258,9 +258,18 @@ final class GraftMicroBatchStream(table: GraftTable, scan: GraftScan)
         GraftFilesOffset.keyOf(st) == (e.mtime, e.path) } || e == GraftFilesOffset.start)
         snapshot
       else sortedFiles()
+    // Replay-safe maxFileAge: the re-list fallback (restart mid-batch) must
+    // not resurrect history the original batch's cutoff excluded. The
+    // original cutoff (maxListedMtime - age) is >= (end.mtime - age), so
+    // filtering by the end-relative cutoff keeps every originally-admitted
+    // file; it can only re-admit borderline old files when an admission
+    // limit made end older than the newest listing — each still processed
+    // at most once.
+    val cutoff = maxFileAgeMs.map(e.mtime - _)
     val batch = listed.filter { case (st, _) =>
       val k = GraftFilesOffset.keyOf(st)
-      !GraftFilesOffset.lte(k, s) && GraftFilesOffset.lte(k, e)
+      !GraftFilesOffset.lte(k, s) && GraftFilesOffset.lte(k, e) &&
+        cutoff.forall(st.getModificationTime >= _)
     }
     scan.packWholeFiles(batch)
   }

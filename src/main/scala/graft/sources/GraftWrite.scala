@@ -136,7 +136,8 @@ final class GraftStreamingDataWriterFactory(format: WritableGraftFormat, dir: St
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(format, dir, srcIdx, schema, conf, compression,
-      partitionId, taskId, s"$queryId-$epochId", epoch = Some(epochId))
+      partitionId, taskId, s"$queryId-$epochId", epoch = Some(epochId),
+      streamQueryId = Some(queryId))
 }
 
 final class GraftBatchWrite(format: WritableGraftFormat, dir: String, schema: StructType,
@@ -208,7 +209,8 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
                             srcIdx: Array[Int], schema: StructType,
                             conf: SerializableHadoopConf, compression: String,
                             partitionId: Int, taskId: Long, jobId: String,
-                            epoch: Option[Long] = None)
+                            epoch: Option[Long] = None,
+                            streamQueryId: Option[String] = None)
   extends DataWriter[InternalRow] {
 
   private val ext = format.defaultExtensions.head + (compression match {
@@ -228,10 +230,16 @@ final class GraftDataWriter(format: WritableGraftFormat, dir: String,
   private val bgzfFai = compression == "bgzf" &&
     !format.isInstanceOf[IndexableGraftFormat]
   // Batch parts get a random suffix (append-friendly, collision-free);
-  // streaming parts are DETERMINISTIC per (epoch, partition) so a replayed
-  // epoch overwrites its own output instead of duplicating it.
+  // streaming parts are DETERMINISTIC per (queryId, epoch, partition) so a
+  // replayed epoch overwrites its OWN output instead of duplicating it —
+  // the queryId prefix scopes that overwrite: a different query (fresh
+  // checkpoint, epochs restarting at 0) appending to the same directory
+  // can never clobber this one's committed parts.
   private val fileName = epoch match {
-    case Some(e) => f"part-$e%06d-$partitionId%05d.$ext"
+    case Some(e) =>
+      val qid = streamQueryId.getOrElse("q")
+        .replaceAll("[^A-Za-z0-9]", "").take(8)
+      f"part-$qid%s-$e%06d-$partitionId%05d.$ext"
     case None =>
       f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.$ext"
   }

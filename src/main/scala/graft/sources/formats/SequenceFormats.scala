@@ -212,13 +212,15 @@ final class FastaIndexedFormat(regions: Seq[String]) extends GraftFormat {
         Some(FaiIndex.read(input.fs, input.path))
       else None
     // bgzipped fasta with .fai + .gzi siblings (`samtools faidx ref.fa.gz`):
-    // the .fai stays uncompressed-domain, the .gzi maps to BGZF blocks
+    // the .fai stays uncompressed-domain, the .gzi maps to BGZF blocks. A
+    // corrupt sibling degrades to the streaming fallback, never an error.
     val faiGzi: Option[(Map[String, FaiEntry], GziIndex)] =
       if (input.path != null && input.fs != null && isComp &&
           FaiIndex.exists(input.fs, input.path) &&
           GziIndex.exists(input.fs, input.path))
-        Some((FaiIndex.read(input.fs, input.path),
+        try Some((FaiIndex.read(input.fs, input.path),
           GziIndex.read(input.fs, input.path)))
+        catch { case _: Exception => None }
       else None
 
     faiIdx match {

@@ -17,29 +17,8 @@ object SplitScale {
     dir.mkdirs()
     if (!new java.io.File(dir, "_done").exists()) {
       val s = graft.LocalSession.buildBench("32")
-      val sink = new java.io.File(dir, "sink").getAbsolutePath
-      s.range(0, 20000000L).select(
-          concat(lit("chr"), (col("id") % 8).cast("string")).as("chrom"),
-          ((col("id") / 8).cast("long") * 40 + 1).as("pos"),
-          lit(null).cast("array<string>").as("id"),
-          lit("A").as("ref"),
-          array(lit("T")).as("alt"),
-          (col("id") % 60).cast("float").as("qual"),
-          lit(null).cast("array<string>").as("filter"),
-          concat(lit("DP="), (col("id") % 100).cast("string"),
-            lit(";H="), md5(col("id").cast("string"))).as("info"),
-          lit(null).cast("string").as("formats"))
-        .repartitionByRange(1, col("chrom"), col("pos"))
-        .sortWithinPartitions("chrom", "pos")
-        .write.format("vcf").mode("overwrite")
-        .option("compression", "bgzf").save(sink)
-      new java.io.File(sink).listFiles()
-        .filter(_.getName.endsWith(".vcf.gz")).foreach { f =>
-          java.nio.file.Files.copy(f.toPath,
-            new java.io.File(dir, "calls.vcf.gz").toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      new java.io.File(dir, "_done").createNewFile()
+      // the b15 corpus shape at 10x rows — one shared definition (Corpora)
+      Corpora.writeUnindexedVcfGz(s, dir.getAbsolutePath, 20000000L)
       s.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

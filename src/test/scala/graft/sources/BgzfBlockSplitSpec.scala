@@ -88,15 +88,17 @@ class BgzfBlockSplitSpec extends AnyFunSuite with SharedSpark {
     // bgzipped with the repo's BgzfWriter, NO .tbi sibling
     val dir = graft.TestTmp.dir("blocksplit_typed")
     val f = new java.io.File(dir.toFile, "typed.vcf.gz")
-    val w = new BgzfWriter(new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(f), 1 << 16))
-    w.write(("##fileformat=VCFv4.2\n" +
-      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">\n" +
-      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n").getBytes("UTF-8"))
-    (1 to 150000).foreach { i =>
-      w.write(s"chr1\t$i\t.\tA\tT\t30\tPASS\tDP=${i % 97}\n".getBytes("UTF-8"))
-    }
-    w.finish()
+    val fos = new java.io.FileOutputStream(f)
+    try {
+      val w = new BgzfWriter(new java.io.BufferedOutputStream(fos, 1 << 16))
+      w.write(("##fileformat=VCFv4.2\n" +
+        "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n").getBytes("UTF-8"))
+      (1 to 150000).foreach { i =>
+        w.write(s"chr1\t$i\t.\tA\tT\t30\tPASS\tDP=${i % 97}\n".getBytes("UTF-8"))
+      }
+      w.finish()
+    } finally fos.close()
     val whole = spark.read.format("vcf").option("parseInfo", "true")
       .load(dir.toString).select(col("chrom"), col("pos"), col("info.DP").as("dp"))
     assert(whole.rdd.getNumPartitions == 1)

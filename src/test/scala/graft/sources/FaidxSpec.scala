@@ -87,7 +87,18 @@ class FaidxSpec extends AnyFunSuite with SharedSpark {
     val e = intercept[IllegalArgumentException] {
       graft.tools.Faidx.index(new org.apache.hadoop.fs.Path(bad.getAbsolutePath), conf)
     }
-    assert(e.getMessage.contains("ragged"))
+    assert(e.getMessage.contains("irregular"))
+
+    // a FINAL line LONGER than the interior width is just as
+    // line-address-breaking as a short interior line — refuse, don't
+    // write an index that returns the next record's bytes as bases
+    val bad2 = new java.io.File(ext.toFile, "bad2.fasta")
+    java.nio.file.Files.writeString(bad2.toPath,
+      ">r1\nACGTAC\nACGTAC\nACGTACGTAC\n")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.tools.Faidx.index(new org.apache.hadoop.fs.Path(bad2.getAbsolutePath), conf)
+    }
+    assert(e2.getMessage.contains("longer"))
   }
 
   test("plain gzip refuses with a recompress hint") {
