@@ -54,6 +54,7 @@ object Bench {
     val bamDir = tmpPath("graft_bench_bam")
     val bam1Dir = tmpPath("graft_bench_bam1v2") // v2: high-entropy sequences
     val vcfGzDir = tmpPath("graft_bench_vcfgz1") // b15: unindexed bgzip VCF
+    val bamNoIdxDir = tmpPath("graft_bench_bamnoidx") // b16: b14's BAM, no .bai
     val scaleDir = tmpPath(s"graft_bench_fasta6x_$slug")
 
     // b01/b02 corpus: ~|lineitem| synthetic sequences through our own FASTA
@@ -293,6 +294,28 @@ object Bench {
         new java.io.File(bam1Dir, "_done").createNewFile()
       }
     } catch { case e: Throwable => recordErr("gen_bam1_corpus", e) }
+
+    // b16 corpus: the b14 BAM hard-linked WITHOUT its .bai — an unindexed
+    // binary BGZF file, the landing-zone shape before `samtools index`
+    // runs. Decode parallelism comes purely from the index-free
+    // record-resync split (validated BGZF boundary scan + BAM header-chain
+    // record guessing); before this round the shape was one task total.
+    try {
+      if (!new java.io.File(bamNoIdxDir, "_done").exists() &&
+          new java.io.File(bam1Dir, "_done").exists()) {
+        val src = new java.io.File(s"$bam1Dir/t")
+        val dst = new java.io.File(s"$bamNoIdxDir/t")
+        dst.mkdirs()
+        src.listFiles().foreach { f =>
+          if (f.getName.endsWith(".bam")) {
+            val target = dst.toPath.resolve(f.getName)
+            java.nio.file.Files.deleteIfExists(target)
+            java.nio.file.Files.createLink(target, f.toPath)
+          }
+        }
+        new java.io.File(bamNoIdxDir, "_done").createNewFile()
+      }
+    } catch { case e: Throwable => recordErr("gen_bamnoidx_corpus", e) }
 
     // b15 corpus: ONE bgzipped VCF with NO index sibling — the common
     // landing-zone shape (bgzip without tabix). Decode parallelism comes
@@ -566,6 +589,7 @@ object Bench {
         // round comparability.
         val bam1Ready = new java.io.File(bam1Dir, "_done").exists()
         val vcfGzReady = new java.io.File(vcfGzDir, "_done").exists()
+        val bamNoIdxReady = new java.io.File(bamNoIdxDir, "_done").exists()
         Seq(1, 2, 4, 8, 16).foreach { w =>
           val s = LocalSession.buildBench(w.toString)
           if (w > 8)
@@ -593,6 +617,23 @@ object Bench {
               details += s"b14_bam_scan_w$w" -> tb
               results = results :+ (s"b14_bam_scan_w$w" -> tb.value)
             } catch { case e: Throwable => recordErr(s"b14_bam_scan_w$w", e) }
+          }
+          // b16: the SAME width, over the SAME BAM as b14 but with NO .bai
+          // — binary decode parallelised purely by the index-free
+          // record-resync split (BamFormat.resyncRecords). The b14-vs-b16
+          // delta isolates what the index buys beyond split planning.
+          if (bamNoIdxReady) {
+            try {
+              def bamScanNi(): Long = s.read.format("bam")
+                .load(s"$bamNoIdxDir/t")
+                .agg(sum(col("flag")), sum(length(col("sequence")))).count()
+              bamScanNi() // warm-up
+              val tn = timedEntry(3) { () =>
+                val t0 = System.nanoTime(); bamScanNi(); (System.nanoTime() - t0) / 1e9
+              }
+              details += s"b16_bam_noindex_scan_w$w" -> tn
+              results = results :+ (s"b16_bam_noindex_scan_w$w" -> tn.value)
+            } catch { case e: Throwable => recordErr(s"b16_bam_noindex_scan_w$w", e) }
           }
           // b15: the SAME width, over ONE unindexed bgzipped VCF — text
           // decode parallelised purely by the INDEX-FREE BGZF block split

@@ -849,6 +849,64 @@ object FormatQueries {
     // granularity; round-11's complement to f65's index-derived split).
     // Aggregates computed EAGERLY under the split-forcing conf
     // (save/restore); the gate refuses to grade an unsplit plan.
+    // Index-free record-resync split: a big UNINDEXED BAM (no .bai — the
+    // landing-zone shape before `samtools index`) must fan out over
+    // parallel chunk partitions, the reader re-finding record boundaries
+    // by validated header-chain scan (hadoop-bam SplitGuesser technique;
+    // BamFormat.resyncRecords). Refuses to grade on a one-task plan.
+    "f69_bam_resync_split" -> ((s, _) => {
+      val dir = gateDir("bam_resync")
+      val bamDir = new java.io.File(dir, "t")
+      if (!new java.io.File(dir, "_done").exists()) {
+        s.range(0, 200000L).select(
+            concat(lit("r"), col("id")).as("name"),
+            lit(0).as("flag"),
+            concat(lit("chr"), (col("id") % 2 + 1).cast("string")).as("reference"),
+            ((col("id") / 2).cast("long") * 100 + 1).as("start"),
+            ((col("id") / 2).cast("long") * 100 + 100).as("end"),
+            lit("30").as("mapping_quality"),
+            lit("100M").as("cigar"),
+            lit(null).cast("string").as("mate_reference"),
+            translate(substring(concat(md5(col("id").cast("string")),
+                md5((col("id") + 200000L).cast("string")),
+                md5((col("id") + 400000L).cast("string")),
+                md5((col("id") + 600000L).cast("string"))), 1, 100),
+              "0123456789abcdef", "ACGTACGTACGTACGT").as("sequence"),
+            array_repeat(lit(30L), 100).as("quality_score"),
+            array().cast("array<struct<tag:string,value:string>>").as("tags"))
+          .repartitionByRange(1, col("reference"), col("start"))
+          .sortWithinPartitions("reference", "start")
+          .write.format("bam").mode("overwrite")
+          .option("refs", "chr1:40000000,chr2:40000000")
+          .save(bamDir.getAbsolutePath)
+        // delete the sink's .bai: the gate is about the NO-index shape
+        bamDir.listFiles().foreach { f =>
+          if (f.getName.endsWith(".bai")) require(f.delete())
+        }
+        new java.io.File(dir, "_done").createNewFile()
+      }
+      val keys = Seq("spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+        s.conf.set("spark.sql.files.openCostInBytes", "16384")
+        val df = s.read.format("bam").load(bamDir.getAbsolutePath)
+          .select("reference", "start")
+        val parts = df.rdd.getNumPartitions
+        require(parts >= 4,
+          s"index-free BAM resync split did not engage: $parts partition(s)")
+        val rows = df.groupBy(col("reference"))
+          .agg(count(lit(1)).as("n"), sum(col("start")).cast("long").as("sum_start"))
+          .orderBy("reference").collect()
+        import s.implicits._
+        rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toDF("reference", "n", "sum_start")
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+    }),
+
     "f67_bgzf_indexfree_split" -> ((s, _) => {
       val dir = gateDir("bgzf_indexfree")
       val f = new java.io.File(dir, "calls.vcf.gz")
@@ -1522,6 +1580,14 @@ object FormatQueries {
         |  substring(repeat('ACGTG', 42), 1, 203) AS sub2""".stripMargin,
 
     // 2 chroms x 100k rows, pos = 3i: sum_pos = 3 * 100000*100001/2
+    // 100k records per chrom, start = k*100+1 for k in 0..99999:
+    // sum = 100 * 99999*100000/2 + 100000 = 499995100000
+    "f69_bam_resync_split" ->
+      """SELECT 'chr' || CAST(i AS VARCHAR) AS reference,
+        |  CAST(100000 AS BIGINT) AS n,
+        |  CAST(499995100000 AS BIGINT) AS sum_start
+        |FROM generate_series(1, 2) t(i) ORDER BY reference""".stripMargin,
+
     "f67_bgzf_indexfree_split" ->
       """SELECT 'chr' || CAST(i AS VARCHAR) AS chrom,
         |  CAST(100000 AS BIGINT) AS n,

@@ -282,6 +282,160 @@ final class BgzfBlockSplitInputStream(raw: FSDataInputStream, cStart: Long,
   override def close(): Unit = { inf.end(); raw.close() }
 }
 
+/** Decompressed stream over one COMPRESSED-offset split [cStart, cEnd) of a
+  * BGZF binary file with NO index (unindexed BAM/BCF — the landing-zone
+  * shape before `samtools index` runs): the record-structured analog of
+  * BgzfBlockSplitInputStream, for formats whose record boundary is not a
+  * line but a self-describing binary header the FORMAT can re-find
+  * (BAM/BCF record resync, the hadoop-bam SplitGuesser technique).
+  *
+  * Block ownership is positional and deterministic, same convention as the
+  * text split: the chunk owns every block whose raw offset is in
+  * [findBlockAtOrAfter(cStart), first block >= cEnd). Unlike the text
+  * stream, this one never cuts: it serves decompressed bytes from the first
+  * owned block through EOF, because a record starting in the last owned
+  * block may straddle arbitrarily many following blocks. The FORMAT stops
+  * instead, via `positionIsOwned`: a record belongs to this chunk iff its
+  * first decompressed byte falls inside the owned blocks' extent. Every
+  * record therefore lands in exactly one chunk under any chunking
+  * (BamResyncSpec asserts the invariance).
+  */
+final class BgzfResyncInputStream(raw: FSDataInputStream, cStart: Long,
+                                  cEnd: Long, fileSize: Long)
+  extends InputStream {
+
+  private val queue = new java.util.ArrayDeque[Array[Byte]]()
+  private var headPos = 0 // read offset into the queue head
+  private val inf = new Inflater(true) // reused across blocks
+  private var nextBlockOffset: Long =
+    if (cStart == 0) 0L else Bgzf.findBlockAtOrAfter(raw, cStart, fileSize)
+  private var eof = nextBlockOffset < 0
+  // decompressed bytes of OWNED blocks loaded so far; final once
+  // `ownedComplete` (the last owned block has been loaded, known the moment
+  // its successor's offset lands >= cEnd — no lookahead needed)
+  private var ownedLoaded = 0L
+  private var ownedComplete = eof
+  private var served = 0L
+
+  /** False when no block starts inside [cStart, cEnd) — the whole chunk is
+    * interior to one block owned by the predecessor.
+    */
+  val hasOwned: Boolean = !eof && nextBlockOffset < cEnd
+  if (!eof) raw.seek(nextBlockOffset)
+  if (!hasOwned) ownedComplete = true
+
+  private def loadBlock(): Boolean = {
+    if (eof) return false
+    val cur = nextBlockOffset
+    val block = Bgzf.readBlock(raw, inf)
+    if (block == null) { eof = true; ownedComplete = true; return false }
+    nextBlockOffset = cur + block.compressedSize
+    if (cur < cEnd) ownedLoaded += block.data.length
+    if (nextBlockOffset >= cEnd) ownedComplete = true
+    if (block.data.length > 0) queue.addLast(block.data)
+    true
+  }
+
+  /** True iff decompressed position `pos` (0 = first byte of the first
+    * owned block) lies inside this chunk's owned extent. Loads ahead as
+    * needed; never loads past the first non-owned block.
+    */
+  def positionIsOwned(pos: Long): Boolean = {
+    while (!ownedComplete && pos >= ownedLoaded) loadBlock()
+    pos < ownedLoaded
+  }
+
+  /** Decompressed bytes served through read() so far — equals the current
+    * record-start position for a parser that consumes records back to back.
+    */
+  def servedPosition: Long = served
+
+  override def read(): Int = {
+    while (queue.isEmpty || headPos >= queue.peekFirst().length) {
+      if (!queue.isEmpty) { queue.removeFirst(); headPos = 0 }
+      else if (!loadBlock()) return -1
+    }
+    val b = queue.peekFirst()(headPos) & 0xff
+    headPos += 1
+    served += 1
+    b
+  }
+
+  override def read(out: Array[Byte], off: Int, len: Int): Int = {
+    while (queue.isEmpty || headPos >= queue.peekFirst().length) {
+      if (!queue.isEmpty) { queue.removeFirst(); headPos = 0 }
+      else if (!loadBlock()) return -1
+    }
+    val head = queue.peekFirst()
+    val n = math.min(len, head.length - headPos)
+    System.arraycopy(head, headPos, out, off, n)
+    headPos += n
+    served += n
+    n
+  }
+
+  override def close(): Unit = { inf.end(); raw.close() }
+}
+
+/** Shared scan harness for index-free record resync (BAM/BCF): grows a
+  * buffer over a resync chunk's decompressed bytes and returns the first
+  * candidate offset the format's validator accepts AND the chunk owns.
+  * The validator returns 1 valid / 0 invalid / -1 need-more-bytes.
+  */
+object ResyncScan {
+  /** First owned record start: offset into `buf` (== decompressed position
+    * from the chunk's first block), with the buffer and its filled length
+    * so the caller can serve parsed records from it. Null when no record
+    * starts inside the owned extent (chunk interior to one straddling
+    * record) — a correct zero-row chunk.
+    */
+  final class Start(val offset: Int, val buf: Array[Byte], val len: Int,
+                    val exhausted: Boolean)
+
+  /** A record boundary exists within one max-record-length of the chunk
+    * start (records are back to back), so the buffer is bounded by the max
+    * record size the validators admit (2^28) plus chain slack — growth is
+    * capped and overrun fails LOUDLY rather than risk silently dropping
+    * records.
+    */
+  private val MaxBuf = 192 << 20
+
+  def findFirst(rr: BgzfResyncInputStream,
+                validate: (Array[Byte], Int, Int, Boolean) => Int,
+                what: String): Start = {
+    var buf = new Array[Byte](1 << 18)
+    var n = 0
+    var exhausted = false
+    def fillTo(target: Int): Unit = {
+      val t = math.min(target, MaxBuf)
+      if (t > buf.length) {
+        var cap = buf.length
+        while (cap < t) cap <<= 1
+        buf = java.util.Arrays.copyOf(buf, math.min(cap, MaxBuf))
+      }
+      while (n < t && n < buf.length && !exhausted) {
+        val r = rr.read(buf, n, buf.length - n)
+        if (r < 0) exhausted = true else n += r
+      }
+    }
+    fillTo(1 << 18)
+    var c = 0
+    while (rr.positionIsOwned(c)) {
+      validate(buf, n, c, exhausted) match {
+        case 1 => return new Start(c, buf, n, exhausted)
+        case 0 => c += 1
+        case _ =>
+          if (n >= MaxBuf) throw new IllegalStateException(
+            s"$what resync: no record boundary within $MaxBuf decompressed " +
+              "bytes of chunk start — file corrupt or records larger than " +
+              "the resync cap; index the file to scan it")
+          fillTo(math.max(n + (1 << 18), n * 2))
+      }
+    }
+    null
+  }
+}
+
 final class BgzfChunkInputStream(raw: FSDataInputStream, vStart: Long, vEnd: Long)
   extends InputStream {
 

@@ -72,9 +72,12 @@ abstract class GraftTableProvider(format: GraftFormat)
 final case class FileChunk(path: String, start: Long, length: Long, fileSize: Long,
                            partValues: Array[String],
                            vStart: Long = -1L, vEnd: Long = -1L,
-                           blockSplit: Boolean = false) {
+                           blockSplit: Boolean = false,
+                           recordSplit: Boolean = false,
+                           alignedSplit: Boolean = false) {
   def isWholeFile: Boolean =
-    vStart < 0 && !blockSplit && start == 0 && length >= fileSize
+    vStart < 0 && !blockSplit && !recordSplit && !alignedSplit &&
+      start == 0 && length >= fileSize
   def isBgzfChunk: Boolean = vStart >= 0
 }
 
@@ -636,6 +639,7 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
           }
         } else bgzfFullScanChunks(st, vals, maxSplit)
           .orElse(bgzfBlockSplitChunks(st, vals, maxSplit))
+          .orElse(bgzfRecordSplitChunks(st, vals, maxSplit))
           .getOrElse(Seq(FileChunk(p, 0, size, size, vals)))
       }
     }
@@ -739,6 +743,37 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       Some((0L until size by maxSplit).map { off =>
         FileChunk(p, off, math.min(maxSplit, size - off), size, vals,
           blockSplit = true)
+      })
+    }
+
+    /** Index-free split of a big UNINDEXED BGZF binary file (BAM/BCF with
+      * no .bai/.csi sibling — the landing-zone shape before `samtools
+      * index` runs): cut at raw compressed offsets; each reader aligns to
+      * the first BGZF block at/after its cut and the FORMAT re-finds the
+      * first record boundary it owns (hadoop-bam SplitGuesser technique —
+      * see BamFormat.resyncRecords). Only engages for formats declaring
+      * `bgzfRecordResync`; runs after bgzfFullScanChunks so an index
+      * sibling, whose virtual offsets are exact record starts, always
+      * wins.
+      */
+    def bgzfRecordSplitChunks(st: FileStatus, vals: Array[String],
+                              maxSplit: Long): Option[Seq[FileChunk]] = {
+      val p = st.getPath.toString
+      val size = st.getLen
+      if (size <= maxSplit || !table.format.bgzfRecordResync) return None
+      val name = st.getPath.getName.toLowerCase
+      if (!(name.endsWith(".bam") || name.endsWith(".bcf"))) return None
+      val isBgzf = GraftScan.cachedBgzfSniff(st) {
+        try {
+          val in = st.getPath.getFileSystem(hadoopConf).open(st.getPath)
+          try Bgzf.looksLikeBgzf(new java.io.BufferedInputStream(in, 64))
+          finally in.close()
+        } catch { case _: Exception => false }
+      }
+      if (!isBgzf) return None
+      Some((0L until size by maxSplit).map { off =>
+        FileChunk(p, off, math.min(maxSplit, size - off), size, vals,
+          recordSplit = true)
       })
     }
 
@@ -1333,9 +1368,18 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
     val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
     val compressed = Codecs.isCompressed(path.getName)
-    val isSplit = c.start > 0 && !c.isBgzfChunk && !c.blockSplit
+    val isSplit = c.start > 0 && !c.isBgzfChunk && !c.blockSplit && !c.recordSplit
+    var resync: BgzfResyncInputStream = null
     val mkLines: () => ByteLineReader =
-      if (c.blockSplit) {
+      if (c.recordSplit) {
+        // binary record-resync chunk: the FORMAT consumes `resync` directly
+        // (BAM/BCF record boundaries are not lines)
+        resync = new BgzfResyncInputStream(raw, c.start, c.start + c.length,
+          c.fileSize)
+        stream = resync
+        () => throw new IllegalStateException(
+          "record-resync chunks have no line view")
+      } else if (c.blockSplit) {
         stream = new BgzfBlockSplitInputStream(raw, c.start, c.start + c.length,
           c.fileSize)
         val s = stream
@@ -1378,7 +1422,8 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
     it = format.records(
       new RecordInput(mkLines, stream, end, isSplit, c.isBgzfChunk, reopen, path, fs,
         startsAtFileStart = !isSplit && (!c.isBgzfChunk || c.vStart == 0L) &&
-          (!c.blockSplit || c.start == 0L)),
+          (!c.blockSplit || c.start == 0L) && (!c.recordSplit || c.start == 0L),
+        resync = resync),
       dataSchema, parseCols)
     true
   }

@@ -20,7 +20,9 @@ final class RecordInput(mkLines: () => ByteLineReader, val stream: java.io.Input
                           throw new UnsupportedOperationException("reopen not available"),
                         val path: org.apache.hadoop.fs.Path = null,
                         val fs: org.apache.hadoop.fs.FileSystem = null,
-                        val startsAtFileStart: Boolean = true) {
+                        val startsAtFileStart: Boolean = true,
+                        val resync: BgzfResyncInputStream = null,
+                        val startOffset: Long = 0L) {
   lazy val lines: ByteLineReader = mkLines()
 }
 
@@ -57,6 +59,30 @@ trait GraftFormat extends Serializable {
     * FASTQ, GenBank) must stay false — their record boundary is not '\n'.
     */
   def lineRecords: Boolean = false
+
+  /** The format can re-find a record boundary mid-stream in BGZF-compressed
+    * data (hadoop-bam SplitGuesser style). Enables the index-free full-scan
+    * split of big unindexed BGZF binary files (BAM/BCF with no .bai/.csi
+    * sibling): the planner cuts at raw compressed offsets, each reader
+    * aligns to the first BGZF block at/after its cut (validated magic
+    * scan), and the format's own resync finds the first record whose start
+    * byte it owns. Formats setting this must handle `input.resync != null`
+    * in records().
+    */
+  def bgzfRecordResync: Boolean = false
+
+  /** Ascending raw-byte offsets of self-delimiting container/record starts
+    * usable as cut points for a whole-file split of one big file (CRAM
+    * container boundaries). Null when the format has none. Driver-side and
+    * memoized by the planner; implementations must be cheap relative to
+    * the scan they parallelize (an index read, or one header-skipping
+    * sweep). Readers of the resulting chunks see `startOffset`/`end` on
+    * RecordInput and must decode exactly the containers starting inside
+    * [startOffset, end).
+    */
+  def alignedCutOffsets(fs: org.apache.hadoop.fs.FileSystem,
+                        path: org.apache.hadoop.fs.Path,
+                        fileSize: Long): Array[Long] = null
 
   /** Formats with file-driven schemas (FCS parameters, SDF data headers)
     * override this; called once on the driver with the listed files.

@@ -65,8 +65,127 @@ object BamFormat extends GraftFormat {
     }
   }
 
+  override def bgzfRecordResync: Boolean = true
+
+  @inline private def bI32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+  @inline private def bU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Validate a candidate record start at `b(c)`: walk the chain of
+    * block_size-linked record headers, checking each against the BAM spec's
+    * hard invariants (refID/next_refID within the header's reference count,
+    * positions >= -1, read name present and NUL-terminated, block_size no
+    * smaller than the fixed fields it must contain). Two chained valid
+    * headers make a payload false positive astronomically unlikely — the
+    * same technique (and largely the same checks) as hadoop-bam's
+    * BAMSplitGuesser. Returns 1 valid, 0 invalid, -1 need more buffered
+    * bytes to decide.
+    */
+  private[sources] def validateChain(b: Array[Byte], n: Int, c: Int,
+                                     nRef: Int, exhausted: Boolean): Int = {
+    var p = c.toLong
+    var k = 0
+    while (true) {
+      if (p + 36 > n)
+        return if (!exhausted) -1 else if (k >= 1 && p == n) 1 else 0
+      val pi = p.toInt
+      val bs = bI32(b, pi)
+      if (bs < 34 || bs > (1 << 28)) return 0
+      val refId = bI32(b, pi + 4)
+      if (refId < -1 || refId >= nRef) return 0
+      if (bI32(b, pi + 8) < -1) return 0
+      val lrn = b(pi + 12) & 0xff
+      if (lrn < 1) return 0
+      val ncig = bU16(b, pi + 16)
+      val lseq = bI32(b, pi + 20)
+      if (lseq < 0) return 0
+      val nrid = bI32(b, pi + 24)
+      if (nrid < -1 || nrid >= nRef) return 0
+      if (bI32(b, pi + 28) < -1) return 0
+      if (bs < 32L + lrn + 4L * ncig + (lseq + 1L) / 2 + lseq) return 0
+      if (p + 36 + lrn > n) return if (exhausted) 0 else -1
+      if (b(pi + 36 + lrn - 1) != 0) return 0
+      var q = pi + 36
+      while (q < pi + 36 + lrn - 1) { if (b(q) == 0) return 0; q += 1 }
+      k += 1
+      if (k >= 2) return 1
+      p += 4L + bs
+      if (p > n) return if (exhausted) 0 else -1
+    }
+    1 // unreachable
+  }
+
+  /** Records of one index-free resync chunk: find the first record whose
+    * start byte this chunk owns (validated chain scan over a growing
+    * buffer), then parse records until the first start beyond the owned
+    * extent. A chunk interior to one straddling record correctly yields
+    * zero rows. See BgzfResyncInputStream for the ownership convention.
+    */
+  private def resyncRecords(input: RecordInput,
+                            required: Array[Int]): Iterator[Array[Any]] = {
+    val rr = input.resync
+    if (!rr.hasOwned) return Iterator.empty
+    if (input.startsAtFileStart) {
+      // head chunk: in-stream header, records follow at an exact position.
+      // servedPosition is read BEFORE interposing the buffer; after that,
+      // record starts are tracked arithmetically (pos += 4 + block_size),
+      // so buffered read-ahead cannot skew the ownership check.
+      val refs = readHeaderRefs(rr)
+      val start = rr.servedPosition
+      val in = new LEInput(new java.io.BufferedInputStream(rr, 1 << 16))
+      return ownedRecords(rr, in, start, refs, required)
+    }
+    val refs =
+      if (input.path != null)
+        headerCache.computeIfAbsent(input.path.toString, _ => {
+          val hs = new MultiMemberGzipInputStream(input.reopenRaw())
+          try readHeaderRefs(hs) finally hs.close()
+        })
+      else {
+        val hs = new MultiMemberGzipInputStream(input.reopenRaw())
+        try readHeaderRefs(hs) finally hs.close()
+      }
+    val nRef = refs.length
+    val s0 = ResyncScan.findFirst(rr,
+      (b, n, c, ex) => validateChain(b, n, c, nRef, ex), "bam")
+    if (s0 == null) return Iterator.empty
+    val seq = new java.io.SequenceInputStream(
+      new java.io.ByteArrayInputStream(s0.buf, s0.offset, s0.len - s0.offset), rr)
+    // ownership is checked on arithmetic record-start positions, so the
+    // buffer's read-ahead is safe (see head-chunk note above)
+    ownedRecords(rr, new LEInput(new java.io.BufferedInputStream(seq, 1 << 16)),
+      s0.offset, refs, required)
+  }
+
+  /** Parse records back to back from `in`, stopping before the first record
+    * whose start position is beyond the chunk's owned extent.
+    */
+  private def ownedRecords(rr: graft.sources.BgzfResyncInputStream, in: LEInput,
+                           startPos: Long, refs: Array[String],
+                           required: Array[Int]): Iterator[Array[Any]] =
+    new Iterator[Array[Any]] {
+      private var pos = startPos
+      private var nextRec: Array[Any] = _
+      advance()
+
+      private def advance(): Unit = {
+        nextRec = null
+        if (!rr.positionIsOwned(pos)) return
+        in.i32OrEof().foreach { sz =>
+          nextRec = parseRecord(in, sz, refs, required)
+          pos += 4L + sz
+        }
+      }
+
+      override def hasNext: Boolean = nextRec != null
+      override def next(): Array[Any] = { val r = nextRec; advance(); r }
+    }
+
   override def records(input: RecordInput, schema: StructType,
                        required: Array[Int]): Iterator[Array[Any]] = {
+    if (input.resync != null) return resyncRecords(input, required)
     val (stream, refs) =
       if (input.isBgzfChunk && input.startsAtFileStart) {
         // head chunk of a full-scan split: the chunk stream already

@@ -171,8 +171,112 @@ object BcfFormat extends GraftFormat {
     else (0 to h.contigs.keys.max).map(i => h.contigs.getOrElse(i, i.toString))
   }
 
+  override def bgzfRecordResync: Boolean = true
+
+  @inline private def bI32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+
+  /** Validate a candidate BCF record start at `b(c)` for the index-free
+    * resync split: chain of l_shared/l_indiv-linked record headers, each
+    * checked against the BCF 2.2 spec's hard invariants (CHROM within the
+    * header's contig range, POS >= -1, rlen >= 0, n_allele >= 1, sizes
+    * sane). Two chained valid headers, same technique as
+    * BamFormat.validateChain. Returns 1 valid / 0 invalid / -1 need more.
+    */
+  private[sources] def validateChain(b: Array[Byte], n: Int, c: Int,
+                                     nContig: Int, exhausted: Boolean): Int = {
+    var p = c.toLong
+    var k = 0
+    while (true) {
+      if (p + 32 > n)
+        return if (!exhausted) -1 else if (k >= 1 && p == n) 1 else 0
+      val pi = p.toInt
+      val lShared = bI32(b, pi)
+      if (lShared < 24 || lShared > (1 << 28)) return 0
+      val lIndiv = bI32(b, pi + 4)
+      if (lIndiv < 0 || lIndiv > (1 << 28)) return 0
+      val rid = bI32(b, pi + 8)
+      if (rid < 0 || rid >= nContig) return 0
+      if (bI32(b, pi + 12) < -1) return 0 // pos
+      if (bI32(b, pi + 16) < 0) return 0 // rlen
+      val nAllele = bI32(b, pi + 24) >>> 16
+      if (nAllele < 1) return 0
+      k += 1
+      if (k >= 2) return 1
+      p += 8L + lShared + lIndiv
+      if (p > n) return if (exhausted) 0 else -1
+    }
+    1 // unreachable
+  }
+
+  /** Records of one index-free resync chunk — see BamFormat.resyncRecords
+    * for the ownership/stop convention (identical here, with the record
+    * step 8 + l_shared + l_indiv).
+    */
+  private def resyncRecords(input: RecordInput,
+                            required: Array[Int]): Iterator[Array[Any]] = {
+    val rr = input.resync
+    if (!rr.hasOwned) return Iterator.empty
+    if (input.startsAtFileStart) {
+      val s = new LE(rr)
+      val header = readHeaderFrom(s)
+      val start = rr.servedPosition
+      return ownedRecords(rr, new LE(new java.io.BufferedInputStream(rr, 1 << 16)),
+        start, header, required)
+    }
+    val header =
+      if (input.path != null)
+        headerCache.computeIfAbsent(input.path.toString, _ => {
+          val hs = new MultiMemberGzipInputStream(input.reopenRaw())
+          try readHeaderFrom(new LE(hs)) finally hs.close()
+        })
+      else {
+        val hs = new MultiMemberGzipInputStream(input.reopenRaw())
+        try readHeaderFrom(new LE(hs)) finally hs.close()
+      }
+    // auto-indexed contigs are dense 0..max; an IDX-less header still maps
+    // every rid the file uses
+    val nContig =
+      if (header.contigs.isEmpty) Int.MaxValue else header.contigs.keys.max + 1
+    val s0 = ResyncScan.findFirst(rr,
+      (b, n, c, ex) => validateChain(b, n, c, nContig, ex), "bcf")
+    if (s0 == null) return Iterator.empty
+    val seq = new java.io.SequenceInputStream(
+      new java.io.ByteArrayInputStream(s0.buf, s0.offset, s0.len - s0.offset), rr)
+    ownedRecords(rr, new LE(new java.io.BufferedInputStream(seq, 1 << 16)),
+      s0.offset, header, required)
+  }
+
+  /** Parse records back to back, stopping before the first record whose
+    * start position is beyond the chunk's owned extent (arithmetic
+    * position tracking — buffered read-ahead cannot skew it).
+    */
+  private def ownedRecords(rr: BgzfResyncInputStream, in: LE, startPos: Long,
+                           header: Header,
+                           required: Array[Int]): Iterator[Array[Any]] =
+    new Iterator[Array[Any]] {
+      private var pos = startPos
+      private var nextRec: Array[Any] = _
+      advance()
+
+      private def advance(): Unit = {
+        nextRec = null
+        if (!rr.positionIsOwned(pos)) return
+        in.i32OrEof().foreach { lShared =>
+          val lIndiv = in.i32()
+          nextRec = parseRecord(in, lShared, lIndiv, header, required)
+          pos += 8L + lShared + lIndiv
+        }
+      }
+
+      override def hasNext: Boolean = nextRec != null
+      override def next(): Array[Any] = { val r = nextRec; advance(); r }
+    }
+
   override def records(input: RecordInput, schema: StructType,
                        required: Array[Int]): Iterator[Array[Any]] = {
+    if (input.resync != null) return resyncRecords(input, required)
     // CSI chunks start at a record boundary; the dictionaries still come
     // from the header, read via a separate stream.
     val (in, header) =

@@ -139,17 +139,20 @@ class BgzfSplitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("bcf whose records share one BGZF block cannot split: graceful one-task fallback") {
+  test("bcf whose records share one BGZF block: index split impossible, resync split still exact") {
     // the fixture's 621 records decompress into a single BGZF block, so
-    // every index chunk-begin shares one coffset — no record-aligned cut
-    // exists and the planner must fall back to one task, not mis-split
+    // every index chunk-begin shares one coffset — no record-aligned
+    // index cut exists (bgzfFullScanChunks returns None). Since round 11
+    // the planner falls through to the index-free record-resync split:
+    // raw-offset chunks where every piece interior to the single block
+    // owns no block start and correctly yields zero rows, while the piece
+    // owning the block decodes all 621. Rows must be invariant either way.
     val whole = spark.read.format("bcf").load(s"$fx/bcf/index.bcf")
       .select("chrom", "pos", "ref")
     withConf("spark.sql.files.maxPartitionBytes" -> "4096",
              "spark.sql.files.openCostInBytes" -> "1024") {
       val split = spark.read.format("bcf").load(s"$fx/bcf/index.bcf")
         .select("chrom", "pos", "ref")
-      assert(split.rdd.getNumPartitions == 1)
       assertSameRows(split, whole)
     }
   }
@@ -203,16 +206,19 @@ class BgzfSplitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("file without an index stays one task (no split without record alignment)") {
-    // strip the .bai sibling by copying just the .bam part elsewhere
+  test("file without an index splits via record resync since round 11 (same rows)") {
+    // strip the .bai sibling by copying just the .bam part elsewhere:
+    // before round 11 this shape stayed one task; now the index-free
+    // record-resync split (BamResyncSpec) fans it out with identical rows
     val src = new java.io.File(bamDir).listFiles()
       .filter(_.getName.endsWith(".bam")).head
     val dir = graft.TestTmp.dir("bgzf_split_noidx")
     val dst = new java.io.File(dir.toFile, src.getName)
-    java.nio.file.Files.copy(src.toPath, dst.toPath)
+    java.nio.file.Files.copy(src.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     withConf(splitConf: _*) {
       val df = spark.read.format("bam").load(dst.getAbsolutePath)
-      assert(df.rdd.getNumPartitions == 1)
+      assert(df.rdd.getNumPartitions > 1, "resync split did not engage")
       assert(df.count() == 100050L)
     }
   }
