@@ -55,6 +55,7 @@ object Bench {
     val bam1Dir = tmpPath("graft_bench_bam1v2") // v2: high-entropy sequences
     val vcfGzDir = tmpPath("graft_bench_vcfgz1") // b15: unindexed bgzip VCF
     val bamNoIdxDir = tmpPath("graft_bench_bamnoidx") // b16: b14's BAM, no .bai
+    val cramDir = tmpPath("graft_bench_cram1") // b17: b14 as CRAM, no .crai
     val scaleDir = tmpPath(s"graft_bench_fasta6x_$slug")
 
     // b01/b02 corpus: ~|lineitem| synthetic sequences through our own FASTA
@@ -316,6 +317,27 @@ object Bench {
         new java.io.File(bamNoIdxDir, "_done").createNewFile()
       }
     } catch { case e: Throwable => recordErr("gen_bamnoidx_corpus", e) }
+
+    // b17 corpus: the b14 shape as ONE sorted CRAM with NO .crai — decode
+    // parallelism comes purely from the index-free container split (the
+    // driver's header-skipping sweep plans container-aligned chunks;
+    // CramFormat.alignedCutOffsets). One-time transcode of the b14 BAM
+    // through the engine's own CRAM sink.
+    try {
+      if (!new java.io.File(cramDir, "_done").exists() &&
+          new java.io.File(bam1Dir, "_done").exists()) {
+        val refs = (0 until 8).map(i => s"chr$i:30000000").mkString(",")
+        spark.read.format("bam").load(s"$bam1Dir/t")
+          .repartitionByRange(1, col("reference"), col("start"))
+          .sortWithinPartitions("reference", "start")
+          .write.format("cram").mode("overwrite")
+          .option("refs", refs).save(s"$cramDir/t")
+        new java.io.File(s"$cramDir/t").listFiles().foreach { f =>
+          if (f.getName.endsWith(".crai")) require(f.delete())
+        }
+        new java.io.File(cramDir, "_done").createNewFile()
+      }
+    } catch { case e: Throwable => recordErr("gen_cram_corpus", e) }
 
     // b15 corpus: ONE bgzipped VCF with NO index sibling — the common
     // landing-zone shape (bgzip without tabix). Decode parallelism comes
@@ -590,6 +612,7 @@ object Bench {
         val bam1Ready = new java.io.File(bam1Dir, "_done").exists()
         val vcfGzReady = new java.io.File(vcfGzDir, "_done").exists()
         val bamNoIdxReady = new java.io.File(bamNoIdxDir, "_done").exists()
+        val cramReady = new java.io.File(cramDir, "_done").exists()
         Seq(1, 2, 4, 8, 16).foreach { w =>
           val s = LocalSession.buildBench(w.toString)
           if (w > 8)
@@ -634,6 +657,22 @@ object Bench {
               details += s"b16_bam_noindex_scan_w$w" -> tn
               results = results :+ (s"b16_bam_noindex_scan_w$w" -> tn.value)
             } catch { case e: Throwable => recordErr(s"b16_bam_noindex_scan_w$w", e) }
+          }
+          // b17: the SAME width, over the b14 data as ONE unindexed CRAM —
+          // container decode parallelised purely by the index-free aligned
+          // container split (driver header-skipping sweep, no .crai).
+          if (cramReady) {
+            try {
+              def cramScan(): Long = s.read.format("cram")
+                .load(s"$cramDir/t")
+                .agg(sum(col("flag")), sum(length(col("sequence")))).count()
+              cramScan() // warm-up
+              val tc = timedEntry(3) { () =>
+                val t0 = System.nanoTime(); cramScan(); (System.nanoTime() - t0) / 1e9
+              }
+              details += s"b17_cram_noindex_scan_w$w" -> tc
+              results = results :+ (s"b17_cram_noindex_scan_w$w" -> tc.value)
+            } catch { case e: Throwable => recordErr(s"b17_cram_noindex_scan_w$w", e) }
           }
           // b15: the SAME width, over ONE unindexed bgzipped VCF — text
           // decode parallelised purely by the INDEX-FREE BGZF block split

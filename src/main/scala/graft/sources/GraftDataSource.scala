@@ -640,6 +640,7 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
         } else bgzfFullScanChunks(st, vals, maxSplit)
           .orElse(bgzfBlockSplitChunks(st, vals, maxSplit))
           .orElse(bgzfRecordSplitChunks(st, vals, maxSplit))
+          .orElse(alignedCutChunks(st, vals, maxSplit))
           .getOrElse(Seq(FileChunk(p, 0, size, size, vals)))
       }
     }
@@ -775,6 +776,40 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
         FileChunk(p, off, math.min(maxSplit, size - off), size, vals,
           recordSplit = true)
       })
+    }
+
+    /** Full-scan split of a big file at format-provided aligned cut points
+      * (self-delimiting container/record starts — CRAM container
+      * boundaries): cuts are grouped into ~maxSplit-sized chunks, each
+      * reader seeks to its cut and decodes exactly the containers starting
+      * inside [start, start+length). The cut sweep is driver-side, memoized,
+      * and fault-tolerant — any failure falls back to one task, never a
+      * mis-split. Formats without aligned cuts return null at zero cost.
+      */
+    def alignedCutChunks(st: FileStatus, vals: Array[String],
+                         maxSplit: Long): Option[Seq[FileChunk]] = {
+      val p = st.getPath.toString
+      val size = st.getLen
+      if (size <= maxSplit) return None
+      val cuts = GraftScan.cachedAlignedCuts(st) {
+        try Option(table.format.alignedCutOffsets(
+          st.getPath.getFileSystem(hadoopConf), st.getPath, size))
+          .filter(_.nonEmpty)
+        catch { case _: Exception => None }
+      }
+      cuts.flatMap { offs =>
+        val bounds = scala.collection.mutable.ArrayBuffer[Long](0L)
+        offs.foreach { o =>
+          if (o < size && o - bounds.last >= maxSplit) bounds += o
+        }
+        if (bounds.length < 2) None
+        else {
+          bounds += size
+          Some(bounds.sliding(2).map { w =>
+            FileChunk(p, w(0), w(1) - w(0), size, vals, alignedSplit = true)
+          }.toSeq)
+        }
+      }
     }
 
     /** Full-scan split of a big BGZF binary/bgzipped file (no region needed):
@@ -1096,6 +1131,29 @@ object GraftScan {
     else { val v = compute; fastaCutCache.put(key, v); v }
   }
 
+  private val alignedCutCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), Option[Array[Long]]](
+        256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), Option[Array[Long]]]): Boolean =
+          size() > indexCacheCapacity
+      })
+
+  /** Format-provided aligned cut offsets (CRAM container starts), or None
+    * when the format has none / the sweep refused — memoized because the
+    * no-index sweep reads one header per container on the driver. Keyed
+    * without maxSplit: the offsets are maxSplit-independent; chunk grouping
+    * is recomputed cheaply per plan.
+    */
+  private[sources] def cachedAlignedCuts(st: FileStatus)(
+      compute: => Option[Array[Long]]): Option[Array[Long]] = {
+    val key = (st.getPath.toString, st.getModificationTime, st.getLen)
+    val c = alignedCutCache.get(key)
+    if (c != null) c
+    else { val v = compute; alignedCutCache.put(key, v); v }
+  }
+
   /** Coalesce BGZF virtual-position ranges: sort by start, merge any that
     * overlap or touch. Ranges are (vStart, vEnd) virtual offsets; a record
     * beginning inside one merged range is decoded exactly once.
@@ -1368,7 +1426,8 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
     val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
     val compressed = Codecs.isCompressed(path.getName)
-    val isSplit = c.start > 0 && !c.isBgzfChunk && !c.blockSplit && !c.recordSplit
+    val isSplit = c.start > 0 && !c.isBgzfChunk && !c.blockSplit &&
+      !c.recordSplit && !c.alignedSplit
     var resync: BgzfResyncInputStream = null
     val mkLines: () => ByteLineReader =
       if (c.recordSplit) {
@@ -1379,6 +1438,13 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
         stream = resync
         () => throw new IllegalStateException(
           "record-resync chunks have no line view")
+      } else if (c.alignedSplit) {
+        // aligned container chunk (CRAM): the cut IS a container start, so
+        // the format consumes the raw stream from there directly
+        if (c.start > 0) raw.seek(c.start)
+        stream = raw
+        () => throw new IllegalStateException(
+          "aligned container chunks have no line view")
       } else if (c.blockSplit) {
         stream = new BgzfBlockSplitInputStream(raw, c.start, c.start + c.length,
           c.fileSize)
@@ -1422,8 +1488,10 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
     it = format.records(
       new RecordInput(mkLines, stream, end, isSplit, c.isBgzfChunk, reopen, path, fs,
         startsAtFileStart = !isSplit && (!c.isBgzfChunk || c.vStart == 0L) &&
-          (!c.blockSplit || c.start == 0L) && (!c.recordSplit || c.start == 0L),
-        resync = resync),
+          (!c.blockSplit || c.start == 0L) && (!c.recordSplit || c.start == 0L) &&
+          (!c.alignedSplit || c.start == 0L),
+        resync = resync,
+        startOffset = if (c.alignedSplit) c.start else 0L),
       dataSchema, parseCols)
     true
   }

@@ -338,38 +338,189 @@ class CramFormat(refPath: Option[String],
     }
   }
 
+  /** Container starts usable as full-scan cut points (index-free CRAM
+    * split). Prefer the `.crai` sibling — its containerOffsets are true
+    * container starts, one small gzip'd read. Without one, a driver-side
+    * header-skipping sweep chains container lengths (positioned reads of
+    * ~100 header bytes per container, no payload decoded). Memoized by the
+    * planner (GraftScan.cachedAlignedCuts). Any subset of true container
+    * starts is a valid cut set: a chunk decodes every container starting
+    * inside its bounds, so containers absent from the cut list are simply
+    * owned by the preceding cut's chunk.
+    */
+  override def alignedCutOffsets(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: org.apache.hadoop.fs.Path,
+                                 fileSize: Long): Array[Long] =
+    CraiIndex.read(fs, path) match {
+      case Some(entries) if entries.nonEmpty =>
+        entries.iterator.map(_.containerOffset)
+          .filter(o => o > 26 && o < fileSize).toArray.distinct.sorted
+      case _ => sweepContainerStarts(fs, path, fileSize)
+    }
+
+  /** One header-skipping sweep over an unindexed CRAM: read each container
+    * header, chain `headerBytes + length` to the next. Returns ascending
+    * data-container starts (FILE_HEADER container excluded), or null to
+    * refuse splitting (malformed/unsupported stream — the whole-file reader
+    * will raise the real error; a refusal here only costs parallelism).
+    */
+  private def sweepContainerStarts(fs: org.apache.hadoop.fs.FileSystem,
+                                   path: org.apache.hadoop.fs.Path,
+                                   fileSize: Long): Array[Long] = {
+    if (fileSize < 26) return null
+    val in = fs.open(path)
+    try {
+      val d = new Array[Byte](26)
+      in.readFully(0L, d)
+      if (!(d(0) == 'C' && d(1) == 'R' && d(2) == 'A' && d(3) == 'M' &&
+            d(4) == 3)) return null
+      val out = mutable.ArrayBuffer[Long]()
+      var pos = 26L
+      var first = true
+      val buf = new Array[Byte](1 << 16)
+      while (pos < fileSize) {
+        val n = math.min(buf.length.toLong, fileSize - pos).toInt
+        in.readFully(pos, buf, 0, n)
+        val b = new In(buf, 0)
+        val length = b.i32le()
+        b.itf8(); b.itf8(); b.itf8(); b.itf8()
+        b.ltf8(); b.ltf8()
+        b.itf8() // nBlocks
+        val nLandmarks = b.itf8()
+        var i = 0
+        while (i < nLandmarks) { b.itf8(); i += 1 }
+        b.bytes(4) // crc
+        if (length < 0) return null
+        if (!first) out += pos
+        first = false
+        pos += b.o.toLong + length
+      }
+      if (pos != fileSize) return null // length chain must land exactly on EOF
+      out.toArray
+    } catch { case _: Exception => null }
+    finally in.close()
+  }
+
+  /** File definition: magic "CRAM", major.minor, 20-byte file id. Decoding
+    * a 2.x (different container layout) file with 3.x structures would
+    * produce garbage, not an error — check first. 3.1 shares the 3.0
+    * container layout and only adds block codecs (rANS Nx16 and the tok3
+    * name tokeniser implemented; arith/fqzcomp error loudly in
+    * decompress()).
+    */
+  private def checkFileDefinition(sin: StreamIn, pathStr: String): Unit = {
+    val magic = new Array[Byte](4)
+    (0 until 4).foreach(i => magic(i) = sin.u8().toByte)
+    require(new String(magic, "US-ASCII") == "CRAM",
+      s"not a CRAM file (bad magic) $pathStr")
+    val major = sin.u8(); val minor = sin.u8()
+    require(major == 3 && (minor == 0 || minor == 1),
+      s"unsupported CRAM version $major.$minor (this reader implements CRAM 3.0 and 3.1; " +
+        "recode with `samtools view -O cram,version=3.0`)")
+    sin.skipN(20) // file id
+  }
+
+  /** @SQ reference names from a FILE_HEADER container body (with the same
+    * per-block CRC32 check as decodeContainer: corruption in the header
+    * block must fail loudly, not surface as garbage @SQ parsing).
+    */
+  private def parseHeaderRefs(raw: Array[Byte]): Array[String] = {
+    val body = new In(raw, 0)
+    val blockStart = body.o
+    val method = body.u8(); body.u8(); body.itf8()
+    val cs = body.itf8(); val rawSize = body.itf8()
+    val payload = body.bytes(cs)
+    val hcrc = new java.util.zip.CRC32()
+    hcrc.update(body.b, blockStart, body.o - blockStart)
+    val hstored = body.i32le() & 0xffffffffL
+    require(hcrc.getValue == hstored,
+      f"cram: SAM-header block CRC mismatch: computed ${hcrc.getValue}%08x, stored $hstored%08x")
+    val hdr = decompress(method, payload, rawSize)
+    val hin = new In(hdr, 0)
+    val hlen = hin.i32le()
+    val text = new String(hin.bytes(hlen), java.nio.charset.StandardCharsets.UTF_8)
+    text.split('\n').filter(_.startsWith("@SQ")).flatMap { l =>
+      l.split('\t').find(_.startsWith("SN:")).map(_.substring(3))
+    }
+  }
+
+  /** Skip the file definition, then read the FILE_HEADER container and
+    * return its @SQ names — the per-path header parse an aligned mid-file
+    * chunk needs (memoized in CramFormat.cachedHeaderRefs).
+    */
+  private def headerRefsFromStart(in: java.io.InputStream,
+                                  pathStr: String): Array[String] = {
+    try {
+      val sin = new StreamIn(in)
+      checkFileDefinition(sin, pathStr)
+      val b0 = sin.u8()
+      val length = sin.i32le(b0)
+      sin.itf8(); sin.itf8(); sin.itf8(); sin.itf8()
+      sin.ltf8(); sin.ltf8()
+      sin.itf8() // nBlocks
+      val nLandmarks = sin.itf8()
+      (0 until nLandmarks).foreach(_ => sin.itf8())
+      sin.skipN(4) // crc
+      parseHeaderRefs(sin.bytes(length))
+    } finally in.close()
+  }
+
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
     // Containers are streamed one at a time (header -> skip-or-decode), so
     // memory is bounded by one container regardless of file size. With a
     // region, containers are pruned by their header coordinates, and by the
     // `.crai` index when one sits next to the file.
     val sin = new StreamIn(input.stream)
-    // File definition: magic "CRAM", major.minor, 20-byte file id. Decoding
-    // a 2.x (different container layout) file with 3.x structures would
-    // produce garbage, not an error — check first. 3.1 shares the 3.0
-    // container layout and only adds block codecs (rANS Nx16 and the tok3
-    // name tokeniser implemented; arith/fqzcomp error loudly in
-    // decompress()).
-    val magic = new Array[Byte](4)
-    (0 until 4).foreach(i => magic(i) = sin.u8().toByte)
-    require(new String(magic, "US-ASCII") == "CRAM",
-      s"not a CRAM file (bad magic) ${if (input.path != null) input.path else ""}")
-    val major = sin.u8(); val minor = sin.u8()
-    require(major == 3 && (minor == 0 || minor == 1),
-      s"unsupported CRAM version $major.$minor (this reader implements CRAM 3.0 and 3.1; " +
-        "recode with `samtools view -O cram,version=3.0`)")
-    sin.skipN(20) // file id
+    if (input.startOffset > 0) {
+      // Aligned mid-file chunk (index-free container split): the stream is
+      // positioned at a container start; the file definition and @SQ names
+      // come from the head of the file, cached per path.
+      sin.pos = input.startOffset
+      val pathStr = if (input.path != null) input.path.toString else ""
+      val refs =
+        if (input.path != null)
+          CramFormat.cachedHeaderRefs(pathStr)(
+            headerRefsFromStart(input.reopenRaw(), pathStr))
+        else headerRefsFromStart(input.reopenRaw(), pathStr)
+      return containerIterator(sin, input, required, refs,
+        expectFileHeader = false)
+    }
+    checkFileDefinition(sin,
+      if (input.path != null) input.path.toString else "")
+    containerIterator(sin, input, required, Array.empty,
+      expectFileHeader = true)
+  }
+
+  /** Stream containers from `sin` until EOF or the first container starting
+    * at/after `input.end` (aligned chunks own exactly the containers
+    * starting inside [startOffset, end); a container extending past the
+    * bound is decoded in full by the chunk that owns its start).
+    */
+  private def containerIterator(sin: StreamIn, input: RecordInput,
+                                required: Array[Int],
+                                initialRefs: Array[String],
+                                expectFileHeader: Boolean): Iterator[Array[Any]] = {
+    val endLimit = input.end
     val craiEntries: Option[Seq[CraiIndex.Entry]] =
       if (regions.nonEmpty && input.path != null && input.fs != null)
         CraiIndex.read(input.fs, input.path)
       else None
 
     new Iterator[Array[Any]] {
-      private var refs: Array[String] = Array.empty
+      private var refs: Array[String] = initialRefs
       private var wanted: Set[Long] = null // from .crai; null = no index pruning
       private var containerIdx = 0
       private var finished = false
       private var cur: Iterator[Array[Any]] = Iterator.empty
+
+      private def resolveWanted(): Unit =
+        for (entries <- craiEntries) {
+          wanted = regions.map { case (chrom, lo, hi) =>
+            CraiIndex.wantedContainers(entries, refs.indexOf(chrom), lo, hi)
+          }.foldLeft(Set.empty[Long])(_ ++ _)
+        }
+      // mid-file chunk: refs are known upfront, so .crai pruning resolves now
+      if (!expectFileHeader) resolveWanted()
 
       // Keep a container if it overlaps ANY requested region — the row
       // filter downstream accepts a row matching any of region/regionFile,
@@ -388,6 +539,7 @@ class CramFormat(refPath: Option[String],
       @annotation.tailrec
       private def advance(): Unit = {
         val containerStart = sin.pos
+        if (containerStart >= endLimit) { finished = true; return }
         val b0 = sin.tryU8()
         if (b0 < 0) { finished = true; return }
         val length = sin.i32le(b0)
@@ -398,35 +550,13 @@ class CramFormat(refPath: Option[String],
         val nLandmarks = sin.itf8()
         (0 until nLandmarks).foreach(_ => sin.itf8())
         sin.skipN(4) // crc
-        val isFirst = containerIdx == 0
+        val isFirst = expectFileHeader && containerIdx == 0
         containerIdx += 1
         if (isFirst) {
           // SAM header container: parse @SQ names, then resolve the region's
           // reference id against the .crai if present.
-          val body = new In(sin.bytes(length), 0)
-          val blockStart = body.o
-          val method = body.u8(); body.u8(); body.itf8()
-          val cs = body.itf8(); val rawSize = body.itf8()
-          val payload = body.bytes(cs)
-          // same per-block CRC32 check as decodeContainer: corruption in the
-          // header block must fail loudly, not surface as garbage @SQ parsing
-          val hcrc = new java.util.zip.CRC32()
-          hcrc.update(body.b, blockStart, body.o - blockStart)
-          val hstored = body.i32le() & 0xffffffffL
-          require(hcrc.getValue == hstored,
-            f"cram: SAM-header block CRC mismatch: computed ${hcrc.getValue}%08x, stored $hstored%08x")
-          val hdr = decompress(method, payload, rawSize)
-          val hin = new In(hdr, 0)
-          val hlen = hin.i32le()
-          val text = new String(hin.bytes(hlen), java.nio.charset.StandardCharsets.UTF_8)
-          refs = text.split('\n').filter(_.startsWith("@SQ")).flatMap { l =>
-            l.split('\t').find(_.startsWith("SN:")).map(_.substring(3))
-          }
-          for (entries <- craiEntries) {
-            wanted = regions.map { case (chrom, lo, hi) =>
-              CraiIndex.wantedContainers(entries, refs.indexOf(chrom), lo, hi)
-            }.foldLeft(Set.empty[Long])(_ ++ _)
-          }
+          refs = parseHeaderRefs(sin.bytes(length))
+          resolveWanted()
           advance()
         } else if (nRec == 0) {
           // EOF (or empty) container
@@ -749,6 +879,25 @@ object CramFormat extends CramFormat(None, Nil) {
     * cheap observability the specs assert on (not part of the data path).
     */
   val containersSkipped = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Per-path @SQ names for aligned mid-file chunks — every chunk of a
+    * split CRAM needs the head-of-file header; one parse per executor
+    * suffices. Bounded: cleared wholesale past 4096 entries (re-parse is
+    * one small read; correctness never depends on a hit).
+    */
+  private val headerRefsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  private[formats] def cachedHeaderRefs(key: String)(
+      load: => Array[String]): Array[String] = {
+    var v = headerRefsCache.get(key)
+    if (v == null) {
+      v = load
+      if (headerRefsCache.size > 4096) headerRefsCache.clear()
+      headerRefsCache.put(key, v)
+    }
+    v
+  }
 
   /** Order-0 rANS frequency table (CRAM spec / htscodecs rans_F_decode):
     * symbols ascend; when the byte after a frequency equals sym+1, the byte
