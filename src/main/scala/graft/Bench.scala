@@ -56,6 +56,7 @@ object Bench {
     val vcfGzDir = tmpPath("graft_bench_vcfgz1") // b15: unindexed bgzip VCF
     val bamNoIdxDir = tmpPath("graft_bench_bamnoidx") // b16: b14's BAM, no .bai
     val cramDir = tmpPath("graft_bench_cram1") // b17: b14 as CRAM, no .crai
+    val fastqGzDir = tmpPath("graft_bench_fastqgz1") // b18: bgzipped FASTQ, no index
     val scaleDir = tmpPath(s"graft_bench_fasta6x_$slug")
 
     // b01/b02 corpus: ~|lineitem| synthetic sequences through our own FASTA
@@ -339,6 +340,50 @@ object Bench {
       }
     } catch { case e: Throwable => recordErr("gen_cram_corpus", e) }
 
+    // b18 corpus: ONE bgzipped FASTQ with NO index sibling — THE most
+    // common landing shape in the domain (sequencer output, bgzip, no
+    // index possible for FASTQ at all). Decode parallelism comes purely
+    // from the validated record-resync split (chained 4-line validation;
+    // FastqFormat.validateWindow). 2M records, md5-derived bases.
+    try {
+      if (!new java.io.File(fastqGzDir, "_done").exists()) {
+        val n = 2000000L
+        spark.range(0, n).select(
+            concat(lit("read"), col("id")).as("name"),
+            lit(null).cast("string").as("description"),
+            translate(substring(concat(md5(col("id").cast("string")),
+                md5((col("id") + n).cast("string")),
+                md5((col("id") + 2 * n).cast("string"))), 1, 90),
+              "0123456789abcdef", "ACGTACGTACGTACGT").as("sequence"),
+            concat(when(col("id") % 3 === 0, lit("@")).otherwise(lit("E")),
+              substring(translate(substring(concat(
+                  md5((col("id") + 3 * n).cast("string")),
+                  md5((col("id") + 4 * n).cast("string")),
+                  md5((col("id") + 5 * n).cast("string"))), 1, 90),
+                "0123456789abcdef", "!#$%&'()*+,-./:;"), 2, 89))
+              .as("quality_scores"))
+          .repartition(1)
+          .write.format("fastq").mode("overwrite").save(s"$fastqGzDir/sink")
+        val part = new java.io.File(s"$fastqGzDir/sink").listFiles()
+          .filter(_.getName.endsWith(".fastq")).head
+        val t = new java.io.File(fastqGzDir, "t")
+        t.mkdirs()
+        val gz = new java.io.File(t, "reads.fastq.gz")
+        val fos = new java.io.FileOutputStream(gz)
+        val w = new graft.sources.BgzfWriter(
+          new java.io.BufferedOutputStream(fos, 1 << 16))
+        val in = new java.io.BufferedInputStream(
+          new java.io.FileInputStream(part), 1 << 16)
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var r = in.read(buf)
+          while (r > 0) { w.write(buf, 0, r); r = in.read(buf) }
+          w.finish()
+        } finally { in.close(); fos.close() }
+        new java.io.File(fastqGzDir, "_done").createNewFile()
+      }
+    } catch { case e: Throwable => recordErr("gen_fastqgz_corpus", e) }
+
     // b15 corpus: ONE bgzipped VCF with NO index sibling — the common
     // landing-zone shape (bgzip without tabix). Decode parallelism comes
     // purely from the index-free BGZF block split (validated boundary scan
@@ -613,6 +658,7 @@ object Bench {
         val vcfGzReady = new java.io.File(vcfGzDir, "_done").exists()
         val bamNoIdxReady = new java.io.File(bamNoIdxDir, "_done").exists()
         val cramReady = new java.io.File(cramDir, "_done").exists()
+        val fastqGzReady = new java.io.File(fastqGzDir, "_done").exists()
         Seq(1, 2, 4, 8, 16).foreach { w =>
           val s = LocalSession.buildBench(w.toString)
           if (w > 8)
@@ -673,6 +719,23 @@ object Bench {
               details += s"b17_cram_noindex_scan_w$w" -> tc
               results = results :+ (s"b17_cram_noindex_scan_w$w" -> tc.value)
             } catch { case e: Throwable => recordErr(s"b17_cram_noindex_scan_w$w", e) }
+          }
+          // b18: the SAME width, over ONE unindexed bgzipped FASTQ — the
+          // sequencer landing shape, parallelised purely by the validated
+          // record-resync split (no index exists for FASTQ at all).
+          if (fastqGzReady) {
+            try {
+              def fqScan(): Long = s.read.format("fastq")
+                .load(s"$fastqGzDir/t")
+                .agg(sum(length(col("sequence"))),
+                  sum(length(col("quality_scores")))).count()
+              fqScan() // warm-up
+              val tf = timedEntry(3) { () =>
+                val t0 = System.nanoTime(); fqScan(); (System.nanoTime() - t0) / 1e9
+              }
+              details += s"b18_fastqgz_scan_w$w" -> tf
+              results = results :+ (s"b18_fastqgz_scan_w$w" -> tf.value)
+            } catch { case e: Throwable => recordErr(s"b18_fastqgz_scan_w$w", e) }
           }
           // b15: the SAME width, over ONE unindexed bgzipped VCF — text
           // decode parallelised purely by the INDEX-FREE BGZF block split

@@ -28,6 +28,83 @@ object FormatQueries {
     d
   }
 
+  /** Shared corpus + checks for the f71/f72 FASTQ split gates: 200k records
+    * through the engine's own FASTQ sink as ONE shard (plus a BGZF copy
+    * with no index for the resync arm), then a split-forced read that
+    * refuses to grade a one-task plan. Every third record's quality line
+    * starts with '@' BY CONSTRUCTION — the exact ambiguity the chained
+    * record validation must reject — and n_at_qual proves the parser
+    * routed headers vs quality lines correctly under the split.
+    */
+  private def fastqSplitGate(s: SparkSession, bgzf: Boolean): DataFrame = {
+    val dir = gateDir("fastq_split")
+    val fq = new java.io.File(dir, "reads.fastq")
+    val gz = new java.io.File(dir, "reads.fastq.gz")
+    if (!new java.io.File(dir, "_done").exists()) {
+      val n = 200000L
+      s.range(0, n).select(
+          concat(lit("r"), col("id")).as("name"),
+          when(col("id") % 5 === 0, concat(lit("d"), col("id")))
+            .otherwise(lit(null).cast("string")).as("description"),
+          translate(substring(concat(md5(col("id").cast("string")),
+              md5((col("id") + n).cast("string")),
+              md5((col("id") + 2 * n).cast("string"))), 1, 80),
+            "0123456789abcdef", "ACGTACGTACGTACGT").as("sequence"),
+          concat(when(col("id") % 3 === 0, lit("@")).otherwise(lit("E")),
+            substring(translate(substring(concat(
+                md5((col("id") + 3 * n).cast("string")),
+                md5((col("id") + 4 * n).cast("string")),
+                md5((col("id") + 5 * n).cast("string"))), 1, 80),
+              "0123456789abcdef", "!#$%&'()*+,-./:;"), 2, 79))
+            .as("quality_scores"))
+        .repartition(1)
+        .write.format("fastq").mode("overwrite")
+        .save(new java.io.File(dir, "sink").getAbsolutePath)
+      // single shard -> single file; move it to a stable name
+      val part = new java.io.File(dir, "sink").listFiles()
+        .filter(_.getName.endsWith(".fastq")).head
+      java.nio.file.Files.deleteIfExists(fq.toPath)
+      java.nio.file.Files.move(part.toPath, fq.toPath)
+      // BGZF copy, no index sibling: the resync-split landing shape
+      val fos = new java.io.FileOutputStream(gz)
+      val w = new graft.sources.BgzfWriter(
+        new java.io.BufferedOutputStream(fos, 1 << 16))
+      val in = new java.io.BufferedInputStream(
+        new java.io.FileInputStream(fq), 1 << 16)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var r = in.read(buf)
+        while (r > 0) { w.write(buf, 0, r); r = in.read(buf) }
+        w.finish()
+      } finally { in.close(); fos.close() }
+      new java.io.File(dir, "_done").createNewFile()
+    }
+    val keys = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.files.maxPartitionBytes", "2097152")
+      s.conf.set("spark.sql.files.openCostInBytes", "16384")
+      val df = s.read.format("fastq")
+        .load(if (bgzf) gz.getAbsolutePath else fq.getAbsolutePath)
+      val parts = df.rdd.getNumPartitions
+      require(parts >= 4,
+        s"fastq ${if (bgzf) "bgzf resync" else "validated"} split did not " +
+          s"engage: $parts partition(s)")
+      val rows = df.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("quality_scores").startsWith("@"), 1L).otherwise(0L))
+          .as("n_at_qual"),
+        sum(expr("CAST(substring(name, 2) AS BIGINT)")).as("sum_name_id"),
+        sum(length(col("sequence"))).cast("long").as("sum_seq_len")).collect()
+      import s.implicits._
+      rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toDF("n", "n_at_qual", "sum_name_id", "sum_seq_len")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Assembly stats (the `seqkit stats` shape): contig count, total/max
     // length, N50 and N90 — computed over sequences that ROUND-TRIP
@@ -854,6 +931,20 @@ object FormatQueries {
     // parallel chunk partitions, the reader re-finding record boundaries
     // by validated header-chain scan (hadoop-bam SplitGuesser technique;
     // BamFormat.resyncRecords). Refuses to grade on a one-task plan.
+    // Validated FASTQ record split, uncompressed arm: a big single-shard
+    // .fastq must fan out over parallel chunks, mid chunks aligning by the
+    // chained 4-line validation (quality lines legally start with '@' —
+    // FastqFormat.validateWindow rejects them because the next line is a
+    // '@' header, not a sequence). Refuses to grade a one-task plan.
+    // Quality first char is '@' on every third record BY CONSTRUCTION, so
+    // n_at_qual checks the parser routed header vs quality correctly.
+    "f71_fastq_split" -> ((s, _) => fastqSplitGate(s, bgzf = false)),
+
+    // The same corpus and checks over a BGZF copy with no index sibling
+    // (bgzipped .fastq.gz): parallelism comes from the record-resync split
+    // (BgzfResyncInputStream + validated alignment).
+    "f72_fastq_bgzf_split" -> ((s, _) => fastqSplitGate(s, bgzf = true)),
+
     // Index-free CRAM container split: a big UNINDEXED CRAM (no .crai —
     // the landing-zone shape) must fan out over container-aligned chunk
     // partitions planned by the driver's header-skipping sweep
@@ -1639,6 +1730,18 @@ object FormatQueries {
     // 2 chroms x 100k rows, pos = 3i: sum_pos = 3 * 100000*100001/2
     // 100k records per chrom, start = k*100+1 for k in 0..99999:
     // sum = 100 * 99999*100000/2 + 100000 = 499995100000
+    // 200k records, ids 0..199999: ids%3==0 -> 66667; sum ids =
+    // 199999*200000/2; fixed 80-base sequences
+    "f71_fastq_split" ->
+      """SELECT CAST(200000 AS BIGINT) AS n, CAST(66667 AS BIGINT) AS n_at_qual,
+        |  CAST(19999900000 AS BIGINT) AS sum_name_id,
+        |  CAST(16000000 AS BIGINT) AS sum_seq_len""".stripMargin,
+
+    "f72_fastq_bgzf_split" ->
+      """SELECT CAST(200000 AS BIGINT) AS n, CAST(66667 AS BIGINT) AS n_at_qual,
+        |  CAST(19999900000 AS BIGINT) AS sum_name_id,
+        |  CAST(16000000 AS BIGINT) AS sum_seq_len""".stripMargin,
+
     // 60k records per chrom, start = k*100+1 for k in 0..59999:
     // sum = 100 * 59999*60000/2 + 60000 = 179997060000
     "f70_cram_aligned_split" ->

@@ -762,8 +762,12 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       val p = st.getPath.toString
       val size = st.getLen
       if (size <= maxSplit || !table.format.bgzfRecordResync) return None
+      // BAM/BCF are BGZF by definition; other resync formats (FASTA/FASTQ)
+      // engage only on compressed names — the 16-byte sniff below then
+      // separates BGZF (splittable) from plain gzip (one task, correct).
       val name = st.getPath.getName.toLowerCase
-      if (!(name.endsWith(".bam") || name.endsWith(".bcf"))) return None
+      if (!(name.endsWith(".bam") || name.endsWith(".bcf") ||
+            Codecs.isCompressed(name))) return None
       val isBgzf = GraftScan.cachedBgzfSniff(st) {
         try {
           val in = st.getPath.getFileSystem(hadoopConf).open(st.getPath)

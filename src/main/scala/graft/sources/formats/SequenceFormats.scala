@@ -46,15 +46,41 @@ object FastaFormat extends WritableGraftFormat {
     StructField("description", StringType, nullable = true),
     StructField("sequence", StringType, nullable = false)))
 
+  /** Index-free split of bgzipped FASTA with NO .fai/.gzi siblings: a '>'
+    * at line start is an unambiguous record boundary (sequence lines are
+    * bases, never '>'), so a chunk aligned to a BGZF block can re-find
+    * records with no validation chain. A record belongs to the chunk
+    * owning its header line's first decompressed byte.
+    */
+  override def bgzfRecordResync: Boolean = true
+
   /** Byte-level parse (readLineSpan): the sequence — the overwhelming bulk
     * of the bytes — is appended from raw line spans and wrapped as a
     * UTF8String with ONE copy and zero UTF-16 transcoding; only the short
     * header line materialises as a String. FASTA is ASCII by spec, so
     * byte-wise trim/compare is exact.
     */
-  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
+  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
+    if (input.resync != null) {
+      val rr = input.resync
+      if (!rr.hasOwned) return Iterator.empty
+      // line offsets are relative to the first owned block's first byte —
+      // exactly the coordinate positionIsOwned speaks
+      return fastaIter(new ByteLineReader(rr, 0L),
+        pos => rr.positionIsOwned(pos), required)
+    }
+    fastaIter(input.lines, pos => pos < input.end, required)
+  }
+
+  /** One FASTA record iterator over `lines`, serving every record whose
+    * header-line start satisfies `owned` (splits: start < end; BGZF resync
+    * chunks: block-positional ownership). Alignment stops at the first
+    * line outside the owned extent — a later '>' belongs to a later chunk.
+    */
+  private def fastaIter(mkLines: => ByteLineReader, owned: Long => Boolean,
+                        required: Array[Int]): Iterator[Array[Any]] =
     new Iterator[Array[Any]] {
-      private val lines = input.lines
+      private val lines = mkLines
       private var haveHeader = false
       private var headerStart: Long = 0L
       // id/description parsed straight off the header span at read time
@@ -79,14 +105,17 @@ object FastaFormat extends WritableGraftFormat {
           else FormatUtil.utf8Span(b, ds, de - ds)
       }
 
-      // Align to the first record whose header starts in this split.
+      // Align to the first record whose header starts in this split; stop
+      // scanning once the line starts are no longer owned (any later '>'
+      // belongs to a later chunk, so this chunk serves nothing).
       locally {
         var more = lines.readLineSpan()
-        while (more &&
+        while (more && owned(lines.lastLineStart) &&
             !(lines.lineLen > 0 && lines.lineBytes(lines.lineOff) == '>'))
           more = lines.readLineSpan()
-        haveHeader = more
-        if (more) parseHeader()
+        haveHeader = more &&
+          lines.lineLen > 0 && lines.lineBytes(lines.lineOff) == '>'
+        if (haveHeader) parseHeader()
         headerStart = lines.lastLineStart
       }
 
@@ -94,7 +123,7 @@ object FastaFormat extends WritableGraftFormat {
       private val seqBuf: ByteArrayBuilder =
         if (needSeq) new ByteArrayBuilder(1024) else null
 
-      override def hasNext: Boolean = haveHeader && headerStart < input.end
+      override def hasNext: Boolean = haveHeader && owned(headerStart)
 
       override def next(): Array[Any] = {
         val id = idU
@@ -137,6 +166,7 @@ final class FastaIntegerFormat(dna: Boolean) extends GraftFormat {
   override def shortName: String = "fasta"
   override def defaultExtensions: Seq[String] = FastaFormat.defaultExtensions
   override def splittable: Boolean = true
+  override def bgzfRecordResync: Boolean = true // records() delegates to FastaFormat
   override val dataSchema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
     StructField("description", StringType, nullable = true),
@@ -269,9 +299,46 @@ final class FastaIndexedFormat(regions: Seq[String]) extends GraftFormat {
   }
 }
 
-/** FASTQ: 4-line records (@name[ desc] / sequence / + / quality). Not
-  * splittable — a quality line may itself start with '@', so record
-  * boundaries cannot be recovered mid-file without heuristics.
+/** Buffered line window over a ByteLineReader: copies each pulled line with
+  * its start offset so multi-line validation lookahead (FASTQ resync needs
+  * up to 8 lines) can run without invalidating the reader's span buffer.
+  * Used only on split/resync chunks — whole-file scans keep the zero-copy
+  * span path.
+  */
+private[sources] final class LineWindow(lines: ByteLineReader) {
+  private val q = scala.collection.mutable.ArrayDeque[(Array[Byte], Long)]()
+  private var exhausted = false
+  private def pull(): Boolean =
+    if (exhausted) false
+    else if (lines.readLineSpan()) {
+      q.append((java.util.Arrays.copyOfRange(lines.lineBytes, lines.lineOff,
+        lines.lineOff + lines.lineLen), lines.lastLineStart))
+      true
+    } else { exhausted = true; false }
+  /** k-th unconsumed line (bytes, startOffset), or null past EOF. */
+  def peek(k: Int): (Array[Byte], Long) = {
+    while (q.length <= k && pull()) {}
+    if (k < q.length) q(k) else null
+  }
+  def poll(): (Array[Byte], Long) = {
+    peek(0)
+    if (q.isEmpty) null else q.removeHead()
+  }
+}
+
+/** FASTQ: 4-line records (@name[ desc] / sequence / + / quality).
+  *
+  * Splittable since round 11 by validated record resync: a quality line may
+  * itself start with '@', so a candidate record start is accepted only when
+  * the 4-line structure checks out ('@' header, pure sequence line, '+'
+  * separator, quality of equal length) CHAINED into a second record when
+  * more lines exist — a quality-line false candidate is always rejected
+  * because the line after it is the next record's '@' header, never a pure
+  * sequence line (same chained technique as the BAM resync split). A record
+  * belongs to the chunk owning its header line's first byte; misalignment
+  * on malformed input trips the parser's structural requires loudly rather
+  * than dropping rows. Works both for uncompressed splits and for BGZF
+  * (bgzipped .fastq.gz) chunks via the record-resync stream.
   * Schema per exon/exon-fastq/src/config.rs:81-84.
   */
 object FastqFormat extends WritableGraftFormat {
@@ -284,7 +351,101 @@ object FastqFormat extends WritableGraftFormat {
     out.append('+').append('\n').append(values(3)).append('\n')
   }
   override def defaultExtensions: Seq[String] = Seq("fastq", "fq")
-  override def splittable: Boolean = false
+  override def splittable: Boolean = true
+  override def bgzfRecordResync: Boolean = true
+
+  /** Sequence-line alphabet for resync validation: IUPAC letters plus the
+    * gap/pad characters some pipelines emit. Excludes '@' and '+', which is
+    * what makes the chained validation sound.
+    */
+  @inline private def isSeqLine(b: Array[Byte]): Boolean = {
+    if (b.length == 0) return false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      val ok = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        c == '.' || c == '-' || c == '*' || c == '='
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Validate a candidate record start at the window's head: 4-line
+    * structure, chained into a second record when more lines exist. Missing
+    * lines at EOF accept on the evidence available — a wrong accept there
+    * trips the parser's requires loudly.
+    */
+  private[sources] def validateWindow(w: LineWindow): Boolean = {
+    val h = w.peek(0)
+    if (h == null || h._1.length == 0 || h._1(0) != '@') return false
+    val s = w.peek(1)
+    if (s == null || !isSeqLine(s._1)) return false
+    val p = w.peek(2)
+    if (p == null || p._1.length == 0 || p._1(0) != '+') return false
+    val q = w.peek(3)
+    if (q == null || q._1.length != s._1.length) return false
+    val h2 = w.peek(4)
+    if (h2 == null) return true // candidate record ends the file
+    if (h2._1.length == 0 || h2._1(0) != '@') return false
+    val s2 = w.peek(5)
+    if (s2 == null) return true
+    if (!isSeqLine(s2._1)) return false
+    val p2 = w.peek(6)
+    if (p2 == null) return true
+    if (p2._1.length == 0 || p2._1(0) != '+') return false
+    val q2 = w.peek(7)
+    q2 == null || q2._1.length == s2._1.length
+  }
+
+  /** Records over a line window, serving every record whose header line
+    * start satisfies `owned`; with `align`, first discards lines until the
+    * validated record start this chunk owns (or until the scan leaves the
+    * owned extent — then the chunk correctly serves nothing).
+    */
+  private def windowRecords(w: LineWindow, owned: Long => Boolean,
+                            align: Boolean,
+                            required: Array[Int]): Iterator[Array[Any]] = {
+    if (align) {
+      var c = w.peek(0)
+      while (c != null && owned(c._2) && !validateWindow(w)) {
+        w.poll(); c = w.peek(0)
+      }
+    }
+    new Iterator[Array[Any]] {
+      private val needSeq = required.contains(2)
+      private val needQual = required.contains(3)
+      private var nextRow: Array[Any] = _
+      advance()
+
+      private def advance(): Unit = {
+        nextRow = null
+        val h = w.peek(0)
+        if (h == null || h._1.length == 0 || !owned(h._2)) return
+        w.poll()
+        val s = w.poll(); val p = w.poll(); val q = w.poll()
+        require(h._1(0) == '@' && s != null && p != null && q != null &&
+            p._1.length > 0 && p._1(0) == '+',
+          s"malformed FASTQ record at offset ${h._2}: '${
+            new String(h._1, java.nio.charset.StandardCharsets.UTF_8)}'")
+        val hb = h._1
+        var sp = 1
+        while (sp < hb.length && hb(sp) != ' ') sp += 1
+        val nameU = FormatUtil.utf8Span(hb, 1, sp - 1)
+        val descU = if (sp + 1 < hb.length)
+          FormatUtil.utf8Span(hb, sp + 1, hb.length - (sp + 1)) else null
+        nextRow = required.map {
+          case 0 => nameU
+          case 1 => descU
+          case 2 => if (needSeq) UTF8String.fromBytes(s._1) else null
+          case 3 => if (needQual) UTF8String.fromBytes(q._1) else null
+        }
+      }
+
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Array[Any] = { val r = nextRow; advance(); r }
+    }
+  }
   override val dataSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("description", StringType, nullable = true),
@@ -296,7 +457,22 @@ object FastqFormat extends WritableGraftFormat {
     * transcode), sequence and quality straight from their spans (one copy
     * each).
     */
-  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
+  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
+    if (input.resync != null) {
+      // BGZF chunk of a bgzipped FASTQ: line offsets relative to the first
+      // owned block, ownership block-positional; mid chunks align by the
+      // validated resync, the head chunk starts at a true record start.
+      val rr = input.resync
+      if (!rr.hasOwned) return Iterator.empty
+      return windowRecords(new LineWindow(new ByteLineReader(rr, 0L)),
+        pos => rr.positionIsOwned(pos), align = !input.startsAtFileStart,
+        required)
+    }
+    if (input.isMidFileSplit || input.end != Long.MaxValue)
+      // uncompressed split: absolute offsets, mkLines pre-aligned to a line
+      // start; mid chunks still need the validated record alignment
+      return windowRecords(new LineWindow(input.lines),
+        pos => pos < input.end, align = input.isMidFileSplit, required)
     new Iterator[Array[Any]] {
       private val lines = input.lines
       private val needSeq = required.contains(2)
@@ -348,4 +524,5 @@ object FastqFormat extends WritableGraftFormat {
         }
       }
     }
+  }
 }
