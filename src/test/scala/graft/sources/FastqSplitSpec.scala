@@ -89,9 +89,11 @@ class FastqSplitSpec extends AnyFunSuite with SharedSpark {
     val whole = spark.read.format("fastq").load(fqGzPath)
     assert(whole.rdd.getNumPartitions >= 1)
     assert(whole.count() == 120000L)
-    for (sz <- Seq("262144", "1048576")) {
+    // 16 KiB cuts land many chunks interior to one BGZF block (the
+    // hasOwned=false path); the larger sizes exercise unaligned bounds
+    for (sz <- Seq("16384", "262144", "1048576")) {
       withConf("spark.sql.files.maxPartitionBytes" -> sz,
-               "spark.sql.files.openCostInBytes" -> "16384") {
+               "spark.sql.files.openCostInBytes" -> "1024") {
         val split = spark.read.format("fastq").load(fqGzPath)
         assert(split.rdd.getNumPartitions > 1, s"no resync split at $sz")
         assertSameRows(split, whole)
