@@ -222,8 +222,8 @@ object BcfFormat extends GraftFormat {
       val s = new LE(rr)
       val header = readHeaderFrom(s)
       val start = rr.servedPosition
-      return ownedRecords(rr, new LE(new java.io.BufferedInputStream(rr, 1 << 16)),
-        start, header, required)
+      // LE reads straight off the block queue — see BamFormat.resyncRecords
+      return ownedRecords(rr, new LE(rr), start, header, required)
     }
     val header =
       if (input.path != null)
@@ -242,9 +242,8 @@ object BcfFormat extends GraftFormat {
     val s0 = ResyncScan.findFirst(rr,
       (b, n, c, ex) => validateChain(b, n, c, nContig, ex), "bcf")
     if (s0 == null) return Iterator.empty
-    val seq = new java.io.SequenceInputStream(
-      new java.io.ByteArrayInputStream(s0.buf, s0.offset, s0.len - s0.offset), rr)
-    ownedRecords(rr, new LE(new java.io.BufferedInputStream(seq, 1 << 16)),
+    ownedRecords(rr,
+      new LE(new PrefixedInputStream(s0.buf, s0.offset, s0.len, rr)),
       s0.offset, header, required)
   }
 
