@@ -36,6 +36,10 @@ class CramFormat(refPath: Option[String],
     def eof: Boolean = o >= b.length
     def u8(): Int = { val v = b(o) & 0xff; o += 1; v }
     def bytes(n: Int): Array[Byte] = { val v = java.util.Arrays.copyOfRange(b, o, o + n); o += n; v }
+    def skip(n: Int): Unit = {
+      o += n
+      require(o <= b.length, s"cram: block underrun skipping $n bytes")
+    }
     def i32le(): Int = { val v = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24); o += 4; v }
     def itf8(): Int = {
@@ -226,6 +230,24 @@ class CramFormat(refPath: Option[String],
     private var singleSym: Option[Int] = None
     private var codes: Map[(Int, Int), Int] = Map.empty
 
+    /** External block resolved once per slice by bind() — `ext(cid)` per
+      * field read is an Int-boxing map lookup on the decode hot loop
+      * (tens of millions of calls per container stream).
+      */
+    private var extIn: In = _
+
+    def bind(ext: Map[Int, In]): Unit = {
+      if (cid >= 0) extIn = ext.getOrElse(cid, null)
+      if (lenEnc != null) lenEnc.bind(ext)
+      if (valEnc != null) valEnc.bind(ext)
+    }
+
+    @inline private def extStream: In = {
+      if (extIn == null) throw new IllegalStateException(
+        s"cram: external block $cid missing from slice")
+      extIn
+    }
+
     codec match {
       case 1 => cid = p.itf8()
       case 3 =>
@@ -252,7 +274,7 @@ class CramFormat(refPath: Option[String],
     }
 
     def readInt(core: Bits, ext: Map[Int, In]): Int = codec match {
-      case 1 => ext(cid).itf8()
+      case 1 => extStream.itf8()
       case 3 =>
         singleSym.getOrElse {
           var ln = 0; var code = 0
@@ -269,20 +291,46 @@ class CramFormat(refPath: Option[String],
     }
 
     def readByte(core: Bits, ext: Map[Int, In]): Int = codec match {
-      case 1 => ext(cid).u8()
+      case 1 => extStream.u8()
       case _ => readInt(core, ext) & 0xff
     }
 
+    /** A run of n value-bytes (quality scores, unmapped bases): bulk copy
+      * when EXTERNAL — per-byte readByte() through Array.fill dominated
+      * whole-slice decode before this.
+      */
+    def readByteRun(n: Int, core: Bits, ext: Map[Int, In]): Array[Byte] =
+      if (codec == 1) extStream.bytes(n)
+      else {
+        val a = new Array[Byte](n)
+        var j = 0
+        while (j < n) { a(j) = readByte(core, ext).toByte; j += 1 }
+        a
+      }
+
+    /** Consume a run of n value-bytes without materializing them — column
+      * pruning must still keep the streams in sync.
+      */
+    def skipByteRun(n: Int, core: Bits, ext: Map[Int, In]): Unit =
+      if (codec == 1) extStream.skip(n)
+      else { var j = 0; while (j < n) { readByte(core, ext); j += 1 } }
+
     def readBytes(core: Bits, ext: Map[Int, In]): Array[Byte] = codec match {
       case 5 =>
-        val s = ext(cid)
-        val out = new java.io.ByteArrayOutputStream()
-        var b = s.u8()
-        while (b != stop) { out.write(b); b = s.u8() }
-        out.toByteArray
+        // scan the backing array directly for the stop byte — a per-byte
+        // u8() + ByteArrayOutputStream per record would dominate read-name
+        // decode
+        val s = extStream
+        val b = s.b
+        var e = s.o
+        while (e < b.length && (b(e) & 0xff) != stop) e += 1
+        require(e < b.length, s"cram: unterminated byte array (stop $stop)")
+        val out = java.util.Arrays.copyOfRange(b, s.o, e)
+        s.o = e + 1
+        out
       case 4 =>
         val n = lenEnc.readInt(core, ext)
-        if (valEnc.codec == 1) ext(valEnc.cid).bytes(n)
+        if (valEnc.codec == 1) valEnc.extStream.bytes(n)
         else Array.fill(n)(valEnc.readByte(core, ext).toByte)
       case other => throw new IllegalStateException(s"cram: readBytes codec $other")
     }
@@ -667,6 +715,9 @@ class CramFormat(refPath: Option[String],
         val core = new Bits(sliceBlocks.find(_.ctype == 5).map(_.data)
           .getOrElse(Array.empty))
         val ext = sliceBlocks.filter(_.ctype == 4).map(b => b.cid -> new In(b.data, 0)).toMap
+        // resolve every encoding's external block once for this slice
+        encs.valuesIterator.foreach(_.bind(ext))
+        tagEncs.valuesIterator.foreach(_.bind(ext))
         // Per-slice reference windows: with a sibling .fai only the slice's
         // aligned span is read (bytes ~ span); otherwise whole sequences are
         // loaded once per executor and cached. Memoized per ref id.
@@ -708,47 +759,93 @@ class CramFormat(refPath: Option[String],
       others.indices.find(j => ((byte >>> (6 - 2 * j)) & 3) == code)
         .map(others.charAt).getOrElse('N')
     }
+    // One String-keyed map lookup per data series per SLICE instead of per
+    // field per record — encs("BF") on the hot loop was a measurable share
+    // of whole-slice decode. Series absent from the container stay null and
+    // fail loudly at first use via req().
+    @inline def req(e: Encoding, k: String): Encoding = {
+      if (e == null)
+        throw new IllegalStateException(s"cram: missing $k encoding")
+      e
+    }
+    def E(k: String): Encoding = encs.getOrElse(k, null)
+    val eBF = req(E("BF"), "BF"); val eCF = req(E("CF"), "CF")
+    val eRI = E("RI"); val eRL = req(E("RL"), "RL")
+    val eAP = req(E("AP"), "AP"); val eRG = req(E("RG"), "RG")
+    val eRN = E("RN"); val eMF = E("MF"); val eNS = E("NS")
+    val eNP = E("NP"); val eTS = E("TS"); val eNF = E("NF")
+    val eTL = req(E("TL"), "TL"); val eFN = E("FN"); val eFC = E("FC")
+    val eFP = E("FP"); val eBA = E("BA"); val eQS = E("QS")
+    val eBS = E("BS"); val eIN = E("IN"); val eSC = E("SC")
+    val eDL = E("DL"); val eRS = E("RS"); val eHC = E("HC")
+    val ePD = E("PD"); val eBB = E("BB"); val eQQ = E("QQ")
+    val eMQ = E("MQ")
+    // Projection pushdown reaches the decoder: streams are always consumed
+    // (kept in sync), but row values are materialized only for required
+    // columns — cigar strings, boxed quality arrays and tag rows are the
+    // expensive part, not the stream reads.
+    val needName = required.contains(0)
+    val needCigar = required.contains(6)
+    val needSeq = required.contains(8)
+    val needQuals = required.contains(9)
+    val needTags = required.contains(10)
+
     var prevPos = sliceStart
     var i = 0
     while (i < nRec) {
-      val bf = encs("BF").readInt(core, ext)
-      val cf = encs("CF").readInt(core, ext)
-      val ri = if (sliceRef == -2) encs("RI").readInt(core, ext) else sliceRef
-      val rl = encs("RL").readInt(core, ext)
-      val ap = encs("AP").readInt(core, ext)
+      val bf = eBF.readInt(core, ext)
+      val cf = eCF.readInt(core, ext)
+      val ri = if (sliceRef == -2) req(eRI, "RI").readInt(core, ext) else sliceRef
+      val rl = eRL.readInt(core, ext)
+      val ap = eAP.readInt(core, ext)
       val pos = if (apDelta) { val p = prevPos + ap; prevPos = p; p } else ap
-      encs("RG").readInt(core, ext)
-      var name = if (rnPreserved) new String(encs("RN").readBytes(core, ext)) else s"rec$i"
+      eRG.readInt(core, ext)
+      var name =
+        if (!rnPreserved) if (needName) s"rec$i" else null
+        else {
+          val raw = req(eRN, "RN").readBytes(core, ext)
+          if (needName) new String(raw) else null
+        }
       var mateRef: Integer = null
       if ((cf & 0x2) != 0) { // detached
-        encs("MF").readInt(core, ext)
-        if (!rnPreserved) name = new String(encs("RN").readBytes(core, ext))
-        val ns = encs("NS").readInt(core, ext)
-        encs("NP").readInt(core, ext)
-        encs("TS").readInt(core, ext)
+        req(eMF, "MF").readInt(core, ext)
+        if (!rnPreserved) {
+          val raw = req(eRN, "RN").readBytes(core, ext)
+          if (needName) name = new String(raw)
+        }
+        val ns = req(eNS, "NS").readInt(core, ext)
+        req(eNP, "NP").readInt(core, ext)
+        req(eTS, "TS").readInt(core, ext)
         mateRef = ns
       } else if ((cf & 0x4) != 0) {
-        encs("NF").readInt(core, ext)
+        req(eNF, "NF").readInt(core, ext)
         mateRef = ri // downstream mate in the same slice/reference
       }
-      val tl = encs("TL").readInt(core, ext)
-      val tags = (if (tl < td.length) td(tl) else Array.empty[(String, Char)]).map {
-        case (tag, typ) =>
-          val key = (tag.charAt(0).toInt << 16) | (tag.charAt(1).toInt << 8) | typ.toInt
-          val raw = tagEncs(key).readBytes(core, ext)
-          new GenericInternalRow(Array[Any](utf8(tag), utf8(tagValueString(typ, raw)))): Any
+      val tl = eTL.readInt(core, ext)
+      val tagDefs = if (tl < td.length) td(tl) else Array.empty[(String, Char)]
+      val tags = new Array[Any](if (needTags) tagDefs.length else 0)
+      var ti = 0
+      while (ti < tagDefs.length) {
+        val (tag, typ) = tagDefs(ti)
+        val key = (tag.charAt(0).toInt << 16) | (tag.charAt(1).toInt << 8) | typ.toInt
+        val raw = tagEncs(key).readBytes(core, ext) // always consume
+        if (needTags)
+          tags(ti) = new GenericInternalRow(
+            Array[Any](utf8(tag), utf8(tagValueString(typ, raw))))
+        ti += 1
       }
 
       var cigar: String = null
       var endPos: java.lang.Long = null
       var mq: Integer = null
-      var quals: Array[Int] = null
+      var quals: Array[Byte] = null
       var seq: String = null
       if ((bf & 4) == 0) { // mapped
         val refWin: CramFormat.RefWindow =
           if (ri >= 0 && ri < refs.length) refWinFor(ri) else null
         val bases =
-          if (refWin != null || !refRequired) new Array[Char](rl) else null
+          if (needSeq && (refWin != null || !refRequired)) new Array[Char](rl)
+          else null
         var refOfs = 0 // reference bases consumed minus read bases consumed
         def fillRef(readPos1: Int): Unit = {
           if (bases != null) {
@@ -757,73 +854,99 @@ class CramFormat(refPath: Option[String],
               if (refWin == null) 'N' else refWin.charAt0(rp0)
           }
         }
-        val fn = encs("FN").readInt(core, ext)
-        val ops = mutable.ArrayBuffer[(Int, Char)]()
+        // run-length cigar accumulation (no per-op tuples) + M/D/N span
+        val sb = if (needCigar) new java.lang.StringBuilder(8) else null
+        var runLen = 0
+        var runOp = ' '
+        var refSpan = 0L
+        def op(n: Int, o: Char): Unit = {
+          if (o == 'M' || o == 'D' || o == 'N') refSpan += n
+          if (o == runOp) runLen += n
+          else {
+            if (runLen > 0 && sb != null) sb.append(runLen).append(runOp)
+            runOp = o; runLen = n
+          }
+        }
+        val fn = req(eFN, "FN").readInt(core, ext)
         var readPos = 1
-        (0 until fn).foreach { _ =>
-          val fc = encs("FC").readInt(core, ext).toChar
-          val fp = encs("FP").readInt(core, ext)
-          while (readPos < fp) { fillRef(readPos); ops += ((1, 'M')); readPos += 1 }
+        var fi = 0
+        while (fi < fn) {
+          val fc = req(eFC, "FC").readInt(core, ext).toChar
+          val fp = req(eFP, "FP").readInt(core, ext)
+          if (readPos < fp) {
+            var rp = readPos
+            while (rp < fp) { fillRef(rp); rp += 1 }
+            op(fp - readPos, 'M'); readPos = fp
+          }
           fc match {
             case 'B' =>
-              val ba = encs("BA").readByte(core, ext); encs("QS").readByte(core, ext)
+              val ba = req(eBA, "BA").readByte(core, ext)
+              req(eQS, "QS").readByte(core, ext)
               if (bases != null) bases(readPos - 1) = ba.toChar
-              ops += ((1, 'M')); readPos += 1
+              op(1, 'M'); readPos += 1
             case 'X' =>
-              val code = encs("BS").readInt(core, ext)
+              val code = req(eBS, "BS").readInt(core, ext)
               if (bases != null) {
                 val rp0 = pos - 1 + refOfs + readPos - 1
                 bases(readPos - 1) = substitute(
                   if (refWin == null) 'N' else refWin.charAt0(rp0), code)
               }
-              ops += ((1, 'M')); readPos += 1
+              op(1, 'M'); readPos += 1
             case 'I' =>
-              val v = encs("IN").readBytes(core, ext)
+              val v = req(eIN, "IN").readBytes(core, ext)
               if (bases != null) v.indices.foreach(k => bases(readPos - 1 + k) = v(k).toChar)
-              ops += ((v.length, 'I')); readPos += v.length; refOfs -= v.length
+              op(v.length, 'I'); readPos += v.length; refOfs -= v.length
             case 'i' =>
-              val ba = encs("BA").readByte(core, ext)
+              val ba = req(eBA, "BA").readByte(core, ext)
               if (bases != null) bases(readPos - 1) = ba.toChar
-              ops += ((1, 'I')); readPos += 1; refOfs -= 1
+              op(1, 'I'); readPos += 1; refOfs -= 1
             case 'S' =>
-              val v = encs("SC").readBytes(core, ext)
+              val v = req(eSC, "SC").readBytes(core, ext)
               if (bases != null) v.indices.foreach(k => bases(readPos - 1 + k) = v(k).toChar)
-              ops += ((v.length, 'S')); readPos += v.length; refOfs -= v.length
+              op(v.length, 'S'); readPos += v.length; refOfs -= v.length
             case 'D' =>
-              val n = encs("DL").readInt(core, ext); ops += ((n, 'D')); refOfs += n
+              val n = req(eDL, "DL").readInt(core, ext)
+              op(n, 'D'); refOfs += n
             case 'N' =>
-              val n = encs("RS").readInt(core, ext); ops += ((n, 'N')); refOfs += n
-            case 'H' => ops += ((encs("HC").readInt(core, ext), 'H'))
-            case 'P' => ops += ((encs("PD").readInt(core, ext), 'P'))
-            case 'Q' => encs("QS").readByte(core, ext)
+              val n = req(eRS, "RS").readInt(core, ext)
+              op(n, 'N'); refOfs += n
+            case 'H' => op(req(eHC, "HC").readInt(core, ext), 'H')
+            case 'P' => op(req(ePD, "PD").readInt(core, ext), 'P')
+            case 'Q' => req(eQS, "QS").readByte(core, ext)
             case 'b' =>
-              val v = encs("BB").readBytes(core, ext)
+              val v = req(eBB, "BB").readBytes(core, ext)
               if (bases != null) v.indices.foreach(k => bases(readPos - 1 + k) = v(k).toChar)
-              ops += ((v.length, 'M')); readPos += v.length
-            case 'q' => encs("QQ").readBytes(core, ext)
+              op(v.length, 'M'); readPos += v.length
+            case 'q' => req(eQQ, "QQ").readBytes(core, ext)
             case other => throw new IllegalStateException(s"cram: feature '$other'")
           }
+          fi += 1
         }
-        while (readPos <= rl) { fillRef(readPos); ops += ((1, 'M')); readPos += 1 }
-        val merged = mutable.ArrayBuffer[(Int, Char)]()
-        ops.foreach { case (n, o) =>
-          if (merged.nonEmpty && merged.last._2 == o)
-            merged(merged.length - 1) = (merged.last._1 + n, o)
-          else merged += ((n, o))
+        if (readPos <= rl) {
+          var rp = readPos
+          while (rp <= rl) { fillRef(rp); rp += 1 }
+          op(rl - readPos + 1, 'M')
         }
-        cigar = merged.map { case (n, o) => s"$n$o" }.mkString
-        endPos = pos - 1L + merged.collect { case (n, o) if "MDN".contains(o) => n.toLong }.sum
-        mq = encs("MQ").readInt(core, ext)
-        if ((cf & 0x1) != 0) quals = Array.fill(rl)(encs("QS").readByte(core, ext))
+        if (runLen > 0 && sb != null) sb.append(runLen).append(runOp)
+        if (needCigar) cigar = sb.toString
+        endPos = pos - 1L + refSpan
+        mq = req(eMQ, "MQ").readInt(core, ext)
+        if ((cf & 0x1) != 0) {
+          if (needQuals) quals = req(eQS, "QS").readByteRun(rl, core, ext)
+          else req(eQS, "QS").skipByteRun(rl, core, ext)
+        }
         if (bases != null) seq = new String(bases)
       } else {
-        val bases = Array.fill(rl)(encs("BA").readByte(core, ext).toChar)
-        seq = new String(bases)
-        if ((cf & 0x1) != 0) quals = Array.fill(rl)(encs("QS").readByte(core, ext))
+        val rawBases = req(eBA, "BA").readByteRun(rl, core, ext)
+        if (needSeq) seq = new String(rawBases, java.nio.charset.StandardCharsets.ISO_8859_1)
+        if ((cf & 0x1) != 0) {
+          if (needQuals) quals = req(eQS, "QS").readByteRun(rl, core, ext)
+          else req(eQS, "QS").skipByteRun(rl, core, ext)
+        }
       }
 
       rows += required.map {
-        case 0 => if (name.isEmpty || name == "*") null else utf8(name)
+        case 0 => if (name == null || name.isEmpty || name == "*") null else utf8(name)
         case 1 => bf
         case 2 => if (ri < 0 || ri >= refs.length) null else utf8(refs(ri))
         case 3 => if ((bf & 4) != 0 || pos <= 0) null else pos.toLong
@@ -836,8 +959,13 @@ class CramFormat(refPath: Option[String],
         case 8 => if (seq == null) null else utf8(seq)
         case 9 =>
           if (quals == null) null
-          else new GenericArrayData(quals.map(q => q.toLong: Any))
-        case 10 => new GenericArrayData(tags.toArray[Any])
+          else {
+            val out = new Array[Any](quals.length)
+            var qi = 0
+            while (qi < quals.length) { out(qi) = (quals(qi) & 0xff).toLong; qi += 1 }
+            new GenericArrayData(out)
+          }
+        case 10 => new GenericArrayData(tags)
       }
       i += 1
     }
