@@ -446,7 +446,7 @@ object Bench {
           .filter(col("sequence").startsWith("A")).count()),
       "b02_fasta_scan_full" -> (() =>
         spark.read.format("fasta").load(benchDir)
-          .agg(sum(length(col("sequence")))).count()),
+          .agg(sum(length(col("sequence")))).collect().length.toLong),
       // Indexed region query: a 100-base region from the .fai-indexed
       // reference — time must reflect a byte-range seek, not a file scan.
       "b03_fasta_fai_region" -> (() =>
@@ -459,10 +459,10 @@ object Bench {
           .count()),
       "b05_mzml_scan" -> (() =>
         spark.read.format("mzml").load(mzFile.getAbsolutePath)
-          .agg(sum(size(col("mz.mz")))).count()),
+          .agg(sum(size(col("mz.mz")))).collect().length.toLong),
       "b06_mzml_scan_8files" -> (() =>
         spark.read.format("mzml").load(mz8Dir)
-          .agg(sum(size(col("mz.mz")))).count()),
+          .agg(sum(size(col("mz.mz")))).collect().length.toLong),
       // Narrow region on the 2M-row tabix-indexed VCF — .tbi chunk seeks.
       "b08_vcf_tabix_region" -> (() =>
         spark.read.format("vcf").option("region", "chr20:3000000-3030000")
@@ -475,7 +475,7 @@ object Bench {
       // Full value scan over the sink-produced 400k-interval track.
       "b10_bigwig_scan" -> (() =>
         spark.read.format("bigwig_value").load(s"$bwDir/t")
-          .agg(sum(col("value"))).count()),
+          .agg(sum(col("value"))).collect().length.toLong),
       // Narrow region: the R-tree walk must descend only overlapping
       // subtrees — time reflects one block inflate, not the file.
       "b11_bigwig_region_pruned" -> (() =>
@@ -488,12 +488,12 @@ object Bench {
       "b12_gff_scan" -> (() =>
         spark.read.format("gff").load(gffDir)
           .filter(col("type") === "gene")
-          .agg(sum(col("end") - col("start"))).count()),
+          .agg(sum(col("end") - col("start"))).collect().length.toLong),
       // Full binary decode over the 2M-record self-written BAM: BGZF
       // inflate + record parse + 4-bit sequence unpack, 200 MB of bases.
       "b13_bam_scan_full" -> (() =>
         spark.read.format("bam").load(s"$bamDir/t")
-          .agg(sum(col("flag")), sum(length(col("sequence")))).count())
+          .agg(sum(col("flag")), sum(length(col("sequence")))).collect().length.toLong)
     )
 
     val queries = SparkEntry.queries
@@ -588,10 +588,10 @@ object Bench {
     // Also pre-read the b07 scale corpus so the width-sweep sessions start
     // against a warm page cache (they scan the same files).
     try spark.read.format("fasta").load(scaleDir)
-      .agg(sum(length(col("sequence")))).count()
+      .agg(sum(length(col("sequence")))).collect().length.toLong
     catch { case _: Throwable => () }
     try spark.read.format("bam").load(s"$bam1Dir/t")
-      .agg(sum(col("flag"))).count()
+      .agg(sum(col("flag"))).collect().length.toLong
     catch { case _: Throwable => () }
     System.gc()
 
@@ -664,7 +664,7 @@ object Bench {
           if (w > 8)
             s.conf.set("spark.sql.files.maxPartitionBytes", "48m")
           def scan(): Long = s.read.format("fasta").load(scaleDir)
-            .agg(sum(length(col("sequence")))).count()
+            .agg(sum(length(col("sequence")))).collect().length.toLong
           scan() // warm-up, same policy as the query pack
           val t = timedEntry(3) { () =>
             val t0 = System.nanoTime(); scan(); (System.nanoTime() - t0) / 1e9
@@ -678,7 +678,7 @@ object Bench {
           if (bam1Ready) {
             try {
               def bamScan(): Long = s.read.format("bam").load(s"$bam1Dir/t")
-                .agg(sum(col("flag")), sum(length(col("sequence")))).count()
+                .agg(sum(col("flag")), sum(length(col("sequence")))).collect().length.toLong
               bamScan() // warm-up
               val tb = timedEntry(3) { () =>
                 val t0 = System.nanoTime(); bamScan(); (System.nanoTime() - t0) / 1e9
@@ -695,7 +695,7 @@ object Bench {
             try {
               def bamScanNi(): Long = s.read.format("bam")
                 .load(s"$bamNoIdxDir/t")
-                .agg(sum(col("flag")), sum(length(col("sequence")))).count()
+                .agg(sum(col("flag")), sum(length(col("sequence")))).collect().length.toLong
               bamScanNi() // warm-up
               val tn = timedEntry(3) { () =>
                 val t0 = System.nanoTime(); bamScanNi(); (System.nanoTime() - t0) / 1e9
@@ -711,7 +711,7 @@ object Bench {
             try {
               def cramScan(): Long = s.read.format("cram")
                 .load(s"$cramDir/t")
-                .agg(sum(col("flag")), sum(length(col("sequence")))).count()
+                .agg(sum(col("flag")), sum(length(col("sequence")))).collect().length.toLong
               cramScan() // warm-up
               val tc = timedEntry(3) { () =>
                 val t0 = System.nanoTime(); cramScan(); (System.nanoTime() - t0) / 1e9
@@ -745,7 +745,7 @@ object Bench {
             try {
               def vcfScan(): Long = s.read.format("vcf")
                 .load(s"$vcfGzDir/calls.vcf.gz")
-                .agg(sum(col("pos")), sum(length(col("info")))).count()
+                .agg(sum(col("pos")), sum(length(col("info")))).collect().length.toLong
               vcfScan() // warm-up
               val tv = timedEntry(3) { () =>
                 val t0 = System.nanoTime(); vcfScan(); (System.nanoTime() - t0) / 1e9
