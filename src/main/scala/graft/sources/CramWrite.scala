@@ -63,22 +63,26 @@ final class CramWriteBuilder(table: GraftTable, info: LogicalWriteInfo,
               "option(\"refs\", \"name:len,name:len,...\")")
         }
       }
+      val containerRecords =
+        math.max(1, options.getOrElse("containerrecords", "10000").toInt)
       new CramBatchWrite(table.paths.head, info.schema(), sconf,
-        UUID.randomUUID().toString, text, refs)
+        UUID.randomUUID().toString, text, refs, containerRecords)
     }
   }
 }
 
 final class CramBatchWrite(dir: String, schema: StructType,
                            conf: SerializableHadoopConf, jobId: String,
-                           headerText: String, refs: Array[(String, Int)])
+                           headerText: String, refs: Array[(String, Int)],
+                           containerRecords: Int = 10000)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val srcIdx: Array[Int] = formats.SamFormat.dataSchema.fieldNames.map { f =>
       schema.fieldNames.indexWhere(_.equalsIgnoreCase(f))
     }
-    new CramDataWriterFactory(dir, srcIdx, conf, jobId, headerText, refs)
+    new CramDataWriterFactory(dir, srcIdx, conf, jobId, headerText, refs,
+      containerRecords)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -89,11 +93,12 @@ final class CramBatchWrite(dir: String, schema: StructType,
 
 final class CramDataWriterFactory(dir: String, srcIdx: Array[Int],
                                   conf: SerializableHadoopConf, jobId: String,
-                                  headerText: String, refs: Array[(String, Int)])
+                                  headerText: String, refs: Array[(String, Int)],
+                                  containerRecords: Int = 10000)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new CramDataWriter(dir, srcIdx, conf, partitionId, taskId, jobId,
-      headerText, refs)
+      headerText, refs, containerRecords)
 }
 
 /** Low-level CRAM byte emitters shared by the writer and its spec. */
@@ -192,7 +197,8 @@ object CramCodec {
 final class CramDataWriter(dir: String, srcIdx: Array[Int],
                            conf: SerializableHadoopConf, partitionId: Int,
                            taskId: Long, jobId: String, headerText: String,
-                           refs: Array[(String, Int)])
+                           refs: Array[(String, Int)],
+                           containerRecordsOpt: Int = 10000)
   extends DataWriter[InternalRow] {
 
   import CramCodec._
@@ -201,7 +207,9 @@ final class CramDataWriter(dir: String, srcIdx: Array[Int],
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.cram"
   private val tmpPath = new Path(new Path(new Path(dir, "_temporary"), jobId), fileName)
   private val path = new Path(dir, fileName)
-  private val containerRecords = 10000
+  // records per container: 10k matches samtools' default granularity; tests
+  // override it down to make many-container fixtures for the split sweeps
+  private val containerRecords = math.max(1, containerRecordsOpt)
 
   private val tidOf: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](refs.length * 2)

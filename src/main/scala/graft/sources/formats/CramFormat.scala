@@ -411,42 +411,240 @@ class CramFormat(refPath: Option[String],
     * data-container starts (FILE_HEADER container excluded), or null to
     * refuse splitting (malformed/unsupported stream — the whole-file reader
     * will raise the real error; a refusal here only costs parallelism).
+    *
+    * Scale design (the round-11 finding): a naive chain does one positioned
+    * driver read PER CONTAINER — an O(containers) planning stall on a 300 GB
+    * object-store CRAM (~300k serial GETs). Two fixes compose here:
+    *   1. a forward read-ahead window ([[SweepWindow]]) so one positioned
+    *      read serves every container header starting inside it — read count
+    *      scales with file-size/window for small containers and is <=
+    *      file-size/window + containers-larger-than-a-window always;
+    *   2. above `graft.cram.sweep.parallelThreshold` bytes the sweep fans
+    *      out over `graft.cram.sweep.threads` driver threads, each
+    *      resynchronising inside its byte segment via the container header's
+    *      own CRC32 (spec §9: the header ends with a CRC of its preceding
+    *      bytes — a ~2^-32-per-offset validator, double-checked against the
+    *      next chained header). Segment chains are stitched exactly: every
+    *      reported first-start must equal the previous segment's exit
+    *      position and the last chain must land on EOF, else the whole
+    *      result is discarded for the serial sweep. False resyncs can cost
+    *      a fallback, never a wrong cut.
     */
   private def sweepContainerStarts(fs: org.apache.hadoop.fs.FileSystem,
                                    path: org.apache.hadoop.fs.Path,
                                    fileSize: Long): Array[Long] = {
     if (fileSize < 26) return null
+    val conf = fs.getConf
+    val winSize = math.max(1 << 13,
+      conf.getInt("graft.cram.sweep.window", 1 << 16))
+    val parThreshold =
+      conf.getLong("graft.cram.sweep.parallelThreshold", 64L << 20)
+    val threads = conf.getInt("graft.cram.sweep.threads", 8)
+    val minSeg =
+      math.max(winSize.toLong, conf.getLong("graft.cram.sweep.minSegment", 8L << 20))
+    if (fileSize >= parThreshold && threads > 1)
+      sweepParallel(fs, path, fileSize, winSize, threads, minSeg)
+    else sweepSerial(fs, path, fileSize, winSize)
+  }
+
+  /** Max container-header bytes fetched per probe. A 3.0 header is
+    * 4 + 4 itf8 + 2 ltf8 + (2 + nLandmarks) itf8 + 4 bytes — under 100 for
+    * typical single-slice containers; 4 KB covers ~800 landmarks. Jumbo
+    * headers get one full-window retry in [[chainContainers]].
+    */
+  private val HdrNeed = 4096
+
+  /** Parse + CRC-verify one container header at buf(off..off+avail), with
+    * `pos` its absolute file offset. Returns the container's total byte span
+    * (header + payload) or -1 when the bytes are not a CRC-valid CRAM 3
+    * container header that fits in the file. The CRC check is what makes
+    * this usable as a resync validator, not just a chain-follower.
+    */
+  private def containerSpanAt(buf: Array[Byte], off: Int, avail: Int,
+                              pos: Long, fileSize: Long): Long = {
+    if (avail < 10) return -1L
+    try {
+      val b = new In(buf, off)
+      val length = b.i32le()
+      if (length < 0 || length > (1 << 30)) return -1L
+      if (b.itf8() < -2) return -1L // refSeqId: -1 unmapped, -2 multi-ref
+      b.itf8(); b.itf8() // alignment start, span
+      if (b.itf8() < 0) return -1L // nRecords
+      b.ltf8(); b.ltf8() // record counter, bases
+      val nBlocks = b.itf8()
+      if (nBlocks < 0 || nBlocks > (1 << 20)) return -1L
+      val nLandmarks = b.itf8()
+      if (nLandmarks < 0 || nLandmarks > (1 << 20)) return -1L
+      var i = 0
+      while (i < nLandmarks) { b.itf8(); i += 1 }
+      if (b.o - off + 4 > avail) return -1L
+      val crc = new java.util.zip.CRC32()
+      crc.update(buf, off, b.o - off)
+      if (crc.getValue != (b.i32le() & 0xffffffffL)) return -1L
+      val span = (b.o - off).toLong + length
+      if (pos + span > fileSize) -1L else span
+    } catch { case _: ArrayIndexOutOfBoundsException => -1L }
+  }
+
+  /** Forward read-ahead window over positioned reads. One refill serves
+    * every container header starting inside it; `reads` counts refills so
+    * tests can assert the sweep's I/O bound (S3CramSweepSpec: GETs scale
+    * with file-size/window, not container count).
+    */
+  private final class SweepWindow(in: org.apache.hadoop.fs.FSDataInputStream,
+                                  fileSize: Long, val winSize: Int) {
+    val buf = new Array[Byte](winSize)
+    private var winStart = -1L
+    private var winLen = 0
+    var reads = 0L
+    /** Buffer offset of `pos`, with min(need, EOF-pos) bytes available. */
+    def ensure(pos: Long, need: Int): Int = {
+      val want = math.min(math.min(need, winSize).toLong, fileSize - pos).toInt
+      if (winStart < 0 || pos < winStart || pos + want > winStart + winLen) {
+        val n = math.min(winSize.toLong, fileSize - pos).toInt
+        in.readFully(pos, buf, 0, n)
+        winStart = pos; winLen = n; reads += 1
+      }
+      (pos - winStart).toInt
+    }
+    def availAt(pos: Long): Int = ((winStart + winLen) - pos).toInt
+  }
+
+  /** Chain CRC-validated container headers from `from` (a true container
+    * start) while pos < stop, appending each start (the first only when
+    * `includeFrom`) to `out`. Returns the exit position — the first
+    * container start >= stop, or fileSize when the chain ends exactly at
+    * EOF — or -1 on any invalid header.
+    */
+  private def chainContainers(w: SweepWindow, from: Long, stop: Long,
+                              fileSize: Long, out: mutable.ArrayBuffer[Long],
+                              includeFrom: Boolean): Long = {
+    var pos = from
+    var first = !includeFrom
+    while (pos < stop) {
+      var off = w.ensure(pos, HdrNeed)
+      var span = containerSpanAt(w.buf, off, w.availAt(pos), pos, fileSize)
+      if (span < 0) { // jumbo-header retry with the full window at pos
+        off = w.ensure(pos, w.winSize)
+        span = containerSpanAt(w.buf, off, w.availAt(pos), pos, fileSize)
+      }
+      if (span < 0) return -1L
+      if (!first) out += pos
+      first = false
+      pos += span
+    }
+    pos
+  }
+
+  private def sweepSerial(fs: org.apache.hadoop.fs.FileSystem,
+                          path: org.apache.hadoop.fs.Path,
+                          fileSize: Long, winSize: Int): Array[Long] = {
     val in = fs.open(path)
     try {
-      val d = new Array[Byte](26)
-      in.readFully(0L, d)
-      if (!(d(0) == 'C' && d(1) == 'R' && d(2) == 'A' && d(3) == 'M' &&
-            d(4) == 3)) return null
+      val w = new SweepWindow(in, fileSize, winSize)
+      val off = w.ensure(0L, 26)
+      val b = w.buf
+      if (!(b(off) == 'C' && b(off + 1) == 'R' && b(off + 2) == 'A' &&
+            b(off + 3) == 'M' && b(off + 4) == 3)) return null
       val out = mutable.ArrayBuffer[Long]()
-      var pos = 26L
-      var first = true
-      val buf = new Array[Byte](1 << 16)
-      while (pos < fileSize) {
-        val n = math.min(buf.length.toLong, fileSize - pos).toInt
-        in.readFully(pos, buf, 0, n)
-        val b = new In(buf, 0)
-        val length = b.i32le()
-        b.itf8(); b.itf8(); b.itf8(); b.itf8()
-        b.ltf8(); b.ltf8()
-        b.itf8() // nBlocks
-        val nLandmarks = b.itf8()
-        var i = 0
-        while (i < nLandmarks) { b.itf8(); i += 1 }
-        b.bytes(4) // crc
-        if (length < 0) return null
-        if (!first) out += pos
-        first = false
-        pos += b.o.toLong + length
-      }
-      if (pos != fileSize) return null // length chain must land exactly on EOF
-      out.toArray
+      // container at 26 is the FILE_HEADER container: chained, not emitted
+      if (chainContainers(w, 26L, fileSize, fileSize, out,
+          includeFrom = false) != fileSize) null
+      else out.toArray
     } catch { case _: Exception => null }
     finally in.close()
+  }
+
+  /** Byte-segment result: starts found in [seg, segEnd), the first of them
+    * (-1 when the segment is interior to one spanning container), and the
+    * chain's exit position (first start >= segEnd).
+    */
+  private final case class SweepSeg(starts: Array[Long], first: Long,
+                                    exit: Long, ok: Boolean)
+
+  private def sweepParallel(fs: org.apache.hadoop.fs.FileSystem,
+                            path: org.apache.hadoop.fs.Path, fileSize: Long,
+                            winSize: Int, threads: Int,
+                            minSeg: Long): Array[Long] = {
+    val t = math.min(threads.toLong, math.max(1L, (fileSize - 26) / minSeg)).toInt
+    if (t <= 1) return sweepSerial(fs, path, fileSize, winSize)
+    def serial(): Array[Long] = sweepSerial(fs, path, fileSize, winSize)
+    val bounds = Array.tabulate(t + 1)(i => 26L + (fileSize - 26L) * i / t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(t)
+    try {
+      val futs = (0 until t).map { i =>
+        pool.submit(new java.util.concurrent.Callable[SweepSeg] {
+          override def call(): SweepSeg = try {
+            val in = fs.open(path)
+            try {
+              val w = new SweepWindow(in, fileSize, winSize)
+              val out = mutable.ArrayBuffer[Long]()
+              if (i == 0) {
+                val off = w.ensure(0L, 26)
+                val b = w.buf
+                if (!(b(off) == 'C' && b(off + 1) == 'R' && b(off + 2) == 'A' &&
+                      b(off + 3) == 'M' && b(off + 4) == 3))
+                  return SweepSeg(Array.empty, -1L, -1L, ok = false)
+                val exit = chainContainers(w, 26L, bounds(1), fileSize, out,
+                  includeFrom = false)
+                SweepSeg(out.toArray, 26L, exit, exit >= 0)
+              } else {
+                // resync: first offset in the segment whose header CRC-parses
+                // AND whose chained successor does too (or lands on EOF)
+                var cand = bounds(i)
+                var found = -1L
+                while (found < 0 && cand < bounds(i + 1)) {
+                  val off = w.ensure(cand, HdrNeed)
+                  val span =
+                    containerSpanAt(w.buf, off, w.availAt(cand), cand, fileSize)
+                  if (span > 0) {
+                    val next = cand + span
+                    val confirmed = next == fileSize || {
+                      val o2 = w.ensure(next, HdrNeed)
+                      containerSpanAt(w.buf, o2, w.availAt(next), next,
+                        fileSize) > 0
+                    }
+                    if (confirmed) found = cand
+                  }
+                  if (found < 0) cand += 1
+                }
+                if (found < 0) SweepSeg(Array.empty, -1L, -1L, ok = true)
+                else {
+                  val exit = chainContainers(w, found, bounds(i + 1), fileSize,
+                    out, includeFrom = true)
+                  SweepSeg(out.toArray, found, exit, exit >= 0)
+                }
+              }
+            } finally in.close()
+          } catch {
+            case _: Exception => SweepSeg(Array.empty, -1L, -1L, ok = false)
+          }
+        })
+      }
+      val segs = futs.map(_.get())
+      if (segs.exists(!_.ok)) return serial()
+      if (segs(0).first != 26L) return serial()
+      val all = mutable.ArrayBuffer[Long]()
+      all ++= segs(0).starts
+      var expected = segs(0).exit
+      var i = 1
+      while (i < t) {
+        val s = segs(i)
+        if (expected >= bounds(i + 1)) {
+          // one container spans this whole segment; any "start" the resync
+          // reported there would be a false positive
+          if (s.first >= 0) return serial()
+        } else {
+          if (s.first != expected) return serial()
+          all ++= s.starts
+          expected = s.exit
+        }
+        i += 1
+      }
+      if (expected != fileSize) return serial()
+      all.toArray
+    } catch { case _: Exception => serial() }
+    finally pool.shutdown()
   }
 
   /** File definition: magic "CRAM", major.minor, 20-byte file id. Decoding
