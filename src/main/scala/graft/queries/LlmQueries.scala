@@ -560,10 +560,15 @@ object LlmQueries {
         lit(0.0), (a, x) => a + x))
       // materialized once: every Lloyd's iteration and the final pairwise
       // prune re-read the quantized vectors (at corpus scale: persist)
+      // The corpus size rides along the checkpoint materialization job via
+      // observe() — no separate count() pass over the embeddings table
+      // (at 100 TB that extra pass is a full scan).
+      val nObs = org.apache.spark.sql.Observation()
       val emb = embeddings(s, d)
         .withColumn("q", transform(col("embedding"),
           x => floor(x.cast("double") / norm * 1e6 + 0.5)))
         .select(col("vec_id"), col("q"))
+        .observe(nObs, count(lit(1)).as("n"))
         .localCheckpoint()
       // SemDeDup-style cluster-count scaling: the within-cluster pairwise
       // prune is quadratic in cluster SIZE, so a fixed K turns a 10x corpus
@@ -571,7 +576,8 @@ object LlmQueries {
       // 45s). K ~ sqrt(N) keeps cluster size ~ sqrt(N): assignment N*K and
       // pairwise K*(N/K)^2 both grow ~N^1.5 instead of N^2. Floor of 8
       // preserves the pinned K at the sf0.01 oracle scale (N=200 -> 8).
-      val K = math.max(8, (math.sqrt(emb.count().toDouble) / 3).toInt)
+      val K = math.max(8,
+        (math.sqrt(nObs.get("n").asInstanceOf[Long].toDouble) / 3).toInt)
       // native codegen'd integer dot (DotLongExpr) — the zip_with +
       // aggregate formulation allocates an intermediate array per pair,
       // and the pairwise prune below evaluates this millions of times
