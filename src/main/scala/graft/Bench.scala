@@ -579,8 +579,12 @@ object Bench {
     // once untimed. JVM/codegen/session/FS-metadata costs and cold page
     // cache land here, never on a timed rep.
     // ----------------------------------------------------------------------
+    // warm with the SAME forcing shape the timed reps use (noop write, see
+    // PHASE 3) so codegen for the timed plan is the one warmed here
+    def forcePack(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try forcePack(fn) catch { case _: Throwable => () }
     }
     benchShapes.foreach { case (_, f) =>
       try f() catch { case _: Throwable => () }
@@ -599,13 +603,21 @@ object Bench {
     // PHASE 3 — timed query pack. One untimed warm-up rep PER QUERY, then
     // min-of-2 timed: per-query-shape JIT/codegen warm-up otherwise lands on
     // the first timed rep and min-of-2 doesn't absorb it.
+    //
+    // Forcing is a noop-sink write, NOT count(): count() over a plan whose
+    // final node is an Aggregate lets Catalyst prune the aggregate VALUES
+    // (only group keys determine row count), so entries like q01 timed
+    // scan+groupBy but not the eight sums (measured +27% q01, +43% l31
+    // under honest forcing — the r12 follow-through of the r11 decode-sweep
+    // honesty fix). The noop DSv2 sink materializes every output column
+    // with no driver transfer and no disk.
     // ----------------------------------------------------------------------
     var results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
-        fn(spark, sfDir).count() // untimed per-query warm-up (JIT/codegen)
+        forcePack(fn) // untimed per-query warm-up (JIT/codegen)
         val t = timedEntry(2) { () =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          forcePack(fn)
           (System.nanoTime() - t0) / 1e9
         }
         details += name -> t

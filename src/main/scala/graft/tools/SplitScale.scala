@@ -27,8 +27,11 @@ object SplitScale {
     println(f"corpus: ${gz.length() / 1e6}%.1f MB compressed, 20M rows, no index")
     Seq("1", "32").foreach { w =>
       val s = graft.LocalSession.buildBench(w)
+      // collect() the aggregate row — .count() over an agg lets Catalyst
+      // drop the unreferenced sums (r11 Bench honesty fix; this tool had
+      // the same bug, so its recorded r11 numbers timed inflate+skip)
       def scan(): Long = s.read.format("vcf").load(gz.getAbsolutePath)
-        .agg(sum(col("pos")), sum(length(col("info")))).count()
+        .agg(sum(col("pos")), sum(length(col("info")))).collect().length.toLong
       scan() // warm-up
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); scan(); (System.nanoTime() - t0) / 1e9
