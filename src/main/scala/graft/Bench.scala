@@ -810,9 +810,19 @@ object Bench {
       val w = new java.io.PrintWriter(new java.io.File("BENCH_board.json"), "UTF-8")
       try w.println(s"""{"bench_detail":$ds,\n"board":$fullBoard}""") finally w.close()
     } catch { case _: Throwable => () }
-    val headline = results.collect {
-      case (k, v) if k.startsWith("b") && v >= 0 => jstr(k) + ":" + f"$v%.3f"
-    }.mkString("{", ",", "}")
+    // Autotrim: the tail window is ~2000 chars and the b-board grows over
+    // rounds. Prefer all b-entries; if that overflows, keep only the
+    // scaling-sweep endpoints (w1/w16) alongside the non-sweep entries;
+    // never emit a final line that can be head-truncated.
+    val bEntries = results.filter { case (k, v) => k.startsWith("b") && v >= 0 }
+    def fmt(es: Seq[(String, Double)]): String =
+      es.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val full = fmt(bEntries)
+    val headline =
+      if (full.length <= 1600) full
+      else fmt(bEntries.filter { case (k, _) =>
+        !k.contains("_w") || k.endsWith("_w1") || k.endsWith("_w16")
+      })
     println(s"""{"bench_detail":$ds}""")
     println(fullBoard)
     System.out.flush()
