@@ -1002,6 +1002,58 @@ object FormatQueries {
       }
     }),
 
+    // Index-free split OVER AN OBJECT STORE, driver-graded (previously
+    // S3ResyncSweepSpec/sbt only): ONE unindexed bgzipped VCF — the
+    // 300 GB-landing-zone shape — served by an in-process MiniS3 with
+    // SigV4 auth, scanned over `s3://` where parallelism comes purely from
+    // the index-free BGZF block split riding signed ranged GETs. Refuses
+    // to grade an unsplit plan; conf overrides save/restore; EAGER like
+    // f61 so the server stops before returning.
+    "f73_s3_split_scan" -> ((s, _) => {
+      val dir = gateDir("s3_split")
+      graft.tools.Corpora.writeUnindexedVcfGz(s, dir.getAbsolutePath, 120000L)
+      val gz = new java.io.File(dir, "calls.vcf.gz")
+      val mini = new graft.tools.MiniS3()
+        .withAuth("graft-gate-access", "graft-gate-secret").start()
+      val hc = s.sparkContext.hadoopConfiguration
+      val hcKeys = Seq("fs.s3.impl", "fs.s3.endpoint", "fs.s3.impl.disable.cache",
+        "fs.s3.access.key", "fs.s3.secret.key")
+      val hcSaved = hcKeys.map(k => k -> Option(hc.get(k)))
+      val sqlKeys = Seq("spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes")
+      val sqlSaved = sqlKeys.map(k => k -> s.conf.getOption(k))
+      try {
+        mini.put("graft-gate", "split/calls.vcf.gz",
+          java.nio.file.Files.readAllBytes(gz.toPath))
+        hc.set("fs.s3.impl", classOf[graft.sources.s3.S3HttpFileSystem].getName)
+        hc.set("fs.s3.endpoint", mini.endpoint)
+        hc.set("fs.s3.impl.disable.cache", "true")
+        hc.set("fs.s3.access.key", "graft-gate-access")
+        hc.set("fs.s3.secret.key", "graft-gate-secret")
+        s.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+        s.conf.set("spark.sql.files.openCostInBytes", "262144")
+        val df = s.read.format("vcf").load("s3://graft-gate/split/calls.vcf.gz")
+          .select(col("pos"), col("info"))
+        val parts = df.rdd.getNumPartitions
+        require(parts >= 3,
+          s"f73: index-free split over S3 did not engage: $parts partition(s)")
+        val agg = df.agg(count(lit(1)).as("n"),
+          sum(col("pos")).cast("long").as("sum_pos"),
+          sum(length(col("info"))).cast("long").as("sum_info_len")).head
+        import s.implicits._
+        Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2)))
+          .toDF("n_full", "sum_pos", "sum_info_len")
+      } finally {
+        mini.stop()
+        hcSaved.foreach { case (k, v) =>
+          v match { case Some(x) => hc.set(k, x); case None => hc.unset(k) }
+        }
+        sqlSaved.foreach { case (k, v) =>
+          v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+        }
+      }
+    }),
+
     "f69_bam_resync_split" -> ((s, _) => {
       val dir = gateDir("bam_resync")
       val bamDir = new java.io.File(dir, "t")
@@ -1755,6 +1807,18 @@ object FormatQueries {
         |  CAST(100000 AS BIGINT) AS n,
         |  CAST(499995100000 AS BIGINT) AS sum_start
         |FROM generate_series(1, 2) t(i) ORDER BY reference""".stripMargin,
+
+    // Corpora.writeUnindexedVcfGz shape: pos=(i//8)*40+1, info='DP=' ||
+    // (i%100) || ';H=' || md5(i) — info length is 38 + digits(i%100)
+    "f73_s3_split_scan" ->
+      """WITH rows AS (
+        |  SELECT (i // 8) * 40 + 1 AS pos,
+        |         38 + length(CAST(i % 100 AS VARCHAR)) AS ilen
+        |  FROM generate_series(0, 119999) t(i))
+        |SELECT count(*) AS n_full,
+        |  CAST(sum(pos) AS BIGINT) AS sum_pos,
+        |  CAST(sum(ilen) AS BIGINT) AS sum_info_len
+        |FROM rows""".stripMargin,
 
     "f67_bgzf_indexfree_split" ->
       """SELECT 'chr' || CAST(i AS VARCHAR) AS chrom,
