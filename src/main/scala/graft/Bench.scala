@@ -740,7 +740,7 @@ object Bench {
               def fqScan(): Long = s.read.format("fastq")
                 .load(s"$fastqGzDir/t")
                 .agg(sum(length(col("sequence"))),
-                  sum(length(col("quality_scores")))).count()
+                  sum(length(col("quality_scores")))).collect().length.toLong
               fqScan() // warm-up
               val tf = timedEntry(3) { () =>
                 val t0 = System.nanoTime(); fqScan(); (System.nanoTime() - t0) / 1e9
@@ -777,12 +777,16 @@ object Bench {
     val es = errors.toSeq.sortBy(_._1).map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // JSON numbers must be locale-independent (f"%.4f" under a
+    // comma-decimal default locale emits invalid JSON)
+    def dN(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val ds = results.flatMap { case (k, _) => details.get(k).map((k, _)) }
       .map { case (k, t) =>
-        jstr(k) + ":" + s"""{"reps":[${t.reps.map(r => f"$r%.4f").mkString(",")}],""" +
+        jstr(k) + ":" + s"""{"reps":[${t.reps.map(r => dN(r, 4)).mkString(",")}],""" +
           s""""load_before":${t.loadBefore},"load_after":${t.loadAfter},""" +
           s""""retries":${t.retries},"contended":${t.contended},""" +
-          f""""canary_ratio":${t.canaryRatio}%.2f,"steal_pct":${t.stealPct}%.2f}"""
+          s""""canary_ratio":${dN(t.canaryRatio, 2)},"steal_pct":${dN(t.stealPct, 2)}}"""
       }.mkString("{", ",", "}")
     val anyContended = details.values.exists(_.contended)
     // Stop Spark BEFORE printing so no shutdown log lines land after the
@@ -806,27 +810,38 @@ object Bench {
     // headline b-entries the judge compares against BASELINE.md, 3-decimal —
     // as the absolute final line, small enough to survive the tail window
     // even with sbt's trailing "[success]" line after it.
-    try {
-      val w = new java.io.PrintWriter(new java.io.File("BENCH_board.json"), "UTF-8")
+    // board_file is advertised in the final line only when the write
+    // actually succeeded (relative path: resolves against the driver cwd,
+    // which may not be writable under spark-submit from elsewhere)
+    val boardFile = try {
+      val f = new java.io.File("BENCH_board.json")
+      val w = new java.io.PrintWriter(f, "UTF-8")
       try w.println(s"""{"bench_detail":$ds,\n"board":$fullBoard}""") finally w.close()
-    } catch { case _: Throwable => () }
+      f.getAbsolutePath
+    } catch { case _: Throwable => "" }
     // Autotrim: the tail window is ~2000 chars and the b-board grows over
     // rounds. Prefer all b-entries; if that overflows, keep only the
-    // scaling-sweep endpoints (w1/w16) alongside the non-sweep entries;
-    // never emit a final line that can be head-truncated.
+    // scaling-sweep endpoints (w1/w16) alongside the non-sweep entries, and
+    // keep halving the tail of the list until the bound holds — never emit
+    // a final line that can be head-truncated. JSON numbers must be
+    // locale-independent: f"%.3f" under a comma-decimal default locale
+    // would emit invalid JSON, so format explicitly with Locale.ROOT.
+    def d3(v: Double): String = dN(v, 3)
     val bEntries = results.filter { case (k, v) => k.startsWith("b") && v >= 0 }
     def fmt(es: Seq[(String, Double)]): String =
-      es.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val full = fmt(bEntries)
-    val headline =
-      if (full.length <= 1600) full
-      else fmt(bEntries.filter { case (k, _) =>
+      es.map { case (k, v) => jstr(k) + ":" + d3(v) }.mkString("{", ",", "}")
+    var headEntries = bEntries
+    if (fmt(headEntries).length > 1600)
+      headEntries = bEntries.filter { case (k, _) =>
         !k.contains("_w") || k.endsWith("_w1") || k.endsWith("_w16")
-      })
+      }
+    while (fmt(headEntries).length > 1600 && headEntries.nonEmpty)
+      headEntries = headEntries.take(math.max(1, headEntries.size / 2))
+    val headline = fmt(headEntries)
     println(s"""{"bench_detail":$ds}""")
     println(fullBoard)
     System.out.flush()
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$headline,"n_entries":${results.size},"n_failed":${errors.size},"contended":$anyContended,"board_file":"BENCH_board.json","sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$headline,"n_entries":${results.size},"n_failed":${errors.size},"contended":$anyContended,"board_file":${jstr(boardFile)},"sf":${jstr(sfDir)}}""")
     System.out.flush()
     if (errors.nonEmpty) sys.exit(0) // errors are in the JSON; exit clean
   }

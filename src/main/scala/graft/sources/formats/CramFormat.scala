@@ -465,8 +465,12 @@ class CramFormat(refPath: Option[String],
     if (avail < 10) return -1L
     try {
       val b = new In(buf, off)
+      // any non-negative int32 length is spec-legal (long-read CRAMs can
+      // carry >1 GiB containers); the CRC below plus the pos+span<=fileSize
+      // check are the real validators, so no tighter heuristic cap here —
+      // one would silently turn a valid large-container file into one task
       val length = b.i32le()
-      if (length < 0 || length > (1 << 30)) return -1L
+      if (length < 0) return -1L
       if (b.itf8() < -2) return -1L // refSeqId: -1 unmapped, -2 multi-ref
       b.itf8(); b.itf8() // alignment start, span
       if (b.itf8() < 0) return -1L // nRecords

@@ -351,6 +351,57 @@ class S3HttpFileSystem extends FileSystem {
       }
     }
 
+    /** Positioned read: ONE bounded ranged GET per call, independent of
+      * the sequential stream state. FSInputStream's default does
+      * seek(position) -> read -> seek(back), where each seek drops this
+      * stream's HTTP response — so a readFully over a short-reading
+      * network stack would cost one open-ended `bytes=pos-` GET PER
+      * partial read. The windowed CRAM sweep's file-size/window I/O bound
+      * (S3CramSweepSpec) rides this method: one refill, one GET.
+      */
+    override def read(position: Long, buffer: Array[Byte], offset: Int,
+                      length: Int): Int = {
+      if (position < 0) throw new EOFException(s"read at $position in $key")
+      if (position >= len) return -1
+      val want = math.min(length.toLong, len - position).toInt
+      if (want <= 0) return 0
+      val c = request("GET", key,
+        headers = Map("Range" -> s"bytes=$position-${position + want - 1}"))
+      try {
+        val code = c.getResponseCode
+        if (code != 206 && code != 200)
+          throw new IOException(s"GET $key range $position- -> $code")
+        val s = c.getInputStream
+        if (code == 200 && position > 0) { // server ignored Range: skip
+          var toSkip = position
+          while (toSkip > 0) {
+            val sk = s.skip(toSkip)
+            if (sk <= 0) throw new IOException(s"cannot skip to $position in $key")
+            toSkip -= sk
+          }
+        }
+        var got = 0
+        var n = 0
+        while (got < want &&
+            { n = s.read(buffer, offset + got, want - got); n > 0 })
+          got += n
+        if (got <= 0)
+          throw new IOException(s"unexpected EOF at $position/$len reading $key")
+        got
+      } finally c.disconnect()
+    }
+
+    override def readFully(position: Long, buffer: Array[Byte], offset: Int,
+                           length: Int): Unit = {
+      var done = 0
+      while (done < length) {
+        val got = read(position + done, buffer, offset + done, length - done)
+        if (got < 0)
+          throw new EOFException(s"EOF at ${position + done}/$len reading $key")
+        done += got
+      }
+    }
+
     override def available(): Int = math.min(len - pos, Int.MaxValue.toLong).toInt
     override def close(): Unit = dropStream()
   }

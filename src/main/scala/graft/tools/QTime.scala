@@ -21,6 +21,9 @@ object QTime {
     // materializes every output column. SPARK_GRAFT_FORCE=count restores
     // the pre-r12 convention for comparisons against old boards.
     val force = sys.env.getOrElse("SPARK_GRAFT_FORCE", "noop")
+    require(force == "noop" || force == "count",
+      s"SPARK_GRAFT_FORCE must be 'noop' or 'count', got '$force' — a typo " +
+        "would silently fall back to the Catalyst-pruned count() measurement")
     val spark = graft.LocalSession.buildBench(cpus)
     val qs = graft.SparkEntry.queries
     args.foreach { name =>

@@ -65,13 +65,24 @@ class S3CramSweepSpec extends AnyFunSuite with SharedSpark {
       new org.apache.hadoop.fs.Path(cramFile.getAbsolutePath), cramFile.length())
   }
 
+  /** The fs.s3.* keys are GLOBAL (shared SparkSession hadoopConfiguration)
+    * — save/restore them so this suite cannot leave a later suite pointed
+    * at a stopped MiniS3 port.
+    */
   private def withS3(f: (MiniS3, org.apache.hadoop.conf.Configuration) => Unit): Unit = {
     val s3 = new MiniS3().start()
     val conf = spark.sparkContext.hadoopConfiguration
+    val keys = Seq("fs.s3.impl", "fs.s3.endpoint", "fs.s3.impl.disable.cache")
+    val saved = keys.map(k => k -> Option(conf.get(k)))
     conf.set("fs.s3.impl", classOf[graft.sources.s3.S3HttpFileSystem].getName)
     conf.set("fs.s3.endpoint", s3.endpoint)
     conf.set("fs.s3.impl.disable.cache", "true")
-    try f(s3, conf) finally s3.stop()
+    try f(s3, conf) finally {
+      s3.stop()
+      saved.foreach { case (k, v) =>
+        v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+      }
+    }
   }
 
   test("sweep GET count scales with file-size/window, not container count") {

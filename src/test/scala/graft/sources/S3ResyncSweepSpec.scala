@@ -98,13 +98,24 @@ class S3ResyncSweepSpec extends AnyFunSuite with SharedSpark {
 
   // --- harness -----------------------------------------------------------
 
+  /** The fs.s3.* keys are GLOBAL (shared SparkSession hadoopConfiguration)
+    * — save/restore them so this suite cannot leave a later suite pointed
+    * at a stopped MiniS3 port.
+    */
   private def withS3(f: MiniS3 => Unit): Unit = {
     val s3 = new MiniS3().start()
     val conf = spark.sparkContext.hadoopConfiguration
+    val keys = Seq("fs.s3.impl", "fs.s3.endpoint", "fs.s3.impl.disable.cache")
+    val saved = keys.map(k => k -> Option(conf.get(k)))
     conf.set("fs.s3.impl", classOf[graft.sources.s3.S3HttpFileSystem].getName)
     conf.set("fs.s3.endpoint", s3.endpoint)
     conf.set("fs.s3.impl.disable.cache", "true")
-    try f(s3) finally s3.stop()
+    try f(s3) finally {
+      s3.stop()
+      saved.foreach { case (k, v) =>
+        v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+      }
+    }
   }
 
   private def withConf[T](kvs: (String, String)*)(body: => T): T = {
