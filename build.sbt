@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps/parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt decorations have broken that parse for 4 rounds
+// (BENCH_r*.json parsed: null): the "[info] " prefix LoggedOutput adds to
+// every forked-process line, and the trailing "[success] Total time: ..."
+// line printed after the payload. StdoutOutput pipes the forked JVM's
+// stdout through verbatim (no prefix); showSuccess drops the success line.
+Compile / run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

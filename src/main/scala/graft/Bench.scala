@@ -493,10 +493,36 @@ object Bench {
       // inflate + record parse + 4-bit sequence unpack, 200 MB of bases.
       "b13_bam_scan_full" -> (() =>
         spark.read.format("bam").load(s"$bamDir/t")
-          .agg(sum(col("flag")), sum(length(col("sequence")))).collect().length.toLong)
+          .agg(sum(col("flag")), sum(length(col("sequence")))).collect().length.toLong),
+      // Sketch-only timings for the q49/q55 FAMILY (their verify entries
+      // carry exact anchor arms — countDistinct's Expand x3, exact
+      // percentile's every-value-in-one-buffer — that exist for the
+      // correctness gate and are exactly the anti-pattern the sketches
+      // replace at 100 TB; timing them would report the cost of the wrong
+      // arm). HLL++ and the quantile sketch are one-pass, map-side
+      // mergeable, fixed-size state: the 100 TB shapes. Values checksum
+      // through collect() so nothing prunes the sketch arithmetic.
+      "b19_hll_distinct" -> (() => {
+        val r = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .agg(approx_count_distinct(col("l_orderkey"), 0.02),
+            approx_count_distinct(col("l_partkey"), 0.02)).collect()
+        r(0).getLong(0) + r(0).getLong(1)
+      }),
+      "b20_quantile_sketch" -> (() => {
+        val r = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)"),
+            expr("approx_percentile(l_extendedprice, 0.99, 10000)")).collect()
+        (r(0).getDouble(0) + r(0).getDouble(1)).toLong // l_extendedprice: double
+      })
     )
 
-    val queries = SparkEntry.queries
+    // q49/q55 are graded by Verify (where their exact anchors belong) and
+    // timed sketch-only above as b19/b20 — the exact arms would otherwise
+    // dominate the timed pack while measuring the anti-pattern (r12
+    // finding #3: 5.5/5.4 s of the board's slowest entries were exact
+    // countDistinct/percentile, not the sketches the queries demonstrate).
+    val untimedExactAnchors = Set("q49_approx_distinct", "q55_approx_quantile")
+    val queries = SparkEntry.queries.filterNot(kv => untimedExactAnchors(kv._1))
 
     // ----------------------------------------------------------------------
     // Self-defending timing: min-of-N cannot outwait a fully contended
@@ -835,8 +861,11 @@ object Bench {
       headEntries = bEntries.filter { case (k, _) =>
         !k.contains("_w") || k.endsWith("_w1") || k.endsWith("_w16")
       }
-    while (fmt(headEntries).length > 1600 && headEntries.nonEmpty)
-      headEntries = headEntries.take(math.max(1, headEntries.size / 2))
+    // Guard on size > 1: take(1) of a 1-element list never shrinks, so a
+    // single entry formatting to >1600 chars (unreachable with current key
+    // lengths, but structural) must terminate the loop rather than spin.
+    while (fmt(headEntries).length > 1600 && headEntries.size > 1)
+      headEntries = headEntries.take(headEntries.size / 2)
     val headline = fmt(headEntries)
     println(s"""{"bench_detail":$ds}""")
     println(fullBoard)

@@ -105,6 +105,74 @@ object FormatQueries {
     }
   }
 
+  /** Shared f70/f74 gate: one big UNINDEXED CRAM (no .crai) must fan out
+    * index-free and aggregate exactly. `sweep = false` grades the default
+    * task-open-resync planner path (O(1) driver planning); `sweep = true`
+    * flips `graft.cram.resyncSplit.enabled` off to grade the legacy
+    * driver-side header-skipping sweep on the SAME corpus — both arms must
+    * match the same oracle. Conf overrides (SQL and hadoop) save/restore.
+    */
+  private def cramIndexFreeGate(s: SparkSession, sweep: Boolean): DataFrame = {
+    val dir = gateDir("cram_aligned")
+    val cramDir = new java.io.File(dir, "t")
+    if (!new java.io.File(dir, "_done").exists()) {
+      s.range(0, 120000L).select(
+          concat(lit("r"), col("id")).as("name"),
+          lit(0).as("flag"),
+          concat(lit("chr"), (col("id") % 2 + 1).cast("string")).as("reference"),
+          ((col("id") / 2).cast("long") * 100 + 1).as("start"),
+          ((col("id") / 2).cast("long") * 100 + 100).as("end"),
+          lit("30").as("mapping_quality"),
+          lit("100M").as("cigar"),
+          lit(null).cast("string").as("mate_reference"),
+          translate(substring(concat(md5(col("id").cast("string")),
+              md5((col("id") + 120000L).cast("string")),
+              md5((col("id") + 240000L).cast("string")),
+              md5((col("id") + 360000L).cast("string"))), 1, 100),
+            "0123456789abcdef", "ACGTACGTACGTACGT").as("sequence"),
+          array_repeat(lit(30L), 100).as("quality_score"),
+          array().cast("array<struct<tag:string,value:string>>").as("tags"))
+        .repartitionByRange(1, col("reference"), col("start"))
+        .sortWithinPartitions("reference", "start")
+        .write.format("cram").mode("overwrite")
+        .option("refs", "chr1:40000000,chr2:40000000")
+        .save(cramDir.getAbsolutePath)
+      // delete the sink's .crai: the gate is about the NO-index shape
+      cramDir.listFiles().foreach { f =>
+        if (f.getName.endsWith(".crai")) require(f.delete())
+      }
+      new java.io.File(dir, "_done").createNewFile()
+    }
+    val keys = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    val hc = s.sparkContext.hadoopConfiguration
+    val hcKey = "graft.cram.resyncSplit.enabled"
+    val hcSaved = Option(hc.get(hcKey))
+    try {
+      if (sweep) hc.set(hcKey, "false")
+      s.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+      s.conf.set("spark.sql.files.openCostInBytes", "16384")
+      val df = s.read.format("cram").load(cramDir.getAbsolutePath)
+        .select("reference", "start")
+      val parts = df.rdd.getNumPartitions
+      require(parts >= 3,
+        s"index-free CRAM ${if (sweep) "sweep" else "resync"} split did " +
+          s"not engage: $parts partition(s)")
+      val rows = df.groupBy(col("reference"))
+        .agg(count(lit(1)).as("n"), sum(col("start")).cast("long").as("sum_start"))
+        .orderBy("reference").collect()
+      import s.implicits._
+      rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toDF("reference", "n", "sum_start")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+      hcSaved match { case Some(x) => hc.set(hcKey, x); case None => hc.unset(hcKey) }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Assembly stats (the `seqkit stats` shape): contig count, total/max
     // length, N50 and N90 — computed over sequences that ROUND-TRIP
@@ -946,61 +1014,17 @@ object FormatQueries {
     "f72_fastq_bgzf_split" -> ((s, _) => fastqSplitGate(s, bgzf = true)),
 
     // Index-free CRAM container split: a big UNINDEXED CRAM (no .crai —
-    // the landing-zone shape) must fan out over container-aligned chunk
-    // partitions planned by the driver's header-skipping sweep
-    // (CramFormat.alignedCutOffsets). Refuses to grade on a one-task plan.
-    "f70_cram_aligned_split" -> ((s, _) => {
-      val dir = gateDir("cram_aligned")
-      val cramDir = new java.io.File(dir, "t")
-      if (!new java.io.File(dir, "_done").exists()) {
-        s.range(0, 120000L).select(
-            concat(lit("r"), col("id")).as("name"),
-            lit(0).as("flag"),
-            concat(lit("chr"), (col("id") % 2 + 1).cast("string")).as("reference"),
-            ((col("id") / 2).cast("long") * 100 + 1).as("start"),
-            ((col("id") / 2).cast("long") * 100 + 100).as("end"),
-            lit("30").as("mapping_quality"),
-            lit("100M").as("cigar"),
-            lit(null).cast("string").as("mate_reference"),
-            translate(substring(concat(md5(col("id").cast("string")),
-                md5((col("id") + 120000L).cast("string")),
-                md5((col("id") + 240000L).cast("string")),
-                md5((col("id") + 360000L).cast("string"))), 1, 100),
-              "0123456789abcdef", "ACGTACGTACGTACGT").as("sequence"),
-            array_repeat(lit(30L), 100).as("quality_score"),
-            array().cast("array<struct<tag:string,value:string>>").as("tags"))
-          .repartitionByRange(1, col("reference"), col("start"))
-          .sortWithinPartitions("reference", "start")
-          .write.format("cram").mode("overwrite")
-          .option("refs", "chr1:40000000,chr2:40000000")
-          .save(cramDir.getAbsolutePath)
-        // delete the sink's .crai: the gate is about the NO-index sweep
-        cramDir.listFiles().foreach { f =>
-          if (f.getName.endsWith(".crai")) require(f.delete())
-        }
-        new java.io.File(dir, "_done").createNewFile()
-      }
-      val keys = Seq("spark.sql.files.maxPartitionBytes",
-        "spark.sql.files.openCostInBytes")
-      val saved = keys.map(k => k -> s.conf.getOption(k))
-      try {
-        s.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
-        s.conf.set("spark.sql.files.openCostInBytes", "16384")
-        val df = s.read.format("cram").load(cramDir.getAbsolutePath)
-          .select("reference", "start")
-        val parts = df.rdd.getNumPartitions
-        require(parts >= 3,
-          s"index-free CRAM aligned split did not engage: $parts partition(s)")
-        val rows = df.groupBy(col("reference"))
-          .agg(count(lit(1)).as("n"), sum(col("start")).cast("long").as("sum_start"))
-          .orderBy("reference").collect()
-        import s.implicits._
-        rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-          .toDF("reference", "n", "sum_start")
-      } finally saved.foreach { case (k, v) =>
-        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
-      }
-    }),
+    // the landing-zone shape) must fan out. Since round 13 the default
+    // planner path is the TASK-OPEN RESYNC split (O(1) driver planning;
+    // GraftScan.containerResyncSplitChunks + CramFormat.
+    // resyncContainerStart); f74 grades the conf-gated driver-sweep
+    // fallback on the same corpus. Refuses to grade on a one-task plan.
+    "f70_cram_aligned_split" -> ((s, _) => cramIndexFreeGate(s, sweep = false)),
+
+    // The legacy driver-side header-skipping sweep (CramFormat.
+    // alignedCutOffsets via graft.cram.resyncSplit.enabled=false), kept as
+    // the escape hatch — must stay row-identical to f70's resync plan.
+    "f74_cram_sweep_split" -> ((s, _) => cramIndexFreeGate(s, sweep = true)),
 
     // Index-free split OVER AN OBJECT STORE, driver-graded (previously
     // S3ResyncSweepSpec/sbt only): ONE unindexed bgzipped VCF — the
@@ -1797,6 +1821,13 @@ object FormatQueries {
     // 60k records per chrom, start = k*100+1 for k in 0..59999:
     // sum = 100 * 59999*60000/2 + 60000 = 179997060000
     "f70_cram_aligned_split" ->
+      """SELECT 'chr' || CAST(i AS VARCHAR) AS reference,
+        |  CAST(60000 AS BIGINT) AS n,
+        |  CAST(179997060000 AS BIGINT) AS sum_start
+        |FROM generate_series(1, 2) t(i) ORDER BY reference""".stripMargin,
+
+    // same corpus + oracle as f70: the sweep fallback must agree exactly
+    "f74_cram_sweep_split" ->
       """SELECT 'chr' || CAST(i AS VARCHAR) AS reference,
         |  CAST(60000 AS BIGINT) AS n,
         |  CAST(179997060000 AS BIGINT) AS sum_start

@@ -74,10 +74,11 @@ final case class FileChunk(path: String, start: Long, length: Long, fileSize: Lo
                            vStart: Long = -1L, vEnd: Long = -1L,
                            blockSplit: Boolean = false,
                            recordSplit: Boolean = false,
-                           alignedSplit: Boolean = false) {
+                           alignedSplit: Boolean = false,
+                           containerSplit: Boolean = false) {
   def isWholeFile: Boolean =
     vStart < 0 && !blockSplit && !recordSplit && !alignedSplit &&
-      start == 0 && length >= fileSize
+      !containerSplit && start == 0 && length >= fileSize
   def isBgzfChunk: Boolean = vStart >= 0
 }
 
@@ -640,6 +641,7 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
         } else bgzfFullScanChunks(st, vals, maxSplit)
           .orElse(bgzfBlockSplitChunks(st, vals, maxSplit))
           .orElse(bgzfRecordSplitChunks(st, vals, maxSplit))
+          .orElse(containerResyncSplitChunks(st, vals, maxSplit))
           .orElse(alignedCutChunks(st, vals, maxSplit))
           .getOrElse(Seq(FileChunk(p, 0, size, size, vals)))
       }
@@ -779,6 +781,48 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       Some((0L until size by maxSplit).map { off =>
         FileChunk(p, off, math.min(maxSplit, size - off), size, vals,
           recordSplit = true)
+      })
+    }
+
+    /** Index-free split of a big unindexed container file (CRAM with no
+      * `.crai` sibling) by TASK-OPEN RESYNC: cut at raw offsets in O(1)
+      * driver work — one cached 6-byte magic sniff, no per-container driver
+      * I/O — and let each reader align itself to the first CRC-validated
+      * container start it owns (CramFormat.resyncContainerStart; the
+      * BAM/BCF SplitGuesser pattern at container granularity). This is the
+      * scale-safe path for object-store CRAMs: the alignedCutChunks sweep
+      * below, even windowed + parallel, is O(containers) driver round-trips
+      * when containers outgrow the read-ahead window (every real CRAM —
+      * ~1-5 MB containers). With a `.crai` the sweep path wins instead:
+      * indexed starts are exact and one small read. Set
+      * `graft.cram.resyncSplit.enabled=false` to fall back to the sweep.
+      */
+    def containerResyncSplitChunks(st: FileStatus, vals: Array[String],
+                                   maxSplit: Long): Option[Seq[FileChunk]] = {
+      val p = st.getPath.toString
+      val size = st.getLen
+      if (size <= maxSplit || !table.format.containerResync) return None
+      if (!hadoopConf.getBoolean("graft.cram.resyncSplit.enabled", true))
+        return None
+      val ok = GraftScan.cachedContainerSniff(st) {
+        try {
+          val fs = st.getPath.getFileSystem(hadoopConf)
+          if (fs.exists(CraiIndex.craiPath(st.getPath))) false
+          else {
+            val in = fs.open(st.getPath)
+            try {
+              val b = new Array[Byte](6)
+              in.readFully(0L, b, 0, 6)
+              b(0) == 'C' && b(1) == 'R' && b(2) == 'A' && b(3) == 'M' &&
+                b(4) == 3 && (b(5) == 0 || b(5) == 1)
+            } finally in.close()
+          }
+        } catch { case _: Exception => false }
+      }
+      if (!ok) return None
+      Some((0L until size by maxSplit).map { off =>
+        FileChunk(p, off, math.min(maxSplit, size - off), size, vals,
+          containerSplit = true)
       })
     }
 
@@ -1112,6 +1156,26 @@ object GraftScan {
     val c = bgzfSniffCache.get(key)
     if (c != null) c.booleanValue()
     else { val v = probe; bgzfSniffCache.put(key, java.lang.Boolean.valueOf(v)); v }
+  }
+
+  private val containerSniffCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), java.lang.Boolean](
+        256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), java.lang.Boolean]): Boolean =
+          size() > indexCacheCapacity
+      })
+
+  /** Memoized resync-splittability sniff for container formats (CRAM magic
+    * + no index sibling) — the only driver I/O the task-open resync split
+    * does, so planning stays O(1) per file on an object store.
+    */
+  private[sources] def cachedContainerSniff(st: FileStatus)(probe: => Boolean): Boolean = {
+    val key = (st.getPath.toString, st.getModificationTime, st.getLen)
+    val c = containerSniffCache.get(key)
+    if (c != null) c.booleanValue()
+    else { val v = probe; containerSniffCache.put(key, java.lang.Boolean.valueOf(v)); v }
   }
 
   private val fastaCutCache =
@@ -1449,6 +1513,13 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
         stream = raw
         () => throw new IllegalStateException(
           "aligned container chunks have no line view")
+      } else if (c.containerSplit) {
+        // container-resync chunk (CRAM): the cut is a RAW offset; the
+        // format re-finds the first CRC-validated container start it owns
+        // and seeks there itself (task-open resync)
+        stream = raw
+        () => throw new IllegalStateException(
+          "container-resync chunks have no line view")
       } else if (c.blockSplit) {
         stream = new BgzfBlockSplitInputStream(raw, c.start, c.start + c.length,
           c.fileSize)
@@ -1493,9 +1564,12 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
       new RecordInput(mkLines, stream, end, isSplit, c.isBgzfChunk, reopen, path, fs,
         startsAtFileStart = !isSplit && (!c.isBgzfChunk || c.vStart == 0L) &&
           (!c.blockSplit || c.start == 0L) && (!c.recordSplit || c.start == 0L) &&
-          (!c.alignedSplit || c.start == 0L),
+          (!c.alignedSplit || c.start == 0L) &&
+          (!c.containerSplit || c.start == 0L),
         resync = resync,
-        startOffset = if (c.alignedSplit) c.start else 0L),
+        startOffset = if (c.alignedSplit || c.containerSplit) c.start else 0L,
+        containerResyncSplit = c.containerSplit,
+        fileSize = c.fileSize),
       dataSchema, parseCols)
     true
   }

@@ -22,7 +22,9 @@ final class RecordInput(mkLines: () => ByteLineReader, val stream: java.io.Input
                         val fs: org.apache.hadoop.fs.FileSystem = null,
                         val startsAtFileStart: Boolean = true,
                         val resync: BgzfResyncInputStream = null,
-                        val startOffset: Long = 0L) {
+                        val startOffset: Long = 0L,
+                        val containerResyncSplit: Boolean = false,
+                        val fileSize: Long = -1L) {
   lazy val lines: ByteLineReader = mkLines()
 }
 
@@ -70,6 +72,17 @@ trait GraftFormat extends Serializable {
     * in records().
     */
   def bgzfRecordResync: Boolean = false
+
+  /** The format can re-find a container boundary from a RAW byte offset at
+    * task open (CRC-validated header resync — CRAM). Enables the scale-safe
+    * index-free split of big unindexed container files: the planner cuts at
+    * raw offsets in O(1) driver work (one cached magic sniff, no
+    * per-container driver I/O) and each reader aligns itself to the first
+    * container start it owns. Preferred over [[alignedCutOffsets]]' driver
+    * sweep whenever no index sibling provides exact starts. Formats setting
+    * this must handle `input.containerResyncSplit` in records().
+    */
+  def containerResync: Boolean = false
 
   /** Ascending raw-byte offsets of self-delimiting container/record starts
     * usable as cut points for a whole-file split of one big file (CRAM

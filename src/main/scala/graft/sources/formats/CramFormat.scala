@@ -29,6 +29,9 @@ class CramFormat(refPath: Option[String],
   override val dataSchema: StructType = SamFormat.dataSchema
   override def regionColumns: Option[(String, String, String)] =
     Some(("reference", "start", "end"))
+  // unindexed CRAMs split by task-open resync (resyncContainerStart): the
+  // driver cuts at raw offsets in O(1) — no per-container driver I/O
+  override def containerResync: Boolean = true
 
   // ---- primitive readers ----
 
@@ -455,14 +458,32 @@ class CramFormat(refPath: Option[String],
   private val HdrNeed = 4096
 
   /** Parse + CRC-verify one container header at buf(off..off+avail), with
-    * `pos` its absolute file offset. Returns the container's total byte span
-    * (header + payload) or -1 when the bytes are not a CRC-valid CRAM 3
-    * container header that fits in the file. The CRC check is what makes
-    * this usable as a resync validator, not just a chain-follower.
+    * `pos` its absolute file offset. Three-state result:
+    *   - >= 0: the container's total byte span (header + payload);
+    *   - -1: the bytes are NOT a CRC-valid CRAM 3 container header that
+    *     fits in the file;
+    *   - -2: the header stayed plausible up to where the buffer ran out —
+    *     the verdict needs more bytes (jumbo header, many landmarks). The
+    *     caller MUST retry with a bigger buffer: treating -2 as -1 at a
+    *     true container start would silently drop that container's records
+    *     in a resync scan, and silently fall a whole sweep back to serial.
+    *   - -3: the header is CRC-VALID but its payload runs past EOF — a
+    *     truncated file (partial copy), not garbage. The task-open resync
+    *     MUST raise this loudly: treating it as -1 would skip the
+    *     container and return silently fewer rows, where the whole-file
+    *     reader raises "truncated container". (A false -3 needs a CRC
+    *     match on plausible fields at a random offset, ~2^-58 per byte.)
+    * The CRC check is what makes this usable as a resync validator, not
+    * just a chain-follower. Every field is bounds-checked against `avail`
+    * BEFORE its value is judged, so stale window bytes past `avail` can
+    * never turn "truncated" into a semantic accept/reject.
     */
-  private def containerSpanAt(buf: Array[Byte], off: Int, avail: Int,
-                              pos: Long, fileSize: Long): Long = {
-    if (avail < 10) return -1L
+  private[sources] def containerSpanAt(buf: Array[Byte], off: Int, avail: Int,
+                                       pos: Long, fileSize: Long): Long = {
+    // truncated-by-buffer vs truncated-by-EOF: only the former is retryable
+    def trunc: Long = if (pos + avail >= fileSize) -1L else -2L
+    if (avail < 10) return trunc
+    val lim = off + avail
     try {
       val b = new In(buf, off)
       // any non-negative int32 length is spec-legal (long-read CRAMs can
@@ -470,24 +491,37 @@ class CramFormat(refPath: Option[String],
       // check are the real validators, so no tighter heuristic cap here —
       // one would silently turn a valid large-container file into one task
       val length = b.i32le()
+      if (b.o > lim) return trunc
       if (length < 0) return -1L
-      if (b.itf8() < -2) return -1L // refSeqId: -1 unmapped, -2 multi-ref
+      val refSeqId = b.itf8()
+      if (b.o > lim) return trunc
+      if (refSeqId < -2) return -1L // refSeqId: -1 unmapped, -2 multi-ref
       b.itf8(); b.itf8() // alignment start, span
-      if (b.itf8() < 0) return -1L // nRecords
+      if (b.o > lim) return trunc
+      val nRecords = b.itf8()
+      if (b.o > lim) return trunc
+      if (nRecords < 0) return -1L
       b.ltf8(); b.ltf8() // record counter, bases
+      if (b.o > lim) return trunc
       val nBlocks = b.itf8()
+      if (b.o > lim) return trunc
       if (nBlocks < 0 || nBlocks > (1 << 20)) return -1L
       val nLandmarks = b.itf8()
+      if (b.o > lim) return trunc
       if (nLandmarks < 0 || nLandmarks > (1 << 20)) return -1L
       var i = 0
-      while (i < nLandmarks) { b.itf8(); i += 1 }
-      if (b.o - off + 4 > avail) return -1L
+      while (i < nLandmarks) {
+        b.itf8()
+        if (b.o > lim) return trunc
+        i += 1
+      }
+      if (b.o - off + 4 > avail) return trunc
       val crc = new java.util.zip.CRC32()
       crc.update(buf, off, b.o - off)
       if (crc.getValue != (b.i32le() & 0xffffffffL)) return -1L
       val span = (b.o - off).toLong + length
-      if (pos + span > fileSize) -1L else span
-    } catch { case _: ArrayIndexOutOfBoundsException => -1L }
+      if (pos + span > fileSize) -3L else span
+    } catch { case _: ArrayIndexOutOfBoundsException => trunc }
   }
 
   /** Forward read-ahead window over positioned reads. One refill serves
@@ -512,6 +546,33 @@ class CramFormat(refPath: Option[String],
       (pos - winStart).toInt
     }
     def availAt(pos: Long): Int = ((winStart + winLen) - pos).toInt
+
+    /** [[containerSpanAt]] at `pos` with jumbo-header escalation: a -2
+      * (plausible-but-truncated) verdict retries with the full window, then
+      * with doubling ad-hoc positioned reads up to 8 MiB — past every
+      * spec-legal header (nLandmarks <= 2^20 itf8 values of <= 5 bytes).
+      * Never returns -2, so callers get a clean accept/reject: a true
+      * container start is never mistaken for garbage just because its
+      * header outgrew the probe buffer.
+      */
+    def spanAt(pos: Long): Long = {
+      var off = ensure(pos, HdrNeed)
+      var span = containerSpanAt(buf, off, availAt(pos), pos, fileSize)
+      if (span == -2L) {
+        off = ensure(pos, winSize)
+        span = containerSpanAt(buf, off, availAt(pos), pos, fileSize)
+      }
+      var cap = math.max(winSize.toLong * 2, 1L << 17)
+      while (span == -2L && cap <= (8L << 20)) {
+        val n = math.min(cap, fileSize - pos).toInt
+        val big = new Array[Byte](n)
+        in.readFully(pos, big, 0, n)
+        reads += 1
+        span = containerSpanAt(big, 0, n, pos, fileSize)
+        cap *= 2
+      }
+      if (span == -2L) -1L else span
+    }
   }
 
   /** Chain CRC-validated container headers from `from` (a true container
@@ -526,12 +587,7 @@ class CramFormat(refPath: Option[String],
     var pos = from
     var first = !includeFrom
     while (pos < stop) {
-      var off = w.ensure(pos, HdrNeed)
-      var span = containerSpanAt(w.buf, off, w.availAt(pos), pos, fileSize)
-      if (span < 0) { // jumbo-header retry with the full window at pos
-        off = w.ensure(pos, w.winSize)
-        span = containerSpanAt(w.buf, off, w.availAt(pos), pos, fileSize)
-      }
+      val span = w.spanAt(pos) // jumbo retries live in spanAt
       if (span < 0) return -1L
       if (!first) out += pos
       first = false
@@ -594,21 +650,17 @@ class CramFormat(refPath: Option[String],
                 SweepSeg(out.toArray, 26L, exit, exit >= 0)
               } else {
                 // resync: first offset in the segment whose header CRC-parses
-                // AND whose chained successor does too (or lands on EOF)
+                // AND whose chained successor does too (or lands on EOF).
+                // spanAt's jumbo escalation means a true start with a >4 KB
+                // header is still confirmed here, not skipped into a serial
+                // fallback.
                 var cand = bounds(i)
                 var found = -1L
                 while (found < 0 && cand < bounds(i + 1)) {
-                  val off = w.ensure(cand, HdrNeed)
-                  val span =
-                    containerSpanAt(w.buf, off, w.availAt(cand), cand, fileSize)
+                  val span = w.spanAt(cand)
                   if (span > 0) {
                     val next = cand + span
-                    val confirmed = next == fileSize || {
-                      val o2 = w.ensure(next, HdrNeed)
-                      containerSpanAt(w.buf, o2, w.availAt(next), next,
-                        fileSize) > 0
-                    }
-                    if (confirmed) found = cand
+                    if (next == fileSize || w.spanAt(next) > 0) found = cand
                   }
                   if (found < 0) cand += 1
                 }
@@ -715,6 +767,42 @@ class CramFormat(refPath: Option[String],
     } finally in.close()
   }
 
+  /** First true container start at/after `from` and before `until`, or -1
+    * when no container starts inside [from, until) — the chunk is interior
+    * to one spanning container and owns nothing. A candidate is accepted
+    * only when its header CRC-parses AND its chained successor does too (or
+    * lands exactly on EOF) — the same double confirmation as the driver-side
+    * parallel sweep, ~2^-64 false-positive odds per offset. This is the
+    * task-open half of the resync split: the driver cuts at raw offsets in
+    * O(1) and each task aligns itself here (the BAM/BCF SplitGuesser
+    * pattern — GraftDataSource.bgzfRecordSplitChunks — at container
+    * granularity), so planning cost is independent of container count even
+    * on a 300 GB object-store CRAM.
+    */
+  private def resyncContainerStart(in: org.apache.hadoop.fs.FSDataInputStream,
+                                   from: Long, until: Long, fileSize: Long,
+                                   winSize: Int): Long = {
+    val w = new SweepWindow(in, fileSize, winSize)
+    var cand = from
+    while (cand < until) {
+      val span = w.spanAt(cand)
+      if (span == -3L)
+        // CRC-valid header, payload past EOF: a truncated file. Raising here
+        // is what keeps the resync split as loud as the whole-file reader —
+        // skipping the container would return silently fewer rows.
+        throw new java.io.EOFException(
+          s"cram: truncated container at $cand (payload spans past EOF $fileSize)")
+      if (span > 0) {
+        val next = cand + span
+        // a -3 successor is still a CRC-valid header, so it confirms the
+        // candidate; the chunk owning the truncated successor raises there
+        if (next == fileSize || w.spanAt(next) != -1L) return cand
+      }
+      cand += 1
+    }
+    -1L
+  }
+
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
     // Containers are streamed one at a time (header -> skip-or-decode), so
     // memory is bounded by one container regardless of file size. With a
@@ -722,10 +810,28 @@ class CramFormat(refPath: Option[String],
     // `.crai` index when one sits next to the file.
     val sin = new StreamIn(input.stream)
     if (input.startOffset > 0) {
-      // Aligned mid-file chunk (index-free container split): the stream is
-      // positioned at a container start; the file definition and @SQ names
-      // come from the head of the file, cached per path.
-      sin.pos = input.startOffset
+      // Mid-file chunk of an index-free container split. Two planner
+      // flavors: aligned chunks (`.crai`-derived cuts, or the conf-gated
+      // driver sweep) arrive with the stream already positioned at a true
+      // container start; resync chunks arrive at a RAW cut offset and the
+      // task aligns itself to the first CRC-validated container start it
+      // owns. Either way the file definition and @SQ names come from the
+      // head of the file, cached per path.
+      val start0 =
+        if (!input.containerResyncSplit) input.startOffset
+        else {
+          val raw = input.stream.asInstanceOf[org.apache.hadoop.fs.FSDataInputStream]
+          val conf = if (input.fs != null) input.fs.getConf
+                     else new org.apache.hadoop.conf.Configuration()
+          val winSize = math.max(1 << 13,
+            conf.getInt("graft.cram.sweep.window", 1 << 16))
+          val found = resyncContainerStart(raw, input.startOffset, input.end,
+            input.fileSize, winSize)
+          if (found >= 0) raw.seek(found) // positioned probes didn't move it
+          found
+        }
+      if (start0 < 0) return Iterator.empty
+      sin.pos = start0
       val pathStr = if (input.path != null) input.path.toString else ""
       val refs =
         if (input.path != null)

@@ -358,6 +358,14 @@ class S3HttpFileSystem extends FileSystem {
       * network stack would cost one open-ended `bytes=pos-` GET PER
       * partial read. The windowed CRAM sweep's file-size/window I/O bound
       * (S3CramSweepSpec) rides this method: one refill, one GET.
+      *
+      * A server that IGNORES Range (200 + full body) must not cost a
+      * download-and-skip of `position` bytes per call — under a forward
+      * window sweep that is O(fileSize^2/window) bytes on the wire. The
+      * first 200-with-nonzero-position flips this stream to a cached
+      * forward fallback: one open-ended GET whose body is skipped/read
+      * monotonically, so a forward sweep costs O(fileSize) total and only
+      * a backward jump reopens. Correct everywhere, never quadratic.
       */
     override def read(position: Long, buffer: Array[Byte], offset: Int,
                       length: Int): Int = {
@@ -365,21 +373,23 @@ class S3HttpFileSystem extends FileSystem {
       if (position >= len) return -1
       val want = math.min(length.toLong, len - position).toInt
       if (want <= 0) return 0
+      if (rangeIgnored) return fallbackPositionedRead(position, buffer, offset, want)
       val c = request("GET", key,
         headers = Map("Range" -> s"bytes=$position-${position + want - 1}"))
+      var handedOff = false
       try {
         val code = c.getResponseCode
         if (code != 206 && code != 200)
           throw new IOException(s"GET $key range $position- -> $code")
-        val s = c.getInputStream
-        if (code == 200 && position > 0) { // server ignored Range: skip
-          var toSkip = position
-          while (toSkip > 0) {
-            val sk = s.skip(toSkip)
-            if (sk <= 0) throw new IOException(s"cannot skip to $position in $key")
-            toSkip -= sk
-          }
+        if (code == 200 && position > 0) { // server ignored Range
+          rangeIgnored = true
+          // this response's body starts at byte 0 — it IS the fallback
+          // stream; adopt it instead of paying a second full GET
+          adoptFallback(c)
+          handedOff = true
+          return fallbackPositionedRead(position, buffer, offset, want)
         }
+        val s = c.getInputStream
         var got = 0
         var n = 0
         while (got < want &&
@@ -388,7 +398,57 @@ class S3HttpFileSystem extends FileSystem {
         if (got <= 0)
           throw new IOException(s"unexpected EOF at $position/$len reading $key")
         got
-      } finally c.disconnect()
+      } finally if (!handedOff) c.disconnect()
+    }
+
+    // ---- range-ignoring-server fallback (see read(position,...) above) ----
+    private var rangeIgnored = false
+    private var fpIn: InputStream = _
+    private var fpConn: HttpURLConnection = _
+    private var fpPos = 0L
+
+    private def adoptFallback(c: HttpURLConnection): Unit = synchronized {
+      dropFallback()
+      fpConn = c; fpIn = c.getInputStream; fpPos = 0L
+    }
+
+    private def dropFallback(): Unit = synchronized {
+      if (fpIn != null) { try fpIn.close() catch { case _: IOException => () }; fpIn = null }
+      if (fpConn != null) { fpConn.disconnect(); fpConn = null }
+    }
+
+    /** Serve a positioned read off one cached full-object response:
+      * forward positions skip ahead on the open body; a backward position
+      * reopens once. Synchronized — Hadoop allows concurrent positioned
+      * reads on one stream, and the fallback shares one body.
+      */
+    private def fallbackPositionedRead(position: Long, buffer: Array[Byte],
+                                       offset: Int, want: Int): Int = synchronized {
+      if (fpIn == null || position < fpPos) {
+        dropFallback()
+        val c = request("GET", key)
+        val code = c.getResponseCode
+        if (code != 200 && code != 206)
+          throw new IOException(s"GET $key -> $code")
+        fpConn = c; fpIn = c.getInputStream; fpPos = 0L
+      }
+      var toSkip = position - fpPos
+      while (toSkip > 0) {
+        val sk = fpIn.skip(toSkip)
+        if (sk <= 0) throw new IOException(s"cannot skip to $position in $key")
+        fpPos += sk; toSkip -= sk
+      }
+      var got = 0
+      var n = 0
+      while (got < want &&
+          { n = fpIn.read(buffer, offset + got, want - got); n > 0 })
+        got += n
+      if (got <= 0) {
+        dropFallback()
+        throw new IOException(s"unexpected EOF at $position/$len reading $key")
+      }
+      fpPos += got
+      got
     }
 
     override def readFully(position: Long, buffer: Array[Byte], offset: Int,
@@ -403,7 +463,7 @@ class S3HttpFileSystem extends FileSystem {
     }
 
     override def available(): Int = math.min(len - pos, Int.MaxValue.toLong).toInt
-    override def close(): Unit = dropStream()
+    override def close(): Unit = { dropStream(); dropFallback() }
   }
 
   private class EOFException(msg: String) extends java.io.EOFException(msg)

@@ -39,6 +39,13 @@ final class MiniS3 {
     this
   }
 
+  /** Serve every GET as 200 + full body, ignoring `Range` — the
+    * misbehaving-proxy shape the client's positioned reads must survive
+    * without going quadratic (S3HttpFileSystem fallback stream).
+    */
+  def withIgnoredRanges(): MiniS3 = { ignoreRange = true; this }
+  private var ignoreRange = false
+
   private var server: HttpServer = _
   def port: Int = server.getAddress.getPort
   def endpoint: String = s"http://127.0.0.1:$port"
@@ -252,7 +259,7 @@ final class MiniS3 {
     Option(objects.get(full)) match {
       case None => notFound(ex)
       case Some(b) =>
-        range match {
+        (if (ignoreRange) None else range) match {
           case Some(r) if r.startsWith("bytes=") =>
             val spec = r.stripPrefix("bytes=")
             val dash = spec.indexOf('-')

@@ -86,14 +86,17 @@ class CramSplitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("unindexed cram (no .crai) splits via the header-skipping sweep") {
+  // NOTE: since the task-open resync split landed, the no-.crai planner
+  // path is containerResyncSplitChunks by default (CramResyncSplitSpec);
+  // the conf-gated sweep fallback is covered there too.
+  test("unindexed cram (no .crai) splits index-free (task-open resync)") {
     val whole = read(cramNoIdxDir)
     assert(whole.count() == 80000L)
     withConf("spark.sql.files.maxPartitionBytes" -> "262144",
              "spark.sql.files.openCostInBytes" -> "16384") {
       val split = read(cramNoIdxDir)
       val parts = split.rdd.getNumPartitions
-      assert(parts >= 3, s"sweep split did not engage: $parts partition(s)")
+      assert(parts >= 3, s"index-free split did not engage: $parts partition(s)")
       assertSameRows(split, whole)
     }
   }

@@ -233,4 +233,52 @@ class S3HttpLiveSpec extends AnyFunSuite with SharedSpark {
         r._1 == "GET" && r._2.stripSuffix("/") == "graft-test"))
     }
   }
+
+  test("live s3: range-ignoring server stays linear on positioned reads, still correct") {
+    // A server/proxy that answers every ranged GET with 200 + the full body
+    // must flip the stream to its cached forward fallback: a forward sweep
+    // of positioned reads then costs O(1) GETs total (one adopted body),
+    // not one download-and-skip-from-zero per call — O(n^2/window) bytes.
+    val s3 = new MiniS3().withIgnoredRanges().start()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val keys = Seq("fs.s3.impl", "fs.s3.endpoint", "fs.s3.impl.disable.cache")
+    val saved = keys.map(k => k -> Option(conf.get(k)))
+    conf.set("fs.s3.impl", classOf[graft.sources.s3.S3HttpFileSystem].getName)
+    conf.set("fs.s3.endpoint", s3.endpoint)
+    conf.set("fs.s3.impl.disable.cache", "true")
+    try {
+      val data = Array.tabulate[Byte](1 << 20)(i => ((i * 131) ^ (i >> 7)).toByte)
+      s3.put("graft-test", "noranges/blob.bin", data)
+      val p = new org.apache.hadoop.fs.Path("s3://graft-test/noranges/blob.bin")
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        def getCount: Int = s3.requests.asScala
+          .count(r => r._1 == "GET" && r._2.endsWith("blob.bin"))
+        val buf = new Array[Byte](4096)
+        // forward window sweep, 16 positioned reads
+        val positions = (1 to 16).map(i => i.toLong * 60000)
+        positions.foreach { pos =>
+          in.readFully(pos, buf, 0, buf.length)
+          assert((0 until buf.length).forall(j => buf(j) == data(pos.toInt + j)),
+            s"wrong bytes at $pos from the fallback stream")
+        }
+        val afterForward = getCount
+        assert(afterForward <= 2,
+          s"forward positioned sweep issued $afterForward GETs; " +
+            "the adopted fallback body should serve them all")
+        // a backward jump is allowed exactly one reopen
+        in.readFully(100L, buf, 0, 64)
+        assert((0 until 64).forall(j => buf(j) == data(100 + j)))
+        assert(getCount <= afterForward + 1,
+          "backward positioned read should cost at most one reopen")
+      } finally in.close()
+    } finally {
+      s3.stop()
+      saved.foreach { case (k, v) =>
+        v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+      }
+    }
+  }
 }
