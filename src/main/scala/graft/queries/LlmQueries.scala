@@ -2027,6 +2027,49 @@ object LlmQueries {
         .groupBy(col("truth"), col("cur")).agg(count(lit(1)).as("n"))
         .select(col("truth").as("label"), col("cur").as("pred"), col("n"))
         .orderBy(col("label"), col("pred"))
+    }),
+
+    // CROSS-document exact-substring scrub — the ExactSubstr dedup of Lee
+    // et al. 2021 ("Deduplicating Training Data Makes Language Models
+    // Better"), re-expressed relationally: any 8-token span occurring in
+    // >= 2 DISTINCT documents is scrubbed EVERYWHERE it occurs (l47 is
+    // the intra-doc sibling; l22 measures cross-doc span overlap but
+    // removes nothing). Scale shape: the positioned-shingle table is
+    // corpus-linear; dup grams come from a two-level keyed aggregate
+    // (distinct (g, doc) then count per g — never a countDistinct
+    // Expand); the gram join is a shuffle join on g (the dup set is
+    // corpus-sized in the worst case, so no broadcast); and the interval
+    // merge runs in windows PARTITIONED PER DOC (bounded by doc length).
+    // Fixed-length intervals sorted by start merge with a lag(1) test —
+    // span starts a new group iff its gap to the previous start >= 8.
+    "l66_crossdoc_substring_scrub" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val sh = toks.filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 8)," +
+            " i -> struct(i as i, concat_ws(' ', slice(w, i + 1, 8)) as g))")).as("t"))
+        .select(col("doc_id"), col("t.i").as("i"), col("t.g").as("g"))
+      val dupg = sh.select(col("g"), col("doc_id")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select(col("g"))
+      val marked = sh.join(dupg, "g").select(col("doc_id"), col("i"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val spans = marked
+        .withColumn("isnew",
+          when(col("i") - lag(col("i"), 1).over(w) < 8, 0L).otherwise(1L))
+        .withColumn("sid", sum(col("isnew")).over(w))
+        .groupBy(col("doc_id"), col("sid"))
+        .agg((max(col("i")) + 8 - min(col("i"))).as("removed"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("removed")).cast("long").as("n_removed"))
+      toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+        .join(spans, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_spans", "n_removed"))
+        .withColumn("kept_permille",
+          expr("(n_tokens - n_removed) * 1000 div n_tokens"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3559,6 +3602,37 @@ object LlmQueries {
         |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks)
         |SELECT b.doc_id, b.n_tokens,
         |  coalesce(s.n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(s.n_removed, 0) AS n_removed,
+        |  (b.n_tokens - coalesce(s.n_removed, 0)) * 1000 // b.n_tokens
+        |    AS kept_permille
+        |FROM base b LEFT JOIN scrub s USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "l66_crossdoc_substring_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(generate_series(1, len(w) - 7)) AS i,
+        |    unnest([array_to_string(w[i:i+7], ' ')
+        |            for i in generate_series(1, len(w) - 7)]) AS g
+        |  FROM toks WHERE len(w) >= 8),
+        |dupg AS (SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) nd FROM sh GROUP BY g) t
+        |  WHERE nd >= 2),
+        |mark AS (SELECT s.doc_id, s.i FROM sh s JOIN dupg USING (g)),
+        |flag AS (SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) < 8
+        |      THEN 0 ELSE 1 END AS isnew
+        |  FROM mark),
+        |grp AS (SELECT doc_id, i,
+        |    sum(isnew) OVER (PARTITION BY doc_id ORDER BY i) AS sid
+        |  FROM flag),
+        |agg AS (SELECT doc_id, sid, max(i) + 8 - min(i) AS removed
+        |  FROM grp GROUP BY 1, 2),
+        |scrub AS (SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(removed) AS BIGINT) AS n_removed FROM agg GROUP BY 1),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks)
+        |SELECT b.doc_id, b.n_tokens,
+        |  coalesce(s.n_spans, 0) AS n_spans,
         |  coalesce(s.n_removed, 0) AS n_removed,
         |  (b.n_tokens - coalesce(s.n_removed, 0)) * 1000 // b.n_tokens
         |    AS kept_permille
