@@ -509,10 +509,21 @@ class CramFormat(refPath: Option[String],
       val nLandmarks = b.itf8()
       if (b.o > lim) return trunc
       if (nLandmarks < 0 || nLandmarks > (1 << 20)) return -1L
+      // Landmarks are slice byte-offsets into the payload (spec §8):
+      // STRICTLY ASCENDING and bounded by `length`. Checking that here is
+      // what keeps a resync scan cheap on garbage — without it, random
+      // bytes parse as a plausible huge-nLandmarks header ~1/100 offsets
+      // and every such candidate pays the -2 bigger-buffer escalation
+      // (measured: a 70 MB resync scan went from 141 s to sub-second on
+      // this check alone; the ordered-and-bounded test kills garbage
+      // within a few landmarks, ~2^-k odds of surviving k of them).
       var i = 0
+      var prevLm = -1
       while (i < nLandmarks) {
-        b.itf8()
+        val lm = b.itf8()
         if (b.o > lim) return trunc
+        if (lm <= prevLm || lm > length) return -1L
+        prevLm = lm
         i += 1
       }
       if (b.o - off + 4 > avail) return trunc

@@ -217,7 +217,9 @@ class CramResyncSplitSpec extends AnyFunSuite with SharedSpark {
       else if (v < 0x200000) { u8(0xC0 | (v >> 16)); u8(v >> 8); u8(v) }
       else sys.error("test itf8 out of range")
     }
-    val payloadLen = 100
+    // landmarks must be strictly ascending and <= length (spec §8 — the
+    // garbage-rejection check relies on it), so size the payload past them
+    val payloadLen = 8000000
     i32le(payloadLen)
     itf8(0) // refSeqId
     itf8(1); itf8(30) // aliStart, aliSpan
@@ -225,14 +227,14 @@ class CramResyncSplitSpec extends AnyFunSuite with SharedSpark {
     u8(0); u8(0) // ltf8 record counter, bases (single-byte forms)
     itf8(1500) // nBlocks
     itf8(1500) // nLandmarks
-    (0 until 1500).foreach(i => itf8(0x4000 + i)) // 3-byte itf8 each
+    (0 until 1500).foreach(i => itf8(0x4000 + i)) // ascending 3-byte itf8
     val hdrNoCrc = bos.toByteArray
     val crc = new java.util.zip.CRC32()
     crc.update(hdrNoCrc)
     i32le(crc.getValue.toInt)
     val hdr = bos.toByteArray
     assert(hdr.length > 4096, s"fixture header must outgrow HdrNeed, is ${hdr.length}")
-    val fileSize = 1000000L
+    val fileSize = 10000000L
     val fmt = new graft.sources.formats.CramFormat(None, Nil)
     // full buffer: accepted, span = header + payload
     val full = java.util.Arrays.copyOf(hdr, hdr.length + 64)
