@@ -139,6 +139,58 @@ class S3CramSweepSpec extends AnyFunSuite with SharedSpark {
     assert(parallel != null && parallel.sameElements(serial))
   }
 
+  test("jumbo container headers (>4 KB, many landmarks) chain and resync, not serial-fallback") {
+    // Hand-built stream via the sink's own codec: file definition +
+    // FILE_HEADER container + a container whose header carries 1500
+    // ascending landmarks (~4.6 KB header — past the 4 KB probe, so only
+    // the -2 bigger-buffer escalation can confirm it) + two normal
+    // containers + EOF. The sweep never decodes payloads, so zero-filled
+    // bodies are fine. Serial chain must walk through the jumbo header,
+    // and the parallel CRC-resync sweep (whose segment boundaries land
+    // inside and before it) must return exactly the serial cuts instead
+    // of failing the stitch and falling back — the round-12 advice gap.
+    import graft.sources.CramCodec._
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("CRAM".getBytes("US-ASCII")); out.write(3); out.write(0)
+    out.write(new Array[Byte](20))
+    def container(nRec: Int, payloadLen: Int, landmarks: Seq[Int]): Unit = {
+      val hdr = containerHeader(payloadLen, 0, 1, 100, nRec, 0L,
+        landmarks.length + 1, landmarks)
+      out.write(hdr, 0, hdr.length)
+      out.write(new Array[Byte](payloadLen))
+    }
+    val samHdr = block(1, 0, Array[Byte](0, 0, 0, 0), tryGzip = false)
+    val fh = containerHeader(samHdr.length, 0, 0, 0, 0, 0L, 1, Seq(0))
+    out.write(fh, 0, fh.length); out.write(samHdr, 0, samHdr.length)
+    val starts = scala.collection.mutable.ArrayBuffer[Long]()
+    starts += out.size().toLong
+    container(100, 262144, (1 to 1500).map(_ * 100)) // jumbo: ~4.6 KB header
+    starts += out.size().toLong
+    container(100, 131072, Seq(64))
+    starts += out.size().toLong
+    container(100, 131072, Seq(64))
+    starts += out.size().toLong
+    val eof = eofContainer()
+    out.write(eof, 0, eof.length)
+    val dir = graft.TestTmp.dir("cram_jumbo")
+    val f = java.nio.file.Paths.get(dir.toString, "jumbo.cram")
+    java.nio.file.Files.write(f, out.toByteArray)
+    val fmt = new graft.sources.formats.CramFormat(None, Nil)
+    val p = new org.apache.hadoop.fs.Path(f.toString)
+    val serial = fmt.alignedCutOffsets(localFs(), p, out.size().toLong)
+    assert(serial != null && serial.toSeq == starts.toSeq,
+      s"serial sweep must chain through the jumbo header: got " +
+        s"${Option(serial).map(_.toSeq)}, want $starts")
+    val parallel = fmt.alignedCutOffsets(localFs(
+        "graft.cram.sweep.parallelThreshold" -> "1",
+        "graft.cram.sweep.minSegment" -> "16384",
+        "graft.cram.sweep.window" -> "16384",
+        "graft.cram.sweep.threads" -> "6"), p, out.size().toLong)
+    assert(parallel != null && parallel.sameElements(serial),
+      "parallel sweep must confirm the jumbo start via the -2 escalation, " +
+        "not fall back or diverge")
+  }
+
   test("truncated stream is refused (null cuts), never mis-split") {
     val bytes = java.nio.file.Files.readAllBytes(cramFile.toPath)
     val tdir = graft.TestTmp.dir("cram_sweep_trunc")
