@@ -1026,6 +1026,62 @@ object FormatQueries {
     // the escape hatch — must stay row-identical to f70's resync plan.
     "f74_cram_sweep_split" -> ((s, _) => cramIndexFreeGate(s, sweep = true)),
 
+    // Record-aligned splits of a big uncompressed GenBank flat file (the
+    // multi-GB release landing shape, one task before r13): column-0
+    // LOCUS lines are unambiguous record starts, a record belongs to the
+    // chunk owning its LOCUS line's first byte, and multi-line qualifiers
+    // spanning a cut stay with their owner. Aggregates exercise the full
+    // nested parse (sequence + features.qualifiers) so nested-pruning
+    // ordinal bugs are also on this gate. Refuses an unsplit plan.
+    "f75_genbank_split" -> ((s, _) => {
+      val dir = gateDir("genbank_split")
+      val f = new java.io.File(dir, "release.gb")
+      if (!new java.io.File(dir, "_done").exists()) {
+        val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+        val bases = "acgt" * 32
+        (0 until 20000).foreach { k =>
+          val n = 100 + (k % 7) * 10
+          w.write(f"LOCUS       SEQ$k%d             $n%d bp    DNA     linear   CON 24-APR-2019\n")
+          w.write(f"ACCESSION   A$k%06d\n")
+          w.write("FEATURES             Location/Qualifiers\n")
+          w.write(s"     gene            1..$n\n")
+          w.write(s"""                     /locus_tag="LT$k"\n""")
+          w.write("ORIGIN\n")
+          var off = 0
+          while (off < n) {
+            val take = math.min(60, n - off)
+            w.write(f"${off + 1}%9d ${bases.substring(0, take)}\n")
+            off += take
+          }
+          w.write("//\n")
+        }
+        w.close()
+        new java.io.File(dir, "_done").createNewFile()
+      }
+      val keys = Seq("spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+        s.conf.set("spark.sql.files.openCostInBytes", "16384")
+        val df = s.read.format("genbank").load(f.getAbsolutePath)
+        val parts = df.rdd.getNumPartitions
+        require(parts >= 4,
+          s"genbank record split did not engage: $parts partition(s)")
+        val r = df.agg(
+          count(lit(1)).as("n"),
+          sum(length(col("sequence"))).cast("long").as("sum_seq_len"),
+          sum(when(col("features")(0)("qualifiers")(0)("values")
+            === concat(lit("LT"), regexp_extract(col("name"), "SEQ(\\d+)", 1)), 1L)
+            .otherwise(0L)).as("n_tagged")).head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("n", "sum_seq_len", "n_tagged")
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+    }),
+
     // Index-free split OVER AN OBJECT STORE, driver-graded (previously
     // S3ResyncSweepSpec/sbt only): ONE unindexed bgzipped VCF — the
     // 300 GB-landing-zone shape — served by an in-process MiniS3 with
@@ -1832,6 +1888,14 @@ object FormatQueries {
         |  CAST(60000 AS BIGINT) AS n,
         |  CAST(179997060000 AS BIGINT) AS sum_start
         |FROM generate_series(1, 2) t(i) ORDER BY reference""".stripMargin,
+
+    // record k carries a (100 + (k%7)*10)-base sequence and one
+    // locus_tag=LTk qualifier; every one must survive the split parse
+    "f75_genbank_split" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(100 + (k % 7) * 10) AS BIGINT) AS sum_seq_len,
+        |  CAST(count(*) AS BIGINT) AS n_tagged
+        |FROM generate_series(0, 19999) t(k)""".stripMargin,
 
     "f69_bam_resync_split" ->
       """SELECT 'chr' || CAST(i AS VARCHAR) AS reference,

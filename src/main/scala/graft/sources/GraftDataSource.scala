@@ -374,7 +374,23 @@ final class GraftScanBuilder(table: GraftTable)
     */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
-  override def pruneColumns(required: StructType): Unit = requiredSchema = required
+  /** Top-level pruning only. With nestedSchemaPruning (on by default)
+    * Spark hands us a schema whose struct/array ELEMENT types can be
+    * subsets of the data schema's (e.g. GenBank `features:
+    * array<struct<qualifiers>>` with kind/location dropped). The parsers
+    * emit full-typed values, so declaring the pruned nested type shifts
+    * field ordinals inside generated code — reading `kind` (UTF8String)
+    * where the plan expects `qualifiers` (ArrayData). Re-widen every kept
+    * top-level field to its full declared type; Spark rebuilds the
+    * projection against the scan's actual readSchema, and nothing is
+    * lost — the parse materializes whole values either way, so nested
+    * pruning never saved bytes here.
+    */
+  override def pruneColumns(required: StructType): Unit = {
+    val full = table.schema()
+    requiredSchema = StructType(required.fields.map(f =>
+      full.fields.find(_.name == f.name).getOrElse(f)))
+  }
 
   /** Accept (and later prune with) filters that touch only partition columns.
     * Everything else stays a residual for Spark to evaluate post-scan — but

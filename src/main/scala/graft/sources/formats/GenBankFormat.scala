@@ -16,6 +16,24 @@ object GenBankFormat extends GraftFormat {
   override def shortName: String = "genbank"
   override def defaultExtensions: Seq[String] = Seq("gb", "gbk", "genbank")
 
+  /** Uncompressed multi-record GenBank splits at record boundaries: a
+    * column-0 `LOCUS ` line is an unambiguous record start (every record
+    * body line — sections, FEATURES, ORIGIN sequence — is indented, and
+    * qualifier continuations indent 21 columns), so a mid-file chunk
+    * aligns by scanning to the first validated LOCUS line it owns, and a
+    * record belongs to the chunk owning its LOCUS line's first byte (the
+    * owner reads past its bound through the terminating `//`). The
+    * multi-GB flat-release landing shape fans out instead of one task.
+    * Plain-gzip copies stay one task (Codecs gate), correct either way.
+    */
+  override def splittable: Boolean = true
+
+  /** Record-start validation for split alignment: column-0 LOCUS keyword
+    * plus at least a name and one more token (`LOCUS <name> <len> bp ...`).
+    */
+  private def isRecordStart(l: String): Boolean =
+    l.startsWith("LOCUS ") && l.split("\\s+", 4).length >= 3
+
   private val qualifierType = ArrayType(StructType(Seq(
     StructField("keys", StringType, nullable = false),
     StructField("values", StringType, nullable = true))), containsNull = false)
@@ -43,15 +61,41 @@ object GenBankFormat extends GraftFormat {
 
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
     new Iterator[Array[Any]] {
+      // Split chunks group records LOCUS-to-'//' with byte ownership of the
+      // LOCUS line; whole-file reads keep the tolerant everything-until-'//'
+      // grouping (release-file preamble folds into record 1, where parse()
+      // ignores unknown lines).
+      private val split = input.isMidFileSplit || input.end != Long.MaxValue
       private var rec: Array[String] = readRecord()
 
-      private def readRecord(): Array[String] = {
-        val buf = mutable.ArrayBuffer[String]()
+      /** Next record-start line whose first byte this chunk owns, or null.
+        * Any line (LOCUS or not) starting at/after `end` means the rest of
+        * the stream belongs to a later chunk — stop without reading on.
+        */
+      private def nextOwnedLocus(): String = {
         var l = input.lines.readLine()
-        while (l != null && l.trim != "//") { buf += l; l = input.lines.readLine() }
-        if (buf.isEmpty && l == null) null
-        else if (buf.forall(_.trim.isEmpty)) { if (l == null) null else readRecord() }
-        else buf.toArray
+        while (l != null && input.lines.lastLineStart < input.end &&
+               !isRecordStart(l))
+          l = input.lines.readLine()
+        if (l == null || input.lines.lastLineStart >= input.end) null else l
+      }
+
+      private def readRecord(): Array[String] = {
+        if (split) {
+          val first = nextOwnedLocus()
+          if (first == null) return null
+          val buf = mutable.ArrayBuffer[String](first)
+          var l = input.lines.readLine()
+          while (l != null && l.trim != "//") { buf += l; l = input.lines.readLine() }
+          buf.toArray
+        } else {
+          val buf = mutable.ArrayBuffer[String]()
+          var l = input.lines.readLine()
+          while (l != null && l.trim != "//") { buf += l; l = input.lines.readLine() }
+          if (buf.isEmpty && l == null) null
+          else if (buf.forall(_.trim.isEmpty)) { if (l == null) null else readRecord() }
+          else buf.toArray
+        }
       }
 
       override def hasNext: Boolean = rec != null
