@@ -141,8 +141,9 @@ object Bench {
       }
     } catch { case e: Throwable => recordErr("gen_mzml_corpus", e) }
 
-    // b06 corpus: the same 6k spectra split across 8 files (mzML is
-    // non-splittable XML, so parallelism is whole-file granularity).
+    // b06 corpus: the same 6k spectra split across 8 files (whole-file
+    // parallelism; since r13 ONE mzML also splits via spectrum-tag resync,
+    // so b05-vs-b06 now compares the two parallelism paths).
     try {
       if (new java.io.File(mzDir, "_done").exists() &&
           !new java.io.File(mz8Dir, "_done").exists()) {

@@ -1082,6 +1082,179 @@ object FormatQueries {
       }
     }),
 
+    // Record-aligned splits of a big uncompressed SDF ($$$$-delimited
+    // molecule records — the PubChem-dump landing shape, one task before
+    // r13): a record belongs to the chunk owning its first byte, with the
+    // exact-cut-at-record-start case disambiguated by the format's
+    // positioned-read lookback (SdfSplitSpec sweeps every critical
+    // in-record cut offset deterministically). Refuses an unsplit plan.
+    "f76_sdf_split" -> ((s, _) => {
+      val dir = gateDir("sdf_split")
+      val f = new java.io.File(dir, "mols.sdf")
+      if (!new java.io.File(dir, "_done").exists()) {
+        val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+        (0 until 30000).foreach { k =>
+          w.write(f"MOL$k%05d\n  SYNTH\ncomment\n")
+          w.write("  2  1  0  0  0  0  0  0  0  0999 V2000\n")
+          w.write("    0.0000    0.0000    0.0000 C\n")
+          w.write("    1.0000    0.0000    0.0000 O\n")
+          w.write("  1  2  1  0\nM  END\n> <id>\n")
+          w.write(f"$k%05d\n\n")
+          w.write("$$$$\n")
+        }
+        w.close()
+        new java.io.File(dir, "_done").createNewFile()
+      }
+      val keys = Seq("spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+        s.conf.set("spark.sql.files.openCostInBytes", "16384")
+        val df = s.read.format("sdf").load(f.getAbsolutePath)
+        val parts = df.rdd.getNumPartitions
+        require(parts >= 4,
+          s"sdf record split did not engage: $parts partition(s)")
+        val r = df.agg(
+          count(lit(1)).as("n"),
+          sum(col("atom_count")).cast("long").as("sum_atoms"),
+          sum(col("data")("id").cast("long")).as("sum_id")).head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("n", "sum_atoms", "sum_id")
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+    }),
+
+    // Fixed-stride FCS split (the million-event cytometry landing shape,
+    // one task before r13): the header/TEXT segment is the index — $TOT
+    // rows of 4*$PAR bytes from dataStart — so cut offsets are exact and
+    // row-aligned from one driver read; each chunk decodes exactly the
+    // events whose start byte it owns. Values are integral floats, so
+    // the long-cast sums compare exactly against the closed form.
+    // Refuses an unsplit plan.
+    "f77_fcs_split" -> ((s, _) => {
+      val dir = gateDir("fcs_split")
+      val f = new java.io.File(dir, "big.fcs")
+      val nEv = 400000
+      if (!new java.io.File(dir, "_done").exists()) {
+        val text = "/$PAR/6/$TOT/" + nEv + "/$DATATYPE/F/$BYTEORD/1,2,3,4" +
+          "/$P1S/FSC-A/$P2S/SSC-A/$P3S/FL1-A/$P4S/FL2-A/$P5S/FL3-A/$P6S/TIME/"
+        val textStart = 58
+        val textEnd = textStart + text.length - 1
+        val dataStart = textStart + text.length
+        val dataEnd = dataStart + nEv.toLong * 24 - 1
+        val header =
+          f"FCS3.0    $textStart%8d$textEnd%8d$dataStart%8d$dataEnd%8d${0}%8d${0}%8d"
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f), 1 << 20))
+        out.writeBytes(header)
+        out.writeBytes(text)
+        var i = 0
+        while (i < nEv) {
+          var p = 0
+          while (p < 6) {
+            val v = ((i * 7 + p * 3) % 16381).toFloat
+            out.writeInt(Integer.reverseBytes(java.lang.Float.floatToIntBits(v)))
+            p += 1
+          }
+          i += 1
+        }
+        out.close()
+        new java.io.File(dir, "_done").createNewFile()
+      }
+      val keys = Seq("spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+        s.conf.set("spark.sql.files.openCostInBytes", "16384")
+        val df = s.read.format("fcs").load(f.getAbsolutePath)
+        val parts = df.rdd.getNumPartitions
+        require(parts >= 4,
+          s"fcs fixed-stride split did not engage: $parts partition(s)")
+        val r = df.agg(
+          count(lit(1)).as("n"),
+          sum(col("FSC-A").cast("long")).as("sum_fsc"),
+          sum(col("TIME").cast("long")).as("sum_time")).head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("n", "sum_fsc", "sum_time")
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+    }),
+
+    // Raw-cut resync split of a big uncompressed mzML (the GB-scale
+    // proteomics landing shape, one task before r13): tasks align to the
+    // next <spectrum start tag they own and parse each element's bytes as
+    // its own document (XML forbids unescaped '<' in text/attr values).
+    // Aggregates force full base64+zlib decode of both arrays on every
+    // chunk; intensities are integral doubles so the long sum is exact.
+    // Refuses an unsplit plan.
+    "f78_mzml_split" -> ((s, _) => {
+      val dir = gateDir("mzml_split")
+      val f = new java.io.File(dir, "big.mzML")
+      val nSpec = 8000
+      if (!new java.io.File(dir, "_done").exists()) {
+        val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+        def b64zlib(vals: Array[Double]): String = {
+          val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          vals.foreach(bb.putDouble)
+          val defl = new java.util.zip.Deflater()
+          defl.setInput(bb.array()); defl.finish()
+          val out = new java.io.ByteArrayOutputStream(vals.length * 8)
+          val buf = new Array[Byte](8192)
+          while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+          defl.end()
+          java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+        }
+        w.write("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<mzML><run><spectrumList>\n")
+        (0 until nSpec).foreach { i =>
+          val n = 50
+          val mz = Array.tabulate(n)(j => 100.0 + i % 7 + j * 9.97)
+          val inten = Array.tabulate(n)(j => ((i * 31 + j * 17) % 10000).toDouble)
+          w.write(s"""<spectrum id="scan=$i" index="$i" defaultArrayLength="$n">""")
+          w.write("""<binaryDataArrayList count="2">""")
+          w.write("""<binaryDataArray><cvParam accession="MS:1000514" name="m/z array"/>""" +
+            """<cvParam accession="MS:1000523" name="64-bit float"/>""" +
+            """<cvParam accession="MS:1000574" name="zlib compression"/>""" +
+            s"<binary>${b64zlib(mz)}</binary></binaryDataArray>")
+          w.write("""<binaryDataArray><cvParam accession="MS:1000515" name="intensity array"/>""" +
+            """<cvParam accession="MS:1000523" name="64-bit float"/>""" +
+            """<cvParam accession="MS:1000574" name="zlib compression"/>""" +
+            s"<binary>${b64zlib(inten)}</binary></binaryDataArray>")
+          w.write("</binaryDataArrayList></spectrum>\n")
+        }
+        w.write("</spectrumList></run></mzML>\n")
+        w.close()
+        new java.io.File(dir, "_done").createNewFile()
+      }
+      val keys = Seq("spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+        s.conf.set("spark.sql.files.openCostInBytes", "16384")
+        val df = s.read.format("mzml").load(f.getAbsolutePath)
+        val parts = df.rdd.getNumPartitions
+        require(parts >= 4,
+          s"mzml resync split did not engage: $parts partition(s)")
+        val r = df.agg(
+          count(lit(1)).as("n"),
+          sum(size(col("mz.mz"))).cast("long").as("sum_n_mz"),
+          sum(expr("aggregate(intensity.intensity, 0D, (a, x) -> a + x)"))
+            .cast("long").as("sum_inten")).head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("n", "sum_n_mz", "sum_inten")
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
+    }),
+
     // Index-free split OVER AN OBJECT STORE, driver-graded (previously
     // S3ResyncSweepSpec/sbt only): ONE unindexed bgzipped VCF — the
     // 300 GB-landing-zone shape — served by an in-process MiniS3 with
@@ -1896,6 +2069,27 @@ object FormatQueries {
         |  CAST(sum(100 + (k % 7) * 10) AS BIGINT) AS sum_seq_len,
         |  CAST(count(*) AS BIGINT) AS n_tagged
         |FROM generate_series(0, 19999) t(k)""".stripMargin,
+
+    // spectrum i: 50 intensities (i*31 + j*17) % 10000, integral doubles
+    "f78_mzml_split" ->
+      """SELECT CAST(8000 AS BIGINT) AS n,
+        |  CAST(8000 * 50 AS BIGINT) AS sum_n_mz,
+        |  CAST(sum((i * 31 + j * 17) % 10000) AS BIGINT) AS sum_inten
+        |FROM generate_series(0, 7999) t(i), generate_series(0, 49) u(j)""".stripMargin,
+
+    // event i: param p = (i*7 + p*3) % 16381, integral floats
+    "f77_fcs_split" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((i * 7) % 16381) AS BIGINT) AS sum_fsc,
+        |  CAST(sum((i * 7 + 15) % 16381) AS BIGINT) AS sum_time
+        |FROM generate_series(0, 399999) t(i)""".stripMargin,
+
+    // 30k molecules, 2 atoms each, data item id=k
+    "f76_sdf_split" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(2) AS BIGINT) AS sum_atoms,
+        |  CAST(sum(k) AS BIGINT) AS sum_id
+        |FROM generate_series(0, 29999) t(k)""".stripMargin,
 
     "f69_bam_resync_split" ->
       """SELECT 'chr' || CAST(i AS VARCHAR) AS reference,

@@ -818,22 +818,13 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       val p = st.getPath.toString
       val size = st.getLen
       if (size <= maxSplit || !table.format.containerResync) return None
-      if (!hadoopConf.getBoolean("graft.cram.resyncSplit.enabled", true))
+      if (!hadoopConf.getBoolean(
+          s"graft.${table.format.shortName}.resyncSplit.enabled", true))
         return None
       val ok = GraftScan.cachedContainerSniff(st) {
-        try {
-          val fs = st.getPath.getFileSystem(hadoopConf)
-          if (fs.exists(CraiIndex.craiPath(st.getPath))) false
-          else {
-            val in = fs.open(st.getPath)
-            try {
-              val b = new Array[Byte](6)
-              in.readFully(0L, b, 0, 6)
-              b(0) == 'C' && b(1) == 'R' && b(2) == 'A' && b(3) == 'M' &&
-                b(4) == 3 && (b(5) == 0 || b(5) == 1)
-            } finally in.close()
-          }
-        } catch { case _: Exception => false }
+        try table.format.resyncSplitSniff(
+          st.getPath.getFileSystem(hadoopConf), st.getPath)
+        catch { case _: Exception => false }
       }
       if (!ok) return None
       Some((0L until size by maxSplit).map { off =>

@@ -73,16 +73,26 @@ trait GraftFormat extends Serializable {
     */
   def bgzfRecordResync: Boolean = false
 
-  /** The format can re-find a container boundary from a RAW byte offset at
-    * task open (CRC-validated header resync — CRAM). Enables the scale-safe
-    * index-free split of big unindexed container files: the planner cuts at
-    * raw offsets in O(1) driver work (one cached magic sniff, no
-    * per-container driver I/O) and each reader aligns itself to the first
-    * container start it owns. Preferred over [[alignedCutOffsets]]' driver
-    * sweep whenever no index sibling provides exact starts. Formats setting
-    * this must handle `input.containerResyncSplit` in records().
+  /** The format can re-find a record/container boundary from a RAW byte
+    * offset at task open (CRC-validated header resync for CRAM; markup-
+    * pattern alignment for mzML). Enables the scale-safe index-free split
+    * of big files the other strategies can't cut: the planner cuts at raw
+    * offsets in O(1) driver work (one cached [[resyncSplitSniff]], no
+    * per-record driver I/O) and each reader aligns itself to the first
+    * boundary it owns. Preferred over [[alignedCutOffsets]]' driver sweep
+    * whenever no index sibling provides exact starts. Formats setting this
+    * must handle `input.containerResyncSplit` in records() and override
+    * [[resyncSplitSniff]].
     */
   def containerResync: Boolean = false
+
+  /** One small driver read deciding whether THIS file supports the
+    * raw-cut resync split (magic check; absence of an index sibling whose
+    * exact cuts would be better). Memoized per (path, mtime, len) by the
+    * planner, so it must not depend on tunables.
+    */
+  def resyncSplitSniff(fs: org.apache.hadoop.fs.FileSystem,
+                       path: org.apache.hadoop.fs.Path): Boolean = false
 
   /** Ascending raw-byte offsets of self-delimiting container/record starts
     * usable as cut points for a whole-file split of one big file (CRAM

@@ -33,6 +33,21 @@ class CramFormat(refPath: Option[String],
   // driver cuts at raw offsets in O(1) — no per-container driver I/O
   override def containerResync: Boolean = true
 
+  /** CRAM 3.x magic and NO `.crai` sibling — an index gives exact cuts
+    * through alignedCutOffsets, which the planner prefers by this refusal.
+    */
+  override def resyncSplitSniff(fs: org.apache.hadoop.fs.FileSystem,
+                                path: org.apache.hadoop.fs.Path): Boolean = {
+    if (fs.exists(CraiIndex.craiPath(path))) return false
+    val in = fs.open(path)
+    try {
+      val b = new Array[Byte](6)
+      in.readFully(0L, b, 0, 6)
+      b(0) == 'C' && b(1) == 'R' && b(2) == 'A' && b(3) == 'M' &&
+        b(4) == 3 && (b(5) == 0 || b(5) == 1)
+    } finally in.close()
+  }
+
   // ---- primitive readers ----
 
   private final class In(val b: Array[Byte], var o: Int) {

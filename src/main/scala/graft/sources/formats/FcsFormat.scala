@@ -85,20 +85,73 @@ object FcsFormat extends GraftFormat {
     StructType(meta.params.map(p => StructField(p, FloatType, nullable = false)))
   }
 
+  /** Fixed-stride split of big FCS files: the header/TEXT segment IS the
+    * index — DATA is $TOT rows of 4*$PAR bytes from dataStart — so exact
+    * row-aligned cut offsets cost ONE small driver read (memoized by the
+    * planner). Readers seek to their cut and decode exactly the events
+    * whose start byte lies in [startOffset, end), via the generic
+    * aligned-chunk machinery. Cuts are emitted FINE-grained at a fixed,
+    * conf-independent quantum (max(256 KiB, fileSize/2^16, one row)) and
+    * the planner's maxSplit grouping picks the actual chunk size — the
+    * cut list must not depend on any tunable, because the planner
+    * memoizes it per (path, mtime, len). A million-event cytometry file
+    * fans out instead of one task; the quantum cap bounds the cut list
+    * at ~64k entries for any file size.
+    */
+  override def alignedCutOffsets(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: org.apache.hadoop.fs.Path,
+                                 fileSize: Long): Array[Long] = {
+    val in = fs.open(path)
+    val meta = try readMeta(in) finally in.close()
+    val rowBytes = 4L * meta.params.length
+    if (rowBytes <= 0 || meta.nEvents <= 0) return null
+    val quantum = math.max(rowBytes, math.max(256L << 10, fileSize >> 16))
+    val rowsPerCut = math.max(1L, quantum / rowBytes)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var r = rowsPerCut
+    while (r < meta.nEvents) {
+      out += meta.dataStart + r * rowBytes
+      r += rowsPerCut
+    }
+    if (out.isEmpty) null else out.toArray
+  }
+
   override def records(input: RecordInput, schema: StructType,
                        required: Array[Int]): Iterator[Array[Any]] =
     new Iterator[Array[Any]] {
-      // readMeta leaves the stream positioned at the DATA segment.
-      private val meta = readMeta(input.stream)
+      // Whole-file/head chunk: readMeta leaves the stream positioned at
+      // the DATA segment. Aligned mid-file chunk: the stream is already
+      // seeked to the (row-aligned) cut; the meta comes from one small
+      // re-read of the head.
+      private val meta =
+        if (input.startOffset > 0) {
+          val in2 = input.reopenRaw()
+          try readMeta(in2) finally in2.close()
+        } else readMeta(input.stream)
       private val din = new DataInputStream(input.stream)
       private val nPar = schema.fields.length
       require(meta.params.length == nPar,
         s"fcs: file has ${meta.params.length} parameters but the table schema " +
           s"(inferred from the first listed file) has $nPar — mixed-layout " +
           "directories are not supported")
-      private var emitted = 0
+      private val rowBytes = 4L * nPar
+      // events owned by this chunk: start byte in [startOffset, end)
+      private val e0: Long =
+        if (input.startOffset <= 0) 0L
+        else {
+          val rel = input.startOffset - meta.dataStart
+          require(rel >= 0 && rel % rowBytes == 0,
+            s"fcs: cut ${input.startOffset} is not row-aligned " +
+              s"(dataStart=${meta.dataStart}, rowBytes=$rowBytes)")
+          rel / rowBytes
+        }
+      private val e1: Long =
+        if (input.end == Long.MaxValue) meta.nEvents.toLong
+        else math.min(meta.nEvents.toLong, math.max(0L,
+          (input.end - meta.dataStart + rowBytes - 1) / rowBytes))
+      private var emitted = 0L
 
-      override def hasNext: Boolean = emitted < meta.nEvents
+      override def hasNext: Boolean = e0 + emitted < e1
 
       override def next(): Array[Any] = {
         emitted += 1

@@ -21,6 +21,37 @@ object MzMlFormat extends GraftFormat {
   override def shortName: String = "mzml"
   override def defaultExtensions: Seq[String] = Seq("mzml")
 
+  /** Big uncompressed mzML splits by raw cuts + task-open alignment to the
+    * next `<spectrum` start tag (the GB-scale proteomics landing shape,
+    * one task before r13). The byte pattern is markup for certain: XML
+    * forbids unescaped '<' in text and attribute values, and mzML writers
+    * do not use CDATA (binary data is base64). A task copies each owned
+    * element's bytes through its matching `</spectrum>` (or self-closed
+    * start tag) and parses the fragment as its own document — spectrum
+    * elements are self-contained for this reader (the whole-file path
+    * does not dereference referenceableParamGroupRef either, and the
+    * `<mzML`-unprefixed sniff below keeps prefixed documents, where
+    * fragments would lose their namespace context, on the whole-file
+    * path). A record belongs to the chunk owning its start tag's first
+    * byte; truncated trailing spectra fail loudly in the fragment parse.
+    */
+  override def containerResync: Boolean = true
+
+  override def resyncSplitSniff(fs: org.apache.hadoop.fs.FileSystem,
+                                path: org.apache.hadoop.fs.Path): Boolean = {
+    if (Codecs.isCompressed(path.getName)) return false
+    val in = fs.open(path)
+    try {
+      val b = new Array[Byte](2048)
+      var got = 0
+      var r = 0
+      while (got < b.length && { r = in.read(b, got, b.length - got); r > 0 })
+        got += r
+      val head = new String(b, 0, got, java.nio.charset.StandardCharsets.US_ASCII)
+      head.contains("<mzML") || head.contains("<indexedmzML")
+    } finally in.close()
+  }
+
   private val cvParamType = ArrayType(StructType(Seq(
     StructField("accession", StringType, nullable = true),
     StructField("name", StringType, nullable = true),
@@ -38,7 +69,8 @@ object MzMlFormat extends GraftFormat {
     StructField("precursor_mz", DoubleType, nullable = true),
     StructField("precusor_charge", LongType, nullable = true)))
 
-  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
+  override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
+    if (input.containerResyncSplit) return splitRecords(input, required)
     new Iterator[Array[Any]] {
       private val factory = XMLInputFactory.newInstance()
       factory.setProperty(XMLInputFactory.IS_COALESCING, true)
@@ -72,6 +104,128 @@ object MzMlFormat extends GraftFormat {
         required.map(full(_))
       }
     }
+  }
+
+  /** Raw-cut resync chunk: scan bytes for the next `<spectrum` start tag
+    * whose first byte this chunk owns, copy the element through its end,
+    * and parse the fragment as its own document (see containerResync
+    * scaladoc above for why the byte patterns are unambiguous).
+    */
+  private def splitRecords(input: RecordInput,
+                           required: Array[Int]): Iterator[Array[Any]] = {
+    val raw = input.stream.asInstanceOf[org.apache.hadoop.fs.FSDataInputStream]
+    val from = math.max(0L, input.startOffset)
+    raw.seek(from)
+    val in = new java.io.BufferedInputStream(raw, 1 << 16)
+    val factory = XMLInputFactory.newInstance()
+    factory.setProperty(XMLInputFactory.IS_COALESCING, true)
+    factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val ctx = new DecodeCtx
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => ctx.inflater.end()))
+
+    new Iterator[Array[Any]] {
+      private var pos = from
+      private val Pat = "<spectrum"
+      private var nextRow: Array[Any] = _
+      advance()
+
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null) {
+          val frag = nextFragment()
+          if (frag == null) { ctx.inflater.end(); return }
+          val xml = factory.createXMLStreamReader(
+            new java.io.ByteArrayInputStream(frag))
+          try {
+            var found = false
+            while (!found && xml.hasNext) {
+              if (xml.next() == XMLStreamConstants.START_ELEMENT &&
+                  xml.getLocalName == "spectrum") {
+                nextRow = parseSpectrum(xml, ctx)
+                found = true
+              }
+            }
+          } finally xml.close()
+        }
+      }
+
+      /** Bytes of the next owned spectrum element, or null when the next
+        * start tag begins at/after `end` (or EOF).
+        */
+      private def nextFragment(): Array[Byte] = {
+        var k = 0
+        while (true) {
+          if (pos - k >= input.end) return null // no owned start can follow
+          val b = in.read()
+          if (b < 0) return null
+          pos += 1
+          if (k < Pat.length) {
+            if (b == Pat.charAt(k)) k += 1
+            else k = if (b == '<') 1 else 0
+          } else {
+            // b is the byte after "<spectrum": a delimiter means a
+            // spectrum start tag; anything else ("<spectrumList") is not
+            if (b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
+                b == '>' || b == '/') {
+              if (pos - Pat.length - 1 >= input.end) return null
+              return copyFragment(b)
+            }
+            k = if (b == '<') 1 else 0
+          }
+        }
+        null
+      }
+
+      private def rd(out: java.io.ByteArrayOutputStream): Int = {
+        val b = in.read()
+        if (b < 0) throw new java.io.EOFException(
+          "mzml: truncated spectrum element (file cut mid-record?)")
+        pos += 1
+        out.write(b)
+        b
+      }
+
+      /** Copy one spectrum element given the byte after `<spectrum`. */
+      private def copyFragment(delim: Int): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream(1 << 12)
+        out.write(Pat.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        out.write(delim)
+        if (delim != '>') {
+          // finish the start tag (quote-aware: '>' and '/' are legal
+          // inside attribute values); a '/' right before the closing '>'
+          // is a self-closed empty spectrum
+          var prev = delim
+          var quote = 0
+          var b = rd(out)
+          while (b != '>' || quote != 0) {
+            if (quote == 0 && (b == '"' || b == '\'')) quote = b
+            else if (quote != 0 && b == quote) quote = 0
+            prev = b
+            b = rd(out)
+          }
+          if (prev == '/') return out.toByteArray
+        }
+        // copy through the matching close tag: nested <spectrum> elements
+        // are not legal mzML, so the first "</spectrum>" closes ours
+        val C = "</spectrum>"
+        var k = 0
+        while (k < C.length) {
+          val c = rd(out)
+          if (c == C.charAt(k)) k += 1
+          else k = if (c == '<') 1 else 0
+        }
+        out.toByteArray
+      }
+
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Array[Any] = {
+        val full = nextRow
+        advance()
+        required.map(full(_))
+      }
+    }
+  }
 
   /** Per-partition reusable decode state: one native Inflater and two growable
     * scratch buffers for the whole file, instead of a fresh Inflater + regex

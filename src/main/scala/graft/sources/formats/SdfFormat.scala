@@ -18,6 +18,21 @@ import graft.sources.FormatUtil._
 object SdfFormat extends GraftFormat {
   override def shortName: String = "sdf"
   override def defaultExtensions: Seq[String] = Seq("sdf")
+
+  /** Uncompressed multi-record SDF splits on the column-0 `$$$$` record
+    * terminator (the multi-GB PubChem-dump landing shape): a record
+    * belongs to the chunk owning its FIRST byte, and the owner reads past
+    * its bound through the terminating `$$$$`. Unlike GenBank's LOCUS, a
+    * record's first line (the molecule name) is arbitrary text, so a
+    * mid-file chunk cannot tell from its first complete line whether it
+    * landed at a record start or mid-record — it disambiguates by
+    * LOOKING BACK: one positioned read of the bytes before the cut (the
+    * raw stream's seek pointer is untouched by preads) checks whether the
+    * last complete line before it is a `$$$$` terminator. Mid-record
+    * tails are discarded through their terminator. Plain-gzip copies
+    * stay one task (Codecs gate).
+    */
+  override def splittable: Boolean = true
   override val dataSchema: StructType = StructType(Seq(
     StructField("header", StringType, nullable = false),
     StructField("atom_count", IntegerType, nullable = true),
@@ -79,13 +94,47 @@ object SdfFormat extends GraftFormat {
                        required: Array[Int]): Iterator[Array[Any]] =
     new Iterator[Array[Any]] {
       private val dataFields = schema.fields(3).dataType.asInstanceOf[StructType].fieldNames
-      private var rec: Array[String] = readRecordLines(input.lines)
+      private val lines = input.lines // mid-split: seek + partial-line discard
+
+      /** True when the first complete line of this chunk starts a record —
+        * i.e. the last complete line BEFORE it is a `$$$$` terminator,
+        * read with one pread that leaves the sequential stream alone.
+        */
+      private def atRecordStart(): Boolean = {
+        val p0 = lines.nextLineStart
+        if (p0 <= 0) return true
+        val n = math.min(80L, p0).toInt
+        val b = new Array[Byte](n)
+        try input.stream.asInstanceOf[org.apache.hadoop.fs.FSDataInputStream]
+          .readFully(p0 - n, b, 0, n)
+        catch { case _: Exception => return false }
+        var e = n
+        if (e > 0 && b(e - 1) == '\n') e -= 1
+        var s0 = e
+        while (s0 > 0 && b(s0 - 1) != '\n') s0 -= 1
+        new String(b, s0, e - s0,
+          java.nio.charset.StandardCharsets.UTF_8).trim == "$$$$"
+      }
+
+      // mid-record landing: the record we cut belongs to the previous
+      // chunk (it reads past its bound) — discard through its terminator
+      if (input.isMidFileSplit && !atRecordStart()) {
+        var l = lines.readLine()
+        while (l != null && l.trim != "$$$$") l = lines.readLine()
+      }
+
+      /** Next record whose first byte this chunk owns, or null. */
+      private def nextOwnedRecord(): Array[String] =
+        if (lines.nextLineStart >= input.end) null
+        else readRecordLines(lines)
+
+      private var rec: Array[String] = nextOwnedRecord()
 
       override def hasNext: Boolean = rec != null
 
       override def next(): Array[Any] = {
         val r = rec
-        rec = readRecordLines(input.lines)
+        rec = nextOwnedRecord()
         val out = required.map {
           case 0 =>
             utf8(r.take(3).iterator.map(_.trim).filter(_.nonEmpty).mkString("\n"))

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SharedSpark
+
+/** Fixed-stride splits of big FCS files: the header/TEXT segment is the
+  * index ($TOT rows of 4*$PAR bytes from dataStart), so cut offsets are
+  * exact and row-aligned from one driver read, and each chunk decodes
+  * exactly the events whose start byte it owns. Values are integral
+  * floats, so cross-partition aggregates compare exactly.
+  */
+class FcsSplitSpec extends AnyFunSuite with SharedSpark {
+
+  private val nEvents = 300000
+  private val nPar = 6
+
+  private def withConf[T](kvs: (String, String)*)(body: => T): T = {
+    val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  private lazy val fcsFile: java.io.File = {
+    val dir = graft.TestTmp.dir("fcs_split")
+    val f = new java.io.File(dir.toFile, "big.fcs")
+    val text = "/$PAR/6/$TOT/" + nEvents + "/$DATATYPE/F/$BYTEORD/1,2,3,4" +
+      "/$P1S/FSC-A/$P2S/SSC-A/$P3S/FL1-A/$P4S/FL2-A/$P5S/FL3-A/$P6S/TIME/"
+    val textStart = 58
+    val textEnd = textStart + text.length - 1
+    val dataStart = textStart + text.length
+    val dataEnd = dataStart + nEvents.toLong * nPar * 4 - 1
+    val header = f"FCS3.0    $textStart%8d$textEnd%8d$dataStart%8d$dataEnd%8d${0}%8d${0}%8d"
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f), 1 << 20))
+    out.writeBytes(header)
+    out.writeBytes(text)
+    var i = 0
+    while (i < nEvents) {
+      var p = 0
+      while (p < nPar) {
+        val v = ((i * 7 + p * 3) % 16381).toFloat // integral: exact in float32
+        out.writeInt(Integer.reverseBytes(java.lang.Float.floatToIntBits(v)))
+        p += 1
+      }
+      i += 1
+    }
+    out.close()
+    f
+  }
+
+  private def read(): DataFrame =
+    spark.read.format("fcs").load(fcsFile.getAbsolutePath)
+
+  test("big fcs fans out at row-aligned cuts; rows invariant") {
+    // true-whole baseline: force one task (maxSplit = max(openCost,
+    // min(maxPartitionBytes, totalBytes/parallelism)) — openCost is the
+    // only knob that can exceed the parallelism cap)
+    val whole = withConf("spark.sql.files.maxPartitionBytes" -> "1073741824",
+                         "spark.sql.files.openCostInBytes" -> "1073741824") {
+      val w = read()
+      assert(w.rdd.getNumPartitions == 1)
+      w
+    }
+    assert(whole.count() == nEvents)
+    // even DEFAULT conf splits this 7 MB file (totalBytes/parallelism
+    // caps the effective maxSplit) — that's the point of the feature
+    assert(read().rdd.getNumPartitions >= 2, "default-conf read did not split")
+    withConf("spark.sql.files.maxPartitionBytes" -> "1048576",
+             "spark.sql.files.openCostInBytes" -> "16384") {
+      val split = read()
+      val parts = split.rdd.getNumPartitions
+      assert(parts >= 4, s"fcs fixed-stride split did not engage: $parts partition(s)")
+      assert(split.count() == nEvents)
+      assert(split.except(whole).count() == 0 && whole.except(split).count() == 0,
+        "split scan produced different rows")
+    }
+  }
+
+  test("split aggregates are exact (integral floats, closed form)") {
+    withConf("spark.sql.files.maxPartitionBytes" -> "1048576",
+             "spark.sql.files.openCostInBytes" -> "16384") {
+      val r = read().agg(
+        count(lit(1)),
+        sum(col("FSC-A").cast("long")),
+        sum(col("TIME").cast("long"))).head
+      assert(r.getLong(0) == nEvents)
+      val expFsc = (0 until nEvents).map(i => ((i * 7) % 16381).toLong).sum
+      val expTime = (0 until nEvents).map(i => ((i * 7 + 15) % 16381).toLong).sum
+      assert(r.getLong(1) == expFsc, s"FSC-A sum ${r.getLong(1)} != $expFsc")
+      assert(r.getLong(2) == expTime, s"TIME sum ${r.getLong(2)} != $expTime")
+    }
+  }
+}
