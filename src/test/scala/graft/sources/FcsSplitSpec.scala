@@ -80,6 +80,47 @@ class FcsSplitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("big-file header convention ($BEGINDATA, header offsets 0) reads and splits") {
+    // Past 99,999,999 bytes the 8-char header offset fields can't hold
+    // the DATA end, so real big FCS files zero them and carry
+    // $BEGINDATA/$ENDDATA in TEXT — the exact shape the split exists for.
+    val dir = graft.TestTmp.dir("fcs_split_begindata")
+    val f = new java.io.File(dir.toFile, "bd.fcs")
+    if (!f.exists()) {
+      val n = 50000
+      def textFor(begin: Long): String =
+        "/$PAR/6/$TOT/" + n + "/$DATATYPE/F/$BYTEORD/1,2,3,4" +
+          "/$P1S/FSC-A/$P2S/SSC-A/$P3S/FL1-A/$P4S/FL2-A/$P5S/FL3-A/$P6S/TIME" +
+          s"/$$BEGINDATA/$begin/$$ENDDATA/${begin + n.toLong * 24 - 1}/"
+      var dataStart = 58L + textFor(1000000L).length
+      dataStart = 58L + textFor(dataStart).length
+      val text = textFor(dataStart)
+      assert(58L + text.length == dataStart)
+      val textStart = 58
+      val textEnd = textStart + text.length - 1
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(f), 1 << 20))
+      out.writeBytes(f"FCS3.0    $textStart%8d$textEnd%8d${0}%8d${0}%8d${0}%8d${0}%8d")
+      out.writeBytes(text)
+      (0 until n).foreach { i =>
+        (0 until 6).foreach { p =>
+          out.writeInt(Integer.reverseBytes(java.lang.Float.floatToIntBits(
+            ((i * 7 + p * 3) % 16381).toFloat)))
+        }
+      }
+      out.close()
+    }
+    withConf("spark.sql.files.maxPartitionBytes" -> "262144",
+             "spark.sql.files.openCostInBytes" -> "16384") {
+      val df = spark.read.format("fcs").load(f.getAbsolutePath)
+      assert(df.rdd.getNumPartitions >= 3,
+        "BEGINDATA-located DATA segment must still split")
+      val r = df.agg(count(lit(1)), sum(col("FSC-A").cast("long"))).head
+      assert(r.getLong(0) == 50000)
+      assert(r.getLong(1) == (0 until 50000).map(i => ((i * 7) % 16381).toLong).sum)
+    }
+  }
+
   test("split aggregates are exact (integral floats, closed form)") {
     withConf("spark.sql.files.maxPartitionBytes" -> "1048576",
              "spark.sql.files.openCostInBytes" -> "16384") {
