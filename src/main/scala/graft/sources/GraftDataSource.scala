@@ -1502,7 +1502,7 @@ final class GraftPartitionReader(format: GraftFormat, dataSchema: StructType,
     val raw = fs.open(path)
     val compressed = Codecs.isCompressed(path.getName)
     val isSplit = c.start > 0 && !c.isBgzfChunk && !c.blockSplit &&
-      !c.recordSplit && !c.alignedSplit
+      !c.recordSplit && !c.alignedSplit && !c.containerSplit
     var resync: BgzfResyncInputStream = null
     val mkLines: () => ByteLineReader =
       if (c.recordSplit) {

@@ -29,10 +29,15 @@ object GenBankFormat extends GraftFormat {
   override def splittable: Boolean = true
 
   /** Record-start validation for split alignment: column-0 LOCUS keyword
-    * plus at least a name and one more token (`LOCUS <name> <len> bp ...`).
+    * followed by whitespace (tab-separated and short two-token LOCUS lines
+    * are real-world variants; requiring `LOCUS <name> <len> ...` silently
+    * dropped them in split mode while the whole-file '//'-grouping kept
+    * them — split vs unsplit row counts must never diverge). Body lines are
+    * indented, so a column-0 LOCUS keyword is unambiguous.
     */
   private def isRecordStart(l: String): Boolean =
-    l.startsWith("LOCUS ") && l.split("\\s+", 4).length >= 3
+    l.startsWith("LOCUS") &&
+      (l.length == 5 || l.charAt(5) == ' ' || l.charAt(5) == '\t')
 
   private val qualifierType = ArrayType(StructType(Seq(
     StructField("keys", StringType, nullable = false),

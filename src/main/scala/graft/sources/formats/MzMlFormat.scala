@@ -169,17 +169,90 @@ object MzMlFormat extends GraftFormat {
         }
       }
 
+      /** Byte inside a markup construct (comment/PI/CDATA/declaration);
+        * EOF there means the construct is unclosed — raise, don't drop.
+        */
+      private def rdIn(what: String): Int = {
+        val b = in.read()
+        if (b < 0) throw new java.io.EOFException(
+          s"mzml: unclosed $what at EOF (file cut mid-construct?)")
+        pos += 1
+        b
+      }
+
+      /** Consume through the multi-byte closer of a comment ("-->") or
+        * CDATA section ("]]>"); reads past `input.end` if needed — the
+        * construct belongs to the chunk owning its opener, like records.
+        */
+      private def skipUntil(closer: String, what: String): Unit = {
+        var k = 0
+        while (k < closer.length) {
+          val b = rdIn(what)
+          if (b == closer.charAt(k)) k += 1
+          else k = if (b == closer.charAt(0)) 1 else 0
+        }
+      }
+
+      /** Classify and consume a `<!…` construct: `<!--` comment, `<![`
+        * CDATA, else a declaration (DOCTYPE — absent from real mzML and
+        * SUPPORT_DTD is off, so naive skip-to-'>' suffices).
+        */
+      private def skipBang(): Unit = {
+        val b = rdIn("'<!' construct")
+        if (b == '-') {
+          if (rdIn("comment") == '-') skipUntil("-->", "comment")
+          // "<!-x": not a comment opener; malformed XML — let the scan go on
+        } else if (b == '[') skipUntil("]]>", "CDATA section")
+        else { var c = b; while (c != '>') c = rdIn("'<!' declaration") }
+      }
+
       /** Bytes of the next owned spectrum element, or null when the next
         * start tag begins at/after `end` (or EOF).
+        *
+        * Markup-aware: XML only forbids unescaped '<' in text and
+        * attribute values — a '<spectrum' inside a comment, processing
+        * instruction, CDATA section, or '<!' declaration is NOT a record
+        * start, so those constructs are consumed whole (through their
+        * closer, past `input.end` if the opener is owned — same ownership
+        * convention as records). A comment/CDATA CLOSER met in content
+        * state on a mid-file chunk means the construct spans the cut and
+        * this chunk woke up inside it, where any '<spectrum' already seen
+        * could be a phantom — raised loudly instead of diverging from the
+        * whole-file rows. (A construct so large it swallows entire chunks
+        * would evade the tripwire; machine-written mzML has no comments at
+        * all, and the closer check costs nothing.)
         */
       private def nextFragment(): Array[Byte] = {
         var k = 0
+        var cm = 0 // "-->" progress in content state (spanning-comment tripwire)
+        var cd = 0 // "]]>" progress in content state (spanning-CDATA tripwire)
         while (true) {
           if (pos - k >= input.end) return null // no owned start can follow
           val b = in.read()
           if (b < 0) return null
           pos += 1
-          if (k < Pat.length) {
+          if (from > 0) {
+            if (b == '-') cm = math.min(cm + 1, 2)
+            else {
+              if (b == '>' && cm == 2) throw new java.io.IOException(
+                "mzml: comment closer '-->' with no opener in this chunk — " +
+                "a comment spans the split cut; disable splitting for this file")
+              cm = 0
+            }
+            if (b == ']') cd = math.min(cd + 1, 2)
+            else {
+              if (b == '>' && cd == 2) throw new java.io.IOException(
+                "mzml: CDATA closer ']]>' with no opener in this chunk — " +
+                "a CDATA section spans the split cut; disable splitting for this file")
+              cd = 0
+            }
+          }
+          if (k == 1 && (b == '!' || b == '?')) {
+            // '<!' or '<?': consume the whole non-element construct so
+            // '<spectrum' inside it is never taken as a record start
+            if (b == '!') skipBang() else skipUntil("?>", "processing instruction")
+            k = 0; cm = 0; cd = 0
+          } else if (k < Pat.length) {
             if (b == Pat.charAt(k)) k += 1
             else k = if (b == '<') 1 else 0
           } else {

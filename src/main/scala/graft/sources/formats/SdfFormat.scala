@@ -103,17 +103,26 @@ object SdfFormat extends GraftFormat {
       private def atRecordStart(): Boolean = {
         val p0 = lines.nextLineStart
         if (p0 <= 0) return true
-        val n = math.min(80L, p0).toInt
-        val b = new Array[Byte](n)
-        try input.stream.asInstanceOf[org.apache.hadoop.fs.FSDataInputStream]
-          .readFully(p0 - n, b, 0, n)
-        catch { case _: Exception => return false }
-        var e = n
-        if (e > 0 && b(e - 1) == '\n') e -= 1
-        var s0 = e
-        while (s0 > 0 && b(s0 - 1) != '\n') s0 -= 1
-        new String(b, s0, e - s0,
-          java.nio.charset.StandardCharsets.UTF_8).trim == "$$$$"
+        var n = math.min(80L, p0).toInt
+        while (true) {
+          val b = new Array[Byte](n)
+          try input.stream.asInstanceOf[org.apache.hadoop.fs.FSDataInputStream]
+            .readFully(p0 - n, b, 0, n)
+          catch { case _: Exception => return false }
+          var e = n
+          if (e > 0 && b(e - 1) == '\n') e -= 1
+          var s0 = e
+          while (s0 > 0 && b(s0 - 1) != '\n') s0 -= 1
+          // only judge a COMPLETE previous line: if the window holds no
+          // '\n' and doesn't reach the file start, the line is longer than
+          // the window — a whitespace+'$$$$' line TAIL must not be misread
+          // as a terminator. Grow and re-read instead.
+          if (s0 > 0 || n.toLong >= p0)
+            return new String(b, s0, e - s0,
+              java.nio.charset.StandardCharsets.UTF_8).trim == "$$$$"
+          n = math.min(p0, n.toLong * 4).toInt
+        }
+        false
       }
 
       // mid-record landing: the record we cut belongs to the previous

@@ -402,7 +402,9 @@ class S3HttpFileSystem extends FileSystem {
     }
 
     // ---- range-ignoring-server fallback (see read(position,...) above) ----
-    private var rangeIgnored = false
+    // volatile: read unsynchronized by concurrent positioned reads; without
+    // it two threads can each miss the flip and issue a full-object GET
+    @volatile private var rangeIgnored = false
     private var fpIn: InputStream = _
     private var fpConn: HttpURLConnection = _
     private var fpPos = 0L

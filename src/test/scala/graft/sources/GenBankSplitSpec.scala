@@ -107,6 +107,39 @@ class GenBankSplitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  // Real-world LOCUS variants: tab-separated fields and a bare two-token
+  // `LOCUS <name>` line. The whole-file '//'-grouping keeps such records;
+  // split alignment must too — requiring `LOCUS <name> <len> ...` with
+  // spaces silently dropped them only when the split plan engaged.
+  test("tab-separated and two-token LOCUS lines survive the split") {
+    val dir = graft.TestTmp.dir("genbank_split_locus")
+    val f = new java.io.File(dir.toFile, "variants.gb")
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    val n = 3000
+    (0 until n).foreach { k =>
+      if (k % 3 == 0) w.write(s"LOCUS\tSEQ$k\t100 bp\tDNA\tlinear\tCON 24-APR-2019\n")
+      else if (k % 3 == 1) w.write(s"LOCUS SEQ$k\n") // bare two-token
+      else w.write(f"LOCUS       SEQ$k%d             100 bp    DNA     linear   CON 24-APR-2019\n")
+      w.write(s"ACCESSION   A$k%06d\n")
+      w.write("ORIGIN\n")
+      w.write(f"${1}%9d ${"acgt" * 15}\n")
+      w.write("//\n")
+    }
+    w.close()
+    val whole = read(f.getAbsolutePath)
+    assert(whole.rdd.getNumPartitions == 1)
+    assert(whole.count() == n)
+    withConf("spark.sql.files.maxPartitionBytes" -> "16384",
+             "spark.sql.files.openCostInBytes" -> "1024") {
+      val split = read(f.getAbsolutePath)
+      assert(split.rdd.getNumPartitions >= 4,
+        s"no fan-out: ${split.rdd.getNumPartitions}")
+      assert(split.count() == n,
+        "LOCUS-variant records dropped by split alignment")
+      assert(split.except(whole).count() == 0 && whole.except(split).count() == 0)
+    }
+  }
+
   test("plain-gzip copy stays one task, same rows") {
     val gz = new java.io.File(gbFile.getParentFile, "release.gb.gz")
     if (!gz.exists()) {

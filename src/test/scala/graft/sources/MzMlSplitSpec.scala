@@ -125,6 +125,83 @@ class MzMlSplitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  // A commented-out spectrum and a '<spectrum' inside a processing
+  // instruction are NOT records: the whole-file StAX path never sees them,
+  // so the raw-byte resync scan must not either (XML allows '<' in
+  // comments/PIs — only text and attribute values forbid it).
+  test("'<spectrum' inside comments and PIs yields no phantom rows in split mode") {
+    val dir = graft.TestTmp.dir("mzml_split_comment")
+    val f = new java.io.File(dir.toFile, "commented.mzML")
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    val n = 800
+    w.write("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<mzML><run><spectrumList>\n")
+    (0 until n).foreach { i =>
+      if (i % 50 == 0) {
+        // a full well-formed spectrum element, commented out
+        w.write(s"""<!-- disabled: <spectrum id="phantom_c$i" index="$i" """ +
+          s"""defaultArrayLength="0"></spectrum> -->\n""")
+        // and one inside a processing instruction
+        w.write(s"""<?vendor keep <spectrum id="phantom_p$i"/> ?>\n""")
+      }
+      w.write(s"""<spectrum id="scan=$i" index="$i" defaultArrayLength="0">""" +
+        s"""<cvParam accession="MS:1000511" name="ms level" value="${i % 3 + 1}"/>""" +
+        s"""<pad>${"x" * 600}</pad></spectrum>\n""")
+    }
+    w.write("</spectrumList></run></mzML>\n")
+    w.close()
+    def rd() = spark.read.format("mzml").load(f.getAbsolutePath)
+      .select(col("id"), col("cv_params")(0)("value").as("lvl"))
+    val whole = withConf("spark.sql.files.maxPartitionBytes" -> "1073741824",
+                         "spark.sql.files.openCostInBytes" -> "1073741824") {
+      val wdf = rd(); assert(wdf.rdd.getNumPartitions == 1); wdf
+    }
+    assert(whole.count() == n)
+    withConf("spark.sql.files.maxPartitionBytes" -> "65536",
+             "spark.sql.files.openCostInBytes" -> "1024") {
+      val split = rd()
+      assert(split.rdd.getNumPartitions >= 4,
+        s"resync split did not engage: ${split.rdd.getNumPartitions}")
+      assert(split.count() == n, "phantom rows from commented/PI spectra")
+      assert(split.except(whole).count() == 0 && whole.except(split).count() == 0)
+      assert(!split.select("id").collect().map(_.getString(0))
+        .exists(_.startsWith("phantom")), "phantom id surfaced")
+    }
+  }
+
+  // Namespace-prefixed documents stay whole-file: a '<mz:spectrum' fragment
+  // parsed alone would lose its namespace context, so resyncSplitSniff
+  // ('<mzML'/'<indexedmzML' unprefixed) must refuse to split them — with
+  // identical rows to prove the fallback is a plan change, not a data one.
+  test("namespace-prefixed mzML stays whole-file under split-forcing confs") {
+    val dir = graft.TestTmp.dir("mzml_split_prefixed")
+    val f = new java.io.File(dir.toFile, "prefixed.mzML")
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    val n = 500
+    w.write("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n")
+    w.write("<mz:mzML xmlns:mz=\"http://psi.hupo.org/ms/mzml\">" +
+      "<mz:run><mz:spectrumList>\n")
+    (0 until n).foreach { i =>
+      w.write(s"""<mz:spectrum id="scan=$i" index="$i" defaultArrayLength="0">""" +
+        s"""<mz:cvParam accession="MS:1000511" name="ms level" value="${i % 3 + 1}"/>""" +
+        s"""<mz:pad>${"y" * 400}</mz:pad></mz:spectrum>\n""")
+    }
+    w.write("</mz:spectrumList></mz:run></mz:mzML>\n")
+    w.close()
+    def rd() = spark.read.format("mzml").load(f.getAbsolutePath)
+      .select(col("id"), col("cv_params")(0)("value").as("lvl"))
+    val whole = withConf("spark.sql.files.maxPartitionBytes" -> "1073741824",
+                         "spark.sql.files.openCostInBytes" -> "1073741824") { rd() }
+    assert(whole.count() == n)
+    withConf("spark.sql.files.maxPartitionBytes" -> "65536",
+             "spark.sql.files.openCostInBytes" -> "1024") {
+      val df = rd()
+      assert(df.rdd.getNumPartitions == 1,
+        "prefixed document must refuse the split plan (fragments lose namespace context)")
+      assert(df.count() == n)
+      assert(df.except(whole).count() == 0 && whole.except(df).count() == 0)
+    }
+  }
+
   test("plain-gzip copy stays one task, same rows") {
     val gz = new java.io.File(mzFile.getParentFile, "big.mzML.gz")
     if (!gz.exists()) {

@@ -90,6 +90,44 @@ class SdfSplitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  // The lookback must judge the COMPLETE line before the cut: an 80-byte
+  // window over a longer line sees only its tail, and a tail of
+  // whitespace+'$$$$' was misread as a record terminator — the chunk then
+  // skipped the mid-record discard and emitted a garbage record from the
+  // remaining data items (the true owner also emits the real one).
+  test("line longer than the lookback window ending in spaces+'$$$$' is not a terminator") {
+    val dir = graft.TestTmp.dir("sdf_split_longline")
+    val f = new java.io.File(dir.toFile, "long.sdf")
+    val longLine = "y" * 110 + " " * 80 + "$$$$" // 194 chars, tail trims to "$$$$"
+    def rec(k: Int): String =
+      f"MOL$k%05d\n  SYNTH\ncomment\n" +
+        "  2  1  0  0  0  0  0  0  0  0999 V2000\n" +
+        "    0.0000    0.0000    0.0000 C\n" +
+        "    1.0000    0.0000    0.0000 O\n" +
+        "  1  2  1  0\nM  END\n" +
+        s"> <longv>\n$longLine\n\n" +
+        f"> <id>\n$k%05d\n\n$$$$$$$$\n"
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    val l0 = rec(0).length
+    (0 until 2000).foreach { k =>
+      val t = rec(k); assert(t.length == l0); w.write(t)
+    }
+    w.close()
+    val longOff = rec(0).indexOf(longLine)
+    val whole = read(f.getAbsolutePath)
+    assert(whole.count() == 2000)
+    // first cut lands 100 bytes into record 300's long line: the first
+    // complete line of the next chunk is the blank after it, and the
+    // lookback judges the long line
+    withConf("spark.sql.files.maxPartitionBytes" -> (300 * l0 + longOff + 100).toString,
+             "spark.sql.files.openCostInBytes" -> "1024") {
+      val split = read(f.getAbsolutePath)
+      assert(split.rdd.getNumPartitions >= 3, "no fan-out")
+      assert(split.count() == 2000, "garbage record from a misread line tail")
+      assert(split.except(whole).count() == 0 && whole.except(split).count() == 0)
+    }
+  }
+
   test("split rows parse fully: counts and data items exact") {
     withConf("spark.sql.files.maxPartitionBytes" -> "65536",
              "spark.sql.files.openCostInBytes" -> "1024") {
