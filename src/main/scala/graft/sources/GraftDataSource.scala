@@ -821,6 +821,13 @@ final class GraftScan(table: GraftTable, required: StructType, partFilters: Arra
       if (!hadoopConf.getBoolean(
           s"graft.${table.format.shortName}.resyncSplit.enabled", true))
         return None
+      // index-sibling veto OUTSIDE the sniff cache: a .crai dropped next to
+      // an already-planned file must flip the NEXT scan to the indexed
+      // path, not wait for (path, mtime, len) cache eviction
+      if (table.format.resyncIndexSibling(st.getPath).exists(ip =>
+          try st.getPath.getFileSystem(hadoopConf).exists(ip)
+          catch { case _: Exception => false }))
+        return None
       val ok = GraftScan.cachedContainerSniff(st) {
         try table.format.resyncSplitSniff(
           st.getPath.getFileSystem(hadoopConf), st.getPath)

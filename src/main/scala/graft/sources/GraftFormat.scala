@@ -87,12 +87,23 @@ trait GraftFormat extends Serializable {
   def containerResync: Boolean = false
 
   /** One small driver read deciding whether THIS file supports the
-    * raw-cut resync split (magic check; absence of an index sibling whose
-    * exact cuts would be better). Memoized per (path, mtime, len) by the
-    * planner, so it must not depend on tunables.
+    * raw-cut resync split (magic check). Memoized per (path, mtime, len) by
+    * the planner, so it must not depend on tunables — nor on anything
+    * OUTSIDE the file: an index sibling's existence goes in
+    * [[resyncIndexSibling]], which the planner checks uncached (the sibling
+    * can appear without the data file's mtime/len changing).
     */
   def resyncSplitSniff(fs: org.apache.hadoop.fs.FileSystem,
                        path: org.apache.hadoop.fs.Path): Boolean = false
+
+  /** Index sibling whose EXISTENCE vetoes the resync split for `path`
+    * (CRAM's `.crai` — exact cuts through [[alignedCutOffsets]] beat
+    * resync). Checked by the planner on every plan, outside the sniff
+    * cache: a sibling dropped next to an already-planned file must switch
+    * the next scan to the indexed path, not wait for cache eviction.
+    */
+  def resyncIndexSibling(path: org.apache.hadoop.fs.Path)
+      : Option[org.apache.hadoop.fs.Path] = None
 
   /** Ascending raw-byte offsets of self-delimiting container/record starts
     * usable as cut points for a whole-file split of one big file (CRAM

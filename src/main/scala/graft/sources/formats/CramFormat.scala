@@ -33,12 +33,18 @@ class CramFormat(refPath: Option[String],
   // driver cuts at raw offsets in O(1) — no per-container driver I/O
   override def containerResync: Boolean = true
 
-  /** CRAM 3.x magic and NO `.crai` sibling — an index gives exact cuts
-    * through alignedCutOffsets, which the planner prefers by this refusal.
+  /** A `.crai` sibling vetoes resync — the index gives exact cuts through
+    * alignedCutOffsets. Checked uncached by the planner (the sibling can
+    * appear after this file was first planned).
+    */
+  override def resyncIndexSibling(path: org.apache.hadoop.fs.Path)
+      : Option[org.apache.hadoop.fs.Path] = Some(CraiIndex.craiPath(path))
+
+  /** CRAM 3.x magic (the `.crai` veto lives in [[resyncIndexSibling]],
+    * outside the sniff cache).
     */
   override def resyncSplitSniff(fs: org.apache.hadoop.fs.FileSystem,
                                 path: org.apache.hadoop.fs.Path): Boolean = {
-    if (fs.exists(CraiIndex.craiPath(path))) return false
     val in = fs.open(path)
     try {
       val b = new Array[Byte](6)

@@ -51,12 +51,15 @@ class CramResyncSplitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  /** One-shard sorted UNINDEXED CRAM through the engine's own sink: 10k
-    * records, 200 per container -> ~50 data containers, `.crai` deleted.
+  /** One-shard sorted CRAM through the engine's own sink; `.crai` deleted
+    * unless `keepCrai`. Parameterized over records-per-container: 200
+    * gives the many-small-containers shape, ~10000 the REALISTIC one
+    * (real CRAMs carry ~1-5 MB containers whose headers outgrow the
+    * sweep's read-ahead window — the shape that degraded the r12 sweep).
     */
-  private lazy val cramFile: java.io.File = {
-    val dir = graft.TestTmp.dir("cram_resync_split").toString + "/t"
-    val n = 10000L
+  private def mkCram(dirName: String, n: Long, perContainer: Int,
+                     keepCrai: Boolean = false): java.io.File = {
+    val dir = graft.TestTmp.dir(dirName).toString + "/t"
     val refs = (0 until 4).map(i => s"chr$i:40000000").mkString(",")
     spark.range(0, n).select(
         concat(lit("r"), col("id")).as("name"),
@@ -74,12 +77,23 @@ class CramResyncSplitSpec extends AnyFunSuite with SharedSpark {
       .repartitionByRange(1, col("reference"), col("start"))
       .sortWithinPartitions("reference", "start")
       .write.format("cram").mode("overwrite")
-      .option("refs", refs).option("containerRecords", "200").save(dir)
-    new java.io.File(dir).listFiles()
+      .option("refs", refs).option("containerRecords", perContainer.toString)
+      .save(dir)
+    if (!keepCrai) new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".crai")).foreach(f => assert(f.delete()))
     new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".cram")).minBy(_.getName)
   }
+
+  /** 10k records, 200/container -> ~50 small data containers. */
+  private lazy val cramFile: java.io.File =
+    mkCram("cram_resync_split", 10000L, 200)
+
+  /** 40k records, 10000/container -> 4 big data containers, each far past
+    * the sweep's 64 KiB read-ahead window — the realistic shape.
+    */
+  private lazy val bigContainerCram: java.io.File =
+    mkCram("cram_resync_split_big", 40000L, 10000)
 
   private def read(path: String): DataFrame =
     spark.read.format("cram").load(path)
@@ -180,6 +194,110 @@ class CramResyncSplitSpec extends AnyFunSuite with SharedSpark {
         v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
       }
     }
+  }
+
+  private def chunksOf(df: DataFrame): Seq[FileChunk] =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.batch.planInputPartitions())
+      .collect { case g: GraftInputPartition => g }.flatMap(_.chunks)
+
+  test("realistic container shape (~10k records/container): resync and sweep arms both exact") {
+    val whole = read(bigContainerCram.getAbsolutePath)
+    assert(whole.count() == 40000L)
+    // container starts (driver sweep on local disk) to size the assertions
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration()).getRaw
+    val cuts = new graft.sources.formats.CramFormat(None, Nil).alignedCutOffsets(
+      fs, new org.apache.hadoop.fs.Path(bigContainerCram.getAbsolutePath),
+      bigContainerCram.length())
+    assert(cuts != null && cuts.length <= 8,
+      s"fixture must have FEW BIG containers, sweep saw ${cuts.length}")
+    assert(bigContainerCram.length() / math.max(1, cuts.length) > 65536,
+      "containers must outgrow the sweep's 64 KiB window to be the realistic shape")
+    withConf("spark.sql.files.maxPartitionBytes" -> "65536",
+             "spark.sql.files.openCostInBytes" -> "4096") {
+      val split = read(bigContainerCram.getAbsolutePath)
+      assert(split.rdd.getNumPartitions >= 4,
+        s"resync split did not engage: ${split.rdd.getNumPartitions}")
+      assert(split.except(whole).count() == 0 && whole.except(split).count() == 0,
+        "resync rows differ at the big-container shape")
+      withHadoopConf("graft.cram.resyncSplit.enabled" -> "false") {
+        val sweep = read(bigContainerCram.getAbsolutePath)
+        assert(sweep.except(whole).count() == 0 && whole.except(sweep).count() == 0,
+          "sweep-fallback rows differ at the big-container shape")
+      }
+    }
+  }
+
+  test("realistic shape on S3: resync plans in O(1) GETs; sweep fallback SEEKS (O(containers), not O(bytes/window))") {
+    val s3 = new MiniS3().start()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val keys = Seq("fs.s3.impl", "fs.s3.endpoint", "fs.s3.impl.disable.cache")
+    val saved = keys.map(k => k -> Option(conf.get(k)))
+    conf.set("fs.s3.impl", classOf[graft.sources.s3.S3HttpFileSystem].getName)
+    conf.set("fs.s3.endpoint", s3.endpoint)
+    conf.set("fs.s3.impl.disable.cache", "true")
+    try {
+      s3.put("graft-bigc", "big.cram",
+        java.nio.file.Files.readAllBytes(bigContainerCram.toPath))
+      import scala.jdk.CollectionConverters._
+      def getsOn(key: String): Int = s3.requests.asScala
+        .count(r => r._1 == "GET" && r._2.endsWith(key))
+      withConf("spark.sql.files.maxPartitionBytes" -> "65536",
+               "spark.sql.files.openCostInBytes" -> "4096") {
+        val before = getsOn("big.cram")
+        assert(read("s3://graft-bigc/big.cram").rdd.getNumPartitions >= 4)
+        val resyncGets = getsOn("big.cram") - before
+        assert(resyncGets <= 2,
+          s"resync planning issued $resyncGets GETs at the realistic shape; must be O(1)")
+        withHadoopConf("graft.cram.resyncSplit.enabled" -> "false") {
+          val b2 = getsOn("big.cram")
+          assert(read("s3://graft-bigc/big.cram").rdd.getNumPartitions >= 2)
+          val sweepGets = getsOn("big.cram") - b2
+          // big containers: the windowed sweep must SEEK container to
+          // container (one ranged header read each), never stream every
+          // 64 KiB window of payload
+          val containers = 8
+          assert(sweepGets <= containers + 4,
+            s"sweep planning issued $sweepGets GETs; seeking bound is ${containers + 4}")
+          assert(sweepGets < bigContainerCram.length() / 65536,
+            s"sweep planning issued $sweepGets GETs — streamed the payload " +
+              s"instead of seeking (window count ${bigContainerCram.length() / 65536})")
+        }
+      }
+    } finally {
+      s3.stop()
+      saved.foreach { case (k, v) =>
+        v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+      }
+    }
+  }
+
+  test("a .crai appearing AFTER a resync plan flips the next scan to the indexed path") {
+    val f = mkCram("cram_resync_stale", 4000L, 100, keepCrai = true)
+    val crai = new java.io.File(f.getParentFile, f.getName + ".crai")
+    assert(crai.exists(), "sink must have written the .crai")
+    val hidden = new java.io.File(f.getParentFile, f.getName + ".crai.hidden")
+    assert(crai.renameTo(hidden))
+    try {
+      withConf("spark.sql.files.maxPartitionBytes" -> "32768",
+               "spark.sql.files.openCostInBytes" -> "4096") {
+        val first = chunksOf(read(f.getAbsolutePath))
+        assert(first.nonEmpty && first.forall(_.containerSplit),
+          "without the .crai the plan must be resync chunks")
+        assert(hidden.renameTo(crai)) // the index appears between two scans
+        val second = chunksOf(read(f.getAbsolutePath))
+        assert(second.nonEmpty && second.forall(c => !c.containerSplit),
+          "with the .crai present the next plan must leave the resync path " +
+            "(stale (path, mtime, len) sniff cache)")
+        assert(second.exists(_.alignedSplit),
+          "the .crai's exact cuts must drive an aligned split")
+        // and the indexed plan reads the same rows
+        val whole = read(f.getAbsolutePath)
+        assert(whole.count() == 4000L)
+      }
+    } finally { if (hidden.exists()) hidden.renameTo(crai) }
   }
 
   test("truncated unindexed cram under the resync split fails LOUDLY, never fewer rows") {
