@@ -345,45 +345,10 @@ object Bench {
     // common landing shape in the domain (sequencer output, bgzip, no
     // index possible for FASTQ at all). Decode parallelism comes purely
     // from the validated record-resync split (chained 4-line validation;
-    // FastqFormat.validateWindow). 2M records, md5-derived bases.
-    try {
-      if (!new java.io.File(fastqGzDir, "_done").exists()) {
-        val n = 2000000L
-        spark.range(0, n).select(
-            concat(lit("read"), col("id")).as("name"),
-            lit(null).cast("string").as("description"),
-            translate(substring(concat(md5(col("id").cast("string")),
-                md5((col("id") + n).cast("string")),
-                md5((col("id") + 2 * n).cast("string"))), 1, 90),
-              "0123456789abcdef", "ACGTACGTACGTACGT").as("sequence"),
-            concat(when(col("id") % 3 === 0, lit("@")).otherwise(lit("E")),
-              substring(translate(substring(concat(
-                  md5((col("id") + 3 * n).cast("string")),
-                  md5((col("id") + 4 * n).cast("string")),
-                  md5((col("id") + 5 * n).cast("string"))), 1, 90),
-                "0123456789abcdef", "!#$%&'()*+,-./:;"), 2, 89))
-              .as("quality_scores"))
-          .repartition(1)
-          .write.format("fastq").mode("overwrite").save(s"$fastqGzDir/sink")
-        val part = new java.io.File(s"$fastqGzDir/sink").listFiles()
-          .filter(_.getName.endsWith(".fastq")).head
-        val t = new java.io.File(fastqGzDir, "t")
-        t.mkdirs()
-        val gz = new java.io.File(t, "reads.fastq.gz")
-        val fos = new java.io.FileOutputStream(gz)
-        val w = new graft.sources.BgzfWriter(
-          new java.io.BufferedOutputStream(fos, 1 << 16))
-        val in = new java.io.BufferedInputStream(
-          new java.io.FileInputStream(part), 1 << 16)
-        try {
-          val buf = new Array[Byte](1 << 16)
-          var r = in.read(buf)
-          while (r > 0) { w.write(buf, 0, r); r = in.read(buf) }
-          w.finish()
-        } finally { in.close(); fos.close() }
-        new java.io.File(fastqGzDir, "_done").createNewFile()
-      }
-    } catch { case e: Throwable => recordErr("gen_fastqgz_corpus", e) }
+    // FastqFormat.validateWindow). 2M records, md5-derived bases; shared
+    // shape definition with the 10x SplitScale ratchet (Corpora).
+    try graft.tools.Corpora.writeUnindexedFastqBgzf(spark, fastqGzDir, 2000000L)
+    catch { case e: Throwable => recordErr("gen_fastqgz_corpus", e) }
 
     // b15 corpus: ONE bgzipped VCF with NO index sibling — the common
     // landing-zone shape (bgzip without tabix). Decode parallelism comes
@@ -523,7 +488,19 @@ object Bench {
     // finding #3: 5.5/5.4 s of the board's slowest entries were exact
     // countDistinct/percentile, not the sketches the queries demonstrate).
     val untimedExactAnchors = Set("q49_approx_distinct", "q55_approx_quantile")
+
+    // Selfcheck segmentation (r12 item #8): SPARK_GRAFT_BENCH_FILTER is a
+    // regex over entry names; non-matching query-pack entries and bench
+    // shapes are dropped from the warm-up and timed phases so the ritual
+    // can run as three shorter JVMs (e.g. '^[fbu]' / '^l' / '^[qs]') and
+    // pair spreads can be compared against the single-JVM board. Unset =
+    // full board; the driver's invocation is unchanged.
+    val entryFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    def wanted(name: String): Boolean =
+      entryFilter.forall(_.findFirstIn(name).isDefined)
     val queries = SparkEntry.queries.filterNot(kv => untimedExactAnchors(kv._1))
+      .filter(kv => wanted(kv._1))
+    val shapes = benchShapes.filter(kv => wanted(kv._1))
 
     // ----------------------------------------------------------------------
     // Self-defending timing: min-of-N cannot outwait a fully contended
@@ -613,7 +590,7 @@ object Bench {
     queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try forcePack(fn) catch { case _: Throwable => () }
     }
-    benchShapes.foreach { case (_, f) =>
+    shapes.foreach { case (_, f) =>
       try f() catch { case _: Throwable => () }
     }
     // Also pre-read the b07 scale corpus so the width-sweep sessions start
@@ -655,7 +632,7 @@ object Bench {
     // ----------------------------------------------------------------------
     // PHASE 4 — timed bench shapes (same warm-up + min-of-2 policy).
     // ----------------------------------------------------------------------
-    benchShapes.foreach { case (name, f) =>
+    shapes.foreach { case (name, f) =>
       try {
         f() // untimed warm-up rep, same policy as the query pack
         // min-of-3: most b-shapes finish in well under a second, where a
@@ -680,7 +657,10 @@ object Bench {
     // over the same (already warm) corpus.
     // ----------------------------------------------------------------------
     try {
-      if (new java.io.File(scaleDir, "_done").exists()) {
+      val sweepWanted = Seq("b07_fasta_scan_w1", "b14_bam_scan_w1",
+        "b15_vcfgz_scan_w1", "b16_bam_noindex_scan_w1",
+        "b17_cram_noindex_scan_w1", "b18_fastqgz_scan_w1").exists(wanted)
+      if (sweepWanted && new java.io.File(scaleDir, "_done").exists()) {
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
@@ -704,17 +684,19 @@ object Bench {
             s.conf.set("spark.sql.files.maxPartitionBytes", "48m")
           def scan(): Long = s.read.format("fasta").load(scaleDir)
             .agg(sum(length(col("sequence")))).collect().length.toLong
-          scan() // warm-up, same policy as the query pack
-          val t = timedEntry(3) { () =>
-            val t0 = System.nanoTime(); scan(); (System.nanoTime() - t0) / 1e9
+          if (wanted(s"b07_fasta_scan_w$w")) {
+            scan() // warm-up, same policy as the query pack
+            val t = timedEntry(3) { () =>
+              val t0 = System.nanoTime(); scan(); (System.nanoTime() - t0) / 1e9
+            }
+            details += s"b07_fasta_scan_w$w" -> t
+            results = results :+ (s"b07_fasta_scan_w$w" -> t.value)
           }
-          details += s"b07_fasta_scan_w$w" -> t
-          results = results :+ (s"b07_fasta_scan_w$w" -> t.value)
           // b14: the SAME width, over ONE ~190 MB sorted BAM — full binary
           // decode parallelised purely by the index-derived full-scan BGZF
           // splits (maxSplit tracks size/defaultParallelism, so each width
           // plans ~w chunks from one file with no conf override).
-          if (bam1Ready) {
+          if (bam1Ready && wanted(s"b14_bam_scan_w$w")) {
             try {
               def bamScan(): Long = s.read.format("bam").load(s"$bam1Dir/t")
                 .agg(sum(col("flag")), sum(length(col("sequence")))).collect().length.toLong
@@ -730,7 +712,7 @@ object Bench {
           // — binary decode parallelised purely by the index-free
           // record-resync split (BamFormat.resyncRecords). The b14-vs-b16
           // delta isolates what the index buys beyond split planning.
-          if (bamNoIdxReady) {
+          if (bamNoIdxReady && wanted(s"b16_bam_noindex_scan_w$w")) {
             try {
               def bamScanNi(): Long = s.read.format("bam")
                 .load(s"$bamNoIdxDir/t")
@@ -746,7 +728,7 @@ object Bench {
           // b17: the SAME width, over the b14 data as ONE unindexed CRAM —
           // container decode parallelised purely by the index-free aligned
           // container split (driver header-skipping sweep, no .crai).
-          if (cramReady) {
+          if (cramReady && wanted(s"b17_cram_noindex_scan_w$w")) {
             try {
               def cramScan(): Long = s.read.format("cram")
                 .load(s"$cramDir/t")
@@ -762,7 +744,7 @@ object Bench {
           // b18: the SAME width, over ONE unindexed bgzipped FASTQ — the
           // sequencer landing shape, parallelised purely by the validated
           // record-resync split (no index exists for FASTQ at all).
-          if (fastqGzReady) {
+          if (fastqGzReady && wanted(s"b18_fastqgz_scan_w$w")) {
             try {
               def fqScan(): Long = s.read.format("fastq")
                 .load(s"$fastqGzDir/t")
@@ -780,7 +762,7 @@ object Bench {
           // decode parallelised purely by the INDEX-FREE BGZF block split
           // (no .tbi exists; readers find block boundaries by validated
           // magic scan and align to lines).
-          if (vcfGzReady) {
+          if (vcfGzReady && wanted(s"b15_vcfgz_scan_w$w")) {
             try {
               def vcfScan(): Long = s.read.format("vcf")
                 .load(s"$vcfGzDir/calls.vcf.gz")

@@ -116,7 +116,6 @@ object MzMlFormat extends GraftFormat {
     val raw = input.stream.asInstanceOf[org.apache.hadoop.fs.FSDataInputStream]
     val from = math.max(0L, input.startOffset)
     raw.seek(from)
-    val in = new java.io.BufferedInputStream(raw, 1 << 16)
     val factory = XMLInputFactory.newInstance()
     factory.setProperty(XMLInputFactory.IS_COALESCING, true)
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
@@ -129,27 +128,57 @@ object MzMlFormat extends GraftFormat {
       private val Pat = "<spectrum"
       private var xml: XMLStreamReader = _
       private var nextRow: Array[Any] = _
+
+      // Unsynchronized scan I/O. The resync scan touches every chunk byte
+      // (and copies owned fragments) one byte at a time; through
+      // BufferedInputStream.read() + ByteArrayOutputStream.write() — both
+      // synchronized — those two per-byte monitor ops dominated the split
+      // arm (~2.8x at w16 on a 0.9 GB corpus where chunk count allowed
+      // ~16x; the whole-file StAX path reads in bulk and never pays them).
+      // A plain refill buffer + growable array keep the per-byte path
+      // monitor-free and JIT-inlineable.
+      private val rbuf = new Array[Byte](1 << 16)
+      private var rlen = 0
+      private var rpos = 0
+      private def nextByte(): Int = {
+        if (rpos >= rlen) {
+          rlen = raw.read(rbuf, 0, rbuf.length)
+          rpos = 0
+          if (rlen <= 0) { rlen = 0; return -1 }
+        }
+        val b = rbuf(rpos) & 0xff; rpos += 1; pos += 1; b
+      }
+      // batch buffer, reused across batches (the previous reader is closed
+      // and its ByteArrayInputStream exhausted before blen resets)
+      private var batch = new Array[Byte](1 << 20)
+      private var blen = 0
+      private def bput(b: Int): Unit = {
+        if (blen == batch.length)
+          batch = java.util.Arrays.copyOf(batch, blen << 1)
+        batch(blen) = b.toByte; blen += 1
+      }
+
       advance()
 
       /** Batch owned fragments under one synthetic root (~1 MiB per
         * reader): a reader per SPECTRUM costs ~parser-init per element,
         * which measurably dominated small-spectra scans (+60% on the b05
-        * shape); a reader per megabatch amortizes it to noise.
+        * shape); a reader per megabatch amortizes it to noise. Fragments
+        * are copied INTO the batch buffer directly (no per-fragment
+        * arrays).
         */
       private def nextBatchReader(): XMLStreamReader = {
-        val out = new java.io.ByteArrayOutputStream(1 << 20)
-        out.write('<'); out.write('r'); out.write('>')
+        blen = 0
+        bput('<'); bput('r'); bput('>')
         var any = false
         var done = false
-        while (!done && out.size < (1 << 20)) {
-          val frag = nextFragment()
-          if (frag == null) done = true
-          else { out.write(frag, 0, frag.length); any = true }
+        while (!done && blen < (1 << 20)) {
+          if (nextFragment()) any = true else done = true
         }
         if (!any) return null
-        out.write('<'); out.write('/'); out.write('r'); out.write('>')
+        bput('<'); bput('/'); bput('r'); bput('>')
         factory.createXMLStreamReader(
-          new java.io.ByteArrayInputStream(out.toByteArray))
+          new java.io.ByteArrayInputStream(batch, 0, blen))
       }
 
       private def advance(): Unit = {
@@ -173,10 +202,9 @@ object MzMlFormat extends GraftFormat {
         * EOF there means the construct is unclosed — raise, don't drop.
         */
       private def rdIn(what: String): Int = {
-        val b = in.read()
+        val b = nextByte()
         if (b < 0) throw new java.io.EOFException(
           s"mzml: unclosed $what at EOF (file cut mid-construct?)")
-        pos += 1
         b
       }
 
@@ -222,15 +250,14 @@ object MzMlFormat extends GraftFormat {
         * would evade the tripwire; machine-written mzML has no comments at
         * all, and the closer check costs nothing.)
         */
-      private def nextFragment(): Array[Byte] = {
+      private def nextFragment(): Boolean = {
         var k = 0
         var cm = 0 // "-->" progress in content state (spanning-comment tripwire)
         var cd = 0 // "]]>" progress in content state (spanning-CDATA tripwire)
         while (true) {
-          if (pos - k >= input.end) return null // no owned start can follow
-          val b = in.read()
-          if (b < 0) return null
-          pos += 1
+          if (pos - k >= input.end) return false // no owned start can follow
+          val b = nextByte()
+          if (b < 0) return false
           if (from > 0) {
             if (b == '-') cm = math.min(cm + 1, 2)
             else {
@@ -260,54 +287,55 @@ object MzMlFormat extends GraftFormat {
             // spectrum start tag; anything else ("<spectrumList") is not
             if (b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
                 b == '>' || b == '/') {
-              if (pos - Pat.length - 1 >= input.end) return null
-              return copyFragment(b)
+              if (pos - Pat.length - 1 >= input.end) return false
+              copyFragment(b)
+              return true
             }
             k = if (b == '<') 1 else 0
           }
         }
-        null
+        false
       }
 
-      private def rd(out: java.io.ByteArrayOutputStream): Int = {
-        val b = in.read()
+      private def rd(): Int = {
+        val b = nextByte()
         if (b < 0) throw new java.io.EOFException(
           "mzml: truncated spectrum element (file cut mid-record?)")
-        pos += 1
-        out.write(b)
+        bput(b)
         b
       }
 
-      /** Copy one spectrum element given the byte after `<spectrum`. */
-      private def copyFragment(delim: Int): Array[Byte] = {
-        val out = new java.io.ByteArrayOutputStream(1 << 12)
-        out.write(Pat.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-        out.write(delim)
+      /** Copy one spectrum element, given the byte after `<spectrum`, into
+        * the batch buffer.
+        */
+      private def copyFragment(delim: Int): Unit = {
+        var i = 0
+        while (i < Pat.length) { bput(Pat.charAt(i)); i += 1 }
+        bput(delim)
         if (delim != '>') {
           // finish the start tag (quote-aware: '>' and '/' are legal
           // inside attribute values); a '/' right before the closing '>'
           // is a self-closed empty spectrum
           var prev = delim
           var quote = 0
-          var b = rd(out)
+          var b = rd()
           while (b != '>' || quote != 0) {
             if (quote == 0 && (b == '"' || b == '\'')) quote = b
             else if (quote != 0 && b == quote) quote = 0
             prev = b
-            b = rd(out)
+            b = rd()
           }
-          if (prev == '/') return out.toByteArray
+          if (prev == '/') return
         }
         // copy through the matching close tag: nested <spectrum> elements
         // are not legal mzML, so the first "</spectrum>" closes ours
         val C = "</spectrum>"
         var k = 0
         while (k < C.length) {
-          val c = rd(out)
+          val c = rd()
           if (c == C.charAt(k)) k += 1
           else k = if (c == '<') 1 else 0
         }
-        out.toByteArray
       }
 
       override def hasNext: Boolean = nextRow != null

@@ -42,4 +42,52 @@ object Corpora {
       }
     new java.io.File(dir, "_done").createNewFile()
   }
+
+  /** ONE bgzipped FASTQ under `dir/t/reads.fastq.gz` (the b18 sequencer
+    * landing shape: bgzip, no index possible for FASTQ at all): `rows`
+    * records with 90-base md5-derived sequences and quality strings whose
+    * first char is '@' on every third record (the resync validator's
+    * adversarial case), written through the fastq sink then BGZF-
+    * recompressed. Guarded by a `_done` marker.
+    */
+  def writeUnindexedFastqBgzf(spark: SparkSession, dir: String, rows: Long): Unit = {
+    if (new java.io.File(dir, "_done").exists()) return
+    new java.io.File(dir).mkdirs()
+    val n = rows
+    spark.range(0, n).select(
+        concat(lit("read"), col("id")).as("name"),
+        lit(null).cast("string").as("description"),
+        translate(substring(concat(md5(col("id").cast("string")),
+            md5((col("id") + n).cast("string")),
+            md5((col("id") + 2 * n).cast("string"))), 1, 90),
+          "0123456789abcdef", "ACGTACGTACGTACGT").as("sequence"),
+        concat(when(col("id") % 3 === 0, lit("@")).otherwise(lit("E")),
+          substring(translate(substring(concat(
+              md5((col("id") + 3 * n).cast("string")),
+              md5((col("id") + 4 * n).cast("string")),
+              md5((col("id") + 5 * n).cast("string"))), 1, 90),
+            "0123456789abcdef", "!#$%&'()*+,-./:;"), 2, 89))
+          .as("quality_scores"))
+      .repartition(1)
+      .write.format("fastq").mode("overwrite").save(s"$dir/sink")
+    val part = new java.io.File(s"$dir/sink").listFiles()
+      .filter(_.getName.endsWith(".fastq")).head
+    val t = new java.io.File(dir, "t")
+    t.mkdirs()
+    val gz = new java.io.File(t, "reads.fastq.gz")
+    val fos = new java.io.FileOutputStream(gz)
+    val w = new graft.sources.BgzfWriter(
+      new java.io.BufferedOutputStream(fos, 1 << 16))
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(part), 1 << 16)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var r = in.read(buf)
+      while (r > 0) { w.write(buf, 0, r); r = in.read(buf) }
+      w.finish()
+    } finally { in.close(); fos.close() }
+    // the plain sink shard is scratch; the corpus is the bgzf copy
+    new java.io.File(s"$dir/sink").listFiles().foreach(_.delete())
+    new java.io.File(dir, "_done").createNewFile()
+  }
 }

@@ -27,7 +27,7 @@ object FormatSplitScale {
     }
 
     // ---- GenBank: 200k records (~10x f75) ----------------------------
-    val gb = gen("release.gb") { f =>
+    lazy val gb = gen("release.gb") { f =>
       val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
       val bases = "acgt" * 32
       (0 until 200000).foreach { k =>
@@ -50,7 +50,7 @@ object FormatSplitScale {
     }
 
     // ---- SDF: 300k molecules (~10x f76) ------------------------------
-    val sdf = gen("mols.sdf") { f =>
+    lazy val sdf = gen("mols.sdf") { f =>
       val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
       (0 until 300000).foreach { k =>
         w.write(f"MOL$k%06d\n  SYNTH\ncomment\n")
@@ -70,7 +70,7 @@ object FormatSplitScale {
     // TEXT (readMeta's fallback path — exercised here at the scale that
     // forces it). BEGINDATA depends on the text length which contains its
     // own digits: iterate to the fixpoint.
-    val fcs = gen("big.fcs") { f =>
+    lazy val fcs = gen("big.fcs") { f =>
       val nEv = 6000000
       def textFor(begin: Long): String =
         "/$PAR/8/$TOT/" + nEv + "/$DATATYPE/F/$BYTEORD/1,2,3,4" +
@@ -100,8 +100,12 @@ object FormatSplitScale {
       out.close()
     }
 
-    // ---- mzML: 80k spectra x 50 peaks (~10x f78) ----------------------
-    val mz = gen("big.mzML") { f =>
+    // ---- mzML: spectra x 50 peaks. Default 80k (~91 MB, ~10x f78); set
+    // GRAFT_SPLITSCALE2_MZML_N=800000 for the ~1 GB chunk-rich point where
+    // chunk count (not file count) carries the scaling claim — the 91 MB
+    // probe had only ~6 chunks at the 16 MiB split size.
+    val mzN = sys.env.getOrElse("GRAFT_SPLITSCALE2_MZML_N", "80000").toInt
+    lazy val mz = gen(if (mzN == 80000) "big.mzML" else s"big_$mzN.mzML") { f =>
       val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
       def b64zlib(vals: Array[Double]): String = {
         val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
@@ -116,7 +120,7 @@ object FormatSplitScale {
         java.util.Base64.getEncoder.encodeToString(out.toByteArray)
       }
       w.write("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<mzML><run><spectrumList>\n")
-      (0 until 80000).foreach { i =>
+      (0 until mzN).foreach { i =>
         val n = 50
         val mzv = Array.tabulate(n)(j => 100.0 + i % 7 + j * 9.97)
         val inten = Array.tabulate(n)(j => ((i * 31 + j * 17) % 10000).toDouble)
@@ -164,14 +168,24 @@ object FormatSplitScale {
         sum(expr("aggregate(intensity.intensity, 0D, (a, x) -> a + x)")))
       .collect().length.toLong
 
-    timed("genbank", oneTask = true)(genbankScan())
-    timed("genbank", oneTask = false)(genbankScan())
-    timed("sdf", oneTask = true)(sdfScan())
-    timed("sdf", oneTask = false)(sdfScan())
-    timed("fcs", oneTask = true)(fcsScan())
-    timed("fcs", oneTask = false)(fcsScan())
-    timed("mzml", oneTask = true)(mzScan())
-    timed("mzml", oneTask = false)(mzScan())
+    val only = sys.env.get("GRAFT_SPLITSCALE2_ONLY")
+    def wants(fam: String): Boolean = only.forall(_ == fam)
+    if (wants("genbank")) {
+      timed("genbank", oneTask = true)(genbankScan())
+      timed("genbank", oneTask = false)(genbankScan())
+    }
+    if (wants("sdf")) {
+      timed("sdf", oneTask = true)(sdfScan())
+      timed("sdf", oneTask = false)(sdfScan())
+    }
+    if (wants("fcs")) {
+      timed("fcs", oneTask = true)(fcsScan())
+      timed("fcs", oneTask = false)(fcsScan())
+    }
+    if (wants("mzml")) {
+      timed(s"mzml_$mzN", oneTask = true)(mzScan())
+      timed(s"mzml_$mzN", oneTask = false)(mzScan())
+    }
     s.stop()
   }
 }

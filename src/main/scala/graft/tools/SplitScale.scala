@@ -3,45 +3,80 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale ratchet for the index-free BGZF split: one UNINDEXED bgzipped
-  * VCF 10x the b15 corpus (20M rows, ~0.5 GB compressed), full-decoded at
-  * width 1 vs 32 — the per-byte-dominated regime where fixed costs can't
-  * flatter the curve. Run:
-  *
-  *   sbt "runMain graft.tools.SplitScale"
+/** Scale ratchet for the index-free BGZF splits: 10x-the-gate corpora,
+  * full-decoded at width 1 vs 32 — the per-byte-dominated regime where
+  * fixed costs can't flatter the curve. Two arms sharing the bench's
+  * corpus definitions (Corpora):
+  *   - vcf:   unindexed bgzipped VCF, 20M rows (~10x b15) — BGZF block
+  *            split + line alignment;
+  *   - fastq: unindexed bgzipped FASTQ, 20M records (~10x b18) —
+  *            validated 4-line record resync (no index exists for FASTQ).
+  * Run:
+  *   sbt "runMain graft.tools.SplitScale"            # both arms
+  *   GRAFT_SPLITSCALE_ONLY=fastq sbt "runMain graft.tools.SplitScale"
   */
 object SplitScale {
   def main(args: Array[String]): Unit = {
-    val dir = new java.io.File(
-      sys.env.getOrElse("GRAFT_SPLITSCALE_DIR", "/tmp/graft_sf1_vcfgz"))
-    dir.mkdirs()
-    if (!new java.io.File(dir, "_done").exists()) {
-      val s = graft.LocalSession.buildBench("32")
-      // the b15 corpus shape at 10x rows — one shared definition (Corpora)
-      Corpora.writeUnindexedVcfGz(s, dir.getAbsolutePath, 20000000L)
-      s.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-    }
-    val gz = new java.io.File(dir, "calls.vcf.gz")
-    println(f"corpus: ${gz.length() / 1e6}%.1f MB compressed, 20M rows, no index")
-    Seq("1", "32").foreach { w =>
-      val s = graft.LocalSession.buildBench(w)
-      // collect() the aggregate row — .count() over an agg lets Catalyst
-      // drop the unreferenced sums (r11 Bench honesty fix; this tool had
-      // the same bug, so its recorded r11 numbers timed inflate+skip)
-      def scan(): Long = s.read.format("vcf").load(gz.getAbsolutePath)
-        .agg(sum(col("pos")), sum(length(col("info")))).collect().length.toLong
-      scan() // warm-up
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); scan(); (System.nanoTime() - t0) / 1e9
+    val only = sys.env.get("GRAFT_SPLITSCALE_ONLY")
+    def wants(arm: String): Boolean = only.forall(_ == arm)
+
+    def run(corpus: java.io.File, label: String)(
+        scan: SparkSession => Long): Unit = {
+      println(f"corpus $label: ${corpus.length() / 1e6}%.1f MB compressed, no index")
+      Seq("1", "32").foreach { w =>
+        val s = graft.LocalSession.buildBench(w)
+        // collect() the aggregate row — .count() over an agg lets Catalyst
+        // drop the unreferenced sums (r11 Bench honesty fix; this tool had
+        // the same bug, so its recorded r11 numbers timed inflate+skip)
+        scan(s) // warm-up
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); scan(s); (System.nanoTime() - t0) / 1e9
+        }
+        val parts = s.read.format(if (label == "vcf") "vcf" else "fastq")
+          .load(corpus.getAbsolutePath).rdd.getNumPartitions
+        println(f"SPLITSCALE $label%-5s w$w%-2s parts=$parts min=${times.min}%.2f " +
+          s"reps=${times.map(t => f"$t%.2f").mkString(",")}")
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
       }
-      val parts = s.read.format("vcf").load(gz.getAbsolutePath).rdd.getNumPartitions
-      println(f"SPLITSCALE w$w%s parts=$parts min=${times.min}%.2f " +
-        s"reps=${times.map(t => f"$t%.2f").mkString(",")}")
-      s.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
+    }
+
+    if (wants("vcf")) {
+      val dir = new java.io.File(
+        sys.env.getOrElse("GRAFT_SPLITSCALE_DIR", "/tmp/graft_sf1_vcfgz"))
+      dir.mkdirs()
+      if (!new java.io.File(dir, "_done").exists()) {
+        val s = graft.LocalSession.buildBench("32")
+        Corpora.writeUnindexedVcfGz(s, dir.getAbsolutePath, 20000000L)
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+      val gz = new java.io.File(dir, "calls.vcf.gz")
+      run(gz, "vcf") { s =>
+        s.read.format("vcf").load(gz.getAbsolutePath)
+          .agg(sum(col("pos")), sum(length(col("info")))).collect().length.toLong
+      }
+    }
+
+    if (wants("fastq")) {
+      val dir = new java.io.File(
+        sys.env.getOrElse("GRAFT_SPLITSCALE_FASTQ_DIR", "/tmp/graft_sf1_fastqgz"))
+      dir.mkdirs()
+      if (!new java.io.File(dir, "_done").exists()) {
+        val s = graft.LocalSession.buildBench("32")
+        Corpora.writeUnindexedFastqBgzf(s, dir.getAbsolutePath, 20000000L)
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+      val gz = new java.io.File(dir, "t/reads.fastq.gz")
+      run(gz, "fastq") { s =>
+        s.read.format("fastq").load(gz.getAbsolutePath)
+          .agg(sum(length(col("sequence"))),
+            sum(length(col("quality_scores")))).collect().length.toLong
+      }
     }
   }
 }
