@@ -168,6 +168,115 @@ class S3ResyncSweepSpec extends AnyFunSuite with SharedSpark {
       }
     }
 
+  // --- r13 split-family fixtures (landing formats on object stores) ------
+
+  /** 6000-record GenBank flat file (~1.4 MB), LOCUS-aligned splits. */
+  private lazy val genbankFile: java.io.File = {
+    val dir = graft.TestTmp.dir("s3_resync_genbank")
+    val f = new java.io.File(dir.toFile, "release.gb")
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    val bases = "acgt" * 15
+    (0 until 6000).foreach { k =>
+      val n = 60
+      w.write(f"LOCUS       SEQ$k%d             $n%d bp    DNA     linear   CON 24-APR-2019\n")
+      w.write(f"ACCESSION   A$k%06d\n")
+      w.write("FEATURES             Location/Qualifiers\n")
+      w.write(s"     gene            1..$n\n")
+      w.write(s"""                     /locus_tag="LT$k"\n""")
+      w.write("ORIGIN\n")
+      w.write(f"${1}%9d $bases\n")
+      w.write("//\n")
+    }
+    w.close()
+    f
+  }
+
+  /** 4000 byte-identical SDF molecules, $$$$-aligned splits + lookback. */
+  private lazy val sdfFile: java.io.File = {
+    val dir = graft.TestTmp.dir("s3_resync_sdf")
+    val f = new java.io.File(dir.toFile, "mols.sdf")
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    (0 until 4000).foreach { k =>
+      w.write(f"MOL$k%05d\n  SYNTH\ncomment\n")
+      w.write("  2  1  0  0  0  0  0  0  0  0999 V2000\n")
+      w.write("    0.0000    0.0000    0.0000 C\n")
+      w.write("    1.0000    0.0000    0.0000 O\n")
+      w.write("  1  2  1  0\nM  END\n> <id>\n")
+      w.write(f"$k%05d\n\n")
+      w.write("$$$$\n")
+    }
+    w.close()
+    f
+  }
+
+  /** 300k-event x 6-param FCS (~7 MB), fixed-stride splits from the header. */
+  private lazy val fcsFile: java.io.File = {
+    val dir = graft.TestTmp.dir("s3_resync_fcs")
+    val f = new java.io.File(dir.toFile, "big.fcs")
+    val nEvents = 300000
+    val text = "/$PAR/6/$TOT/" + nEvents + "/$DATATYPE/F/$BYTEORD/1,2,3,4" +
+      "/$P1S/FSC-A/$P2S/SSC-A/$P3S/FL1-A/$P4S/FL2-A/$P5S/FL3-A/$P6S/TIME/"
+    val textStart = 58
+    val textEnd = textStart + text.length - 1
+    val dataStart = textStart + text.length
+    val dataEnd = dataStart + nEvents.toLong * 6 * 4 - 1
+    val header = f"FCS3.0    $textStart%8d$textEnd%8d$dataStart%8d$dataEnd%8d${0}%8d${0}%8d"
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f), 1 << 20))
+    out.writeBytes(header); out.writeBytes(text)
+    var i = 0
+    while (i < nEvents) {
+      var p = 0
+      while (p < 6) {
+        out.writeInt(Integer.reverseBytes(java.lang.Float.floatToIntBits(
+          ((i * 7 + p * 3) % 16381).toFloat)))
+        p += 1
+      }
+      i += 1
+    }
+    out.close()
+    f
+  }
+
+  /** 3000-spectra uncompressed mzML (~3 MB), spectrum-tag resync splits. */
+  private lazy val mzmlFile: java.io.File = {
+    val dir = graft.TestTmp.dir("s3_resync_mzml")
+    val f = new java.io.File(dir.toFile, "big.mzML")
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    def b64zlib(vals: Array[Double]): String = {
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(bb.array()); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(vals.length * 8)
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+    }
+    w.write("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<mzML><run><spectrumList>\n")
+    (0 until 3000).foreach { i =>
+      val n = 40
+      val mz = Array.tabulate(n)(j => 100.0 + i % 7 + j * 9.97)
+      val inten = Array.tabulate(n)(j => ((i * 31 + j * 17) % 10000).toDouble)
+      w.write(s"""<spectrum id="scan=$i" index="$i" defaultArrayLength="$n">""")
+      w.write("""<binaryDataArrayList count="2">""")
+      w.write("""<binaryDataArray><cvParam accession="MS:1000514" name="m/z array"/>""" +
+        """<cvParam accession="MS:1000523" name="64-bit float"/>""" +
+        """<cvParam accession="MS:1000574" name="zlib compression"/>""" +
+        s"<binary>${b64zlib(mz)}</binary></binaryDataArray>")
+      w.write("""<binaryDataArray><cvParam accession="MS:1000515" name="intensity array"/>""" +
+        """<cvParam accession="MS:1000523" name="64-bit float"/>""" +
+        """<cvParam accession="MS:1000574" name="zlib compression"/>""" +
+        s"<binary>${b64zlib(inten)}</binary></binaryDataArray>")
+      w.write("</binaryDataArrayList></spectrum>\n")
+    }
+    w.write("</spectrumList></run></mzML>\n")
+    w.close()
+    f
+  }
+
   // --- the three families ------------------------------------------------
 
   test("unindexed BAM record-resync split over S3: bounded ranged GETs, exact rows") {
@@ -183,5 +292,29 @@ class S3ResyncSweepSpec extends AnyFunSuite with SharedSpark {
   test("bgzipped FASTQ 4-line resync split over S3: bounded ranged GETs, exact rows") {
     sweepCase("fastq", fastqGzFile, "fastq", 262144L,
       _.select("name", "sequence", "quality_scores"))
+  }
+
+  // --- the r13 split families, same wire contract -------------------------
+
+  test("GenBank LOCUS-aligned split over S3: bounded ranged GETs, exact rows") {
+    sweepCase("genbank", genbankFile, "genbank", 131072L,
+      _.select(col("name"), col("accession"), length(col("sequence")).as("slen")))
+  }
+
+  test("SDF $$$$-aligned split (with lookback preads) over S3: bounded ranged GETs, exact rows") {
+    sweepCase("sdf", sdfFile, "sdf", 65536L,
+      _.select(col("header"), col("atom_count"), col("data")("id").as("id")))
+  }
+
+  test("FCS fixed-stride split over S3: bounded ranged GETs, exact rows") {
+    sweepCase("fcs", fcsFile, "fcs", 1048576L,
+      _.select(col("FSC-A"), col("TIME")))
+  }
+
+  test("mzML spectrum-tag resync split over S3: bounded ranged GETs, exact rows") {
+    sweepCase("mzml", mzmlFile, "mzml", 262144L,
+      _.select(col("id"), size(col("mz.mz")).as("n_mz"),
+        expr("CAST(aggregate(intensity.intensity, 0D, (a, x) -> a + x) AS LONG)")
+          .as("sum_inten")))
   }
 }
