@@ -90,10 +90,39 @@ object SdfFormat extends GraftFormat {
     out.toSeq
   }
 
+  // ---- span-based line classifiers (hot path; no String per line) ----
+  // String.trim strips chars <= U+0020; in UTF-8 those are exactly the
+  // bytes with unsigned value <= 0x20 (multi-byte chars set the high bit),
+  // so byte-level trim matches the String semantics the cold paths use.
+  @inline private def spanIsBlank(b: Array[Byte], off: Int, len: Int): Boolean = {
+    var i = off
+    val end = off + len
+    while (i < end && (b(i) & 0xFF) <= 0x20) i += 1
+    i == end
+  }
+
+  /** trimmed-line == "$$$$" on raw bytes. */
+  private def spanIsTerminator(b: Array[Byte], off: Int, len: Int): Boolean = {
+    var s = off
+    var e = off + len
+    while (s < e && (b(s) & 0xFF) <= 0x20) s += 1
+    while (e > s && (b(e - 1) & 0xFF) <= 0x20) e -= 1
+    e - s == 4 && b(s) == '$' && b(s + 1) == '$' && b(s + 2) == '$' && b(s + 3) == '$'
+  }
+
   override def records(input: RecordInput, schema: StructType,
                        required: Array[Int]): Iterator[Array[Any]] =
     new Iterator[Array[Any]] {
       private val dataFields = schema.fields(3).dataType.asInstanceOf[StructType].fieldNames
+      private val dataFieldIdx: java.util.HashMap[String, Integer] = {
+        val m = new java.util.HashMap[String, Integer]()
+        var i = 0
+        while (i < dataFields.length) { m.put(dataFields(i), i); i += 1 }
+        m
+      }
+      private val needHeader = required.contains(0)
+      private val needCounts = required.contains(1) || required.contains(2)
+      private val needData = required.contains(3)
       private val lines = input.lines // mid-split: seek + partial-line discard
 
       /** True when the first complete line of this chunk starts a record —
@@ -128,38 +157,136 @@ object SdfFormat extends GraftFormat {
       // mid-record landing: the record we cut belongs to the previous
       // chunk (it reads past its bound) — discard through its terminator
       if (input.isMidFileSplit && !atRecordStart()) {
-        var l = lines.readLine()
-        while (l != null && l.trim != "$$$$") l = lines.readLine()
+        var discarding = true
+        while (discarding && lines.readLineSpan()) {
+          if (spanIsTerminator(lines.lineBytes, lines.lineOff, lines.lineLen))
+            discarding = false
+        }
+      }
+
+      private val valBuf = new ByteArrayBuilder(256)
+
+      /** Next record as the 4 declared columns (sparse by the need flags);
+        * null at EOF. Streaming over line SPANS: a line is materialized
+        * only when it carries output (the first four raw lines for
+        * header/counts, data-item key lines; value lines copy bytes, never
+        * build a java String) — atom/bond block lines, the dominant line
+        * class of a real molecule, never allocate. Semantics mirror the
+        * cold-path readRecordLines + parseDataItems pair exactly: all-blank
+        * groups are skipped, a '>' line opens value accumulation whether or
+        * not its key is a schema field (the value lines are CONSUMED either
+        * way, so one can't start a new item), a value is the raw lines
+        * concatenated without separator ending at the first blank line or
+        * record end, and a duplicate key's last occurrence wins.
+        */
+      private def parseRecord(): Array[Any] = {
+        val utf8cs = java.nio.charset.StandardCharsets.UTF_8
+        while (true) {
+          var idx = 0
+          var sawAny = false
+          var sawNonBlank = false
+          var terminated = false
+          var h0, h1, h2, countsLine: String = null
+          val dataVals: Array[Any] =
+            if (needData) new Array[Any](dataFields.length) else null
+          var valueIdx = -2 // -2 = not accumulating; -1 = key not in schema
+          valBuf.reset()
+          var done = false
+          while (!done && lines.readLineSpan()) {
+            sawAny = true
+            val b = lines.lineBytes; val o = lines.lineOff; val n = lines.lineLen
+            if (spanIsTerminator(b, o, n)) { terminated = true; done = true }
+            else {
+              val blank = spanIsBlank(b, o, n)
+              if (!blank) sawNonBlank = true
+              if (idx < 4 && (needHeader || needCounts)) {
+                lazy val s = new String(b, o, n, utf8cs)
+                if (idx < 3) { if (needHeader) { val v = s
+                  if (idx == 0) h0 = v else if (idx == 1) h1 = v else h2 = v } }
+                else if (needCounts) countsLine = s
+              }
+              if (needData) {
+                if (valueIdx != -2) {
+                  if (blank) {
+                    if (valueIdx >= 0)
+                      dataVals(valueIdx) = UTF8String.fromBytes(valBuf.toArray)
+                    valueIdx = -2
+                  } else valBuf.append(b, o, n)
+                } else if (n > 0 && b(o) == '>') {
+                  // leftmost "<key>": first '<', first '>' after it — the
+                  // non-greedy regex the cold path uses finds exactly this
+                  var i0 = o; val end = o + n
+                  while (i0 < end && b(i0) != '<') i0 += 1
+                  var i1 = i0 + 1
+                  while (i1 < end && b(i1) != '>') i1 += 1
+                  if (i0 < end && i1 < end) {
+                    val key = new String(b, i0 + 1, i1 - i0 - 1, utf8cs)
+                    val ix = dataFieldIdx.get(key)
+                    valueIdx = if (ix == null) -1 else ix.intValue
+                    valBuf.reset()
+                  }
+                }
+              }
+              idx += 1
+            }
+          }
+          if (!sawAny) return null // EOF before any line
+          if (valueIdx != -2 && valueIdx >= 0)
+            dataVals(valueIdx) = UTF8String.fromBytes(valBuf.toArray)
+          if (sawNonBlank) {
+            val full = new Array[Any](4)
+            if (needHeader) {
+              val sb = new java.lang.StringBuilder()
+              var first = true
+              var k = 0
+              while (k < 3) {
+                val h = if (k == 0) h0 else if (k == 1) h1 else h2
+                if (h != null) {
+                  val t = h.trim
+                  if (t.nonEmpty) { if (!first) sb.append('\n'); sb.append(t); first = false }
+                }
+                k += 1
+              }
+              full(0) = utf8(sb.toString)
+            }
+            if (needCounts) {
+              full(1) = countsAt(countsLine, idx, 0)
+              full(2) = countsAt(countsLine, idx, 1)
+            }
+            if (needData) full(3) = new GenericInternalRow(dataVals)
+            return full
+          }
+          // all-blank group: a gap between records — skip it; at EOF the
+          // stream is done (cold-path parity: readRecordLines' blank-tail
+          // recursion, which does NOT re-check split ownership)
+          if (!terminated) return null
+        }
+        null // unreachable
       }
 
       /** Next record whose first byte this chunk owns, or null. */
-      private def nextOwnedRecord(): Array[String] =
-        if (lines.nextLineStart >= input.end) null
-        else readRecordLines(lines)
+      private def nextOwned(): Array[Any] =
+        if (lines.nextLineStart >= input.end) null else parseRecord()
 
-      private var rec: Array[String] = nextOwnedRecord()
+      private var pending: Array[Any] = nextOwned()
 
-      override def hasNext: Boolean = rec != null
+      override def hasNext: Boolean = pending != null
 
       override def next(): Array[Any] = {
-        val r = rec
-        rec = nextOwnedRecord()
-        val out = required.map {
-          case 0 =>
-            utf8(r.take(3).iterator.map(_.trim).filter(_.nonEmpty).mkString("\n"))
-          case 1 => countsAt(r, 0)
-          case 2 => countsAt(r, 1)
-          case 3 =>
-            val items = parseDataItems(r).toMap
-            new GenericInternalRow(
-              dataFields.map(k => items.get(k).map(utf8(_): Any).orNull): Array[Any])
-        }
+        val full = pending
+        pending = nextOwned()
+        val out = new Array[Any](required.length)
+        var i = 0
+        while (i < required.length) { out(i) = full(required(i)); i += 1 }
         out
       }
 
-      private def countsAt(r: Array[String], which: Int): Any = {
-        if (r.length < 4) return null
-        val line = r(3)
+      /** Counts-line field `which` (0 = atoms, 1 = bonds) from the record's
+        * 4th raw line; null when the record has fewer than 4 lines or the
+        * fixed-width field doesn't parse.
+        */
+      private def countsAt(line: String, nLines: Int, which: Int): Any = {
+        if (nLines < 4 || line == null) return null
         val lo = which * 3; val hi = lo + 3
         if (line.length < hi) null
         else {

@@ -26,11 +26,15 @@ object FormatSplitScale {
       f
     }
 
-    // ---- GenBank: 200k records (~10x f75) ----------------------------
-    lazy val gb = gen("release.gb") { f =>
+    // ---- GenBank: 200k records (~10x f75, ~52 MB ≈ 3 chunks at the
+    // 16 MiB probe split — chunk-starved). GRAFT_SPLITSCALE2_GENBANK_N=
+    // 2000000 gives the ~520 MB / ~32-chunk point where chunk count
+    // carries the scaling claim.
+    val gbN = sys.env.getOrElse("GRAFT_SPLITSCALE2_GENBANK_N", "200000").toInt
+    lazy val gb = gen(if (gbN == 200000) "release.gb" else s"release_$gbN.gb") { f =>
       val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
       val bases = "acgt" * 32
-      (0 until 200000).foreach { k =>
+      (0 until gbN).foreach { k =>
         val n = 100 + (k % 7) * 10
         w.write(f"LOCUS       SEQ$k%d             $n%d bp    DNA     linear   CON 24-APR-2019\n")
         w.write(f"ACCESSION   A$k%06d\n")
@@ -49,10 +53,12 @@ object FormatSplitScale {
       w.close()
     }
 
-    // ---- SDF: 300k molecules (~10x f76) ------------------------------
-    lazy val sdf = gen("mols.sdf") { f =>
+    // ---- SDF: 300k molecules (~10x f76, ~53 MB — same chunk starvation
+    // as GenBank). GRAFT_SPLITSCALE2_SDF_N=3000000 for the chunk-rich arm.
+    val sdfN = sys.env.getOrElse("GRAFT_SPLITSCALE2_SDF_N", "300000").toInt
+    lazy val sdf = gen(if (sdfN == 300000) "mols.sdf" else s"mols_$sdfN.sdf") { f =>
       val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
-      (0 until 300000).foreach { k =>
+      (0 until sdfN).foreach { k =>
         w.write(f"MOL$k%06d\n  SYNTH\ncomment\n")
         w.write("  2  1  0  0  0  0  0  0  0  0999 V2000\n")
         w.write("    0.0000    0.0000    0.0000 C\n")
@@ -171,12 +177,12 @@ object FormatSplitScale {
     val only = sys.env.get("GRAFT_SPLITSCALE2_ONLY")
     def wants(fam: String): Boolean = only.forall(_ == fam)
     if (wants("genbank")) {
-      timed("genbank", oneTask = true)(genbankScan())
-      timed("genbank", oneTask = false)(genbankScan())
+      timed(s"genbank_$gbN", oneTask = true)(genbankScan())
+      timed(s"genbank_$gbN", oneTask = false)(genbankScan())
     }
     if (wants("sdf")) {
-      timed("sdf", oneTask = true)(sdfScan())
-      timed("sdf", oneTask = false)(sdfScan())
+      timed(s"sdf_$sdfN", oneTask = true)(sdfScan())
+      timed(s"sdf_$sdfN", oneTask = false)(sdfScan())
     }
     if (wants("fcs")) {
       timed("fcs", oneTask = true)(fcsScan())
