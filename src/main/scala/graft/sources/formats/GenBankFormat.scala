@@ -39,6 +39,28 @@ object GenBankFormat extends GraftFormat {
     l.startsWith("LOCUS") &&
       (l.length == 5 || l.charAt(5) == ' ' || l.charAt(5) == '\t')
 
+  /** trimmed-line == "//" without allocating the trim (every indented body
+    * line would otherwise allocate a copy just for this comparison).
+    */
+  private def isRecordTerminator(l: String): Boolean = {
+    var s = 0
+    var e = l.length
+    while (s < e && l.charAt(s) <= ' ') s += 1
+    while (e > s && l.charAt(e - 1) <= ' ') e -= 1
+    e - s == 2 && l.charAt(s) == '/' && l.charAt(s + 1) == '/'
+  }
+
+  private def isBlankLine(l: String): Boolean = {
+    var s = 0
+    val e = l.length
+    while (s < e && l.charAt(s) <= ' ') s += 1
+    s == e
+  }
+
+  // String.split("\\s+") recompiles the pattern on every call (the
+  // single-char fast path doesn't apply) — precompile once.
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   private val qualifierType = ArrayType(StructType(Seq(
     StructField("keys", StringType, nullable = false),
     StructField("values", StringType, nullable = true))), containsNull = false)
@@ -71,6 +93,8 @@ object GenBankFormat extends GraftFormat {
       // grouping (release-file preamble folds into record 1, where parse()
       // ignores unknown lines).
       private val split = input.isMidFileSplit || input.end != Long.MaxValue
+      private val needSequence = required.contains(0)
+      private val needFeatures = required.contains(14)
       private var rec: Array[String] = readRecord()
 
       /** Next record-start line whose first byte this chunk owns, or null.
@@ -91,14 +115,14 @@ object GenBankFormat extends GraftFormat {
           if (first == null) return null
           val buf = mutable.ArrayBuffer[String](first)
           var l = input.lines.readLine()
-          while (l != null && l.trim != "//") { buf += l; l = input.lines.readLine() }
+          while (l != null && !isRecordTerminator(l)) { buf += l; l = input.lines.readLine() }
           buf.toArray
         } else {
           val buf = mutable.ArrayBuffer[String]()
           var l = input.lines.readLine()
-          while (l != null && l.trim != "//") { buf += l; l = input.lines.readLine() }
+          while (l != null && !isRecordTerminator(l)) { buf += l; l = input.lines.readLine() }
           if (buf.isEmpty && l == null) null
-          else if (buf.forall(_.trim.isEmpty)) { if (l == null) null else readRecord() }
+          else if (buf.forall(isBlankLine)) { if (l == null) null else readRecord() }
           else buf.toArray
         }
       }
@@ -106,14 +130,21 @@ object GenBankFormat extends GraftFormat {
       override def hasNext: Boolean = rec != null
 
       override def next(): Array[Any] = {
-        val r = parse(rec)
+        val r = parse(rec, needSequence, needFeatures)
         rec = readRecord()
         required.map(r(_))
       }
     }
 
-  /** Parse one record's lines into values aligned with dataSchema. */
-  private def parse(lines: Array[String]): Array[Any] = {
+  /** Parse one record's lines into values aligned with dataSchema. The two
+    * expensive blocks — ORIGIN sequence assembly and the FEATURES
+    * struct-array build — are skipped when their column is pruned (the
+    * traversal is unchanged: their lines are indented, so skipping them
+    * wholesale advances `i` exactly as the per-line `case _` fallthrough
+    * would).
+    */
+  private def parse(lines: Array[String], needSequence: Boolean,
+                    needFeatures: Boolean): Array[Any] = {
     var name: String = null; var moleculeType: String = null
     var topology: String = "linear"; var division: String = null; var date: String = null
     var accession: String = null; var version: String = null; var keywords: String = null
@@ -139,10 +170,14 @@ object GenBankFormat extends GraftFormat {
 
     while (i < lines.length) {
       val line = lines(i)
-      val kw = if (line.length >= 2 && !line.startsWith(" ")) line.split("\\s+", 2)(0) else ""
+      val kw = if (line.length >= 2 && !line.startsWith(" ")) {
+        var e = 0
+        while (e < line.length && !Character.isWhitespace(line.charAt(e))) e += 1
+        line.substring(0, e)
+      } else ""
       kw match {
         case "LOCUS" =>
-          val t = line.split("\\s+").drop(1)
+          val t = WS.split(line).drop(1)
           if (t.nonEmpty) name = t(0)
           // e.g. LOCUS name 38658 bp DNA linear CON 24-APR-2019
           val rest = t.drop(1)
@@ -166,9 +201,12 @@ object GenBankFormat extends GraftFormat {
         case "CONTIG" => val (b, j) = sectionBody(i); contig = b; i = j
         case "FEATURES" =>
           i += 1
+          if (!needFeatures) {
+            while (i < lines.length && lines(i).startsWith(" ")) i += 1
+          } else
           while (i < lines.length && lines(i).startsWith("     ") && lines(i).length > 5) {
             // feature header: 5 spaces, kind, location (may continue)
-            val head = lines(i).trim.split("\\s+", 2)
+            val head = WS.split(lines(i).trim, 2)
             val kind = head(0)
             val loc = new java.lang.StringBuilder(if (head.length > 1) head(1) else "")
             i += 1
@@ -203,9 +241,27 @@ object GenBankFormat extends GraftFormat {
         case "ORIGIN" =>
           i += 1
           while (i < lines.length && lines(i).startsWith(" ")) {
-            val l = lines(i).trim
-            val sp = l.indexOf(' ')
-            if (sp > 0) sequence.append(l.substring(sp + 1).replace(" ", ""))
+            if (needSequence) {
+              // allocation-free rendering of the old
+              // `trim -> indexOf(' ') -> substring.replace(" ", "")` chain,
+              // char-exact: trimmed bounds, first SPACE ends the offset
+              // token, everything after it appends minus spaces.
+              val l = lines(i)
+              var s = 0
+              var e = l.length
+              while (s < e && l.charAt(s) <= ' ') s += 1
+              while (e > s && l.charAt(e - 1) <= ' ') e -= 1
+              var sp = s
+              while (sp < e && l.charAt(sp) != ' ') sp += 1
+              if (sp < e) {
+                var q = sp + 1
+                while (q < e) {
+                  val c = l.charAt(q)
+                  if (c != ' ') sequence.append(c)
+                  q += 1
+                }
+              }
+            }
             i += 1
           }
         case _ => i += 1
