@@ -1,0 +1,203 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.SharedSpark
+
+/** Randomized split-vs-whole invariance across every text split family.
+  *
+  * The per-format split specs sweep HANDCRAFTED cut offsets (every critical
+  * in-record position on byte-identical records). This spec is the breadth
+  * complement: records with seeded-RANDOM lengths and adversarial content —
+  * FASTQ quality lines opening with '@'/'+', SDF molecule names opening
+  * with '>', data values whose lines END in "$$$$", GenBank qualifier text
+  * containing the words LOCUS and "//", mzML attribute values containing
+  * '>' and self-closed spectra — then 4 random split sizes per format, each
+  * asserted row-identical (full-row to_json compare) against the whole-file
+  * plan. Content and cut sizes come from a fixed seed, so a failure
+  * reproduces exactly; anything this finds is a missing case for the
+  * format's own spec.
+  */
+class SplitFuzzSpec extends AnyFunSuite with SharedSpark {
+
+  private def withConf[T](kvs: (String, String)*)(body: => T): T = {
+    val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  private def writeFile(name: String, text: String): java.io.File = {
+    val dir = graft.TestTmp.dir("split_fuzz")
+    val f = new java.io.File(dir.toFile, name)
+    val w = new java.io.FileWriter(f)
+    w.write(text); w.close()
+    f
+  }
+
+  /** Whole-file rows == split rows at 4 seeded-random split sizes. The
+    * whole-file arm is MATERIALIZED (collected) before the conf changes —
+    * comparing against a lazy DataFrame would let it re-plan under the
+    * split conf and turn the check into split-vs-split.
+    */
+  private def assertInvariant(fmt: String, f: java.io.File, nRows: Long,
+                              rng: scala.util.Random): Unit = {
+    def read(): DataFrame =
+      spark.read.format(fmt).load(f.getAbsolutePath)
+        .selectExpr("to_json(struct(*)) AS row_json")
+    val whole = read()
+    assert(whole.rdd.getNumPartitions == 1, s"$fmt: corpus split at default conf")
+    val wholeRows = whole.collect().map(_.getString(0)).sorted
+    assert(wholeRows.length == nRows, s"$fmt: whole-file row count")
+    val size = f.length()
+    (1 to 4).foreach { _ =>
+      val target = size / 6 + rng.nextInt((size / 8).toInt).toLong
+      withConf(
+        "spark.sql.files.maxPartitionBytes" -> target.toString,
+        "spark.sql.files.openCostInBytes" -> (target / 4).toString) {
+        val split = read()
+        val parts = split.rdd.getNumPartitions
+        assert(parts >= 3, s"$fmt: split did not engage at $target: $parts part(s)")
+        val splitRows = split.collect().map(_.getString(0)).sorted
+        assert(splitRows.length == nRows, s"$fmt: split row count at $target")
+        assert(java.util.Arrays.equals(
+          splitRows.asInstanceOf[Array[AnyRef]], wholeRows.asInstanceOf[Array[AnyRef]]),
+          s"$fmt: split rows differ from whole-file rows at $target")
+      }
+    }
+  }
+
+  private val bases = "ACGTN"
+  private def seq(rng: scala.util.Random, n: Int): String =
+    (0 until n).map(_ => bases(rng.nextInt(bases.length))).mkString
+
+  test("fasta: random record/line lengths, '>' in descriptions") {
+    val rng = new scala.util.Random(4201)
+    val sb = new StringBuilder
+    val n = 1500
+    (0 until n).foreach { k =>
+      val desc =
+        if (rng.nextInt(4) == 0) s"desc >inner gt $k len=${rng.nextInt(100)}"
+        else s"plain $k"
+      sb.append(s">id$k $desc\n")
+      val len = 20 + rng.nextInt(400)
+      val width = 30 + rng.nextInt(50)
+      val s = seq(rng, len)
+      s.grouped(width).foreach(chunk => sb.append(chunk).append('\n'))
+    }
+    assertInvariant("fasta", writeFile("fuzz.fasta", sb.toString), n, rng)
+  }
+
+  test("fastq: quality lines opening with '@' and '+', random lengths") {
+    val rng = new scala.util.Random(4202)
+    val sb = new StringBuilder
+    val n = 3000
+    (0 until n).foreach { k =>
+      val len = 20 + rng.nextInt(180)
+      // qualities drawn to often START with '@' or '+' — the classic
+      // 4-line resync trap a naive '@'-scan would mis-align on
+      val qual = (0 until len).map { i =>
+        if (i == 0 && rng.nextBoolean()) (if (rng.nextBoolean()) '@' else '+')
+        else ('!' + rng.nextInt(60)).toChar
+      }.mkString
+      sb.append(s"@read$k comment $k\n").append(seq(rng, len)).append('\n')
+        .append(if (rng.nextBoolean()) s"+read$k\n" else "+\n")
+        .append(qual).append('\n')
+    }
+    assertInvariant("fastq", writeFile("fuzz.fastq", sb.toString), n, rng)
+  }
+
+  test("genbank: random sections, LOCUS/'//' inside qualifier text") {
+    val rng = new scala.util.Random(4203)
+    val sb = new StringBuilder
+    val n = 800
+    (0 until n).foreach { k =>
+      val bp = 60 + rng.nextInt(300)
+      sb.append(f"LOCUS       FZ$k%05d             $bp%d bp    DNA     linear   CON 01-JAN-2020\n")
+      if (rng.nextBoolean()) sb.append(s"ACCESSION   FZ$k\n")
+      if (rng.nextInt(3) == 0)
+        sb.append("DEFINITION  mentions LOCUS and // inside body text\n")
+          .append("            continuation line of the definition.\n")
+      sb.append("FEATURES             Location/Qualifiers\n")
+      (0 to rng.nextInt(3)).foreach { g =>
+        sb.append(s"     gene            ${g + 1}..$bp\n")
+        sb.append(s"""                     /note="has LOCUS word and // slashes $k"\n""")
+        if (rng.nextBoolean())
+          sb.append(s"""                     /locus_tag="LT${k}_$g"\n""")
+      }
+      sb.append("ORIGIN\n")
+      val s = seq(rng, bp).toLowerCase
+      var off = 0
+      while (off < bp) {
+        val take = math.min(60, bp - off)
+        sb.append(f"${off + 1}%9d ${s.substring(off, off + take).grouped(10).mkString(" ")}\n")
+        off += take
+      }
+      sb.append("//\n")
+      if (rng.nextInt(5) == 0) sb.append("\n") // blank gap between records
+    }
+    assertInvariant("genbank", writeFile("fuzz.gb", sb.toString), n, rng)
+  }
+
+  test("sdf: names opening with '>', value lines ending in $$$$, random sizes") {
+    val rng = new scala.util.Random(4204)
+    val sb = new StringBuilder
+    val n = 1200
+    (0 until n).foreach { k =>
+      // record 0 stays plain so driver-side schema inference (first record)
+      // sees the real <id> data key in both arms
+      val name =
+        if (k > 0 && rng.nextInt(5) == 0) s"> <decoy>$k" // a data header in BOTH paths
+        else s"MOL$k"
+      sb.append(name).append('\n').append("  FUZZ\n").append(s"comment $k\n")
+      val atoms = 1 + rng.nextInt(5)
+      sb.append(f"$atoms%3d  1  0  0  0  0  0  0  0  0999 V2000\n")
+      (0 until atoms).foreach { a =>
+        sb.append(f"    $a%d.0000    0.0000    0.0000 C\n")
+      }
+      sb.append("  1  2  1  0\nM  END\n")
+      sb.append("> <id>\n").append(f"$k%06d\n\n")
+      if (rng.nextInt(4) == 0) {
+        // a long value line ENDING in $$$$ — not a terminator (content
+        // before it survives trim), and long enough to stress lookback
+        sb.append("> <trap>\n")
+          .append("x" * (60 + rng.nextInt(120))).append("   $$$$\n\n")
+      }
+      sb.append("$$$$\n")
+    }
+    assertInvariant("sdf", writeFile("fuzz.sdf", sb.toString), n, rng)
+  }
+
+  test("mzml: '>' in attribute values, self-closed spectra, random peaks") {
+    val rng = new scala.util.Random(4205)
+    def b64(vals: Array[Double]): String = {
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<mzML><run><spectrumList>\n")
+    val n = 900
+    (0 until n).foreach { i =>
+      if (rng.nextInt(7) == 0) {
+        sb.append(s"""<spectrum id="scan=$i q>r" index="$i" defaultArrayLength="0"/>\n""")
+      } else {
+        val np = 1 + rng.nextInt(40)
+        val mzv = Array.tabulate(np)(j => 100.0 + i % 13 + j * 7.7)
+        sb.append(s"""<spectrum id="scan=$i a>b" index="$i" defaultArrayLength="$np">""")
+          .append("""<binaryDataArrayList count="1">""")
+          .append("""<binaryDataArray><cvParam accession="MS:1000514" name="m/z array"/>""")
+          .append("""<cvParam accession="MS:1000523" name="64-bit float"/>""")
+          .append("""<cvParam accession="MS:1000576" name="no compression"/>""")
+          .append(s"<binary>${b64(mzv)}</binary></binaryDataArray>")
+          .append("</binaryDataArrayList></spectrum>\n")
+      }
+      if (rng.nextInt(11) == 0)
+        sb.append(s"<!-- comment with <spectrum inside, index $i -->\n")
+    }
+    sb.append("</spectrumList></run></mzML>\n")
+    assertInvariant("mzml", writeFile("fuzz.mzML", sb.toString), n, rng)
+  }
+}
