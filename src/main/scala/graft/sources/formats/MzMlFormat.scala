@@ -372,7 +372,7 @@ object MzMlFormat extends GraftFormat {
     var bdaKind: String = null // mz | intensity | wavelength
     var bdaZlib = false
     var bda64bit = true
-    var bdaB64: String = null
+    var bdaB64Len: Int = -1 // stripped base64 bytes staged in ctx.b64buf
 
     var depth = 1
     while (depth > 0 && xml.hasNext) {
@@ -382,7 +382,7 @@ object MzMlFormat extends GraftFormat {
           xml.getLocalName match {
             case "precursor" | "selectedIon" => inPrecursor = true
             case "binaryDataArray" =>
-              inBda = true; bdaKind = null; bdaZlib = false; bda64bit = true; bdaB64 = null
+              inBda = true; bdaKind = null; bdaZlib = false; bda64bit = true; bdaB64Len = -1
             case "cvParam" =>
               val acc = xml.getAttributeValue(null, "accession")
               val nm = xml.getAttributeValue(null, "name")
@@ -405,8 +405,8 @@ object MzMlFormat extends GraftFormat {
                   dotNull(acc), dotNull(nm), if (v == null) null else utf8(v)))
               }
             case "binary" if inBda =>
-              bdaB64 = xml.getElementText
-              depth -= 1 // getElementText consumes the END_ELEMENT
+              bdaB64Len = readBinaryB64(xml, ctx)
+              depth -= 1 // readBinaryB64 consumes the END_ELEMENT
             case _ => ()
           }
         case XMLStreamConstants.END_ELEMENT =>
@@ -414,8 +414,8 @@ object MzMlFormat extends GraftFormat {
           xml.getLocalName match {
             case "precursor" | "selectedIon" => inPrecursor = false
             case "binaryDataArray" =>
-              if (bdaKind != null && bdaB64 != null) {
-                val values = decode(bdaB64, bdaZlib, bda64bit, ctx)
+              if (bdaKind != null && bdaB64Len >= 0) {
+                val values = decode(bdaB64Len, bdaZlib, bda64bit, ctx)
                 bdaKind match {
                   case "mz" => mz = values
                   case "intensity" => intensity = values
@@ -438,21 +438,61 @@ object MzMlFormat extends GraftFormat {
       new GenericArrayData(specParams.toArray), precursorMz, precursorCharge)
   }
 
-  private def decode(b64: String, zlib: Boolean, is64: Boolean, ctx: DecodeCtx): Array[Double] = {
-    // Strip whitespace char→byte in one pass into the reusable scratch buffer
-    // (no regex, no intermediate String, no getBytes copy), then hand the
-    // exact-length slice to the intrinsified byte[] Base64 decoder.
-    if (ctx.b64buf.length < b64.length) ctx.b64buf = new Array[Byte](Integer.highestOneBit(b64.length) << 1)
-    val b64b = ctx.b64buf
+  /** Stream the current element's text content into ctx.b64buf as
+    * whitespace-stripped base64 bytes, returning the byte count — the
+    * zero-String replacement for getElementText (the payload is the bulk
+    * of the file's bytes; the String path paid a UTF-16 widening plus a
+    * StringBuilder copy and a char-strip pass per array). Reads the
+    * parser's internal char buffer directly (getTextCharacters/-Start/
+    * -Length), skips comments/PIs like getElementText does, and consumes
+    * up to and including the element's END_ELEMENT.
+    */
+  private def readBinaryB64(xml: XMLStreamReader, ctx: DecodeCtx): Int = {
     var n = 0
-    var i = 0
-    val len = b64.length
-    while (i < len) {
-      val c = b64.charAt(i)
-      if (c > ' ') { b64b(n) = c.toByte; n += 1 }
-      i += 1
+    def ensure(extra: Int): Array[Byte] = {
+      if (n + extra > ctx.b64buf.length) {
+        var cap = ctx.b64buf.length << 1
+        while (cap < n + extra) cap <<= 1
+        ctx.b64buf = java.util.Arrays.copyOf(ctx.b64buf, cap)
+      }
+      ctx.b64buf
     }
-    val decoded = Base64.getDecoder.decode(java.nio.ByteBuffer.wrap(b64b, 0, n))
+    var done = false
+    while (!done) {
+      xml.next() match {
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA |
+             XMLStreamConstants.SPACE =>
+          val src = xml.getTextCharacters
+          val off = xml.getTextStart
+          val len = xml.getTextLength
+          val buf = ensure(len)
+          var i = 0
+          while (i < len) {
+            val c = src(off + i)
+            if (c > ' ') { buf(n) = c.toByte; n += 1 }
+            i += 1
+          }
+        case XMLStreamConstants.ENTITY_REFERENCE =>
+          val t = xml.getText
+          val buf = ensure(t.length)
+          var i = 0
+          while (i < t.length) {
+            val c = t.charAt(i)
+            if (c > ' ') { buf(n) = c.toByte; n += 1 }
+            i += 1
+          }
+        case XMLStreamConstants.COMMENT | XMLStreamConstants.PROCESSING_INSTRUCTION => ()
+        case XMLStreamConstants.END_ELEMENT => done = true
+        case XMLStreamConstants.START_ELEMENT =>
+          throw new javax.xml.stream.XMLStreamException("element content inside <binary>")
+        case _ => ()
+      }
+    }
+    n
+  }
+
+  private def decode(b64len: Int, zlib: Boolean, is64: Boolean, ctx: DecodeCtx): Array[Double] = {
+    val decoded = Base64.getDecoder.decode(java.nio.ByteBuffer.wrap(ctx.b64buf, 0, b64len))
     var bytes = decoded.array()
     var byteLen = decoded.remaining()
     if (zlib) {
