@@ -169,6 +169,82 @@ class SplitFuzzSpec extends AnyFunSuite with SharedSpark {
     assertInvariant("sdf", writeFile("fuzz.sdf", sb.toString), n, rng)
   }
 
+  // ---- binary resync families: fuzz through the engine's own sinks ----
+  // Variable read lengths, hash-derived tag presence and a no-coor tail
+  // (BAM) exercise the BGZF/container resync alignment on record shapes
+  // the handcrafted resync specs keep constant. Indexes are deleted so the
+  // split plan must resync, not prune.
+
+  import org.apache.spark.sql.functions._
+
+  private def fuzzReads(n: Long, maxLen: Int) = {
+    val len = (pmod(hash(col("id")), lit(maxLen - 20)) + lit(20)).cast("int")
+    val seq128 = translate(concat(
+      md5(col("id").cast("string")), md5((col("id") + n).cast("string")),
+      md5((col("id") + 2 * n).cast("string")), md5((col("id") + 3 * n).cast("string"))),
+      "0123456789abcdef", "ACGTACGTACGTACGT")
+    spark.range(0, n).select(
+      concat(lit("r"), col("id")).as("name"),
+      lit(0).as("flag"),
+      concat(lit("chr"), (col("id") % 4).cast("string")).as("reference"),
+      ((col("id") / 4).cast("long") * 200 + 1).as("start"),
+      ((col("id") / 4).cast("long") * 200 + len - 1).as("end"),
+      lit("30").as("mapping_quality"),
+      concat(len.cast("string"), lit("M")).as("cigar"),
+      lit(null).cast("string").as("mate_reference"),
+      substring(seq128, 1, 512).substr(lit(1), len).as("sequence"),
+      array_repeat(lit(30L), len).as("quality_score"),
+      when(pmod(hash(col("id"), lit(7)), lit(3)) === 0,
+        array(struct(lit("NM").as("tag"),
+          pmod(hash(col("id"), lit(11)), lit(9)).cast("string").as("value"))))
+        .otherwise(array().cast("array<struct<tag:string,value:string>>"))
+        .as("tags"))
+  }
+
+  private def writeSorted(df: org.apache.spark.sql.DataFrame, fmt: String,
+                          dirName: String, extraOpts: (String, String)*): java.io.File = {
+    val dir = graft.TestTmp.dir(dirName).toString + "/t"
+    val refs = (0 until 4).map(i => s"chr$i:40000000").mkString(",")
+    val w = df
+      .repartitionByRange(1, col("reference").asc_nulls_last, col("start").asc_nulls_last)
+      .sortWithinPartitions(col("reference").asc_nulls_last, col("start").asc_nulls_last)
+      .write.format(fmt).mode("overwrite").option("refs", refs)
+    extraOpts.foldLeft(w) { case (ww, (k, v)) => ww.option(k, v) }.save(dir)
+    // delete indexes: the split plan must resync, not prune
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".bai") || f.getName.endsWith(".crai"))
+      .foreach(f => assert(f.delete()))
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith("." + fmt)).minBy(_.getName)
+  }
+
+  test("bam: variable-length reads, hash-derived tags, no-coor tail; resync splits") {
+    val rng = new scala.util.Random(4206)
+    val n = 30000L
+    val noCoor = spark.range(0, 37).select(
+      concat(lit("u"), col("id")).as("name"),
+      lit(4).as("flag"),
+      lit(null).cast("string").as("reference"),
+      lit(null).cast("long").as("start"),
+      lit(null).cast("long").as("end"),
+      lit(null).cast("string").as("mapping_quality"),
+      lit(null).cast("string").as("cigar"),
+      lit(null).cast("string").as("mate_reference"),
+      lit("ACGT").as("sequence"),
+      array_repeat(lit(30L), 4).as("quality_score"),
+      array().cast("array<struct<tag:string,value:string>>").as("tags"))
+    val f = writeSorted(fuzzReads(n, 120).unionAll(noCoor), "bam", "fuzz_bam")
+    assertInvariant("bam", f, n + 37, rng)
+  }
+
+  test("cram: variable-length reads, hash-derived tags, random container fill; resync splits") {
+    val rng = new scala.util.Random(4207)
+    val n = 30000L
+    val f = writeSorted(fuzzReads(n, 120), "cram", "fuzz_cram",
+      "containerRecords" -> "700")
+    assertInvariant("cram", f, n, rng)
+  }
+
   test("mzml: '>' in attribute values, self-closed spectra, random peaks") {
     val rng = new scala.util.Random(4205)
     def b64(vals: Array[Double]): String = {
