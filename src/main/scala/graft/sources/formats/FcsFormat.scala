@@ -151,19 +151,39 @@ object FcsFormat extends GraftFormat {
           (input.end - meta.dataStart + rowBytes - 1) / rowBytes))
       private var emitted = 0L
 
+      // Block-wise decode: DataInputStream.readInt per value is four
+      // byte-reads and an endianness fix-up each — ~200 ns/float on a
+      // 240M-float file. Rows are read in ~64 KiB blocks (readFully keeps
+      // the truncation-raises-EOF contract) and values decoded by absolute
+      // ByteBuffer.getFloat in the file's byte order; only the REQUIRED
+      // columns decode at all.
+      private val chunkRows = math.max(1L, (1L << 16) / rowBytes).toInt
+      private val buf = new Array[Byte]((chunkRows * rowBytes).toInt)
+      private val bb = java.nio.ByteBuffer.wrap(buf).order(
+        if (meta.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      private var bufRows = 0
+      private var bufIdx = 0
+
       override def hasNext: Boolean = e0 + emitted < e1
 
       override def next(): Array[Any] = {
-        emitted += 1
-        val row = new Array[Float](nPar)
-        var i = 0
-        while (i < nPar) {
-          val bits = din.readInt() // big-endian
-          row(i) = java.lang.Float.intBitsToFloat(
-            if (meta.bigEndian) bits else Integer.reverseBytes(bits))
-          i += 1
+        if (bufIdx == bufRows) {
+          val left = e1 - (e0 + emitted)
+          bufRows = math.min(chunkRows.toLong, left).toInt
+          din.readFully(buf, 0, bufRows * rowBytes.toInt)
+          bufIdx = 0
         }
-        required.map(i => row(i): Any)
+        emitted += 1
+        val base = bufIdx * rowBytes.toInt
+        bufIdx += 1
+        val out = new Array[Any](required.length)
+        var j = 0
+        while (j < required.length) {
+          out(j) = bb.getFloat(base + 4 * required(j))
+          j += 1
+        }
+        out
       }
     }
 }

@@ -76,8 +76,10 @@ object FormatSplitScale {
     // TEXT (readMeta's fallback path — exercised here at the scale that
     // forces it). BEGINDATA depends on the text length which contains its
     // own digits: iterate to the fixpoint.
-    lazy val fcs = gen("big.fcs") { f =>
-      val nEv = 6000000
+    // GRAFT_SPLITSCALE2_FCS_N=30000000 gives the ~1 GB / ~60-chunk point.
+    val fcsN = sys.env.getOrElse("GRAFT_SPLITSCALE2_FCS_N", "6000000").toInt
+    lazy val fcs = gen(if (fcsN == 6000000) "big.fcs" else s"big_$fcsN.fcs") { f =>
+      val nEv = fcsN
       def textFor(begin: Long): String =
         "/$PAR/8/$TOT/" + nEv + "/$DATATYPE/F/$BYTEORD/1,2,3,4" +
           "/$P1S/FSC-A/$P2S/SSC-A/$P3S/FL1-A/$P4S/FL2-A/$P5S/FL3-A/$P6S/FL4-A/$P7S/FL5-A/$P8S/TIME" +
@@ -185,8 +187,8 @@ object FormatSplitScale {
       timed(s"sdf_$sdfN", oneTask = false)(sdfScan())
     }
     if (wants("fcs")) {
-      timed("fcs", oneTask = true)(fcsScan())
-      timed("fcs", oneTask = false)(fcsScan())
+      timed(s"fcs_$fcsN", oneTask = true)(fcsScan())
+      timed(s"fcs_$fcsN", oneTask = false)(fcsScan())
     }
     if (wants("mzml")) {
       timed(s"mzml_$mzN", oneTask = true)(mzScan())
