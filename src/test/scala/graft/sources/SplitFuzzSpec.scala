@@ -245,6 +245,35 @@ class SplitFuzzSpec extends AnyFunSuite with SharedSpark {
     assertInvariant("cram", f, n, rng)
   }
 
+  test("fcs: random parameter count, both byte orders, random values; stride splits") {
+    val rng = new scala.util.Random(4208)
+    val nPar = 3 + rng.nextInt(8)
+    val nEv = 200000 + rng.nextInt(100000)
+    val bigEndian = rng.nextBoolean()
+    val names = (1 to nPar).map(i => s"FZ$i-A")
+    val text = "/$PAR/" + nPar + "/$TOT/" + nEv + "/$DATATYPE/F" +
+      "/$BYTEORD/" + (if (bigEndian) "4,3,2,1" else "1,2,3,4") +
+      names.zipWithIndex.map { case (nm, i) => s"/$$P${i + 1}S/$nm" }.mkString + "/"
+    val textStart = 58
+    val textEnd = textStart + text.length - 1
+    val dataStart = textEnd + 1
+    val dataEnd = dataStart + nEv.toLong * nPar * 4 - 1
+    val header = f"FCS3.0    $textStart%8d$textEnd%8d$dataStart%8d$dataEnd%8d${0}%8d${0}%8d"
+    val dir = graft.TestTmp.dir("split_fuzz")
+    val f = new java.io.File(dir.toFile, "fuzz.fcs")
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 20)
+    out.write(header.getBytes("US-ASCII")); out.write(text.getBytes("US-ASCII"))
+    val bb = java.nio.ByteBuffer.allocate(nPar * 4).order(
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until nEv).foreach { _ =>
+      bb.clear()
+      (0 until nPar).foreach(_ => bb.putFloat(rng.nextInt(1 << 14).toFloat))
+      out.write(bb.array())
+    }
+    out.close()
+    assertInvariant("fcs", f, nEv, rng)
+  }
+
   test("mzml: '>' in attribute values, self-closed spectra, random peaks") {
     val rng = new scala.util.Random(4205)
     def b64(vals: Array[Double]): String = {
