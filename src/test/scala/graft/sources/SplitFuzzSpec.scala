@@ -245,6 +245,50 @@ class SplitFuzzSpec extends AnyFunSuite with SharedSpark {
     assertInvariant("cram", f, n, rng)
   }
 
+  test("bcf: hash-randomized ids/alts/quals/info/formats; BGZF resync splits") {
+    val rng = new scala.util.Random(4209)
+    val dir = graft.TestTmp.dir("fuzz_bcf").toFile
+    val header = new java.io.File(dir, "header.vcf")
+    java.nio.file.Files.writeString(header.toPath,
+      """##fileformat=VCFv4.3
+        |##contig=<ID=chrA,length=100000000>
+        |##contig=<ID=chrB,length=100000000>
+        |##FILTER=<ID=PASS,Description="ok">
+        |##FILTER=<ID=q10,Description="low">
+        |##INFO=<ID=DP,Number=1,Type=Integer,Description="depth">
+        |##INFO=<ID=AF,Number=A,Type=Float,Description="freq">
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="genotype">
+        |##FORMAT=<ID=DP,Number=1,Type=Integer,Description="depth">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	s1	s2
+        |""".stripMargin)
+    val n = 40000L
+    def h(salt: Int) = pmod(hash(col("id"), lit(salt)), lit(1000))
+    val rows = spark.range(0, n).select(
+      when(col("id") % 2 === 0, "chrA").otherwise("chrB").as("chrom"),
+      ((col("id") / 2).cast("long") * 29 + 7).as("pos"),
+      when(h(1) < 300, array(concat(lit("rs"), col("id").cast("string"))))
+        .otherwise(lit(null).cast("array<string>")).as("id"),
+      lit("A").as("ref"),
+      when(h(2) < 400, array(lit("T"), lit("G"))).otherwise(array(lit("C"))).as("alt"),
+      when(h(3) < 150, lit(null).cast("float"))
+        .otherwise(h(4).cast("float") / 10.0f).as("qual"),
+      when(h(5) < 250, array(lit("q10"))).otherwise(array(lit("PASS"))).as("filter"),
+      concat(lit("DP="), h(6).cast("string"),
+        when(h(2) < 400, lit(";AF=0.25,0.75")).otherwise(lit(";AF=0.5"))).as("info"),
+      concat(lit("GT:DP\t0/1:"), h(7).cast("string"),
+        lit("\t1/1:"), h(8).cast("string")).as("formats"))
+      .repartitionByRange(1, col("chrom"), col("pos"))
+      .sortWithinPartitions("chrom", "pos")
+    val out = new java.io.File(dir, "t").getAbsolutePath
+    rows.write.format("bcf").mode("overwrite")
+      .option("headerFrom", header.getAbsolutePath).save(out)
+    new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".csi")).foreach(f => assert(f.delete()))
+    val bcf = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".bcf")).minBy(_.getName)
+    assertInvariant("bcf", bcf, n, rng)
+  }
+
   test("fcs: random parameter count, both byte orders, random values; stride splits") {
     val rng = new scala.util.Random(4208)
     val nPar = 3 + rng.nextInt(8)
