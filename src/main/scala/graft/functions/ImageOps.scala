@@ -1,0 +1,174 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Image kernels for the multimodal pipeline queries (l10/l13/l67).
+  *
+  * Everything here runs on executors inside batched `mapPartitions` — the
+  * Scala analog of a vectorized decode UDF. The decode path is REAL: bytes
+  * go through `javax.imageio`'s PNG reader (zlib inflate + PNG filter
+  * reconstruction), so a query downstream of [[decode]] only sees pixel
+  * values that survived an actual codec round-trip. PNG is lossless, which
+  * is what lets the DuckDB oracles recompute expected pixel sums from the
+  * synthesis formula: if the decoder were a stub, the per-channel sums and
+  * perceptual hashes could not match.
+  *
+  * The synthesis pattern is a block spatial hash (constants from Teschner
+  * et al., "Optimized Spatial Hashing for Collision Detection of Deformable
+  * Objects", 2003 — a standard public trio of large primes): each 4x4 pixel
+  * block gets one gray value, so the image has real 2-D structure (dHash
+  * cells see distinct values) while staying exactly recomputable in SQL.
+  * All arithmetic is kept in non-negative int64 so Spark, DuckDB and the
+  * independent Python pin (tools/pin_l67.py) agree bit-for-bit.
+  */
+object ImageOps {
+  // Never spill decode scratch to temp files on executors — the default
+  // ImageIO file cache costs a disk write per decode.
+  ImageIO.setUseCache(false)
+
+  /** Gray value of the 4x4 block at block coords (bx, by) for a seed.
+    * The linear spatial hash alone is degenerate under mod 256 (adjacent
+    * blocks differ by a CONSTANT, so every seed yields near-identical
+    * dHashes); the quadratic fold below scatters it while every
+    * intermediate stays under 2^40 — exact int64 in Spark, DuckDB and
+    * Python alike.
+    */
+  def blockValue(bx: Int, by: Int, seed: Long): Int = {
+    val hm = (bx * 73856093L + by * 19349663L + seed * 83492791L) % 1000003L
+    (((hm * hm + hm * 7919L) % 1000003L) % 256L).toInt
+  }
+
+  /** Pixel gray for the l10/l13 family: block pattern seeded by doc id. */
+  def pixelGray(x: Int, y: Int, seed: Long): Int = blockValue(x / 4, y / 4, seed)
+
+  /** Encode a synthetic RGB image as PNG. Channels carry three phase-shifted
+    * copies of the gray pattern so per-channel sums are independent checks:
+    * R = g, G = (g+85) mod 256, B = (g+170) mod 256.
+    */
+  def synthPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = pixelGray(x, y, seed)
+        img.setRGB(x, y, (g << 16) | (((g + 85) % 256) << 8) | ((g + 170) % 256))
+        x += 1
+      }
+      y += 1
+    }
+    toPng(img)
+  }
+
+  /** l67 corpus image: 36x32 (exactly 9x8 blocks of 4x4, so the dHash grid
+    * below coincides with the block grid). Docs in the same group of four
+    * share a seed; variants k=1..3 invert ONE block — a local perturbation
+    * that moves at most two dHash bits, the near-duplicate shape.
+    */
+  def neardupPng(docId: Long): Array[Byte] = {
+    val seed = docId / 4
+    val k = (docId % 4).toInt
+    val (pbx, pby) = ((2 * k) % 9, (3 * k) % 8)
+    val img = new BufferedImage(36, 32, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 36) {
+        val base = blockValue(x / 4, y / 4, seed)
+        val g = if (k > 0 && x / 4 == pbx && y / 4 == pby) 255 - base else base
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    toPng(img)
+  }
+
+  def toPng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4096)
+    require(ImageIO.write(img, "png", bos), "image: no PNG writer available")
+    bos.toByteArray
+  }
+
+  /** REAL decode: zlib inflate + PNG filter reconstruction via javax.imageio.
+    * Raises loudly on undecodable bytes rather than fabricating pixels.
+    */
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "image: undecodable payload")
+    img
+  }
+
+  /** Integer luma, ITU-R BT.601 weights scaled by 1000 with floor division —
+    * exact in int64, mirrored by the SQL oracles.
+    */
+  def luma(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** Difference hash (dHash) over a 9x8 grid of mean-luma cells: bit
+    * (cy*8+cx) is set when cell(cx,cy) < cell(cx+1,cy). Cell (cx,cy) covers
+    * x in [cx*w/9, (cx+1)*w/9), y in [cy*h/8, (cy+1)*h/8) (floor division),
+    * cell value = floor(sum(luma)/count). Returned as (hi32, lo32) so the
+    * SQL oracle never touches the int64 sign bit.
+    */
+  def dHash(img: BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val cells = Array.ofDim[Int](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += luma(img.getRGB(x, y)); n += 1; x += 1 }
+          y += 1
+        }
+        cells(cy)(cx) = if (n == 0) 0 else (sum / n).toInt
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L
+    cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (cells(cy)(cx) < cells(cy)(cx + 1)) hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    (hash >>> 32, hash & 0xffffffffL)
+  }
+
+  /** Nearest-neighbor resize to fit the longest side to `maxDim` (aspect
+    * preserved, floor division, min 1). Source pixel for dst (i,j) is
+    * (i*w/dw, j*h/dh) — pure integer sampling, mirrored by the SQL oracle.
+    */
+  def resizeFit(img: BufferedImage, maxDim: Int): BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
+    val m = math.max(w, h)
+    if (m <= maxDim) return img
+    val dw = math.max(1, w * maxDim / m)
+    val dh = math.max(1, h * maxDim / m)
+    val out = new BufferedImage(dw, dh, BufferedImage.TYPE_INT_RGB)
+    var j = 0
+    while (j < dh) {
+      var i = 0
+      while (i < dw) {
+        out.setRGB(i, j, img.getRGB(i * w / dw, j * h / dh) & 0xffffff)
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+}

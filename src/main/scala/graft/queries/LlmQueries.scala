@@ -366,58 +366,135 @@ object LlmQueries {
         .orderBy(col("predicted_lang"))
     }),
 
-    // Multimodal plumbing: binary payload column + batched per-partition
-    // "decode" (a deterministic stub standing in for a real image decoder —
-    // the schema, partitioning and batch shape are the real thing).
-
-    "l10_multimodal_stub" -> ((s, d) => {
+    // Multimodal: binary image column + batched per-partition REAL decode.
+    // Stage 1 synthesizes a deterministic PNG per document (javax.imageio
+    // writer); stage 2 decodes it back with javax.imageio's PNG reader —
+    // actual zlib inflate + PNG filter reconstruction, not arithmetic on
+    // the payload length. PNG is lossless, so the DuckDB oracle recomputes
+    // the expected per-channel pixel sums straight from the synthesis
+    // formula: a decoder that didn't truly decode could not reproduce them.
+    // Between the stages the pixels exist ONLY as encoded PNG bytes in a
+    // binary column — the shape a 100 TB image corpus has on disk.
+    "l10_image_decode" -> ((s, d) => {
       import s.implicits._
+      import graft.functions.ImageOps
       val ds = documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[(Long, Array[Byte])]
-      val meta = ds.mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          // STUB: real pipeline would decode image/audio bytes here.
-          val n = bytes.length
-          (id, n.toLong, 64L + n % 576, 64L + (n.toLong * 7) % 416, 1L + n % 15)
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+        .as[(Long, Long)]
+      val payloads = ds.mapPartitions { it =>
+        it.map { case (id, n) =>
+          val w = 24 + (n % 5).toInt * 8
+          val h = 24 + ((n * 3) % 7).toInt * 4
+          (id, ImageOps.synthPng(w, h, id))
         }
-      }.toDF("doc_id", "n_bytes", "width", "height", "n_frames")
-      meta.agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("sum_bytes"),
+      }.toDF("doc_id", "image").as[(Long, Array[Byte])]
+      val meta = payloads.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = ImageOps.decode(bytes)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, img.getWidth.toLong, img.getHeight.toLong,
+            img.getRaster.getNumBands.toLong, sr, sg, sb)
+        }
+      }.toDF("doc_id", "width", "height", "channels", "sum_r", "sum_g", "sum_b")
+      meta.agg(count(lit(1)).as("n"),
         sum(col("width")).as("sum_w"), sum(col("height")).as("sum_h"),
-        sum(col("n_frames")).as("sum_f"))
+        sum(col("channels")).as("sum_channels"), sum(col("sum_r")).as("sum_r"),
+        sum(col("sum_g")).as("sum_g"), sum(col("sum_b")).as("sum_b"))
     }),
 
-    // Full multimodal pipeline shape: decode (stub) -> resize (fit 224 max
-    // dim, aspect preserved, integer math) -> frame-sample (stride-3 ceil)
-    // -> feature-extract (deterministic stats standing in for a model
-    // embedding). One batched mapPartitions = the vectorized-decoder shape;
-    // everything downstream of the stub is real, typed plumbing.
+    // Full multimodal pipeline: encode -> REAL decode (javax.imageio) ->
+    // REAL nearest-neighbor resize on the decoded raster (fit 40 max dim,
+    // integer sampling) -> frame-sample (stride-3 ceil over a synthetic
+    // frame count — video decoders don't exist in this container, so the
+    // temporal axis stays arithmetic; the spatial axis is real pixels) ->
+    // feature-extract (sum of resized luma — depends on every decoded +
+    // resampled pixel value). One batched mapPartitions per stage = the
+    // vectorized-decoder shape.
     "l13_multimodal_pipeline" -> ((s, d) => {
       import s.implicits._
+      import graft.functions.ImageOps
       val ds = documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[(Long, Array[Byte])]
-      val media = ds.mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          // STUB decode: dimensions/frames derived from the payload length
-          // the same way l10 does.
-          val n = bytes.length.toLong
-          val w0 = 64L + n % 576
-          val h0 = 64L + (n * 7) % 416
-          val frames = 1L + n % 15
-          // resize: fit the longest side to 224, integer floor division
-          val m = math.max(w0, h0)
-          val (rw, rh) = if (m <= 224) (w0, h0) else (w0 * 224 / m, h0 * 224 / m)
-          // frame-sample: every 3rd frame, at least one
-          val sampled = (frames + 2) / 3
-          // feature-extract: cheap deterministic stats as the embedding stub
-          val feat = (n % 251) + ((n * 31) % 127)
-          (id, rw, rh, sampled, feat)
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+        .as[(Long, Long)]
+      val payloads = ds.mapPartitions { it =>
+        it.map { case (id, n) =>
+          val w = 24 + (n % 5).toInt * 8
+          val h = 24 + ((n * 3) % 7).toInt * 4
+          (id, n, ImageOps.synthPng(w, h, id))
         }
-      }.toDF("doc_id", "rw", "rh", "sampled", "feat")
+      }.toDF("doc_id", "n", "image").as[(Long, Long, Array[Byte])]
+      val media = payloads.mapPartitions { it =>
+        it.map { case (id, n, bytes) =>
+          val img = ImageOps.resizeFit(ImageOps.decode(bytes), 40)
+          var lsum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              lsum += ImageOps.luma(img.getRGB(x, y)); x += 1
+            }
+            y += 1
+          }
+          val frames = 1L + n % 15
+          (id, img.getWidth.toLong, img.getHeight.toLong, (frames + 2) / 3, lsum)
+        }
+      }.toDF("doc_id", "rw", "rh", "sampled", "rluma")
       media.agg(count(lit(1)).as("n"),
         sum(col("rw")).as("sum_rw"), sum(col("rh")).as("sum_rh"),
-        sum(col("sampled")).as("sum_sampled"), sum(col("feat")).as("sum_feat"))
+        sum(col("sampled")).as("sum_sampled"), sum(col("rluma")).as("sum_rluma"))
+    }),
+
+    // Image near-duplicate detection — the dedup primitive a multimodal
+    // training corpus needs: perceptual dHash over REALLY-decoded pixels,
+    // then the same banded-LSH discipline as the text near-dup stack (l04):
+    // split the 64-bit hash into 4x16-bit bands, candidate pairs share a
+    // band bucket (keyed join, never all-pairs), Hamming-confirm <= 6
+    // inside buckets only. Corpus construction: groups of four documents
+    // share a base pattern; variants differ by one inverted 4x4 block, a
+    // local perturbation that moves at most two dHash bits, while distinct
+    // groups differ in ~half the bits (the band join's false candidates are
+    // killed by the Hamming filter — both behaviors are exercised and the
+    // oracle recomputes the truth from the same grid arithmetic, on top of
+    // the independent pure-Python PNG decode pin in tools/pin_l67.py).
+    "l67_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ImageOps
+      val ids = documents(s, d).select(col("doc_id")).as[Long]
+      // hashes are recomputed once and cut (the decode ran; the self-join
+      // below must not re-decode the corpus twice)
+      val hashes = ids.mapPartitions { it =>
+        it.map { id =>
+          val (hi, lo) = ImageOps.dHash(ImageOps.decode(ImageOps.neardupPng(id)))
+          (id, hi, lo, Array(lo & 0xffffL, lo >> 16, hi & 0xffffL, hi >> 16))
+        }
+      }.toDF("doc_id", "hi", "lo", "bands").localCheckpoint()
+      // 4 bands of 16 bits; band value tagged with its position so only
+      // same-position bands collide.
+      val bands = hashes
+        .select(col("doc_id"), col("hi"), col("lo"), posexplode(col("bands")))
+        .withColumnRenamed("pos", "bidx").withColumnRenamed("col", "bv")
+      val left = bands.select(col("doc_id").as("ida"), col("hi").as("hia"),
+        col("lo").as("loa"), col("bidx"), col("bv"))
+      val right = bands.select(col("doc_id").as("idb"), col("hi").as("hib"),
+        col("lo").as("lob"), col("bidx"), col("bv"))
+      left.join(right, Seq("bidx", "bv"))
+        .where(col("ida") < col("idb"))
+        .select(col("ida"), col("idb"),
+          expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)")
+            .cast("long").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 6)
+        .orderBy(col("ida"), col("idb"))
     }),
 
     // Duplicate-cluster extraction: connected components over the exact
@@ -2963,23 +3040,34 @@ object LlmQueries {
         |  round(avg(q), 4) AS avg_quality
         |FROM p GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
 
+    // Expected nearest-neighbor-resampled luma sums, recomputed from the
+    // synthesis formula through the same integer sampling grid the Scala
+    // resize uses — depends on every decoded + resampled pixel value.
     "l13_multimodal_pipeline" ->
-      """WITH m AS (SELECT octet_length(encode(text))::BIGINT AS n FROM documents),
-        |d AS (SELECT 64 + n % 576 AS w0, 64 + (n * 7) % 416 AS h0,
-        |             1 + n % 15 AS fr, n FROM m),
-        |r AS (SELECT
-        |    CASE WHEN greatest(w0, h0) <= 224 THEN w0
-        |         ELSE w0 * 224 // greatest(w0, h0) END AS rw,
-        |    CASE WHEN greatest(w0, h0) <= 224 THEN h0
-        |         ELSE h0 * 224 // greatest(w0, h0) END AS rh,
-        |    (fr + 2) // 3 AS sampled,
-        |    (n % 251) + ((n * 31) % 127) AS feat
-        |  FROM d)
-        |SELECT count(*) AS n, CAST(sum(rw) AS BIGINT) AS sum_rw,
-        |  CAST(sum(rh) AS BIGINT) AS sum_rh,
-        |  CAST(sum(sampled) AS BIGINT) AS sum_sampled,
-        |  CAST(sum(feat) AS BIGINT) AS sum_feat
-        |FROM r""".stripMargin,
+      """WITH m AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
+        |dims AS (SELECT doc_id, n, 24 + (n % 5) * 8 AS w, 24 + ((n * 3) % 7) * 4 AS h FROM m),
+        |r AS (SELECT doc_id, n, w, h,
+        |    CASE WHEN greatest(w, h) <= 40 THEN w
+        |         ELSE greatest(1, w * 40 // greatest(w, h)) END AS rw,
+        |    CASE WHEN greatest(w, h) <= 40 THEN h
+        |         ELSE greatest(1, h * 40 // greatest(w, h)) END AS rh
+        |  FROM dims),
+        |hm AS (SELECT r.doc_id,
+        |    ((((gi.i * r.w // r.rw) // 4) * 73856093 +
+        |      ((gj.j * r.h // r.rh) // 4) * 19349663 +
+        |      r.doc_id * 83492791) % 1000003) AS hm
+        |  FROM r, generate_series(0, 39) gi(i), generate_series(0, 39) gj(j)
+        |  WHERE gi.i < r.rw AND gj.j < r.rh),
+        |px AS (SELECT doc_id, ((hm * hm + hm * 7919) % 1000003) % 256 AS v FROM hm),
+        |lm AS (SELECT doc_id,
+        |    (299 * v + 587 * ((v + 85) % 256) + 114 * ((v + 170) % 256)) // 1000 AS l
+        |  FROM px)
+        |SELECT (SELECT count(*) FROM r) AS n,
+        |  (SELECT CAST(sum(rw) AS BIGINT) FROM r) AS sum_rw,
+        |  (SELECT CAST(sum(rh) AS BIGINT) FROM r) AS sum_rh,
+        |  (SELECT CAST(sum((3 + n % 15) // 3) AS BIGINT) FROM r) AS sum_sampled,
+        |  CAST(sum(l) AS BIGINT) AS sum_rluma
+        |FROM lm""".stripMargin,
 
     // pinned by tools/pin_l25.py (independent Python fixed-point k-means +
     // within-cluster cosine reimplementation; bit-exact by construction)
@@ -3304,12 +3392,64 @@ object LlmQueries {
         |FROM ch JOIN sv USING (chunk)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "l10_multimodal_stub" ->
-      """SELECT count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
-        |  CAST(sum(64 + octet_length(encode(text)) % 576) AS BIGINT) AS sum_w,
-        |  CAST(sum(64 + (octet_length(encode(text))::BIGINT * 7) % 416) AS BIGINT) AS sum_h,
-        |  CAST(sum(1 + octet_length(encode(text)) % 15) AS BIGINT) AS sum_f
-        |FROM documents""".stripMargin,
+    // The oracle recomputes expected DECODED pixel sums analytically from
+    // the synthesis formula (PNG is lossless): per-channel sums over every
+    // pixel of every image. A decode stub cannot reproduce these.
+    "l10_image_decode" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
+        |dims AS (SELECT doc_id, 24 + (n % 5) * 8 AS w, 24 + ((n * 3) % 7) * 4 AS h FROM m),
+        |hm AS (SELECT d.doc_id,
+        |    ((gx.x // 4) * 73856093 + (gy.y // 4) * 19349663 + d.doc_id * 83492791) % 1000003 AS hm
+        |  FROM dims d, generate_series(0, 55) gx(x), generate_series(0, 47) gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h),
+        |px AS (SELECT doc_id, ((hm * hm + hm * 7919) % 1000003) % 256 AS v FROM hm)
+        |SELECT (SELECT count(*) FROM dims) AS n,
+        |  (SELECT CAST(sum(w) AS BIGINT) FROM dims) AS sum_w,
+        |  (SELECT CAST(sum(h) AS BIGINT) FROM dims) AS sum_h,
+        |  (SELECT CAST(3 * count(*) AS BIGINT) FROM dims) AS sum_channels,
+        |  CAST(sum(v) AS BIGINT) AS sum_r,
+        |  CAST(sum((v + 85) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((v + 170) % 256) AS BIGINT) AS sum_b
+        |FROM px""".stripMargin,
+
+    // dHash truth derived from the same grid arithmetic the pixels encode
+    // (36x32 = exactly 9x8 cells of 4x4, so each dHash cell average IS the
+    // block value); banding + Hamming confirm mirrored relationally.
+    // Third check: tools/pin_l67.py decodes the actual PNG bytes with a
+    // pure-stdlib Python PNG reader; its hashes are pinned in ImageOpsSpec.
+    "l67_image_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |hm AS (SELECT i.doc_id, gx.bx, gy.cy,
+        |    (gx.bx * 73856093 + gy.cy * 19349663 + (i.doc_id // 4) * 83492791) % 1000003 AS hm
+        |  FROM ids i, generate_series(0, 8) gx(bx), generate_series(0, 7) gy(cy)),
+        |cells AS (SELECT doc_id, bx, cy,
+        |    CASE WHEN (doc_id % 4) > 0 AND bx = (2 * (doc_id % 4)) % 9
+        |              AND cy = (3 * (doc_id % 4)) % 8
+        |         THEN 255 - (((hm * hm + hm * 7919) % 1000003) % 256)
+        |         ELSE ((hm * hm + hm * 7919) % 1000003) % 256 END AS v
+        |  FROM hm),
+        |bits AS (SELECT a.doc_id, a.cy * 8 + a.bx AS idx,
+        |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.bx = a.bx + 1
+        |  WHERE a.bx < 8),
+        |hashes AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, hi, lo, 0 AS bidx, lo % 65536 AS bv FROM hashes
+        |  UNION ALL SELECT doc_id, hi, lo, 1, lo // 65536 FROM hashes
+        |  UNION ALL SELECT doc_id, hi, lo, 2, hi % 65536 FROM hashes
+        |  UNION ALL SELECT doc_id, hi, lo, 3, hi // 65536 FROM hashes),
+        |pairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+        |    a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
+        |  FROM bands a JOIN bands b
+        |    ON a.bidx = b.bidx AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT ida, idb,
+        |  CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT) AS hamming
+        |FROM pairs
+        |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 6
+        |ORDER BY ida, idb""".stripMargin,
 
     // connected components via transitive closure (recursive CTE) over the
     // same exact-Jaccard pairs l03 grades against

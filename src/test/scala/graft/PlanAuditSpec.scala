@@ -188,6 +188,13 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("l67: no cartesian product; image dHash candidate join keyed on (bidx, bv)") {
+    val df = graft.queries.LlmQueries.queries("l67_image_neardup")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("l05: no cartesian product; candidate join keyed on (combo, k)") {
     val df = graft.queries.LlmQueries.queries("l05_simhash_pairs")(spark, d)
     val plan = df.queryExecution.executedPlan.toString

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the REAL image decode path (javax.imageio PNG) and the dHash /
+  * resize kernels that l10/l13/l67 run on executors.
+  *
+  * The pinned (hi, lo) dHash values below were produced by
+  * tools/pin_l67.py — a from-scratch pure-Python PNG reader (stdlib zlib +
+  * PNG filter reconstruction) plus an independent dHash implementation —
+  * run against the exact PNG bytes this spec dumps to target/pngpin/. If
+  * ImageIO mis-decoded, or decode were a stub, these would not match.
+  */
+class ImageOpsSpec extends AnyFunSuite {
+
+  test("PNG round-trip is lossless: decoded pixels equal the synthesis formula") {
+    for (seed <- Seq(0L, 17L, 499L); (w, h) <- Seq((24, 24), (56, 48), (33, 31))) {
+      val img = ImageOps.decode(ImageOps.synthPng(w, h, seed))
+      assert(img.getWidth == w && img.getHeight == h)
+      assert(img.getRaster.getNumBands == 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = ImageOps.pixelGray(x, y, seed)
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == g, s"R at ($x,$y) seed=$seed")
+        assert(((rgb >> 8) & 0xff) == (g + 85) % 256, s"G at ($x,$y)")
+        assert((rgb & 0xff) == (g + 170) % 256, s"B at ($x,$y)")
+      }
+    }
+  }
+
+  test("dHash on a 36x32 block image equals the grid-arithmetic derivation") {
+    for (docId <- Seq(0L, 1L, 5L, 42L, 403L)) {
+      val (hi, lo) = ImageOps.dHash(ImageOps.decode(ImageOps.neardupPng(docId)))
+      // independent derivation straight from the construction (mirrors the
+      // l67 DuckDB oracle): cell (bx,cy) value is the block value, bit
+      // cy*8+bx set when cell(bx) < cell(bx+1)
+      val seed = docId / 4
+      val k = (docId % 4).toInt
+      def cell(bx: Int, cy: Int): Int = {
+        val v = ImageOps.blockValue(bx, cy, seed)
+        if (k > 0 && bx == (2 * k) % 9 && cy == (3 * k) % 8) 255 - v else v
+      }
+      var hash = 0L
+      for (cy <- 0 until 8; bx <- 0 until 8)
+        if (cell(bx, cy) < cell(bx + 1, cy)) hash |= 1L << (cy * 8 + bx)
+      assert((hi, lo) == (hash >>> 32, hash & 0xffffffffL), s"doc $docId")
+    }
+  }
+
+  test("near-dup structure: within-group hamming small, cross-group large") {
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val hs = (0L until 16L).map(id =>
+      ImageOps.dHash(ImageOps.decode(ImageOps.neardupPng(id)))).toArray
+    for (g <- 0 until 4; i <- 0 until 4; j <- i + 1 until 4)
+      assert(ham(hs(g * 4 + i), hs(g * 4 + j)) <= 4,
+        s"within group $g: docs ${g * 4 + i},${g * 4 + j}")
+    val cross = for (a <- 0 until 4; b <- 4 until 8) yield ham(hs(a), hs(b))
+    assert(cross.min > 6, s"cross-group collided: $cross")
+  }
+
+  test("nearest-neighbor resize samples the exact integer grid") {
+    val img = ImageOps.decode(ImageOps.synthPng(56, 48, 7L))
+    val r = ImageOps.resizeFit(img, 40)
+    assert(r.getWidth == 40 && r.getHeight == 48 * 40 / 56)
+    for (j <- 0 until r.getHeight; i <- 0 until r.getWidth)
+      assert((r.getRGB(i, j) & 0xffffff) ==
+        (img.getRGB(i * 56 / 40, j * 48 / r.getHeight) & 0xffffff))
+    // no-op branch: already fits
+    val small = ImageOps.decode(ImageOps.synthPng(24, 24, 3L))
+    assert(ImageOps.resizeFit(small, 40) eq small)
+  }
+
+  test("dHash pinned by the independent Python PNG decoder (tools/pin_l67.py)") {
+    // keep the byte-level artifacts reproducible for the Python tool
+    val dir = java.nio.file.Paths.get("target/pngpin")
+    java.nio.file.Files.createDirectories(dir)
+    val ids = Seq(0L, 1L, 2L, 3L, 7L, 42L, 123L, 499L)
+    ids.foreach { id =>
+      java.nio.file.Files.write(dir.resolve(s"$id.png"), ImageOps.neardupPng(id))
+    }
+    val got = ids.map { id =>
+      val (hi, lo) = ImageOps.dHash(ImageOps.decode(ImageOps.neardupPng(id)))
+      (id, hi, lo)
+    }
+    val pinned = Seq( // output of: python3 tools/pin_l67.py target/pngpin
+      (0L, 2344013139L, 698521675L),
+      (1L, 2344013139L, 765630539L),
+      (2L, 2343488851L, 698521675L),
+      (3L, 2344013139L, 698521675L),
+      (7L, 3043649118L, 2867164261L),
+      (42L, 3536692661L, 324577957L),
+      (123L, 2788845987L, 2588320790L),
+      (499L, 341447829L, 755719404L))
+    assert(got == pinned)
+  }
+}
