@@ -152,6 +152,9 @@ object MzMlFormat extends GraftFormat {
       // and its ByteArrayInputStream exhausted before blen resets)
       private var batch = new Array[Byte](1 << 20)
       private var blen = 0
+      // true once this chunk has accepted a fragment — disarms the
+      // pre-sync "-->" spanning-comment tripwire (see nextFragment)
+      private var accepted = false
       private def bput(b: Int): Unit = {
         if (blen == batch.length)
           batch = java.util.Arrays.copyOf(batch, blen << 1)
@@ -242,13 +245,16 @@ object MzMlFormat extends GraftFormat {
         * instruction, CDATA section, or '<!' declaration is NOT a record
         * start, so those constructs are consumed whole (through their
         * closer, past `input.end` if the opener is owned — same ownership
-        * convention as records). A comment/CDATA CLOSER met in content
-        * state on a mid-file chunk means the construct spans the cut and
-        * this chunk woke up inside it, where any '<spectrum' already seen
-        * could be a phantom — raised loudly instead of diverging from the
-        * whole-file rows. (A construct so large it swallows entire chunks
-        * would evade the tripwire; machine-written mzML has no comments at
-        * all, and the closer check costs nothing.)
+        * convention as records). A bare comment/CDATA CLOSER met in content
+        * state on a mid-file chunk is tolerated BEFORE the chunk's first
+        * accepted fragment (nothing emitted yet — continuing reproduces the
+        * whole-file rows whether the closer was legal data or the end of a
+        * construct the cut landed inside) and raised loudly AFTER one (an
+        * already-emitted record might be comment interior, i.e. a phantom —
+        * the one outcome this scan must never let diverge silently). (A
+        * construct so large it swallows entire chunks would evade the
+        * tripwire; machine-written mzML has no comments at all, and the
+        * closer check costs nothing.)
         */
       private def nextFragment(): Boolean = {
         var k = 0
@@ -259,18 +265,42 @@ object MzMlFormat extends GraftFormat {
           val b = nextByte()
           if (b < 0) return false
           if (from > 0) {
+            // Spanning-comment discipline ("-->" is LEGAL XML character and
+            // attribute data, unlike "]]>", so a bare closer is ambiguous):
+            //  - BEFORE this chunk's first accepted fragment, a bare "-->"
+            //    is tolerated: whether it is legal content or the closer of
+            //    a comment the cut landed inside, nothing has been emitted
+            //    yet, so continuing the scan reproduces the whole-file rows
+            //    either way (comment interiors yield no records; records
+            //    after the closer are accepted normally). r14 refused here,
+            //    falsely, for any cut landing mid-record before a "-->" in
+            //    an attribute value or text.
+            //  - AFTER an accepted fragment, a bare "-->" in content state
+            //    still raises: if the cut had landed inside a comment whose
+            //    interior contains a well-formed <spectrum> element, that
+            //    phantom was already EMITTED — the closer is the only
+            //    signal, and silent row divergence is the one outcome this
+            //    scan must never produce. (Legal post-record "-->" text
+            //    also lands here and refuses loudly — machine-written mzML
+            //    has no bare inter-record text; direction of failure safe.)
             if (b == '-') cm = math.min(cm + 1, 2)
             else {
-              if (b == '>' && cm == 2) throw new java.io.IOException(
-                "mzml: comment closer '-->' with no opener in this chunk — " +
-                "a comment spans the split cut; disable splitting for this file")
+              if (b == '>' && cm == 2 && accepted) throw new java.io.IOException(
+                "mzml: comment closer '-->' with no opener in this chunk after " +
+                "records were emitted — a comment may span the split cut and the " +
+                "emitted records may be phantoms; disable splitting for this file")
               cm = 0
             }
+            // "]]>": forbidden in CONTENT (XML 1.0 §2.4) but legal inside
+            // attribute values — same pre/post-accept rule as "-->" above
+            // (a cut landing mid-record before an attr holding "]]>" is
+            // scanned pre-accept; nothing emitted, tolerating is exact).
             if (b == ']') cd = math.min(cd + 1, 2)
             else {
-              if (b == '>' && cd == 2) throw new java.io.IOException(
-                "mzml: CDATA closer ']]>' with no opener in this chunk — " +
-                "a CDATA section spans the split cut; disable splitting for this file")
+              if (b == '>' && cd == 2 && accepted) throw new java.io.IOException(
+                "mzml: CDATA closer ']]>' with no opener in this chunk after " +
+                "records were emitted — a CDATA section may span the split cut and " +
+                "the emitted records may be phantoms; disable splitting for this file")
               cd = 0
             }
           }
@@ -289,6 +319,7 @@ object MzMlFormat extends GraftFormat {
                 b == '>' || b == '/') {
               if (pos - Pat.length - 1 >= input.end) return false
               copyFragment(b)
+              accepted = true
               return true
             }
             k = if (b == '<') 1 else 0

@@ -168,6 +168,49 @@ class MzMlSplitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  // "-->" is LEGAL XML character/attribute data (only "]]>" is forbidden in
+  // content, and even that is legal inside attribute values): a file
+  // carrying both inside cvParam values must still SPLIT, with rows
+  // identical to the whole-file plan. r14's always-armed tripwire refused
+  // these files whenever a cut landed mid-record before the closer bytes;
+  // the pre-accept-tolerant scan reads them fine.
+  test("'-->' and ']]>' inside attribute values: file still splits, rows invariant") {
+    val dir = graft.TestTmp.dir("mzml_split_arrow")
+    val f = new java.io.File(dir.toFile, "arrow.mzML")
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    val n = 900
+    w.write("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<mzML><run><spectrumList>\n")
+    (0 until n).foreach { i =>
+      // every record carries a closer-lookalike in an attribute value, so
+      // ANY mid-record cut puts one in the resync scan's pre-accept window
+      val trap = if (i % 2 == 0) s"mapsTo --> node$i" else s"cut ]]> here$i"
+      w.write(s"""<spectrum id="scan=$i" index="$i" defaultArrayLength="0">""" +
+        s"""<cvParam accession="MS:1000511" name="ms level" value="${i % 3 + 1}"/>""" +
+        s"""<userParam name="annotation" value="$trap"/>""" +
+        s"""<pad>${"z" * 500}</pad></spectrum>\n""")
+    }
+    w.write("</spectrumList></run></mzML>\n")
+    w.close()
+    def rd() = spark.read.format("mzml").load(f.getAbsolutePath)
+      .select(col("id"), col("cv_params")(0)("value").as("lvl"))
+    val whole = withConf("spark.sql.files.maxPartitionBytes" -> "1073741824",
+                         "spark.sql.files.openCostInBytes" -> "1073741824") {
+      val wdf = rd(); assert(wdf.rdd.getNumPartitions == 1); wdf
+    }
+    assert(whole.count() == n)
+    for (sz <- Seq("65536", "131072")) {
+      withConf("spark.sql.files.maxPartitionBytes" -> sz,
+               "spark.sql.files.openCostInBytes" -> "1024") {
+        val split = rd()
+        assert(split.rdd.getNumPartitions >= 3,
+          s"file with '-->' in attributes must still split: ${split.rdd.getNumPartitions}")
+        assert(split.count() == n)
+        assert(split.except(whole).count() == 0 && whole.except(split).count() == 0,
+          s"rows diverged at maxPartitionBytes=$sz")
+      }
+    }
+  }
+
   // Namespace-prefixed documents stay whole-file: a '<mz:spectrum' fragment
   // parsed alone would lose its namespace context, so resyncSplitSniff
   // ('<mzML'/'<indexedmzML' unprefixed) must refuse to split them — with
