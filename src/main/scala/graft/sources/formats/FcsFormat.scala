@@ -157,7 +157,11 @@ object FcsFormat extends GraftFormat {
       // the truncation-raises-EOF contract) and values decoded by absolute
       // ByteBuffer.getFloat in the file's byte order; only the REQUIRED
       // columns decode at all.
-      private val chunkRows = math.max(1L, (1L << 16) / rowBytes).toInt
+      // $PAR=0 declares zero-byte rows: no bytes to decode and no columns to
+      // project — emit nothing rather than divide by zero below (the split
+      // planner already refuses rowBytes<=0 in alignedCutOffsets).
+      private val chunkRows =
+        if (rowBytes <= 0) 1 else math.max(1L, (1L << 16) / rowBytes).toInt
       private val buf = new Array[Byte]((chunkRows * rowBytes).toInt)
       private val bb = java.nio.ByteBuffer.wrap(buf).order(
         if (meta.bigEndian) java.nio.ByteOrder.BIG_ENDIAN

@@ -171,8 +171,15 @@ object GenBankFormat extends GraftFormat {
     while (i < lines.length) {
       val line = lines(i)
       val kw = if (line.length >= 2 && !line.startsWith(" ")) {
+        // token boundary = regex \s charset exactly ([ \t\n\f\r]):
+        // Character.isWhitespace also matches Unicode space separators,
+        // which would truncate an exotic column-0 token INTO a recognized
+        // keyword where the old split("\\s+") let it fall through (r14
+        // ADVICE parity nit)
+        def isWs(c: Char): Boolean =
+          c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
         var e = 0
-        while (e < line.length && !Character.isWhitespace(line.charAt(e))) e += 1
+        while (e < line.length && !isWs(line.charAt(e))) e += 1
         line.substring(0, e)
       } else ""
       kw match {

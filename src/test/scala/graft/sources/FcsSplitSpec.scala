@@ -55,6 +55,24 @@ class FcsSplitSpec extends AnyFunSuite with SharedSpark {
   private def read(): DataFrame =
     spark.read.format("fcs").load(fcsFile.getAbsolutePath)
 
+  // $PAR=0 declares zero-byte rows: degenerate but parseable — the reader
+  // must emit $TOT empty rows (count semantics preserved), not divide by
+  // zero at iterator construction (r14 ADVICE finding).
+  test("$PAR=0 file emits $TOT empty rows instead of crashing") {
+    val dir = graft.TestTmp.dir("fcs_par0")
+    val f = new java.io.File(dir.toFile, "par0.fcs")
+    val text = "/$PAR/0/$TOT/5/$DATATYPE/F/$BYTEORD/1,2,3,4/"
+    val textStart = 58
+    val textEnd = textStart + text.length - 1
+    val dataStart = textStart + text.length
+    val header = f"FCS3.0    $textStart%8d$textEnd%8d$dataStart%8d${dataStart - 1}%8d${0}%8d${0}%8d"
+    val out = new java.io.FileOutputStream(f)
+    out.write(header.getBytes); out.write(text.getBytes); out.close()
+    val df = spark.read.format("fcs").load(f.getAbsolutePath)
+    assert(df.schema.fields.isEmpty)
+    assert(df.count() == 5)
+  }
+
   test("big fcs fans out at row-aligned cuts; rows invariant") {
     // true-whole baseline: force one task (maxSplit = max(openCost,
     // min(maxPartitionBytes, totalBytes/parallelism)) — openCost is the
