@@ -618,8 +618,15 @@ object Bench {
     // ----------------------------------------------------------------------
     var results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
+        val w0 = System.nanoTime()
         forcePack(fn) // untimed per-query warm-up (JIT/codegen)
-        val t = timedEntry(2) { () =>
+        val warmSec = (System.nanoTime() - w0) / 1e9
+        // Sub-second entries take min-of-3: at that duration a single
+        // ~50 ms scheduler hiccup is a >1.15x swing min-of-2 can't absorb
+        // (the r14 driver board needed four selfcheck runs to adjudicate
+        // b06/b14_w2 as jitter — VERDICT r14 #8), and an extra sub-second
+        // rep costs less than the adjudication it prevents.
+        val t = timedEntry(if (warmSec < 1.0) 3 else 2) { () =>
           val t0 = System.nanoTime()
           forcePack(fn)
           (System.nanoTime() - t0) / 1e9

@@ -90,4 +90,118 @@ object Corpora {
     new java.io.File(s"$dir/sink").listFiles().foreach(_.delete())
     new java.io.File(dir, "_done").createNewFile()
   }
+
+  // ---------------------------------------------------------------------
+  // Plain-JVM writers for the DecodeRate probe (same record shapes as the
+  // FormatSplitScale ratchet corpora, parameterized by record count so the
+  // decode-rate gate and the split ratchet can't drift apart in content).
+  // ---------------------------------------------------------------------
+
+  private def guarded(f: java.io.File)(write: => Unit): Unit = {
+    val done = new java.io.File(f.getParentFile, f.getName + "._done")
+    f.getParentFile.mkdirs()
+    if (!done.exists()) { write; done.createNewFile() }
+  }
+
+  def writeGenBank(f: java.io.File, n: Int): Unit = guarded(f) {
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    val bases = "acgt" * 32
+    (0 until n).foreach { k =>
+      val len = 100 + (k % 7) * 10
+      w.write(f"LOCUS       SEQ$k%d             $len%d bp    DNA     linear   CON 24-APR-2019\n")
+      w.write(f"ACCESSION   A$k%06d\n")
+      w.write("FEATURES             Location/Qualifiers\n")
+      w.write(s"     gene            1..$len\n")
+      w.write(s"""                     /locus_tag="LT$k"\n""")
+      w.write("ORIGIN\n")
+      var off = 0
+      while (off < len) {
+        val take = math.min(60, len - off)
+        w.write(f"${off + 1}%9d ${bases.substring(0, take)}\n")
+        off += take
+      }
+      w.write("//\n")
+    }
+    w.close()
+  }
+
+  def writeSdf(f: java.io.File, n: Int): Unit = guarded(f) {
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    (0 until n).foreach { k =>
+      w.write(f"MOL$k%06d\n  SYNTH\ncomment\n")
+      w.write("  2  1  0  0  0  0  0  0  0  0999 V2000\n")
+      w.write("    0.0000    0.0000    0.0000 C\n")
+      w.write("    1.0000    0.0000    0.0000 O\n")
+      w.write("  1  2  1  0\nM  END\n> <id>\n")
+      w.write(f"$k%06d\n\n")
+      w.write("$$$$\n")
+    }
+    w.close()
+  }
+
+  /** FCS with the big-file header convention ($BEGINDATA/$ENDDATA in TEXT)
+    * — same fixpoint construction as FormatSplitScale's generator.
+    */
+  def writeFcs(f: java.io.File, nEv: Int): Unit = guarded(f) {
+    def textFor(begin: Long): String =
+      "/$PAR/8/$TOT/" + nEv + "/$DATATYPE/F/$BYTEORD/1,2,3,4" +
+        "/$P1S/FSC-A/$P2S/SSC-A/$P3S/FL1-A/$P4S/FL2-A/$P5S/FL3-A/$P6S/FL4-A/$P7S/FL5-A/$P8S/TIME" +
+        s"/$$BEGINDATA/$begin/$$ENDDATA/${begin + nEv.toLong * 32 - 1}/"
+    var dataStart = 58L + textFor(100000000L).length
+    dataStart = 58L + textFor(dataStart).length
+    val text = textFor(dataStart)
+    require(58L + text.length == dataStart, "BEGINDATA fixpoint failed")
+    val textStart = 58
+    val textEnd = textStart + text.length - 1
+    val header = f"FCS3.0    $textStart%8d$textEnd%8d${0}%8d${0}%8d${0}%8d${0}%8d"
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f), 1 << 20))
+    out.writeBytes(header); out.writeBytes(text)
+    var i = 0
+    while (i < nEv) {
+      var p = 0
+      while (p < 8) {
+        out.writeInt(Integer.reverseBytes(java.lang.Float.floatToIntBits(
+          ((i * 7 + p * 3) % 16381).toFloat)))
+        p += 1
+      }
+      i += 1
+    }
+    out.close()
+  }
+
+  def writeMzml(f: java.io.File, n: Int): Unit = guarded(f) {
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    def b64zlib(vals: Array[Double]): String = {
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(bb.array()); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(vals.length * 8)
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+    }
+    w.write("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<mzML><run><spectrumList>\n")
+    (0 until n).foreach { i =>
+      val np = 50
+      val mzv = Array.tabulate(np)(j => 100.0 + i % 7 + j * 9.97)
+      val inten = Array.tabulate(np)(j => ((i * 31 + j * 17) % 10000).toDouble)
+      w.write(s"""<spectrum id="scan=$i" index="$i" defaultArrayLength="$np">""")
+      w.write("""<binaryDataArrayList count="2">""")
+      w.write("""<binaryDataArray><cvParam accession="MS:1000514" name="m/z array"/>""" +
+        """<cvParam accession="MS:1000523" name="64-bit float"/>""" +
+        """<cvParam accession="MS:1000574" name="zlib compression"/>""" +
+        s"<binary>${b64zlib(mzv)}</binary></binaryDataArray>")
+      w.write("""<binaryDataArray><cvParam accession="MS:1000515" name="intensity array"/>""" +
+        """<cvParam accession="MS:1000523" name="64-bit float"/>""" +
+        """<cvParam accession="MS:1000574" name="zlib compression"/>""" +
+        s"<binary>${b64zlib(inten)}</binary></binaryDataArray>")
+      w.write("</binaryDataArrayList></spectrum>\n")
+    }
+    w.write("</spectrumList></run></mzML>\n")
+    w.close()
+  }
 }

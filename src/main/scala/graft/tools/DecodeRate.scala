@@ -1,0 +1,162 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Single-task decode-rate regression gate (VERDICT r14 item #4).
+  *
+  * The per-core MB/s table in BENCH_NOTES_r14 §1 is the most scale-relevant
+  * signal the repo has — FCS sat at a 20 MB/s single-core wall for 13
+  * rounds because nothing measured it mechanically. This main measures it:
+  * for each format family, ONE whole-file scan task (split planning
+  * disabled via huge maxPartitionBytes/openCost, so the decode runs on one
+  * core regardless of the session's thread count) over a ~100-200 MB
+  * corpus of the same record shape the bench/ratchet corpora use, min of 3
+  * timed reps after a warm pass. Emits ONE JSON line:
+  *
+  *   {"metric":"decode_rate_single_task","unit":"MB/s",
+  *    "formats":{"fcs":{"mb":…,"sec":…,"mbps":…},…}}
+  *
+  * Redirect to DECODE_RATE_r{N}.json per round; compare mbps per format
+  * round-over-round (corpora are content-deterministic and cached under
+  * GRAFT_DECODERATE_DIR with _done markers, so bytes are identical too).
+  *
+  * Scan shapes mirror the corresponding bench arms (b02/b18/b14/b16/b17,
+  * FormatSplitScale) so the numbers stay comparable with the historical
+  * tables: full payload decode for the sequence formats, the
+  * projection-the-arm-uses for FCS/SDF (the reader is projection-aware;
+  * that IS the measured capability).
+  */
+object DecodeRate {
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(
+      sys.env.getOrElse("GRAFT_DECODERATE_DIR", "/tmp/graft_decoderate"))
+    dir.mkdirs()
+    val s = graft.LocalSession.buildBench(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    s.sparkContext.setLogLevel("WARN")
+
+    // ---- corpora (generated once, _done-guarded) ----
+    val gb = new java.io.File(dir, "decoderate.gb")
+    Corpora.writeGenBank(gb, 600000) // ~156 MB
+    val sdf = new java.io.File(dir, "decoderate.sdf")
+    Corpora.writeSdf(sdf, 1000000) // ~177 MB
+    val fcs = new java.io.File(dir, "decoderate.fcs")
+    Corpora.writeFcs(fcs, 6000000) // ~192 MB
+    val mz = new java.io.File(dir, "decoderate.mzML")
+    Corpora.writeMzml(mz, 120000) // ~137 MB
+
+    def sparkGen(name: String)(write: String => Unit): java.io.File = {
+      val sub = new java.io.File(dir, name)
+      val done = new java.io.File(dir, name + "._done")
+      if (!done.exists()) { write(sub.getAbsolutePath); done.createNewFile() }
+      sub
+    }
+    // FASTA: the b02 shape (md5-derived sequences), one shard.
+    val fasta = sparkGen("fasta") { p =>
+      s.range(0, 700000L).select(
+          concat(lit("seq"), col("id")).as("id"),
+          lit(null).cast("string").as("description"),
+          translate(concat(md5(col("id").cast("string")),
+              md5((col("id") + 1000000L).cast("string")),
+              md5((col("id") + 2000000L).cast("string")),
+              md5((col("id") + 3000000L).cast("string")),
+              md5((col("id") + 4000000L).cast("string")),
+              md5((col("id") + 5000000L).cast("string"))),
+            "0123456789abcdef", "ACGTACGTACGTACGT").as("sequence"))
+        .repartition(1)
+        .write.format("fasta").mode("overwrite").save(p)
+    }
+    // FASTQ: the b18 landing shape — ONE bgzipped shard, no index.
+    val fastqDir = new java.io.File(dir, "fastqgz")
+    Corpora.writeUnindexedFastqBgzf(s, fastqDir.getAbsolutePath, 1200000L)
+    val fastq = new java.io.File(fastqDir, "t")
+    // BAM: the b14 shape — ONE coordinate-sorted shard, high-entropy reads.
+    val refs = (0 until 8).map(i => s"chr$i:30000000").mkString(",")
+    val bam = sparkGen("bam") { p =>
+      s.range(0, 1500000L).select(
+          concat(lit("r"), col("id")).as("name"),
+          lit(0).as("flag"),
+          concat(lit("chr"), (col("id") % 8).cast("string")).as("reference"),
+          ((col("id") / 8).cast("long") * 100 + 1).as("start"),
+          ((col("id") / 8).cast("long") * 100 + 100).as("end"),
+          lit("30").as("mapping_quality"),
+          lit("100M").as("cigar"),
+          lit(null).cast("string").as("mate_reference"),
+          translate(
+            substring(concat(md5(col("id").cast("string")),
+              md5((col("id") + 7000000L).cast("string")),
+              md5((col("id") + 14000000L).cast("string")),
+              md5((col("id") + 21000000L).cast("string"))), 1, 100),
+            "0123456789abcdef", "ACGTACGTACGTACGT").as("sequence"),
+          array_repeat(lit(30L), 100).as("quality_score"),
+          array().cast("array<struct<tag:string,value:string>>").as("tags"))
+        .repartitionByRange(1, col("reference"), col("start"))
+        .sortWithinPartitions("reference", "start")
+        .write.format("bam").mode("overwrite").option("refs", refs).save(p)
+    }
+    // CRAM: the b17 shape — the BAM corpus transcoded, .crai dropped.
+    val cram = sparkGen("cram") { p =>
+      s.read.format("bam").load(bam.getAbsolutePath)
+        .repartitionByRange(1, col("reference"), col("start"))
+        .sortWithinPartitions("reference", "start")
+        .write.format("cram").mode("overwrite").option("refs", refs).save(p)
+      new java.io.File(p).listFiles().foreach { f =>
+        if (f.getName.endsWith(".crai")) require(f.delete())
+      }
+    }
+
+    def dataBytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else f.listFiles().filter(x => x.isFile && !x.getName.startsWith("_") &&
+        !x.getName.startsWith(".")).map(_.length).sum
+
+    // ---- measurement: ONE task per scan (whole-file plan) ----
+    s.conf.set("spark.sql.files.maxPartitionBytes", "17179869184")
+    s.conf.set("spark.sql.files.openCostInBytes", "17179869184")
+
+    var rows = Vector.empty[(String, Long, Double)]
+    def rate(name: String, corpus: java.io.File)(scan: => DataFrame): Unit = {
+      def run(): Unit = { val r = scan.collect(); require(r.nonEmpty) }
+      try {
+        run() // warm (page cache + codegen)
+        val sec = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }.min
+        rows :+= ((name, dataBytes(corpus), sec))
+      } catch { case e: Throwable =>
+        System.err.println(s"[decoderate] FAILED $name: ${e.getMessage}")
+        rows :+= ((name, dataBytes(corpus), -1.0))
+      }
+    }
+
+    rate("fasta", fasta)(s.read.format("fasta").load(fasta.getAbsolutePath)
+      .agg(count(lit(1)), sum(length(col("sequence")))))
+    rate("fastq_bgzf", fastq)(s.read.format("fastq").load(fastq.getAbsolutePath)
+      .agg(count(lit(1)), sum(length(col("sequence"))),
+        sum(length(col("quality_scores")))))
+    rate("bam", bam)(s.read.format("bam").load(bam.getAbsolutePath)
+      .agg(sum(col("flag")), sum(length(col("sequence")))))
+    rate("cram", cram)(s.read.format("cram").load(cram.getAbsolutePath)
+      .agg(sum(col("flag")), sum(length(col("sequence")))))
+    rate("genbank", gb)(s.read.format("genbank").load(gb.getAbsolutePath)
+      .agg(count(lit(1)), sum(length(col("sequence")))))
+    rate("sdf", sdf)(s.read.format("sdf").load(sdf.getAbsolutePath)
+      .agg(count(lit(1)), sum(col("atom_count")),
+        sum(col("data")("id").cast("long"))))
+    rate("fcs", fcs)(s.read.format("fcs").load(fcs.getAbsolutePath)
+      .agg(count(lit(1)), sum(col("FSC-A").cast("double"))))
+    rate("mzml", mz)(s.read.format("mzml").load(mz.getAbsolutePath)
+      .agg(count(lit(1)),
+        sum(expr("aggregate(intensity.intensity, 0D, (a, x) -> a + x)"))))
+
+    val fields = rows.map { case (name, bytes, sec) =>
+      val mb = bytes / 1e6
+      val mbps = if (sec > 0) mb / sec else -1.0
+      f""""$name":{"mb":$mb%.1f,"sec":$sec%.3f,"mbps":$mbps%.1f}"""
+    }
+    println(s"""{"metric":"decode_rate_single_task","unit":"MB/s",""" +
+      s""""formats":{${fields.mkString(",")}}}""")
+    s.stop()
+  }
+}
