@@ -162,6 +162,13 @@ final class ByteArrayBuilder(initial: Int = 256) {
     System.arraycopy(src, off, buf, n, len)
     n += len
   }
+  def appendByte(v: Int): Unit = {
+    if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+    buf(n) = v.toByte
+    n += 1
+  }
+  /** Raw backing array (valid to `length`; invalidated by appends). */
+  def rawBytes: Array[Byte] = buf
   def reset(): Unit = n = 0
   def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, n)
 }
