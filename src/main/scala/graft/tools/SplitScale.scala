@@ -23,7 +23,11 @@ object SplitScale {
     def run(corpus: java.io.File, label: String)(
         scan: SparkSession => Long): Unit = {
       println(f"corpus $label: ${corpus.length() / 1e6}%.1f MB compressed, no index")
-      Seq("1", "32").foreach { w =>
+      // GRAFT_SPLITSCALE_WIDTHS=1,4,8,16,32 fills the mid-curve (the w16
+      // point is where the r14 mzML probe caught a serialization term the
+      // w1/w32 endpoints could not see — VERDICT r14 #3)
+      sys.env.getOrElse("GRAFT_SPLITSCALE_WIDTHS", "1,32")
+        .split(",").map(_.trim).filter(_.nonEmpty).foreach { w =>
         val s = graft.LocalSession.buildBench(w)
         // collect() the aggregate row — .count() over an agg lets Catalyst
         // drop the unreferenced sums (r11 Bench honesty fix; this tool had
