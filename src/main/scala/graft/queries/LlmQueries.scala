@@ -466,36 +466,20 @@ object LlmQueries {
     // killed by the Hamming filter — both behaviors are exercised and the
     // oracle recomputes the truth from the same grid arithmetic, on top of
     // the independent pure-Python PNG decode pin in tools/pin_l67.py).
-    "l67_image_neardup" -> ((s, d) => {
-      import s.implicits._
-      import graft.functions.ImageOps
-      val ids = documents(s, d).select(col("doc_id")).as[Long]
-      // hashes are recomputed once and cut (the decode ran; the self-join
-      // below must not re-decode the corpus twice)
-      val hashes = ids.mapPartitions { it =>
-        it.map { id =>
-          val (hi, lo) = ImageOps.dHash(ImageOps.decode(ImageOps.neardupPng(id)))
-          (id, hi, lo, Array(lo & 0xffffL, lo >> 16, hi & 0xffffL, hi >> 16))
-        }
-      }.toDF("doc_id", "hi", "lo", "bands").localCheckpoint()
-      // 4 bands of 16 bits; band value tagged with its position so only
-      // same-position bands collide.
-      val bands = hashes
-        .select(col("doc_id"), col("hi"), col("lo"), posexplode(col("bands")))
-        .withColumnRenamed("pos", "bidx").withColumnRenamed("col", "bv")
-      val left = bands.select(col("doc_id").as("ida"), col("hi").as("hia"),
-        col("lo").as("loa"), col("bidx"), col("bv"))
-      val right = bands.select(col("doc_id").as("idb"), col("hi").as("hib"),
-        col("lo").as("lob"), col("bidx"), col("bv"))
-      left.join(right, Seq("bidx", "bv"))
-        .where(col("ida") < col("idb"))
-        .select(col("ida"), col("idb"),
-          expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)")
-            .cast("long").as("hamming"))
-        .distinct()
-        .where(col("hamming") <= 6)
-        .orderBy(col("ida"), col("idb"))
-    }),
+    "l67_image_neardup" -> ((s, d) =>
+      imagePairs(s, d).orderBy(col("ida"), col("idb"))),
+
+    // Image dedup keep-list — the step after pair generation: connected
+    // components over the l67 near-dup pairs (A~B~C must collapse to ONE
+    // keeper even when A!~C), keeper = min doc_id per cluster. Same
+    // min-label propagation as the text stack (l14), so the whole image
+    // pipeline — decode, dHash, banded LSH, Hamming confirm, CC, keep —
+    // is one relational plan end to end.
+    "l68_image_dedup_keep" -> ((s, d) =>
+      connectedComponents(imagePairs(s, d).select(col("ida"), col("idb")))
+        .select(col("doc_id"), col("cluster_id").as("keeper"),
+          when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("kept"))
+        .orderBy(col("doc_id"))),
 
     // Duplicate-cluster extraction: connected components over the exact
     // near-dup pairs (the step a dedup pipeline runs after pair
@@ -2457,6 +2441,73 @@ object LlmQueries {
     * cuts are localCheckpoint (executor-local blocks): faster, fine for
     * bench/sandbox scale, not fault-tolerant.
     */
+  /** Shared DuckDB CTE chain deriving the image dHash truth from the
+    * construction (l67/l68 oracles): block grid -> cells -> bits -> hashes
+    * -> bands -> `fp(ida, idb, hia, loa, hib, lob)` confirmed pairs.
+    */
+  private val imagePairsCtes: String =
+    """ids AS (SELECT doc_id FROM documents),
+      |hm AS (SELECT i.doc_id, gx.bx, gy.cy,
+      |    (gx.bx * 73856093 + gy.cy * 19349663 + (i.doc_id // 4) * 83492791) % 1000003 AS hm
+      |  FROM ids i, generate_series(0, 8) gx(bx), generate_series(0, 7) gy(cy)),
+      |cells AS (SELECT doc_id, bx, cy,
+      |    CASE WHEN (doc_id % 4) > 0 AND bx = (2 * (doc_id % 4)) % 9
+      |              AND cy = (3 * (doc_id % 4)) % 8
+      |         THEN 255 - (((hm * hm + hm * 7919) % 1000003) % 256)
+      |         ELSE ((hm * hm + hm * 7919) % 1000003) % 256 END AS v
+      |  FROM hm),
+      |bits AS (SELECT a.doc_id, a.cy * 8 + a.bx AS idx,
+      |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.bx = a.bx + 1
+      |  WHERE a.bx < 8),
+      |hashes AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, hi, lo, 0 AS bidx, lo % 65536 AS bv FROM hashes
+      |  UNION ALL SELECT doc_id, hi, lo, 1, lo // 65536 FROM hashes
+      |  UNION ALL SELECT doc_id, hi, lo, 2, hi % 65536 FROM hashes
+      |  UNION ALL SELECT doc_id, hi, lo, 3, hi // 65536 FROM hashes),
+      |pairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+      |    a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
+      |  FROM bands a JOIN bands b
+      |    ON a.bidx = b.bidx AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |fp AS (SELECT * FROM pairs
+      |  WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 6)""".stripMargin
+
+  /** Image near-dup pairs (l67/l68): REAL PNG decode -> perceptual dHash ->
+    * 4x16-bit banded LSH candidate join -> Hamming confirm <= 6. Keyed
+    * join on (band position, band value) — never all-pairs; hashes are
+    * computed once and lineage-cut so the self-join doesn't re-decode.
+    */
+  private def imagePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ImageOps
+    val ids = documents(s, d).select(col("doc_id")).as[Long]
+    val hashes = ids.mapPartitions { it =>
+      it.map { id =>
+        val (hi, lo) = ImageOps.dHash(ImageOps.decode(ImageOps.neardupPng(id)))
+        (id, hi, lo, Array(lo & 0xffffL, lo >> 16, hi & 0xffffL, hi >> 16))
+      }
+    }.toDF("doc_id", "hi", "lo", "bands").localCheckpoint()
+    // band value tagged with its position so only same-position bands collide
+    val bands = hashes
+      .select(col("doc_id"), col("hi"), col("lo"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "bidx").withColumnRenamed("col", "bv")
+    val left = bands.select(col("doc_id").as("ida"), col("hi").as("hia"),
+      col("lo").as("loa"), col("bidx"), col("bv"))
+    val right = bands.select(col("doc_id").as("idb"), col("hi").as("hib"),
+      col("lo").as("lob"), col("bidx"), col("bv"))
+    left.join(right, Seq("bidx", "bv"))
+      .where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)")
+          .cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 6)
+  }
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
@@ -3418,38 +3469,25 @@ object LlmQueries {
     // Third check: tools/pin_l67.py decodes the actual PNG bytes with a
     // pure-stdlib Python PNG reader; its hashes are pinned in ImageOpsSpec.
     "l67_image_neardup" ->
-      """WITH ids AS (SELECT doc_id FROM documents),
-        |hm AS (SELECT i.doc_id, gx.bx, gy.cy,
-        |    (gx.bx * 73856093 + gy.cy * 19349663 + (i.doc_id // 4) * 83492791) % 1000003 AS hm
-        |  FROM ids i, generate_series(0, 8) gx(bx), generate_series(0, 7) gy(cy)),
-        |cells AS (SELECT doc_id, bx, cy,
-        |    CASE WHEN (doc_id % 4) > 0 AND bx = (2 * (doc_id % 4)) % 9
-        |              AND cy = (3 * (doc_id % 4)) % 8
-        |         THEN 255 - (((hm * hm + hm * 7919) % 1000003) % 256)
-        |         ELSE ((hm * hm + hm * 7919) % 1000003) % 256 END AS v
-        |  FROM hm),
-        |bits AS (SELECT a.doc_id, a.cy * 8 + a.bx AS idx,
-        |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
-        |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.bx = a.bx + 1
-        |  WHERE a.bx < 8),
-        |hashes AS (SELECT doc_id,
-        |    CAST(sum(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS lo
-        |  FROM bits GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, hi, lo, 0 AS bidx, lo % 65536 AS bv FROM hashes
-        |  UNION ALL SELECT doc_id, hi, lo, 1, lo // 65536 FROM hashes
-        |  UNION ALL SELECT doc_id, hi, lo, 2, hi % 65536 FROM hashes
-        |  UNION ALL SELECT doc_id, hi, lo, 3, hi // 65536 FROM hashes),
-        |pairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
-        |    a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
-        |  FROM bands a JOIN bands b
-        |    ON a.bidx = b.bidx AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      s"""WITH $imagePairsCtes
         |SELECT ida, idb,
         |  CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT) AS hamming
-        |FROM pairs
-        |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 6
+        |FROM fp
         |ORDER BY ida, idb""".stripMargin,
+
+    // keep-list truth: transitive closure (recursive CTE) over the same
+    // derived pairs, min label per component — the l14 oracle shape.
+    "l68_image_dedup_keep" ->
+      s"""WITH RECURSIVE $imagePairsCtes,
+        |edges AS (SELECT ida a, idb b FROM fp UNION SELECT idb, ida FROM fp),
+        |reach(a, b) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, MIN(b) AS keeper,
+        |  CAST(CASE WHEN MIN(b) = a THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM reach GROUP BY a
+        |ORDER BY doc_id""".stripMargin,
 
     // connected components via transitive closure (recursive CTE) over the
     // same exact-Jaccard pairs l03 grades against
