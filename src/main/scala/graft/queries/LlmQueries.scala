@@ -2480,8 +2480,16 @@ object LlmQueries {
     * 4x16-bit banded LSH candidate join -> Hamming confirm <= 6. Keyed
     * join on (band position, band value) — never all-pairs; hashes are
     * computed once and lineage-cut so the self-join doesn't re-decode.
+    * Same hot-bucket discipline as the text stack (minhashCandidatePairs):
+    * a degenerate band value at corpus scale (solid-color boilerplate
+    * images hash identically) would otherwise make one bucket quadratic —
+    * buckets past `maxBucket` are dropped before the pair join and counted
+    * in an accumulator, and singleton buckets never enter it. The cap does
+    * not bind at the sf0.01 gate scale (largest bucket there is ~6 docs),
+    * so the DuckDB oracle derivation is unchanged.
     */
-  private def imagePairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def imagePairs(s: SparkSession, d: String,
+      maxBucket: Int = 1000): DataFrame = {
     import s.implicits._
     import graft.functions.ImageOps
     val ids = documents(s, d).select(col("doc_id")).as[Long]
@@ -2495,9 +2503,21 @@ object LlmQueries {
     val bands = hashes
       .select(col("doc_id"), col("hi"), col("lo"), posexplode(col("bands")))
       .withColumnRenamed("pos", "bidx").withColumnRenamed("col", "bv")
-    val left = bands.select(col("doc_id").as("ida"), col("hi").as("hia"),
+    val dropAcc = s.sparkContext.longAccumulator("image_lsh_buckets_dropped")
+    val keep = udf { (k: Long) =>
+      val ok = k <= maxBucket
+      if (!ok) dropAcc.add(1)
+      ok
+    }
+    val liveBuckets = bands.groupBy(col("bidx"), col("bv"))
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1)
+      .filter(keep(col("k")))
+      .select(col("bidx"), col("bv"))
+    val kept = bands.join(liveBuckets, Seq("bidx", "bv"))
+    val left = kept.select(col("doc_id").as("ida"), col("hi").as("hia"),
       col("lo").as("loa"), col("bidx"), col("bv"))
-    val right = bands.select(col("doc_id").as("idb"), col("hi").as("hib"),
+    val right = kept.select(col("doc_id").as("idb"), col("hi").as("hib"),
       col("lo").as("lob"), col("bidx"), col("bv"))
     left.join(right, Seq("bidx", "bv"))
       .where(col("ida") < col("idb"))

@@ -32,6 +32,16 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.count() == 0, "capped run must drop the degenerate buckets")
   }
 
+  test("image LSH: buckets over the cap are dropped, not exploded") {
+    val d = "/root/testdata/sf0.001"
+    // cap of 1 drops EVERY multi-doc bucket (the within-group bands are
+    // k=2..4 at this scale) -> zero candidates survive
+    assert(LlmQueries.imagePairs(spark, d, maxBucket = 1).count() == 0,
+      "capped run must drop the degenerate buckets")
+    // default cap doesn't bind: the full truth (125 groups x C(4,2)) comes back
+    assert(LlmQueries.imagePairs(spark, d).count() == 750)
+  }
+
   test("simhash: block-pair banding has total recall at hamming <= 6") {
     // Synthetic corpus around one base fingerprint: flip k in-block-spread
     // bits for k = 0..8. Pairs at hamming <= 6 MUST all surface as
