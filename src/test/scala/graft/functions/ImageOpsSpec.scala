@@ -71,6 +71,30 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(ImageOps.resizeFit(small, 40) eq small)
   }
 
+  test("decode handles the other JDK-native codecs: BMP lossless, JPEG structural") {
+    val src = ImageOps.decode(ImageOps.synthPng(36, 32, 11L))
+    def recode(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(src, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    // BMP is lossless RGB: full pixel identity through a second codec
+    val bmp = ImageOps.decode(recode("bmp"))
+    for (y <- 0 until 32; x <- 0 until 36)
+      assert((bmp.getRGB(x, y) & 0xffffff) == (src.getRGB(x, y) & 0xffffff))
+    // JPEG is lossy: dimensions and band structure must survive, pixels
+    // only approximately (sanity: mean abs luma error under 16/255)
+    val jpg = ImageOps.decode(recode("jpg"))
+    assert(jpg.getWidth == 36 && jpg.getHeight == 32)
+    val err = (for (y <- 0 until 32; x <- 0 until 36)
+      yield math.abs(ImageOps.luma(jpg.getRGB(x, y)) - ImageOps.luma(src.getRGB(x, y)))).sum
+    assert(err / (36 * 32) < 16, s"jpeg decode too far off: ${err / (36 * 32)}")
+    // undecodable bytes raise loudly, never fabricate pixels
+    intercept[IllegalArgumentException] {
+      ImageOps.decode(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
   test("dHash pinned by the independent Python PNG decoder (tools/pin_l67.py)") {
     // keep the byte-level artifacts reproducible for the Python tool
     val dir = java.nio.file.Paths.get("target/pngpin")
