@@ -378,8 +378,14 @@ object LlmQueries {
     "l10_image_decode" -> ((s, d) => {
       import s.implicits._
       import graft.functions.ImageOps
+      // The codec stage is CPU-bound (~100 us/image), 1000x heavier per
+      // input byte than a text kernel — partition by CORES, not by the
+      // (tiny) metadata file layout, or the whole corpus decodes on the
+      // one task the single parquet shard plans to (measured: 500k images
+      // 90 s -> ~3 s at local[32]).
       val ds = documents(s, d)
         .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, Long)]
       val payloads = ds.mapPartitions { it =>
         it.map { case (id, n) =>
@@ -423,8 +429,10 @@ object LlmQueries {
     "l13_multimodal_pipeline" -> ((s, d) => {
       import s.implicits._
       import graft.functions.ImageOps
+      // cores-not-bytes partitioning for the decode stage (see l10)
       val ds = documents(s, d)
         .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, Long)]
       val payloads = ds.mapPartitions { it =>
         it.map { case (id, n) =>
@@ -471,12 +479,16 @@ object LlmQueries {
 
     // Image dedup keep-list — the step after pair generation: connected
     // components over the l67 near-dup pairs (A~B~C must collapse to ONE
-    // keeper even when A!~C), keeper = min doc_id per cluster. Same
-    // min-label propagation as the text stack (l14), so the whole image
-    // pipeline — decode, dHash, banded LSH, Hamming confirm, CC, keep —
-    // is one relational plan end to end.
+    // keeper even when A!~C), keeper = min doc_id per cluster, so the
+    // whole image pipeline — decode, dHash, banded LSH, Hamming confirm,
+    // CC, keep — is one relational plan end to end. Star contraction, NOT
+    // min-label propagation: perceptual-hash near-dup graphs CHAIN (a~b,
+    // b~c with a!~c), so component diameters grow with corpus size —
+    // min-label (rounds = diameter) hit its round cap at the 100x ratchet
+    // (500k docs, 939k pairs, chained components) where the
+    // O(log^2 n)-round contraction converges.
     "l68_image_dedup_keep" -> ((s, d) =>
-      connectedComponents(imagePairs(s, d).select(col("ida"), col("idb")))
+      connectedComponentsStar(imagePairs(s, d).select(col("ida"), col("idb")))
         .select(col("doc_id"), col("cluster_id").as("keeper"),
           when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("kept"))
         .orderBy(col("doc_id"))),
@@ -2492,7 +2504,11 @@ object LlmQueries {
       maxBucket: Int = 1000): DataFrame = {
     import s.implicits._
     import graft.functions.ImageOps
-    val ids = documents(s, d).select(col("doc_id")).as[Long]
+    // cores-not-bytes partitioning: the decode+hash stage is CPU-bound
+    // (~140 us/image single-thread), so inheriting the metadata file's
+    // 1-2 planned partitions serializes the whole corpus decode
+    val ids = documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
     val hashes = ids.mapPartitions { it =>
       it.map { id =>
         val (hi, lo) = ImageOps.dHash(ImageOps.decode(ImageOps.neardupPng(id)))
