@@ -37,6 +37,11 @@ object PlanDump {
         "Candidate generation is a keyed self-join on (band, sig) — no " +
           "CartesianProduct anywhere; hot buckets dropped before the join.",
         () => graft.queries.LlmQueries.queries("l04_minhash_lsh_dedup")(spark, d)),
+      ("l67_image_neardup",
+        "Image near-dup: codec stage repartitioned by CORES (CPU-bound " +
+          "mapPartitions), candidate join keyed on (band pos, band value) " +
+          "with hot buckets dropped — no CartesianProduct.",
+        () => graft.queries.LlmQueries.queries("l67_image_neardup")(spark, d)),
       ("l06_ann_bruteforce",
         "The 3-query side is broadcast; the corpus streams through one " +
           "codegen'd cosine + window top-k, never shuffled whole.",
