@@ -30,6 +30,10 @@ object BamFormat extends GraftFormat {
     Some(("reference", "start", "end"))
 
   private val SeqCode = "=ACMGRSVTWYHKDBN"
+  // byte table for the 4-bit base decode: the hot loop writes ASCII bytes
+  // straight into the output array (a StringBuilder + String + UTF-8
+  // re-encode per read was ~18% of the BAM decode profile)
+  private val SeqCodeBytes = SeqCode.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
   private val CigarOps = "MIDNSHP=X"
 
   private final class LEInput(in: InputStream) {
@@ -254,8 +258,6 @@ object BamFormat extends GraftFormat {
     in.i32() // next_pos
     in.i32() // tlen
     val nameBytes = in.bytes(lReadName)
-    val name = new String(nameBytes, 0, lReadName - 1,
-      java.nio.charset.StandardCharsets.US_ASCII)
     val cigarOps = Array.fill(nCigar)(in.i32())
     val seqBytes = in.bytes((lSeq + 1) / 2)
     val qualBytes = in.bytes(lSeq)
@@ -277,7 +279,10 @@ object BamFormat extends GraftFormat {
     val unmapped = refId < 0 || pos0 < 0 || nCigar == 0
 
     required.map {
-      case 0 => if (name == "*" || name.isEmpty) null else utf8(name)
+      case 0 =>
+        // missing name: empty or the "*" placeholder (bytes incl. the NUL)
+        if (lReadName <= 1 || (lReadName == 2 && nameBytes(0) == '*')) null
+        else UTF8String.fromBytes(nameBytes, 0, lReadName - 1)
       case 1 => flag
       case 2 => if (refId < 0) null else utf8(refs(refId))
       case 3 => if (refId < 0 || pos0 < 0) null else (pos0 + 1).toLong
@@ -289,18 +294,26 @@ object BamFormat extends GraftFormat {
       case 8 =>
         if (lSeq == 0) null
         else {
-          val sb = new java.lang.StringBuilder(lSeq)
+          val out = new Array[Byte](lSeq)
           var i = 0
           while (i < lSeq) {
             val b = seqBytes(i / 2) & 0xff
-            sb.append(SeqCode.charAt(if (i % 2 == 0) b >>> 4 else b & 0xf))
+            out(i) = SeqCodeBytes(if (i % 2 == 0) b >>> 4 else b & 0xf)
             i += 1
           }
-          utf8(sb.toString)
+          UTF8String.fromBytes(out)
         }
       case 9 =>
         if (lSeq == 0 || (qualBytes.nonEmpty && (qualBytes(0) & 0xff) == 0xff) ) null
-        else new GenericArrayData(qualBytes.map(q => (q & 0xff).toLong: Any))
+        else {
+          // primitive long array, no per-value boxing (100 boxed Longs per
+          // read showed up as Arrays.copyOf churn in the decode profile)
+          val arr = new Array[Long](lSeq)
+          var i = 0
+          while (i < lSeq) { arr(i) = qualBytes(i) & 0xff; i += 1 }
+          org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+            .fromPrimitiveArray(arr)
+        }
       case 10 => parseTags(tagBytes)
     }
   }

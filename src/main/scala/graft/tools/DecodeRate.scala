@@ -21,11 +21,12 @@ import org.apache.spark.sql.functions._
   * round-over-round (corpora are content-deterministic and cached under
   * GRAFT_DECODERATE_DIR with _done markers, so bytes are identical too).
   *
-  * Scan shapes mirror the corresponding bench arms (b02/b18/b14/b16/b17,
-  * FormatSplitScale) so the numbers stay comparable with the historical
-  * tables: full payload decode for the sequence formats, the
-  * projection-the-arm-uses for FCS/SDF (the reader is projection-aware;
-  * that IS the measured capability).
+  * Scan PROJECTIONS mirror the corresponding bench arms (b02/b18/b14/
+  * b16/b17, FormatSplitScale): full payload decode for the sequence
+  * formats, the projection-the-arm-uses for FCS/SDF (the reader is
+  * projection-aware; that IS the measured capability). The FORCING
+  * differs from the bench arms on purpose — see the octet_length note at
+  * the rate() calls.
   */
 object DecodeRate {
   def main(args: Array[String]): Unit = {
@@ -116,11 +117,16 @@ object DecodeRate {
     s.conf.set("spark.sql.files.openCostInBytes", "17179869184")
 
     var rows = Vector.empty[(String, Long, Double)]
+    // GRAFT_DECODERATE_ONLY=bam restricts to one family (profiling aid);
+    // GRAFT_DECODERATE_REPS raises the rep count for longer JFR windows
+    val only = sys.env.get("GRAFT_DECODERATE_ONLY")
+    val reps = sys.env.getOrElse("GRAFT_DECODERATE_REPS", "3").toInt
     def rate(name: String, corpus: java.io.File)(scan: => DataFrame): Unit = {
+      if (!only.forall(_ == name)) return
       def run(): Unit = { val r = scan.collect(); require(r.nonEmpty) }
       try {
         run() // warm (page cache + codegen)
-        val sec = (1 to 3).map { _ =>
+        val sec = (1 to reps).map { _ =>
           val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
         }.min
         rows :+= ((name, dataBytes(corpus), sec))
@@ -130,17 +136,23 @@ object DecodeRate {
       }
     }
 
+    // Forcing uses octet_length (O(1) on UTF8String), NOT length():
+    // length() counts CHARS by walking the bytes, and on ~100-byte string
+    // columns that walk was 58% of the measured "bam decode" profile —
+    // the gate must time the READER, not the aggregate expression. (The
+    // Bench b-arms keep length() for cross-round comparability; their
+    // numbers measure the end-to-end query, this gate measures decode.)
     rate("fasta", fasta)(s.read.format("fasta").load(fasta.getAbsolutePath)
-      .agg(count(lit(1)), sum(length(col("sequence")))))
+      .agg(count(lit(1)), sum(octet_length(col("sequence")))))
     rate("fastq_bgzf", fastq)(s.read.format("fastq").load(fastq.getAbsolutePath)
-      .agg(count(lit(1)), sum(length(col("sequence"))),
-        sum(length(col("quality_scores")))))
+      .agg(count(lit(1)), sum(octet_length(col("sequence"))),
+        sum(octet_length(col("quality_scores")))))
     rate("bam", bam)(s.read.format("bam").load(bam.getAbsolutePath)
-      .agg(sum(col("flag")), sum(length(col("sequence")))))
+      .agg(sum(col("flag")), sum(octet_length(col("sequence")))))
     rate("cram", cram)(s.read.format("cram").load(cram.getAbsolutePath)
-      .agg(sum(col("flag")), sum(length(col("sequence")))))
+      .agg(sum(col("flag")), sum(octet_length(col("sequence")))))
     rate("genbank", gb)(s.read.format("genbank").load(gb.getAbsolutePath)
-      .agg(count(lit(1)), sum(length(col("sequence")))))
+      .agg(count(lit(1)), sum(octet_length(col("sequence")))))
     rate("sdf", sdf)(s.read.format("sdf").load(sdf.getAbsolutePath)
       .agg(count(lit(1)), sum(col("atom_count")),
         sum(col("data")("id").cast("long"))))
