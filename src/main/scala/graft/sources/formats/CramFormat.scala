@@ -1179,19 +1179,24 @@ class CramFormat(refPath: Option[String],
       var endPos: java.lang.Long = null
       var mq: Integer = null
       var quals: Array[Byte] = null
-      var seq: String = null
+      var seqU: org.apache.spark.unsafe.types.UTF8String = null
       if ((bf & 4) == 0) { // mapped
         val refWin: CramFormat.RefWindow =
           if (ri >= 0 && ri < refs.length) refWinFor(ri) else null
+        // ASCII byte array (SAM base alphabets are ASCII; a non-ASCII
+        // byte would be malformed) — bulk feature payloads arraycopy in,
+        // and the final value is UTF8String.fromBytes with no String or
+        // re-encode (the per-char closure writes + String round-trip were
+        // the top frames of the decode profile)
         val bases =
-          if (needSeq && (refWin != null || !refRequired)) new Array[Char](rl)
+          if (needSeq && (refWin != null || !refRequired)) new Array[Byte](rl)
           else null
         var refOfs = 0 // reference bases consumed minus read bases consumed
         def fillRef(readPos1: Int): Unit = {
           if (bases != null) {
             val rp0 = pos - 1 + refOfs + readPos1 - 1
             bases(readPos1 - 1) =
-              if (refWin == null) 'N' else refWin.charAt0(rp0)
+              if (refWin == null) 'N'.toByte else refWin.charAt0(rp0).toByte
           }
         }
         // run-length cigar accumulation (no per-op tuples) + M/D/N span
@@ -1222,27 +1227,27 @@ class CramFormat(refPath: Option[String],
             case 'B' =>
               val ba = req(eBA, "BA").readByte(core, ext)
               req(eQS, "QS").readByte(core, ext)
-              if (bases != null) bases(readPos - 1) = ba.toChar
+              if (bases != null) bases(readPos - 1) = ba.toByte
               op(1, 'M'); readPos += 1
             case 'X' =>
               val code = req(eBS, "BS").readInt(core, ext)
               if (bases != null) {
                 val rp0 = pos - 1 + refOfs + readPos - 1
                 bases(readPos - 1) = substitute(
-                  if (refWin == null) 'N' else refWin.charAt0(rp0), code)
+                  if (refWin == null) 'N' else refWin.charAt0(rp0), code).toByte
               }
               op(1, 'M'); readPos += 1
             case 'I' =>
               val v = req(eIN, "IN").readBytes(core, ext)
-              if (bases != null) v.indices.foreach(k => bases(readPos - 1 + k) = v(k).toChar)
+              if (bases != null) System.arraycopy(v, 0, bases, readPos - 1, v.length)
               op(v.length, 'I'); readPos += v.length; refOfs -= v.length
             case 'i' =>
               val ba = req(eBA, "BA").readByte(core, ext)
-              if (bases != null) bases(readPos - 1) = ba.toChar
+              if (bases != null) bases(readPos - 1) = ba.toByte
               op(1, 'I'); readPos += 1; refOfs -= 1
             case 'S' =>
               val v = req(eSC, "SC").readBytes(core, ext)
-              if (bases != null) v.indices.foreach(k => bases(readPos - 1 + k) = v(k).toChar)
+              if (bases != null) System.arraycopy(v, 0, bases, readPos - 1, v.length)
               op(v.length, 'S'); readPos += v.length; refOfs -= v.length
             case 'D' =>
               val n = req(eDL, "DL").readInt(core, ext)
@@ -1255,7 +1260,7 @@ class CramFormat(refPath: Option[String],
             case 'Q' => req(eQS, "QS").readByte(core, ext)
             case 'b' =>
               val v = req(eBB, "BB").readBytes(core, ext)
-              if (bases != null) v.indices.foreach(k => bases(readPos - 1 + k) = v(k).toChar)
+              if (bases != null) System.arraycopy(v, 0, bases, readPos - 1, v.length)
               op(v.length, 'M'); readPos += v.length
             case 'q' => req(eQQ, "QQ").readBytes(core, ext)
             case other => throw new IllegalStateException(s"cram: feature '$other'")
@@ -1275,38 +1280,48 @@ class CramFormat(refPath: Option[String],
           if (needQuals) quals = req(eQS, "QS").readByteRun(rl, core, ext)
           else req(eQS, "QS").skipByteRun(rl, core, ext)
         }
-        if (bases != null) seq = new String(bases)
+        if (bases != null)
+          seqU = org.apache.spark.unsafe.types.UTF8String.fromBytes(bases)
       } else {
         val rawBases = req(eBA, "BA").readByteRun(rl, core, ext)
-        if (needSeq) seq = new String(rawBases, java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (needSeq)
+          seqU = org.apache.spark.unsafe.types.UTF8String.fromBytes(rawBases)
         if ((cf & 0x1) != 0) {
           if (needQuals) quals = req(eQS, "QS").readByteRun(rl, core, ext)
           else req(eQS, "QS").skipByteRun(rl, core, ext)
         }
       }
 
-      rows += required.map {
-        case 0 => if (name == null || name.isEmpty || name == "*") null else utf8(name)
-        case 1 => bf
-        case 2 => if (ri < 0 || ri >= refs.length) null else utf8(refs(ri))
-        case 3 => if ((bf & 4) != 0 || pos <= 0) null else pos.toLong
-        case 4 => endPos
-        case 5 => if (mq == null || mq == 255) null else utf8(mq.toString)
-        case 6 => if (cigar == null) null else utf8(cigar)
-        case 7 =>
-          if (mateRef == null || mateRef < 0 || mateRef >= refs.length) null
-          else utf8(refs(mateRef))
-        case 8 => if (seq == null) null else utf8(seq)
-        case 9 =>
-          if (quals == null) null
-          else {
-            val out = new Array[Any](quals.length)
-            var qi = 0
-            while (qi < quals.length) { out(qi) = (quals(qi) & 0xff).toLong; qi += 1 }
-            new GenericArrayData(out)
-          }
-        case 10 => new GenericArrayData(tags)
+      val outRow = new Array[Any](required.length)
+      var ci = 0
+      while (ci < required.length) {
+        outRow(ci) = required(ci) match {
+          case 0 => if (name == null || name.isEmpty || name == "*") null else utf8(name)
+          case 1 => bf
+          case 2 => if (ri < 0 || ri >= refs.length) null else utf8(refs(ri))
+          case 3 => if ((bf & 4) != 0 || pos <= 0) null else pos.toLong
+          case 4 => endPos
+          case 5 => if (mq == null || mq == 255) null else utf8(mq.toString)
+          case 6 => if (cigar == null) null else utf8(cigar)
+          case 7 =>
+            if (mateRef == null || mateRef < 0 || mateRef >= refs.length) null
+            else utf8(refs(mateRef))
+          case 8 => seqU
+          case 9 =>
+            if (quals == null) null
+            else {
+              // primitive long array, no per-value boxing
+              val arr = new Array[Long](quals.length)
+              var qi = 0
+              while (qi < quals.length) { arr(qi) = quals(qi) & 0xff; qi += 1 }
+              org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+                .fromPrimitiveArray(arr)
+            }
+          case 10 => new GenericArrayData(tags)
+        }
+        ci += 1
       }
+      rows += outRow
       i += 1
     }
   }
