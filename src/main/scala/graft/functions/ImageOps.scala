@@ -94,11 +94,30 @@ object ImageOps {
 
   /** REAL decode: zlib inflate + PNG filter reconstruction via javax.imageio.
     * Raises loudly on undecodable bytes rather than fabricating pixels.
+    *
+    * Decompression-bomb guard: the declared dimensions are read from the
+    * image HEADER (no raster allocation) and checked against `maxPixels`
+    * BEFORE decoding — a crawled corpus contains crafted files whose tiny
+    * payload declares a multi-gigapixel canvas, and one such file must
+    * fail its task loudly, not OOM the executor. Default bound 2^26 px
+    * (a 256 MB int raster).
     */
-  def decode(bytes: Array[Byte]): BufferedImage = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    require(img != null, "image: undecodable payload")
-    img
+  def decode(bytes: Array[Byte], maxPixels: Long = 1L << 26): BufferedImage = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "image: undecodable payload")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val w = r.getWidth(0)
+        val h = r.getHeight(0)
+        require(w > 0 && h > 0 && w.toLong * h <= maxPixels,
+          s"image: declared ${w}x$h exceeds the $maxPixels-pixel decode " +
+            "bound (decompression bomb?)")
+        r.read(0)
+      } finally r.dispose()
+    } finally iis.close()
   }
 
   /** Integer luma, ITU-R BT.601 weights scaled by 1000 with floor division —

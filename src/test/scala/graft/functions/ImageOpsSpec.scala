@@ -95,6 +95,30 @@ class ImageOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decompression bomb: huge declared dimensions refuse before allocating") {
+    // a syntactically valid PNG signature + IHDR declaring 100000x100000
+    // (10 gigapixels from a ~60-byte payload) — the guard must fire off
+    // the HEADER, before any raster allocation
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    val id = new java.io.DataOutputStream(ihdr)
+    id.writeBytes("IHDR"); id.writeInt(100000); id.writeInt(100000)
+    id.write(8); id.write(2); id.write(0); id.write(0); id.write(0)
+    val body = ihdr.toByteArray
+    dos.writeInt(body.length - 4)
+    dos.write(body)
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    dos.writeInt(crc.getValue.toInt)
+    val ex = intercept[IllegalArgumentException] {
+      ImageOps.decode(bos.toByteArray)
+    }
+    assert(ex.getMessage.contains("decompression bomb"), ex.getMessage)
+    // and a legitimate image still decodes through the same entry point
+    assert(ImageOps.decode(ImageOps.synthPng(36, 32, 5L)).getWidth == 36)
+  }
+
   test("dHash pinned by the independent Python PNG decoder (tools/pin_l67.py)") {
     // keep the byte-level artifacts reproducible for the Python tool
     val dir = java.nio.file.Paths.get("target/pngpin")
