@@ -57,20 +57,39 @@ object LlmQueries {
       .toDF("doc_id", "sz", "shingle")
   }
 
+  /** Hot-bucket cap discipline shared by every banded-LSH candidate join
+    * (minhash / simhash / image dHash / audio envelope).
+    *
+    * The graded queries' DuckDB oracles model NO cap, so a cap that binds
+    * at gate scale must FAIL LOUDLY, never silently diverge (ADVICE r15):
+    * with `failOnDrop` (the graded default) any bucket over `maxBucket`
+    * raises through `assert_true` inside the plan. Ratchet / degenerate-
+    * corpus runs pass `failOnDrop = false` and get a pure deterministic
+    * `k <= maxBucket` filter — no accumulator side effects inside filter
+    * UDFs (Spark may re-evaluate them on retries/speculation, so such
+    * counts were never exact; a run that wants the dropped count computes
+    * it with its own aggregate on the bucket histogram).
+    */
+  private def capBuckets(counted: DataFrame, maxBucket: Int,
+      failOnDrop: Boolean, what: String, countCol: String = "k"): DataFrame =
+    if (failOnDrop)
+      counted.where(assert_true(col(countCol) <= maxBucket,
+        concat(lit(s"$what: LSH bucket over the $maxBucket cap in a graded " +
+          "run (oracle models no cap); k="), col(countCol))).isNull)
+    else counted.filter(col(countCol) <= maxBucket)
+
   /** Banded MinHash candidate pairs with a hot-bucket cap.
     *
     * Bucket membership is a keyed self-join on (band, sig) — never a
     * per-bucket `collect_set` array, which would put a whole degenerate
     * bucket on one task. Buckets larger than `maxBucket` (near-duplicate
-    * boilerplate floods at corpus scale) are dropped BEFORE the pair join,
-    * bounding work at O(maxBucket^2) per bucket; drops are counted in the
-    * `lsh_buckets_dropped` accumulator so a capped run is observable, not
-    * silent (the count is approximate — the bucket subtree evaluates once
-    * per join side plus task retries, so treat nonzero as "drops
-    * happened", not an exact total). Docs in a dropped bucket still pair
-    * via their other 31 bands.
+    * boilerplate floods at corpus scale) bound work at O(maxBucket^2) per
+    * bucket under the [[capBuckets]] discipline: graded runs fail loudly
+    * if the cap binds, capped runs drop the bucket — docs in a dropped
+    * bucket still pair via their other 31 bands.
     */
-  def minhashCandidatePairs(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+  def minhashCandidatePairs(docs: DataFrame, maxBucket: Int = 1000,
+      failOnDrop: Boolean = false): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // Typed flatMap: signature computed once per doc (not per emitted band).
@@ -81,16 +100,10 @@ object LlmQueries {
         bs.iterator.zipWithIndex.map { case (sig, band) => (id, band, sig) }
       }
       .toDF("doc_id", "band", "sig")
-    val dropAcc = s.sparkContext.longAccumulator("lsh_buckets_dropped")
-    val keep = udf { (k: Long) =>
-      val ok = k <= maxBucket
-      if (!ok) dropAcc.add(1)
-      ok
-    }
-    val liveBuckets = bands.groupBy(col("band"), col("sig"))
+    val counted = bands.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("k"))
       .filter(col("k") > 1)
-      .filter(keep(col("k")))
+    val liveBuckets = capBuckets(counted, maxBucket, failOnDrop, "minhash")
       .select(col("band"), col("sig"))
     val kept = bands.join(liveBuckets, Seq("band", "sig"))
     kept.alias("a").join(kept.alias("b"),
@@ -103,14 +116,13 @@ object LlmQueries {
   /** SimHash candidate pairs via Manku multi-block keys (C(8,2)=28
     * block-pair tables, 16-bit keys — see TextOps.simhashBlockKeys for the
     * pigeonhole recall argument at hamming <= 6) with the same hot-bucket
-    * cap discipline as [[minhashCandidatePairs]]: oversized buckets
-    * (boilerplate floods) are dropped before the pair join and counted in
-    * the `simhash_buckets_dropped` accumulator (approximate — one join
-    * side evaluates the bucket subtree independently; treat nonzero as
-    * "drops happened"). Candidates carry both fingerprints so the exact
-    * Hamming verify needs no extra join.
+    * cap discipline as [[minhashCandidatePairs]] (see [[capBuckets]]:
+    * graded runs fail loudly if the cap binds, capped runs drop the
+    * bucket deterministically). Candidates carry both fingerprints so the
+    * exact Hamming verify needs no extra join.
     */
-  def simhashCandidatePairs(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+  def simhashCandidatePairs(docs: DataFrame, maxBucket: Int = 1000,
+      failOnDrop: Boolean = false): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // Typed flatMap: fingerprint computed once per doc, 28 key rows out.
@@ -122,16 +134,11 @@ object LlmQueries {
         }
       }
       .toDF("doc_id", "sh", "combo", "k")
-    val dropAcc = s.sparkContext.longAccumulator("simhash_buckets_dropped")
-    val keep = udf { (n: Long) =>
-      val ok = n <= maxBucket
-      if (!ok) dropAcc.add(1)
-      ok
-    }
-    val liveBuckets = keys.groupBy(col("combo"), col("k"))
+    val counted = keys.groupBy(col("combo"), col("k"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
-      .filter(keep(col("n")))
+    val liveBuckets = capBuckets(counted, maxBucket, failOnDrop, "simhash",
+        countCol = "n")
       .select(col("combo"), col("k"))
     val kept = keys.join(liveBuckets, Seq("combo", "k"))
     kept.alias("a").join(kept.alias("b"),
@@ -173,7 +180,9 @@ object LlmQueries {
     // the LSH path scales where the inverted index hits hot-shingle skew.
     "l04_minhash_lsh_dedup" -> ((s, d) => {
       val sh = shingles(s, d)
-      val pairs = minhashCandidatePairs(documents(s, d))
+      // graded run: a binding bucket cap must fail loudly, not silently
+      // diverge from the cap-free oracle
+      val pairs = minhashCandidatePairs(documents(s, d), failOnDrop = true)
       val withSets = pairs
         .join(sh.select(col("doc_id").as("ida"), col("s").as("sa")), "ida")
         .join(sh.select(col("doc_id").as("idb"), col("s").as("sb")), "idb")
@@ -192,7 +201,7 @@ object LlmQueries {
     // total, the output is identical to all-pairs hamming<=6 — the pinned
     // oracle is banding-independent.
     "l05_simhash_pairs" -> ((s, d) =>
-      simhashCandidatePairs(documents(s, d))
+      simhashCandidatePairs(documents(s, d), failOnDrop = true)
         .withColumn("hamming", expr("bit_count(sha ^ shb)"))
         .filter(col("hamming") <= 6)
         .select(col("ida"), col("idb"), col("hamming"))
@@ -382,10 +391,10 @@ object LlmQueries {
       // input byte than a text kernel — partition by CORES, not by the
       // (tiny) metadata file layout, or the whole corpus decodes on the
       // one task the single parquet shard plans to (measured: 500k images
-      // 90 s -> ~3 s at local[32]).
+      // 90 s -> ~3 s at local[32]). Task count: spark.graft.codec.parallelism.
       val ds = documents(s, d)
         .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(codecParallelism(s))
         .as[(Long, Long)]
       val payloads = ds.mapPartitions { it =>
         it.map { case (id, n) =>
@@ -432,7 +441,7 @@ object LlmQueries {
       // cores-not-bytes partitioning for the decode stage (see l10)
       val ds = documents(s, d)
         .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(codecParallelism(s))
         .as[(Long, Long)]
       val payloads = ds.mapPartitions { it =>
         it.map { case (id, n) =>
@@ -492,6 +501,75 @@ object LlmQueries {
         .select(col("doc_id"), col("cluster_id").as("keeper"),
           when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("kept"))
         .orderBy(col("doc_id"))),
+
+    // Audio decode gate — the WAV analog of l10. Stage 1 synthesizes a
+    // deterministic stereo 16-bit PCM clip per document and encodes it
+    // through the JDK WAV codec (AudioSystem.write); stage 2 decodes it
+    // back with javax.sound.sampled — actual RIFF/fmt/data parsing and
+    // PCM frame extraction, not arithmetic on the payload length. WAV PCM
+    // is lossless, so the DuckDB oracle recomputes per-channel sample
+    // sums, clipping counts and durations straight from the synthesis
+    // formula: a decoder that didn't truly decode could not reproduce
+    // them. Between the stages the samples exist ONLY as encoded WAV
+    // bytes in a binary column — the shape a crawled audio corpus has on
+    // disk. The clipping-ratio filter (keep <= 2.4% clipped samples) is
+    // the gate a training-data pipeline runs on crawled audio.
+    "l69_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.AudioOps
+      // cores-not-bytes partitioning for the codec stage (see l10);
+      // task count: spark.graft.codec.parallelism
+      val ds = documents(s, d)
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+        .repartition(codecParallelism(s))
+        .as[(Long, Long)]
+      val payloads = ds.mapPartitions { it =>
+        it.map { case (id, n) =>
+          val frames = 400 + (n % 7).toInt * 100
+          (id, AudioOps.synthWav(frames, id))
+        }
+      }.toDF("doc_id", "audio").as[(Long, Array[Byte])]
+      val meta = payloads.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val clip = AudioOps.decode(bytes)
+          var sl = 0L; var sr = 0L; var ncl = 0L
+          var i = 0
+          while (i < clip.samples.length) {
+            val v = clip.samples(i)
+            if (i % 2 == 0) sl += v else sr += v
+            if (v >= 32000 || v <= -32000) ncl += 1
+            i += 1
+          }
+          (id, clip.sampleRate.toLong, clip.channels.toLong,
+            clip.frames.toLong, sl, sr, ncl,
+            clip.frames.toLong * 1000 / clip.sampleRate)
+        }
+      }.toDF("doc_id", "rate", "channels", "frames", "sum_l", "sum_r",
+        "n_clipped", "dur_ms")
+      meta
+        .filter(col("n_clipped") * 10000 <=
+          col("frames") * col("channels") * 240)
+        .agg(count(lit(1)).as("n"),
+          sum(col("frames")).as("sum_frames"),
+          sum(col("sum_l")).as("sum_left"),
+          sum(col("sum_r")).as("sum_right"),
+          sum(col("n_clipped")).as("sum_clipped"),
+          sum(col("dur_ms")).as("sum_dur_ms"),
+          sum(col("rate")).as("sum_rate"),
+          sum(col("channels")).as("sum_channels"))
+    }),
+
+    // Audio fingerprint near-dup — the l67 discipline on the time axis:
+    // REAL WAV decode -> 65-cell energy envelope (mean |sample| per
+    // window) -> adjacent-cell comparison hash (64 bits) -> 4x16-bit
+    // banded LSH -> Hamming confirm <= 6. Corpus construction mirrors
+    // neardupPng: groups of four share a seed, variants invert ONE
+    // window's amplitude (moves at most two envelope bits); distinct
+    // groups differ in ~half the bits. The oracle recomputes the truth
+    // from the same 1-D grid arithmetic; tools/pin_l69.py pins the WAV
+    // bytes with the stdlib `wave` parser as the independent third check.
+    "l70_audio_neardup" -> ((s, d) =>
+      audioPairs(s, d).orderBy(col("ida"), col("idb"))),
 
     // Duplicate-cluster extraction: connected components over the exact
     // near-dup pairs (the step a dedup pipeline runs after pair
@@ -2488,6 +2566,43 @@ object LlmQueries {
       |fp AS (SELECT * FROM pairs
       |  WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 6)""".stripMargin
 
+  /** Shared DuckDB CTE chain deriving the audio envelope-hash truth from
+    * the construction (l70 oracle) — the 1-D analog of [[imagePairsCtes]]:
+    * 65 amplitude windows -> adjacent-cell bits -> hashes -> bands ->
+    * `afp(ida, idb, hia, loa, hib, lob)` confirmed pairs. The decoded
+    * per-window mean |sample| is amp*100, a positive constant scale, so
+    * comparing raw amps (0..255) yields the identical bit pattern.
+    */
+  private val audioPairsCtes: String =
+    """aids AS (SELECT doc_id FROM documents),
+      |ahm AS (SELECT i.doc_id, gw.w,
+      |    (gw.w * 73856093 + (i.doc_id // 4) * 83492791) % 1000003 AS hm
+      |  FROM aids i, generate_series(0, 64) gw(w)),
+      |acells AS (SELECT doc_id, w,
+      |    CASE WHEN (doc_id % 4) > 0 AND w = (7 * (doc_id % 4)) % 65
+      |         THEN 255 - (((hm * hm + hm * 7919) % 1000003) % 256)
+      |         ELSE ((hm * hm + hm * 7919) % 1000003) % 256 END AS v
+      |  FROM ahm),
+      |abits AS (SELECT a.doc_id, a.w AS idx,
+      |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+      |  FROM acells a JOIN acells b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+      |  WHERE a.w < 64),
+      |ahashes AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM abits GROUP BY doc_id),
+      |abands AS (
+      |  SELECT doc_id, hi, lo, 0 AS bidx, lo % 65536 AS bv FROM ahashes
+      |  UNION ALL SELECT doc_id, hi, lo, 1, lo // 65536 FROM ahashes
+      |  UNION ALL SELECT doc_id, hi, lo, 2, hi % 65536 FROM ahashes
+      |  UNION ALL SELECT doc_id, hi, lo, 3, hi // 65536 FROM ahashes),
+      |apairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+      |    a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
+      |  FROM abands a JOIN abands b
+      |    ON a.bidx = b.bidx AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |afp AS (SELECT * FROM apairs
+      |  WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 6)""".stripMargin
+
   /** Image near-dup pairs (l67/l68): REAL PNG decode -> perceptual dHash ->
     * 4x16-bit banded LSH candidate join -> Hamming confirm <= 6. Keyed
     * join on (band position, band value) — never all-pairs; hashes are
@@ -2501,34 +2616,64 @@ object LlmQueries {
     * so the DuckDB oracle derivation is unchanged.
     */
   private[queries] def imagePairs(s: SparkSession, d: String,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, failOnDrop: Boolean = true): DataFrame = {
     import s.implicits._
     import graft.functions.ImageOps
     // cores-not-bytes partitioning: the decode+hash stage is CPU-bound
     // (~140 us/image single-thread), so inheriting the metadata file's
     // 1-2 planned partitions serializes the whole corpus decode
     val ids = documents(s, d).select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism).as[Long]
+      .repartition(codecParallelism(s)).as[Long]
     val hashes = ids.mapPartitions { it =>
       it.map { id =>
         val (hi, lo) = ImageOps.dHash(ImageOps.decode(ImageOps.neardupPng(id)))
         (id, hi, lo, Array(lo & 0xffffL, lo >> 16, hi & 0xffffL, hi >> 16))
       }
     }.toDF("doc_id", "hi", "lo", "bands").localCheckpoint()
+    bandedHashPairs(hashes, maxBucket, failOnDrop, maxHamming = 6,
+      what = "image dHash")
+  }
+
+  /** Audio near-dup pairs (l70): REAL WAV decode -> energy-envelope hash ->
+    * the same 4x16-bit banded-LSH candidate join + Hamming confirm <= 6 as
+    * the image stack — one [[bandedHashPairs]] discipline across
+    * modalities. Hashes are computed once per doc on a cores-partitioned
+    * codec stage and lineage-cut so the self-join doesn't re-decode.
+    */
+  private[queries] def audioPairs(s: SparkSession, d: String,
+      maxBucket: Int = 1000, failOnDrop: Boolean = true): DataFrame = {
+    import s.implicits._
+    import graft.functions.AudioOps
+    val ids = documents(s, d).select(col("doc_id"))
+      .repartition(codecParallelism(s)).as[Long]
+    val hashes = ids.mapPartitions { it =>
+      it.map { id =>
+        val (hi, lo) = AudioOps.envelopeHash(AudioOps.decode(AudioOps.neardupWav(id)))
+        (id, hi, lo, Array(lo & 0xffffL, lo >> 16, hi & 0xffffL, hi >> 16))
+      }
+    }.toDF("doc_id", "hi", "lo", "bands").localCheckpoint()
+    bandedHashPairs(hashes, maxBucket, failOnDrop, maxHamming = 6,
+      what = "audio envelope")
+  }
+
+  /** Banded-LSH candidate pair join shared by the perceptual-hash near-dup
+    * stacks (image dHash l67/l68, audio envelope l70): explode each doc's
+    * band values tagged with their position, join docs sharing a
+    * (position, value) bucket, Hamming-confirm on the full 64-bit hash —
+    * keyed join, never all-pairs; singleton buckets never enter the join;
+    * oversized buckets go through the [[capBuckets]] fail-loud/drop
+    * discipline. `hashes` must carry (doc_id, hi, lo, bands[4]).
+    */
+  private def bandedHashPairs(hashes: DataFrame, maxBucket: Int,
+      failOnDrop: Boolean, maxHamming: Int, what: String): DataFrame = {
     // band value tagged with its position so only same-position bands collide
     val bands = hashes
       .select(col("doc_id"), col("hi"), col("lo"), posexplode(col("bands")))
       .withColumnRenamed("pos", "bidx").withColumnRenamed("col", "bv")
-    val dropAcc = s.sparkContext.longAccumulator("image_lsh_buckets_dropped")
-    val keep = udf { (k: Long) =>
-      val ok = k <= maxBucket
-      if (!ok) dropAcc.add(1)
-      ok
-    }
-    val liveBuckets = bands.groupBy(col("bidx"), col("bv"))
+    val counted = bands.groupBy(col("bidx"), col("bv"))
       .agg(count(lit(1)).as("k"))
       .filter(col("k") > 1)
-      .filter(keep(col("k")))
+    val liveBuckets = capBuckets(counted, maxBucket, failOnDrop, what)
       .select(col("bidx"), col("bv"))
     val kept = bands.join(liveBuckets, Seq("bidx", "bv"))
     val left = kept.select(col("doc_id").as("ida"), col("hi").as("hia"),
@@ -2541,7 +2686,24 @@ object LlmQueries {
         expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)")
           .cast("long").as("hamming"))
       .distinct()
-      .where(col("hamming") <= 6)
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Codec-stage task count: `spark.graft.codec.parallelism`, defaulting
+    * to the executor core count. The decode stages (image l10/l13/l67/l68,
+    * audio l69/l70) repartition to THIS, not to the (tiny) metadata file
+    * layout — cores-not-bytes. The knob exists because tools/ImgProf
+    * measured javax.imageio DEGRADING under sustained 32-thread tiny-image
+    * decode (Cleaner/GC backlog from per-call stream+codec objects):
+    * ms-scale real-corpus decodes amortize that and keep the default,
+    * tiny-payload corpora can cap the codec stage below core count
+    * (A/B'd at the 500k-doc ratchet in BENCH_NOTES_r16).
+    */
+  private def codecParallelism(s: SparkSession): Int = {
+    val p = s.conf.getOption("spark.graft.codec.parallelism").map(_.toInt)
+      .getOrElse(s.sparkContext.defaultParallelism)
+    require(p > 0, s"spark.graft.codec.parallelism must be positive, got $p")
+    p
   }
 
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
@@ -3524,6 +3686,48 @@ object LlmQueries {
         |  CAST(CASE WHEN MIN(b) = a THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM reach GROUP BY a
         |ORDER BY doc_id""".stripMargin,
+
+    // The oracle recomputes expected DECODED sample sums analytically from
+    // the synthesis formula (16-bit PCM WAV is lossless): per-channel sums,
+    // clipping counts and integer durations over every frame of every clip,
+    // then the same clipping-ratio gate. A decode stub cannot reproduce
+    // these. Third check: tools/pin_l69.py parses the WAV bytes with the
+    // stdlib `wave` module; its sums are pinned in AudioOpsSpec.
+    "l69_audio_decode" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
+        |d AS (SELECT doc_id, 400 + (n % 7) * 100 AS nf FROM m),
+        |hm AS (SELECT d.doc_id, d.nf, gc.c,
+        |    (gi.i * 73856093 + gc.c * 19349663 + d.doc_id * 83492791) % 1000003 AS hm
+        |  FROM d, generate_series(0, 999) gi(i), generate_series(0, 1) gc(c)
+        |  WHERE gi.i < d.nf),
+        |sm AS (SELECT doc_id, nf, c,
+        |    ((hm * hm + hm * 7919) % 1000003) % 65536 - 32768 AS v FROM hm),
+        |per AS (SELECT doc_id, max(nf) AS nf,
+        |    sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS sl,
+        |    sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS sr,
+        |    sum(CASE WHEN v >= 32000 OR v <= -32000 THEN 1 ELSE 0 END) AS ncl
+        |  FROM sm GROUP BY doc_id),
+        |kept AS (SELECT * FROM per WHERE ncl * 10000 <= nf * 2 * 240)
+        |SELECT count(*) AS n,
+        |  CAST(sum(nf) AS BIGINT) AS sum_frames,
+        |  CAST(sum(sl) AS BIGINT) AS sum_left,
+        |  CAST(sum(sr) AS BIGINT) AS sum_right,
+        |  CAST(sum(ncl) AS BIGINT) AS sum_clipped,
+        |  CAST(sum(nf // 8) AS BIGINT) AS sum_dur_ms,
+        |  CAST(count(*) * 8000 AS BIGINT) AS sum_rate,
+        |  CAST(count(*) * 2 AS BIGINT) AS sum_channels
+        |FROM kept""".stripMargin,
+
+    // envelope-hash truth derived from the same 1-D window arithmetic the
+    // samples encode (65 windows x 16 frames of +-amp*100 square wave, so
+    // each envelope cell mean IS amp*100); banding + Hamming confirm
+    // mirrored relationally — the l67 oracle shape on the time axis.
+    "l70_audio_neardup" ->
+      s"""WITH $audioPairsCtes
+        |SELECT ida, idb,
+        |  CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT) AS hamming
+        |FROM afp
+        |ORDER BY ida, idb""".stripMargin,
 
     // connected components via transitive closure (recursive CTE) over the
     // same exact-Jaccard pairs l03 grades against

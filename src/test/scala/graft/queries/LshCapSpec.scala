@@ -36,10 +36,33 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
     val d = "/root/testdata/sf0.001"
     // cap of 1 drops EVERY multi-doc bucket (the within-group bands are
     // k=2..4 at this scale) -> zero candidates survive
-    assert(LlmQueries.imagePairs(spark, d, maxBucket = 1).count() == 0,
-      "capped run must drop the degenerate buckets")
+    assert(LlmQueries.imagePairs(spark, d, maxBucket = 1, failOnDrop = false)
+      .count() == 0, "capped run must drop the degenerate buckets")
     // default cap doesn't bind: the full truth (125 groups x C(4,2)) comes back
     assert(LlmQueries.imagePairs(spark, d).count() == 750)
+  }
+
+  test("graded runs fail LOUDLY when the LSH bucket cap binds (oracle models no cap)") {
+    val d = "/root/testdata/sf0.001"
+    // failOnDrop (the graded default) must raise through assert_true
+    // instead of silently dropping the bucket and diverging from the oracle
+    val ex = intercept[Exception] {
+      LlmQueries.imagePairs(spark, d, maxBucket = 1).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("LSH bucket over the 1 cap")),
+      s"expected the cap assertion, got: $ex")
+  }
+
+  test("audio LSH: same cap discipline, same full truth at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    assert(LlmQueries.audioPairs(spark, d, maxBucket = 1, failOnDrop = false)
+      .count() == 0, "capped run must drop the degenerate buckets")
+    // groups of 4 with within-group hamming <= 4: the full 125 x C(4,2)
+    // truth minus any cross-group collisions is what the oracle grades;
+    // here we only pin the structural floor (at least every within-group pair)
+    assert(LlmQueries.audioPairs(spark, d).count() >= 750)
   }
 
   test("simhash: block-pair banding has total recall at hamming <= 6") {
