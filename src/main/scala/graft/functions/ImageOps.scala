@@ -92,6 +92,66 @@ object ImageOps {
     bos.toByteArray
   }
 
+  /** JPEG encode at an explicit quality (ImageIO's default writer param is
+    * quality 0.75 4:2:0 — the l71 invariance gate wants a pinned,
+    * crawl-realistic setting, not whatever the JDK defaults to).
+    */
+  def toJpeg(img: BufferedImage, quality: Float = 0.9f): Array[Byte] = {
+    val writers = ImageIO.getImageWritersByFormatName("jpg")
+    require(writers.hasNext, "image: no JPEG writer available")
+    val w = writers.next()
+    val bos = new ByteArrayOutputStream(4096)
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Gray value for the l71 JPEG-invariance corpus: the spatial-hash block
+    * pattern QUANTIZED to four widely-spaced levels plus a parity offset,
+    * so any two ADJACENT dHash cells differ by at least 23 gray levels
+    * (same-level neighbors get distinct parities: |48*dq + 24*dp| >= 23
+    * with dp = +-1 whenever dq = 0). dHash compares adjacent cell MEANS,
+    * so the hash is bit-identical under any codec whose per-cell mean
+    * error stays under ~11 — which is what makes dHash the right near-dup
+    * key for a JPEG-dominant crawl, and what l71 proves at the driver
+    * gate. Gray pixels (r=g=b) keep JPEG's chroma planes constant, the
+    * transform the codec preserves best.
+    */
+  def marginBlockValue(bx: Int, by: Int, seed: Long): Int = {
+    val hm = (bx * 73856093L + by * 19349663L + seed * 83492791L) % 1000003L
+    val q = (((hm * hm + hm * 7919L) % 1000003L) % 4L).toInt
+    32 + q * 48 + ((bx + by) % 2) * 24
+  }
+
+  /** l71 corpus image: 36x32 gray blocks from [[marginBlockValue]], same
+    * group-of-four near-dup structure as [[neardupPng]] (variants invert
+    * one block; 255-v keeps the >=23 margin to every neighbor level).
+    */
+  def jpegGatePng(docId: Long): Array[Byte] = {
+    val seed = docId / 4
+    val k = (docId % 4).toInt
+    val (pbx, pby) = ((2 * k) % 9, (3 * k) % 8)
+    val img = new BufferedImage(36, 32, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 36) {
+        val base = marginBlockValue(x / 4, y / 4, seed)
+        val g = if (k > 0 && x / 4 == pbx && y / 4 == pby) 255 - base else base
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    toPng(img)
+  }
+
   /** REAL decode: zlib inflate + PNG filter reconstruction via javax.imageio.
     * Raises loudly on undecodable bytes rather than fabricating pixels.
     *

@@ -571,6 +571,42 @@ object LlmQueries {
     "l70_audio_neardup" -> ((s, d) =>
       audioPairs(s, d).orderBy(col("ida"), col("idb"))),
 
+    // JPEG-invariance near-dup gate — closes the daylight between the
+    // PNG-only l67 corpus and a JPEG-dominant crawl: every image is
+    // decoded from PNG, RE-ENCODED through the JDK JPEG codec (lossy,
+    // quality 0.9), decoded AGAIN, and the near-dup pair set is computed
+    // from the JPEG-side dHashes — while the oracle derives the truth
+    // from the PNG synthesis arithmetic. dHash's whole point is lossy-
+    // compression invariance; the corpus quantizes adjacent dHash cells
+    // >= 23 gray levels apart (marginBlockValue), so the hash is provably
+    // stable when per-cell mean codec error stays under ~11 — and a
+    // per-doc in-task assertion (drift <= 2 bits) fails LOUDLY if the
+    // codec ever degrades past that. Measured drift over the gate corpus:
+    // 0 bits on all docs (ImageOpsSpec pins the same bound).
+    "l71_jpeg_invariant_neardup" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ImageOps
+      val ids = documents(s, d).select(col("doc_id"))
+        .repartition(codecParallelism(s)).as[Long]
+      val hashes = ids.mapPartitions { it =>
+        it.map { id =>
+          val img = ImageOps.decode(ImageOps.jpegGatePng(id))
+          val (phi, plo) = ImageOps.dHash(img)
+          // the lossy leg: re-encode the decoded raster as JPEG, decode again
+          val jimg = ImageOps.decode(ImageOps.toJpeg(img))
+          val (hi, lo) = ImageOps.dHash(jimg)
+          val drift = java.lang.Long.bitCount(phi ^ hi) +
+            java.lang.Long.bitCount(plo ^ lo)
+          require(drift <= 2,
+            s"image: dHash drifted $drift bits under JPEG recompression (doc $id)")
+          (id, hi, lo, Array(lo & 0xffffL, lo >> 16, hi & 0xffffL, hi >> 16))
+        }
+      }.toDF("doc_id", "hi", "lo", "bands").localCheckpoint()
+      bandedHashPairs(hashes, maxBucket = 1000, failOnDrop = true,
+        maxHamming = 6, what = "jpeg dHash")
+        .orderBy(col("ida"), col("idb"))
+    }),
+
     // Duplicate-cluster extraction: connected components over the exact
     // near-dup pairs (the step a dedup pipeline runs after pair
     // generation, so "keep one per cluster" works when A~B~C but A!~C).
@@ -2603,6 +2639,44 @@ object LlmQueries {
       |afp AS (SELECT * FROM apairs
       |  WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 6)""".stripMargin
 
+  /** DuckDB CTE chain for the l71 JPEG-invariance oracle: identical shape
+    * to [[imagePairsCtes]] but over the margin-quantized cell values of
+    * `ImageOps.marginBlockValue` (32 + q*48 + parity*24). The oracle is
+    * derived from the PNG-side synthesis arithmetic; the Spark query must
+    * reproduce it from dHashes taken AFTER a lossy JPEG round-trip — that
+    * asymmetry IS the gate.
+    */
+  private val jpegPairsCtes: String =
+    """jids AS (SELECT doc_id FROM documents),
+      |jhm AS (SELECT i.doc_id, gx.bx, gy.cy,
+      |    (gx.bx * 73856093 + gy.cy * 19349663 + (i.doc_id // 4) * 83492791) % 1000003 AS hm
+      |  FROM jids i, generate_series(0, 8) gx(bx), generate_series(0, 7) gy(cy)),
+      |jcells AS (SELECT doc_id, bx, cy,
+      |    CASE WHEN (doc_id % 4) > 0 AND bx = (2 * (doc_id % 4)) % 9
+      |              AND cy = (3 * (doc_id % 4)) % 8
+      |         THEN 255 - (32 + (((hm * hm + hm * 7919) % 1000003) % 4) * 48 + ((bx + cy) % 2) * 24)
+      |         ELSE 32 + (((hm * hm + hm * 7919) % 1000003) % 4) * 48 + ((bx + cy) % 2) * 24 END AS v
+      |  FROM jhm),
+      |jbits AS (SELECT a.doc_id, a.cy * 8 + a.bx AS idx,
+      |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+      |  FROM jcells a JOIN jcells b ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.bx = a.bx + 1
+      |  WHERE a.bx < 8),
+      |jhashes AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM jbits GROUP BY doc_id),
+      |jbands AS (
+      |  SELECT doc_id, hi, lo, 0 AS bidx, lo % 65536 AS bv FROM jhashes
+      |  UNION ALL SELECT doc_id, hi, lo, 1, lo // 65536 FROM jhashes
+      |  UNION ALL SELECT doc_id, hi, lo, 2, hi % 65536 FROM jhashes
+      |  UNION ALL SELECT doc_id, hi, lo, 3, hi // 65536 FROM jhashes),
+      |jpairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+      |    a.hi AS hia, a.lo AS loa, b.hi AS hib, b.lo AS lob
+      |  FROM jbands a JOIN jbands b
+      |    ON a.bidx = b.bidx AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |jfp AS (SELECT * FROM jpairs
+      |  WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 6)""".stripMargin
+
   /** Image near-dup pairs (l67/l68): REAL PNG decode -> perceptual dHash ->
     * 4x16-bit banded LSH candidate join -> Hamming confirm <= 6. Keyed
     * join on (band position, band value) — never all-pairs; hashes are
@@ -3727,6 +3801,17 @@ object LlmQueries {
         |SELECT ida, idb,
         |  CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT) AS hamming
         |FROM afp
+        |ORDER BY ida, idb""".stripMargin,
+
+    // PNG-derived truth which the lossy JPEG leg must reproduce exactly:
+    // the Spark side hashes AFTER a JPEG re-encode+decode, the oracle
+    // derives from the margin-quantized synthesis arithmetic — any codec
+    // drift >= 1 bit flips a hash and fails the gate.
+    "l71_jpeg_invariant_neardup" ->
+      s"""WITH $jpegPairsCtes
+        |SELECT ida, idb,
+        |  CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT) AS hamming
+        |FROM jfp
         |ORDER BY ida, idb""".stripMargin,
 
     // connected components via transitive closure (recursive CTE) over the

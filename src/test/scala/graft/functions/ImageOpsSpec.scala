@@ -119,6 +119,35 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(ImageOps.decode(ImageOps.synthPng(36, 32, 5L)).getWidth == 36)
   }
 
+  test("l71 corpus: dHash is bit-identical under JPEG recompression (margin >= 23)") {
+    // The margin-quantized corpus guarantees adjacent dHash cells differ
+    // by >= 23 gray levels, so the hash survives any codec whose per-cell
+    // mean error stays under ~11; measured drift at quality 0.9 is ZERO.
+    // Sweep a spread of ids including ratchet-scale ones (the margin
+    // argument is per-image, independent of corpus size).
+    for (id <- (0L until 64L) ++ Seq(499L, 12345L, 499999L, 4999999L)) {
+      val img = ImageOps.decode(ImageOps.jpegGatePng(id))
+      val (phi, plo) = ImageOps.dHash(img)
+      val (jhi, jlo) = ImageOps.dHash(ImageOps.decode(ImageOps.toJpeg(img)))
+      assert((phi, plo) == (jhi, jlo), s"dHash drifted under JPEG for doc $id")
+    }
+    // the margin claim itself: every adjacent-cell delta >= 23, never 0
+    for (seed <- 0L until 50L; cy <- 0 until 8; bx <- 0 until 8) {
+      val a = ImageOps.marginBlockValue(bx, cy, seed)
+      val b = ImageOps.marginBlockValue(bx + 1, cy, seed)
+      assert(math.abs(a - b) >= 23, s"margin violated at ($bx,$cy) seed=$seed")
+    }
+    // and under the one-block inversion variants use (255-v stays on-margin):
+    // adjacent cells always have opposite parity offsets, so an inverted
+    // even-parity cell only ever neighbors odd-parity levels and vice versa
+    val even = Seq(32, 80, 128, 176) // p=0 levels
+    val odd = Seq(56, 104, 152, 200) // p=1 levels
+    for (v <- even; n <- odd)
+      assert(math.abs((255 - v) - n) >= 23, s"inverted $v vs neighbor $n")
+    for (v <- odd; n <- even)
+      assert(math.abs((255 - v) - n) >= 23, s"inverted $v vs neighbor $n")
+  }
+
   test("dHash pinned by the independent Python PNG decoder (tools/pin_l67.py)") {
     // keep the byte-level artifacts reproducible for the Python tool
     val dir = java.nio.file.Paths.get("target/pngpin")
