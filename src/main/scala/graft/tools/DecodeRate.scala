@@ -106,6 +106,32 @@ object DecodeRate {
         if (f.getName.endsWith(".crai")) require(f.delete())
       }
     }
+    // Image codec stage (l10/l13/l67/l71 shape): 100k deterministic PNGs
+    // of the l10 size mix in ONE parquet shard of binary payloads — the
+    // decode measured is javax.imageio (zlib inflate + filter
+    // reconstruction), the first-class decode path an imageio regression
+    // (JDK update, cache-setting drift) would silently slow.
+    val image = sparkGen("image") { p =>
+      import s.implicits._
+      s.range(0, 100000L).repartition(1).as[Long].mapPartitions { it =>
+        it.map { id =>
+          val w = 24 + (id % 5).toInt * 8
+          val h = 24 + ((id * 3) % 7).toInt * 4
+          (id, graft.functions.ImageOps.synthPng(w, h, id))
+        }
+      }.toDF("id", "image").write.mode("overwrite").parquet(p)
+    }
+    // Audio codec stage (l69/l70 shape): 50k deterministic stereo WAV
+    // clips, same single-shard discipline.
+    val audio = sparkGen("audio") { p =>
+      import s.implicits._
+      s.range(0, 50000L).repartition(1).as[Long].mapPartitions { it =>
+        it.map { id =>
+          val frames = 400 + (id % 7).toInt * 100
+          (id, graft.functions.AudioOps.synthWav(frames, id))
+        }
+      }.toDF("id", "audio").write.mode("overwrite").parquet(p)
+    }
 
     def dataBytes(f: java.io.File): Long =
       if (f.isFile) f.length
@@ -161,6 +187,41 @@ object DecodeRate {
     rate("mzml", mz)(s.read.format("mzml").load(mz.getAbsolutePath)
       .agg(count(lit(1)),
         sum(expr("aggregate(intensity.intensity, 0D, (a, x) -> a + x)"))))
+    // Codec stages: the decode runs inside the scan task's mapPartitions
+    // (same shape as the l-queries); the sum over decoded pixels/samples
+    // forces every byte through the codec.
+    rate("image", image) {
+      import s.implicits._
+      s.read.parquet(image.getAbsolutePath).select("image").as[Array[Byte]]
+        .mapPartitions { it =>
+          var n = 0L; var px = 0L
+          it.foreach { b =>
+            val img = graft.functions.ImageOps.decode(b)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { px += img.getRGB(x, y) & 0xff; x += 1 }
+              y += 1
+            }
+            n += 1
+          }
+          Iterator((n, px))
+        }.toDF("n", "px").agg(sum("n"), sum("px"))
+    }
+    rate("audio", audio) {
+      import s.implicits._
+      s.read.parquet(audio.getAbsolutePath).select("audio").as[Array[Byte]]
+        .mapPartitions { it =>
+          var n = 0L; var sm = 0L
+          it.foreach { b =>
+            val clip = graft.functions.AudioOps.decode(b)
+            var i = 0
+            while (i < clip.samples.length) { sm += clip.samples(i); i += 1 }
+            n += 1
+          }
+          Iterator((n, sm))
+        }.toDF("n", "sm").agg(sum("n"), sum("sm"))
+    }
 
     val fields = rows.map { case (name, bytes, sec) =>
       val mb = bytes / 1e6
