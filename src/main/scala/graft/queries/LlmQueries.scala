@@ -182,7 +182,7 @@ object LlmQueries {
       val sh = shingles(s, d)
       // graded run: a binding bucket cap must fail loudly, not silently
       // diverge from the cap-free oracle
-      val pairs = minhashCandidatePairs(documents(s, d), failOnDrop = true)
+      val pairs = minhashCandidatePairs(documents(s, d), failOnDrop = lshFailOnDrop(s))
       val withSets = pairs
         .join(sh.select(col("doc_id").as("ida"), col("s").as("sa")), "ida")
         .join(sh.select(col("doc_id").as("idb"), col("s").as("sb")), "idb")
@@ -201,7 +201,7 @@ object LlmQueries {
     // total, the output is identical to all-pairs hamming<=6 — the pinned
     // oracle is banding-independent.
     "l05_simhash_pairs" -> ((s, d) =>
-      simhashCandidatePairs(documents(s, d), failOnDrop = true)
+      simhashCandidatePairs(documents(s, d), failOnDrop = lshFailOnDrop(s))
         .withColumn("hamming", expr("bit_count(sha ^ shb)"))
         .filter(col("hamming") <= 6)
         .select(col("ida"), col("idb"), col("hamming"))
@@ -484,7 +484,8 @@ object LlmQueries {
     // oracle recomputes the truth from the same grid arithmetic, on top of
     // the independent pure-Python PNG decode pin in tools/pin_l67.py).
     "l67_image_neardup" -> ((s, d) =>
-      imagePairs(s, d).orderBy(col("ida"), col("idb"))),
+      imagePairs(s, d, failOnDrop = lshFailOnDrop(s))
+        .orderBy(col("ida"), col("idb"))),
 
     // Image dedup keep-list — the step after pair generation: connected
     // components over the l67 near-dup pairs (A~B~C must collapse to ONE
@@ -497,7 +498,8 @@ object LlmQueries {
     // (500k docs, 939k pairs, chained components) where the
     // O(log^2 n)-round contraction converges.
     "l68_image_dedup_keep" -> ((s, d) =>
-      connectedComponentsStar(imagePairs(s, d).select(col("ida"), col("idb")))
+      connectedComponentsStar(imagePairs(s, d, failOnDrop = lshFailOnDrop(s))
+        .select(col("ida"), col("idb")))
         .select(col("doc_id"), col("cluster_id").as("keeper"),
           when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("kept"))
         .orderBy(col("doc_id"))),
@@ -569,7 +571,8 @@ object LlmQueries {
     // from the same 1-D grid arithmetic; tools/pin_l69.py pins the WAV
     // bytes with the stdlib `wave` parser as the independent third check.
     "l70_audio_neardup" -> ((s, d) =>
-      audioPairs(s, d).orderBy(col("ida"), col("idb"))),
+      audioPairs(s, d, failOnDrop = lshFailOnDrop(s))
+        .orderBy(col("ida"), col("idb"))),
 
     // JPEG-invariance near-dup gate — closes the daylight between the
     // PNG-only l67 corpus and a JPEG-dominant crawl: every image is
@@ -602,8 +605,8 @@ object LlmQueries {
           (id, hi, lo, Array(lo & 0xffffL, lo >> 16, hi & 0xffffL, hi >> 16))
         }
       }.toDF("doc_id", "hi", "lo", "bands").localCheckpoint()
-      bandedHashPairs(hashes, maxBucket = 1000, failOnDrop = true,
-        maxHamming = 6, what = "jpeg dHash")
+      bandedHashPairs(hashes, maxBucket = 1000,
+        failOnDrop = lshFailOnDrop(s), maxHamming = 6, what = "jpeg dHash")
         .orderBy(col("ida"), col("idb"))
     }),
 
@@ -2689,8 +2692,11 @@ object LlmQueries {
     * not bind at the sf0.01 gate scale (largest bucket there is ~6 docs),
     * so the DuckDB oracle derivation is unchanged.
     */
-  private[queries] def imagePairs(s: SparkSession, d: String,
-      maxBucket: Int = 1000, failOnDrop: Boolean = true): DataFrame = {
+  /** Per-doc image dHashes + LSH bands (decode on a cores-partitioned
+    * codec stage, lineage-cut) — shared by [[imagePairs]] and the ratchet
+    * accounting tool (graft.tools.ImageRatchet).
+    */
+  private[graft] def imageHashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.ImageOps
     // cores-not-bytes partitioning: the decode+hash stage is CPU-bound
@@ -2698,15 +2704,18 @@ object LlmQueries {
     // 1-2 planned partitions serializes the whole corpus decode
     val ids = documents(s, d).select(col("doc_id"))
       .repartition(codecParallelism(s)).as[Long]
-    val hashes = ids.mapPartitions { it =>
+    ids.mapPartitions { it =>
       it.map { id =>
         val (hi, lo) = ImageOps.dHash(ImageOps.decode(ImageOps.neardupPng(id)))
         (id, hi, lo, Array(lo & 0xffffL, lo >> 16, hi & 0xffffL, hi >> 16))
       }
     }.toDF("doc_id", "hi", "lo", "bands").localCheckpoint()
-    bandedHashPairs(hashes, maxBucket, failOnDrop, maxHamming = 6,
-      what = "image dHash")
   }
+
+  private[graft] def imagePairs(s: SparkSession, d: String,
+      maxBucket: Int = 1000, failOnDrop: Boolean = true): DataFrame =
+    bandedHashPairs(imageHashes(s, d), maxBucket, failOnDrop, maxHamming = 6,
+      what = "image dHash")
 
   /** Audio near-dup pairs (l70): REAL WAV decode -> energy-envelope hash ->
     * the same 4x16-bit banded-LSH candidate join + Hamming confirm <= 6 as
@@ -2738,7 +2747,7 @@ object LlmQueries {
     * oversized buckets go through the [[capBuckets]] fail-loud/drop
     * discipline. `hashes` must carry (doc_id, hi, lo, bands[4]).
     */
-  private def bandedHashPairs(hashes: DataFrame, maxBucket: Int,
+  private[graft] def bandedHashPairs(hashes: DataFrame, maxBucket: Int,
       failOnDrop: Boolean, maxHamming: Int, what: String): DataFrame = {
     // band value tagged with its position so only same-position bands collide
     val bands = hashes
@@ -2779,6 +2788,18 @@ object LlmQueries {
     require(p > 0, s"spark.graft.codec.parallelism must be positive, got $p")
     p
   }
+
+  /** LSH bucket-cap mode for the graded near-dup entries:
+    * `spark.graft.lsh.failOnDrop` (default TRUE — a binding cap raises
+    * loudly, because the DuckDB oracles model no cap). Ratchet runs at
+    * 500k+ docs set it to false CONSCIOUSLY: there the synthetic hash
+    * space concentrates (a dHash band bucket hits k=1144 at 500k), the
+    * cap is doing its scale job, and the run accounts for drops with its
+    * own deterministic aggregate (tools/ImageRatchet) instead of an
+    * oracle.
+    */
+  private def lshFailOnDrop(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.lsh.failOnDrop").forall(_.toBoolean)
 
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -2836,7 +2857,9 @@ object LlmQueries {
     * label themselves, matching [[connectedComponents]] exactly.
     */
   def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      : DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
@@ -2879,6 +2902,7 @@ object LlmQueries {
       iter += 1
     }
     require(converged, s"star contraction did not converge in $iter rounds")
+    roundsOut.foreach(_.set(iter))
     val roots = edges.select(col("v")).distinct()
       .join(edges.select(col("u")).distinct(),
         col("v") === col("u"), "left_anti")

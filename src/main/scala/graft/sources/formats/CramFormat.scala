@@ -1281,11 +1281,11 @@ class CramFormat(refPath: Option[String],
           else req(eQS, "QS").skipByteRun(rl, core, ext)
         }
         if (bases != null)
-          seqU = org.apache.spark.unsafe.types.UTF8String.fromBytes(bases)
+          seqU = asciiBases(bases)
       } else {
         val rawBases = req(eBA, "BA").readByteRun(rl, core, ext)
         if (needSeq)
-          seqU = org.apache.spark.unsafe.types.UTF8String.fromBytes(rawBases)
+          seqU = asciiBases(rawBases)
         if ((cf & 0x1) != 0) {
           if (needQuals) quals = req(eQS, "QS").readByteRun(rl, core, ext)
           else req(eQS, "QS").skipByteRun(rl, core, ext)
@@ -1324,6 +1324,25 @@ class CramFormat(refPath: Option[String],
       rows += outRow
       i += 1
     }
+  }
+
+  /** Decoded base bytes become a STRING column. The byte-direct path (no
+    * ISO-8859-1 transcode since the r15 decode work) would emit invalid
+    * UTF-8 if a base byte were >= 0x80 — legal nowhere in the IUPAC/'='/
+    * '.' alphabets, so a high byte means a corrupt or adversarial stream:
+    * fail loudly like the other malformed-input paths instead of letting
+    * downstream string expressions mishandle it silently.
+    */
+  @inline private[sources] def asciiBases(
+      b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    var i = 0
+    while (i < b.length) {
+      if (b(i) < 0) throw new IllegalStateException(
+        f"cram: non-ASCII base byte 0x${b(i) & 0xff}%02x at offset $i — " +
+          "corrupt sequence stream")
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
   }
 
   def tagValueString(typ: Char, raw: Array[Byte]): String = {

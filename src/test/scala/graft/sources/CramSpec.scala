@@ -254,4 +254,17 @@ class CramSpec extends AnyFunSuite with SharedSpark {
     assert(f3(65) == 5 && f3(66) == 6 && f3(67) == 7 && f3(68) == 8 && f3(70) == 9)
     assert(c3 == 10)
   }
+
+  test("cram: non-ASCII base bytes fail loudly instead of emitting invalid UTF-8") {
+    // the byte-direct bases path (no ISO-8859-1 transcode) would otherwise
+    // hand string expressions a UTF8String with bytes >= 0x80 — legal in
+    // no base alphabet, so the guard must raise, not silently mangle
+    assert(formats.CramFormat.asciiBases("ACGTN=.acgtn*".getBytes).toString ==
+      "ACGTN=.acgtn*")
+    val e = intercept[IllegalStateException] {
+      formats.CramFormat.asciiBases(Array[Byte]('A', 'C', 0xff.toByte, 'G'))
+    }
+    assert(e.getMessage.contains("non-ASCII base byte 0xff at offset 2"),
+      e.getMessage)
+  }
 }
