@@ -28,6 +28,116 @@ object ImageOps {
   // ImageIO file cache costs a disk write per decode.
   ImageIO.setUseCache(false)
 
+  /** Disposer-free ImageInputStream over a byte array.
+    *
+    * `ImageIO.createImageInputStream` returns a MemoryCacheImageInputStream
+    * whose cleanup is registered with the JDK's SINGLETON Disposer thread;
+    * under sustained multi-thread decode that queue becomes the global
+    * bottleneck (measured: the 5M-doc ratchet hash stage ran 327 s at 32
+    * threads AND 318 s at 16 — thread-count-invariant, i.e. a shared-
+    * resource wall, not CPU). ImageInputStreamImpl itself registers
+    * nothing; random access comes free because reads index the array.
+    */
+  private final class BytesImageInputStream(b: Array[Byte])
+      extends javax.imageio.stream.ImageInputStreamImpl {
+    override def read(): Int = {
+      bitOffset = 0
+      if (streamPos >= b.length) -1
+      else { val v = b(streamPos.toInt) & 0xff; streamPos += 1; v }
+    }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      bitOffset = 0
+      if (streamPos >= b.length) return -1
+      val n = math.min(len, b.length - streamPos.toInt)
+      System.arraycopy(b, streamPos.toInt, buf, off, n)
+      streamPos += n
+      n
+    }
+    override def length(): Long = b.length
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+  }
+
+  /** Disposer-free growable ImageOutputStream (the encode-side twin: the
+    * default MemoryCacheImageOutputStream also queues on the Disposer).
+    * Supports random-access rewrites (writes land at streamPos), which
+    * the JDK PNG/JPEG writers don't actually need but the contract allows.
+    */
+  private final class BytesImageOutputStream
+      extends javax.imageio.stream.ImageOutputStreamImpl {
+    private var buf = new Array[Byte](4096)
+    private var len = 0
+    private def ensure(cap: Int): Unit =
+      if (cap > buf.length) {
+        var c = buf.length << 1
+        while (c < cap) c <<= 1
+        buf = java.util.Arrays.copyOf(buf, c)
+      }
+    override def write(v: Int): Unit = {
+      flushBits()
+      val p = streamPos.toInt
+      ensure(p + 1)
+      buf(p) = v.toByte
+      streamPos += 1
+      if (streamPos > len) len = streamPos.toInt
+    }
+    override def write(b: Array[Byte], off: Int, n: Int): Unit = {
+      flushBits()
+      val p = streamPos.toInt
+      ensure(p + n)
+      System.arraycopy(b, off, buf, p, n)
+      streamPos += n
+      if (streamPos > len) len = streamPos.toInt
+    }
+    override def read(): Int = {
+      bitOffset = 0
+      if (streamPos >= len) -1
+      else { val v = buf(streamPos.toInt) & 0xff; streamPos += 1; v }
+    }
+    override def read(b: Array[Byte], off: Int, n: Int): Int = {
+      bitOffset = 0
+      if (streamPos >= len) return -1
+      val k = math.min(n, len - streamPos.toInt)
+      System.arraycopy(buf, streamPos.toInt, b, off, k)
+      streamPos += k
+      k
+    }
+    override def length(): Long = len
+    def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  /** Thread-local codec instances: an ImageReader/ImageWriter is reusable
+    * via setInput/setOutput, and per-call `getImageReaders` pays a
+    * ServiceRegistry walk plus a fresh codec object whose GC/Cleaner churn
+    * is what ImgProf measured degrading under sustained 32-thread decode.
+    * Bounded by live thread count; never disposed (executor task threads
+    * are pooled and long-lived).
+    */
+  private def tlCodec[T](make: () => T): ThreadLocal[T] =
+    ThreadLocal.withInitial(() => make())
+  private val pngReader = tlCodec(() =>
+    ImageIO.getImageReadersByFormatName("png").next())
+  private val jpegReader = tlCodec(() =>
+    ImageIO.getImageReadersByFormatName("jpeg").next())
+  private val bmpReader = tlCodec(() =>
+    ImageIO.getImageReadersByFormatName("bmp").next())
+  private val pngWriter = tlCodec(() =>
+    ImageIO.getImageWritersByFormatName("png").next())
+  private val jpegWriter = tlCodec(() =>
+    ImageIO.getImageWritersByFormatName("jpg").next())
+
+  /** Codec pick by magic bytes for the JDK-native formats the pipeline
+    * handles hot (PNG/JPEG/BMP); anything else falls back to the
+    * ServiceRegistry walk so exotic-but-installed formats still decode.
+    */
+  private def fastReaderFor(b: Array[Byte]): javax.imageio.ImageReader =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G') pngReader.get()
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      jpegReader.get()
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') bmpReader.get()
+    else null
+
   /** Gray value of the 4x4 block at block coords (bx, by) for a seed.
     * The linear spatial hash alone is degenerate under mod 256 (adjacent
     * blocks differ by a CONSTANT, so every seed yields near-identical
@@ -87,9 +197,13 @@ object ImageOps {
   }
 
   def toPng(img: BufferedImage): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(4096)
-    require(ImageIO.write(img, "png", bos), "image: no PNG writer available")
-    bos.toByteArray
+    val w = pngWriter.get()
+    val ios = new BytesImageOutputStream
+    try {
+      w.setOutput(ios)
+      w.write(img)
+    } finally w.setOutput(null)
+    ios.toByteArray
   }
 
   /** JPEG encode at an explicit quality (ImageIO's default writer param is
@@ -97,19 +211,16 @@ object ImageOps {
     * crawl-realistic setting, not whatever the JDK defaults to).
     */
   def toJpeg(img: BufferedImage, quality: Float = 0.9f): Array[Byte] = {
-    val writers = ImageIO.getImageWritersByFormatName("jpg")
-    require(writers.hasNext, "image: no JPEG writer available")
-    val w = writers.next()
-    val bos = new ByteArrayOutputStream(4096)
-    val ios = ImageIO.createImageOutputStream(bos)
+    val w = jpegWriter.get()
+    val ios = new BytesImageOutputStream
     try {
       val p = w.getDefaultWriteParam
       p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       p.setCompressionQuality(quality)
       w.setOutput(ios)
       w.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    } finally { w.dispose(); ios.close() }
-    bos.toByteArray
+    } finally w.setOutput(null)
+    ios.toByteArray
   }
 
   /** Gray value for the l71 JPEG-invariance corpus: the spatial-hash block
@@ -163,21 +274,36 @@ object ImageOps {
     * (a 256 MB int raster).
     */
   def decode(bytes: Array[Byte], maxPixels: Long = 1L << 26): BufferedImage = {
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-    try {
-      val readers = ImageIO.getImageReaders(iis)
-      require(readers.hasNext, "image: undecodable payload")
-      val r = readers.next()
+    val fast = fastReaderFor(bytes)
+    if (fast != null) {
       try {
-        r.setInput(iis)
-        val w = r.getWidth(0)
-        val h = r.getHeight(0)
+        fast.setInput(new BytesImageInputStream(bytes))
+        val w = fast.getWidth(0)
+        val h = fast.getHeight(0)
         require(w > 0 && h > 0 && w.toLong * h <= maxPixels,
           s"image: declared ${w}x$h exceeds the $maxPixels-pixel decode " +
             "bound (decompression bomb?)")
-        r.read(0)
-      } finally r.dispose()
-    } finally iis.close()
+        fast.read(0)
+      } finally fast.setInput(null) // release the input; the reader is reused
+    } else {
+      // no JDK-native magic matched: ServiceRegistry walk (exotic formats),
+      // or fail loudly on garbage
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "image: undecodable payload")
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          require(w > 0 && h > 0 && w.toLong * h <= maxPixels,
+            s"image: declared ${w}x$h exceeds the $maxPixels-pixel decode " +
+              "bound (decompression bomb?)")
+          r.read(0)
+        } finally r.dispose()
+      } finally iis.close()
+    }
   }
 
   /** Integer luma, ITU-R BT.601 weights scaled by 1000 with floor division —

@@ -170,6 +170,45 @@ object Corpora {
     out.close()
   }
 
+  /** Wide-spectrum mzML (np peaks per array): the profile-shape where the
+    * zlib wall lives in big blobs — MS1 survey scans carry 10k-100k peaks
+    * per array, vs the 50-peak b05 shape whose per-spectrum overheads
+    * dominate. Same deterministic construction as [[writeMzml]].
+    */
+  def writeMzmlWide(f: java.io.File, n: Int, np: Int): Unit = guarded(f) {
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    def b64zlib(vals: Array[Double]): String = {
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(bb.array()); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(vals.length * 8)
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+    }
+    w.write("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<mzML><run><spectrumList>\n")
+    (0 until n).foreach { i =>
+      val mzv = Array.tabulate(np)(j => 100.0 + i % 7 + j * 9.97)
+      val inten = Array.tabulate(np)(j => ((i * 31 + j * 17) % 10000).toDouble)
+      w.write(s"""<spectrum id="scan=$i" index="$i" defaultArrayLength="$np">""")
+      w.write("""<binaryDataArrayList count="2">""")
+      w.write("""<binaryDataArray><cvParam accession="MS:1000514" name="m/z array"/>""" +
+        """<cvParam accession="MS:1000523" name="64-bit float"/>""" +
+        """<cvParam accession="MS:1000574" name="zlib compression"/>""" +
+        s"<binary>${b64zlib(mzv)}</binary></binaryDataArray>")
+      w.write("""<binaryDataArray><cvParam accession="MS:1000515" name="intensity array"/>""" +
+        """<cvParam accession="MS:1000523" name="64-bit float"/>""" +
+        """<cvParam accession="MS:1000574" name="zlib compression"/>""" +
+        s"<binary>${b64zlib(inten)}</binary></binaryDataArray>")
+      w.write("</binaryDataArrayList></spectrum>\n")
+    }
+    w.write("</spectrumList></run></mzML>\n")
+    w.close()
+  }
+
   def writeMzml(f: java.io.File, n: Int): Unit = guarded(f) {
     val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
     def b64zlib(vals: Array[Double]): String = {

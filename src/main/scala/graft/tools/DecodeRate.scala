@@ -46,6 +46,8 @@ object DecodeRate {
     Corpora.writeFcs(fcs, 6000000) // ~192 MB
     val mz = new java.io.File(dir, "decoderate.mzML")
     Corpora.writeMzml(mz, 120000) // ~137 MB
+    val mzWide = new java.io.File(dir, "decoderate_wide.mzML")
+    Corpora.writeMzmlWide(mzWide, 600, 30000) // ~180 MB, 240 KB zlib blobs
 
     def sparkGen(name: String)(write: String => Unit): java.io.File = {
       val sub = new java.io.File(dir, name)
@@ -185,6 +187,12 @@ object DecodeRate {
     rate("fcs", fcs)(s.read.format("fcs").load(fcs.getAbsolutePath)
       .agg(count(lit(1)), sum(col("FSC-A").cast("double"))))
     rate("mzml", mz)(s.read.format("mzml").load(mz.getAbsolutePath)
+      .agg(count(lit(1)),
+        sum(expr("aggregate(intensity.intensity, 0D, (a, x) -> a + x)"))))
+    // Wide-spectrum shape: blobs over the async threshold inflate on the
+    // shared pool when cores are idle — at w1 (this gate) that IS the
+    // capability being measured: one scan task + idle-core inflate.
+    rate("mzml_wide", mzWide)(s.read.format("mzml").load(mzWide.getAbsolutePath)
       .agg(count(lit(1)),
         sum(expr("aggregate(intensity.intensity, 0D, (a, x) -> a + x)"))))
     // Codec stages: the decode runs inside the scan task's mapPartitions
