@@ -1372,6 +1372,16 @@ final class RefColumnVector(dt: DataType, capacity: Int)
   * batch: on-heap primitive vectors (codegen reads them unboxed) and
   * reference vectors for string/binary (no byte re-copy).
   */
+object GraftColumnarReader {
+  /** Single-abstract-method cell writers with a PRIMITIVE Int row index —
+    * see the boxing note at the setters array.
+    */
+  trait Setter { def set(v: org.apache.spark.sql.vectorized.ColumnVector,
+    n: Int, x: Any): Unit }
+  trait Nuller { def putNull(v: org.apache.spark.sql.vectorized.ColumnVector,
+    n: Int): Unit }
+}
+
 final class GraftColumnarReader(rows: GraftPartitionReader, schema: StructType)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
@@ -1397,8 +1407,13 @@ final class GraftColumnarReader(rows: GraftPartitionReader, schema: StructType)
     * not re-match DataType (megamorphic dispatch) for every cell.
     */
   private type Setter =
-    (org.apache.spark.sql.vectorized.ColumnVector, Int, Any) => Unit
+    GraftColumnarReader.Setter
   private type OnHeap = org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  // SAM traits with a primitive Int row index, NOT Function2/3: the generic
+  // apply erases to (Object, Object[, Object]), so a scala.Function here
+  // boxed the row index for EVERY CELL of every batch (Integer.valueOf was
+  // 13% of the CRAM decode profile; batch rows beyond 127 miss the Integer
+  // cache and allocate).
   private val setters: Array[Setter] = schema.fields.map { f =>
     (f.dataType match {
       case StringType | BinaryType =>
@@ -1414,13 +1429,13 @@ final class GraftColumnarReader(rows: GraftPartitionReader, schema: StructType)
         s"columnar reader on unsupported type $other")
     }): Setter
   }
-  private val nullers: Array[(org.apache.spark.sql.vectorized.ColumnVector, Int) => Unit] =
+  private val nullers: Array[GraftColumnarReader.Nuller] =
     schema.fields.map { f =>
       (f.dataType match {
         case StringType | BinaryType =>
           (v, n) => v.asInstanceOf[RefColumnVector].putNull(n)
         case _ => (v, n) => v.asInstanceOf[OnHeap].putNull(n)
-      }): ((org.apache.spark.sql.vectorized.ColumnVector, Int) => Unit)
+      }): GraftColumnarReader.Nuller
     }
 
   override def next(): Boolean = {
@@ -1439,8 +1454,8 @@ final class GraftColumnarReader(rows: GraftPartitionReader, schema: StructType)
       var c = 0
       while (c < vectors.length) {
         val v = vals(c)
-        if (v == null) nullers(c)(vectors(c), n)
-        else setters(c)(vectors(c), n, v)
+        if (v == null) nullers(c).putNull(vectors(c), n)
+        else setters(c).set(vectors(c), n, v)
         c += 1
       }
       n += 1

