@@ -42,6 +42,15 @@ object PlanDump {
           "mapPartitions), candidate join keyed on (band pos, band value) " +
           "with hot buckets dropped — no CartesianProduct.",
         () => graft.queries.LlmQueries.queries("l67_image_neardup")(spark, d)),
+      ("l70_audio_neardup",
+        "Audio envelope near-dup: same keyed (band pos, band value) " +
+          "candidate join as l67 via the shared bandedHashPairs — no " +
+          "CartesianProduct; codec stage repartitioned by cores.",
+        () => graft.queries.LlmQueries.queries("l70_audio_neardup")(spark, d)),
+      ("l69_audio_decode",
+        "WAV decode gate: map-only codec stages (synth -> decode) + one " +
+          "partial-agg reduction; repartitioned by cores, no join.",
+        () => graft.queries.LlmQueries.queries("l69_audio_decode")(spark, d)),
       ("l06_ann_bruteforce",
         "The 3-query side is broadcast; the corpus streams through one " +
           "codegen'd cosine + window top-k, never shuffled whole.",

@@ -195,6 +195,20 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("l70: no cartesian product; audio envelope candidate join keyed on (bidx, bv)") {
+    val df = graft.queries.LlmQueries.queries("l70_audio_neardup")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("l71: no cartesian product; jpeg dHash candidate join keyed on (bidx, bv)") {
+    val df = graft.queries.LlmQueries.queries("l71_jpeg_invariant_neardup")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("l05: no cartesian product; candidate join keyed on (combo, k)") {
     val df = graft.queries.LlmQueries.queries("l05_simhash_pairs")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
