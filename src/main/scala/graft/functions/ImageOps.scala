@@ -306,6 +306,87 @@ object ImageOps {
     }
   }
 
+  private val gifWriter = tlCodec(() =>
+    ImageIO.getImageWritersByFormatName("gif").next())
+  private val gifReader = tlCodec(() =>
+    ImageIO.getImageReadersByFormatName("gif").next())
+
+  /** Identity 256-gray palette: r=g=b=index, so GIF stores indices raw and
+    * the decoded `getRGB & 0xff` equals the synthesized gray EXACTLY (a
+    * TYPE_BYTE_GRAY source would instead route through a gray->sRGB color
+    * space conversion inside the writer — not identity).
+    */
+  private val grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Gray frame `f` of the l72 clip for a doc: the block spatial hash with
+    * the frame index folded into the seed (docId*16+f), so every frame is
+    * distinct and the oracle recomputes any frame analytically. 256 gray
+    * levels fill GIF's palette exactly — the container round-trip is
+    * LOSSLESS.
+    */
+  def videoFrame(docId: Long, f: Int): BufferedImage = {
+    val img = new BufferedImage(36, 32, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 36) {
+        raster.setSample(x, y, 0, blockValue(x / 4, y / 4, docId * 16 + f))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** REAL multi-frame container encode: the frames of a clip written as an
+    * animated GIF through the JDK codec's sequence API — the temporal
+    * analog of [[synthPng]]. Between pipeline stages the clip exists only
+    * as container bytes in a binary column.
+    */
+  def synthGif(docId: Long, frames: Int): Array[Byte] = {
+    val w = gifWriter.get()
+    val ios = new BytesImageOutputStream
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        w.writeToSequence(
+          new javax.imageio.IIOImage(videoFrame(docId, f), null, null), null)
+        f += 1
+      }
+      w.endWriteSequence()
+    } finally w.setOutput(null)
+    ios.toByteArray
+  }
+
+  /** REAL multi-frame decode: parse the GIF container, return every frame
+    * raster. Frame count read from the container (getNumImages forces a
+    * full stream scan), bounded by `maxFrames` BEFORE any raster work —
+    * the temporal decompression-bomb guard.
+    */
+  def decodeGif(bytes: Array[Byte], maxFrames: Int = 4096): IndexedSeq[BufferedImage] = {
+    require(bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F',
+      "video: not a GIF container")
+    // the JDK reader silently yields only the COMPLETE frames of a
+    // truncated stream — a cut-off crawl payload must fail loudly instead;
+    // every well-formed GIF ends with the 0x3B trailer
+    require((bytes(bytes.length - 1) & 0xff) == 0x3b,
+      "video: truncated GIF container (missing trailer)")
+    val r = gifReader.get()
+    try {
+      r.setInput(new BytesImageInputStream(bytes))
+      val n = r.getNumImages(true)
+      require(n >= 1 && n <= maxFrames,
+        s"video: $n frames exceeds the $maxFrames-frame decode bound (bomb?)")
+      (0 until n).map(r.read(_))
+    } finally r.setInput(null)
+  }
+
   /** Integer luma, ITU-R BT.601 weights scaled by 1000 with floor division —
     * exact in int64, mirrored by the SQL oracles.
     */

@@ -430,11 +430,10 @@ object LlmQueries {
     // Full multimodal pipeline: encode -> REAL decode (javax.imageio) ->
     // REAL nearest-neighbor resize on the decoded raster (fit 40 max dim,
     // integer sampling) -> frame-sample (stride-3 ceil over a synthetic
-    // frame count — video decoders don't exist in this container, so the
-    // temporal axis stays arithmetic; the spatial axis is real pixels) ->
-    // feature-extract (sum of resized luma — depends on every decoded +
-    // resampled pixel value). One batched mapPartitions per stage = the
-    // vectorized-decoder shape.
+    // frame count here; l72 does the SAME sampling over a real multi-frame
+    // GIF container decode) -> feature-extract (sum of resized luma —
+    // depends on every decoded + resampled pixel value). One batched
+    // mapPartitions per stage = the vectorized-decoder shape.
     "l13_multimodal_pipeline" -> ((s, d) => {
       import s.implicits._
       import graft.functions.ImageOps
@@ -573,6 +572,59 @@ object LlmQueries {
     "l70_audio_neardup" -> ((s, d) =>
       audioPairs(s, d, failOnDrop = lshFailOnDrop(s))
         .orderBy(col("ida"), col("idb"))),
+
+    // Video frame-sampling — the temporal axis goes REAL: each doc's clip
+    // is a multi-frame animated GIF written through the JDK codec's
+    // sequence API (256-level identity-gray palette -> lossless), the
+    // frame COUNT is read back from the container (getNumImages scans the
+    // stream; an in-task assertion pins it to the synthesis truth), every
+    // third frame is sampled and its decoded pixels are summed — values
+    // the DuckDB oracle recomputes analytically, which LZW-decoded
+    // container bytes must reproduce. This replaces the r15 caveat
+    // ("video decoders don't exist in this container — the temporal axis
+    // stays arithmetic"): frame extraction now decodes a real container.
+    "l72_video_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ImageOps
+      val ds = documents(s, d)
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("n"))
+        .repartition(codecParallelism(s))
+        .as[(Long, Long)]
+      val payloads = ds.mapPartitions { it =>
+        it.map { case (id, n) =>
+          val nf = 4 + (n % 5).toInt
+          (id, nf.toLong, ImageOps.synthGif(id, nf))
+        }
+      }.toDF("doc_id", "nf", "video").as[(Long, Long, Array[Byte])]
+      val meta = payloads.mapPartitions { it =>
+        it.map { case (id, nf, bytes) =>
+          val frames = ImageOps.decodeGif(bytes)
+          require(frames.length == nf,
+            s"video: container decoded ${frames.length} frames, synthesized $nf (doc $id)")
+          var ls = 0L
+          var sampled = 0L
+          var f = 0
+          while (f < frames.length) {
+            if (f % 3 == 0) {
+              sampled += 1
+              val img = frames(f)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { ls += img.getRGB(x, y) & 0xff; x += 1 }
+                y += 1
+              }
+            }
+            f += 1
+          }
+          (id, frames.length.toLong, sampled, ls)
+        }
+      }.toDF("doc_id", "frames", "sampled", "lsum")
+      meta.agg(count(lit(1)).as("n"),
+        sum(col("frames")).as("sum_frames"),
+        sum(col("sampled")).as("sum_sampled"),
+        sum(col("lsum")).as("sum_luma"))
+    }),
 
     // JPEG-invariance near-dup gate — closes the daylight between the
     // PNG-only l67 corpus and a JPEG-dominant crawl: every image is
@@ -3826,6 +3878,27 @@ object LlmQueries {
         |  CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT) AS hamming
         |FROM afp
         |ORDER BY ida, idb""".stripMargin,
+
+    // Expected decoded-frame pixel sums recomputed analytically from the
+    // per-frame synthesis formula (identity-gray GIF is lossless); frame
+    // counts and the stride-3 sample count come from the same arithmetic.
+    // LZW-decoded container bytes must reproduce every value.
+    "l72_video_frame_sample" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
+        |d AS (SELECT doc_id, 4 + (n % 5) AS nf FROM m),
+        |fr AS (SELECT d.doc_id, d.nf, gf.f
+        |  FROM d, generate_series(0, 7) gf(f)
+        |  WHERE gf.f < d.nf AND gf.f % 3 = 0),
+        |hm AS (SELECT fr.doc_id,
+        |    ((gx.x // 4) * 73856093 + (gy.y // 4) * 19349663 +
+        |     (fr.doc_id * 16 + fr.f) * 83492791) % 1000003 AS hm
+        |  FROM fr, generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)),
+        |px AS (SELECT doc_id, ((hm * hm + hm * 7919) % 1000003) % 256 AS v FROM hm)
+        |SELECT (SELECT count(*) FROM d) AS n,
+        |  (SELECT CAST(sum(nf) AS BIGINT) FROM d) AS sum_frames,
+        |  (SELECT CAST(sum((nf + 2) // 3) AS BIGINT) FROM d) AS sum_sampled,
+        |  CAST(sum(v) AS BIGINT) AS sum_luma
+        |FROM px""".stripMargin,
 
     // PNG-derived truth which the lossy JPEG leg must reproduce exactly:
     // the Spark side hashes AFTER a JPEG re-encode+decode, the oracle

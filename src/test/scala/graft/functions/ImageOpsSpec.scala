@@ -148,6 +148,40 @@ class ImageOpsSpec extends AnyFunSuite {
       assert(math.abs((255 - v) - n) >= 23, s"inverted $v vs neighbor $n")
   }
 
+  test("GIF clip round-trip is lossless: every decoded frame equals the synthesis formula") {
+    for (docId <- Seq(0L, 7L, 499L, 4999999L); nf <- Seq(4, 8)) {
+      val frames = ImageOps.decodeGif(ImageOps.synthGif(docId, nf))
+      assert(frames.length == nf, s"doc $docId: frame count")
+      for (f <- 0 until nf; y <- 0 until 32; x <- 0 until 36)
+        assert((frames(f).getRGB(x, y) & 0xff) ==
+          ImageOps.blockValue(x / 4, y / 4, docId * 16 + f),
+          s"doc $docId frame $f at ($x,$y)")
+    }
+  }
+
+  test("GIF decode fails loudly on garbage, truncation and the frame-bomb bound") {
+    intercept[IllegalArgumentException] {
+      ImageOps.decodeGif(Array[Byte](1, 2, 3, 4))
+    }
+    val ok = ImageOps.synthGif(3L, 6)
+    // truncated container: the JDK reader silently returns only complete
+    // frames, so the trailer guard must raise instead of losing frames.
+    // 0x3b is legal INSIDE LZW data (a prefix can end on one by luck — the
+    // guard is necessary-not-sufficient; callers pin the frame COUNT, as
+    // l72 does in-task), so cut where the last byte is not a fake trailer.
+    var cut = ok.length / 2
+    while ((ok(cut - 1) & 0xff) == 0x3b) cut -= 1
+    val te = intercept[IllegalArgumentException] {
+      ImageOps.decodeGif(java.util.Arrays.copyOf(ok, cut))
+    }
+    assert(te.getMessage.contains("truncated GIF"), te.getMessage)
+    val ex = intercept[IllegalArgumentException] {
+      ImageOps.decodeGif(ok, maxFrames = 4)
+    }
+    assert(ex.getMessage.contains("decode bound"), ex.getMessage)
+    assert(ImageOps.decodeGif(ok).length == 6)
+  }
+
   test("dHash pinned by the independent Python PNG decoder (tools/pin_l67.py)") {
     // keep the byte-level artifacts reproducible for the Python tool
     val dir = java.nio.file.Paths.get("target/pngpin")
