@@ -134,6 +134,15 @@ object DecodeRate {
         }
       }.toDF("id", "audio").write.mode("overwrite").parquet(p)
     }
+    // Video codec stage (l72 shape): 20k multi-frame GIF clips.
+    val video = sparkGen("video") { p =>
+      import s.implicits._
+      s.range(0, 20000L).repartition(1).as[Long].mapPartitions { it =>
+        it.map { id =>
+          (id, graft.functions.ImageOps.synthGif(id, 4 + (id % 5).toInt))
+        }
+      }.toDF("id", "video").write.mode("overwrite").parquet(p)
+    }
 
     def dataBytes(f: java.io.File): Long =
       if (f.isFile) f.length
@@ -229,6 +238,25 @@ object DecodeRate {
           }
           Iterator((n, sm))
         }.toDF("n", "sm").agg(sum("n"), sum("sm"))
+    }
+    rate("video", video) {
+      import s.implicits._
+      s.read.parquet(video.getAbsolutePath).select("video").as[Array[Byte]]
+        .mapPartitions { it =>
+          var n = 0L; var px = 0L
+          it.foreach { b =>
+            graft.functions.ImageOps.decodeGif(b).foreach { img =>
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { px += img.getRGB(x, y) & 0xff; x += 1 }
+                y += 1
+              }
+            }
+            n += 1
+          }
+          Iterator((n, px))
+        }.toDF("n", "px").agg(sum("n"), sum("px"))
     }
 
     val fields = rows.map { case (name, bytes, sec) =>

@@ -51,6 +51,15 @@ object PlanDump {
         "WAV decode gate: map-only codec stages (synth -> decode) + one " +
           "partial-agg reduction; repartitioned by cores, no join.",
         () => graft.queries.LlmQueries.queries("l69_audio_decode")(spark, d)),
+      ("l71_jpeg_invariant_neardup",
+        "JPEG-leg dHashes, same keyed band join as l67 — no " +
+          "CartesianProduct; the lossy re-encode runs inside the codec " +
+          "mapPartitions stage.",
+        () => graft.queries.LlmQueries.queries("l71_jpeg_invariant_neardup")(spark, d)),
+      ("l72_video_frame_sample",
+        "Multi-frame GIF decode: map-only codec stages + one partial-agg " +
+          "reduction; repartitioned by cores, no join.",
+        () => graft.queries.LlmQueries.queries("l72_video_frame_sample")(spark, d)),
       ("l06_ann_bruteforce",
         "The 3-query side is broadcast; the corpus streams through one " +
           "codegen'd cosine + window top-k, never shuffled whole.",
