@@ -27,6 +27,47 @@ object AudioOps {
     */
   val SampleRate = 8000
 
+  /** Cached audio SPI providers. `AudioSystem.getAudioInputStream` /
+    * `AudioSystem.write` re-run ServiceLoader provider discovery on EVERY
+    * call — a `ClassLoader.getResources` walk over the whole executor
+    * classpath (~350 jars on a Spark node): JFR on the 500k-clip ratchet
+    * showed ~90% of decode samples inside URLClassPath/ZipFile entry
+    * lookups. The SPI classes are public; loading them ONCE keeps the
+    * decode going through the exact same JDK codec objects AudioSystem
+    * would pick, minus the per-call scan (l69 at 500k: 106 s -> see
+    * BENCH_NOTES_r16). Instances are per-thread because the SPI contract
+    * does not promise thread safety.
+    */
+  private val audioReaders
+      : ThreadLocal[List[javax.sound.sampled.spi.AudioFileReader]] =
+    ThreadLocal.withInitial { () =>
+      import scala.jdk.CollectionConverters._
+      val all = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.toList
+      // WAVE readers first: the JDK's SoftMidiAudioFileReader otherwise
+      // sits ahead of WaveFileReader in provider order and its accept
+      // probe calls MidiSystem.getSequence, which re-runs MIDI provider
+      // discovery (a full classpath scan) on EVERY payload
+      val (wave, rest) = all.partition(_.getClass.getSimpleName.contains("Wave"))
+      wave ++ rest
+    }
+
+  /** Last reader that accepted a payload on this thread — tried first, so
+    * a homogeneous corpus never pays the reject probes of other formats.
+    */
+  private val lastReader =
+    new ThreadLocal[javax.sound.sampled.spi.AudioFileReader]
+  private val wavWriter: ThreadLocal[javax.sound.sampled.spi.AudioFileWriter] =
+    ThreadLocal.withInitial { () =>
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .asScala
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+        .getOrElse(throw new IllegalStateException("audio: no WAV writer SPI"))
+    }
+
   /** Signed 16-bit sample for frame `i`, channel `c`, seeded stream: the
     * quadratic hash fold scattered over the full int16 range — wideband
     * deterministic noise, so per-channel sums and clipping counts are
@@ -57,7 +98,7 @@ object AudioOps {
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
       samples.length / channels)
     val bos = new ByteArrayOutputStream(pcm.length + 64)
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    wavWriter.get().write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -94,13 +135,32 @@ object AudioOps {
     * executor.
     */
   def decode(bytes: Array[Byte], maxSamples: Long = 1L << 26): Clip = {
-    val ais =
-      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-      catch {
-        case e: javax.sound.sampled.UnsupportedAudioFileException =>
-          throw new IllegalArgumentException(
-            s"audio: undecodable payload (${e.getMessage})")
+    // first cached SPI reader that accepts the payload — the AudioSystem
+    // dispatch contract (UnsupportedAudioFileException = try the next),
+    // without the per-call provider rediscovery (see audioReaders); the
+    // sticky last-successful reader goes first
+    var ais: AudioInputStream = null
+    val sticky = lastReader.get()
+    if (sticky != null) {
+      try ais = sticky.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    if (ais == null) {
+      val it = audioReaders.get().iterator
+      while (ais == null && it.hasNext) {
+        val r = it.next()
+        if (r ne sticky) {
+          try {
+            ais = r.getAudioInputStream(new ByteArrayInputStream(bytes))
+            lastReader.set(r)
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+          }
+        }
       }
+    }
+    if (ais == null)
+      throw new IllegalArgumentException("audio: undecodable payload")
     try {
       val fmt = ais.getFormat
       require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&

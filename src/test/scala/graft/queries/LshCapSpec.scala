@@ -65,6 +65,21 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
     assert(LlmQueries.audioPairs(spark, d).count() >= 750)
   }
 
+  test("spark.graft.codec.parallelism feeds the codec-stage repartition") {
+    val d = "/root/testdata/sf0.001"
+    spark.conf.set("spark.graft.codec.parallelism", "7")
+    try {
+      val plan = LlmQueries.queries("l10_image_decode")(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("RoundRobinPartitioning(7)"), plan)
+    } finally spark.conf.unset("spark.graft.codec.parallelism")
+    // default: executor core count
+    val plan2 = LlmQueries.queries("l10_image_decode")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains(
+      s"RoundRobinPartitioning(${spark.sparkContext.defaultParallelism})"), plan2)
+  }
+
   test("simhash: block-pair banding has total recall at hamming <= 6") {
     // Synthetic corpus around one base fingerprint: flip k in-block-spread
     // bits for k = 0..8. Pairs at hamming <= 6 MUST all surface as
