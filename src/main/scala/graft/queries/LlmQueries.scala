@@ -573,6 +573,18 @@ object LlmQueries {
       audioPairs(s, d, failOnDrop = lshFailOnDrop(s))
         .orderBy(col("ida"), col("idb"))),
 
+    // Audio dedup keep-list — the l68 shape for the audio modality:
+    // connected components (star contraction) over the l70 near-dup
+    // pairs, keeper = min doc_id per cluster, so decode -> fingerprint ->
+    // LSH -> Hamming -> CC -> keep is one relational plan end to end for
+    // audio too. Graded against the same recursive-CTE truth style.
+    "l73_audio_dedup_keep" -> ((s, d) =>
+      connectedComponentsStar(audioPairs(s, d, failOnDrop = lshFailOnDrop(s))
+        .select(col("ida"), col("idb")))
+        .select(col("doc_id"), col("cluster_id").as("keeper"),
+          when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("kept"))
+        .orderBy(col("doc_id"))),
+
     // Video frame-sampling — the temporal axis goes REAL: each doc's clip
     // is a multi-frame animated GIF written through the JDK codec's
     // sequence API (256-level identity-gray palette -> lossless), the
@@ -3878,6 +3890,20 @@ object LlmQueries {
         |  CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS BIGINT) AS hamming
         |FROM afp
         |ORDER BY ida, idb""".stripMargin,
+
+    // keep-list truth: transitive closure (recursive CTE) over the same
+    // derived audio pairs, min label per component — the l68 oracle shape.
+    "l73_audio_dedup_keep" ->
+      s"""WITH RECURSIVE $audioPairsCtes,
+        |aedges AS (SELECT ida a, idb b FROM afp UNION SELECT idb, ida FROM afp),
+        |areach(a, b) AS (
+        |  SELECT DISTINCT a, a FROM aedges
+        |  UNION
+        |  SELECT r.a, e.b FROM areach r JOIN aedges e ON r.b = e.a)
+        |SELECT a AS doc_id, MIN(b) AS keeper,
+        |  CAST(CASE WHEN MIN(b) = a THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM areach GROUP BY a
+        |ORDER BY doc_id""".stripMargin,
 
     // Expected decoded-frame pixel sums recomputed analytically from the
     // per-frame synthesis formula (identity-gray GIF is lossless); frame
