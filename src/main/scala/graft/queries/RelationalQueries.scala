@@ -1104,9 +1104,14 @@ object RelationalQueries {
     // not the raw pairs.
     "q64_part_cooccurrence" -> ((s, d) => {
       val maxBasket = 32
+      // lineage-cut: three consumers (overflow scalar, part counts, pair
+      // join) otherwise each re-run the full lineitem scan + basket
+      // shuffle — at sf1 that tripled the heaviest stage and its rep
+      // variance (memory pressure from three concurrent basket builds)
       val baskets = lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(collect_set(col("l_partkey")).as("parts"))
+        .localCheckpoint()
       // overflow count + kept-order total in ONE scalar aggregate (one
       // 1-row broadcast instead of two, one fewer basket recomputation)
       val totOvf = baskets.agg(
