@@ -717,6 +717,8 @@ object LlmQueries {
     // corpus scale.
     "l22_span_dedup" -> ((s, d) => {
       import s.implicits._
+      // NOT lineage-cut: same trade as l66 — the shingle table is huge
+      // but cheap to rebuild (a cut measured 7.6 s vs 3.5 s min at sf1)
       val sh = documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, t) =>
           graft.functions.TextOps.wordShingles(t, 8).iterator.map(g => (id, g))
@@ -2299,6 +2301,12 @@ object LlmQueries {
     "l66_crossdoc_substring_scrub" -> ((s, d) => {
       val toks = documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // NOT lineage-cut on purpose: the positioned-gram table is corpus-
+      // sized (10M+ wide string rows at sf1) but cheap to rebuild — a
+      // localCheckpoint materialization measured SLOWER (13.9 s vs 7.5 s
+      // min at sf1) than letting both consumers recompute the explode.
+      // Cuts pay for SMALL-output/EXPENSIVE subtrees (q64's baskets),
+      // not large-output/cheap ones.
       val sh = toks.filter(size(col("w")) >= 8)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(w) - 8)," +
