@@ -42,6 +42,23 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
     assert(LlmQueries.imagePairs(spark, d).count() == 750)
   }
 
+  test("minhash/simhash graded mode also fails loudly when the cap binds") {
+    val docs = corpus((0L until 300L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again")))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val e1 = intercept[Exception] {
+      LlmQueries.minhashCandidatePairs(docs, maxBucket = 100,
+        failOnDrop = true).count()
+    }
+    assert(messages(e1).exists(_.contains("LSH bucket over the 100 cap")), e1.toString)
+    val e2 = intercept[Exception] {
+      LlmQueries.simhashCandidatePairs(docs, maxBucket = 100,
+        failOnDrop = true).count()
+    }
+    assert(messages(e2).exists(_.contains("LSH bucket over the 100 cap")), e2.toString)
+  }
+
   test("graded runs fail LOUDLY when the LSH bucket cap binds (oracle models no cap)") {
     val d = "/root/testdata/sf0.001"
     // failOnDrop (the graded default) must raise through assert_true
