@@ -374,8 +374,12 @@ object ImageOps {
       "video: not a GIF container")
     // the JDK reader silently yields only the COMPLETE frames of a
     // truncated stream — a cut-off crawl payload must fail loudly instead;
-    // every well-formed GIF ends with the 0x3B trailer
-    require((bytes(bytes.length - 1) & 0xff) == 0x3b,
+    // every well-formed GIF ends with the 0x3B trailer. Crawled GIFs often
+    // carry trailing zero padding after the trailer, so scan backward past
+    // NULs rather than requiring the trailer to be the literal last byte.
+    var end = bytes.length - 1
+    while (end > 5 && bytes(end) == 0) end -= 1
+    require((bytes(end) & 0xff) == 0x3b,
       "video: truncated GIF container (missing trailer)")
     val r = gifReader.get()
     try {

@@ -646,10 +646,12 @@ object LlmQueries {
     // from the PNG synthesis arithmetic. dHash's whole point is lossy-
     // compression invariance; the corpus quantizes adjacent dHash cells
     // >= 23 gray levels apart (marginBlockValue), so the hash is provably
-    // stable when per-cell mean codec error stays under ~11 — and a
-    // per-doc in-task assertion (drift <= 2 bits) fails LOUDLY if the
-    // codec ever degrades past that. Measured drift over the gate corpus:
-    // 0 bits on all docs (ImageOpsSpec pins the same bound).
+    // stable when per-cell mean codec error stays under ~11. Measured
+    // drift over the gate corpus is ZERO bits on all docs (ImageOpsSpec
+    // pins exact equality, and the driver's oracle requires exact hash
+    // match) — so the per-doc in-task assertion requires drift == 0: any
+    // codec drift fails HERE with a descriptive error instead of
+    // surfacing as an opaque oracle hash mismatch.
     "l71_jpeg_invariant_neardup" -> ((s, d) => {
       import s.implicits._
       import graft.functions.ImageOps
@@ -664,7 +666,7 @@ object LlmQueries {
           val (hi, lo) = ImageOps.dHash(jimg)
           val drift = java.lang.Long.bitCount(phi ^ hi) +
             java.lang.Long.bitCount(plo ^ lo)
-          require(drift <= 2,
+          require(drift == 0,
             s"image: dHash drifted $drift bits under JPEG recompression (doc $id)")
           (id, hi, lo, Array(lo & 0xffffL, lo >> 16, hi & 0xffffL, hi >> 16))
         }

@@ -83,6 +83,7 @@ object MzMlFormat extends GraftFormat {
       // long-running executors
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => ctx.inflater.end()))
+      trackReader()
       private var nextRow: Array[Any] = _
       advance()
 
@@ -123,6 +124,7 @@ object MzMlFormat extends GraftFormat {
     val ctx = new DecodeCtx
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => ctx.inflater.end()))
+    trackReader()
 
     new Iterator[Array[Any]] {
       private var pos = from
@@ -393,16 +395,20 @@ object MzMlFormat extends GraftFormat {
   /** Executor-shared decode pool for the `<binary>` blobs — the probe at
     * the 84%-of-native-samples `Inflater.inflate` wall (67 MB/s/task).
     * A spectrum's mz/intensity/wavelength arrays are independent, so they
-    * inflate concurrently WHEN CORES ARE IDLE: the SynchronousQueue +
-    * CallerRunsPolicy pair makes submission adaptive — an idle pool
-    * thread takes the blob, a saturated pool makes the parser thread
-    * decode inline (exactly today's behavior, no oversubscription and no
-    * queueing). Narrow scans (one big file, the w1-w4 regime) get the
-    * win; full-width scans are unchanged by construction. Bounded at the
-    * core count JVM-wide, shared across all concurrent tasks.
+    * inflate concurrently WHEN CORES ARE IDLE: submission is gated on
+    * (busy pool threads + live mzML reader tasks) staying under the core
+    * count — [[activeReaders]] counts the parser threads themselves, so a
+    * full-width scan (readers == cores) submits nothing and is unchanged
+    * BY CONSTRUCTION, not just once the pool saturates. Narrow scans (one
+    * big file, the w1-w4 regime) get the win. The SynchronousQueue +
+    * CallerRunsPolicy pair backstops the gate's racy read: a saturated
+    * pool makes the parser thread decode inline, never queue. Bounded at
+    * the core count JVM-wide, shared across all concurrent tasks.
     */
+  private lazy val decodePoolSize = Runtime.getRuntime.availableProcessors()
+
   private lazy val decodePool: java.util.concurrent.ThreadPoolExecutor = {
-    val n = Runtime.getRuntime.availableProcessors()
+    val n = decodePoolSize
     val p = new java.util.concurrent.ThreadPoolExecutor(n, n, 30L,
       java.util.concurrent.TimeUnit.SECONDS,
       new java.util.concurrent.SynchronousQueue[Runnable](),
@@ -431,6 +437,30 @@ object MzMlFormat extends GraftFormat {
   private val asyncThreshold: Int =
     sys.env.getOrElse("GRAFT_MZML_ASYNC_THRESHOLD", "65536").toInt
 
+  /** Live mzML reader tasks in this JVM — the async gate's estimate of
+    * cores already occupied by parser threads (which also decode small
+    * blobs inline). Incremented at reader open, decremented by the task
+    * completion listener; a conservative over-count (a reader blocked on
+    * IO still counts) only errs toward inline decode, never toward
+    * oversubscription.
+    */
+  private val activeReaders = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** In-flight async decodes, tracked lock-free — ThreadPoolExecutor's own
+    * getActiveCount takes the pool's mainLock, a per-blob cost the gate
+    * must not pay on the hot path.
+    */
+  private val activeDecodes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Register a reader task with [[activeReaders]] for the lifetime of
+    * its Spark task (no-op off-task, e.g. direct unit-test iteration).
+    */
+  private def trackReader(): Unit =
+    Option(org.apache.spark.TaskContext.get()).foreach { tc =>
+      activeReaders.incrementAndGet()
+      tc.addTaskCompletionListener[Unit](_ => activeReaders.decrementAndGet())
+    }
+
   /** Decode a blob: big payloads are staged (compressed-bytes copy) and
     * decoded off the parse thread when capacity exists (see
     * [[decodePool]]); small payloads decode inline on the task's own
@@ -438,14 +468,17 @@ object MzMlFormat extends GraftFormat {
     */
   private def decodeAsync(ctx: DecodeCtx, b64len: Int, zlib: Boolean,
       is64: Boolean): java.util.concurrent.Future[Array[Double]] =
-    if (b64len < asyncThreshold)
+    if (b64len < asyncThreshold ||
+      activeDecodes.get + activeReaders.get >= decodePoolSize)
       java.util.concurrent.CompletableFuture.completedFuture(
         decodeBuf(ctx.b64buf, b64len, zlib, is64, ctx))
     else {
       val copy = java.util.Arrays.copyOf(ctx.b64buf, b64len)
+      activeDecodes.incrementAndGet()
       decodePool.submit(new java.util.concurrent.Callable[Array[Double]] {
         override def call(): Array[Double] =
-          decodeBuf(copy, b64len, zlib, is64, poolScratch.get())
+          try decodeBuf(copy, b64len, zlib, is64, poolScratch.get())
+          finally activeDecodes.decrementAndGet()
       })
     }
 

@@ -30,7 +30,8 @@ object DocScale {
     (0 until copies).map { i =>
       documents.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
         .withColumn("text", concat(col("text"), lit(s" c$i")))
-        .withColumn("n_chars", col("n_chars") + lit(3L))
+        // suffix " c$i" is 3 bytes only for i<10; keep n_chars exact
+        .withColumn("n_chars", col("n_chars") + lit(2L + i.toString.length))
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")

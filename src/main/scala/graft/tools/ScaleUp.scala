@@ -52,7 +52,8 @@ object ScaleUp {
     save(rep(documents) { (d, i) =>
       d.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
         .withColumn("text", concat(col("text"), lit(s" c$i")))
-        .withColumn("n_chars", col("n_chars") + lit(3L))
+        // suffix " c$i" is 3 bytes only for i<10; keep n_chars exact
+        .withColumn("n_chars", col("n_chars") + lit(2L + i.toString.length))
     }, "documents", 16)
     save(rep(embeddings) { (d, i) =>
       d.withColumn("vec_id", col("vec_id") + lit(i * vecSpan))

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.queries.RelationalQueries
+import scala.jdk.CollectionConverters._
 
 /** Plan-quality assertions: pushdown must reach the scans. */
 class PlanAuditSpec extends AnyFunSuite with SharedSpark {
@@ -755,19 +756,47 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"shuffles not keyed on the merge key:\n$plan")
   }
 
-  test("q64: AQE reuses the basket exchange (final plan: one scan, one basket shuffle)") {
+  test("q64: baskets materialize exactly once (consumers read the checkpoint, not lineitem)") {
+    // Since the lineage cut (localCheckpoint after the basket aggregate),
+    // the basket build — the full lineitem scan + collect_set shuffle, the
+    // query's heaviest stage — runs ONCE, eagerly, before the consumer
+    // plan is even compiled. The pinned property is the same as the old
+    // AQE-exchange-reuse assertion (baskets computed once, lineitem
+    // scanned once): the executed plan must contain NO lineitem FileScan
+    // and NO collect_set re-aggregation — all four basket consumers must
+    // read the materialized checkpoint blocks (Scan ExistingRDD).
     val df = RelationalQueries.queries("q64_part_cooccurrence")(spark, d)
-    df.collect() // stage reuse only materialises in the FINAL adaptive plan
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("isFinalPlan=true"), plan.take(500))
-    // the executed tree is the section before the echoed initial plan
     val finalPlan = plan.split("== Initial Plan ==")(0)
-    // baskets appear 4x in the query; at runtime there must be exactly ONE
-    // partial collect_set + basket exchange, with the other three subtrees
-    // collapsing to ReusedExchange — otherwise q64 scans lineitem 4 times
-    assert("partial_collect_set".r.findAllIn(finalPlan).size == 1, finalPlan)
-    assert("ReusedExchange".r.findAllIn(finalPlan).size >= 3, finalPlan)
-    assert("FileScan parquet".r.findAllIn(finalPlan).size == 1, finalPlan)
+    assert(!finalPlan.contains("FileScan parquet"),
+      s"lineitem rescanned past the checkpoint:\n$finalPlan")
+    assert(!finalPlan.contains("collect_set"),
+      s"basket aggregate recomputed past the checkpoint:\n$finalPlan")
+    assert("Scan ExistingRDD".r.findAllIn(finalPlan).nonEmpty, finalPlan)
+  }
+
+  test("q64: spark.graft.checkpointDir switches the cut to a reliable checkpoint") {
+    // Cluster mode: localCheckpoint blocks die with an executor; with the
+    // conf set the cut must become a RELIABLE checkpoint (recoverable from
+    // the checkpoint dir) with identical results.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q64_ckpt")
+    val expected = RelationalQueries.queries("q64_part_cooccurrence")(spark, d)
+      .collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.checkpointDir", dir.toString)
+    try {
+      val got = RelationalQueries.queries("q64_part_cooccurrence")(spark, d)
+        .collect().map(_.toString).toSeq
+      assert(got == expected)
+      // the reliable checkpoint actually wrote RDD blocks under the dir
+      val wrote = java.nio.file.Files.walk(dir).iterator().asScala
+        .exists(p => p.getFileName.toString.startsWith("part-"))
+      assert(wrote, s"no checkpoint parts written under $dir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
   }
 
   test("l52 kNN graph: candidates come from a keyed bucket join, no cartesian") {

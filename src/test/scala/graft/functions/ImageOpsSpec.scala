@@ -168,13 +168,19 @@ class ImageOpsSpec extends AnyFunSuite {
     // frames, so the trailer guard must raise instead of losing frames.
     // 0x3b is legal INSIDE LZW data (a prefix can end on one by luck — the
     // guard is necessary-not-sufficient; callers pin the frame COUNT, as
-    // l72 does in-task), so cut where the last byte is not a fake trailer.
+    // l72 does in-task), so cut where the last byte is not a fake trailer
+    // (the guard also skips trailing NUL padding, so not a fake zero
+    // either).
     var cut = ok.length / 2
-    while ((ok(cut - 1) & 0xff) == 0x3b) cut -= 1
+    while ((ok(cut - 1) & 0xff) == 0x3b || ok(cut - 1) == 0) cut -= 1
     val te = intercept[IllegalArgumentException] {
       ImageOps.decodeGif(java.util.Arrays.copyOf(ok, cut))
     }
     assert(te.getMessage.contains("truncated GIF"), te.getMessage)
+    // crawl-realistic payload: trailing zero padding AFTER the trailer
+    // must still decode (the trailer is found by the backward scan)
+    assert(ImageOps.decodeGif(
+      java.util.Arrays.copyOf(ok, ok.length + 16)).length == 6)
     val ex = intercept[IllegalArgumentException] {
       ImageOps.decodeGif(ok, maxFrames = 4)
     }
