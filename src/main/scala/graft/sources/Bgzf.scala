@@ -17,9 +17,16 @@ object Bgzf {
 
   final case class Block(data: Array[Byte], compressedSize: Int)
 
+  /** One block's compressed payload + sizes, read off the stream but not
+    * yet inflated — the unit of work the idle-core inflate pool takes
+    * (see [[BgzfBlocks]]). `cdata` is the deflate payload only (no gzip
+    * framing), so inflation needs no further stream access.
+    */
+  final case class RawBlock(cdata: Array[Byte], isize: Int, compressedSize: Int)
+
   /** Read and inflate one BGZF block at the stream's current position.
     * Returns null at clean EOF. Allocates a fresh Inflater — block-loop
-    * callers should use the reusing overload (JNI inflater init per 18 KB
+    * callers should use [[BgzfBlocks]] (JNI inflater init per 18 KB
     * block is a measurable tax on a multi-GB scan).
     */
   def readBlock(in: InputStream): Block = {
@@ -31,6 +38,15 @@ object Bgzf {
     * caller.
     */
   def readBlock(in: InputStream, inf: Inflater): Block = {
+    val rb = readRawBlock(in)
+    if (rb == null) null else Block(inflateRaw(rb, inf), rb.compressedSize)
+  }
+
+  /** Read one block's framing + compressed payload WITHOUT inflating (the
+    * stream-ordered half of the read; inflation is order-free and can run
+    * on any core). Returns null at clean EOF.
+    */
+  def readRawBlock(in: InputStream): RawBlock = {
     val header = new Array[Byte](12)
     var got = 0
     while (got < 12) {
@@ -55,11 +71,18 @@ object Bgzf {
     // layout: 12-byte header + xlen extra + cdata + crc32 + isize == bsize
     val cdata = readFully(in, bsize - 12 - xlen - 8)
     val tail = readFully(in, 8)
-    val isize = u32(tail, 4).toInt
+    RawBlock(cdata, u32(tail, 4).toInt, bsize)
+  }
+
+  /** Inflate one raw block's payload. `inf` is reset before use and stays
+    * owned by the caller.
+    */
+  def inflateRaw(rb: RawBlock, inf: Inflater): Array[Byte] = {
+    val isize = rb.isize
     val out = new Array[Byte](isize)
     if (isize > 0) {
       inf.reset()
-      inf.setInput(cdata)
+      inf.setInput(rb.cdata)
       var off = 0
       while (off < isize && !inf.finished()) {
         val n = inf.inflate(out, off, isize - off)
@@ -68,7 +91,7 @@ object Bgzf {
         off += n
       }
     }
-    Block(out, bsize)
+    out
   }
 
   private def truncated() = new java.io.EOFException("truncated BGZF block")
@@ -163,26 +186,217 @@ object Bgzf {
   }
 }
 
+/** Executor-shared inflate pool for BGZF blocks — blocks are independent
+  * gzip members, so a scan's inflation is order-free even though its
+  * record parse is strictly sequential. At narrow widths (the w1-w4
+  * regime: one big unsplittable-ish file, most cores idle) the profiled
+  * wall is single-thread Inflater.inflate (~50-60% of BAM/FASTQ-bgzf task
+  * samples); handing blocks to idle cores leaves the task thread IO- and
+  * parse-bound. Same discipline as MzMlFormat.decodePool: submission is
+  * gated LOCK-FREE on (in-flight pool decodes + live BGZF readers) staying
+  * under the core count, so a full-width scan (readers == cores) submits
+  * nothing and is sequential BY CONSTRUCTION; the SynchronousQueue +
+  * CallerRunsPolicy pair backstops the gate's racy read (a saturated pool
+  * inflates on the caller, never queues).
+  */
+private[sources] object BgzfPool {
+  val poolSize: Int = Runtime.getRuntime.availableProcessors()
+
+  /** Live BGZF block cursors in this JVM — the gate's estimate of cores
+    * already occupied by reader task threads. Conservative over-count (a
+    * reader blocked on IO still counts) errs toward sequential inflate,
+    * never toward oversubscription.
+    */
+  private val activeReaders = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** In-flight async inflates, tracked lock-free (ThreadPoolExecutor's
+    * getActiveCount takes the pool's mainLock — a per-block cost the gate
+    * must not pay).
+    */
+  private val activeDecodes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private lazy val pool: java.util.concurrent.ThreadPoolExecutor = {
+    val p = new java.util.concurrent.ThreadPoolExecutor(poolSize, poolSize,
+      30L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.SynchronousQueue[Runnable](),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-bgzf-inflate"); t.setDaemon(true); t
+      },
+      new java.util.concurrent.ThreadPoolExecutor.CallerRunsPolicy())
+    p.allowCoreThreadTimeOut(true)
+    p
+  }
+
+  /** Per-pool-thread Inflater: reset per block, never end()-ed explicitly —
+    * native state is released by the zip Cleaner when an idle pool thread
+    * times out. (Task-owned Inflaters keep their explicit end().)
+    */
+  private val scratch: ThreadLocal[Inflater] =
+    ThreadLocal.withInitial(() => new Inflater(true))
+
+  /** GRAFT_BGZF_DEBUG=1 traces cursor creation and gate decisions. */
+  val debug: Boolean = sys.env.contains("GRAFT_BGZF_DEBUG")
+
+  /** Register a cursor with the reader count for the lifetime of its Spark
+    * task (no-op off-task, e.g. direct unit-test iteration).
+    */
+  def trackReader(): Unit =
+    Option(org.apache.spark.TaskContext.get()).foreach { tc =>
+      activeReaders.incrementAndGet()
+      tc.addTaskCompletionListener[Unit](_ => activeReaders.decrementAndGet())
+    }
+
+  /** Submit a batch of blocks for async inflation when a core is idle;
+    * null when the gate is closed (caller inflates inline, sequentially).
+    * One pool handoff covers the whole batch — the SynchronousQueue
+    * rendezvous + FutureTask park/unpark costs ~40 µs per submission
+    * (measured: per-block submission ATE the b15 overlap win), so blocks
+    * ride in groups and each completes its own CompletableFuture as it
+    * inflates (block-granular joins, group-granular handoff).
+    */
+  def tryAsyncBatch(rbs: Array[Bgzf.RawBlock], n: Int)
+      : Array[java.util.concurrent.CompletableFuture[Array[Byte]]] = {
+    if (debug)
+      System.err.println(s"BGZF-GATE decodes=${activeDecodes.get} readers=${activeReaders.get} pool=$poolSize")
+    if (activeDecodes.get + activeReaders.get >= poolSize) return null
+    val futs = new Array[java.util.concurrent.CompletableFuture[Array[Byte]]](n)
+    var i = 0
+    while (i < n) {
+      futs(i) = new java.util.concurrent.CompletableFuture[Array[Byte]]()
+      i += 1
+    }
+    activeDecodes.incrementAndGet()
+    pool.execute { () =>
+      try {
+        val inf = scratch.get()
+        var k = 0
+        while (k < n) {
+          try futs(k).complete(Bgzf.inflateRaw(rbs(k), inf))
+          catch { case t: Throwable => futs(k).completeExceptionally(t) }
+          k += 1
+        }
+      } finally activeDecodes.decrementAndGet()
+    }
+    futs
+  }
+}
+
+/** Ordered BGZF block cursor shared by every block-loop stream: raw block
+  * framing is read sequentially on the task thread (stream order is the
+  * only ordering constraint), inflation rides [[BgzfPool]] when cores are
+  * idle, and `next()` hands blocks back strictly in file order. When the
+  * pool gate is closed the ring never grows past the one block being
+  * served — the exact sequential read-inflate-parse loop this class
+  * replaced.
+  *
+  * `stopAfter`: never read a block whose offset exceeds it (chunk streams
+  * know their last block up front; prefetch must not overshoot a bounded
+  * region read).
+  */
+private[sources] final class BgzfBlocks(raw: InputStream,
+                                        firstOffset: Long = 0L,
+                                        stopAfter: Long = Long.MaxValue) {
+  import java.util.concurrent.Future
+
+  /** One block in flight: offset + compressed size are known at read time
+    * (the split/resync ownership decisions need them before inflation);
+    * `data` joins the async inflate or inflates inline on the task-owned
+    * Inflater. Single-use: each call re-inflates on the inline path.
+    */
+  final class Entry(val offset: Long, val compressedSize: Int,
+                    rb: Bgzf.RawBlock, fut: Future[Array[Byte]]) {
+    def data: Array[Byte] =
+      if (fut == null) Bgzf.inflateRaw(rb, inf)
+      else try fut.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          e.getCause match {
+            case re: RuntimeException => throw re
+            case io: java.io.IOException => throw io
+            case other => throw new RuntimeException(other)
+          }
+      }
+  }
+
+  private val inf = new Inflater(true)
+  private val depth =
+    sys.env.getOrElse("GRAFT_BGZF_DEPTH", "32").toInt
+  private val group =
+    math.max(1, sys.env.getOrElse("GRAFT_BGZF_GROUP", "4").toInt)
+  private val ring = new java.util.ArrayDeque[Entry](depth)
+  private var nextOffset = firstOffset
+  private var rawEof = false
+  // prefetch persists only while the pool keeps granting async slots: the
+  // first gated (inline) batch parks the cursor in sequential mode until
+  // the ring drains and the gate is re-probed. GRAFT_BGZF_ASYNC=0 is the
+  // kill switch (pure sequential read-inflate-parse, the pre-pool path).
+  private var asyncGranted =
+    sys.env.getOrElse("GRAFT_BGZF_ASYNC", "1") != "0"
+  private val asyncEnabled = asyncGranted
+  if (BgzfPool.debug)
+    System.err.println(s"BGZF-BLOCKS new first=$firstOffset stop=$stopAfter async=$asyncEnabled")
+  BgzfPool.trackReader()
+
+  private def fill(): Unit = {
+    while (!rawEof && nextOffset <= stopAfter &&
+        (ring.isEmpty || (asyncGranted && ring.size < depth))) {
+      // read up to one group of raw blocks, then submit them as ONE pool
+      // handoff (per-block handoff overhead measurably exceeds the overlap
+      // win on parse-light formats)
+      val want =
+        if (asyncGranted) math.min(group, depth - math.max(ring.size, 0))
+        else 1
+      val rbs = new Array[Bgzf.RawBlock](want)
+      val offs = new Array[Long](want)
+      var k = 0
+      while (k < want && !rawEof && nextOffset <= stopAfter) {
+        val rb = Bgzf.readRawBlock(raw)
+        if (rb == null) rawEof = true
+        else {
+          rbs(k) = rb; offs(k) = nextOffset
+          nextOffset += rb.compressedSize
+          k += 1
+        }
+      }
+      if (k == 0) return
+      val futs = if (asyncEnabled) BgzfPool.tryAsyncBatch(rbs, k) else null
+      asyncGranted = futs != null
+      var i = 0
+      while (i < k) {
+        ring.add(new Entry(offs(i), rbs(i).compressedSize, rbs(i),
+          if (futs == null) null else futs(i)))
+        i += 1
+      }
+    }
+  }
+
+  /** Next block in file order; null at EOF or past `stopAfter`. */
+  def next(): Entry = { fill(); ring.poll() }
+
+  def close(): Unit = inf.end()
+}
+
 /** Decompressed stream over an entire BGZF file: a sequential readBlock
   * loop serving bytes from each inflated block's array. Roughly 2x faster
   * than GZIPInputStream on whole-file BAM/BCF decode — no per-member CRC
   * recomputation, and byte-at-a-time record reads hit an array instead of
-  * the inflater.
+  * the inflater; block inflation overlaps parse via [[BgzfBlocks]] when
+  * cores are idle.
   */
 final class BgzfStreamInputStream(raw: InputStream) extends InputStream {
   private var buf: Array[Byte] = _
   private var pos = 0
   private var limit = 0
   private var done = false
-  private val inf = new Inflater(true) // reused across blocks
+  private val blocks = new BgzfBlocks(raw)
 
   private def advance(): Unit = {
     while (!done && pos >= limit) {
-      val b = Bgzf.readBlock(raw, inf)
+      val b = blocks.next()
       if (b == null) { done = true; return }
       buf = b.data
       pos = 0
-      limit = b.data.length
+      limit = buf.length
     }
   }
 
@@ -200,7 +414,7 @@ final class BgzfStreamInputStream(raw: InputStream) extends InputStream {
     n
   }
 
-  override def close(): Unit = { inf.end(); raw.close() }
+  override def close(): Unit = { blocks.close(); raw.close() }
 }
 
 /** InputStream over the BGZF-decompressed bytes of one virtual-position
@@ -233,24 +447,25 @@ final class BgzfBlockSplitInputStream(raw: FSDataInputStream, cStart: Long,
   private var done = false
   private var tailing = false
   private var lastTail = false
-  private val inf = new Inflater(true) // reused across blocks
-  private var nextBlockOffset: Long =
-    Bgzf.findBlockAtOrAfter(raw, cStart, fileSize)
+  private var blocks: BgzfBlocks = null
+  private val startOffset: Long = Bgzf.findBlockAtOrAfter(raw, cStart, fileSize)
 
-  if (nextBlockOffset < 0) done = true
-  else { raw.seek(nextBlockOffset); advance() }
+  if (startOffset < 0) done = true
+  else {
+    raw.seek(startOffset)
+    blocks = new BgzfBlocks(raw, startOffset)
+    advance()
+  }
 
   private def advance(): Unit = {
     while (!done && pos >= limit) {
       if (lastTail) { done = true; return }
-      if (!tailing && nextBlockOffset >= cEnd) tailing = true
-      val cur = nextBlockOffset
-      val block = Bgzf.readBlock(raw, inf)
+      val block = blocks.next()
       if (block == null) { done = true; return }
-      nextBlockOffset = cur + block.compressedSize
+      if (!tailing && block.offset >= cEnd) tailing = true
       buf = block.data
       pos = 0
-      limit = block.data.length
+      limit = buf.length
       if (tailing) {
         // serve only through the first '\n' at/after the boundary; the
         // straddling line's remainder may span multiple blocks
@@ -279,7 +494,10 @@ final class BgzfBlockSplitInputStream(raw: FSDataInputStream, cStart: Long,
     n
   }
 
-  override def close(): Unit = { inf.end(); raw.close() }
+  override def close(): Unit = {
+    if (blocks != null) blocks.close()
+    raw.close()
+  }
 }
 
 /** Decompressed stream over one COMPRESSED-offset split [cStart, cEnd) of a
@@ -306,10 +524,10 @@ final class BgzfResyncInputStream(raw: FSDataInputStream, cStart: Long,
 
   private val queue = new java.util.ArrayDeque[Array[Byte]]()
   private var headPos = 0 // read offset into the queue head
-  private val inf = new Inflater(true) // reused across blocks
-  private var nextBlockOffset: Long =
+  private var blocks: BgzfBlocks = null
+  private val firstOffset: Long =
     if (cStart == 0) 0L else Bgzf.findBlockAtOrAfter(raw, cStart, fileSize)
-  private var eof = nextBlockOffset < 0
+  private var eof = firstOffset < 0
   // decompressed bytes of OWNED blocks loaded so far; final once
   // `ownedComplete` (the last owned block has been loaded, known the moment
   // its successor's offset lands >= cEnd — no lookahead needed)
@@ -320,19 +538,21 @@ final class BgzfResyncInputStream(raw: FSDataInputStream, cStart: Long,
   /** False when no block starts inside [cStart, cEnd) — the whole chunk is
     * interior to one block owned by the predecessor.
     */
-  val hasOwned: Boolean = !eof && nextBlockOffset < cEnd
-  if (!eof) raw.seek(nextBlockOffset)
+  val hasOwned: Boolean = !eof && firstOffset < cEnd
+  if (!eof) {
+    raw.seek(firstOffset)
+    blocks = new BgzfBlocks(raw, firstOffset)
+  }
   if (!hasOwned) ownedComplete = true
 
   private def loadBlock(): Boolean = {
     if (eof) return false
-    val cur = nextBlockOffset
-    val block = Bgzf.readBlock(raw, inf)
+    val block = blocks.next()
     if (block == null) { eof = true; ownedComplete = true; return false }
-    nextBlockOffset = cur + block.compressedSize
-    if (cur < cEnd) ownedLoaded += block.data.length
-    if (nextBlockOffset >= cEnd) ownedComplete = true
-    if (block.data.length > 0) queue.addLast(block.data)
+    val data = block.data
+    if (block.offset < cEnd) ownedLoaded += data.length
+    if (block.offset + block.compressedSize >= cEnd) ownedComplete = true
+    if (data.length > 0) queue.addLast(data)
     true
   }
 
@@ -374,7 +594,10 @@ final class BgzfResyncInputStream(raw: FSDataInputStream, cStart: Long,
     n
   }
 
-  override def close(): Unit = { inf.end(); raw.close() }
+  override def close(): Unit = {
+    if (blocks != null) blocks.close()
+    raw.close()
+  }
 }
 
 /** Unsynchronized concat of a byte-array prefix and a tail stream: the
@@ -462,15 +685,19 @@ final class BgzfChunkInputStream(raw: FSDataInputStream, vStart: Long, vEnd: Lon
   extends InputStream {
 
   private val endCoffset = vEnd >>> 16
-  private var nextBlockOffset: Long = vStart >>> 16
+  private val startCoffset = vStart >>> 16
   private var firstBlock = true
   private var buf: Array[Byte] = _
   private var pos = 0
   private var limit = 0
   private var done = false
-  private val inf = new Inflater(true) // reused across blocks
+  // stopAfter bounds prefetch to the chunk's own blocks: a small indexed
+  // region read must never inflate blocks past its end virtual position
+  private val blocks = {
+    raw.seek(startCoffset)
+    new BgzfBlocks(raw, startCoffset, stopAfter = endCoffset)
+  }
 
-  raw.seek(nextBlockOffset)
   advance()
 
   /** Load blocks until there is at least one servable byte or the chunk is
@@ -478,18 +705,17 @@ final class BgzfChunkInputStream(raw: FSDataInputStream, vStart: Long, vEnd: Lon
     */
   private def advance(): Unit = {
     while (!done) {
-      if (nextBlockOffset > endCoffset) { done = true; return }
-      val cur = nextBlockOffset
-      val block = Bgzf.readBlock(raw, inf)
+      val block = blocks.next()
       if (block == null) { done = true; return }
-      nextBlockOffset = cur + block.compressedSize
       buf = block.data
       pos = if (firstBlock) (vStart & 0xffff).toInt else 0
       firstBlock = false
-      limit = if (cur == endCoffset) math.min(buf.length, (vEnd & 0xffff).toInt)
+      limit = if (block.offset == endCoffset)
+                math.min(buf.length, (vEnd & 0xffff).toInt)
               else buf.length
+      // after the end block the cursor returns null by itself (stopAfter),
+      // so no explicit end-of-chunk bookkeeping is needed here
       if (pos < limit) return
-      if (cur == endCoffset) { done = true; return }
     }
   }
 
@@ -510,5 +736,5 @@ final class BgzfChunkInputStream(raw: FSDataInputStream, vStart: Long, vEnd: Lon
     n
   }
 
-  override def close(): Unit = { inf.end(); raw.close() }
+  override def close(): Unit = { blocks.close(); raw.close() }
 }
