@@ -279,6 +279,28 @@ private[sources] object BgzfPool {
     }
     futs
   }
+
+  /** Generic sibling of [[tryAsyncBatch]] for non-BGZF decode work that is
+    * order-free relative to its consumer (CRAM container decode rides
+    * this). Shares the SAME gate and counters — one global idle-core
+    * decode budget across all formats, so concurrent scans of different
+    * formats cannot oversubscribe the machine between them. Returns null
+    * when the gate is closed (caller runs the work inline, sequentially).
+    */
+  def tryAsyncWork[T](work: () => T)
+      : java.util.concurrent.CompletableFuture[T] = {
+    if (debug)
+      System.err.println(s"BGZF-GATE decodes=${activeDecodes.get} readers=${activeReaders.get} pool=$poolSize")
+    if (activeDecodes.get + activeReaders.get >= poolSize) return null
+    val fut = new java.util.concurrent.CompletableFuture[T]()
+    activeDecodes.incrementAndGet()
+    pool.execute { () =>
+      try fut.complete(work())
+      catch { case t: Throwable => fut.completeExceptionally(t) }
+      finally activeDecodes.decrementAndGet()
+    }
+    fut
+  }
 }
 
 /** Ordered BGZF block cursor shared by every block-loop stream: raw block

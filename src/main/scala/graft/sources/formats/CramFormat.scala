@@ -958,49 +958,111 @@ class CramFormat(refPath: Option[String],
           }
         }
 
-      @annotation.tailrec
+      // Container-level decode pipeline: containers are independent of one
+      // another (each carries its own compression header, encodings and
+      // entropy streams), so while THIS container's rows drain, the NEXT
+      // containers' decodes (block decompress + slice record decode — the
+      // profiled 90% of task time) run on [[graft.sources.BgzfPool]]'s
+      // idle cores. Header parse + body-byte reads stay sequential on the
+      // task thread (stream order); rows come back strictly in container
+      // order via the FIFO ring. Same gate as BGZF/mzML: a full-width
+      // scan stages nothing ahead and decodes inline, sequentially.
+      private val asyncEnabled =
+        sys.env.getOrElse("GRAFT_CRAM_ASYNC", "1") != "0"
+      private val depth =
+        math.max(1, sys.env.getOrElse("GRAFT_CRAM_DEPTH", "4").toInt)
+      private var asyncGranted = asyncEnabled
+      private val ring =
+        new java.util.ArrayDeque[() => mutable.ArrayBuffer[Array[Any]]](depth)
+      private var streamDone = false
+      graft.sources.BgzfPool.trackReader()
+
+      /** Read headers forward to the next DATA container this chunk owns
+        * and wants; handle header/EOF/pruned containers inline. Returns a
+        * lazy rows producer (async-joining or inline-decoding), null at
+        * stream end.
+        */
+      private def stageNext(): () => mutable.ArrayBuffer[Array[Any]] = {
+        while (true) {
+          val containerStart = sin.pos
+          if (containerStart >= endLimit) return null
+          val b0 = sin.tryU8()
+          if (b0 < 0) return null
+          val length = sin.i32le(b0)
+          val refSeqId = sin.itf8(); val aliStart = sin.itf8(); val aliSpan = sin.itf8()
+          val nRec = sin.itf8()
+          sin.ltf8(); sin.ltf8()
+          val nBlocks = sin.itf8()
+          val nLandmarks = sin.itf8()
+          (0 until nLandmarks).foreach(_ => sin.itf8())
+          sin.skipN(4) // crc
+          val isFirst = expectFileHeader && containerIdx == 0
+          containerIdx += 1
+          if (isFirst) {
+            // SAM header container: parse @SQ names, then resolve the
+            // region's reference id against the .crai if present. Runs
+            // before any data container is staged, so `refs` is safely
+            // published to pool threads by the executor handoff.
+            refs = parseHeaderRefs(sin.bytes(length))
+            resolveWanted()
+          } else if (nRec == 0) {
+            // EOF (or empty) container
+            sin.skipN(length)
+          } else if ((wanted != null && !wanted.contains(containerStart)) ||
+                     !headerOverlaps(refSeqId, aliStart, aliSpan)) {
+            CramFormat.containersSkipped.incrementAndGet()
+            sin.skipN(length)
+          } else {
+            val body = sin.bytes(length)
+            val nb = nBlocks
+            val conf = if (input.fs != null) input.fs.getConf
+                       else new org.apache.hadoop.conf.Configuration()
+            val theRefs = refs
+            def work(): mutable.ArrayBuffer[Array[Any]] = {
+              val rows = mutable.ArrayBuffer[Array[Any]]()
+              decodeContainer(new In(body, 0), nb, theRefs, required, rows, conf)
+              rows
+            }
+            val fut =
+              if (asyncEnabled) graft.sources.BgzfPool.tryAsyncWork(() => work())
+              else null
+            asyncGranted = fut != null
+            if (fut != null) return { () =>
+              try fut.get()
+              catch {
+                case e: java.util.concurrent.ExecutionException =>
+                  e.getCause match {
+                    case re: RuntimeException => throw re
+                    case io: java.io.IOException => throw io
+                    case other => throw new RuntimeException(other)
+                  }
+              }
+            }
+            return () => work()
+          }
+        }
+        null // unreachable
+      }
+
+      private def fill(): Unit = {
+        while (!streamDone &&
+            (ring.isEmpty || (asyncGranted && ring.size < depth))) {
+          val p = stageNext()
+          if (p == null) streamDone = true else ring.add(p)
+        }
+      }
+
       private def advance(): Unit = {
-        val containerStart = sin.pos
-        if (containerStart >= endLimit) { finished = true; return }
-        val b0 = sin.tryU8()
-        if (b0 < 0) { finished = true; return }
-        val length = sin.i32le(b0)
-        val refSeqId = sin.itf8(); val aliStart = sin.itf8(); val aliSpan = sin.itf8()
-        val nRec = sin.itf8()
-        sin.ltf8(); sin.ltf8()
-        val nBlocks = sin.itf8()
-        val nLandmarks = sin.itf8()
-        (0 until nLandmarks).foreach(_ => sin.itf8())
-        sin.skipN(4) // crc
-        val isFirst = expectFileHeader && containerIdx == 0
-        containerIdx += 1
-        if (isFirst) {
-          // SAM header container: parse @SQ names, then resolve the region's
-          // reference id against the .crai if present.
-          refs = parseHeaderRefs(sin.bytes(length))
-          resolveWanted()
-          advance()
-        } else if (nRec == 0) {
-          // EOF (or empty) container
-          sin.skipN(length)
-          advance()
-        } else if ((wanted != null && !wanted.contains(containerStart)) ||
-                   !headerOverlaps(refSeqId, aliStart, aliSpan)) {
-          CramFormat.containersSkipped.incrementAndGet()
-          sin.skipN(length)
-          advance()
-        } else {
-          val rows = mutable.ArrayBuffer[Array[Any]]()
-          decodeContainer(new In(sin.bytes(length), 0), nBlocks, refs, required, rows,
-            if (input.fs != null) input.fs.getConf
-            else new org.apache.hadoop.conf.Configuration())
-          cur = rows.iterator
-          if (!cur.hasNext) advance()
+        while (!cur.hasNext && !finished) {
+          fill()
+          val head = ring.poll()
+          if (head == null) finished = true
+          else cur = head().iterator
         }
       }
 
       override def hasNext: Boolean = {
-        while (!cur.hasNext && !finished) advance()
+        advance()
         cur.hasNext
       }
       override def next(): Array[Any] = {
