@@ -585,6 +585,81 @@ object LlmQueries {
           when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("kept"))
         .orderBy(col("doc_id"))),
 
+    // PII scrub — the redaction pass a training pipeline runs before
+    // tokenization: emails, phone numbers and IPv4 literals counted and
+    // masked with codegen'd regexp_extract_all/regexp_replace (no UDF;
+    // regexes stay in the Java∩RE2 dialect subset so Spark and DuckDB
+    // agree). The synthetic corpus carries no organic PII, so
+    // deterministic spans are injected from doc_id arithmetic — the SAME
+    // construction is inlined in the oracle, so the two sides can never
+    // drift. Scale shape: map-only over documents; the only exchange is
+    // the output sort.
+    "l74_pii_scrub" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      val t = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".org"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call +1-202-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string")))
+          .otherwise(lit("")))
+      documents(s, d).select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(email), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+            .cast("long").as("n_phone"),
+          size(regexp_extract_all(col("t"), lit(ip), lit(0)))
+            .cast("long").as("n_ip"),
+          octet_length(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("t"), email, "<EMAIL>"),
+                phone, "<PHONE>"),
+              ip, "<IP>")).cast("long").as("scrub_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Intra-document repetition quality (the Gopher-style "repetitive
+    // document" filter): fraction of duplicate bigrams, top-bigram share
+    // and top-word share per doc, integer permille throughout, with the
+    // keep decision at dup<=40‰ ∧ top-bigram<=50‰ (splits this corpus
+    // ~70/30). One posexplode + per-doc window builds positioned bigrams;
+    // both aggregates key on doc_id — at 100 TB this is one corpus-linear
+    // shuffle partitioned by document, no cross-doc state.
+    "l75_repetition_quality" -> ((s, d) => {
+      val w = documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bg = w.select(col("doc_id"),
+        concat(col("w"), lit(" "), lead(col("w"), 1).over(win)).as("g"))
+      val wc = w.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_w"))
+      val gc = bg.filter(col("g").isNotNull)
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct"), max(col("c")).as("top_g"))
+      wc.join(gc, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"), col("n_bigrams"),
+          expr("(1000 * (n_bigrams - n_distinct)) div n_bigrams")
+            .as("dup_bigram_permille"),
+          expr("(1000 * top_g) div n_bigrams").as("top_bigram_permille"),
+          expr("(1000 * top_w) div n_words").as("top_word_permille"),
+          expr("""CAST(CASE WHEN (1000 * (n_bigrams - n_distinct)) div n_bigrams <= 40
+                 AND (1000 * top_g) div n_bigrams <= 50 THEN 1 ELSE 0 END AS BIGINT)""")
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Video frame-sampling — the temporal axis goes REAL: each doc's clip
     // is a multi-frame animated GIF written through the JDK codec's
     // sequence API (256-level identity-gray palette -> lossless), the
@@ -3913,6 +3988,63 @@ object LlmQueries {
         |SELECT a AS doc_id, MIN(b) AS keeper,
         |  CAST(CASE WHEN MIN(b) = a THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM areach GROUP BY a
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical PII injection + identical Java∩RE2 regexes (strlen ==
+    // octet_length: the corpus is ASCII and the masks are ASCII)
+    "l74_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+        |         || CAST(doc_id % 7 AS VARCHAR) || '.org'
+        |         || CASE WHEN doc_id % 3 = 0
+        |              THEN ' call +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0
+        |              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |                   || CAST(doc_id % 250 AS VARCHAR)
+        |              ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(strlen(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS BIGINT) AS scrub_len
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // zipped unnest gives (word, position); bigram = w || ' ' || lead(w)
+    // (NULL-propagating concat on both sides); integer permille with //
+    // (DuckDB) mirroring div (Spark)
+    "l75_repetition_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM w),
+        |wc AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(max(c) AS BIGINT) AS top_w
+        |  FROM (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |gc AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS top_g
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bg WHERE g IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT wc.doc_id AS doc_id, n_words, n_bigrams,
+        |  CAST(1000 * (n_bigrams - n_distinct) // n_bigrams AS BIGINT) AS dup_bigram_permille,
+        |  CAST(1000 * top_g // n_bigrams AS BIGINT) AS top_bigram_permille,
+        |  CAST(1000 * top_w // n_words AS BIGINT) AS top_word_permille,
+        |  CAST(CASE WHEN 1000 * (n_bigrams - n_distinct) // n_bigrams <= 40
+        |        AND 1000 * top_g // n_bigrams <= 50 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM wc JOIN gc ON wc.doc_id = gc.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // Expected decoded-frame pixel sums recomputed analytically from the

@@ -799,6 +799,19 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("l75 repetition quality: doc-keyed shuffles only, no cartesian") {
+    graft.GraftSession.registerAll(spark)
+    val df = graft.queries.LlmQueries.queries("l75_repetition_quality")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // every hash exchange carries the document key: corpus-linear at scale
+    val ex = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(ex.nonEmpty && ex.forall(_.contains("doc_id")),
+      s"shuffle not keyed on doc_id:\n$plan")
+  }
+
   test("l52 kNN graph: candidates come from a keyed bucket join, no cartesian") {
     graft.GraftSession.registerAll(spark)
     val edges = graft.queries.LlmQueries.knnGraphEdges(
