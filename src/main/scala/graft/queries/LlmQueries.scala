@@ -1821,6 +1821,116 @@ object LlmQueries {
       longestDupSpan(documents(s, d)))
   ) ++ Map[String, Q](
 
+    // Bloom-filter decontamination — the FIXED-SIZE-sketch scale path for
+    // l19's broadcast-set prefilter. The eval-set shingles fold into a
+    // 2^20-bit Bloom filter (k=3, xxhash64 double-hashing) via ONE keyed
+    // bit_or aggregate over bit-bucket longs: the broadcast is <= 16,384
+    // rows (~128 KB) REGARDLESS of eval-set size, where l19's raw shingle
+    // broadcast grows with the benchmark suite. Every corpus shingle then
+    // probes the bitmap through three map-side broadcast-hash joins (no
+    // shuffle of corpus text), and only Bloom survivors pay the exact-
+    // confirm shuffle join keyed on the shingle. Bloom hits are a
+    // SUPERSET by construction (no false negatives), so the exact confirm
+    // makes the output Bloom-independent — the DuckDB oracle is the plain
+    // exact join, and BloomDecontSpec pins the superset + measured-FP
+    // properties of the prefilter itself.
+    "l76_bloom_decontamination" -> ((s, d) => {
+      import s.implicits._
+      val mBits = 1L << 20
+      val posts = documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.functions.TextOps.wordShingles(t, 3).iterator.map(sh => (id, sh))
+        }.toDF("doc_id", "sh")
+      val evalSh = posts.filter(col("doc_id") % 97 === 0)
+        .select(col("sh")).distinct()
+      bloomPrefilter(posts.filter(col("doc_id") % 97 =!= 0).distinct(),
+          evalSh, mBits)
+        .join(evalSh, Seq("sh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Int8 scalar quantization + integer-dot ANN — the standard embedding
+    // compression step before ANN at corpus scale (4x smaller vectors,
+    // SIMD-friendly integer dot). Per-vector symmetric quantization
+    // (scale = 127 / max|x|) runs as codegen'd higher-order functions
+    // (transform/aggregate — no UDF, no extra pass), and ranking uses the
+    // EXACT integer dot (zip_with multiply + long fold), so every output
+    // value is integer-exact and the DuckDB oracle recomputes the
+    // identical arithmetic. Queries broadcast; candidate scoring is
+    // map-side; the only shuffle is the per-query top-k window.
+    "l77_int8_quant_ann" -> ((s, d) => {
+      val qemb = embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("maxabs",
+          expr("aggregate(v, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))"))
+        .filter(col("maxabs") > 0)
+        .withColumn("qv",
+          expr("transform(v, x -> cast(round(x * 127.0D / maxabs, 0) as bigint))"))
+        .select(col("vec_id"), col("qv"))
+      val q = qemb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+      val scored = qemb.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("idot",
+          expr("aggregate(zip_with(qqv, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("idot").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id").as("neighbor_id"), col("idot"))
+        .orderBy(col("qid"), col("idot").desc, col("neighbor_id"))
+    }),
+
+    // ANN recall@k EVAL HARNESS — the quality gate an approximate index
+    // needs before it replaces brute force in a pipeline: brute-force
+    // top-5 ground truth vs IVF nprobe=1 candidates (the cheapest, most
+    // recall-hostile setting), per-query hit count + integer recall
+    // permille. Both arms reuse the l06/l15 shapes (broadcast centroids/
+    // queries, keyed cell join, per-query window); the eval join is on
+    // (qid, vec_id) — tiny by construction (5 rows per query).
+    "l78_ann_recall_eval" -> ((s, d) => {
+      graft.GraftSession.registerAll(s)
+      val kCents = 16
+      val emb = embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < kCents)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(callUDF("cosine_similarity", col("cvec"), col("embedding")).desc,
+          col("cid"))
+      val assigned = emb.join(broadcast(cents))
+        .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val tw = Window.partitionBy(col("qid"))
+        .orderBy(callUDF("cosine_similarity", col("qvec"), col("embedding")).desc,
+          col("vec_id"))
+      val truth = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("rn", row_number().over(tw)).filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val pw = Window.partitionBy(col("qid"))
+        .orderBy(callUDF("cosine_similarity", col("cvec"), col("qvec")).desc,
+          col("cid"))
+      val probes = q.join(broadcast(cents))
+        .withColumn("rn", row_number().over(pw)).filter(col("rn") === 1)
+        .select(col("qid"), col("qvec"), col("cid").as("cell"))
+      val iw = Window.partitionBy(col("qid"))
+        .orderBy(callUDF("cosine_similarity", col("qvec"), col("embedding")).desc,
+          col("vec_id"))
+      val approx = assigned.join(probes, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rn", row_number().over(iw)).filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"))
+      truth.join(approx.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          expr("(1000 * n_hits) div n_truth").as("recall_permille"))
+        .orderBy(col("qid"))
+    }),
+
     // Crawl/sampling budget allocation by water-filling: spread a global
     // document budget B (= 3/5 of the corpus here) across (lang, source)
     // domains so no domain exceeds the common water level t — the classic
@@ -2423,6 +2533,43 @@ object LlmQueries {
         val g = graft.functions.TextOps.wordShingles(t, 8)
         g.iterator.map(x => (id, g.length, x))
       }.toDF("doc_id", "sz", "g")
+  }
+
+  /** l76's Bloom prefilter (factored out so BloomDecontSpec can pin the
+    * superset / false-positive properties of the prefilter in isolation).
+    * Builds a `mBits`-bit Bloom filter (k=3, xxhash64 double-hashing) over
+    * `evalSh`'s `sh` column via one bit_or aggregate into <= mBits/64
+    * bucket longs, then keeps the rows of `corpusSh` (doc_id, sh) whose
+    * shingle has all three bits set — three map-side broadcast-hash joins,
+    * no shuffle of the corpus. Hits are a superset of true matches by
+    * construction; callers must exact-confirm.
+    */
+  private[graft] def bloomPrefilter(corpusSh: DataFrame, evalSh: DataFrame,
+      mBits: Long): DataFrame = {
+    def withPositions(df: DataFrame): DataFrame =
+      df.withColumn("h1", expr(s"pmod(xxhash64(sh), ${mBits}L)"))
+        .withColumn("h2", expr(s"pmod(xxhash64(sh, 1), ${mBits}L)"))
+        // h1, h2 < mBits << 2^62, so h1 + i*h2 cannot overflow ANSI longs
+        .withColumn("pos",
+          expr(s"transform(sequence(0, 2), i -> pmod(h1 + i * h2, ${mBits}L))"))
+        .drop("h1", "h2")
+    val bloom = withPositions(evalSh)
+      .select(explode(col("pos")).as("p"))
+      .select(expr("p div 64").as("bucket"),
+        expr("shiftleft(1L, cast(p % 64 as int))").as("mask"))
+      .groupBy(col("bucket")).agg(expr("bit_or(mask)").as("bits"))
+    var cand = withPositions(corpusSh)
+    for (i <- 0 until 3) {
+      cand = cand
+        .withColumn(s"b$i", expr(s"pos[$i] div 64"))
+        .withColumn(s"m$i", expr(s"shiftleft(1L, cast(pos[$i] % 64 as int))"))
+        .join(broadcast(bloom.select(col("bucket").as(s"b$i"),
+          col("bits").as(s"bits$i"))), Seq(s"b$i"), "left")
+        .filter(col(s"bits$i").isNotNull &&
+          (expr(s"bits$i & m$i") === col(s"m$i")))
+        .drop(s"b$i", s"m$i", s"bits$i")
+    }
+    cand.select(col("doc_id"), col("sh"))
   }
 
   /** l52's approximate kNN-graph build (factored out so PlanAuditSpec can
@@ -3071,6 +3218,78 @@ object LlmQueries {
   private val esS = "'el','los','y','una','es','por','con'"
 
   val oracles: Map[String, String] = Map(
+
+    // The Bloom prefilter is a superset filter with exact confirmation,
+    // so the oracle is the PLAIN exact join — any Bloom false negative
+    // (impossible by construction) or a confirm bug would hash-mismatch.
+    "l76_bloom_decontamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    [w[i] || '_' || w[i+1] || '_' || w[i+2]
+        |     for i in generate_series(1, len(w) - 2)]) s FROM toks),
+        |p AS (SELECT doc_id, unnest(s) sh FROM sh),
+        |e AS (SELECT DISTINCT sh FROM p WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, sh FROM p WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM c JOIN e USING (sh)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // Identical double arithmetic (x * 127.0 / maxabs, round half away
+    // from zero) then integer-exact dot products — no rounding epsilon
+    // anywhere in the output.
+    "l77_int8_quant_ann" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) maxabs FROM e0),
+        |e AS (SELECT vec_id,
+        |    [CAST(round(x * 127.0 / maxabs) AS BIGINT) for x in v] qv
+        |  FROM m WHERE maxabs > 0),
+        |q AS (SELECT vec_id qid, qv qqv FROM e WHERE vec_id < 4),
+        |scored AS (SELECT q.qid, e.vec_id,
+        |    CAST(list_sum([q.qqv[i] * e.qv[i]
+        |      for i in generate_series(1, len(e.qv))]) AS BIGINT) idot
+        |  FROM e JOIN q ON e.vec_id <> q.qid),
+        |ranked AS (SELECT qid, vec_id neighbor_id, idot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY idot DESC, vec_id) rn
+        |  FROM scored)
+        |SELECT qid, neighbor_id, idot FROM ranked WHERE rn <= 5
+        |ORDER BY qid, idot DESC, neighbor_id""".stripMargin,
+
+    // Both arms re-derived in SQL: brute-force truth (l06 shape) and IVF
+    // nprobe=1 (l15 shape), joined on (qid, vec_id) for per-query recall.
+    "l78_ann_recall_eval" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 16),
+        |assign AS (SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, c.cid cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(c.cv, e.v) DESC, c.cid) rn
+        |    FROM e, c) WHERE rn = 1),
+        |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 8),
+        |truth AS (SELECT qid, vec_id FROM (
+        |    SELECT q.qid, e.vec_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) rn
+        |    FROM e JOIN q ON e.vec_id <> q.qid) WHERE rn <= 5),
+        |probe AS (SELECT qid, qv, cell FROM (
+        |    SELECT q.qid, q.qv, c.cid cell,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid) rn
+        |    FROM q, c) WHERE rn = 1),
+        |approx AS (SELECT qid, vec_id FROM (
+        |    SELECT p.qid, a.vec_id,
+        |      row_number() OVER (PARTITION BY p.qid
+        |        ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id) rn
+        |    FROM assign a JOIN probe p USING (cell)
+        |    WHERE a.vec_id <> p.qid) WHERE rn <= 5)
+        |SELECT t.qid,
+        |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  CAST(1000 * sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    // count(*) AS BIGINT) AS recall_permille
+        |FROM truth t LEFT JOIN approx ap
+        |  ON t.qid = ap.qid AND t.vec_id = ap.vec_id
+        |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
     "l01_exact_dedup" ->
       """SELECT count(*) AS n_docs, count(DISTINCT sha256(text)) AS n_unique,
         |  count(*) - count(DISTINCT sha256(text)) AS n_dup_rows

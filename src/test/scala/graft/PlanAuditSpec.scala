@@ -812,6 +812,45 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"shuffle not keyed on doc_id:\n$plan")
   }
 
+  test("l76 bloom decontamination: probes are map-side broadcast joins, no cartesian") {
+    graft.GraftSession.registerAll(spark)
+    val df = graft.queries.LlmQueries.queries("l76_bloom_decontamination")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the three bit-probe joins against the <=128 KB bitmap must be
+    // broadcast-hash (map-side — the corpus shingle stream never shuffles
+    // to check the bloom); the exact confirm may be any keyed join
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"expected >=3 broadcast bloom probes, got $bhj:\n$plan")
+  }
+
+  test("l77 int8 ANN: queries broadcast, ranking window per-query, no cartesian") {
+    val df = graft.queries.LlmQueries.queries("l77_int8_quant_ann")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the qid<4 query side rides a broadcast nested-loop on the =!= join
+    // (4 rows — the scale-path identical to l06's brute-force baseline);
+    // scoring itself is codegen'd higher-order functions, no UDF calls
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    assert(plan.linesIterator.filter(_.contains("Window"))
+      .forall(_.contains("qid")), plan)
+  }
+
+  test("l78 recall eval: centroid/query joins broadcast, no cartesian") {
+    graft.GraftSession.registerAll(spark)
+    val df = graft.queries.LlmQueries.queries("l78_ann_recall_eval")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // IVF candidate generation must be the keyed cell join, windows are
+    // per-vector or per-query — never a global sort of the corpus
+    assert(plan.linesIterator.filter(_.contains("Window"))
+      .forall(l => l.contains("qid") || l.contains("vec_id")), plan)
+  }
+
   test("l52 kNN graph: candidates come from a keyed bucket join, no cartesian") {
     graft.GraftSession.registerAll(spark)
     val edges = graft.queries.LlmQueries.knnGraphEdges(
