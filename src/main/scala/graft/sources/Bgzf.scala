@@ -24,6 +24,51 @@ object Bgzf {
     */
   final case class RawBlock(cdata: Array[Byte], isize: Int, compressedSize: Int)
 
+  /** Non-destructive BGZF sniff on a pushback stream: true iff the next
+    * bytes are a gzip member header whose FEXTRA block carries the BC
+    * subfield (SAM spec §4.1). Reads at most 12 + XLEN bytes and unreads
+    * them all before returning, so the caller's stream position is
+    * unchanged either way. XLEN > 498 (pushback capacity 512 minus the
+    * fixed header) is treated as not-BGZF — real BGZF writers emit XLEN=6.
+    */
+  def looksLikeBgzf(in: java.io.PushbackInputStream): Boolean = {
+    val head = new Array[Byte](12)
+    var got = 0
+    while (got < 12) {
+      val n = in.read(head, got, 12 - got)
+      if (n < 0) { if (got > 0) in.unread(head, 0, got); return false }
+      got += n
+    }
+    def bail(extra: Array[Byte], extraLen: Int): Boolean = {
+      if (extraLen > 0) in.unread(extra, 0, extraLen)
+      in.unread(head, 0, 12)
+      false
+    }
+    if ((head(0) & 0xff) != 31 || (head(1) & 0xff) != 139 ||
+        (head(2) & 0xff) != 8 || (head(3) & 0x04) == 0)
+      return bail(null, 0)
+    val xlen = u16(head, 10)
+    if (xlen > 498) return bail(null, 0)
+    val extra = new Array[Byte](xlen)
+    got = 0
+    while (got < xlen) {
+      val n = in.read(extra, got, xlen - got)
+      if (n < 0) return bail(extra, got)
+      got += n
+    }
+    var i = 0
+    var found = false
+    while (i + 4 <= xlen && !found) {
+      val slen = u16(extra, i + 2)
+      if ((extra(i) & 0xff) == 66 && (extra(i + 1) & 0xff) == 67 && slen == 2)
+        found = true
+      else i += 4 + slen
+    }
+    in.unread(extra, 0, xlen)
+    in.unread(head, 0, 12)
+    found
+  }
+
   /** Read and inflate one BGZF block at the stream's current position.
     * Returns null at clean EOF. Allocates a fresh Inflater — block-loop
     * callers should use [[BgzfBlocks]] (JNI inflater init per 18 KB
@@ -437,6 +482,118 @@ final class BgzfStreamInputStream(raw: InputStream) extends InputStream {
   }
 
   override def close(): Unit = { blocks.close(); raw.close() }
+}
+
+/** Decode/parse overlap for SEQUENTIAL decompressors (plain gzip, zstd,
+  * bzip2, xz — codecs whose streams cannot be block-parallelised the way
+  * BGZF can): a long-running producer on the shared idle-core pool pulls
+  * decompressed bytes from `inner` into chunk buffers ahead of the
+  * consumer, so the task thread spends its time parsing instead of
+  * inflating. Upper bound is 2x (one producer, one consumer); the gain is
+  * the inflate share of the profile. Takes ONE pool slot for the stream's
+  * lifetime — the same global decode budget as BGZF block inflation, so
+  * full-width scans see the gate closed and fall back to the plain
+  * sequential read (`AsyncChunkedInputStream.wrap` returns `inner`
+  * untouched). Producer failures surface on the consumer's next read.
+  */
+final class AsyncChunkedInputStream private (
+    inner: InputStream,
+    producerSlot: java.util.concurrent.CompletableFuture[Unit],
+    q: java.util.concurrent.ArrayBlockingQueue[AnyRef],
+    closed: java.util.concurrent.atomic.AtomicBoolean) extends InputStream {
+
+  private var buf: Array[Byte] = _
+  private var pos = 0
+  private var limit = 0
+  private var done = false
+  private var error: Throwable = _
+
+  private def advance(): Unit = {
+    while (!done && pos >= limit) {
+      q.take() match {
+        case AsyncChunkedInputStream.Eof =>
+          done = true
+        case t: Throwable =>
+          done = true; error = t
+        case a: Array[Byte] =>
+          buf = a; pos = 0; limit = a.length
+      }
+    }
+    if (error != null) {
+      val e = error; error = null; done = true
+      e match {
+        case io: java.io.IOException => throw io
+        case re: RuntimeException    => throw re
+        case other                   => throw new java.io.IOException(other)
+      }
+    }
+  }
+
+  override def read(): Int = {
+    advance()
+    if (done) -1 else { val v = buf(pos) & 0xff; pos += 1; v }
+  }
+
+  override def read(out: Array[Byte], off: Int, len: Int): Int = {
+    advance()
+    if (done) return -1
+    val n = math.min(len, limit - pos)
+    System.arraycopy(buf, pos, out, off, n)
+    pos += n
+    n
+  }
+
+  override def close(): Unit = {
+    closed.set(true)
+    q.clear() // unblock a producer parked on a full queue
+    try producerSlot.get(5, java.util.concurrent.TimeUnit.SECONDS)
+    catch { case _: Throwable => () }
+    inner.close()
+  }
+}
+
+object AsyncChunkedInputStream {
+  private[sources] case object Eof
+  private val ChunkBytes = 1 << 18
+  private val Depth = 8
+
+  /** Pipeline `inner` through the idle-core pool when a slot is free;
+    * return `inner` unchanged when the gate is closed (full-width scans —
+    * the overlap is a single-task/idle-core optimization by design).
+    */
+  def wrap(inner: InputStream): InputStream = {
+    val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q = new java.util.concurrent.ArrayBlockingQueue[AnyRef](Depth)
+    val slot = BgzfPool.tryAsyncWork { () =>
+      try {
+        var eof = false
+        while (!eof && !closed.get) {
+          val chunk = new Array[Byte](ChunkBytes)
+          var got = 0
+          while (got < ChunkBytes && !eof) {
+            val n = inner.read(chunk, got, ChunkBytes - got)
+            if (n < 0) eof = true else got += n
+          }
+          val out: AnyRef =
+            if (got == ChunkBytes) chunk
+            else java.util.Arrays.copyOf(chunk, got)
+          if (got > 0) {
+            // bounded offer so close() can always stop a parked producer
+            while (!closed.get &&
+              !q.offer(out, 100, java.util.concurrent.TimeUnit.MILLISECONDS)) ()
+          }
+        }
+        while (!closed.get &&
+          !q.offer(Eof, 100, java.util.concurrent.TimeUnit.MILLISECONDS)) ()
+      } catch {
+        case t: Throwable =>
+          while (!closed.get &&
+            !q.offer(t, 100, java.util.concurrent.TimeUnit.MILLISECONDS)) ()
+      }
+    }
+    if (slot == null) inner
+    else new AsyncChunkedInputStream(inner, slot, q, closed)
+  }
 }
 
 /** InputStream over the BGZF-decompressed bytes of one virtual-position

@@ -70,6 +70,23 @@ object DecodeRate {
         .repartition(1)
         .write.format("fasta").mode("overwrite").save(p)
     }
+    // FASTA plain-gzip (r17): the whole-file UNSPLITTABLE landing shape —
+    // one sequential gzip member (NOT BGZF), so block-parallel inflate is
+    // impossible and the only available overlap is the single-producer
+    // decode/parse pipe (AsyncChunkedInputStream). Transcoded from the
+    // fasta corpus so both rows decode identical records.
+    val fastaGz = sparkGen("fasta_gz") { p =>
+      new java.io.File(p).mkdirs()
+      val src = fasta.listFiles().filter(_.getName.endsWith(".fasta")).head
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(
+          new java.io.File(p, "decoderate.fasta.gz")), 1 << 16)
+      val in = new java.io.FileInputStream(src)
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close(); out.close()
+    }
     // FASTQ: the b18 landing shape — ONE bgzipped shard, no index.
     val fastqDir = new java.io.File(dir, "fastqgz")
     Corpora.writeUnindexedFastqBgzf(s, fastqDir.getAbsolutePath, 1200000L)
@@ -180,6 +197,8 @@ object DecodeRate {
     // Bench b-arms keep length() for cross-round comparability; their
     // numbers measure the end-to-end query, this gate measures decode.)
     rate("fasta", fasta)(s.read.format("fasta").load(fasta.getAbsolutePath)
+      .agg(count(lit(1)), sum(octet_length(col("sequence")))))
+    rate("fasta_gz", fastaGz)(s.read.format("fasta").load(fastaGz.getAbsolutePath)
       .agg(count(lit(1)), sum(octet_length(col("sequence")))))
     rate("fastq_bgzf", fastq)(s.read.format("fastq").load(fastq.getAbsolutePath)
       .agg(count(lit(1)), sum(octet_length(col("sequence"))),
