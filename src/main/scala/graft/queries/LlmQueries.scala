@@ -1823,10 +1823,11 @@ object LlmQueries {
 
     // Bloom-filter decontamination — the FIXED-SIZE-sketch scale path for
     // l19's broadcast-set prefilter. The eval-set shingles fold into a
-    // 2^20-bit Bloom filter (k=3, xxhash64 double-hashing) via ONE keyed
-    // bit_or aggregate over bit-bucket longs: the broadcast is <= 16,384
-    // rows (~128 KB) REGARDLESS of eval-set size, where l19's raw shingle
-    // broadcast grows with the benchmark suite. Every corpus shingle then
+    // Bloom filter (k=3, xxhash64 double-hashing, auto-sized to ~16 bits
+    // per eval shingle — see bloomBits) via ONE keyed bit_or aggregate
+    // over bit-bucket longs: the broadcast is mBits/64 longs — 2 bytes
+    // per eval shingle, vs l19's raw shingle-STRING broadcast (~30-60
+    // bytes each plus hash-set overhead). Every corpus shingle then
     // probes the bitmap through three map-side broadcast-hash joins (no
     // shuffle of corpus text), and only Bloom survivors pay the exact-
     // confirm shuffle join keyed on the shingle. Bloom hits are a
@@ -1835,17 +1836,28 @@ object LlmQueries {
     // exact join, and BloomDecontSpec pins the superset + measured-FP
     // properties of the prefilter itself.
     "l76_bloom_decontamination" -> ((s, d) => {
-      import s.implicits._
-      val mBits = 1L << 20
-      val posts = documents(s, d).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .flatMap { case (id, t) =>
-          graft.functions.TextOps.wordShingles(t, 3).iterator.map(sh => (id, sh))
-        }.toDF("doc_id", "sh")
+      // shingles build as pure codegen (array_distinct de-dups per doc, so
+      // no corpus-wide distinct shuffle is needed) — the 5M ratchet showed
+      // the typed flatMap paying tuple encode/decode per shingle instance
+      val posts = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(w) - 3)," +
+            " i -> concat_ws('_', slice(w, i + 1, 3))))")).as("sh"))
+      // eval shingles are read three times (sizing count, bloom build,
+      // exact confirm) — materialize once; tiny by definition (2 bytes/key
+      // of bloom says the STRINGS are the expensive form, but still far
+      // smaller than one corpus pass)
       val evalSh = posts.filter(col("doc_id") % 97 === 0)
-        .select(col("sh")).distinct()
-      bloomPrefilter(posts.filter(col("doc_id") % 97 =!= 0).distinct(),
-          evalSh, mBits)
+        .select(col("sh")).distinct().localCheckpoint()
+      // The filter must SIZE ITSELF to the eval set (the 5M-doc ratchet
+      // found this: a fixed 2^20-bit filter saturates at ~2.5M eval
+      // shingles, prunes nothing, and the confirm join explodes) — one
+      // count() of the eval set (tiny by definition) buys ~16 bits/key,
+      // fill ~0.17 at k=3, whole-shingle FP ~1e-7 at ANY eval-set size.
+      val mBits = bloomBits(evalSh.count())
+      bloomPrefilter(posts.filter(col("doc_id") % 97 =!= 0), evalSh, mBits)
         .join(evalSh, Seq("sh"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
         .orderBy(col("doc_id"))
@@ -2544,6 +2556,15 @@ object LlmQueries {
     * no shuffle of the corpus. Hits are a superset of true matches by
     * construction; callers must exact-confirm.
     */
+  /** Bloom sizing: smallest power of two >= 16 bits per eval shingle,
+    * floored at 2^20 (128 KB — below that the broadcast is free anyway).
+    * Power-of-two keeps pmod cheap and the bucket space dense.
+    */
+  private[graft] def bloomBits(nEval: Long): Long = {
+    val want = math.max(1L << 20, 16L * math.max(nEval, 1L))
+    java.lang.Long.highestOneBit(want - 1) << 1
+  }
+
   private[graft] def bloomPrefilter(corpusSh: DataFrame, evalSh: DataFrame,
       mBits: Long): DataFrame = {
     def withPositions(df: DataFrame): DataFrame =

@@ -61,6 +61,17 @@ class BloomDecontSpec extends AnyFunSuite with SharedSpark {
     assert(got.nonEmpty, "no contaminated docs at sf0.001 — test has no signal")
   }
 
+  test("l76 bloom sizing: >= 16 bits per eval shingle, power of two, 2^20 floor") {
+    assert(LlmQueries.bloomBits(0) == (1L << 20))
+    assert(LlmQueries.bloomBits(65536) == (1L << 20)) // 16*65536 = 2^20 exactly
+    assert(LlmQueries.bloomBits(65537) == (1L << 21))
+    assert(LlmQueries.bloomBits(2500000L) == (1L << 26)) // the 5M-doc ratchet point
+    for (n <- Seq(1L, 1000L, 123456L, 999999999L)) {
+      val m = LlmQueries.bloomBits(n)
+      assert(java.lang.Long.bitCount(m) == 1 && m >= 16 * n)
+    }
+  }
+
   test("l77 int8 quantized ANN matches an independent in-memory recomputation") {
     val emb = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"))
