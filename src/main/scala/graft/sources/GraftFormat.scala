@@ -156,6 +156,15 @@ trait GraftFormat extends Serializable {
 /** Base for one-line-per-record formats (GFF/GTF/BED/HMMDOMTAB/SAM/VCF…):
   * splittable for free, with comment/header line skipping.
   */
+object LineFormat {
+  /** See [[LineFormat.byteParser]] — abstract class so `off`/`len` stay
+    * primitive through the per-line call (FunctionN would box them).
+    */
+  abstract class ByteLineParser {
+    def parse(b: Array[Byte], off: Int, len: Int): Array[Any]
+  }
+}
+
 abstract class LineFormat extends GraftFormat {
   override def splittable: Boolean = true
   override def lineRecords: Boolean = true
@@ -179,10 +188,26 @@ abstract class LineFormat extends GraftFormat {
                      required: Array[Int]): Array[Any] =
     throw new UnsupportedOperationException(s"$shortName: no byte-span parser")
 
+  /** Per-ITERATOR byte parser: formats whose parseLineBytes fetches
+    * per-thread scratch can override this to fetch it once per chunk and
+    * close over it — a records() iterator is created and consumed on one
+    * task thread, so the hoist is safe and removes a ThreadLocal map
+    * probe per LINE (measured ~5% of the VCF decode profile, collision
+    * walks included). An abstract class, NOT a FunctionN: Function3 has
+    * no Int specialization, so a lambda here would box off/len per line.
+    * Default delegates to parseLineBytes.
+    */
+  protected def byteParser(required: Array[Int]): LineFormat.ByteLineParser =
+    new LineFormat.ByteLineParser {
+      def parse(b: Array[Byte], off: Int, len: Int): Array[Any] =
+        parseLineBytes(b, off, len, required)
+    }
+
   final override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] =
     if (parsesBytes)
       new Iterator[Array[Any]] {
         private val lines = input.lines
+        private val parse = byteParser(required)
         private var nextRow: Array[Any] = _
         private def advance(): Unit = {
           nextRow = null
@@ -190,8 +215,7 @@ abstract class LineFormat extends GraftFormat {
             if (lines.nextLineStart >= input.end) return
             if (!lines.readLineSpan()) return
             if (!skipLineBytes(lines.lineBytes, lines.lineOff, lines.lineLen))
-              nextRow = parseLineBytes(
-                lines.lineBytes, lines.lineOff, lines.lineLen, required)
+              nextRow = parse.parse(lines.lineBytes, lines.lineOff, lines.lineLen)
           }
         }
         advance()
@@ -313,7 +337,39 @@ object FormatUtil {
 
   @inline def dotNullFloatSpan(b: Array[Byte], off: Int, len: Int): Any =
     if (len == 0 || isDotSpan(b, off, len)) null
-    else java.lang.Float.parseFloat(spanString(b, off, len))
+    else parseFloatSpan(b, off, len)
+
+  /** Float parse without the String + FloatingDecimal machinery for the
+    * EXACTLY-representable shapes that dominate VCF QUAL columns:
+    * optionally-signed integers with an optional all-zero fraction
+    * ("37", "-2", "37.0", "37.000"). long→float narrowing is
+    * round-to-nearest (JLS 5.1.3) — the same correctly-rounded result
+    * Float.parseFloat gives for an integer-valued decimal — so the fast
+    * path is bit-exact, and anything else (real fractions, exponents,
+    * inf/nan, >18 digits) falls back to parseFloat.
+    */
+  def parseFloatSpan(b: Array[Byte], off: Int, len: Int): Float = {
+    var i = off
+    val end = off + len
+    var neg = false
+    if (i < end && (b(i) == '-' || b(i) == '+')) { neg = b(i) == '-'; i += 1 }
+    var v = 0L
+    var digits = 0
+    while (i < end && b(i) >= '0' && b(i) <= '9') {
+      v = v * 10 + (b(i) - '0'); digits += 1; i += 1
+    }
+    if (digits == 0 || digits > 18)
+      return java.lang.Float.parseFloat(spanString(b, off, len))
+    if (i < end && b(i) == '.') {
+      i += 1
+      var fracDigits = 0
+      while (i < end && b(i) == '0') { i += 1; fracDigits += 1 }
+      if (i < end || fracDigits == 0)
+        return java.lang.Float.parseFloat(spanString(b, off, len))
+    } else if (i < end)
+      return java.lang.Float.parseFloat(spanString(b, off, len))
+    if (neg) -v.toFloat else v.toFloat
+  }
 
   @inline def spanString(b: Array[Byte], off: Int, len: Int): String =
     new String(b, off, len, java.nio.charset.StandardCharsets.UTF_8)

@@ -310,26 +310,51 @@ object VcfFormat extends LineFormat with IndexableGraftFormat {
     override def initialValue(): SpanFields = new SpanFields(16)
   }
   override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
-                              required: Array[Int]): Array[Any] = {
+                              required: Array[Int]): Array[Any] =
+    parseWith(scratch.get(), b, off, len, required)
+
+  /** One ThreadLocal probe per CHUNK instead of per line (see
+    * LineFormat.byteParser).
+    */
+  override protected def byteParser(required: Array[Int])
+      : LineFormat.ByteLineParser = {
     val f = scratch.get()
+    new LineFormat.ByteLineParser {
+      def parse(b: Array[Byte], off: Int, len: Int): Array[Any] =
+        parseWith(f, b, off, len, required)
+    }
+  }
+
+  private def parseWith(f: SpanFields, b: Array[Byte], off: Int, len: Int,
+                        required: Array[Int]): Array[Any] = {
     val nf = f.split(b, off, len, '\t')
     if (nf < 8) return null
-    required.map {
-      case 0 => utf8Span(b, f.off(0), f.len(0))
-      case 1 => parseLongSpan(b, f.off(1), f.len(1))
-      case 2 => if (isDotSpan(b, f.off(2), f.len(2))) null
-        else utf8ArraySpan(b, f.off(2), f.len(2), ';')
-      case 3 => utf8Span(b, f.off(3), f.len(3))
-      case 4 => if (isDotSpan(b, f.off(4), f.len(4))) null
-        else utf8ArraySpan(b, f.off(4), f.len(4), ',')
-      case 5 => dotNullFloatSpan(b, f.off(5), f.len(5))
-      case 6 => if (isDotSpan(b, f.off(6), f.len(6))) null
-        else utf8ArraySpan(b, f.off(6), f.len(6), ';')
-      case 7 => dotNullSpan(b, f.off(7), f.len(7))
-      case 8 =>
-        if (nf <= 8) null
-        else utf8Span(b, f.off(8), f.off(nf - 1) + f.len(nf - 1) - f.off(8))
+    // while + @switch instead of required.map{case ...}: the profiled VCF
+    // decode spent ~30% of parse samples in the map's Function1 dispatch
+    // (boxed index per FIELD per ROW) — same disease as the r16 columnar
+    // setter fix, on the format side
+    val out = new Array[Any](required.length)
+    var k = 0
+    while (k < required.length) {
+      out(k) = (required(k): @scala.annotation.switch) match {
+        case 0 => utf8Span(b, f.off(0), f.len(0))
+        case 1 => parseLongSpan(b, f.off(1), f.len(1))
+        case 2 => if (isDotSpan(b, f.off(2), f.len(2))) null
+          else utf8ArraySpan(b, f.off(2), f.len(2), ';')
+        case 3 => utf8Span(b, f.off(3), f.len(3))
+        case 4 => if (isDotSpan(b, f.off(4), f.len(4))) null
+          else utf8ArraySpan(b, f.off(4), f.len(4), ',')
+        case 5 => dotNullFloatSpan(b, f.off(5), f.len(5))
+        case 6 => if (isDotSpan(b, f.off(6), f.len(6))) null
+          else utf8ArraySpan(b, f.off(6), f.len(6), ';')
+        case 7 => dotNullSpan(b, f.off(7), f.len(7))
+        case 8 =>
+          if (nf <= 8) null
+          else utf8Span(b, f.off(8), f.off(nf - 1) + f.len(nf - 1) - f.off(8))
+      }
+      k += 1
     }
+    out
   }
 
   // ---- sink (the write-side of the tabix pruning shape) -----------------

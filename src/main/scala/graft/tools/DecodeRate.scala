@@ -87,6 +87,12 @@ object DecodeRate {
       while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
       in.close(); out.close()
     }
+    // VCF (r17): the b15 landing shape — ONE bgzipped VCF, no index. The
+    // r17 whole-file BGZF fix removed sequential inflate from this gate;
+    // what remains is the typed per-field text parse itself.
+    val vcfDir = new java.io.File(dir, "vcfgz")
+    Corpora.writeUnindexedVcfGz(s, vcfDir.getAbsolutePath, 2400000L)
+    val vcf = new java.io.File(vcfDir, "calls.vcf.gz")
     // FASTQ: the b18 landing shape — ONE bgzipped shard, no index.
     val fastqDir = new java.io.File(dir, "fastqgz")
     Corpora.writeUnindexedFastqBgzf(s, fastqDir.getAbsolutePath, 1200000L)
@@ -200,6 +206,9 @@ object DecodeRate {
       .agg(count(lit(1)), sum(octet_length(col("sequence")))))
     rate("fasta_gz", fastaGz)(s.read.format("fasta").load(fastaGz.getAbsolutePath)
       .agg(count(lit(1)), sum(octet_length(col("sequence")))))
+    rate("vcf_bgzf", vcf)(s.read.format("vcf").load(vcf.getAbsolutePath)
+      .agg(sum(col("pos")), sum(octet_length(col("info"))),
+        sum(octet_length(col("ref"))), sum(col("qual"))))
     rate("fastq_bgzf", fastq)(s.read.format("fastq").load(fastq.getAbsolutePath)
       .agg(count(lit(1)), sum(octet_length(col("sequence"))),
         sum(octet_length(col("quality_scores")))))
