@@ -124,49 +124,72 @@ object SamFormat extends LineFormat with IndexableGraftFormat {
     override def initialValue(): SpanFields = new SpanFields(16)
   }
   override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
-                              required: Array[Int]): Array[Any] = {
+                              required: Array[Int]): Array[Any] =
+    parseWith(scratch.get(), b, off, len, required)
+
+  /** One ThreadLocal probe per CHUNK instead of per line (see
+    * LineFormat.byteParser).
+    */
+  override protected def byteParser(required: Array[Int])
+      : LineFormat.ByteLineParser = {
     val f = scratch.get()
+    new LineFormat.ByteLineParser {
+      def parse(b: Array[Byte], off: Int, len: Int): Array[Any] =
+        parseWith(f, b, off, len, required)
+    }
+  }
+
+  private def parseWith(f: SpanFields, b: Array[Byte], off: Int, len: Int,
+                        required: Array[Int]): Array[Any] = {
     val nf = f.split(b, off, len, '\t')
     if (nf < 11) return null
     @inline def star(i: Int): Boolean = spanEq(b, f.off(i), f.len(i), '*')
     val pos = parseLongSpan(b, f.off(3), f.len(3))
     val unmapped = pos == 0L || star(5)
-    required.map {
-      case 0 => if (star(0)) null else utf8Span(b, f.off(0), f.len(0))
-      case 1 => parseIntSpan(b, f.off(1), f.len(1))
-      case 2 => if (star(2)) null else utf8Span(b, f.off(2), f.len(2))
-      case 3 => if (pos == 0L) null else pos
-      case 4 => if (unmapped) null
-        else pos + cigarRefLenSpan(b, f.off(5), f.len(5)) - 1
-      case 5 => if (f.len(4) == 3 && b(f.off(4)) == '2' && b(f.off(4) + 1) == '5' &&
-          b(f.off(4) + 2) == '5') null
-        else utf8Span(b, f.off(4), f.len(4))
-      case 6 => if (star(5)) null else utf8Span(b, f.off(5), f.len(5))
-      case 7 =>
-        if (star(6)) null
-        else if (spanEq(b, f.off(6), f.len(6), '=')) {
-          if (star(2)) null else utf8Span(b, f.off(2), f.len(2))
-        } else utf8Span(b, f.off(6), f.len(6))
-      case 8 => if (star(9)) null else utf8Span(b, f.off(9), f.len(9))
-      case 9 =>
-        if (star(10)) null
-        else {
-          val qo = f.off(10)
-          val ql = f.len(10)
-          val arr = new Array[Any](ql)
-          var i = 0
-          while (i < ql) { arr(i) = (b(qo + i) - 33).toLong; i += 1 }
-          new GenericArrayData(arr)
-        }
-      case 10 =>
-        val tags = new Array[Any](math.max(0, nf - 11))
-        var i = 11
-        while (i < nf) {
-          tags(i - 11) = parseTag(spanString(b, f.off(i), f.len(i)))
-          i += 1
-        }
-        new GenericArrayData(tags)
+    // while + @switch: required.map's Function1 dispatch is a measured
+    // per-record tax (see the r17 VCF parse notes)
+    val out = new Array[Any](required.length)
+    var k = 0
+    while (k < required.length) {
+      out(k) = (required(k): @scala.annotation.switch) match {
+        case 0 => if (star(0)) null else utf8Span(b, f.off(0), f.len(0))
+        case 1 => parseIntSpan(b, f.off(1), f.len(1))
+        case 2 => if (star(2)) null else utf8Span(b, f.off(2), f.len(2))
+        case 3 => if (pos == 0L) null else pos
+        case 4 => if (unmapped) null
+          else pos + cigarRefLenSpan(b, f.off(5), f.len(5)) - 1
+        case 5 => if (f.len(4) == 3 && b(f.off(4)) == '2' && b(f.off(4) + 1) == '5' &&
+            b(f.off(4) + 2) == '5') null
+          else utf8Span(b, f.off(4), f.len(4))
+        case 6 => if (star(5)) null else utf8Span(b, f.off(5), f.len(5))
+        case 7 =>
+          if (star(6)) null
+          else if (spanEq(b, f.off(6), f.len(6), '=')) {
+            if (star(2)) null else utf8Span(b, f.off(2), f.len(2))
+          } else utf8Span(b, f.off(6), f.len(6))
+        case 8 => if (star(9)) null else utf8Span(b, f.off(9), f.len(9))
+        case 9 =>
+          if (star(10)) null
+          else {
+            val qo = f.off(10)
+            val ql = f.len(10)
+            val arr = new Array[Any](ql)
+            var i = 0
+            while (i < ql) { arr(i) = (b(qo + i) - 33).toLong; i += 1 }
+            new GenericArrayData(arr)
+          }
+        case 10 =>
+          val tags = new Array[Any](math.max(0, nf - 11))
+          var i = 11
+          while (i < nf) {
+            tags(i - 11) = parseTag(spanString(b, f.off(i), f.len(i)))
+            i += 1
+          }
+          new GenericArrayData(tags)
+      }
+      k += 1
     }
+    out
   }
 
   // ---- sink: schema-faithful text SAM ----------------------------------

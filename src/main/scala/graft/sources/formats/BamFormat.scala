@@ -278,44 +278,52 @@ object BamFormat extends GraftFormat {
     }.sum
     val unmapped = refId < 0 || pos0 < 0 || nCigar == 0
 
-    required.map {
-      case 0 =>
-        // missing name: empty or the "*" placeholder (bytes incl. the NUL)
-        if (lReadName <= 1 || (lReadName == 2 && nameBytes(0) == '*')) null
-        else UTF8String.fromBytes(nameBytes, 0, lReadName - 1)
-      case 1 => flag
-      case 2 => if (refId < 0) null else utf8(refs(refId))
-      case 3 => if (refId < 0 || pos0 < 0) null else (pos0 + 1).toLong
-      case 4 => if (unmapped) null else pos0 + refLen
-      case 5 => if (mapq == 255) null else utf8(mapq.toString)
-      case 6 => if (nCigar == 0) null else utf8(cigarString)
-      case 7 =>
-        if (nextRefId < 0) null else utf8(refs(nextRefId))
-      case 8 =>
-        if (lSeq == 0) null
-        else {
-          val out = new Array[Byte](lSeq)
-          var i = 0
-          while (i < lSeq) {
-            val b = seqBytes(i / 2) & 0xff
-            out(i) = SeqCodeBytes(if (i % 2 == 0) b >>> 4 else b & 0xf)
-            i += 1
+    // while + @switch: required.map's Function1 dispatch is a measured
+    // per-record tax (see the r17 VCF parse notes)
+    val row = new Array[Any](required.length)
+    var k = 0
+    while (k < required.length) {
+      row(k) = (required(k): @scala.annotation.switch) match {
+        case 0 =>
+          // missing name: empty or the "*" placeholder (bytes incl. the NUL)
+          if (lReadName <= 1 || (lReadName == 2 && nameBytes(0) == '*')) null
+          else UTF8String.fromBytes(nameBytes, 0, lReadName - 1)
+        case 1 => flag
+        case 2 => if (refId < 0) null else utf8(refs(refId))
+        case 3 => if (refId < 0 || pos0 < 0) null else (pos0 + 1).toLong
+        case 4 => if (unmapped) null else pos0 + refLen
+        case 5 => if (mapq == 255) null else utf8(mapq.toString)
+        case 6 => if (nCigar == 0) null else utf8(cigarString)
+        case 7 =>
+          if (nextRefId < 0) null else utf8(refs(nextRefId))
+        case 8 =>
+          if (lSeq == 0) null
+          else {
+            val out = new Array[Byte](lSeq)
+            var i = 0
+            while (i < lSeq) {
+              val b = seqBytes(i / 2) & 0xff
+              out(i) = SeqCodeBytes(if (i % 2 == 0) b >>> 4 else b & 0xf)
+              i += 1
+            }
+            UTF8String.fromBytes(out)
           }
-          UTF8String.fromBytes(out)
-        }
-      case 9 =>
-        if (lSeq == 0 || (qualBytes.nonEmpty && (qualBytes(0) & 0xff) == 0xff) ) null
-        else {
-          // primitive long array, no per-value boxing (100 boxed Longs per
-          // read showed up as Arrays.copyOf churn in the decode profile)
-          val arr = new Array[Long](lSeq)
-          var i = 0
-          while (i < lSeq) { arr(i) = qualBytes(i) & 0xff; i += 1 }
-          org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-            .fromPrimitiveArray(arr)
-        }
-      case 10 => parseTags(tagBytes)
+        case 9 =>
+          if (lSeq == 0 || (qualBytes.nonEmpty && (qualBytes(0) & 0xff) == 0xff)) null
+          else {
+            // primitive long array, no per-value boxing (100 boxed Longs per
+            // read showed up as Arrays.copyOf churn in the decode profile)
+            val arr = new Array[Long](lSeq)
+            var i = 0
+            while (i < lSeq) { arr(i) = qualBytes(i) & 0xff; i += 1 }
+            org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+              .fromPrimitiveArray(arr)
+          }
+        case 10 => parseTags(tagBytes)
+      }
+      k += 1
     }
+    row
   }
 
   /** Binary tags -> ARRAY<STRUCT<tag, value-as-string>> (same surface as the

@@ -434,12 +434,20 @@ object FastqFormat extends WritableGraftFormat {
         val nameU = FormatUtil.utf8Span(hb, 1, sp - 1)
         val descU = if (sp + 1 < hb.length)
           FormatUtil.utf8Span(hb, sp + 1, hb.length - (sp + 1)) else null
-        nextRow = required.map {
-          case 0 => nameU
-          case 1 => descU
-          case 2 => if (needSeq) UTF8String.fromBytes(s._1) else null
-          case 3 => if (needQual) UTF8String.fromBytes(q._1) else null
+        // while + @switch: required.map's Function1 dispatch is a measured
+        // per-record tax on 4-line records (see the r17 VCF parse notes)
+        val out = new Array[Any](required.length)
+        var k = 0
+        while (k < required.length) {
+          out(k) = (required(k): @scala.annotation.switch) match {
+            case 0 => nameU
+            case 1 => descU
+            case 2 => if (needSeq) UTF8String.fromBytes(s._1) else null
+            case 3 => if (needQual) UTF8String.fromBytes(q._1) else null
+          }
+          k += 1
         }
+        nextRow = out
       }
 
       override def hasNext: Boolean = nextRow != null
@@ -516,12 +524,18 @@ object FastqFormat extends WritableGraftFormat {
         require(seq != null && plusOk && qual != null,
           s"truncated FASTQ record for '$name'")
         more = readHeader()
-        required.map {
-          case 0 => name
-          case 1 => desc
-          case 2 => seq
-          case 3 => qual
+        val out = new Array[Any](required.length)
+        var k = 0
+        while (k < required.length) {
+          out(k) = (required(k): @scala.annotation.switch) match {
+            case 0 => name
+            case 1 => desc
+            case 2 => seq
+            case 3 => qual
+          }
+          k += 1
         }
+        out
       }
     }
   }
