@@ -362,28 +362,35 @@ object BcfFormat extends GraftFormat {
       key -> perSample
     }
 
-    required.map {
-      case 0 => utf8(h.contigs.getOrElse(rid, rid.toString))
-      case 1 => (pos0 + 1).toLong
-      case 2 => if (id == null) null else utf8Array(id.split(';'))
-      case 3 => utf8(alleles.headOption.getOrElse(""))
-      case 4 =>
-        val alt = alleles.drop(1).filter(_ != null)
-        if (alt.isEmpty) null else utf8Array(alt.toArray)
-      case 5 =>
-        if (qualBits == MissingQualBits) null
-        else java.lang.Float.intBitsToFloat(qualBits)
-      case 6 => if (filters.isEmpty) null else utf8Array(filters.toArray)
-      case 7 => if (infoParts.isEmpty) null else utf8(infoParts.mkString(";"))
-      case 8 =>
-        if (fmtParts.isEmpty) null
-        else {
-          val keys = fmtParts.map(_._1).mkString(":")
-          val samples = (0 until nSample).map { s =>
-            fmtParts.map(p => Option(p._2(s)).getOrElse(".")).mkString(":")
+    // while + @switch: see the r17 VCF parse notes (required.map dispatch)
+    val out = new Array[Any](required.length)
+    var k = 0
+    while (k < required.length) {
+      out(k) = (required(k): @scala.annotation.switch) match {
+        case 0 => utf8(h.contigs.getOrElse(rid, rid.toString))
+        case 1 => (pos0 + 1).toLong
+        case 2 => if (id == null) null else utf8Array(id.split(';'))
+        case 3 => utf8(alleles.headOption.getOrElse(""))
+        case 4 =>
+          val alt = alleles.drop(1).filter(_ != null)
+          if (alt.isEmpty) null else utf8Array(alt.toArray)
+        case 5 =>
+          if (qualBits == MissingQualBits) null
+          else java.lang.Float.intBitsToFloat(qualBits)
+        case 6 => if (filters.isEmpty) null else utf8Array(filters.toArray)
+        case 7 => if (infoParts.isEmpty) null else utf8(infoParts.mkString(";"))
+        case 8 =>
+          if (fmtParts.isEmpty) null
+          else {
+            val keys = fmtParts.map(_._1).mkString(":")
+            val samples = (0 until nSample).map { s =>
+              fmtParts.map(p => Option(p._2(s)).getOrElse(".")).mkString(":")
+            }
+            utf8((keys +: samples).mkString("\t"))
           }
-          utf8((keys +: samples).mkString("\t"))
-        }
+      }
+      k += 1
     }
+    out
   }
 }

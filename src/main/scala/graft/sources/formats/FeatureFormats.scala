@@ -61,18 +61,25 @@ object GffFormat extends LineFormat with IndexableGraftFormat {
     val f = scratch.get()
     val nf = f.split(b, off, len, '\t')
     if (nf < 8) return null
-    required.map {
-      case 0 => utf8Span(b, f.off(0), f.len(0))
-      case 1 => dotNullSpan(b, f.off(1), f.len(1))
-      case 2 => utf8Span(b, f.off(2), f.len(2))
-      case 3 => parseLongSpan(b, f.off(3), f.len(3))
-      case 4 => parseLongSpan(b, f.off(4), f.len(4))
-      case 5 => dotNullFloatSpan(b, f.off(5), f.len(5))
-      case 6 => utf8Span(b, f.off(6), f.len(6))
-      case 7 => dotNullSpan(b, f.off(7), f.len(7))
-      case 8 => if (nf < 9) null
-        else parseAttributes(spanString(b, f.off(8), f.len(8)))
+    // while + @switch: see the r17 VCF parse notes (required.map dispatch)
+    val out = new Array[Any](required.length)
+    var k = 0
+    while (k < required.length) {
+      out(k) = (required(k): @scala.annotation.switch) match {
+        case 0 => utf8Span(b, f.off(0), f.len(0))
+        case 1 => dotNullSpan(b, f.off(1), f.len(1))
+        case 2 => utf8Span(b, f.off(2), f.len(2))
+        case 3 => parseLongSpan(b, f.off(3), f.len(3))
+        case 4 => parseLongSpan(b, f.off(4), f.len(4))
+        case 5 => dotNullFloatSpan(b, f.off(5), f.len(5))
+        case 6 => utf8Span(b, f.off(6), f.len(6))
+        case 7 => dotNullSpan(b, f.off(7), f.len(7))
+        case 8 => if (nf < 9) null
+          else parseAttributes(spanString(b, f.off(8), f.len(8)))
+      }
+      k += 1
     }
+    out
   }
 
   private def parseAttributes(s: String): ArrayBasedMapData = {
@@ -232,18 +239,25 @@ object GtfFormat extends LineFormat with IndexableGraftFormat {
     val f = scratch.get()
     val nf = f.split(b, off, len, '\t')
     if (nf < 8) return null
-    required.map {
-      case 0 => utf8Span(b, f.off(0), f.len(0))
-      case 1 => dotNullSpan(b, f.off(1), f.len(1))
-      case 2 => utf8Span(b, f.off(2), f.len(2))
-      case 3 => parseLongSpan(b, f.off(3), f.len(3))
-      case 4 => parseLongSpan(b, f.off(4), f.len(4))
-      case 5 => dotNullFloatSpan(b, f.off(5), f.len(5))
-      case 6 => dotNullSpan(b, f.off(6), f.len(6))
-      case 7 => dotNullSpan(b, f.off(7), f.len(7))
-      case 8 => if (nf < 9) null
-        else parseAttributes(spanString(b, f.off(8), f.len(8)))
+    // while + @switch: see the r17 VCF parse notes (required.map dispatch)
+    val out = new Array[Any](required.length)
+    var k = 0
+    while (k < required.length) {
+      out(k) = (required(k): @scala.annotation.switch) match {
+        case 0 => utf8Span(b, f.off(0), f.len(0))
+        case 1 => dotNullSpan(b, f.off(1), f.len(1))
+        case 2 => utf8Span(b, f.off(2), f.len(2))
+        case 3 => parseLongSpan(b, f.off(3), f.len(3))
+        case 4 => parseLongSpan(b, f.off(4), f.len(4))
+        case 5 => dotNullFloatSpan(b, f.off(5), f.len(5))
+        case 6 => dotNullSpan(b, f.off(6), f.len(6))
+        case 7 => dotNullSpan(b, f.off(7), f.len(7))
+        case 8 => if (nf < 9) null
+          else parseAttributes(spanString(b, f.off(8), f.len(8)))
+      }
+      k += 1
     }
+    out
   }
 
   private def parseAttributes(s: String): ArrayBasedMapData = {
@@ -360,13 +374,20 @@ object BedFormat extends LineFormat with IndexableGraftFormat {
     if (nf < 3) return null
     def str(i: Int): Any = if (i >= nf) null else dotNullSpan(b, f.off(i), f.len(i))
     def lng(i: Int): Any = if (i >= nf) null else dotNullLongSpan(b, f.off(i), f.len(i))
-    required.map {
-      case 0 => utf8Span(b, f.off(0), f.len(0))
-      case 1 => parseLongSpan(b, f.off(1), f.len(1))
-      case 2 => parseLongSpan(b, f.off(2), f.len(2))
-      case i @ (4 | 6 | 7 | 9) => lng(i)
-      case i => str(i)
+    // while + @switch: see the r17 VCF parse notes (required.map dispatch)
+    val out = new Array[Any](required.length)
+    var k = 0
+    while (k < required.length) {
+      out(k) = (required(k): @scala.annotation.switch) match {
+        case 0 => utf8Span(b, f.off(0), f.len(0))
+        case 1 => parseLongSpan(b, f.off(1), f.len(1))
+        case 2 => parseLongSpan(b, f.off(2), f.len(2))
+        case 4 | 6 | 7 | 9 => lng(required(k))
+        case i => str(i)
+      }
+      k += 1
     }
+    out
   }
 
   // ---- sink: prefix-truncated BED (fields after the last non-null column
@@ -476,12 +497,19 @@ object HmmDomTabFormat extends LineFormat {
     val f = scratch.get()
     val nf = f.splitWs(b, s, e - s, 23)
     if (nf < 22) return null
-    required.map { i =>
-      if (i == 22) { if (nf < 23) null else dotNullSpan(b, f.off(22), f.len(22)) }
-      else if (longCols.contains(i)) parseLongSpan(b, f.off(i), f.len(i))
-      else if (doubleCols.contains(i))
-        java.lang.Double.parseDouble(spanString(b, f.off(i), f.len(i)))
-      else dotNullSpan(b, f.off(i), f.len(i))
+    // while loop: see the r17 VCF parse notes (required.map dispatch)
+    val out = new Array[Any](required.length)
+    var k = 0
+    while (k < required.length) {
+      val i = required(k)
+      out(k) =
+        if (i == 22) { if (nf < 23) null else dotNullSpan(b, f.off(22), f.len(22)) }
+        else if (longCols.contains(i)) parseLongSpan(b, f.off(i), f.len(i))
+        else if (doubleCols.contains(i))
+          java.lang.Double.parseDouble(spanString(b, f.off(i), f.len(i)))
+        else dotNullSpan(b, f.off(i), f.len(i))
+      k += 1
     }
+    out
   }
 }
