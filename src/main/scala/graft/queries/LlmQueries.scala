@@ -1943,6 +1943,55 @@ object LlmQueries {
         .orderBy(col("qid"))
     }),
 
+    // Distributed k-means TRAINING (3 Lloyd iterations) — the missing
+    // half of the IVF story: l15 assigns to SEED vectors, this op LEARNS
+    // the codebook. Each iteration is the textbook scalable shape: K
+    // centroids broadcast (map-side argmin assignment, squared-Euclidean,
+    // ties -> lowest cid), then ONE keyed shuffle per update — per-(cell,
+    // dim) means via posexplode + groupBy, re-assembled with array_sort.
+    // Centroids are rounded to 6 dp after every update so the DuckDB
+    // oracle (which replays the identical iterations) sees bit-identical
+    // inputs each round — double-sum order differences (~1e-13) sit five
+    // orders below the rounding quantum. Empty cells keep their previous
+    // centroid on both sides. At 100 TB: per-iteration cost is one
+    // broadcast + two keyed shuffles of (cell, dim) rows — corpus-linear,
+    // driver holds only K x dim doubles.
+    "l79_kmeans_train" -> ((s, d) => {
+      val kCents = 8
+      val iters = 3
+      val emb = embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      var cents = emb.filter(col("vec_id") < kCents)
+        .select(col("vec_id").cast("long").as("cid"), col("v").as("cv"))
+      def assign(c: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id")).orderBy(
+          expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b))," +
+            " cast(0.0 as double), (acc, x) -> acc + x)").asc, col("cid"))
+        emb.join(broadcast(c))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      }
+      for (_ <- 0 until iters) {
+        val upd = assign(cents)
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(round(avg(col("x")), 6).as("cx"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
+          .select(col("cell").as("cid"), expr("transform(ps, p -> p.cx)").as("ucv"))
+        cents = cents.join(upd, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("ucv"), col("cv")).as("cv"))
+      }
+      assign(cents).groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+        .join(cents.select(col("cid").as("cell"), col("cv")), Seq("cell"))
+        .select(col("cell"), col("n_members"),
+          round(element_at(col("cv"), 1), 4).as("c0"),
+          round(sqrt(expr(
+            "aggregate(cv, cast(0.0 as double), (acc, x) -> acc + x * x)")), 4)
+            .as("cnorm"))
+        .orderBy(col("cell"))
+    }),
+
     // Crawl/sampling budget allocation by water-filling: spread a global
     // document budget B (= 3/5 of the corpus here) across (lang, source)
     // domains so no domain exceeds the common water level t — the classic
@@ -3275,6 +3324,62 @@ object LlmQueries {
         |  FROM scored)
         |SELECT qid, neighbor_id, idot FROM ranked WHERE rn <= 5
         |ORDER BY qid, idot DESC, neighbor_id""".stripMargin,
+
+    // The identical 3 Lloyd iterations replayed in SQL: per-iteration
+    // centroids rounded to 6 dp on both sides make the replay exact (the
+    // ~1e-13 double-sum order differences sit five orders below the
+    // rounding quantum); empty cells keep the previous centroid via the
+    // same LEFT JOIN + coalesce.
+    "l79_kmeans_train" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |c0 AS (SELECT vec_id::BIGINT cid, v cv FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, c.cid cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
+        |          for i in generate_series(1, len(e.v))]) ASC, c.cid) rn
+        |    FROM e, c0 c) WHERE rn = 1),
+        |u1 AS (SELECT cell cid, list(cx ORDER BY pos) ucv FROM (
+        |    SELECT cell, pos, round(avg(x), 6) cx FROM (
+        |      SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+        |      FROM a1) GROUP BY cell, pos) GROUP BY cell),
+        |c1 AS (SELECT c.cid, coalesce(u.ucv, c.cv) cv
+        |    FROM c0 c LEFT JOIN u1 u ON c.cid = u.cid),
+        |a2 AS (SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, c.cid cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
+        |          for i in generate_series(1, len(e.v))]) ASC, c.cid) rn
+        |    FROM e, c1 c) WHERE rn = 1),
+        |u2 AS (SELECT cell cid, list(cx ORDER BY pos) ucv FROM (
+        |    SELECT cell, pos, round(avg(x), 6) cx FROM (
+        |      SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+        |      FROM a2) GROUP BY cell, pos) GROUP BY cell),
+        |c2 AS (SELECT c.cid, coalesce(u.ucv, c.cv) cv
+        |    FROM c1 c LEFT JOIN u2 u ON c.cid = u.cid),
+        |a3 AS (SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, c.cid cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
+        |          for i in generate_series(1, len(e.v))]) ASC, c.cid) rn
+        |    FROM e, c2 c) WHERE rn = 1),
+        |u3 AS (SELECT cell cid, list(cx ORDER BY pos) ucv FROM (
+        |    SELECT cell, pos, round(avg(x), 6) cx FROM (
+        |      SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+        |      FROM a3) GROUP BY cell, pos) GROUP BY cell),
+        |c3 AS (SELECT c.cid, coalesce(u.ucv, c.cv) cv
+        |    FROM c2 c LEFT JOIN u3 u ON c.cid = u.cid),
+        |af AS (SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cid cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])
+        |          for i in generate_series(1, len(e.v))]) ASC, c.cid) rn
+        |    FROM e, c3 c) WHERE rn = 1)
+        |SELECT af.cell, CAST(count(*) AS BIGINT) n_members,
+        |  round(any_value(c.cv)[1], 4) c0,
+        |  round(sqrt(list_sum([x*x for x in any_value(c.cv)])), 4) cnorm
+        |FROM af JOIN c3 c ON af.cell = c.cid
+        |GROUP BY af.cell ORDER BY af.cell""".stripMargin,
 
     // Both arms re-derived in SQL: brute-force truth (l06 shape) and IVF
     // nprobe=1 (l15 shape), joined on (qid, vec_id) for per-query recall.

@@ -851,6 +851,23 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       .forall(l => l.contains("qid") || l.contains("vec_id")), plan)
   }
 
+  test("l79 k-means: centroids broadcast, per-vector windows, keyed update shuffles") {
+    val df = graft.queries.LlmQueries.queries("l79_kmeans_train")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the K-row centroid table must broadcast into every assignment (the
+    // =-free join plans as BroadcastNestedLoop over 8 rows — the l06
+    // shape); update shuffles are keyed on (cell, pos) / cell, and the
+    // argmin window is per-vector — nothing global
+    assert(plan.contains("Broadcast"), plan)
+    val ex = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(ex.forall(l => l.contains("cell") || l.contains("vec_id") ||
+      l.contains("cid")), s"unkeyed shuffle:\n$plan")
+    assert(plan.linesIterator.filter(_.contains("Window"))
+      .forall(_.contains("vec_id")), plan)
+  }
+
   test("l52 kNN graph: candidates come from a keyed bucket join, no cartesian") {
     graft.GraftSession.registerAll(spark)
     val edges = graft.queries.LlmQueries.knnGraphEdges(

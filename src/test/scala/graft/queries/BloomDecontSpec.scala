@@ -98,6 +98,45 @@ class BloomDecontSpec extends AnyFunSuite with SharedSpark {
     assert(qv.values.forall(_.forall(q => q >= -127 && q <= 127)))
   }
 
+  test("l79 k-means matches an independent in-memory Lloyd recomputation") {
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def rd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cents: Map[Long, Array[Double]] =
+      emb.filter(_._1 < 8).map { case (id, v) => id -> v }.toMap
+    def cellOf(v: Array[Double]): Long =
+      cents.toSeq.map { case (cid, cv) =>
+        (v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.minBy { case (dist, cid) => (dist, cid) }._2
+    for (_ <- 0 until 3) {
+      val byCell = emb.groupBy { case (_, v) => cellOf(v) }
+      cents = cents.map { case (cid, old) =>
+        cid -> byCell.get(cid).map { members =>
+          val n = members.length
+          Array.tabulate(old.length)(i =>
+            rd(members.map(_._2(i)).sum / n, 6))
+        }.getOrElse(old)
+      }
+    }
+    val expected = emb.groupBy { case (_, v) => cellOf(v) }.toSeq
+      .map { case (cid, members) =>
+        val cv = cents(cid)
+        (cid, members.length.toLong, rd(cv(0), 4),
+          rd(math.sqrt(cv.map(x => x * x).sum), 4))
+      }.sortBy(_._1)
+    val got = LlmQueries.queries("l79_kmeans_train")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // every centroid must actually move off its seed: training happened
+    val seeds = emb.filter(_._1 < 8).map { case (id, v) => id -> v }.toMap
+    assert(cents.exists { case (cid, cv) => !cv.sameElements(seeds(cid)) })
+  }
+
   test("l78 recall eval: truth arm is exact; recall in [0, 1000]") {
     val rows = LlmQueries.queries("l78_ann_recall_eval")(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
