@@ -1979,8 +1979,13 @@ object LlmQueries {
           .groupBy(col("cell"))
           .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
           .select(col("cell").as("cid"), expr("transform(ps, p -> p.cx)").as("ucv"))
+        // cut the lineage each round: `cents` is referenced TWICE per
+        // iteration (assignment + the empty-cell coalesce), so without a
+        // cut the plan tree doubles per iteration (2^iters embedding
+        // scans). The checkpoint is K x dim doubles — trivial to hold.
         cents = cents.join(upd, Seq("cid"), "left")
           .select(col("cid"), coalesce(col("ucv"), col("cv")).as("cv"))
+          .localCheckpoint()
       }
       assign(cents).groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
         .join(cents.select(col("cid").as("cell"), col("cv")), Seq("cell"))
