@@ -745,7 +745,7 @@ object LlmQueries {
             s"image: dHash drifted $drift bits under JPEG recompression (doc $id)")
           (id, hi, lo, Array(lo & 0xffffL, lo >> 16, hi & 0xffffL, hi >> 16))
         }
-      }.toDF("doc_id", "hi", "lo", "bands").localCheckpoint()
+      }.toDF("doc_id", "hi", "lo", "bands").cut()
       bandedHashPairs(hashes, maxBucket = 1000,
         failOnDrop = lshFailOnDrop(s), maxHamming = 6, what = "jpeg dHash")
         .orderBy(col("ida"), col("idb"))
@@ -902,7 +902,7 @@ object LlmQueries {
           x => floor(x.cast("double") / norm * 1e6 + 0.5)))
         .select(col("vec_id"), col("q"))
         .observe(nObs, count(lit(1)).as("n"))
-        .localCheckpoint()
+        .cut()
       // SemDeDup-style cluster-count scaling: the within-cluster pairwise
       // prune is quadratic in cluster SIZE, so a fixed K turns a 10x corpus
       // into a 100x pair explosion (caught by the r11 sf1 ratchet: 4.5s ->
@@ -1517,7 +1517,7 @@ object LlmQueries {
     "l40_tokenizer_maxmatch" -> ((s, d) => {
       val maxLen = 4; val seedMulti = 40; val keepMulti = 24
       val vocab = bpeWordVocab(s, d)
-        .filter(col("word") =!= "").localCheckpoint()
+        .filter(col("word") =!= "").cut()
       // substring seed counts, weighted by word frequency — stays a
       // DataFrame: the piece inventory never visits the driver. It is
       // folded into a ONE-ROW map column (map_from_entries over the
@@ -1529,11 +1529,11 @@ object LlmQueries {
            |    j -> array_join(slice(syms, i, j - i + 1), ''))))""".stripMargin))
           .as("piece"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-        .localCheckpoint()
+        .cut()
       // Spark's length() counts codepoints (UTF8String.numChars), matching
       // the single-codepoint test; singles are always kept segmentable.
       val singlesDf = subCnt.filter(length(col("piece")) === 1)
-        .select(col("piece")).localCheckpoint()
+        .select(col("piece")).cut()
       // Rank multi-char pieces by (count desc, piece asc) and keep topN,
       // plus every single char (usage 0 if unused). The global window runs
       // on the PIECE table (Zipf-bounded), never the corpus.
@@ -1556,7 +1556,7 @@ object LlmQueries {
           .withColumn("best", expr(maxMatchSegExpr(maxLen)))
           .select(col("freq"), explode(col("best.seg")).as("piece"))
           .groupBy(col("piece")).agg(sum(col("freq")).as("used"))
-          .localCheckpoint()
+          .cut()
         pmDf = inventoryPm(usage.withColumnRenamed("used", "cnt"), keepMulti)
       }
       usage.orderBy(col("used").desc, col("piece")).limit(10)
@@ -1629,12 +1629,12 @@ object LlmQueries {
       // text is dropped after the dedup key is computed.
       val q = docs.filter(callUDF("quality_score", col("text")) >= 0.5)
         .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("h"))
-        .localCheckpoint()
+        .cut()
       val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
       val ded = q.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"))
-        .localCheckpoint()
+        .cut()
       val rates = Seq(("en", 500L), ("zh", 300L), ("de", 250L),
         ("fr", 200L), ("es", 100L)).toDF("lang", "keep_permille")
       val mixed = ded
@@ -1850,7 +1850,7 @@ object LlmQueries {
       // of bloom says the STRINGS are the expensive form, but still far
       // smaller than one corpus pass)
       val evalSh = posts.filter(col("doc_id") % 97 === 0)
-        .select(col("sh")).distinct().localCheckpoint()
+        .select(col("sh")).distinct().cut()
       // The filter must SIZE ITSELF to the eval set (the 5M-doc ratchet
       // found this: a fixed 2^20-bit filter saturates at ~2.5M eval
       // shingles, prunes nothing, and the confirm join explodes) — one
@@ -1985,7 +1985,7 @@ object LlmQueries {
         // scans). The checkpoint is K x dim doubles — trivial to hold.
         cents = cents.join(upd, Seq("cid"), "left")
           .select(col("cid"), coalesce(col("ucv"), col("cv")).as("cv"))
-          .localCheckpoint()
+          .cut()
       }
       assign(cents).groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
         .join(cents.select(col("cid").as("cell"), col("cv")), Seq("cell"))
@@ -2161,11 +2161,11 @@ object LlmQueries {
       val cites = sh.join(src, Seq("g"))
         .filter(col("doc_id") > col("src"))
         .select(col("doc_id").as("citer"), col("src").as("cited")).distinct()
-        .localCheckpoint()
+        .cut()
       val outdeg = cites.groupBy(col("citer")).agg(count(lit(1)).as("odeg"))
-        .localCheckpoint()
+        .cut()
       var pr = documents(s, d).select(col("doc_id"), lit(1000000L).as("pr"))
-        .localCheckpoint()
+        .cut()
       for (_ <- 1 to 10) {
         val shares = cites
           .join(outdeg, Seq("citer"))
@@ -2177,7 +2177,7 @@ object LlmQueries {
             Seq("doc_id"), "left")
           .select(col("doc_id"),
             (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("pr"))
-          .localCheckpoint()
+          .cut()
       }
       pr.filter(col("pr") > 150000L)
         .select(col("doc_id"), col("pr").as("pr_micros"))
@@ -2274,9 +2274,9 @@ object LlmQueries {
       val edges = sh.join(src, Seq("g"))
         .filter(col("doc_id") > col("src"))
         .select(col("src"), col("doc_id").as("dst")).distinct()
-        .localCheckpoint()
+        .cut()
       var depth = documents(s, d).select(col("doc_id"), lit(0L).as("dp"))
-        .localCheckpoint()
+        .cut()
       var prev = -1L
       var cur = 0L
       while (cur != prev) {
@@ -2290,7 +2290,7 @@ object LlmQueries {
             Seq("doc_id"), "left")
           .select(col("doc_id"),
             greatest(col("dp"), coalesce(col("cand"), lit(0L))).as("dp"))
-          .localCheckpoint()
+          .cut()
         cur = depth.agg(sum(col("dp"))).head().getLong(0)
       }
       depth.groupBy(col("dp"))
@@ -2511,13 +2511,13 @@ object LlmQueries {
     "l52_label_propagation" -> ((s, d) => {
       graft.GraftSession.registerAll(s)
       val emb = embeddings(s, d)
-      val edges = knnGraphEdges(emb).localCheckpoint()
+      val edges = knnGraphEdges(emb).cut()
       var labels = emb.select(col("vec_id"),
           col("label").cast("long").as("truth"),
           (col("vec_id") % 5 === 0).as("seed"))
         .withColumn("cur",
           when(col("seed"), col("truth")).otherwise(lit(-1L)))
-        .select("vec_id", "seed", "truth", "cur").localCheckpoint()
+        .select("vec_id", "seed", "truth", "cur").cut()
       for (_ <- 1 to 4) {
         val votes = edges
           .join(labels.select(col("vec_id").as("dst"), col("cur").as("nl")),
@@ -2530,7 +2530,7 @@ object LlmQueries {
         labels = labels.join(votes, Seq("vec_id"), "left")
           .withColumn("cur", when(col("seed"), col("cur"))
             .otherwise(coalesce(col("maj"), col("cur"))))
-          .select("vec_id", "seed", "truth", "cur").localCheckpoint()
+          .select("vec_id", "seed", "truth", "cur").cut()
       }
       labels.filter(!col("seed"))
         .groupBy(col("truth"), col("cur")).agg(count(lit(1)).as("n"))
@@ -2685,7 +2685,7 @@ object LlmQueries {
     val s = docs.sparkSession
     import s.implicits._
     val toks = docs.select(col("text")).as[String]
-      .map(_.split(" ")).toDF("w").localCheckpoint()
+      .map(_.split(" ")).toDF("w").cut()
     def grams(n: Int) = toks.as[Seq[String]].flatMap { w =>
       if (w.length < n) Iterator.empty
       else (0 to w.length - n).iterator.map(i => w.slice(i, i + n).mkString(" "))
@@ -2703,7 +2703,7 @@ object LlmQueries {
     def dupAt(n: Int): Boolean = {
       val g = grams(n).withColumn("h", xxhash64(col("g")))
       val dupH = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2).select(col("h")).localCheckpoint()
+        .filter(col("c") >= 2).select(col("h")).cut()
       !dupH.isEmpty && !g.join(dupH, Seq("h"), "left_semi")
         .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2).isEmpty
@@ -2768,7 +2768,7 @@ object LlmQueries {
     */
   private def bpeLearnMerges(vocab0: DataFrame, rounds: Int)
       : (DataFrame, Seq[(Int, String, Long)]) = {
-    var vocab = vocab0.localCheckpoint()
+    var vocab = vocab0.cut()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     (1 to rounds).foreach { r =>
       val best = vocab.filter(size(col("syms")) >= 2)
@@ -2786,7 +2786,7 @@ object LlmQueries {
               element_at(acc, lit(-1)) === lit(a) && x === lit(b),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x)))))
-        .localCheckpoint()
+        .cut()
     }
     (vocab, merges.toSeq)
   }
@@ -2856,7 +2856,7 @@ object LlmQueries {
       s"transform(sequence(0, ${M - 1})," +
         s" m -> struct(m as m, slice(q, m * $SUB + 1, $SUB) as sub))")).as("t"))
       .select(col("vec_id"), col("t.m").as("m"), col("t.sub").as("sub"))
-      .localCheckpoint()
+      .cut()
     // native codegen'd integer squared-L2 (SqDistLongExpr) — same per-pair
     // allocation argument as l25's dot_long
     def dist(a: Column, b: Column): Column = callUDF("sqdist_long", a, b)
@@ -3080,7 +3080,7 @@ object LlmQueries {
         val (hi, lo) = ImageOps.dHash(ImageOps.decode(ImageOps.neardupPng(id)))
         (id, hi, lo, Array(lo & 0xffffL, lo >> 16, hi & 0xffffL, hi >> 16))
       }
-    }.toDF("doc_id", "hi", "lo", "bands").localCheckpoint()
+    }.toDF("doc_id", "hi", "lo", "bands").cut()
   }
 
   private[graft] def imagePairs(s: SparkSession, d: String,
@@ -3105,7 +3105,7 @@ object LlmQueries {
         val (hi, lo) = AudioOps.envelopeHash(AudioOps.decode(AudioOps.neardupWav(id)))
         (id, hi, lo, Array(lo & 0xffffL, lo >> 16, hi & 0xffffL, hi >> 16))
       }
-    }.toDF("doc_id", "hi", "lo", "bands").localCheckpoint()
+    }.toDF("doc_id", "hi", "lo", "bands").cut()
     bandedHashPairs(hashes, maxBucket, failOnDrop, maxHamming = 6,
       what = "audio envelope")
   }
@@ -3153,6 +3153,26 @@ object LlmQueries {
     * tiny-payload corpora can cap the codec stage below core count
     * (A/B'd at the 500k-doc ratchet in BENCH_NOTES_r16).
     */
+  /** Lineage cut honoring `spark.graft.checkpointDir` (the q64 idiom,
+    * applied pack-wide): by default a localCheckpoint — right for the
+    * single-JVM bench, where executor loss is process death anyway — but
+    * on a real cluster (dynamic allocation, spot nodes) localCheckpoint
+    * blocks die with their executor, so setting the conf to an
+    * HDFS/object-store path switches every cut in the pack to a RELIABLE
+    * checkpoint with identical results.
+    */
+  private implicit class CutOps(df: DataFrame) {
+    def cut(): DataFrame = {
+      val s = df.sparkSession
+      s.conf.getOption("spark.graft.checkpointDir") match {
+        case Some(dir) =>
+          s.sparkContext.setCheckpointDir(dir)
+          df.checkpoint()
+        case None => df.localCheckpoint()
+      }
+    }
+  }
+
   private def codecParallelism(s: SparkSession): Int = {
     val p = s.conf.getOption("spark.graft.codec.parallelism").map(_.toInt)
       .getOrElse(s.sparkContext.defaultParallelism)
@@ -3176,7 +3196,7 @@ object LlmQueries {
       checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else df.cut()
     val edges = cut(pairs.select(col("ida").as("src"), col("idb").as("dst"))
       .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst"))))
     var labels = cut(edges.select(col("src").as("doc_id")).distinct()
@@ -3233,7 +3253,7 @@ object LlmQueries {
       : DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else df.cut()
     var edges = cut(pairs
       .select(greatest(col("ida"), col("idb")).as("u"),
         least(col("ida"), col("idb")).as("v"))

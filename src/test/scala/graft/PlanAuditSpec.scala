@@ -868,6 +868,29 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       .forall(_.contains("vec_id")), plan)
   }
 
+  test("l-pack cuts: spark.graft.checkpointDir switches every cut to reliable mode") {
+    // q64's conf now governs the whole pack (CutOps): results identical,
+    // and checkpoint parts actually land under the dir. l79 exercises a
+    // cut per Lloyd iteration; l76 cuts the eval shingle set.
+    graft.GraftSession.registerAll(spark)
+    val d = "/root/testdata/sf0.001"
+    val expected = graft.queries.LlmQueries.queries("l79_kmeans_train")(spark, d)
+      .collect().map(_.toString).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_lpack_ckpt")
+    spark.conf.set("spark.graft.checkpointDir", dir.toString)
+    try {
+      val got = graft.queries.LlmQueries.queries("l79_kmeans_train")(spark, d)
+        .collect().map(_.toString).toSeq
+      assert(got == expected)
+      val wrote = java.nio.file.Files.walk(dir).iterator().asScala
+        .exists(p => p.getFileName.toString.startsWith("part-"))
+      assert(wrote, s"no checkpoint parts written under $dir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("l52 kNN graph: candidates come from a keyed bucket join, no cartesian") {
     graft.GraftSession.registerAll(spark)
     val edges = graft.queries.LlmQueries.knnGraphEdges(
