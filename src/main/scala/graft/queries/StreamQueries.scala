@@ -342,6 +342,57 @@ object StreamQueries {
         .groupBy(col("chrom"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("sum_pos"))
         .orderBy(col("chrom"))
+    }),
+
+    // Streaming decontamination — l76's Bloom prefilter at INGEST time,
+    // the shape a crawl pipeline actually runs: the eval-set Bloom and
+    // shingle set are built batch-side once and BROADCAST; each arriving
+    // document's shingles probe the bitmap through the same three
+    // map-side stream-static broadcast joins (bloomPrefilter is pure
+    // map-side, so it is streaming-safe unchanged), survivors exact-
+    // confirm against the broadcast eval shingles, and a streaming
+    // aggregate keeps per-doc overlap counts across batches. Probe docs
+    // are the table's own non-eval texts (doc_id < 40) streamed in two
+    // micro-batches, so the DuckDB oracle is the same exact join
+    // restricted to the probe range.
+    "s09_stream_decontamination" -> ((s, d) => {
+      withTinyStreamState(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val shingleExpr = "array_distinct(transform(sequence(0, size(w) - 3)," +
+        " i -> concat_ws('_', slice(w, i + 1, 3))))"
+      val batchPosts = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(shingleExpr)).as("sh"))
+      val evalSh = batchPosts.filter(col("doc_id") % 97 === 0)
+        .select(col("sh")).distinct().localCheckpoint()
+      val mBits = LlmQueries.bloomBits(evalSh.count())
+      // bounded collect: the probe set is <= 40 rows by construction
+      val probeDocs = Tables.documents(s, d)
+        .filter(col("doc_id") % 97 =!= 0 && col("doc_id") < 40)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val sposts = in.toDF().toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(shingleExpr)).as("sh"))
+      val confirmed = LlmQueries.bloomPrefilter(sposts, evalSh, mBits)
+        .join(broadcast(evalSh), Seq("sh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      val name = memName("s09m")
+      val q = confirmed.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      val (firstHalf, secondHalf) = probeDocs.splitAt(probeDocs.length / 2)
+      in.addData(firstHalf.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(secondHalf.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).orderBy(col("doc_id"))
+      }
     })
   )
 
@@ -406,6 +457,21 @@ object StreamQueries {
     "s08_stream_sink_transcode" ->
       """SELECT * FROM (VALUES
         |  ('chr2', CAST(100 AS BIGINT), CAST(1505000 AS BIGINT)))
-        |t(chrom, n, sum_pos) ORDER BY chrom""".stripMargin
+        |t(chrom, n, sum_pos) ORDER BY chrom""".stripMargin,
+
+    // The Bloom prefilter is a superset + exact confirm (see l76), so the
+    // streamed result equals the plain exact join over the probe range.
+    "s09_stream_decontamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    [w[i] || '_' || w[i+1] || '_' || w[i+2]
+        |     for i in generate_series(1, len(w) - 2)]) s FROM toks),
+        |p AS (SELECT doc_id, unnest(s) sh FROM sh),
+        |e AS (SELECT DISTINCT sh FROM p WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, sh FROM p
+        |      WHERE doc_id % 97 <> 0 AND doc_id < 40)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM c JOIN e USING (sh)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
   )
 }
