@@ -2905,8 +2905,15 @@ object LlmQueries {
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val t = 0.5
-    val sh = shingles(s, d)
-    val ex = shinglePostings(s, d)
+    // The shingle ARRAYS are consumed three times downstream (the posting
+    // explode + both sides of the verify back-join): cut once so
+    // wordShingles runs ONCE per document instead of 3x (the compact
+    // array form, unlike l22/l66's corpus-sized EXPLODED tables where a
+    // cut measured slower). Postings derive from the materialized arrays —
+    // explode of a plain column attribute, so no Generate re-evaluation.
+    val sh = shingles(s, d).cut()
+    val ex = sh.select(col("doc_id"), size(col("s")).as("sz"),
+      explode(col("s")).as("shingle"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
     val prefix = ex.join(dfreq, "shingle")
@@ -3139,8 +3146,12 @@ object LlmQueries {
       .select(col("ida"), col("idb"),
         expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)")
           .cast("long").as("hamming"))
-      .distinct()
+      // Hamming confirm BEFORE the dedup exchange: hamming is a function of
+      // the pair, so filter-then-distinct equals distinct-then-filter, and
+      // the false candidates (band collision, hamming > max) never pay the
+      // distinct's shuffle (guide §2.3: shuffle fewer bytes).
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Codec-stage task count: `spark.graft.codec.parallelism`, defaulting
@@ -3247,6 +3258,34 @@ object LlmQueries {
     * (node -> component minimum), so labels fall out directly; roots
     * label themselves, matching [[connectedComponents]] exactly.
     */
+  /** One star-contraction half-round. Each star used to be a groupBy(u) +
+    * join back on u — two exchanges of the edge list per star plus the join
+    * itself. min() OVER (PARTITION BY u) attaches the same per-u minimum in
+    * ONE exchange (guide §2.4: two operations keyed the same way share one
+    * partitioning), and large-star's trailing distinct is dropped because
+    * small-star's final distinct canonicalizes the round's edge set anyway
+    * (duplicate intermediate edges change no min and no output set).
+    * 6 exchanges per round -> 3; identical results (LshCapSpec pins
+    * star == propagation). Object-level (not nested) so the round plan can
+    * be dumped as before/after evidence (tools/StageProbe).
+    */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val w = Window.partitionBy(col("u"))
+    nbrs.withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+  }
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("u"))
+    val withM = e.withColumn("m", min(col("v")).over(w))
+    withM.select(col("u"), col("m").as("v"))
+      .unionAll(withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
   def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 20,
       checkpointDir: Option[String] = None,
       roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
@@ -3258,26 +3297,6 @@ object LlmQueries {
       .select(greatest(col("ida"), col("idb")).as("u"),
         least(col("ida"), col("idb")).as("v"))
       .filter(col("u") =!= col("v")).distinct())
-
-    def largeStar(e: DataFrame): DataFrame = {
-      val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = nbrs.groupBy(col("u"))
-        .agg(least(min(col("v")), col("u")).as("m"))
-        .select(col("u").as("lu"), col("m"))
-      nbrs.join(mins, col("u") === col("lu"))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-        .select(col("u").as("su"), col("m"))
-      val relinked = e.join(mins, col("u") === col("su"))
-      relinked.select(col("u"), col("m").as("v"))
-        .unionAll(relinked.filter(col("v") =!= col("m"))
-          .select(col("v").as("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
-    }
 
     var converged = false
     var iter = 0

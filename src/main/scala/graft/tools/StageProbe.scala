@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev probe: decompose the expensive l-pack pipelines into stages and time
+  * each with the same noop forcing as Bench, so optimization work targets
+  * the stage that actually costs (guide §1: measure first).
+  *
+  * Usage: runMain graft.tools.StageProbe [image|audio|jaccard|all]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
+  * SPARK_GRAFT_REPS (default 3).
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val what = if (args.isEmpty) "all" else args(0)
+    val spark = graft.LocalSession.buildBench(cpus)
+    graft.GraftSession.registerAll(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def force(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    def time(name: String)(mk: => DataFrame): Unit = {
+      force(mk) // warm-up (codegen)
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); force(mk); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROBE $name min=${ts.min}%.3f reps=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+
+    val qs = graft.SparkEntry.queries
+
+    if (what == "image" || what == "all") {
+      time("image_hashes")(graft.queries.LlmQueries.imageHashes(spark, sfDir))
+      time("image_pairs")(graft.queries.LlmQueries.imagePairs(spark, sfDir,
+        failOnDrop = true))
+      time("l67_full")(qs("l67_image_neardup")(spark, sfDir))
+      time("l68_full")(qs("l68_image_dedup_keep")(spark, sfDir))
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      time("l68_cc_only") {
+        val p = graft.queries.LlmQueries.imagePairs(spark, sfDir,
+          failOnDrop = true).select(col("ida"), col("idb")).localCheckpoint()
+        graft.queries.LlmQueries.connectedComponentsStar(p, roundsOut = Some(n))
+      }
+      println(s"PROBE l68_cc_rounds=${n.get}")
+    }
+    if (what == "audio" || what == "all") {
+      time("l70_pairs")(qs("l70_audio_neardup")(spark, sfDir))
+      time("l73_full")(qs("l73_audio_dedup_keep")(spark, sfDir))
+    }
+    if (what == "starplan") {
+      // Before/after plan evidence for the star-contraction round rewrite:
+      // the BEFORE shape is the pre-r17 groupBy+join round, reconstructed
+      // verbatim; the AFTER shape is the shipped windowed round.
+      import org.apache.spark.sql.expressions.Window
+      def largeStarOld(e: DataFrame): DataFrame = {
+        val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        val mins = nbrs.groupBy(col("u"))
+          .agg(least(min(col("v")), col("u")).as("m"))
+          .select(col("u").as("lu"), col("m"))
+        nbrs.join(mins, col("u") === col("lu"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+      }
+      def smallStarOld(e: DataFrame): DataFrame = {
+        val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+          .select(col("u").as("su"), col("m"))
+        val relinked = e.join(mins, col("u") === col("su"))
+        relinked.select(col("u"), col("m").as("v"))
+          .unionAll(relinked.filter(col("v") =!= col("m"))
+            .select(col("v").as("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v")).distinct()
+      }
+      val edges = graft.queries.LlmQueries.imagePairs(spark, sfDir,
+          failOnDrop = true)
+        .select(greatest(col("ida"), col("idb")).as("u"),
+          least(col("ida"), col("idb")).as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      def fmt(df: DataFrame): String = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println("===== STAR ROUND BEFORE (groupBy+join, r16 shape) =====")
+      println(fmt(smallStarOld(largeStarOld(edges))))
+      println("===== STAR ROUND AFTER (windowed, r17 shape) =====")
+      println(fmt(graft.queries.LlmQueries.smallStar(
+        graft.queries.LlmQueries.largeStar(edges))))
+    }
+    if (what == "jaccard" || what == "all") {
+      time("l03_pairs")(qs("l03_ngram_jaccard_pairs")(spark, sfDir))
+      time("l14_prop")(qs("l14_dup_clusters")(spark, sfDir))
+      time("l21_star")(qs("l21_dup_clusters_star")(spark, sfDir))
+    }
+    spark.stop()
+  }
+}
