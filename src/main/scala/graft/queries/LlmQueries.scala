@@ -2162,25 +2162,38 @@ object LlmQueries {
         .filter(col("doc_id") > col("src"))
         .select(col("doc_id").as("citer"), col("src").as("cited")).distinct()
         .cut()
-      val outdeg = cites.groupBy(col("citer")).agg(count(lit(1)).as("odeg"))
+      // cites ⋈ outdeg is LOOP-INVARIANT: hoist it out of the 10 iterations
+      // (guide §2.4 — don't recompute what a loop doesn't change). And the
+      // per-iteration full-corpus left join existed only to re-add the
+      // constant 150000 base to every doc: pr(doc) = 150000 + in_mass(doc)
+      // with in_mass 0 for never-cited docs, so the iterated table keeps
+      // ONLY cited docs and readers coalesce the base at use — the corpus-
+      // wide join (an exchange of every doc id per iteration, 10x) is gone
+      // and the cut frame shrinks to the cited set. Identical arithmetic;
+      // the final filter pr > 150000 only ever kept cited docs anyway.
+      val contrib = cites.groupBy(col("citer")).agg(count(lit(1)).as("odeg"))
+        .join(cites, Seq("citer")).cut()
+      // Iteration 1: pr_0 is the CONSTANT 1000000 for every doc, so the
+      // first round needs no pr join at all — a pure map + one keyed agg.
+      var mass = contrib
+        .select(col("cited"),
+          expr("(1000000 * 850) div (1000 * odeg)").as("share"))
+        .groupBy(col("cited")).agg(sum(col("share")).as("in_mass"))
+        .select(col("cited").as("doc_id"), col("in_mass"))
         .cut()
-      var pr = documents(s, d).select(col("doc_id"), lit(1000000L).as("pr"))
-        .cut()
-      for (_ <- 1 to 10) {
-        val shares = cites
-          .join(outdeg, Seq("citer"))
-          .join(pr.select(col("doc_id").as("citer"), col("pr")), Seq("citer"))
-          .select(col("cited"), expr("(pr * 850) div (1000 * odeg)").as("share"))
+      for (_ <- 2 to 10) {
+        mass = contrib
+          .join(mass.select(col("doc_id").as("citer"), col("in_mass")),
+            Seq("citer"), "left")
+          .select(col("cited"),
+            expr("((150000 + coalesce(in_mass, 0L)) * 850) div (1000 * odeg)")
+              .as("share"))
           .groupBy(col("cited")).agg(sum(col("share")).as("in_mass"))
-        pr = documents(s, d).select(col("doc_id"))
-          .join(shares.select(col("cited").as("doc_id"), col("in_mass")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("pr"))
+          .select(col("cited").as("doc_id"), col("in_mass"))
           .cut()
       }
-      pr.filter(col("pr") > 150000L)
-        .select(col("doc_id"), col("pr").as("pr_micros"))
+      mass.filter(col("in_mass") > 0L)
+        .select(col("doc_id"), (lit(150000L) + col("in_mass")).as("pr_micros"))
         .orderBy(col("pr_micros").desc, col("doc_id"))
     }),
 
