@@ -1657,15 +1657,19 @@ object LlmQueries {
     // precision high enough that a hit means real contamination.
     "l19_decontamination" -> ((s, d) => {
       import s.implicits._
-      val posts = documents(s, d).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
+      // Filter BEFORE the opaque flatMap (the l54 lesson): a doc_id filter
+      // after a typed flatMap cannot push down, so both branches used to
+      // shingle the whole corpus; pre-filtered branches split it instead.
+      def postsOf(part: DataFrame): DataFrame = part
+        .select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, t) =>
           graft.functions.TextOps.wordShingles(t, 8).iterator.map(sh => (id, sh))
         }
         .toDF("doc_id", "sh")
-      val evalPosts = posts.filter(col("doc_id") % 7 === 0)
+      val docs = documents(s, d)
+      val evalPosts = postsOf(docs.filter(col("doc_id") % 7 === 0))
         .select(col("sh"), col("doc_id").as("eval_id"))
-      posts.filter(col("doc_id") % 7 =!= 0)
+      postsOf(docs.filter(col("doc_id") % 7 =!= 0))
         .join(broadcast(evalPosts), "sh")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("sh")).as("n_shared"),
@@ -2457,14 +2461,23 @@ object LlmQueries {
         .groupBy(col("doc_id"), col("lang"))
         .agg(expr("flatten(transform(array_sort(collect_list(" +
           "struct(pos, syms))), x -> x.syms))").as("toks"))
-      val grams = toks.as[(Long, String, Seq[String])]
+      // The typed flatMap is OPAQUE to Catalyst: a doc_id filter placed
+      // after it cannot push down, so filtering the full gram table twice
+      // (eval + train) used to run the whole tokenize+sort+sliding chain
+      // TWICE over every document. Filter each branch BEFORE the flatMap —
+      // the doc_id predicate pushes through the groupBy (group key) to the
+      // scan, and the two branches now split the corpus instead of each
+      // paying all of it (guide §4: opaque functions defeat pushdown —
+      // select/filter first).
+      def gramsOf(part: DataFrame): DataFrame = part
+        .as[(Long, String, Seq[String])]
         .flatMap { case (id, lang, tk) =>
           tk.sliding(13).filter(_.length == 13).map(_.mkString(" "))
             .toSet.iterator.map((g: String) => (id, lang, g))
         }.toDF("doc_id", "lang", "g")
-      val evalG = grams.filter(col("doc_id") % 7 === 0)
+      val evalG = gramsOf(toks.filter(col("doc_id") % 7 === 0))
         .select(col("g")).distinct()
-      val shared = grams.filter(col("doc_id") % 7 =!= 0)
+      val shared = gramsOf(toks.filter(col("doc_id") % 7 =!= 0))
         .join(broadcast(evalG), Seq("g"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       documents(s, d).filter(col("doc_id") % 7 =!= 0)
