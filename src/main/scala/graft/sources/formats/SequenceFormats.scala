@@ -146,11 +146,22 @@ object FastaFormat extends WritableGraftFormat {
         haveHeader = more
         if (more) parseHeader()
         headerStart = if (more) lines.lastLineStart else Long.MaxValue
-        required.map {
-          case 0 => id
-          case 1 => desc
-          case 2 => UTF8String.fromBytes(seqBuf.toArray)
+        // while + @switch: required.map's Function1 dispatch boxes the
+        // field index per FIELD per ROW — the r17 VCF parse finding,
+        // applied to every other format in 487e7b4/db3595c but missed
+        // here (JFR on the b07 shape: ~8% of parse samples in
+        // ArrayOps.map + array_update).
+        val out = new Array[Any](required.length)
+        var i = 0
+        while (i < required.length) {
+          out(i) = (required(i): @scala.annotation.switch) match {
+            case 0 => id
+            case 1 => desc
+            case 2 => UTF8String.fromBytes(seqBuf.toArray)
+          }
+          i += 1
         }
+        out
       }
     }
 }
