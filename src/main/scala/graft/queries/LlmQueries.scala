@@ -1391,13 +1391,22 @@ object LlmQueries {
         .withColumn("part",
           when((col("cluster") * 998244353L + 12345L) % 1000000007L % 10L < 2L,
             "test").otherwise("train"))
-      val straddle = labeled.groupBy(col("cluster"))
-        .agg(countDistinct(col("part")).as("np"))
+      // Both outputs used to consume `labeled` directly — two corpus-sized
+      // pipelines (join + countDistinct Expand each). One (cluster, part)
+      // aggregate is the common core: per-part docs/chars are sums over it,
+      // n_clusters and the straddle count are plain row counts over it
+      // (its rows ARE the distinct (cluster, part) set). The corpus is
+      // joined and aggregated ONCE; the cut frame is cluster-sized.
+      val perCP = labeled.groupBy(col("cluster"), col("part"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_chars")).as("sc"))
+        .cut()
+      val straddle = perCP.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("np"))
         .agg(max(col("np")).as("max_parts_per_cluster"))
-      labeled.groupBy(col("part"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("cluster")).as("n_clusters"),
-          sum(col("n_chars")).as("sum_chars"))
+      perCP.groupBy(col("part"))
+        .agg(sum(col("nd")).as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          sum(col("sc")).as("sum_chars"))
         .crossJoin(straddle)
         .orderBy(col("part"))
     }),
@@ -2703,6 +2712,30 @@ object LlmQueries {
       .filter(col("rn") <= 5).select(col("src"), col("dst"))
   }
 
+  /** Rolling-hash constants for [[longestDupSpan]]: FNV-1a 64 per word
+    * (over UTF-16 chars, byte-split — equal strings hash equal, no
+    * per-word byte-array allocation), combined per gram with an odd
+    * multiplier mod 2^64. Internal to the probe — any collision is
+    * resolved by the exact string confirm.
+    */
+  private final val RollP = 0x9E3779B97F4A7C15L
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      h ^= (c & 0xFF); h *= 0x100000001b3L
+      h ^= ((c >> 8) & 0xFF); h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+  private def powP(n: Int): Long = {
+    var r = 1L; var i = 0
+    while (i < n) { r *= RollP; i += 1 }
+    r
+  }
+
   /** l50 core (factored out for direct testing on synthetic corpora):
     * binary search for the max n with a corpus-wide duplicated token
     * n-gram, then the exact duplicated-gram set at that n.
@@ -2710,27 +2743,62 @@ object LlmQueries {
   private[queries] def longestDupSpan(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // Per-word 64-bit hashes are computed ONCE at the cut; every probe
+    // then derives its gram hashes by a prefix-sum rolling hash — O(len)
+    // longs per doc per probe instead of O(len * n) bytes of gram-STRING
+    // building (the old shape built and xxhash64'd every n-word string
+    // twice per probe). `pref[k] = pref[k-1] * P + hw[k]` (mod 2^64), so
+    // hash(i, n) = pref[i+n-1] - pref[i-1] * P^n — multiplication
+    // distributes over the natural overflow. Collisions (more likely than
+    // for direct string hashes, still ~2^-64) only ADD confirm candidates;
+    // exactness lives in the string confirm, unchanged.
     val toks = docs.select(col("text")).as[String]
-      .map(_.split(" ")).toDF("w").cut()
-    def grams(n: Int) = toks.as[Seq[String]].flatMap { w =>
-      if (w.length < n) Iterator.empty
-      else (0 to w.length - n).iterator.map(i => w.slice(i, i + n).mkString(" "))
-    }.toDF("g")
-    // Exact duplicated n-grams: hash-count phase (longs only on the
-    // wire), then string confirm restricted to duplicated hashes.
-    def dupGrams(n: Int) = {
-      val g = grams(n).withColumn("h", xxhash64(col("g")))
-      val dupH = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .map { t =>
+        val w = t.split(" ")
+        val pref = new Array[Long](w.length)
+        var h = 0L
+        var k = 0
+        while (k < w.length) {
+          h = h * RollP + fnv64(w(k)); pref(k) = h; k += 1
+        }
+        (w, pref)
+      }.toDF("w", "pref")
+      .withColumn("id", monotonically_increasing_id()).cut()
+    // Rolling gram hashes for a probe length n: longs only, no strings.
+    def gramHashes(n: Int) = {
+      val pn = powP(n)
+      toks.select(col("id"), col("pref")).as[(Long, Seq[Long])]
+        .flatMap { case (id, pref) =>
+          if (pref.length < n) Iterator.empty
+          else (0 to pref.length - n).iterator.map { i =>
+            val base = if (i == 0) 0L else pref(i - 1) * pn
+            (id, i, pref(i + n - 1) - base)
+          }
+        }.toDF("id", "pos", "h")
+    }
+    // Exact duplicated n-grams: rolling-hash count phase, then the string
+    // confirm builds gram strings ONLY for candidate positions (h in the
+    // duplicated-hash set) via a codegen'd slice+array_join back-join —
+    // never for the whole corpus.
+    def candGrams(n: Int) = {
+      val gh = gramHashes(n)
+      val dupH = gh.groupBy(col("h")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select(col("h"))
-      g.join(dupH, Seq("h"), "left_semi")
+      gh.join(dupH, Seq("h"), "left_semi")
+        .join(toks.select(col("id"), col("w")), Seq("id"))
+        .select(expr(s"array_join(slice(w, pos + 1, $n), ' ')").as("g"))
+    }
+    def dupGrams(n: Int) =
+      candGrams(n)
         .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)
-    }
     def dupAt(n: Int): Boolean = {
-      val g = grams(n).withColumn("h", xxhash64(col("g")))
-      val dupH = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      val gh = gramHashes(n)
+      val dupH = gh.groupBy(col("h")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select(col("h")).cut()
-      !dupH.isEmpty && !g.join(dupH, Seq("h"), "left_semi")
+      !dupH.isEmpty && !gh.join(dupH, Seq("h"), "left_semi")
+        .join(toks.select(col("id"), col("w")), Seq("id"))
+        .select(expr(s"array_join(slice(w, pos + 1, $n), ' ')").as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2).isEmpty
     }
@@ -3209,6 +3277,15 @@ object LlmQueries {
       }
     }
   }
+
+  // NOTE (measured negative, r17 opt round): persist(MEMORY_AND_DISK)
+  // before each reliable checkpoint — the textbook fix for RDD
+  // checkpointing's write-job recompute — was tried and was SLOWER 3/3
+  // interleaved windows on l30 (3.1-3.6 s -> 3.8-4.9 s). The recompute
+  // only re-runs ONE round (each round's lineage is rooted at the
+  // previous checkpoint), so it is bounded at 2x round work, while the
+  // InMemoryRelation columnar encode + cache bookkeeping cost more than
+  // that round. Reverted; do not retry without a cheaper persist path.
 
   private def codecParallelism(s: SparkSession): Int = {
     val p = s.conf.getOption("spark.graft.codec.parallelism").map(_.toInt)

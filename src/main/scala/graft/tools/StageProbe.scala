@@ -89,6 +89,45 @@ object StageProbe {
       println(fmt(graft.queries.LlmQueries.smallStar(
         graft.queries.LlmQueries.largeStar(edges))))
     }
+    if (what == "l50") {
+      // Decompose the l50 binary search: replicate longestDupSpan's probe
+      // internals (private[queries]) and time the token cut, each dupAt
+      // probe at the binary-search midpoints, and the final dupGrams.
+      import spark.implicits._
+      val t0 = System.nanoTime()
+      val toks = graft.queries.Tables.documents(spark, sfDir)
+        .select(col("text")).as[String]
+        .map(_.split(" ")).toDF("w").localCheckpoint()
+      println(f"PROBE l50_toks_cut=${(System.nanoTime() - t0) / 1e9}%.3f")
+      def grams(n: Int) = toks.as[Seq[String]].flatMap { w =>
+        if (w.length < n) Iterator.empty
+        else (0 to w.length - n).iterator.map(i => w.slice(i, i + n).mkString(" "))
+      }.toDF("g")
+      def dupAt(n: Int): Boolean = {
+        val tA = System.nanoTime()
+        val g = grams(n).withColumn("h", xxhash64(col("g")))
+        val dupH = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("h")).localCheckpoint()
+        val nh = dupH.count()
+        val tB = System.nanoTime()
+        val r = nh > 0 && !g.join(dupH, Seq("h"), "left_semi")
+          .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2).isEmpty
+        val tC = System.nanoTime()
+        println(f"PROBE l50_dupAt n=$n%d dupH=$nh%d hashPhase=${(tB - tA) / 1e9}%.3f confirmPhase=${(tC - tB) / 1e9}%.3f dup=$r")
+        r
+      }
+      val maxLen = toks.select(max(size(col("w")))).head().getInt(0)
+      println(s"PROBE l50_maxLen=$maxLen")
+      if (dupAt(1)) {
+        var lo = 1; var hi = maxLen
+        while (lo < hi) {
+          val mid = (lo + hi + 1) / 2
+          if (dupAt(mid)) lo = mid else hi = mid - 1
+        }
+        println(s"PROBE l50_answer=$lo")
+      }
+    }
     if (what == "jaccard" || what == "all") {
       time("l03_pairs")(qs("l03_ngram_jaccard_pairs")(spark, sfDir))
       time("l14_prop")(qs("l14_dup_clusters")(spark, sfDir))
