@@ -558,6 +558,8 @@ object ImageOps {
     while (end > 5 && bytes(end) == 0) end -= 1
     require((bytes(end) & 0xff) == 0x3b,
       "video: truncated GIF container (missing trailer)")
+    val fast = fastGifDecode(bytes, maxFrames)
+    if (fast != null) return fast
     val r = gifReader.get()
     try {
       r.setInput(new BytesImageInputStream(bytes))
@@ -566,6 +568,205 @@ object ImageOps {
         s"video: $n frames exceeds the $maxFrames-frame decode bound (bomb?)")
       (0 until n).map(r.read(_))
     } finally r.setInput(null)
+  }
+
+  /** From-scratch GIF decode for the hot profile — non-interlaced frames
+    * without a transparent index — returning null for anything else so
+    * [[decodeGif]] falls back to javax.imageio. The JDK GIF plugin
+    * re-initializes its LZW string table object graph per frame (76% of
+    * JFR samples at the 5M video ratchet, BENCH_NOTES_r16); this path
+    * keeps the LZW tables in three flat thread-local arrays (prefix/
+    * suffix/length), decodes index runs straight into a reused byte
+    * buffer, and resolves the active palette into packed TYPE_INT_RGB
+    * ints — the values getRGB produced before (GifDecodeSpec pins frame
+    * equality against the imageio reader). Structure pass first: frames
+    * are COUNTED (sub-blocks skipped, no LZW work) and bounded by
+    * `maxFrames` before any raster-sized allocation, preserving the
+    * decompression-bomb guard semantics.
+    */
+  private val tlLzwPrefix = ThreadLocal.withInitial(() => new Array[Int](4096))
+  private val tlLzwSuffix = ThreadLocal.withInitial(() => new Array[Byte](4096))
+  private val tlLzwStack = ThreadLocal.withInitial(() => new Array[Byte](4097))
+  private def fastGifDecode(b: Array[Byte], maxFrames: Int)
+      : IndexedSeq[BufferedImage] = {
+    if (b.length < 13) return null
+    val gctFlag = (b(10) & 0x80) != 0
+    val gctSize = if (gctFlag) 2 << (b(10) & 7) else 0
+    val gctOff = 13
+    var off = gctOff + gctSize * 3
+    // ---- pass 1: structure walk (count frames, validate block framing) --
+    var frames = 0
+    var p = off
+    var done = false
+    while (!done) {
+      if (p >= b.length) return null // malformed framing: let imageio raise
+      (b(p) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 => // extension: label + sub-blocks
+          p += 2
+          while (p < b.length && b(p) != 0) p += 1 + (b(p) & 0xff)
+          if (p >= b.length) return null
+          p += 1
+        case 0x2c =>
+          if (p + 10 > b.length) return null
+          val flags = b(p + 9) & 0xff
+          val lctSize = if ((flags & 0x80) != 0) 2 << (flags & 7) else 0
+          p += 10 + lctSize * 3
+          if (p >= b.length) return null
+          p += 1 // LZW min code size
+          while (p < b.length && b(p) != 0) p += 1 + (b(p) & 0xff)
+          if (p >= b.length) return null
+          p += 1
+          frames += 1
+        case _ => return null
+      }
+    }
+    if (frames < 1) return null
+    require(frames <= maxFrames,
+      s"video: $frames frames exceeds the $maxFrames-frame decode bound (bomb?)")
+    // ---- pass 2: decode ------------------------------------------------
+    val out = new Array[BufferedImage](frames)
+    val prefix = tlLzwPrefix.get(); val suffix = tlLzwSuffix.get()
+    val stack = tlLzwStack.get()
+    var transparent = false
+    var fi = 0
+    p = off
+    while (fi < frames) {
+      (b(p) & 0xff) match {
+        case 0x21 =>
+          if ((b(p + 1) & 0xff) == 0xf9 && (b(p + 2) & 0xff) >= 4)
+            transparent = (b(p + 3) & 1) != 0
+          p += 2
+          while (b(p) != 0) p += 1 + (b(p) & 0xff)
+          p += 1
+        case 0x2c =>
+          val fw = ((b(p + 6) & 0xff) << 8) | (b(p + 5) & 0xff)
+          val fh = ((b(p + 8) & 0xff) << 8) | (b(p + 7) & 0xff)
+          val flags = b(p + 9) & 0xff
+          val lctFlag = (flags & 0x80) != 0
+          val interlaced = (flags & 0x40) != 0
+          val lctSize = if (lctFlag) 2 << (flags & 7) else 0
+          val palOff = if (lctFlag) p + 10 else gctOff
+          val palSize = if (lctFlag) lctSize else gctSize
+          if (transparent || palSize == 0 || fw <= 0 || fh <= 0) return null
+          p += 10 + lctSize * 3
+          // interlace (the JDK writer's default!) is a fixed 4-pass row
+          // permutation: decoded row r lands on display row rowMap(r)
+          val rowMap = new Array[Int](fh)
+          if (interlaced) {
+            var r = 0
+            var pass = 0
+            val starts = Array(0, 4, 2, 1); val steps = Array(8, 8, 4, 2)
+            while (pass < 4) {
+              var y2 = starts(pass)
+              while (y2 < fh) { rowMap(r) = y2; r += 1; y2 += steps(pass) }
+              pass += 1
+            }
+          } else {
+            var r = 0
+            while (r < fh) { rowMap(r) = r; r += 1 }
+          }
+          // resolve the palette to packed RGB once per frame
+          val pal = new Array[Int](palSize)
+          var c = 0
+          while (c < palSize) {
+            val o = palOff + c * 3
+            pal(c) = ((b(o) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) |
+              (b(o + 2) & 0xff)
+            c += 1
+          }
+          val img = new BufferedImage(fw, fh, BufferedImage.TYPE_INT_RGB)
+          val px = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferInt].getData
+          // ---- LZW decode straight into px via the palette ----
+          val minCode = b(p) & 0xff
+          p += 1
+          if (minCode < 1 || minCode > 11) return null
+          val clear = 1 << minCode
+          val eoi = clear + 1
+          var next = eoi + 1
+          var width = minCode + 1
+          var limit = 1 << width
+          var i = 0
+          while (i < clear) { prefix(i) = -1; suffix(i) = i.toByte; i += 1 }
+          var old = -1
+          var bits = 0
+          var acc = 0
+          var npx = 0
+          var col = 0
+          var row = 0
+          var rowBase = rowMap(0) * fw
+          val total = fw * fh
+          var blockEnd = p // consume sub-blocks inline
+          var truncated = false
+          var endOfData = false
+          while (npx < total && !truncated && !endOfData) {
+            if (bits < width) {
+              if (p == blockEnd) {
+                val bl = b(p) & 0xff
+                if (bl == 0) { truncated = true }
+                else { p += 1; blockEnd = p + bl }
+              }
+              if (!truncated) {
+                acc |= (b(p) & 0xff) << bits; bits += 8; p += 1
+              }
+            } else {
+              val code = acc & (limit - 1)
+              acc >>>= width; bits -= width
+              if (code == clear) {
+                next = eoi + 1; width = minCode + 1; limit = 1 << width; old = -1
+              } else if (code == eoi) {
+                endOfData = true
+              } else if (code > next || (old == -1 && code >= clear)) {
+                truncated = true // corrupt stream: let imageio raise its way
+              } else {
+                // build the output string on the stack (root lands on top);
+                // the KwK case (code == next) is string(old) + first(old) —
+                // walk old's chain from slot 1 and copy its first char
+                // (stack top) into slot 0, so it is emitted last
+                var sp = 0
+                if (code == next) {
+                  sp = 1
+                  var cur = old
+                  while (cur >= 0) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+                  stack(0) = stack(sp - 1)
+                } else {
+                  var cur = code
+                  while (cur >= 0) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+                }
+                val first = stack(sp - 1) // this step's first char
+                // emit reversed, routing each pixel through the row map
+                while (sp > 0 && npx < total) {
+                  sp -= 1
+                  if (col == fw) {
+                    col = 0; row += 1; rowBase = rowMap(row) * fw
+                  }
+                  px(rowBase + col) = pal(stack(sp) & 0xff)
+                  col += 1
+                  npx += 1
+                }
+                if (old >= 0 && next < 4096) {
+                  prefix(next) = old
+                  suffix(next) = first
+                  next += 1
+                  if (next == limit && width < 12) { width += 1; limit = 1 << width }
+                }
+                old = code
+              }
+            }
+          }
+          if (truncated || npx < total) return null // imageio decides loudly
+          // skip any remaining sub-block bytes to the terminator
+          if (p < blockEnd) p = blockEnd
+          while (b(p) != 0) p += 1 + (b(p) & 0xff)
+          p += 1
+          out(fi) = img
+          transparent = false
+          fi += 1
+        case _ => return null
+      }
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** Integer luma, ITU-R BT.601 weights scaled by 1000 with floor division —
