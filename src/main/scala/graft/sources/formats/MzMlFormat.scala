@@ -73,10 +73,11 @@ object MzMlFormat extends GraftFormat {
     if (input.containerResyncSplit) return splitRecords(input, required)
     new Iterator[Array[Any]] {
       private val factory = XMLInputFactory.newInstance()
-      factory.setProperty(XMLInputFactory.IS_COALESCING, true)
+      factory.setProperty(XMLInputFactory.IS_COALESCING, false) // readBinaryB64 loops chunked CHARACTERS events; coalescing only adds a per-blob assembly copy
       factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
       private val xml = factory.createXMLStreamReader(input.stream)
       private val ctx = new DecodeCtx
+      private val want = wantMask(required)
       // the Inflater holds native zlib state: release it when the task ends
       // (covers failure paths) and again at normal exhaustion (end() is
       // idempotent) — finalization-only release leaks off-heap memory on
@@ -92,7 +93,7 @@ object MzMlFormat extends GraftFormat {
         while (nextRow == null && xml.hasNext) {
           if (xml.next() == XMLStreamConstants.START_ELEMENT &&
             xml.getLocalName == "spectrum") {
-            nextRow = parseSpectrum(xml, ctx)
+            nextRow = parseSpectrum(xml, ctx, want)
           }
         }
         if (nextRow == null) ctx.inflater.end()
@@ -119,7 +120,7 @@ object MzMlFormat extends GraftFormat {
     val from = math.max(0L, input.startOffset)
     raw.seek(from)
     val factory = XMLInputFactory.newInstance()
-    factory.setProperty(XMLInputFactory.IS_COALESCING, true)
+    factory.setProperty(XMLInputFactory.IS_COALESCING, false) // readBinaryB64 loops chunked CHARACTERS events; coalescing only adds a per-blob assembly copy
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     val ctx = new DecodeCtx
     Option(org.apache.spark.TaskContext.get())
@@ -128,6 +129,7 @@ object MzMlFormat extends GraftFormat {
 
     new Iterator[Array[Any]] {
       private var pos = from
+      private val want = wantMask(required)
       private val Pat = "<spectrum"
       private var xml: XMLStreamReader = _
       private var nextRow: Array[Any] = _
@@ -197,7 +199,7 @@ object MzMlFormat extends GraftFormat {
           while (nextRow == null && xml.hasNext) {
             if (xml.next() == XMLStreamConstants.START_ELEMENT &&
                 xml.getLocalName == "spectrum") {
-              nextRow = parseSpectrum(xml, ctx)
+              nextRow = parseSpectrum(xml, ctx, want)
             }
           }
           if (nextRow == null) { xml.close(); xml = null }
@@ -495,7 +497,38 @@ object MzMlFormat extends GraftFormat {
         }
     }
 
-  private def parseSpectrum(xml: XMLStreamReader, ctx: DecodeCtx): Array[Any] = {
+  /** Bitmask of the binary-array columns a projection actually reads
+    * (schema slots 1-3): a scan that prunes mz/intensity/wavelength must
+    * pay ZERO base64+inflate for them — column pruning has to reach the
+    * codec, not just the row assembly (guide §4/§6; the r17 check found
+    * the decode running unconditionally with `required.map` applied after).
+    */
+  private def wantMask(required: Array[Int]): Int = {
+    var m = 0
+    var i = 0
+    while (i < required.length) {
+      val c = required(i)
+      if (c >= 1 && c <= 3) m |= 1 << (c - 1)
+      i += 1
+    }
+    m
+  }
+
+  /** Consume a `<binary>` element's content without staging it. */
+  private def skipBinaryB64(xml: XMLStreamReader): Unit = {
+    var done = false
+    while (!done) {
+      xml.next() match {
+        case XMLStreamConstants.END_ELEMENT => done = true
+        case XMLStreamConstants.START_ELEMENT =>
+          throw new javax.xml.stream.XMLStreamException("element content inside <binary>")
+        case _ => ()
+      }
+    }
+  }
+
+  private def parseSpectrum(xml: XMLStreamReader, ctx: DecodeCtx,
+      want: Int = 7): Array[Any] = {
     val id = Option(xml.getAttributeValue(null, "id")).getOrElse("")
     val specParams = mutable.ArrayBuffer[Any]()
     var mz: java.util.concurrent.Future[Array[Double]] = null
@@ -543,8 +576,18 @@ object MzMlFormat extends GraftFormat {
                   dotNull(acc), dotNull(nm), if (v == null) null else utf8(v)))
               }
             case "binary" if inBda =>
-              bdaB64Len = readBinaryB64(xml, ctx)
-              depth -= 1 // readBinaryB64 consumes the END_ELEMENT
+              // a kind already declared (cvParams precede <binary> in valid
+              // mzML) that the projection pruned: stream past the payload
+              // without staging a byte. Unknown-kind-so-far payloads stage;
+              // the END_ELEMENT handler drops them if they turn out pruned.
+              val kindBit = bdaKind match {
+                case "mz" => 1; case "intensity" => 2; case "wavelength" => 4
+                case _ => 0
+              }
+              if (kindBit != 0 && (want & kindBit) == 0) {
+                skipBinaryB64(xml); bdaB64Len = -1
+              } else bdaB64Len = readBinaryB64(xml, ctx)
+              depth -= 1 // the binary reader consumes the END_ELEMENT
             case _ => ()
           }
         case XMLStreamConstants.END_ELEMENT =>
@@ -553,11 +596,16 @@ object MzMlFormat extends GraftFormat {
             case "precursor" | "selectedIon" => inPrecursor = false
             case "binaryDataArray" =>
               if (bdaKind != null && bdaB64Len >= 0) {
-                val values = decodeAsync(ctx, bdaB64Len, bdaZlib, bda64bit)
-                bdaKind match {
-                  case "mz" => mz = values
-                  case "intensity" => intensity = values
-                  case "wavelength" => wavelength = values
+                val kindBit = bdaKind match {
+                  case "mz" => 1; case "intensity" => 2; case _ => 4
+                }
+                if ((want & kindBit) != 0) {
+                  val values = decodeAsync(ctx, bdaB64Len, bdaZlib, bda64bit)
+                  bdaKind match {
+                    case "mz" => mz = values
+                    case "intensity" => intensity = values
+                    case "wavelength" => wavelength = values
+                  }
                 }
               }
               inBda = false

@@ -232,6 +232,11 @@ object DecodeRate {
     rate("mzml_wide", mzWide)(s.read.format("mzml").load(mzWide.getAbsolutePath)
       .agg(count(lit(1)),
         sum(expr("aggregate(intensity.intensity, 0D, (a, x) -> a + x)"))))
+    // Pruned projection: id only — proves column pruning reaches the codec
+    // (zero base64+inflate for mz/intensity/wavelength). Expected
+    // genbank-class throughput: the residual is StAX traversal.
+    rate("mzml_pruned", mz)(s.read.format("mzml").load(mz.getAbsolutePath)
+      .agg(count(lit(1)), sum(octet_length(col("id")))))
     // Codec stages: the decode runs inside the scan task's mapPartitions
     // (same shape as the l-queries); the sum over decoded pixels/samples
     // forces every byte through the codec.
