@@ -3326,12 +3326,16 @@ object LlmQueries {
     while (!converged && iter < maxRounds) {
       val prop = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("label"))
+      // The convergence aggregate rides the cut's materialization job via
+      // observe() instead of a second per-round job over the cut frame
+      // (the l25 observe+cut idiom; guide §1.2 — fewer jobs per round).
+      val obs = org.apache.spark.sql.Observation()
       val next = cut(labels.unionAll(prop)
-        .groupBy("doc_id").agg(min(col("label")).as("label")))
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("s")))
       // sum is null iff there are no labels at all (empty pairs input):
       // nothing can ever change, so that is converged too
-      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+      val s = obs.get("s").asInstanceOf[java.math.BigDecimal]
       converged = s == null ||
         prevSum.exists(p => p != null && p.compareTo(s) == 0)
       prevSum = Some(s)
@@ -3405,11 +3409,14 @@ object LlmQueries {
     var iter = 0
     var prev: Option[(Long, String)] = None
     while (!converged && iter < maxRounds) {
-      edges = cut(smallStar(largeStar(edges)))
+      // fixpoint signature rides the cut's materialization job (observe);
       // decimal sum: a long sum of 2^63-range hashes overflows under ANSI
-      val row = edges.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-      val sig = (row.getLong(0), String.valueOf(row.getDecimal(1)))
+      val obs = org.apache.spark.sql.Observation()
+      edges = cut(smallStar(largeStar(edges))
+        .observe(obs, count(lit(1)).as("n"),
+          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h")))
+      val sig = (obs.get("n").asInstanceOf[Long],
+        String.valueOf(obs.get("h").asInstanceOf[java.math.BigDecimal]))
       converged = sig._1 == 0 || prev.contains(sig)
       prev = Some(sig)
       iter += 1
