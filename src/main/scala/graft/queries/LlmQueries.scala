@@ -2311,13 +2311,17 @@ object LlmQueries {
           .join(depth.select(col("doc_id").as("src"), col("dp").as("sdp")),
             Seq("src"))
           .groupBy(col("dst")).agg((max(col("sdp")) + 1L).as("cand"))
+        // convergence sum rides the cut's materialization job (observe) —
+        // one job per round instead of two, same arithmetic
+        val obs = org.apache.spark.sql.Observation()
         depth = depth
           .join(nd.select(col("dst").as("doc_id"), col("cand")),
             Seq("doc_id"), "left")
           .select(col("doc_id"),
             greatest(col("dp"), coalesce(col("cand"), lit(0L))).as("dp"))
+          .observe(obs, sum(col("dp")).as("s"))
           .cut()
-        cur = depth.agg(sum(col("dp"))).head().getLong(0)
+        cur = obs.get("s").asInstanceOf[Long]
       }
       depth.groupBy(col("dp"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
