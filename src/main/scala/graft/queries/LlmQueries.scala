@@ -1728,8 +1728,12 @@ object LlmQueries {
           "transform(sequence(0, size(w) - 3)," +
             " i -> struct(i as i, concat_ws(' ', w[i], w[i+1], w[i+2]) as g))")).as("t"))
         .select(col("doc_id"), col("t.i").as("i"), col("t.g").as("g"))
-      val first = tri.groupBy(col("doc_id"), col("g")).agg(min(col("i")).as("i0"))
-      val dups = tri.join(first, Seq("doc_id", "g")).filter(col("i") > col("i0"))
+      // min() OVER the (doc_id, g) partition instead of groupBy + join back
+      // on the same key: one exchange of the trigram rows instead of an
+      // aggregate exchange plus a join (the §2.1 windowed-min idiom)
+      val wg = Window.partitionBy(col("doc_id"), col("g"))
+      val dups = tri.withColumn("i0", min(col("i")).over(wg))
+        .filter(col("i") > col("i0"))
         .select(col("doc_id"), col("i"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       val scrub = dups
