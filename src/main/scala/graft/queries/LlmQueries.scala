@@ -1427,8 +1427,11 @@ object LlmQueries {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1)," +
             " i -> array_join(slice(w, i * 10 + 1, 10), ' '))")).as("chunk"))
-      val survivors = ch.groupBy(col("chunk")).agg(min(col("doc_id")).as("keeper"))
-      ch.join(survivors, Seq("chunk"))
+      // windowed min instead of groupBy + join back on chunk (§2.1 idiom):
+      // the survivor table is chunk-count-sized, so the join shuffled both
+      // sides; the window pays one exchange of the chunk rows
+      ch.withColumn("keeper",
+          min(col("doc_id")).over(Window.partitionBy(col("chunk"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("keeper") === col("doc_id"), 1L).otherwise(0L)).as("n_kept"))
