@@ -3298,6 +3298,22 @@ object LlmQueries {
   // InMemoryRelation columnar encode + cache bookkeeping cost more than
   // that round. Reverted; do not retry without a cheaper persist path.
 
+  /** Reliable lineage cut as a parquet round-trip: ONE job computes and
+    * writes (no RDD-checkpoint second pass re-running the round), and the
+    * returned frame scans the files — the same file-backed fault-tolerance
+    * `Dataset.checkpoint` gives, without its write-job recompute (the
+    * persist workaround above measured worse; this shape avoids the
+    * double-compute at the price of a parquet encode, cheap for the
+    * all-long frames the CC loops cut).
+    */
+  private val reliableCutSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def reliableParquetCut(df: DataFrame, dir: String): DataFrame = {
+    val s = df.sparkSession
+    val path = s"$dir/cut_${reliableCutSeq.incrementAndGet()}"
+    df.write.mode("error").parquet(path)
+    s.read.parquet(path)
+  }
+
   private def codecParallelism(s: SparkSession): Int = {
     val p = s.conf.getOption("spark.graft.codec.parallelism").map(_.toInt)
       .getOrElse(s.sparkContext.defaultParallelism)
@@ -3320,8 +3336,10 @@ object LlmQueries {
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.cut()
+    def cut(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) => reliableParquetCut(df, dir)
+      case None => df.cut()
+    }
     val edges = cut(pairs.select(col("ida").as("src"), col("idb").as("dst"))
       .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst"))))
     var labels = cut(edges.select(col("src").as("doc_id")).distinct()
@@ -3409,8 +3427,10 @@ object LlmQueries {
       roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
       : DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.cut()
+    def cut(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) => reliableParquetCut(df, dir)
+      case None => df.cut()
+    }
     var edges = cut(pairs
       .select(greatest(col("ida"), col("idb")).as("u"),
         least(col("ida"), col("idb")).as("v"))

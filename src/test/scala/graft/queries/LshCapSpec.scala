@@ -161,7 +161,7 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
     assert(got.length == 21 && got.forall(_._2 == 0L))
   }
 
-  test("connected components: reliable-checkpoint mode matches, writes RDD checkpoints") {
+  test("connected components: reliable-checkpoint mode matches, writes file-backed cuts") {
     import spark.implicits._
     val ckpt = graft.TestTmp.dir("graft_cc_ckpt").toString
     // Diameter ~ maxRounds: a 24-edge chain under the default 25-round cap
@@ -170,9 +170,12 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
     val got = LlmQueries.connectedComponents(chain, checkpointDir = Some(ckpt))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 25 && got.forall(_._2 == 0L))
+    // the reliable cut is a parquet round-trip (one job, no RDD-checkpoint
+    // write-pass recompute): the invariant is FILE-BACKED per-round cuts
+    // under the given dir, not the RDD-checkpoint mechanism
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-      .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
-    assert(wrote > 0, "reliable mode did not write any RDD checkpoints")
+      .filter(p => p.getFileName.toString.startsWith("cut_")).count()
+    assert(wrote > 0, "reliable mode did not write any file-backed cuts")
   }
 
   test("star contraction matches min-label propagation on a random graph") {
@@ -209,8 +212,8 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 30L -> 30L, 40L -> 30L))
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-      .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
-    assert(wrote > 0, "reliable mode did not write any RDD checkpoints")
+      .filter(p => p.getFileName.toString.startsWith("cut_")).count()
+    assert(wrote > 0, "reliable mode did not write any file-backed cuts")
   }
 
   test("simhash banding finds every real hamming<=6 pair on sf0.01 documents") {
