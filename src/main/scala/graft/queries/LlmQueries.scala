@@ -2177,8 +2177,11 @@ object LlmQueries {
     // Python integer iteration).
     "l62_copy_pagerank" -> ((s, d) => {
       val sh = provenancePostings(s, d)
-      val src = sh.groupBy(col("g")).agg(min(col("doc_id")).as("src"))
-      val cites = sh.join(src, Seq("g"))
+      // windowed min over g instead of groupBy + join back on g: the
+      // source table is gram-count-sized, so the join shuffled the posting
+      // rows a second time (the l47/l34 idiom — one exchange, not two)
+      val cites = sh
+        .withColumn("src", min(col("doc_id")).over(Window.partitionBy(col("g"))))
         .filter(col("doc_id") > col("src"))
         .select(col("doc_id").as("citer"), col("src").as("cited")).distinct()
         .cut()
@@ -2303,8 +2306,9 @@ object LlmQueries {
 
     "l59_copy_lineage" -> ((s, d) => {
       val sh = provenancePostings(s, d)
-      val src = sh.groupBy(col("g")).agg(min(col("doc_id")).as("src"))
-      val edges = sh.join(src, Seq("g"))
+      // windowed min over g instead of groupBy + join back (l47/l34 idiom)
+      val edges = sh
+        .withColumn("src", min(col("doc_id")).over(Window.partitionBy(col("g"))))
         .filter(col("doc_id") > col("src"))
         .select(col("src"), col("doc_id").as("dst")).distinct()
         .cut()
@@ -2448,8 +2452,8 @@ object LlmQueries {
     // forms except through a shared gram.
     "l55_span_provenance" -> ((s, d) => {
       val sh = provenancePostings(s, d)
-      val src = sh.groupBy(col("g")).agg(min(col("doc_id")).as("src"))
-      sh.join(src, Seq("g"))
+      // windowed min over g instead of groupBy + join back (l47/l34 idiom)
+      sh.withColumn("src", min(col("doc_id")).over(Window.partitionBy(col("g"))))
         .filter(col("doc_id") > col("src"))
         .groupBy(col("src"), col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
