@@ -56,9 +56,24 @@ object GffFormat extends LineFormat with IndexableGraftFormat {
     override def initialValue(): SpanFields = new SpanFields(16)
   }
   override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
-                              required: Array[Int]): Array[Any] = {
-    if (len > 0 && b(off) == '>') return null // FASTA directive section
+                              required: Array[Int]): Array[Any] =
+    parseWith(scratch.get(), b, off, len, required)
+
+  /** One ThreadLocal probe per CHUNK instead of per line (see
+    * LineFormat.byteParser).
+    */
+  override protected def byteParser(required: Array[Int])
+      : LineFormat.ByteLineParser = {
     val f = scratch.get()
+    new LineFormat.ByteLineParser {
+      def parse(b: Array[Byte], off: Int, len: Int): Array[Any] =
+        parseWith(f, b, off, len, required)
+    }
+  }
+
+  private def parseWith(f: SpanFields, b: Array[Byte], off: Int, len: Int,
+                        required: Array[Int]): Array[Any] = {
+    if (len > 0 && b(off) == '>') return null // FASTA directive section
     val nf = f.split(b, off, len, '\t')
     if (nf < 8) return null
     // while + @switch: see the r17 VCF parse notes (required.map dispatch)
@@ -235,8 +250,23 @@ object GtfFormat extends LineFormat with IndexableGraftFormat {
     override def initialValue(): SpanFields = new SpanFields(16)
   }
   override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
-                              required: Array[Int]): Array[Any] = {
+                              required: Array[Int]): Array[Any] =
+    parseWith(scratch.get(), b, off, len, required)
+
+  /** One ThreadLocal probe per CHUNK instead of per line (see
+    * LineFormat.byteParser).
+    */
+  override protected def byteParser(required: Array[Int])
+      : LineFormat.ByteLineParser = {
     val f = scratch.get()
+    new LineFormat.ByteLineParser {
+      def parse(b: Array[Byte], off: Int, len: Int): Array[Any] =
+        parseWith(f, b, off, len, required)
+    }
+  }
+
+  private def parseWith(f: SpanFields, b: Array[Byte], off: Int, len: Int,
+                        required: Array[Int]): Array[Any] = {
     val nf = f.split(b, off, len, '\t')
     if (nf < 8) return null
     // while + @switch: see the r17 VCF parse notes (required.map dispatch)
@@ -368,8 +398,27 @@ object BedFormat extends LineFormat with IndexableGraftFormat {
     override def initialValue(): SpanFields = new SpanFields(12)
   }
   override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
-                              required: Array[Int]): Array[Any] = {
+                              required: Array[Int]): Array[Any] =
+    parseWith(scratch.get(), b, off, len, required)
+
+  /** One ThreadLocal probe per CHUNK instead of per line (see
+    * LineFormat.byteParser).
+    */
+  override protected def byteParser(required: Array[Int])
+      : LineFormat.ByteLineParser = sharedByteParser(required)
+
+  /** Shared with [[BedNFieldsFormat]] (same columns, narrower schema). */
+  private[formats] def sharedByteParser(required: Array[Int])
+      : LineFormat.ByteLineParser = {
     val f = scratch.get()
+    new LineFormat.ByteLineParser {
+      def parse(b: Array[Byte], off: Int, len: Int): Array[Any] =
+        parseWith(f, b, off, len, required)
+    }
+  }
+
+  private def parseWith(f: SpanFields, b: Array[Byte], off: Int,
+                        len: Int, required: Array[Int]): Array[Any] = {
     val nf = f.split(b, off, len, '\t')
     if (nf < 3) return null
     def str(i: Int): Any = if (i >= nf) null else dotNullSpan(b, f.off(i), f.len(i))
@@ -432,6 +481,8 @@ final class BedNFieldsFormat(n: Int) extends LineFormat {
   override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
                               required: Array[Int]): Array[Any] =
     BedFormat.parseLineBytes(b, off, len, required)
+  override protected def byteParser(required: Array[Int])
+      : LineFormat.ByteLineParser = BedFormat.sharedByteParser(required)
 }
 
 /** HMMER domain table: whitespace-delimited, 22 fixed columns + free-text
@@ -489,12 +540,27 @@ object HmmDomTabFormat extends LineFormat {
     override def initialValue(): SpanFields = new SpanFields(23)
   }
   override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
-                              required: Array[Int]): Array[Any] = {
+                              required: Array[Int]): Array[Any] =
+    parseWith(scratch.get(), b, off, len, required)
+
+  /** One ThreadLocal probe per CHUNK instead of per line (see
+    * LineFormat.byteParser).
+    */
+  override protected def byteParser(required: Array[Int])
+      : LineFormat.ByteLineParser = {
+    val f = scratch.get()
+    new LineFormat.ByteLineParser {
+      def parse(b: Array[Byte], off: Int, len: Int): Array[Any] =
+        parseWith(f, b, off, len, required)
+    }
+  }
+
+  private def parseWith(f: SpanFields, b: Array[Byte], off: Int, len: Int,
+                        required: Array[Int]): Array[Any] = {
     var s = off
     var e = off + len
     while (s < e && (b(s) & 0xff) <= ' ') s += 1
     while (e > s && (b(e - 1) & 0xff) <= ' ') e -= 1
-    val f = scratch.get()
     val nf = f.splitWs(b, s, e - s, 23)
     if (nf < 22) return null
     // while loop: see the r17 VCF parse notes (required.map dispatch)

@@ -173,40 +173,62 @@ final class VcfTypedFormat(parseInfo: Boolean, parseFormats: Boolean) extends Gr
           new FormatUtil.SpanFields(16)
       }
       override def parseLineBytes(b: Array[Byte], off: Int, len: Int,
-                                  req: Array[Int]): Array[Any] = {
-        import FormatUtil._
+                                  req: Array[Int]): Array[Any] =
+        parseWith(scratch.get(), b, off, len, req)
+
+      /** One ThreadLocal probe per CHUNK instead of per line (see
+        * LineFormat.byteParser).
+        */
+      override protected def byteParser(req: Array[Int])
+          : LineFormat.ByteLineParser = {
         val fl = scratch.get()
+        new LineFormat.ByteLineParser {
+          def parse(b: Array[Byte], off: Int, len: Int): Array[Any] =
+            parseWith(fl, b, off, len, req)
+        }
+      }
+
+      private def parseWith(fl: FormatUtil.SpanFields, b: Array[Byte],
+                            off: Int, len: Int, req: Array[Int]): Array[Any] = {
+        import FormatUtil._
         val nf = fl.split(b, off, len, '\t')
         if (nf < 8) return null
-        req.map {
-          case 0 => utf8Span(b, fl.off(0), fl.len(0))
-          case 1 => parseLongSpan(b, fl.off(1), fl.len(1))
-          case 2 => if (isDotSpan(b, fl.off(2), fl.len(2))) null
-            else utf8ArraySpan(b, fl.off(2), fl.len(2), ';')
-          case 3 => utf8Span(b, fl.off(3), fl.len(3))
-          case 4 => if (isDotSpan(b, fl.off(4), fl.len(4))) null
-            else utf8ArraySpan(b, fl.off(4), fl.len(4), ',')
-          case 5 => dotNullFloatSpan(b, fl.off(5), fl.len(5))
-          case 6 => if (isDotSpan(b, fl.off(6), fl.len(6))) null
-            else utf8ArraySpan(b, fl.off(6), fl.len(6), ';')
-          case 7 =>
-            if (infoSchema == null) dotNullSpan(b, fl.off(7), fl.len(7))
-            else parseInfoStruct(spanString(b, fl.off(7), fl.len(7)), infoSchema)
-          case 8 =>
-            if (nf <= 8) null
-            else if (fmtSchema == null)
-              utf8Span(b, fl.off(8), fl.off(nf - 1) + fl.len(nf - 1) - fl.off(8))
-            else {
-              // FORMAT + samples as per-field Strings for the typed parse
-              val tail = new Array[String](nf - 8)
-              var i = 8
-              while (i < nf) {
-                tail(i - 8) = spanString(b, fl.off(i), fl.len(i))
-                i += 1
+        // while + @switch: see the r17 VCF parse notes (required.map dispatch)
+        val out = new Array[Any](req.length)
+        var k = 0
+        while (k < req.length) {
+          out(k) = (req(k): @scala.annotation.switch) match {
+            case 0 => utf8Span(b, fl.off(0), fl.len(0))
+            case 1 => parseLongSpan(b, fl.off(1), fl.len(1))
+            case 2 => if (isDotSpan(b, fl.off(2), fl.len(2))) null
+              else utf8ArraySpan(b, fl.off(2), fl.len(2), ';')
+            case 3 => utf8Span(b, fl.off(3), fl.len(3))
+            case 4 => if (isDotSpan(b, fl.off(4), fl.len(4))) null
+              else utf8ArraySpan(b, fl.off(4), fl.len(4), ',')
+            case 5 => dotNullFloatSpan(b, fl.off(5), fl.len(5))
+            case 6 => if (isDotSpan(b, fl.off(6), fl.len(6))) null
+              else utf8ArraySpan(b, fl.off(6), fl.len(6), ';')
+            case 7 =>
+              if (infoSchema == null) dotNullSpan(b, fl.off(7), fl.len(7))
+              else parseInfoStruct(spanString(b, fl.off(7), fl.len(7)), infoSchema)
+            case 8 =>
+              if (nf <= 8) null
+              else if (fmtSchema == null)
+                utf8Span(b, fl.off(8), fl.off(nf - 1) + fl.len(nf - 1) - fl.off(8))
+              else {
+                // FORMAT + samples as per-field Strings for the typed parse
+                val tail = new Array[String](nf - 8)
+                var i = 8
+                while (i < nf) {
+                  tail(i - 8) = spanString(b, fl.off(i), fl.len(i))
+                  i += 1
+                }
+                parseFormatTail(tail, fmtSchema)
               }
-              parseFormatTail(tail, fmtSchema)
-            }
+          }
+          k += 1
         }
+        out
       }
     }
     base.records(input, required)

@@ -93,6 +93,27 @@ object DecodeRate {
     val vcfDir = new java.io.File(dir, "vcfgz")
     Corpora.writeUnindexedVcfGz(s, vcfDir.getAbsolutePath, 2400000L)
     val vcf = new java.io.File(vcfDir, "calls.vcf.gz")
+    // GFF (r17 opt round): plain-text feature lines, ONE shard — measures
+    // the LineFormat byte-span parse (tab split + typed fields) the same
+    // way vcf_bgzf measures VCF's, minus the BGZF layer. Attributes are
+    // written but NOT projected (column pruning drops them — the
+    // coordinate-query shape f05/f13 grade).
+    val gff = sparkGen("gff") { p =>
+      s.range(0, 2000000L).select(
+          concat(lit("chr"), (col("id") % 8).cast("string")).as("seqname"),
+          lit("graft").as("source"),
+          lit("exon").as("type"),
+          ((col("id") / 8).cast("long") * 40 + 1).as("start"),
+          ((col("id") / 8).cast("long") * 40 + 30).as("end"),
+          (col("id") % 60).cast("float").as("score"),
+          lit("+").as("strand"),
+          lit(null).cast("string").as("phase"),
+          map(lit("ID"), array(concat(lit("f"), col("id").cast("string"))),
+            lit("H"), array(md5(col("id").cast("string")))).as("attributes"))
+        .repartitionByRange(1, col("seqname"), col("start"))
+        .sortWithinPartitions("seqname", "start")
+        .write.format("gff").mode("overwrite").save(p)
+    }
     // FASTQ: the b18 landing shape — ONE bgzipped shard, no index.
     val fastqDir = new java.io.File(dir, "fastqgz")
     Corpora.writeUnindexedFastqBgzf(s, fastqDir.getAbsolutePath, 1200000L)
@@ -209,6 +230,9 @@ object DecodeRate {
     rate("vcf_bgzf", vcf)(s.read.format("vcf").load(vcf.getAbsolutePath)
       .agg(sum(col("pos")), sum(octet_length(col("info"))),
         sum(octet_length(col("ref"))), sum(col("qual"))))
+    rate("gff", gff)(s.read.format("gff").load(gff.getAbsolutePath)
+      .agg(count(lit(1)), sum(col("start")), sum(col("end")),
+        sum(col("score")), sum(octet_length(col("type")))))
     rate("fastq_bgzf", fastq)(s.read.format("fastq").load(fastq.getAbsolutePath)
       .agg(count(lit(1)), sum(octet_length(col("sequence"))),
         sum(octet_length(col("quality_scores")))))
