@@ -48,6 +48,11 @@ object StreamQueries {
     val saved = keys.map(k => k -> s.conf.getOption(k))
     s.conf.set("spark.sql.shuffle.partitions", "2")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    // RocksDB provider A/B (r17 opt round, 2 interleaved windows x 5
+    // stateful gates): neutral-to-WORSE everywhere (s05 2.2 -> 2.6-2.7 s,
+    // s02/s04/s09 ~5-20% slower, s03 a wash) — the native store's per-
+    // query setup dwarfs the handful-of-keys state these gates carry. The
+    // HDFS-backed default stays; at real key cardinality re-measure.
     try body finally saved.foreach { case (k, v) =>
       v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
     }
@@ -61,6 +66,7 @@ object StreamQueries {
     // them and terminates); a complete-mode aggregate proves the rows
     // flowed through the streaming scan, not a batch scan.
     "s01_stream_fasta_scan" -> ((s, _) => {
+      withTinyStreamState(s) {
       val dir = gateDir("stream_fasta")
       val done = new java.io.File(dir, "_done")
       if (!done.exists()) {
@@ -84,6 +90,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy(col("shard"))
+      }
     }),
 
     // Watermarked tumbling-window counts in APPEND mode: the first window
@@ -270,6 +277,7 @@ object StreamQueries {
     // hostage; the gate REFUSES to grade if the limit didn't bound the
     // batches, so a silent fall-back to all-available cannot pass.
     "s07_stream_bounded_batches" -> ((s, _) => {
+      withTinyStreamState(s) {
       val dir = gateDir("stream_bounded")
       val done = new java.io.File(dir, "_done")
       if (!done.exists()) {
@@ -299,6 +307,7 @@ object StreamQueries {
         "s07: admission control did not bound the drain - expected >=3 " +
           s"data micro-batches (6 files at maxFilesPerTrigger=2), saw $dataBatches")
       s.table(name).orderBy(col("shard"))
+      }
     }),
 
     // Streaming WRITE through a graft sink: a text VCF streams in through
