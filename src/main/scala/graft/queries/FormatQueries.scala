@@ -482,7 +482,12 @@ object FormatQueries {
     "f36_gff_write_indexed" -> ((s, _) => {
       val dir = gateDir("gff_sink").getAbsolutePath
       val out = s"$dir/t"
+      // repartitionByRange SAMPLES its input to pick bounds, and a plain-
+      // gzip GFF is unsplittable — without a cut the whole file inflates
+      // and parses twice (sampling job + shuffle job). localCheckpoint
+      // pays one in-memory copy of the 96k rows instead.
       s.read.format("gff").load(s"$fx/gff-index/gencode.v38.polyAs.gff.gz")
+        .localCheckpoint()
         .repartitionByRange(4, col("seqname"), col("start"))
         .sortWithinPartitions("seqname", "start")
         .write.format("gff").mode("overwrite")

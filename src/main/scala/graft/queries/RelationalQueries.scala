@@ -1238,6 +1238,11 @@ object RelationalQueries {
         sys.props.get("java.io.tmpdir").getOrElse("/tmp"), "graft_gate_q71")
       gate.mkdirs()
       val out = new java.io.File(gate, "t").getAbsolutePath
+      // NOTE (measured negative, r17 opt round): a localCheckpoint here —
+      // repartitionByRange's sampling does re-run the merge subtree — lost
+      // or tied 5/6 interleaved QTime windows: the range-derived merge is
+      // cheaper to recompute than to materialize (the f36 gz-input cut is
+      // the shape where the same idea wins). Don't retry without new data.
       indexedMergeRows(s)
         .repartitionByRange(4, col("chrom"), col("pos"))
         .sortWithinPartitions("chrom", "pos")
