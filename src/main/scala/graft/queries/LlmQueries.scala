@@ -2569,14 +2569,18 @@ object LlmQueries {
           when(col("seed"), col("truth")).otherwise(lit(-1L)))
         .select("vec_id", "seed", "truth", "cur").cut()
       for (_ <- 1 to 4) {
+        // mode(nl, true) = most frequent neighbor label, ties -> LOWEST
+        // value — exactly the old min(struct(-n, nl)) over a (src, nl)
+        // count, in ONE src-keyed exchange instead of the count's
+        // (src, nl) exchange plus the argmax's src exchange (§2.1 spirit:
+        // same answer, half the shuffles per round).
         val votes = edges
           .join(labels.select(col("vec_id").as("dst"), col("cur").as("nl")),
             "dst")
           .filter(col("nl") =!= -1L)
-          .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("n"))
           .groupBy(col("src"))
-          .agg(min(struct((-col("n")).as("neg"), col("nl").as("l"))).as("m"))
-          .select(col("src").as("vec_id"), col("m.l").as("maj"))
+          .agg(expr("mode(nl, true)").as("maj"))
+          .select(col("src").as("vec_id"), col("maj"))
         labels = labels.join(votes, Seq("vec_id"), "left")
           .withColumn("cur", when(col("seed"), col("cur"))
             .otherwise(coalesce(col("maj"), col("cur"))))
