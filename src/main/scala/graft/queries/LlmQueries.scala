@@ -2893,6 +2893,14 @@ object LlmQueries {
       val bp = best.getString(0)
       merges += ((r, bp, best.getLong(1)))
       val Array(a, b) = bp.split(" ", 2)
+      // NOTE (measured negative, r18): gating this fold behind
+      // array_contains(syms, a) && array_contains(syms, b) (skip the
+      // O(n^2)-copy fold for words that cannot merge) was SLOWER on both
+      // interleaved windows (l38 0.60->0.69 / 0.62->0.73, l54 mixed): at
+      // 8 merge rounds the winners are still near-single-char pairs most
+      // words CONTAIN, so the guard adds two array scans per row and
+      // skips almost nothing. Reverted; re-try only if the round count
+      // ever grows past the point where merged multi-char symbols win.
       vocab = vocab.withColumn("syms",
         aggregate(col("syms"), array().cast("array<string>"),
           (acc, x) => when(size(acc) > 0 &&
@@ -3016,7 +3024,7 @@ object LlmQueries {
     (assign(cents), cents)
   }
 
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val t = 0.5
     // The shingle ARRAYS are consumed three times downstream (the posting
     // explode + both sides of the verify back-join): cut once so
@@ -3354,29 +3362,55 @@ object LlmQueries {
       .withColumn("label", col("doc_id")))
     var converged = false
     var iter = 0
-    // Min-propagation makes every label non-increasing, so the label total
-    // strictly decreases until the fixpoint: an unchanged total IS
-    // convergence. One cheap aggregate per round instead of a
-    // change-detection self-join (decimal: 10^8 docs x 2^40 ids would
-    // overflow a long sum).
-    var prevSum: Option[java.math.BigDecimal] = None
+    // Semi-naive ("delta-frontier") min propagation: round k joins edges
+    // only against the labels that CHANGED in round k-1 (round 1: all).
+    // An unchanged neighbor v already pushed cur(v) to every neighbor in
+    // the round after v's last change, so dropping it from the join leaves
+    // every per-round label state bit-identical to the full join (standard
+    // semi-naive evaluation; PropagationFrontierSpec pins round-by-round
+    // equality, LshCapSpec pins the final clusters against star
+    // contraction). Once the observed frontier row count is small the
+    // edges join flips to an explicit broadcast — late rounds scan the
+    // edge cut map-side instead of shuffling |E|+|V| rows per round
+    // (guide §3.1; at 100 TB the frontier collapses after the first
+    // rounds while |E| does not). The changed-count rides the cut's
+    // materialization job via observe() and doubles as the convergence
+    // test: 0 changes is exactly the old unchanged-label-sum fixpoint,
+    // detected on the same round.
+    val bcastFrontierRows =
+      pairs.sparkSession.conf.getOption("spark.graft.cc.broadcastFrontierRows")
+        .map(_.toLong).getOrElse(1000000L)
+    var frontier = labels.select(col("doc_id").as("dst"), col("label").as("nl"))
+    var frontierRows = Long.MaxValue // round-1 frontier is the full label set
     while (!converged && iter < maxRounds) {
-      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(edges("src").as("doc_id"), col("label"))
-      // The convergence aggregate rides the cut's materialization job via
-      // observe() instead of a second per-round job over the cut frame
-      // (the l25 observe+cut idiom; guide §1.2 — fewer jobs per round).
+      val fr =
+        if (frontierRows <= bcastFrontierRows) broadcast(frontier) else frontier
+      // The round keeps r17's ONE-exchange union+groupBy shape (a left
+      // join against a separately aggregated prop measured WORSE at sf0.1
+      // — extra exchange + join stage per round); the delta is only WHAT
+      // joins the edges: the frontier instead of the full label table.
+      // Once broadcast, the edge side of the round is map-only.
+      val prop = edges.join(fr, "dst")
+        .select(col("src").as("doc_id"), col("nl").as("label"),
+          lit(false).as("old"))
       val obs = org.apache.spark.sql.Observation()
-      val next = cut(labels.unionAll(prop)
-        .groupBy("doc_id").agg(min(col("label")).as("label"))
-        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("s")))
-      // sum is null iff there are no labels at all (empty pairs input):
+      val next = cut(labels
+        .select(col("doc_id"), col("label"), lit(true).as("old"))
+        .unionAll(prop)
+        .groupBy("doc_id").agg(min(col("label")).as("label"),
+          min(when(col("old"), col("label"))).as("lold"))
+        // every doc_id has exactly one `old` row, so lold is its previous
+        // label and never null
+        .select(col("doc_id"), col("label"), (col("label") < col("lold")).as("chg"))
+        .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("nchg")))
+      // nchg is null iff there are no labels at all (empty pairs input):
       // nothing can ever change, so that is converged too
-      val s = obs.get("s").asInstanceOf[java.math.BigDecimal]
-      converged = s == null ||
-        prevSum.exists(p => p != null && p.compareTo(s) == 0)
-      prevSum = Some(s)
+      val n = obs.get("nchg")
+      frontierRows = if (n == null) 0L else n.asInstanceOf[Long]
+      converged = frontierRows == 0L
       labels = next
+      frontier = next.filter(col("chg"))
+        .select(col("doc_id").as("dst"), col("label").as("nl"))
       iter += 1
     }
     require(converged, s"label propagation did not converge in $iter rounds")

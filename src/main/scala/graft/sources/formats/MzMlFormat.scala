@@ -69,22 +69,77 @@ object MzMlFormat extends GraftFormat {
     StructField("precursor_mz", DoubleType, nullable = true),
     StructField("precusor_charge", LongType, nullable = true)))
 
+  /** Group-pipelined resolve: parse spectra in GROUPS (count- and
+    * byte-bounded), flush each group's small-blob batch as one pool
+    * handoff, and keep one flushed group in flight AHEAD of the one being
+    * served — the task thread parses group g+1 while the pool decodes
+    * group g, and every await lands on a future that had a whole group's
+    * parse time to complete. Wide-spectrum files hit the byte bound after
+    * 1-2 rows and degrade to the old depth-1 pipeline; in-flight memory is
+    * bounded at two groups. The task ctx's Inflater is released when the
+    * LAST group has been flushed and served (the old per-iterator end()
+    * sites ran before the final inline flush could still need it); the
+    * task-completion listener covers failure paths as before.
+    */
+  private val groupSpectra: Int =
+    math.max(1, sys.env.getOrElse("GRAFT_MZML_GROUP", "32").toInt)
+  private val groupByteBound: Long = 1L << 20
+
+  private def pipelined(ctx: DecodeCtx, inner: Iterator[Array[Any]],
+      required: Array[Int]): Iterator[Array[Any]] = new Iterator[Array[Any]] {
+    private var cur: java.util.ArrayDeque[Array[Any]] = _
+    private var ahead: java.util.ArrayDeque[Array[Any]] = _
+    private var ended = false
+
+    private def parseGroup(): java.util.ArrayDeque[Array[Any]] = {
+      val g = new java.util.ArrayDeque[Array[Any]](groupSpectra)
+      ctx.groupBytes = 0L
+      var k = 0
+      while (k < groupSpectra && ctx.groupBytes < groupByteBound &&
+          inner.hasNext) {
+        g.add(inner.next())
+        k += 1
+      }
+      flushPending(ctx)
+      g
+    }
+
+    override def hasNext: Boolean = {
+      val h = (cur != null && !cur.isEmpty) ||
+        (ahead != null && !ahead.isEmpty) || inner.hasNext
+      if (!h && !ended) { ended = true; ctx.inflater.end() }
+      h
+    }
+
+    override def next(): Array[Any] = {
+      if (cur == null || cur.isEmpty) {
+        // promote the in-flight group, then parse its successor BEFORE
+        // serving (this is the overlap: pool decodes `cur` during the
+        // parse below)
+        cur = if (ahead != null) ahead else parseGroup()
+        ahead = if (inner.hasNext) parseGroup() else null
+      }
+      val full = resolvePending(ctx, cur.poll())
+      required.map(full(_))
+    }
+  }
+
   override def records(input: RecordInput, required: Array[Int]): Iterator[Array[Any]] = {
     if (input.containerResyncSplit) return splitRecords(input, required)
-    new Iterator[Array[Any]] {
-      private val factory = XMLInputFactory.newInstance()
-      factory.setProperty(XMLInputFactory.IS_COALESCING, false) // readBinaryB64 loops chunked CHARACTERS events; coalescing only adds a per-blob assembly copy
-      factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-      private val xml = factory.createXMLStreamReader(input.stream)
-      private val ctx = new DecodeCtx
-      private val want = wantMask(required)
-      // the Inflater holds native zlib state: release it when the task ends
-      // (covers failure paths) and again at normal exhaustion (end() is
-      // idempotent) — finalization-only release leaks off-heap memory on
-      // long-running executors
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => ctx.inflater.end()))
-      trackReader()
+    val factory = XMLInputFactory.newInstance()
+    factory.setProperty(XMLInputFactory.IS_COALESCING, false) // readBinaryB64 loops chunked CHARACTERS events; coalescing only adds a per-blob assembly copy
+    factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val xml = factory.createXMLStreamReader(input.stream)
+    val ctx = new DecodeCtx
+    val want = wantMask(required)
+    // the Inflater holds native zlib state: release it when the task ends
+    // (covers failure paths) and again at normal exhaustion (end() is
+    // idempotent) — finalization-only release leaks off-heap memory on
+    // long-running executors
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => ctx.inflater.end()))
+    trackReader()
+    val inner = new Iterator[Array[Any]] {
       private var nextRow: Array[Any] = _
       advance()
 
@@ -96,17 +151,16 @@ object MzMlFormat extends GraftFormat {
             nextRow = parseSpectrum(xml, ctx, want)
           }
         }
-        if (nextRow == null) ctx.inflater.end()
       }
 
       override def hasNext: Boolean = nextRow != null
       override def next(): Array[Any] = {
-        val pending = nextRow
-        advance() // stage the NEXT spectrum's decodes before joining this one's
-        val full = resolvePending(pending)
-        required.map(full(_))
+        val row = nextRow
+        advance()
+        row
       }
     }
+    pipelined(ctx, inner, required)
   }
 
   /** Raw-cut resync chunk: scan bytes for the next `<spectrum` start tag
@@ -127,7 +181,7 @@ object MzMlFormat extends GraftFormat {
       .foreach(_.addTaskCompletionListener[Unit](_ => ctx.inflater.end()))
     trackReader()
 
-    new Iterator[Array[Any]] {
+    val inner = new Iterator[Array[Any]] {
       private var pos = from
       private val want = wantMask(required)
       private val Pat = "<spectrum"
@@ -194,7 +248,7 @@ object MzMlFormat extends GraftFormat {
         while (nextRow == null) {
           if (xml == null) {
             xml = nextBatchReader()
-            if (xml == null) { ctx.inflater.end(); return }
+            if (xml == null) return // inflater released by pipelined/listener
           }
           while (nextRow == null && xml.hasNext) {
             if (xml.next() == XMLStreamConstants.START_ELEMENT &&
@@ -376,12 +430,12 @@ object MzMlFormat extends GraftFormat {
 
       override def hasNext: Boolean = nextRow != null
       override def next(): Array[Any] = {
-        val pending = nextRow
-        advance() // stage the NEXT spectrum's decodes before joining this one's
-        val full = resolvePending(pending)
-        required.map(full(_))
+        val row = nextRow
+        advance()
+        row
       }
     }
+    pipelined(ctx, inner, required)
   }
 
   /** Per-partition reusable decode state: one native Inflater and two growable
@@ -392,6 +446,20 @@ object MzMlFormat extends GraftFormat {
     val inflater = new java.util.zip.Inflater()
     var b64buf: Array[Byte] = new Array[Byte](1 << 13) // whitespace-stripped base64 bytes
     var rawbuf: Array[Byte] = new Array[Byte](1 << 14) // inflated output
+    // small-blob decode batch (see flushPending): staged copies waiting for
+    // ONE pool handoff per GROUP of spectra, plus the bytes staged by the
+    // current group (parse-group byte bound for wide-spectrum files)
+    val pending = new java.util.ArrayList[PendingBlob](64)
+    var groupBytes = 0L
+    val batch: Boolean = batchEnabled // captured once per reader
+  }
+
+  /** One staged small-blob decode: a copy of the whitespace-stripped base64
+    * payload plus its declared codec params, completed by [[flushPending]].
+    */
+  private final class PendingBlob(val buf: Array[Byte], val len: Int,
+      val zlib: Boolean, val is64: Boolean) {
+    val fut = new java.util.concurrent.CompletableFuture[Array[Double]]()
   }
 
   /** Executor-shared decode pool for the `<binary>` blobs — the probe at
@@ -463,18 +531,42 @@ object MzMlFormat extends GraftFormat {
       tc.addTaskCompletionListener[Unit](_ => activeReaders.decrementAndGet())
     }
 
+  /** Small-blob GROUP batching kill switch (A/B): 0 restores the r17
+    * behavior — every sub-threshold payload decodes inline on the parse
+    * thread, nothing is staged. Read per READER (captured into DecodeCtx)
+    * from a system property first so a single-JVM interleaved A/B can
+    * toggle it between reps; env for process-level runs.
+    */
+  private def batchEnabled: Boolean =
+    sys.props.get("graft.mzml.batch")
+      .orElse(sys.env.get("GRAFT_MZML_BATCH")).forall(_ != "0")
+
   /** Decode a blob: big payloads are staged (compressed-bytes copy) and
-    * decoded off the parse thread when capacity exists (see
-    * [[decodePool]]); small payloads decode inline on the task's own
-    * scratch — the pre-pool path, zero overhead.
+    * decoded off the parse thread individually when capacity exists (see
+    * [[decodePool]]); small payloads are staged into the task's GROUP
+    * batch — one pool handoff per group of spectra (see [[flushPending]]),
+    * because the per-blob handoff measurably dominated sub-KB spectra
+    * (67 -> 22 MB/s when each went async alone, the r17 threshold note).
+    * With the gate closed (full-width scan) everything decodes inline on
+    * the parse thread — the pre-pool path, zero overhead, by construction.
     */
   private def decodeAsync(ctx: DecodeCtx, b64len: Int, zlib: Boolean,
-      is64: Boolean): java.util.concurrent.Future[Array[Double]] =
-    if (b64len < asyncThreshold ||
-      activeDecodes.get + activeReaders.get >= decodePoolSize)
+      is64: Boolean): java.util.concurrent.Future[Array[Double]] = {
+    ctx.groupBytes += b64len
+    if (activeDecodes.get + activeReaders.get >= decodePoolSize)
       java.util.concurrent.CompletableFuture.completedFuture(
         decodeBuf(ctx.b64buf, b64len, zlib, is64, ctx))
-    else {
+    else if (b64len < asyncThreshold) {
+      if (!ctx.batch)
+        java.util.concurrent.CompletableFuture.completedFuture(
+          decodeBuf(ctx.b64buf, b64len, zlib, is64, ctx))
+      else {
+        val p = new PendingBlob(java.util.Arrays.copyOf(ctx.b64buf, b64len),
+          b64len, zlib, is64)
+        ctx.pending.add(p)
+        p.fut
+      }
+    } else {
       val copy = java.util.Arrays.copyOf(ctx.b64buf, b64len)
       activeDecodes.incrementAndGet()
       decodePool.submit(new java.util.concurrent.Callable[Array[Double]] {
@@ -483,6 +575,36 @@ object MzMlFormat extends GraftFormat {
           finally activeDecodes.decrementAndGet()
       })
     }
+  }
+
+  /** Submit the task's staged small-blob batch as ONE pool task (or decode
+    * it inline when the idle-core gate is closed / the pool is saturated).
+    * Called once per parse group by [[pipelined]] — the group handoff is
+    * what amortizes the SynchronousQueue rendezvous the per-blob path
+    * could not.
+    */
+  private def flushPending(ctx: DecodeCtx): Unit = {
+    val n = ctx.pending.size()
+    if (n == 0) return
+    val blobs = new java.util.ArrayList[PendingBlob](ctx.pending)
+    ctx.pending.clear()
+    def decodeAll(sc: DecodeCtx): Unit = {
+      var i = 0
+      while (i < blobs.size()) {
+        val p = blobs.get(i)
+        try p.fut.complete(decodeBuf(p.buf, p.len, p.zlib, p.is64, sc))
+        catch { case t: Throwable => p.fut.completeExceptionally(t) }
+        i += 1
+      }
+    }
+    if (activeDecodes.get + activeReaders.get < decodePoolSize) {
+      activeDecodes.incrementAndGet()
+      decodePool.execute { () =>
+        try decodeAll(poolScratch.get())
+        finally activeDecodes.decrementAndGet()
+      }
+    } else decodeAll(ctx)
+  }
 
   private def await(f: java.util.concurrent.Future[Array[Double]]): Array[Double] =
     if (f == null) null
@@ -624,10 +746,12 @@ object MzMlFormat extends GraftFormat {
   }
 
   /** Join the staged decodes of a parsed spectrum row (slots 1-3) into
-    * their final wrapped form. Called one spectrum LATE by the iterators —
-    * see the note at the end of parseSpectrum.
+    * their final wrapped form. Called a GROUP late by [[pipelined]]; the
+    * flush check is a hang-proof safety net (a future created by
+    * decodeAsync can only be awaited after its batch was submitted).
     */
-  private def resolvePending(row: Array[Any]): Array[Any] = {
+  private def resolvePending(ctx: DecodeCtx, row: Array[Any]): Array[Any] = {
+    if (!ctx.pending.isEmpty) flushPending(ctx)
     if (row == null) return null
     var i = 1
     while (i <= 3) {

@@ -89,6 +89,42 @@ object StageProbe {
       println(fmt(graft.queries.LlmQueries.smallStar(
         graft.queries.LlmQueries.largeStar(edges))))
     }
+    if (what == "propplan") {
+      // Before/after plan evidence for the delta-frontier propagation
+      // rewrite (r18): BEFORE is the r17 full-join round reconstructed
+      // verbatim; AFTER is the shipped frontier round (broadcast arm, the
+      // steady-state shape once the observed changed-count is small).
+      // Same cut edge/label inputs for both.
+      val pairs = graft.queries.LlmQueries.jaccardPairs(spark, sfDir)
+        .select(col("ida"), col("idb"))
+      val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+        .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+        .localCheckpoint()
+      val labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")).localCheckpoint()
+      def fmt(df: DataFrame): String = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val propOld = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("label"))
+      val roundOld = labels.unionAll(propOld)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+      println("===== PROP ROUND BEFORE (full edges-x-labels join, r17 shape) =====")
+      println(fmt(roundOld))
+      val frontier = labels // round-1 frontier; late rounds: the chg subset
+        .select(col("doc_id").as("dst"), col("label").as("nl"))
+      val propNew = edges.join(broadcast(frontier), "dst")
+        .select(col("src").as("doc_id"), col("nl").as("label"),
+          lit(false).as("old"))
+      val roundNew = labels
+        .select(col("doc_id"), col("label"), lit(true).as("old"))
+        .unionAll(propNew)
+        .groupBy("doc_id").agg(min(col("label")).as("label"),
+          min(when(col("old"), col("label"))).as("lold"))
+        .select(col("doc_id"), col("label"),
+          (col("label") < col("lold")).as("chg"))
+      println("===== PROP ROUND AFTER (broadcast-frontier union, r18 shape) =====")
+      println(fmt(roundNew))
+    }
     if (what == "l50") {
       // Decompose the l50 binary search: replicate longestDupSpan's probe
       // internals (private[queries]) and time the token cut, each dupAt

@@ -144,6 +144,42 @@ class LshCapSpec extends AnyFunSuite with SharedSpark {
       s"block-pair candidates $cands not far below single-chunk ~$singleChunkExpect")
   }
 
+  test("delta-frontier propagation: broadcast and shuffle frontier paths match union-find") {
+    import spark.implicits._
+    // Random component mix PLUS a chain tail: the chain keeps exactly one
+    // label changing per round, so late rounds run with a 1-row frontier —
+    // the semi-naive shape the optimization exists for.
+    val rnd = new scala.util.Random(43)
+    val edges = (Seq.fill(150)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b } ++
+      (200L until 212L).map(i => (i, i + 1))).distinct
+    val pairs = edges.toDF("ida", "idb")
+    // union-find oracle (min node id per component)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val comps = nodes.groupBy(find)
+    val expect = nodes.map(n => n -> comps(find(n)).min).toMap
+    val gotBcast = LlmQueries.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotBcast == expect)
+    // force the shuffle-join arm for every round (frontier never small
+    // enough to broadcast): results must be identical
+    spark.conf.set("spark.graft.cc.broadcastFrontierRows", "0")
+    try {
+      val gotShuffle = LlmQueries.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(gotShuffle == expect)
+    } finally spark.conf.unset("spark.graft.cc.broadcastFrontierRows")
+  }
+
   test("connected components: transitivity across chained pairs, disjoint clusters") {
     import spark.implicits._
     // A~B~C chained (A!~C directly), D~E separate, F isolated (no pair).
