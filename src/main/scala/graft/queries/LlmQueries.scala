@@ -2203,7 +2203,7 @@ object LlmQueries {
           expr("(1000000 * 850) div (1000 * odeg)").as("share"))
         .groupBy(col("cited")).agg(sum(col("share")).as("in_mass"))
         .select(col("cited").as("doc_id"), col("in_mass"))
-        .cut()
+        .cutLazy()
       for (_ <- 2 to 10) {
         mass = contrib
           .join(mass.select(col("doc_id").as("citer"), col("in_mass")),
@@ -2213,7 +2213,7 @@ object LlmQueries {
               .as("share"))
           .groupBy(col("cited")).agg(sum(col("share")).as("in_mass"))
           .select(col("cited").as("doc_id"), col("in_mass"))
-          .cut()
+          .cutLazy()
       }
       mass.filter(col("in_mass") > 0L)
         .select(col("doc_id"), (lit(150000L) + col("in_mass")).as("pr_micros"))
@@ -2815,6 +2815,9 @@ object LlmQueries {
       val gh = gramHashes(n)
       val dupH = gh.groupBy(col("h")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select(col("h")).cut()
+      // (cutLazy here measured SLOWER 3/3 interleaved windows r18 — the
+      // count()-materialization job beats rdd-level eager cut on none of
+      // them; eager stays. l52's round cuts: same verdict 2/3.)
       !dupH.isEmpty && !gh.join(dupH, Seq("h"), "left_semi")
         .join(toks.select(col("id"), col("w")), Seq("id"))
         .select(expr(s"array_join(slice(w, pos + 1, $n), ' ')").as("g"))
@@ -2881,7 +2884,10 @@ object LlmQueries {
     */
   private def bpeLearnMerges(vocab0: DataFrame, rounds: Int)
       : (DataFrame, Seq[(Int, String, Long)]) = {
-    var vocab = vocab0.cut()
+    // cutLazy: each round's rewrite materializes inside the immediately
+    // following merge-pick action (one action per round instead of two);
+    // see CutOps.cutLazy and the r18 JobProbe note below.
+    var vocab = vocab0.cutLazy()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     (1 to rounds).foreach { r =>
       val best = vocab.filter(size(col("syms")) >= 2)
@@ -2901,13 +2907,20 @@ object LlmQueries {
       // words CONTAIN, so the guard adds two array scans per row and
       // skips almost nothing. Reverted; re-try only if the round count
       // ever grows past the point where merged multi-char symbols win.
+      // NOTE (measured negative, r18 #2): materializing the pair counts
+      // INSIDE each round's cut (tagged union rows; the pick becomes a
+      // tiny TakeOrdered over materialized rows) did NOT reduce the
+      // round's action count — AQE materializes the union's internal
+      // exchange as its own job, exactly offsetting the saved pick
+      // action (JobProbe: 15 -> 16 jobs; QTime parity 2/2 windows).
+      // Reverted to the plain pick + cut pair.
       vocab = vocab.withColumn("syms",
         aggregate(col("syms"), array().cast("array<string>"),
           (acc, x) => when(size(acc) > 0 &&
               element_at(acc, lit(-1)) === lit(a) && x === lit(b),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x)))))
-        .cut()
+        .cutLazy()
     }
     (vocab, merges.toSeq)
   }
@@ -3301,6 +3314,26 @@ object LlmQueries {
           s.sparkContext.setCheckpointDir(dir)
           df.checkpoint()
         case None => df.localCheckpoint()
+      }
+    }
+
+    /** Lazy lineage cut: same truncation + fault-tolerance routing as
+      * [[cut]], but materialization happens inside the NEXT action's job
+      * instead of an eager job of its own — for loop bodies whose next
+      * step is an immediate action anyway (the BPE merge pick), this
+      * halves the loop's action count, and per-ACTION driver latency is
+      * what dominates those loops (JobProbe r18: ~37 ms/action). NOT
+      * usable when an Observation must be read before the next action
+      * (the CC loops) — obs.get would wait forever on the unmaterialized
+      * cut.
+      */
+    def cutLazy(): DataFrame = {
+      val s = df.sparkSession
+      s.conf.getOption("spark.graft.checkpointDir") match {
+        case Some(dir) =>
+          s.sparkContext.setCheckpointDir(dir)
+          df.checkpoint(eager = false)
+        case None => df.localCheckpoint(eager = false)
       }
     }
   }

@@ -107,3 +107,39 @@ object PartProbe {
     spark.stop()
   }
 }
+
+/** Job-level decomposition of one query: prints every Spark job's duration
+  * and description so loop-shaped queries (BPE, CC) show where their round
+  * overhead sits.
+  */
+object JobProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.LocalSession.buildBench(cpus)
+    graft.GraftSession.registerAll(spark)
+    val name = args(0)
+    val fn = graft.SparkEntry.queries(name)
+    // warm
+    fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.put(js.jobId, (js.time, String.valueOf(js.properties.getProperty("spark.job.description"))))
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        done.put(je.jobId, je.time)
+    })
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    val total = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    import scala.jdk.CollectionConverters._
+    val rows = jobs.asScala.toSeq.sortBy(_._1).map { case (id, (st, desc)) =>
+      (id, done.getOrDefault(id, st) - st, desc.take(60))
+    }
+    rows.foreach { case (id, ms, desc) => println(f"JOB $id%3d ${ms}%5d ms  $desc") }
+    println(f"JOBPROBE $name total=${total}%.3f njobs=${rows.size} jobms=${rows.map(_._2).sum}")
+    spark.stop()
+  }
+}
