@@ -37,6 +37,28 @@ object TextOps {
     out.toArray(new Array[String](out.size))
   }
 
+  /** Distinct n-grams of an ALREADY-TOKENIZED sequence, space-joined —
+    * the [[wordShingles]] hot loop (while + LinkedHashSet +
+    * StringBuilder) without the per-window Seq allocation that
+    * scala's sliding() pays (one 13-element Seq + mkString per
+    * position). Space separator matches the sliding/mkString shape it
+    * replaces (l54's token grams); tokens never contain spaces (they
+    * come from space-split words), so equality is unchanged.
+    */
+  def tokenShingles(tk: Array[String], n: Int): Array[String] = {
+    if (tk.length < n) return Array.empty
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= tk.length) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(tk(i + j)); j += 1 }
+      out.add(sb.toString)
+      i += 1
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
   /** Stopword-vote language ID; 'und' when no list scores a hit. */
   def langId(text: String): String = {
     val ws = words(text)

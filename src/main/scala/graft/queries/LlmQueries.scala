@@ -2496,8 +2496,12 @@ object LlmQueries {
       def gramsOf(part: DataFrame): DataFrame = part
         .as[(Long, String, Seq[String])]
         .flatMap { case (id, lang, tk) =>
-          tk.sliding(13).filter(_.length == 13).map(_.mkString(" "))
-            .toSet.iterator.map((g: String) => (id, lang, g))
+          // tight-loop distinct grams (TextOps.tokenShingles) instead of
+          // sliding().mkString.toSet — same set, same separator, none of
+          // sliding()'s per-window Seq allocations (guide §1.2 per-task
+          // work; this flatMap runs over every train AND eval doc)
+          graft.functions.TextOps.tokenShingles(tk.toArray, 13)
+            .iterator.map((g: String) => (id, lang, g))
         }.toDF("doc_id", "lang", "g")
       val evalG = gramsOf(toks.filter(col("doc_id") % 7 === 0))
         .select(col("g")).distinct()
